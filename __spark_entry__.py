@@ -1,38 +1,369 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke at sf0.001.
+``queries()`` — one named query per implemented operator (SURVEY §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for the correctness gate.
+
+Column names & types are aligned between both sides (DuckDB `year()`
+returns BIGINT → cast to INT in the SQL; money aggregates rounded to a
+fixed scale on both sides so double summation order can't flip the
+hash).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import aggregates as agg
+from e_commerce_lakehouse_spark.functions import money
+from e_commerce_lakehouse_spark.operators import cleaning, joins, windows
+from e_commerce_lakehouse_spark.session import tune_existing
+from e_commerce_lakehouse_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: gold sales_summary analog at sf0.001 (scan → join →
+    broadcast-enrich → hash-agg)."""
+    tune_existing(spark)
+    return agg.sales_summary(
+        load_table(spark, SF0001, "lineitem"),
+        load_table(spark, SF0001, "orders"),
+        load_table(spark, SF0001, "part"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query implementations. Each takes (spark, sf_dir) -> DataFrame.
+# ---------------------------------------------------------------------------
+
+
+def _q01_sales_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.sales_summary(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "part"),
+    )
+
+
+def _q02_top20_products(spark: SparkSession, sf: str) -> DataFrame:
+    li, part = load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    per_product = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("product_id"), F.col("p_name").alias("product_name"))
+        .agg(F.sum(money.revenue_cents()).alias("cents"))
+        .select("product_id", "product_name", money.money_from_cents("cents").alias("total_sales"))
+    )
+    return windows.top_k(
+        per_product, [F.col("total_sales").desc(), F.col("product_id").asc()], 20
+    )
+
+
+def _q03_brand_share(spark: SparkSession, sf: str) -> DataFrame:
+    li, part = load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    per_brand = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(money.revenue_cents()).alias("cents"))
+    )
+    return windows.share_of_total(per_brand, "cents", "share").select(
+        "brand", money.money_from_cents("cents").alias("total_sales"), "share"
+    )
+
+
+def _q04_monthly_sales(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.monthly_sales(load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"))
+
+
+def _q05_event_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.review_summary(load_table(spark, sf, "events"))
+
+
+def _q06_supplier_geo(spark: SparkSession, sf: str) -> DataFrame:
+    return joins.supplier_geography(
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def _q07_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return cleaning.dedup_latest(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+
+
+def _q08_urgent_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    return joins.semi_join(li, urgent, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+def _q09_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return joins.anti_join(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def _q10_watermark_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """High-watermark incremental load (SURVEY §2.9): rows newer than the
+    max order date of the 'already-loaded' slice (orderkey % 3 == 0)."""
+    orders = load_table(spark, sf, "orders")
+    loaded = orders.filter(F.col("o_orderkey") % 3 == 0)
+    wm = agg.watermark_max(loaded, "o_orderdate")
+    return orders.filter(F.col("o_orderdate") > F.lit(wm)).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+
+def _q11_top3_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
+    li, part = load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    per_part = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("product_id"))
+        .agg(F.sum(money.revenue_cents()).alias("cents"))
+        .select("brand", "product_id", money.money_from_cents("cents").alias("total_sales"))
+    )
+    return windows.top_k_per_group(
+        per_part, ["brand"], [F.col("total_sales").desc(), F.col("product_id").asc()], 3
+    )
+
+
+def _q12_mom_sales(spark: SparkSession, sf: str) -> DataFrame:
+    monthly = agg.monthly_sales(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    ).select("year", "month", "total_sales")
+    return windows.month_over_month(monthly, "total_sales", ["year", "month"])
+
+
+def _q13_rollup_sales(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.rollup_sales(load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"))
+
+
+def _q14_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return agg.distinct_counts(load_table(spark, sf, "lineitem"))
+
+
+def _q15_clean_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Silver dim_users analog: normalized text + concat_ws full label
+    (reference silver_clean_transform.py:85-95, F4 bug fixed)."""
+    cust = load_table(spark, sf, "customer")
+    return (
+        cleaning.dedup_by_key(cust, ["c_custkey"])
+        .select(
+            "c_custkey",
+            cleaning.normalize_text("c_name").alias("name_norm"),
+            cleaning.full_name("c_name", "c_mktsegment").alias("display_name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+def _q16_events_json(spark: SparkSession, sf: str) -> DataFrame:
+    """from_json-style payload extraction (reference streaming_flow.py:190-193),
+    batch form: pull props.k out of the JSON string column."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+        .filter(F.col("prop_k").isNotNull())
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_sales_summary": _q01_sales_summary,
+        "q02_top20_products": _q02_top20_products,
+        "q03_brand_share": _q03_brand_share,
+        "q04_monthly_sales": _q04_monthly_sales,
+        "q05_event_summary": _q05_event_summary,
+        "q06_supplier_geo": _q06_supplier_geo,
+        "q07_latest_event_per_user": _q07_latest_event_per_user,
+        "q08_urgent_lineitems": _q08_urgent_lineitems,
+        "q09_customers_without_orders": _q09_customers_without_orders,
+        "q10_watermark_incremental": _q10_watermark_incremental,
+        "q11_top3_parts_per_brand": _q11_top3_parts_per_brand,
+        "q12_mom_sales": _q12_mom_sales,
+        "q13_rollup_sales": _q13_rollup_sales,
+        "q14_distinct_counts": _q14_distinct_counts,
+        "q15_clean_customers": _q15_clean_customers,
+        "q16_events_json": _q16_events_json,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Tables pre-registered: region nation customer supplier
+# part orders lineitem events documents embeddings.
+# ---------------------------------------------------------------------------
+
+# exact integer-cents fragments — see e_commerce_lakehouse_spark/functions/money.py
+REVENUE_CENTS_SQL = "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+TOTAL_SALES_SQL = f"CAST(sum({REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_sales_summary": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   l_partkey AS product_id,
+                   p_name AS product_name,
+                   p_brand AS brand,
+                   sum(l_quantity) AS total_quantity,
+                   {TOTAL_SALES_SQL} AS total_sales,
+                   count(*) AS num_purchases
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2, 3, 4, 5
+        """,
+        "q02_top20_products": f"""
+            SELECT l_partkey AS product_id,
+                   p_name AS product_name,
+                   {TOTAL_SALES_SQL} AS total_sales
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2
+            ORDER BY total_sales DESC, product_id ASC
+            LIMIT 20
+        """,
+        "q03_brand_share": f"""
+            WITH per_brand AS (
+                SELECT p_brand AS brand,
+                       CAST(sum({REVENUE_CENTS_SQL}) AS BIGINT) AS cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1
+            )
+            SELECT brand,
+                   CAST(cents AS DOUBLE) / 100.0 AS total_sales,
+                   CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE) AS share
+            FROM per_brand
+        """,
+        "q04_monthly_sales": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   {TOTAL_SALES_SQL} AS total_sales,
+                   count(*) AS num_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "q05_event_summary": """
+            SELECT CAST(year(ts) AS INT) AS year,
+                   CAST(month(ts) AS INT) AS month,
+                   event_type,
+                   count(*) AS num_events,
+                   (CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / count(*)) / 100.0 AS avg_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "q06_supplier_geo": """
+            SELECT s_suppkey, s_name, s_acctbal,
+                   n_name AS nation, r_name AS region
+            FROM supplier
+            LEFT JOIN nation ON s_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "q07_latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type, value
+            FROM (
+                SELECT user_id, event_id, ts, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q08_urgent_lineitems": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "q09_customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q10_watermark_incremental": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+            FROM orders
+            WHERE o_orderdate > (
+                SELECT max(o_orderdate) FROM orders WHERE o_orderkey % 3 = 0
+            )
+        """,
+        "q11_top3_parts_per_brand": f"""
+            SELECT brand, product_id, total_sales, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT p_brand AS brand,
+                       l_partkey AS product_id,
+                       {TOTAL_SALES_SQL} AS total_sales,
+                       row_number() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY {TOTAL_SALES_SQL} DESC, l_partkey ASC
+                       ) AS rank
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            ) WHERE rank <= 3
+        """,
+        "q12_mom_sales": f"""
+            WITH monthly AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS year,
+                       CAST(month(o_orderdate) AS INT) AS month,
+                       {TOTAL_SALES_SQL} AS total_sales
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            )
+            SELECT year, month, total_sales,
+                   lag(total_sales) OVER (ORDER BY year, month) AS prev_total_sales,
+                   total_sales - lag(total_sales) OVER (ORDER BY year, month)
+                       AS delta_total_sales
+            FROM monthly
+        """,
+        "q13_rollup_sales": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   {TOTAL_SALES_SQL} AS total_sales,
+                   CAST(grouping(year(o_orderdate)) * 2 + grouping(month(o_orderdate)) AS BIGINT)
+                       AS grouping_level
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+        """,
+        "q14_distinct_counts": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS distinct_parts,
+                   count(DISTINCT l_suppkey) AS distinct_suppliers,
+                   count(*) AS num_rows
+            FROM lineitem
+            GROUP BY 1
+        """,
+        "q15_clean_customers": """
+            SELECT c_custkey,
+                   lower(trim(c_name)) AS name_norm,
+                   concat_ws(' ', trim(c_name), trim(c_mktsegment)) AS display_name,
+                   c_acctbal AS acctbal
+            FROM (SELECT DISTINCT ON (c_custkey) * FROM customer)
+        """,
+        "q16_events_json": """
+            SELECT event_id, event_type,
+                   CAST(props->>'$.k' AS INT) AS prop_k
+            FROM events
+            WHERE CAST(props->>'$.k' AS INT) IS NOT NULL
+        """,
+    }

@@ -1,0 +1,160 @@
+"""Aggregation operators (SURVEY §2.4).
+
+Gold-layer summaries re-expressed on the testdata star schema. The
+reference computes `sales_summary` / `review_summary` with
+groupBy + sum/count/avg after a dim left-join (reference:
+scripts/spark_jobs/gold_transfrom.py:59-94).
+
+Scale notes: every grouped agg here is a Catalyst HashAggregate with
+map-side partial aggregation — the shuffle carries one row per
+(group, partition), not per input row, so these hold at 100 TB as long
+as group cardinality is bounded (year×month×part is). Money is
+aggregated as exact integer cents (see functions.money) so results are
+shuffle-order-independent and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, money_from_cents, revenue_cents
+
+
+def revenue():
+    """Net-revenue double expression (extendedprice net of discount).
+    Use :func:`revenue_cents` when the value feeds an aggregation."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def sales_summary(lineitem: DataFrame, orders: DataFrame, part: DataFrame) -> DataFrame:
+    """Per year/month/product sales rollup (gold `sales_summary` analog;
+    reference gold_transfrom.py:59-75).
+
+    Join strategy: lineitem⋈orders is the big shuffle join on l_orderkey
+    (AQE handles skew); part is a dimension → explicit broadcast so the
+    fact table never shuffles for the enrich step.
+    """
+    enriched = (
+        lineitem.join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.select("p_partkey", "p_name", "p_brand")), lineitem.l_partkey == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            F.col("l_partkey").alias("product_id"),
+            F.col("p_name").alias("product_name"),
+            F.col("p_brand").alias("brand"),
+            F.col("l_quantity"),
+            revenue_cents().alias("rev_cents"),
+        )
+    )
+    return (
+        enriched.groupBy("year", "month", "product_id", "product_name", "brand")
+        .agg(
+            F.sum("l_quantity").alias("total_quantity"),
+            F.sum("rev_cents").alias("cents"),
+            F.count(F.lit(1)).alias("num_purchases"),
+        )
+        .select(
+            "year",
+            "month",
+            "product_id",
+            "product_name",
+            "brand",
+            "total_quantity",
+            money_from_cents("cents").alias("total_sales"),
+            "num_purchases",
+        )
+    )
+
+
+def review_summary(events: DataFrame) -> DataFrame:
+    """Per year/month/event_type activity rollup (gold `review_summary`
+    analog; reference gold_transfrom.py:79-94): count + exact avg(value)."""
+    return (
+        events.select(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            "event_type",
+            cents("value").alias("v_cents"),
+        )
+        .groupBy("year", "month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("num_events"),
+            F.sum("v_cents").alias("v_sum"),
+        )
+        .select(
+            "year",
+            "month",
+            "event_type",
+            "num_events",
+            ((F.col("v_sum").cast("double") / F.col("num_events")) / F.lit(100.0)).alias(
+                "avg_value"
+            ),
+        )
+    )
+
+
+def monthly_sales(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Monthly total-sales time series (dashboard W2;
+    reference yearly-dashboard jpg "Total Sales by Month")."""
+    return (
+        lineitem.join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+            revenue_cents().alias("rev_cents"),
+        )
+        .groupBy("year", "month")
+        .agg(
+            F.sum("rev_cents").alias("cents"),
+            F.count(F.lit(1)).alias("num_items"),
+        )
+        .select(
+            "year",
+            "month",
+            money_from_cents("cents").alias("total_sales"),
+            "num_items",
+        )
+    )
+
+
+def distinct_counts(lineitem: DataFrame) -> DataFrame:
+    """Exact + grouped distinct counts (engine surface beyond reference;
+    SURVEY §2.4 'expose anyway')."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.count(F.lit(1)).alias("num_rows"),
+    )
+
+
+def rollup_sales(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """ROLLUP (year, month) subtotal hierarchy — %-of-total dashboard
+    support (SURVEY §2.4/W3). grouping_id distinguishes subtotal levels."""
+    base = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == orders.o_orderkey
+    ).select(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        revenue_cents().alias("rev_cents"),
+    )
+    return (
+        base.rollup("year", "month")
+        .agg(
+            F.sum("rev_cents").alias("cents"),
+            F.grouping_id().alias("grouping_level"),
+        )
+        .select(
+            "year",
+            "month",
+            money_from_cents("cents").alias("total_sales"),
+            "grouping_level",
+        )
+    )
+
+
+def watermark_max(df: DataFrame, time_col: str):
+    """Global scalar max — the incremental-load high-watermark
+    (reference bronze_batch_load.py:66,112). One Spark job, one row."""
+    return df.agg(F.max(time_col)).first()[0]

@@ -1,0 +1,36 @@
+"""Local replica of the driver's correctness gate: run a Spark query and
+its DuckDB oracle on the same parquet tables, compare row count, schema
+(column names), and values (order-insensitive, exact)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    got = normalize(spark_df.toPandas())
+    want = normalize(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"columns differ:\n spark={list(got.columns)}\n oracle={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count differs: spark={len(got)} oracle={len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
