@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
-from e_commerce_lakehouse_spark.operators import cleaning, joins, windows
+from e_commerce_lakehouse_spark.operators import cleaning, dedup, joins, similarity, text, windows
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.sources import load_table
 
@@ -185,6 +185,70 @@ def _q16_events_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q17_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf, "documents"))
+
+
+def _q18_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf, "documents"))
+
+
+def _q19_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return text.quality_filter(load_table(spark, sf, "documents"))
+
+
+def _q20_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return text.lang_profile(load_table(spark, sf, "documents"))
+
+
+def _q21_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return text.fingerprint(load_table(spark, sf, "documents"))
+
+
+def _q22_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), probe_max_doc_id=50, threshold_pct=30, n=1
+    )
+
+
+def _q23_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash core (4 seeds as columns) — oracle-checkable via the
+    md5-derived hash family shared with DuckDB."""
+    docs = load_table(spark, sf, "documents")
+    toks = dedup.token_set("text")
+
+    def hash_with(seed):
+        return lambda t: dedup._md5_hash64(t, seed)
+
+    cols = [
+        F.array_min(F.transform(toks, hash_with(s))).alias(f"h{s}")
+        for s in range(4)
+    ]
+    return docs.select("doc_id", *cols)
+
+
+def _q24_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_topk(
+        load_table(spark, sf, "embeddings"), query_max_id=10, k=5
+    )
+
+
+def _q25_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), num_hashes=16, bands=4, threshold_pct=50
+    )
+
+
+def _q26_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ann_topk_lsh(
+        load_table(spark, sf, "embeddings"), query_max_id=10, k=5, planes=8
+    )
+
+
+def _q27_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf, "documents"), bits=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -203,6 +267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_distinct_counts": _q14_distinct_counts,
         "q15_clean_customers": _q15_clean_customers,
         "q16_events_json": _q16_events_json,
+        "q17_exact_dedup": _q17_exact_dedup,
+        "q18_text_stats": _q18_text_stats,
+        "q19_quality_filter": _q19_quality_filter,
+        "q20_lang_profile": _q20_lang_profile,
+        "q21_doc_fingerprint": _q21_doc_fingerprint,
+        "q22_ngram_jaccard": _q22_ngram_jaccard,
+        "q23_minhash_signature": _q23_minhash_signature,
+        "q24_cosine_topk": _q24_cosine_topk,
+        "q25_minhash_lsh_pairs": _q25_minhash_lsh_pairs,
+        "q26_ann_lsh": _q26_ann_lsh,
+        "q27_simhash": _q27_simhash,
     }
 
 
@@ -365,5 +440,127 @@ def oracle_sql() -> dict[str, str]:
                    CAST(props->>'$.k' AS INT) AS prop_k
             FROM events
             WHERE CAST(props->>'$.k' AS INT) IS NOT NULL
+        """,
+        "q17_exact_dedup": """
+            SELECT md5(lower(trim(text))) AS fp,
+                   min(doc_id) AS canonical_doc_id,
+                   count(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "q18_text_stats": """
+            WITH s AS (
+                SELECT doc_id, lang, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                       length(text) AS n_chars_measured,
+                       len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords
+                FROM documents
+            )
+            SELECT doc_id, lang, source,
+                   n_tokens, n_distinct_tokens, n_chars_measured, n_stopwords,
+                   CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
+                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+                   CAST(n_chars_measured - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
+            FROM s
+        """,
+        "q19_quality_filter": """
+            WITH s AS (
+                SELECT doc_id, lang, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                       length(text) AS n_chars_measured,
+                       len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords
+                FROM documents
+            )
+            SELECT doc_id, lang, source,
+                   n_tokens, n_distinct_tokens, n_chars_measured, n_stopwords,
+                   CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
+                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+                   CAST(n_chars_measured - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
+            FROM s
+            WHERE n_tokens >= 10 AND n_tokens <= 100000
+              AND n_distinct_tokens * 100 >= n_tokens * 20
+        """,
+        "q20_lang_profile": """
+            WITH s AS (
+                SELECT lang,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                       len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords
+                FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(n_stopwords) AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT)
+                       AS stopword_ratio,
+                   CAST(sum(n_distinct_tokens) AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT)
+                       AS avg_ttr
+            FROM s
+            GROUP BY lang
+        """,
+        "q21_doc_fingerprint": """
+            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        """,
+        "q22_ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                       / (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))
+                       AS jaccard
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE a.doc_id < 50
+              AND len(list_intersect(a.tset, b.tset)) * 100
+                  >= (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset))) * 30
+        """,
+        "q23_minhash_signature": """
+            WITH t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(tset,
+                       s -> CAST('0x' || substr(md5('0:' || s), 1, 15) AS BIGINT))) AS h0,
+                   list_min(list_transform(tset,
+                       s -> CAST('0x' || substr(md5('1:' || s), 1, 15) AS BIGINT))) AS h1,
+                   list_min(list_transform(tset,
+                       s -> CAST('0x' || substr(md5('2:' || s), 1, 15) AS BIGINT))) AS h2,
+                   list_min(list_transform(tset,
+                       s -> CAST('0x' || substr(md5('3:' || s), 1, 15) AS BIGINT))) AS h3
+            FROM t
+        """,
+        "q24_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS cv
+                FROM embeddings
+            ), scored AS (
+                SELECT query_id, neighbor_id, neighbor_label,
+                       CAST(CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+                       / (sqrt(CAST(CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS DOUBLE))
+                          * sqrt(CAST(CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS DOUBLE)))
+                           AS cosine
+                FROM c JOIN q ON query_id != neighbor_id
+            )
+            SELECT query_id, neighbor_id, neighbor_label, cosine, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
     }

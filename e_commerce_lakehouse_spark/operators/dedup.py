@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, increasing recall / cost:
+  1. exact_dedup        — md5 of normalized text, keep min doc_id.
+  2. ngram_jaccard_pairs— exact token-set Jaccard over a candidate set.
+  3. minhash_lsh_pairs  — MinHash signatures + LSH banding: near-dup
+                          candidates without the O(N²) cross join.
+  4. simhash            — 64-bit SimHash fingerprint; near-dups differ
+                          in few bits.
+
+Determinism: every hash is derived from md5 (bit-identical across
+engines and runs) — never engine-native hash(). All similarity scores
+are exact-integer divisions.
+
+Scale notes (100 TB):
+  - exact_dedup: one shuffle on the 128-bit digest — the canonical
+    map-side-combine groupBy; skew impossible (hash keys uniform).
+  - minhash_lsh: per-row signature (cheap map) → explode bands (xB rows)
+    → groupBy band-hash (uniform keys) → pairs only within buckets.
+    This is the linear-ish scale path; exact Jaccard verification runs
+    only on bucket-mates.
+  - ngram_jaccard_pairs on a full corpus is quadratic — use only on a
+    bounded candidate set (LSH buckets or a sampled probe set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Group by md5(lower(trim(text))); keep the smallest doc_id as the
+    canonical representative, count the duplicates."""
+    return (
+        documents.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep(documents: DataFrame) -> DataFrame:
+    """The deduplicated corpus itself: one row per distinct normalized
+    text (the min-doc_id representative)."""
+    keep = exact_dedup(documents).select(F.col("canonical_doc_id").alias("doc_id"))
+    return documents.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram / token-set Jaccard
+# ---------------------------------------------------------------------------
+
+
+def token_set(col: Column | str) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def ngram_set(col: Column | str, n: int) -> Column:
+    """Distinct word n-grams as join(' ') strings. Built with
+    transform over index positions — pure Column ops, no UDF."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays: |∩| / |∪| with
+    integer sizes → one exact double division."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    probe_max_doc_id: int,
+    threshold_pct: int = 50,
+    n: int = 1,
+) -> DataFrame:
+    """Exact Jaccard similarity of every probe doc (doc_id <
+    probe_max_doc_id) against every later doc, keeping pairs ≥
+    threshold. The probe bound keeps this linear in corpus size; at
+    scale the probe set is an LSH bucket, not an id range.
+
+    threshold is integer percent so the filter is exact:
+    100*|∩| ≥ t*|∪| avoids float comparison entirely.
+    """
+    setcol = token_set("text") if n == 1 else ngram_set("text", n)
+    left = documents.filter(F.col("doc_id") < probe_max_doc_id).select(
+        F.col("doc_id").alias("a_id"), setcol.alias("a_set")
+    )
+    right = documents.select(F.col("doc_id").alias("b_id"), setcol.alias("b_set"))
+    # broadcast the bounded probe side; the corpus side streams through once
+    pairs = right.join(F.broadcast(left), F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
+    union = F.size("a_set") + F.size("b_set") - inter
+    return (
+        pairs.select(
+            "a_id",
+            "b_id",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 100 >= F.col("union_size") * threshold_pct)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("inter_size").cast("double") / F.col("union_size").cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _md5_hash64(col: Column, seed: int) -> Column:
+    """Deterministic 64-bit-ish hash: first 15 hex digits of
+    md5(seed || ':' || value) parsed base-16 (fits a signed long)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signature(documents: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per document: for each of ``num_hashes``
+    md5-seeded hash functions, the min hash over the token set.
+    Pure Column ops: transform + array_min per seed."""
+    toks = token_set("text")
+
+    def hash_with(seed):
+        # closure factory: a default-arg lambda would make PySpark pass
+        # the array index into the extra parameter
+        return lambda t: _md5_hash64(t, seed)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(toks, hash_with(s)))
+            for s in range(num_hashes)
+        ]
+    )
+    return documents.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Near-dup pairs via LSH banding + exact Jaccard verification.
+
+    Pipeline: signature (map) → explode into ``bands`` band-keys
+    (band index + md5 of that signature slice) → self-join per bucket
+    (groupBy collects only bucket-mates) → exact Jaccard on candidates.
+
+    At 100 TB this is THE near-dup plan: the only shuffles are on
+    uniform band-hash keys and candidate pairs are a tiny fraction of
+    N².
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(documents, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+    toks = documents.select("doc_id", token_set("text").alias("tset"))
+    verified = (
+        candidates.join(toks.withColumnsRenamed({"doc_id": "a_id", "tset": "a_set"}), "a_id")
+        .join(toks.withColumnsRenamed({"doc_id": "b_id", "tset": "b_set"}), "b_id")
+    )
+    inter = F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
+    union = F.size("a_set") + F.size("b_set") - inter
+    return (
+        verified.select("a_id", "b_id", inter.alias("i"), union.alias("u"))
+        .filter(F.col("i") * 100 >= F.col("u") * threshold_pct)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("i").cast("double") / F.col("u").cast("double")).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over the token set: per bit, sum +1/-1 votes from each
+    token's md5-derived hash; bit set iff the vote is positive.
+
+    Expressed as aggregate over the token array per bit — stays in
+    codegen. bits≤62 keeps the fingerprint in one signed BIGINT.
+    """
+    toks = token_set("text")
+    bit_cols = []
+    # one md5-derived 64-bit lane per 15-hex chunk is wasteful; derive
+    # each bit from one hash: bit_i(token) = (h(token) >> (i % 60)) & 1
+    h = F.transform(toks, lambda t: _md5_hash64(t, 0))
+
+    def vote(bit):
+        mask = 1 << (bit % 60)
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    for i in range(bits):
+        votes = F.aggregate(h, F.lit(0), vote(i))
+        bit_cols.append(F.when(votes > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0))
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return documents.select("doc_id", fp.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — via bin() + count of '1' chars (no UDF)."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))

@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference (BASELINE.json north star):
+language-ID heuristics, quality scoring, token counting, document
+fingerprinting — all over the `documents` table.
+
+Everything here is built-in Column functions (JVM-side, codegen) — no
+Python UDFs. Ratios are computed as exact-integer divisions at the end
+so results are bit-identical across engines (see functions/money.py for
+the rationale).
+
+Scale notes: all operators are embarrassingly parallel per-row maps +
+one optional group-by; no shuffle on the raw corpus except where a
+rollup is requested. At 100 TB, these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword set used by the quality/lang heuristics. Kept small and
+# fixed so oracle SQL can inline it.
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization. Documents are single-space separated;
+    split on a literal space so every engine agrees on edge semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Number of tokens that are stopwords — via array filter, not regex,
+    so the count is unambiguous."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document feature vector: token/char/distinct counts, stopword
+    count, and exact-ratio derived scores.
+
+    - ttr (type-token ratio): distinct_tokens / tokens — crude dedup/
+      quality signal (low ⇒ repetitive doc).
+    - stopword_ratio: stopwords / tokens — crude English-ness signal.
+    - avg_token_len: (chars - (tokens-1)) / tokens (chars net of the
+      single separators), exact integer arithmetic before one division.
+    """
+    toks = token_count("text")
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        toks.alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+        char_count("text").alias("n_chars_measured"),
+        stopword_count("text").alias("n_stopwords"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_chars_measured",
+        "n_stopwords",
+        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias("ttr"),
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        (
+            (F.col("n_chars_measured") - (F.col("n_tokens") - F.lit(1))).cast("double")
+            / F.col("n_tokens")
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_ttr_pct: int = 20,
+) -> DataFrame:
+    """Keep documents passing simple quality gates (Gopher-rule style:
+    length bounds + repetitiveness bound). Pure filter — pushdown-friendly."""
+    stats = text_stats(documents)
+    return stats.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("n_distinct_tokens") * 100 >= F.col("n_tokens") * min_ttr_pct)
+    )
+
+
+def lang_profile(documents: DataFrame) -> DataFrame:
+    """Corpus rollup per claimed language: volume + heuristic scores.
+    The stopword ratio per lang is a sanity check of the lang label
+    (an n-gram language-ID stand-in that stays SQL-expressible)."""
+    stats = text_stats(documents)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_stopwords").alias("total_stopwords"),
+            F.sum("n_distinct_tokens").alias("total_distinct_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            (F.col("total_stopwords").cast("double") / F.col("total_tokens")).alias(
+                "stopword_ratio"
+            ),
+            (F.col("total_distinct_tokens").cast("double") / F.col("total_tokens")).alias(
+                "avg_ttr"
+            ),
+        )
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text
+    (lower+trim) — the exact-dedup key. md5 is bit-identical across
+    engines, unlike engine-native hash() functions."""
+    return documents.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )

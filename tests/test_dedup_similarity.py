@@ -1,0 +1,101 @@
+"""Property tests for the non-SQL-expressible dedup/similarity ops:
+LSH candidates verified against exact Jaccard, ANN verified against
+brute force, SimHash invariants on exact duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import dedup, similarity
+from e_commerce_lakehouse_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+def _with_synthetic_dups(docs, n: int = 30, offset: int = 1_000_000):
+    """Testdata has no exact duplicates — append copies of the first
+    ``n`` docs under shifted doc_ids."""
+    clones = (
+        docs.filter(F.col("doc_id") < n)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    )
+    return docs.unionByName(clones)
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark):
+    docs = _with_synthetic_dups(load_table(spark, SF_SMALL, "documents"))
+    lsh = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold_pct=99)
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in lsh.collect()}
+    for i in range(30):
+        assert (i, i + 1_000_000) in pairs, f"missing dup pair {i}"
+        assert pairs[(i, i + 1_000_000)] == 1.0
+    # exact_dedup agrees on the same clones
+    groups = dedup.exact_dedup(docs).filter(F.col("n_copies") > 1).collect()
+    assert len(groups) >= 28  # first-30 docs may contain same-text pairs
+
+
+def test_lsh_jaccard_matches_exact(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    lsh = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold_pct=50)
+    sample = lsh.limit(20).collect()
+    assert sample, "LSH should find at least one near-dup pair at threshold 50"
+    tok = {
+        r.doc_id: set(r.text.split(" "))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in sample:
+        a, b = tok[r.a_id], tok[r.b_id]
+        exact = len(a & b) / len(a | b)
+        assert abs(r.jaccard - exact) < 1e-12
+        assert exact >= 0.5
+
+
+def test_ann_lsh_subset_of_bruteforce_scores(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ann = similarity.ann_topk_lsh(emb, query_max_id=10, k=5, planes=4).collect()
+    assert ann, "ANN should return candidates with 4 planes"
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, query_max_id=10, k=500).collect()
+    }
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        assert key in brute
+        assert abs(brute[key] - r.cosine) < 1e-12  # same exact quantized math
+    for r in ann:
+        assert 1 <= r.rank <= 5
+
+
+def test_ann_recall_reasonable(spark):
+    """Single-table LSH with few planes should still recover a decent
+    fraction of true top-5 — sanity floor, not a tuning target."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    truth = similarity.cosine_topk(emb, query_max_id=10, k=5).collect()
+    ann = similarity.ann_topk_lsh(emb, query_max_id=10, k=5, planes=2).collect()
+    truth_set = {(r.query_id, r.neighbor_id) for r in truth}
+    ann_set = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(truth_set & ann_set) / len(truth_set)
+    assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
+def test_simhash_identical_for_exact_dups(spark):
+    docs = _with_synthetic_dups(load_table(spark, SF_SMALL, "documents"))
+    sh = dedup.simhash(docs, bits=32)
+    joined = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("fp"), "doc_id")
+        .join(sh, "doc_id")
+        .groupBy("fp")
+        .agg(F.countDistinct("simhash").alias("n_distinct_fp"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    rows = joined.collect()
+    assert rows, "need duplicate groups in testdata"
+    for r in rows:
+        assert r.n_distinct_fp == 1
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], ["a", "b"])
+    got = df.select(
+        dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")
+    ).first()["d"]
+    assert got == 2
