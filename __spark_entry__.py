@@ -21,6 +21,7 @@ from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
 from e_commerce_lakehouse_spark.operators import cleaning, dedup, joins, similarity, text, windows
 from e_commerce_lakehouse_spark.session import tune_existing
+from e_commerce_lakehouse_spark.streaming import events as stream_events
 from e_commerce_lakehouse_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -249,6 +250,24 @@ def _q27_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf, "documents"), bits=32)
 
 
+def _q28_tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_events.tumbling_counts(
+        load_table(spark, sf, "events"), width="1 hour"
+    )
+
+
+def _q29_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_events.sliding_counts(
+        load_table(spark, sf, "events"), width="1 hour", slide="30 minutes"
+    )
+
+
+def _q30_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    return stream_events.session_stats(
+        load_table(spark, sf, "events"), gap="30 minutes"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -278,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_minhash_lsh_pairs": _q25_minhash_lsh_pairs,
         "q26_ann_lsh": _q26_ann_lsh,
         "q27_simhash": _q27_simhash,
+        "q28_tumbling_hourly": _q28_tumbling_hourly,
+        "q29_sliding_windows": _q29_sliding_windows,
+        "q30_session_windows": _q30_session_windows,
     }
 
 
@@ -562,5 +584,49 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "q28_tumbling_hourly": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q29_sliding_windows": """
+            WITH b AS (
+                SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')
+                           AS window_start, event_type
+                FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n_events
+            FROM b GROUP BY 1, 2
+        """,
+        "q30_session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events
+            FROM sess
+            GROUP BY user_id, sid
         """,
     }

@@ -1,0 +1,202 @@
+"""Structured Streaming tests: real readStream with file sources and
+availableNow triggers — Kafka-free per SURVEY §7.1. The same
+transformations are validated in batch mode by the q28-q30 oracles;
+here we prove they run as actual streams with checkpoints and state."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from e_commerce_lakehouse_spark.streaming import events as se
+from e_commerce_lakehouse_spark.streaming import rerank, sinks
+
+RAW_SCHEMA = StructType([StructField("value", StringType())])
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_events_jsonl(path: str, events: list[dict]) -> None:
+    # file-source contract: each line is the raw Kafka `value`
+    with open(f"{path}/events.json", "w") as f:
+        for e in events:
+            f.write(json.dumps({"value": json.dumps(e)}) + "\n")
+
+
+PAGE_VIEWS = [
+    {
+        "event_id": f"e{i}",
+        "timestamp": f"2024-01-01 10:{i:02d}:00",
+        "user_id": f"u{i % 3}",
+        "product_id": f"p{i % 5}",
+    }
+    for i in range(12)
+]
+
+
+def test_stream_parse_and_bronze_sink(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    out = f"{tmpdir}/bronze"
+    ckpt = f"{tmpdir}/ckpt"
+    import os
+
+    os.makedirs(src)
+    _write_events_jsonl(src, PAGE_VIEWS)
+
+    raw = spark.readStream.schema(RAW_SCHEMA).json(src)
+    parsed = se.parse_raw_events(raw, "page_view")
+    assert parsed.isStreaming
+    q = sinks.write_bronze_stream(parsed, out, ckpt, available_now=True)
+    q.awaitTermination(60)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    row = got.filter(F.col("event_id") == "e7").first()
+    assert row["user_id"] == "u1"
+    assert row["event_type"] == "page_view"
+    # event-time (not processing-time) partition keys — reference gap fixed
+    assert (row["year"], row["month"], row["day"]) == (2024, 1, 1)
+    assert str(row["event_time"]).startswith("2024-01-01 10:07")
+
+
+def test_stream_checkpoint_no_reprocess(spark, tmpdir):
+    """Restarting from the same checkpoint must not duplicate rows
+    (the reference's Redis sink lacked this — SURVEY §3.2)."""
+    import os
+
+    src, out, ckpt = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ck"
+    os.makedirs(src)
+    _write_events_jsonl(src, PAGE_VIEWS)
+    raw = spark.readStream.schema(RAW_SCHEMA).json(src)
+    for _ in range(2):
+        q = sinks.write_bronze_stream(
+            se.parse_raw_events(raw, "page_view"), out, ckpt, available_now=True
+        )
+        q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 12
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmpdir):
+    import os
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    _write_events_jsonl(src, PAGE_VIEWS)
+    raw = spark.readStream.schema(RAW_SCHEMA).json(src)
+    parsed = se.parse_raw_events(raw, "page_view").withColumn(
+        "value", F.lit(1.0)
+    ).withColumnRenamed("event_time", "ts")
+    agg = se.tumbling_counts(se.with_watermark(parsed, "ts", "10 minutes"), "5 minutes")
+    # complete mode: a single availableNow batch never advances the
+    # watermark past the last windows, so append would emit nothing
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    # events at 10:00..10:11 → 5-minute buckets 10:00(5), 10:05(5), 10:10(2)
+    assert got == {
+        "2024-01-01 10:00:00": 5,
+        "2024-01-01 10:05:00": 5,
+        "2024-01-01 10:10:00": 2,
+    }
+
+
+def test_streaming_dedup_within_watermark(spark, tmpdir):
+    import os
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    dups = PAGE_VIEWS + PAGE_VIEWS[:4]  # 4 exact replays
+    _write_events_jsonl(src, dups)
+    raw = spark.readStream.schema(RAW_SCHEMA).json(src)
+    parsed = se.parse_raw_events(raw, "page_view").withColumnRenamed("event_time", "ts")
+    deduped = se.dedup_stream(parsed, keys=("event_id",), delay="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) c FROM dedup_t").first()["c"] == 12
+
+
+def test_foreach_batch_recency_distributed(spark, tmpdir):
+    import os
+
+    src = f"{tmpdir}/src"
+    store_dir = f"{tmpdir}/store"
+    os.makedirs(src)
+    os.makedirs(store_dir)
+    _write_events_jsonl(src, PAGE_VIEWS)
+    raw = spark.readStream.schema(RAW_SCHEMA).json(src)
+    parsed = se.parse_raw_events(raw, "page_view")
+
+    # RecencyStore double defined function-locally so cloudpickle ships
+    # it by value to executors (a module-level class would need the
+    # tests package importable on workers)
+    class FakeStore:
+        def __init__(self, path: str):
+            self.path = path
+
+        def push(self, user_id, kind, product_ids):
+            with open(f"{self.path}/{kind}_{user_id}", "a") as f:
+                f.write(",".join(product_ids) + "\n")
+
+    fn = sinks.foreach_batch_recency(lambda: FakeStore(store_dir), "views", cap=3)
+    q = (
+        parsed.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # u0 saw products for i=0,3,6,9 → newest-first capped at 3: p4(9), p1(6), p3(3)
+    got = open(f"{store_dir}/views_u0").read().strip().split(",")
+    assert got == ["p4", "p1", "p3"]
+
+
+def test_rerank_distributed(spark):
+    views = spark.createDataFrame(
+        [("u1", ["p1", "p2", "p3"])], ["user_id", "products"]
+    )
+    cart = spark.createDataFrame([("u1", ["p2", "p9"])], ["user_id", "products"])
+    offline = spark.createDataFrame(
+        [("u1", ["p5", "p1", "p6"]), ("u2", ["p7"])], ["user_id", "recs"]
+    )
+    got = {r["user_id"]: r["recommendations"] for r in rerank.rerank_topk(views, cart, offline).collect()}
+    # cart first, then views, then offline; first-occurrence dedup (reference rerank_simple)
+    assert got["u1"] == ["p2", "p9", "p1", "p3", "p5", "p6"]
+    assert got["u2"] == ["p7"]
+
+
+def test_recent_products_cap_and_order(spark, tmpdir):
+    rows = [
+        ("e1", "2024-01-01 10:00:00", "u1", "pA"),
+        ("e2", "2024-01-01 10:05:00", "u1", "pB"),
+        ("e3", "2024-01-01 10:03:00", "u1", "pC"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id", "product_id"]).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "user_id", "product_id"
+    )
+    got = rerank.recent_products(df, cap=2).first()
+    assert got["products"] == ["pB", "pC"]  # newest first, capped
