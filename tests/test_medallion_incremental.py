@@ -1,0 +1,118 @@
+"""Medallion pipeline on the REFERENCE's own CSV data (validates our
+silver/gold semantics against the source system's inputs directly) +
+incremental high-watermark load behavior."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import incremental
+from e_commerce_lakehouse_spark.plans import medallion
+from e_commerce_lakehouse_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+REF_CSV = "/root/reference/data/batch"
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="medallion_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_full_pipeline_on_reference_data(spark, tmpdir):
+    counts = medallion.run_batch_pipeline(spark, REF_CSV, tmpdir)
+    # reference dataset sizes (BASELINE.md)
+    assert counts["bronze.categories"] == 13
+    assert counts["bronze.products"] == 20_000
+    assert counts["bronze.users"] == 10_000
+    assert counts["bronze.orders"] == 10_000
+    assert counts["bronze.reviews"] == 15_000
+    assert 30_000 < counts["bronze.order_items"] < 40_000
+    # silver: dedup keeps ≤ bronze counts; facts filter invalid rows
+    assert counts["silver.dim_products"] <= counts["bronze.products"]
+    assert counts["silver.dim_users"] <= counts["bronze.users"]
+    assert counts["silver.fact_purchase_event"] <= counts["bronze.order_items"]
+    assert counts["silver.fact_reviews"] <= counts["bronze.reviews"]
+    assert counts["gold.sales_summary"] > 0
+    assert counts["gold.review_summary"] > 0
+
+
+def test_silver_semantics(spark, tmpdir):
+    counts = medallion.run_batch_pipeline(spark, REF_CSV, tmpdir)
+    dimp = spark.read.parquet(f"{tmpdir}/silver/dim_products")
+    # dedup by product_id is total
+    assert dimp.count() == dimp.select("product_id").distinct().count()
+    # category enrich landed
+    assert dimp.filter(F.col("category_name").isNotNull()).count() > 0
+
+    dimu = spark.read.parquet(f"{tmpdir}/silver/dim_users")
+    # F4 bug fixed: full_name is the real concatenation, never NULL
+    assert dimu.filter(F.col("full_name").isNull()).count() == 0
+    sample = dimu.filter(F.col("user_id") == 1).first()
+    assert sample["full_name"] == f"{sample['first_name']} {sample['last_name']}"
+    # emails normalized
+    assert dimu.filter(F.col("email") != F.lower(F.trim("email"))).count() == 0
+
+    fr = spark.read.parquet(f"{tmpdir}/silver/fact_reviews")
+    assert fr.filter(~F.col("rating").between(1, 5)).count() == 0
+
+
+def test_gold_sales_summary_consistency(spark, tmpdir):
+    medallion.run_batch_pipeline(spark, REF_CSV, tmpdir)
+    gold = spark.read.parquet(f"{tmpdir}/gold/sales_summary")
+    fact = spark.read.parquet(f"{tmpdir}/silver/fact_purchase_event")
+    # total purchases across gold == fact rows (no row lost in agg/join)
+    assert gold.agg(F.sum("num_purchases")).first()[0] == fact.count()
+    # partition layout written as year=/month=
+    import os
+    years = [d for d in os.listdir(f"{tmpdir}/gold/sales_summary") if d.startswith("year=")]
+    assert years, "gold must be partitioned by year"
+
+
+def test_incremental_append_idempotent(spark, tmpdir):
+    orders = load_table(spark, SF_SMALL, "orders")
+    path = f"{tmpdir}/orders_bronze"
+    n1 = incremental.incremental_append(spark, orders, path, "o_orderdate")
+    assert n1 == orders.count()
+    # re-run: nothing newer → appends 0, count stable
+    n2 = incremental.incremental_append(spark, orders, path, "o_orderdate")
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == n1
+
+
+def test_incremental_append_picks_up_new_rows(spark, tmpdir):
+    orders = load_table(spark, SF_SMALL, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    assert 0 < old.count() < orders.count()
+    path = f"{tmpdir}/orders_incr"
+    incremental.incremental_append(spark, old, path, "o_orderdate")
+    n_new = incremental.incremental_append(spark, orders, path, "o_orderdate")
+    assert n_new == orders.count() - old.count()
+    assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_incremental_dependent_pair(spark, tmpdir):
+    orders = load_table(spark, SF_SMALL, "orders")
+    lineitem = load_table(spark, SF_SMALL, "lineitem")
+    p_path, c_path = f"{tmpdir}/orders_p", f"{tmpdir}/items_c"
+    # seed with the pre-1997 slice (by order date)
+    old_orders = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    np1, nc1 = incremental.incremental_append_dependent(
+        spark, old_orders, lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        p_path, c_path, "o_orderdate", "o_orderkey",
+    )
+    np2, nc2 = incremental.incremental_append_dependent(
+        spark, orders, lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        p_path, c_path, "o_orderdate", "o_orderkey",
+    )
+    assert np1 + np2 == orders.count()
+    # children exactly partition across the two loads
+    assert nc1 + nc2 == lineitem.count()
+    # child rows belong to their load's parent slice only (no dup/loss)
+    assert spark.read.parquet(c_path).count() == lineitem.count()
