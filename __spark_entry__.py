@@ -268,6 +268,129 @@ def _q30_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q31_cube_sales(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (year, returnflag) with grouping_id (SURVEY §2.4
+    grouping-sets surface)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    base = li.join(
+        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        F.year("o_orderdate").alias("year"),
+        F.col("l_returnflag").alias("returnflag"),
+        money.revenue_cents().alias("rev_cents"),
+    )
+    return (
+        base.cube("year", "returnflag")
+        .agg(F.sum("rev_cents").alias("cents"), F.grouping_id().alias("grouping_level"))
+        .select(
+            "year",
+            "returnflag",
+            money.money_from_cents("cents").alias("total_sales"),
+            "grouping_level",
+        )
+    )
+
+
+def _q32_segment_setops(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT surface: machinery-segment customers
+    vs customers holding urgent orders, tagged by membership."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = machinery.intersect(urgent).withColumn("membership", F.lit("both"))
+    only_m = machinery.exceptAll(urgent).distinct().withColumn("membership", F.lit("machinery_only"))
+    only_u = urgent.exceptAll(machinery).distinct().withColumn("membership", F.lit("urgent_only"))
+    return both.unionByName(only_m).unionByName(only_u)
+
+
+def _q33_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string surface (SURVEY §2.6 beyond-reference): substr,
+    upper, replace, strpos, lpad, reverse, repeat-free & portable."""
+    part = load_table(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.instr(F.col("p_name"), " ").alias("first_space"),
+        F.lpad(F.col("p_brand"), 12, "#").alias("brand_padded"),
+        F.length("p_type").alias("type_len"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+def _q34_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot event counts per user (explicit value list so the schema is
+    stable; missing combos coalesced to 0 to match SQL conditional agg)."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+def _q35_date_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar surface: quarter, day, iso week, month truncation,
+    day-diff vs a fixed epoch, last_day."""
+    orders = load_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).cast("long").alias("days_since_1992"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+def _q36_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE WHEN bucketing + grouped counts (dashboard histogram shape)."""
+    part = load_table(spark, sf, "part")
+    bucket = (
+        F.when(F.col("p_retailprice") < 500, "lo")
+        .when(F.col("p_retailprice") < 1200, "mid")
+        .otherwise("hi")
+    )
+    return (
+        part.select(bucket.alias("price_bucket"), "p_size")
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_size").alias("total_size"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+def _q37_orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery shape (orders above that customer's average),
+    decorrelated as an aggregate self-join — exact cents average."""
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        orders.select("o_custkey", money.cents("o_totalprice").alias("tp_cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("tp_cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_custkey",
+            ((F.col("s").cast("double") / F.col("n")) / F.lit(100.0)).alias("cust_avg"),
+        )
+    )
+    return (
+        orders.join(per_cust, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -300,6 +423,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_tumbling_hourly": _q28_tumbling_hourly,
         "q29_sliding_windows": _q29_sliding_windows,
         "q30_session_windows": _q30_session_windows,
+        "q31_cube_sales": _q31_cube_sales,
+        "q32_segment_setops": _q32_segment_setops,
+        "q33_string_functions": _q33_string_functions,
+        "q34_event_type_pivot": _q34_event_type_pivot,
+        "q35_date_functions": _q35_date_functions,
+        "q36_price_buckets": _q36_price_buckets,
+        "q37_orders_above_customer_avg": _q37_orders_above_customer_avg,
     }
 
 
@@ -628,5 +758,84 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess
             GROUP BY user_id, sid
+        """,
+        "q31_cube_sales": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   l_returnflag AS returnflag,
+                   {TOTAL_SALES_SQL} AS total_sales,
+                   CAST(grouping(year(o_orderdate)) * 2 + grouping(l_returnflag) AS BIGINT)
+                       AS grouping_level
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY CUBE (year(o_orderdate), l_returnflag)
+        """,
+        "q32_segment_setops": """
+            WITH machinery AS (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+            ), urgent AS (
+                SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT c_custkey, 'both' AS membership
+            FROM (SELECT c_custkey FROM machinery INTERSECT SELECT c_custkey FROM urgent)
+            UNION ALL
+            SELECT c_custkey, 'machinery_only' AS membership
+            FROM (SELECT c_custkey FROM machinery EXCEPT SELECT c_custkey FROM urgent)
+            UNION ALL
+            SELECT c_custkey, 'urgent_only' AS membership
+            FROM (SELECT c_custkey FROM urgent EXCEPT SELECT c_custkey FROM machinery)
+        """,
+        "q33_string_functions": """
+            SELECT p_partkey,
+                   upper(p_name) AS name_upper,
+                   substr(p_name, 1, 5) AS name_prefix,
+                   replace(p_name, ' ', '_') AS name_snake,
+                   CAST(strpos(p_name, ' ') AS INT) AS first_space,
+                   lpad(p_brand, 12, '#') AS brand_padded,
+                   CAST(length(p_type) AS INT) AS type_len,
+                   reverse(p_brand) AS brand_rev
+            FROM part
+        """,
+        "q34_event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error
+            FROM events
+            GROUP BY user_id
+        """,
+        "q35_date_functions": """
+            SELECT o_orderkey,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(day(o_orderdate) AS INT) AS dom,
+                   weekofyear(o_orderdate) AS iso_week,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                       AS days_since_1992,
+                   CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+            FROM orders
+        """,
+        "q36_price_buckets": """
+            SELECT CASE WHEN p_retailprice < 500 THEN 'lo'
+                        WHEN p_retailprice < 1200 THEN 'mid'
+                        ELSE 'hi' END AS price_bucket,
+                   count(*) AS n_parts,
+                   CAST(sum(p_size) AS BIGINT) AS total_size,
+                   min(p_size) AS min_size,
+                   max(p_size) AS max_size
+            FROM part
+            GROUP BY 1
+        """,
+        "q37_orders_above_customer_avg": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / count(*)) / 100.0 AS cust_avg
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
+            FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
+            WHERE o_totalprice > cust_avg
         """,
     }
