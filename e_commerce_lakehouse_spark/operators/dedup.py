@@ -139,24 +139,46 @@ def _md5_hash64(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
-def minhash_signature(documents: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per document: for each of ``num_hashes``
-    md5-seeded hash functions, the min hash over the token set.
-    Pure Column ops: transform + array_min per seed."""
-    toks = token_set("text")
+MERSENNE61 = (1 << 61) - 1
 
-    def hash_with(seed):
-        # closure factory: a default-arg lambda would make PySpark pass
-        # the array index into the extra parameter
-        return lambda t: _md5_hash64(t, seed)
 
-    sig = F.array(
+def minhash_signature(
+    documents: DataFrame, num_hashes: int = 16, shingle: int = 3
+) -> DataFrame:
+    """MinHash signature per document via double hashing: one md5 per
+    shingle yields (h1, h2); family member i is (h1 + i·h2') mod M —
+    the standard Broder construction, 1 digest instead of num_hashes
+    digests per shingle (16× less hashing than seed-prefix minhash;
+    that exact-seed variant remains in the q23 oracle query).
+
+    Hashing is over word ``shingle``-grams (default 3), not unigrams:
+    on small-vocabulary corpora unigram sets are all mutually similar,
+    so LSH buckets degenerate toward O(N²) candidates; the shingle
+    space is |V|^n and similarity concentrates on true near-dups.
+
+    h2 is reduced mod 2^31 so i·h2' + h1 stays inside signed-64.
+    """
+    # explode shingles so each digest is computed exactly ONCE per
+    # row (array-expression formulations get re-inlined by Catalyst's
+    # CollapseProject, recomputing md5 per family member), then take the
+    # per-member min as 16 partial-aggregated MIN columns — one shuffle
+    # on doc_id carrying 16 longs per (doc, partition).
+    tok_rows = documents.select(
+        "doc_id", F.explode(ngram_set("text", shingle)).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h1"),
+        (F.conv(F.substring(F.md5("tok"), 17, 15), 16, 10).cast("long") % F.lit(1 << 31)).alias("h2"),
+    )
+    mins = tok_rows.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(toks, hash_with(s)))
-            for s in range(num_hashes)
+            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MERSENNE61)).alias(f"_m{i}")
+            for i in range(num_hashes)
         ]
     )
-    return documents.select("doc_id", sig.alias("signature"))
+    return mins.select(
+        "doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -164,6 +186,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold_pct: int = 50,
+    shingle: int = 3,
 ) -> DataFrame:
     """Near-dup pairs via LSH banding + exact Jaccard verification.
 
@@ -176,7 +199,7 @@ def minhash_lsh_pairs(
     N².
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(documents, num_hashes)
+    sigs = minhash_signature(documents, num_hashes, shingle)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -213,7 +236,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    toks = documents.select("doc_id", token_set("text").alias("tset"))
+    toks = documents.select("doc_id", ngram_set("text", shingle).alias("tset"))
     verified = (
         candidates.join(toks.withColumnsRenamed({"doc_id": "a_id", "tset": "a_set"}), "a_id")
         .join(toks.withColumnsRenamed({"doc_id": "b_id", "tset": "b_set"}), "b_id")
@@ -244,23 +267,26 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     codegen. bits≤62 keeps the fingerprint in one signed BIGINT.
     """
     toks = token_set("text")
-    bit_cols = []
-    # one md5-derived 64-bit lane per 15-hex chunk is wasteful; derive
-    # each bit from one hash: bit_i(token) = (h(token) >> (i % 60)) & 1
-    h = F.transform(toks, lambda t: _md5_hash64(t, 0))
-
-    def vote(bit):
-        mask = 1 << (bit % 60)
-        return lambda acc, x: acc + F.when(
-            x.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
-
-    for i in range(bits):
-        votes = F.aggregate(h, F.lit(0), vote(i))
-        bit_cols.append(F.when(votes > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0))
-    fp = bit_cols[0]
-    for c in bit_cols[1:]:
-        fp = fp + c
+    # single md5 per token, then ONE pass accumulating all bit votes:
+    # votes[i] += (h & mask_i) ? +1 : -1, via zip_with over a literal
+    # mask array — O(tokens) digests instead of O(tokens × bits)
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    hashes = F.transform(toks, lambda t: _md5_hash64(t, 0))
+    zeros = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
+            lambda a, b: a + b,
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return documents.select("doc_id", fp.alias("simhash"))
 
 

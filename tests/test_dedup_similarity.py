@@ -33,13 +33,18 @@ def test_minhash_lsh_finds_exact_duplicates(spark):
     assert len(groups) >= 28  # first-30 docs may contain same-text pairs
 
 
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))}
+
+
 def test_lsh_jaccard_matches_exact(spark):
-    docs = load_table(spark, SF_SMALL, "documents")
+    docs = _with_synthetic_dups(load_table(spark, SF_SMALL, "documents"))
     lsh = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold_pct=50)
     sample = lsh.limit(20).collect()
     assert sample, "LSH should find at least one near-dup pair at threshold 50"
     tok = {
-        r.doc_id: set(r.text.split(" "))
+        r.doc_id: _shingles(r.text)
         for r in docs.select("doc_id", "text").collect()
     }
     for r in sample:
