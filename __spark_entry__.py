@@ -391,6 +391,78 @@ def _q37_orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# dialect-portable SQL (runs verbatim on Spark SQL AND DuckDB) — the
+# BI entry point (reference: Dremio SQL over gold tables, SURVEY §3.3)
+PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q38_sql_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary through the spark.sql() entry
+    point — the SQL text is dialect-portable and used VERBATIM as its
+    own oracle."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(PRICING_SUMMARY_SQL)
+
+
+def _q39_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (k-means M-step shape): posexplode
+    quantized vectors, exact integer per-dimension sums. One shuffle on
+    (label, dim) with partial aggregation."""
+    emb = load_table(spark, sf, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(similarity.quantized("embedding")).alias("dim", "qv")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            ((F.col("s").cast("double") / F.col("n")) / F.lit(1000000.0)).alias("centroid"),
+        )
+    )
+
+
+def _q40_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Event funnel: users who clicked, then viewed after first click,
+    then purchased after first view — classic conversion analysis via
+    conditional min-timestamps (one shuffle on user_id)."""
+    ev = load_table(spark, sf, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_click").alias("clicked"),
+        F.sum(
+            F.when(
+                F.col("first_view") > F.col("first_click"), 1
+            ).otherwise(0)
+        ).alias("viewed_after_click"),
+        F.sum(
+            F.when(
+                (F.col("first_view") > F.col("first_click"))
+                & (F.col("first_purchase") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        ).alias("purchased_after_view"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -430,6 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_date_functions": _q35_date_functions,
         "q36_price_buckets": _q36_price_buckets,
         "q37_orders_above_customer_avg": _q37_orders_above_customer_avg,
+        "q38_sql_pricing_summary": _q38_sql_pricing_summary,
+        "q39_label_centroids": _q39_label_centroids,
+        "q40_purchase_funnel": _q40_purchase_funnel,
     }
 
 
@@ -837,5 +912,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
             FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
             WHERE o_totalprice > cust_avg
+        """,
+        "q38_sql_pricing_summary": PRICING_SUMMARY_SQL,
+        "q39_label_centroids": """
+            SELECT label, CAST(r.range AS INT) AS dim,
+                   (CAST(sum(CAST(floor(CAST(embedding[r.range + 1] AS DOUBLE)
+                                        * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / count(*)) / 1000000.0 AS centroid
+            FROM embeddings, range(64) r
+            GROUP BY 1, 2
+        """,
+        "q40_purchase_funnel": """
+            WITH per_user AS (
+                SELECT user_id,
+                       min(ts) FILTER (event_type = 'click') AS first_click,
+                       min(ts) FILTER (event_type = 'view') AS first_view,
+                       min(ts) FILTER (event_type = 'purchase') AS first_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                   count(first_click) AS clicked,
+                   CAST(sum(CASE WHEN first_view > first_click THEN 1 ELSE 0 END) AS BIGINT)
+                       AS viewed_after_click,
+                   CAST(sum(CASE WHEN first_view > first_click
+                                  AND first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
+                       AS purchased_after_view
+            FROM per_user
         """,
     }
