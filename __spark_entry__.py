@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
-from e_commerce_lakehouse_spark.operators import cleaning, dedup, joins, similarity, text, windows
+from e_commerce_lakehouse_spark.operators import cleaning, dedup, joins, similarity, text, upsert, windows
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.streaming import events as stream_events
 from e_commerce_lakehouse_spark.sources import load_table
@@ -463,6 +463,74 @@ def _q40_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q41_full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join surface: per-customer order activity keeping
+    both unmatched sides (SURVEY §2.3: expose the whole join family)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    j = cust.alias("c").join(
+        orders.alias("o"), F.col("c.c_custkey") == F.col("o.o_custkey"), "full_outer"
+    )
+    return j.groupBy(
+        F.coalesce(F.col("c.c_custkey"), F.col("o.o_custkey")).alias("custkey"),
+        F.col("c.c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count("o.o_orderkey").alias("n_orders"),
+        (
+            F.sum(money.cents("o.o_totalprice")).cast("double") / F.lit(100.0)
+        ).alias("total_spend"),
+    )
+
+
+def _q42_scd2_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 validity intervals from the event stream (engine extension:
+    the reference recreates dims wholesale; this versions them)."""
+    ev = load_table(spark, sf, "events")
+    return cleaning.scd2(
+        ev.select("user_id", "event_id", "event_type", "ts"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current")
+
+
+def _q43_null_repair(spark: SparkSession, sf: str) -> DataFrame:
+    """coalesce/nullif cleaning surface (reference F7 realized):
+    negative balances nulled then defaulted."""
+    cust = load_table(spark, sf, "customer")
+    cleaned = cust.withColumn(
+        "acctbal_pos",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")),
+    )
+    return cleaning.fill_defaults(cleaned, {"acctbal_pos": 0.0}).select(
+        "c_custkey", "c_acctbal", "acctbal_pos"
+    )
+
+
+def _q44_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate sketches (HLL distinct + quantile) — rows-only check;
+    property-tested against exact values in tests/."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    )
+
+
+def _q45_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE semantics preview (upsert.merge_upsert): target = even-key
+    orders with sentinel price, source = every-3rd-key orders; source
+    wins on conflict, both sides' exclusives kept."""
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0)
+    return upsert.merge_upsert(target, source, ["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -505,6 +573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_sql_pricing_summary": _q38_sql_pricing_summary,
         "q39_label_centroids": _q39_label_centroids,
         "q40_purchase_funnel": _q40_purchase_funnel,
+        "q41_full_outer_activity": _q41_full_outer_activity,
+        "q42_scd2_user_events": _q42_scd2_user_events,
+        "q43_null_repair": _q43_null_repair,
+        "q44_approx_sketches": _q44_approx_sketches,
+        "q45_merge_upsert": _q45_merge_upsert,
     }
 
 
@@ -938,5 +1011,43 @@ def oracle_sql() -> dict[str, str]:
                                   AND first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
                        AS purchased_after_view
             FROM per_user
+        """,
+        "q41_full_outer_activity": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_mktsegment AS mktsegment,
+                   count(o.o_orderkey) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS total_spend
+            FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        """,
+        "q42_scd2_user_events": """
+            SELECT user_id, event_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       AS is_current
+            FROM events
+        """,
+        "q43_null_repair": """
+            SELECT c_custkey, c_acctbal,
+                   coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+                       AS acctbal_pos
+            FROM customer
+        """,
+        "q45_merge_upsert": """
+            WITH t AS (
+                SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice, o_orderdate
+                FROM orders WHERE o_orderkey % 2 = 0
+            ), s AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                FROM orders WHERE o_orderkey % 3 = 0
+            )
+            SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+                   coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+                   coalesce(s.o_orderdate, t.o_orderdate) AS o_orderdate
+            FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
         """,
     }

@@ -81,3 +81,31 @@ def dedup_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: one
+    validity interval per (key, change), valid_to = next change's ts
+    (NULL while current). Built with lead() over the per-key timeline —
+    one shuffle on the key (engine extension; the reference drops and
+    recreates dims wholesale each run instead of versioning them).
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    out = df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def fill_defaults(df: DataFrame, defaults: dict[str, object]) -> DataFrame:
+    """coalesce-based null repair (reference imports coalesce but never
+    uses it — silver_clean_transform.py:7; realized here)."""
+    for c, v in defaults.items():
+        df = df.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return df

@@ -116,3 +116,53 @@ def dedup_stream(
     """Streaming exact dedup bounded by watermark
     (dropDuplicatesWithinWatermark — SURVEY §2.7 gap-closer)."""
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(list(keys))
+
+
+def running_user_totals(events: DataFrame, ts_col: str = "ts", timeout_minutes: int = 60) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + value sum across micro-batches, with state
+    timeout (SURVEY §2.7 gap-closer: arbitrary stateful aggregation the
+    built-in windows can't express).
+
+    State per key: (n_events, value_cents). Emits one updated row per
+    user per batch. At scale, state is per-key tiny (2 longs) and the
+    watermark/timeout bounds total state size.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n_events", LongType()), StructField("v_cents", LongType())]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100.0 + 0.5).floordiv(1).sum())
+        state.update((n, cents))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

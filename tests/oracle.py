@@ -21,6 +21,11 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        # unify datetime resolutions (Spark→pandas gives ns, DuckDB us;
+        # with NaT present pandas compares raw ints across resolutions)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
