@@ -166,3 +166,49 @@ def running_user_totals(events: DataFrame, ts_col: str = "ts", timeout_minutes: 
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join (gap-closer: absent in the reference): each
+    micro-batch joins against the (broadcast) dimension snapshot —
+    no state, re-resolved every batch so dim updates are picked up."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def join_views_to_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join (gap-closer): purchases matched to a
+    prior page view of the same user+product within ``within``.
+    Both sides watermarked so the join state is bounded: view rows can
+    be dropped once older than watermark+within.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("product_id").alias("v_product"),
+        F.col("event_time").alias("view_time"),
+    ).withWatermark("view_time", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("product_id").alias("p_product"),
+        F.col("event_time").alias("purchase_time"),
+    ).withWatermark("purchase_time", watermark)
+    return v.join(
+        p,
+        F.expr(
+            f"""
+            v_user = p_user AND v_product = p_product
+            AND purchase_time >= view_time
+            AND purchase_time <= view_time + INTERVAL {within}
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_product").alias("product_id"),
+        "view_time",
+        "purchase_time",
+    )

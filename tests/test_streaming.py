@@ -200,3 +200,66 @@ def test_recent_products_cap_and_order(spark, tmpdir):
     )
     got = rerank.recent_products(df, cap=2).first()
     assert got["products"] == ["pB", "pC"]  # newest first, capped
+
+
+def test_stream_static_join(spark, tmpdir):
+    import os
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    _write_events_jsonl(src, PAGE_VIEWS[:4])
+    dim = spark.createDataFrame(
+        [("p0", "Widget"), ("p1", "Gadget")], ["product_id", "product_name"]
+    )
+    raw = spark.readStream.schema(RAW_SCHEMA).json(src)
+    enriched = se.enrich_stream_with_dim(
+        se.parse_raw_events(raw, "page_view"), dim, "product_id"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["event_id"]: r["product_name"] for r in spark.sql("SELECT * FROM enrich_t").collect()}
+    assert got["e0"] == "Widget"      # p0
+    assert got["e1"] == "Gadget"      # p1
+    assert got["e2"] is None          # p2 not in dim -> left join keeps row
+
+
+def test_stream_stream_join_views_purchases(spark, tmpdir):
+    import os
+
+    vsrc, psrc = f"{tmpdir}/v", f"{tmpdir}/p"
+    os.makedirs(vsrc)
+    os.makedirs(psrc)
+    _write_events_jsonl(vsrc, [
+        {"event_id": "v1", "timestamp": "2024-01-01 10:00:00", "user_id": "u1", "product_id": "pA"},
+        {"event_id": "v2", "timestamp": "2024-01-01 10:05:00", "user_id": "u2", "product_id": "pB"},
+    ])
+    # purchase events: u1/pA 30min after view (match), u2/pB 3h after (no match)
+    with open(f"{psrc}/events.json", "w") as f:
+        for e in [
+            {"event_id": "b1", "timestamp": "2024-01-01 10:30:00", "user_id": "u1",
+             "product_id": "pA", "quantity": 1, "price": 5.0},
+            {"event_id": "b2", "timestamp": "2024-01-01 13:05:00", "user_id": "u2",
+             "product_id": "pB", "quantity": 1, "price": 6.0},
+        ]:
+            f.write(json.dumps({"value": json.dumps(e)}) + "\n")
+
+    views = se.parse_raw_events(spark.readStream.schema(RAW_SCHEMA).json(vsrc), "page_view")
+    purchases = se.parse_raw_events(spark.readStream.schema(RAW_SCHEMA).json(psrc), "purchase")
+    joined = se.join_views_to_purchases(views, purchases, within="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_t").collect()
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == "u1" and rows[0]["product_id"] == "pA"
