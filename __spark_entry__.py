@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
-from e_commerce_lakehouse_spark.operators import cleaning, dedup, joins, similarity, text, upsert, windows
+from e_commerce_lakehouse_spark.operators import cleaning, dedup, joins, sampling, similarity, text, upsert, windows
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.streaming import events as stream_events
 from e_commerce_lakehouse_spark.sources import load_table
@@ -531,6 +531,26 @@ def _q45_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return upsert.merge_upsert(target, source, ["o_orderkey"])
 
 
+def _q46_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling (md5-bucket membership is a
+    pure function of doc_id — reproducible across cluster sizes)."""
+    docs = load_table(spark, sf, "documents")
+    return sampling.stratified_sample(
+        docs, key="doc_id", strata_col="lang", rates={"en": 50}, default_pct=10
+    ).select("doc_id", "lang", "source")
+
+
+def _q47_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish tokenization: letter runs / digit runs / single
+    punctuation via regexp_extract_all (portable RE2-safe pattern)."""
+    docs = load_table(spark, sf, "documents")
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -578,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_null_repair": _q43_null_repair,
         "q44_approx_sketches": _q44_approx_sketches,
         "q45_merge_upsert": _q45_merge_upsert,
+        "q46_stratified_sample": _q46_stratified_sample,
+        "q47_bpe_token_count": _q47_bpe_token_count,
     }
 
 
@@ -1049,5 +1071,17 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
                    coalesce(s.o_orderdate, t.o_orderdate) AS o_orderdate
             FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+        """,
+        "q46_stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+                  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        """,
+        "q47_bpe_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                        AS INT) AS n_bpe_tokens
+            FROM documents
         """,
     }

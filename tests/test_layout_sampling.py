@@ -1,0 +1,103 @@
+"""Layout management (compaction, clustered writes) and deterministic
+sampling invariants."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import layout, sampling
+from e_commerce_lakehouse_spark.sources import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="layout_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_parquet(spark, tmpdir):
+    path = f"{tmpdir}/frag"
+    li = load_table(spark, SF_SMALL, "lineitem")
+    li.repartition(24).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 20
+    n_after = layout.compact_parquet(spark, path, target_files=2)
+    assert n_after == 2
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_clustered_write_prunes(spark, tmpdir):
+    path = f"{tmpdir}/clustered"
+    orders = load_table(spark, SF_SMALL, "orders")
+    layout.clustered_write(orders, path, ["o_orderdate"], num_files=6)
+    got = spark.read.parquet(path)
+    assert got.count() == orders.count()
+    # each file covers a narrow o_orderdate range: per-file min/max spans
+    # must be (mostly) disjoint — the data-skipping property
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if a[1] > b[0])
+    assert overlaps == 0, f"range files must not overlap: {spans}"
+
+
+def test_deterministic_sample_stable_across_partitioning(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    s1 = {r["doc_id"] for r in sampling.deterministic_sample(docs, "doc_id", 20).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs.repartition(13), "doc_id", 20).collect()
+    }
+    assert s1 == s2  # membership independent of physical layout
+    assert 0 < len(s1) < docs.count()
+
+
+def test_train_test_split_disjoint_total(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    train, test = sampling.train_test_split(docs, "doc_id", test_pct=10)
+    n_train, n_test, n = train.count(), test.count(), docs.count()
+    assert n_train + n_test == n
+    assert train.join(test, "doc_id", "inner").count() == 0
+    assert 0 < n_test < n // 2
+
+
+def test_stratified_rates_direction(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    sampled = sampling.stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 80}, default_pct=5
+    )
+    rates = {
+        r["lang"]: r["kept"] / r["total"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .join(
+            sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("kept")), "lang"
+        )
+        .collect()
+    }
+    assert rates["en"] > 0.5  # ~80%
+    for lang, r in rates.items():
+        if lang != "en":
+            assert r < 0.3  # ~5%
