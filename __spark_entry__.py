@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
-from e_commerce_lakehouse_spark.operators import cleaning, dedup, joins, sampling, similarity, text, upsert, windows
+from e_commerce_lakehouse_spark.operators import asof, cleaning, dedup, joins, sampling, similarity, text, upsert, windows
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.streaming import events as stream_events
 from e_commerce_lakehouse_spark.sources import load_table
@@ -551,6 +551,28 @@ def _q47_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q48_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at or
+    before the event time (operators/asof.py; oracle = DuckDB's native
+    ASOF JOIN). Order side deduped to one row per (custkey, date)."""
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf, "orders")
+    orders_d = cleaning.dedup_latest(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        keys=["o_custkey", "o_orderdate"],
+        order_cols=[F.col("o_orderkey").desc()],
+    ).withColumnRenamed("o_custkey", "user_id")
+    ev_ntz = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return asof.asof_join_backward(
+        ev_ntz,
+        orders_d,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -600,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_merge_upsert": _q45_merge_upsert,
         "q46_stratified_sample": _q46_stratified_sample,
         "q47_bpe_token_count": _q47_bpe_token_count,
+        "q48_asof_last_order": _q48_asof_last_order,
     }
 
 
@@ -1083,5 +1106,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
                         AS INT) AS n_bpe_tokens
             FROM documents
+        """,
+        "q48_asof_last_order": """
+            WITH orders_d AS (
+                SELECT o_orderkey, o_custkey AS user_id, o_orderdate, o_totalprice
+                FROM orders
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+                ) = 1
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice
+            FROM (SELECT event_id, user_id, ts FROM events) e
+            ASOF LEFT JOIN orders_d o
+              ON e.user_id = o.user_id AND o.o_orderdate <= e.ts
         """,
     }
