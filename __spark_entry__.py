@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
-from e_commerce_lakehouse_spark.operators import asof, cleaning, dedup, joins, sampling, similarity, text, upsert, windows
+from e_commerce_lakehouse_spark.operators import asof, cleaning, dedup, joins, quality, sampling, similarity, text, upsert, windows
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.streaming import events as stream_events
 from e_commerce_lakehouse_spark.sources import load_table
@@ -573,6 +573,48 @@ def _q48_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q49_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) self-join: clicks by the same user within the
+    hour before each purchase — equality on user + time-range predicate
+    (SMJ with residual condition; SURVEY §2.3 'no range joins in
+    reference' gap)."""
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.user_id)
+        & (clicks.c_ts >= purchases.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.c_ts < purchases.p_ts),
+        "left",
+    )
+    return joined.groupBy("purchase_id", purchases.user_id, "p_ts").agg(
+        F.count("c_ts").alias("clicks_last_hour")
+    )
+
+
+def _q50_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality rule report (the reference's unrealized pydeequ
+    intent, SURVEY §5) — violation counts per rule in one pass."""
+    li = load_table(spark, sf, "lineitem")
+    return quality.dq_report(
+        li,
+        [
+            quality.not_null("l_orderkey"),
+            quality.positive("l_quantity"),
+            quality.in_range("l_discount", 0.0, 0.1),
+            quality.not_null("l_shipdate"),
+            quality.matches("l_returnflag", "^[ANR]$", "returnflag_valid"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -623,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_stratified_sample": _q46_stratified_sample,
         "q47_bpe_token_count": _q47_bpe_token_count,
         "q48_asof_last_order": _q48_asof_last_order,
+        "q49_clicks_before_purchase": _q49_clicks_before_purchase,
+        "q50_dq_report": _q50_dq_report,
     }
 
 
@@ -1120,5 +1164,43 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events) e
             ASOF LEFT JOIN orders_d o
               ON e.user_id = o.user_id AND o.o_orderdate <= e.ts
+        """,
+        "q49_clicks_before_purchase": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+            )
+            SELECT purchase_id, p.user_id, p_ts,
+                   count(c_ts) AS clicks_last_hour
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
+             AND c.c_ts < p.p_ts
+            GROUP BY 1, 2, 3
+        """,
+        "q50_dq_report": """
+            WITH base AS (
+                SELECT count(*) AS n_rows,
+                       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+                       sum(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
+                                THEN 1 ELSE 0 END) AS v2,
+                       sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                                  OR l_discount IS NULL THEN 1 ELSE 0 END) AS v3,
+                       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v4,
+                       sum(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$')
+                                  OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS v5
+                FROM lineitem
+            )
+            SELECT rule, n_rows, n_violations,
+                   CAST(n_rows - n_violations AS DOUBLE) / n_rows AS pass_rate
+            FROM (
+                SELECT 'l_orderkey_not_null' AS rule, n_rows, CAST(v1 AS BIGINT) AS n_violations FROM base
+                UNION ALL SELECT 'l_quantity_positive', n_rows, CAST(v2 AS BIGINT) FROM base
+                UNION ALL SELECT 'l_discount_between_0.0_0.1', n_rows, CAST(v3 AS BIGINT) FROM base
+                UNION ALL SELECT 'l_shipdate_not_null', n_rows, CAST(v4 AS BIGINT) FROM base
+                UNION ALL SELECT 'returnflag_valid', n_rows, CAST(v5 AS BIGINT) FROM base
+            )
         """,
     }
