@@ -294,3 +294,70 @@ def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR — via bin() + count of '1' chars (no UDF)."""
     x = a.bitwiseXOR(b)
     return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+# ---------------------------------------------------------------------------
+# 5. Duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (a_id, b_id) → one row
+    per member: (doc_id, cluster_id) with cluster_id = min doc_id of the
+    component. The "keep one per duplicate cluster" step after
+    minhash_lsh_pairs — pairs alone can't dedup transitive chains
+    (a~b, b~c ⇒ {a,b,c} is one cluster even if a≁c).
+
+    Iterative min-label propagation: each round every node takes the min
+    label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup clusters are shallow). Each round is one
+    join + one groupBy; lineage is cut with localCheckpoint so the plan
+    doesn't grow unboundedly — the standard Spark iterative-algorithm
+    pattern (GraphX cc without GraphX).
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The near-deduplicated corpus: drop every cluster member except
+    the canonical (min doc_id) representative."""
+    clusters = duplicate_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return documents.join(drop, "doc_id", "left_anti")

@@ -104,3 +104,25 @@ def test_hamming_distance(spark):
         dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")
     ).first()["d"]
     assert got == 2
+
+
+def test_duplicate_clusters_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], ["a_id", "b_id"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_by_clusters_end_to_end(spark):
+    docs = _with_synthetic_dups(load_table(spark, SF_SMALL, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold_pct=99)
+    cleaned = dedup.dedup_by_clusters(docs, pairs)
+    # every planted clone (doc_id >= 1M) had a lower-id original → all dropped
+    assert cleaned.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    # originals all kept
+    assert cleaned.count() == docs.count() - 30
