@@ -615,6 +615,99 @@ def _q50_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q51_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded sign-LSH blocking + exact
+    quantized-cosine verify (the 4th dedup tier alongside exact /
+    MinHash-LSH / SimHash / n-gram Jaccard; BASELINE.json north star)."""
+    return similarity.embedding_neardup_pairs(load_table(spark, sf, "embeddings"))
+
+
+def _q52_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: nearest-cell assignment + nprobe-cell
+    exact rank — the second scale path for similarity search next to
+    q26's hyperplane LSH."""
+    return similarity.ivf_topk(load_table(spark, sf, "embeddings"))
+
+
+def _q53_rolling_7day_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time RANGE-frame window: per-customer trailing-7-day spend
+    on every order row (time-based frame, not row-based — SURVEY §2.5
+    gap: the reference has zero window functions)."""
+    orders = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderdate",
+        money.money_from_cents(F.sum(money.cents("o_totalprice")).over(w)).alias(
+            "spend_7d"
+        ),
+    )
+
+
+def _q54_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated median (percentile 0.5 over integer cents —
+    engine-portable: midpoints land on exact .5 doubles) plus avg/min/max
+    per returnflag+linestatus group."""
+    li = load_table(spark, sf, "lineitem")
+    cents = money.cents("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.expr(f"percentile({money.CENTS_SQL.format(x='l_extendedprice')}, 0.5)") / 100.0).alias("median_price"),
+            (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0).alias("avg_price"),
+            money.money_from_cents(F.min(cents)).alias("min_price"),
+            money.money_from_cents(F.max(cents)).alias("max_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q55_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than q13 rollup / q31 cube): revenue
+    by (year, segment), (year), and grand total, with grouping flags."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS year,
+               c_mktsegment AS segment,
+               CAST(grouping(year(o_orderdate)) AS INT) AS g_year,
+               CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+               CAST(sum({money.CENTS_SQL.format(x='o_totalprice')}) AS DOUBLE) / 100.0
+                   AS total_spend
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
+                                (year(o_orderdate)), ())
+        """
+    )
+
+
+def _q56_rank_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Full ranking-function surface over a unique ordering (orderkey
+    tiebreak): row_number / dense_rank / ntile / percent_rank /
+    cume_dist per order-priority partition."""
+    orders = load_table(spark, sf, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        money.cents("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -667,6 +760,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_asof_last_order": _q48_asof_last_order,
         "q49_clicks_before_purchase": _q49_clicks_before_purchase,
         "q50_dq_report": _q50_dq_report,
+        "q51_embedding_neardup": _q51_embedding_neardup,
+        "q52_ivf_ann": _q52_ivf_ann,
+        "q53_rolling_7day_revenue": _q53_rolling_7day_revenue,
+        "q54_percentile_stats": _q54_percentile_stats,
+        "q55_grouping_sets": _q55_grouping_sets,
+        "q56_rank_surface": _q56_rank_surface,
     }
 
 
@@ -677,6 +776,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # exact integer-cents fragments — see e_commerce_lakehouse_spark/functions/money.py
 REVENUE_CENTS_SQL = "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+
+
+# exact quantized-vector fragments — mirror operators/similarity.py
+def _qv_sql(col: str) -> str:
+    return (
+        f"list_transform({col}, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT)"
+
+
+def _normsq_sql(a: str) -> str:
+    return f"CAST(list_sum(list_transform({a}, x -> x * x)) AS BIGINT)"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CAST({_dot_sql(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({_normsq_sql(a)} AS DOUBLE)) * sqrt(CAST({_normsq_sql(b)} AS DOUBLE)))"
+    )
+
+
+def _neardup_oracle_sql(threshold: float = 0.35, planes: int = 16, bands: int = 4) -> str:
+    """Generated mirror of similarity.embedding_neardup_pairs: the same
+    md5-derived ±1 hyperplane constants are embedded literally."""
+    planes_arr = similarity.hyperplanes(planes, 64, seed=7)
+    bpb = planes // bands
+    band_selects = []
+    for b in range(bands):
+        terms = []
+        for j in range(bpb):
+            plane_lit = "[" + ", ".join(str(s) for s in planes_arr[b * bpb + j]) + "]"
+            terms.append(
+                f"(CASE WHEN {_dot_sql('vec', plane_lit)} > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band_idx, ({' + '.join(terms)}) AS band_val FROM v"
+        )
+    sk = "\n                UNION ALL ".join(band_selects)
+    return f"""
+            WITH v AS (
+                SELECT vec_id, {_qv_sql('embedding')} AS vec FROM embeddings
+            ), sk AS (
+                {sk}
+            ), cand AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sk a JOIN sk b
+                  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.vec_id < b.vec_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, cosine FROM (
+                SELECT c.id_a, c.id_b, {_cos_sql('va.vec', 'vb.vec')} AS cosine
+                FROM cand c
+                JOIN v va ON va.vec_id = c.id_a
+                JOIN v vb ON vb.vec_id = c.id_b
+            ) WHERE cosine >= {threshold}
+        """
 TOTAL_SALES_SQL = f"CAST(sum({REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0"
 
 
@@ -1201,6 +1361,91 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'l_discount_between_0.0_0.1', n_rows, CAST(v3 AS BIGINT) FROM base
                 UNION ALL SELECT 'l_shipdate_not_null', n_rows, CAST(v4 AS BIGINT) FROM base
                 UNION ALL SELECT 'returnflag_valid', n_rows, CAST(v5 AS BIGINT) FROM base
+            )
+        """,
+        "q51_embedding_neardup": _neardup_oracle_sql(),
+        "q52_ivf_ann": f"""
+            WITH v AS (
+                SELECT vec_id, label, {_qv_sql('embedding')} AS vec FROM embeddings
+            ), scored AS (
+                SELECT v.vec_id, v.label, v.vec, c.centroid_id, c.c_vec,
+                       {_cos_sql('v.vec', 'c.c_vec')} AS ccos
+                FROM v CROSS JOIN (
+                    SELECT vec_id AS centroid_id, vec AS c_vec FROM v WHERE vec_id < 8
+                ) c
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC
+                ) AS crn
+                FROM scored
+            ), assigned AS (
+                SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                       vec AS n_vec, centroid_id
+                FROM ranked WHERE crn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, vec AS q_vec, centroid_id
+                FROM ranked WHERE vec_id < 10 AND crn <= 2
+            ), pairs AS (
+                SELECT query_id, neighbor_id, neighbor_label,
+                       {_cos_sql('q_vec', 'n_vec')} AS cosine
+                FROM probes JOIN assigned USING (centroid_id)
+                WHERE query_id != neighbor_id
+            )
+            SELECT query_id, neighbor_id, neighbor_label, cosine,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rank
+                FROM pairs
+            ) WHERE rank <= 5
+        """,
+        "q53_rolling_7day_revenue": """
+            SELECT o_custkey, o_orderdate,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) / 100.0 AS spend_7d
+            FROM orders
+        """,
+        "q54_percentile_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
+                                 0.5) / 100.0 AS median_price,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / count(*) / 100.0 AS avg_price,
+                   CAST(min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS min_price,
+                   CAST(max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS max_price,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY 1, 2
+        """,
+        "q55_grouping_sets": """
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   c_mktsegment AS segment,
+                   CAST(grouping(year(o_orderdate)) AS INT) AS g_year,
+                   CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
+                                    (year(o_orderdate)), ())
+        """,
+        "q56_rank_surface": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER w AS INT) AS rn,
+                   CAST(dense_rank() OVER w AS INT) AS drank,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM orders
+            WHERE year(o_orderdate) = 1995
+            WINDOW w AS (
+                PARTITION BY o_orderpriority
+                ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                         o_orderkey ASC
             )
         """,
     }

@@ -175,3 +175,157 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
     )
+
+
+def hyperplanes(planes: int, dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5(seed:plane:dim) — the same
+    family `hyperplane_sketch` uses. Exposed so oracle SQL generation
+    can embed the identical constants."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        out.append(
+            [
+                1 if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+                for d in range(dim)
+            ]
+        )
+    return out
+
+
+def band_values(vec_q: Column, planes_arr: list[list[int]], bands: int) -> list[Column]:
+    """Split `planes_arr` sign bits into `bands` integer band codes over
+    a quantized vector column. Pure map-side expressions (no shuffle)."""
+    bpb = len(planes_arr) // bands
+    vals = []
+    for b in range(bands):
+        v = F.lit(0).cast("long")
+        for j in range(bpb):
+            plane = F.array(*[F.lit(s) for s in planes_arr[b * bpb + j]]).cast("array<long>")
+            v = v + F.when(dot_q(vec_q, plane) > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        vals.append(v)
+    return vals
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded sign-LSH blocking
+    (candidates share ≥1 of `bands` sign-bit band codes) then an exact
+    quantized-cosine >= threshold verify. The dedup tier the reference
+    lacks; semantics mirror classic SimHash/MinHash banding but over
+    dense vectors.
+
+    Scale path: the band self-join shuffles on (band_idx, band_val) —
+    bucket sizes are ~N/2^(planes/bands) per band, so skew is bounded;
+    candidate ids are deduped BEFORE vectors are re-attached, so wide
+    vector payloads never ride through the LSH shuffle. At 100 TB the
+    two id→vector joins are plain shuffle-hash joins on vec_id.
+
+    The threshold default (0.35) is tuned to the driver's synthetic
+    corpus (max pairwise cosine ≈ 0.48); real near-dup corpora would
+    use ~0.9+.
+    """
+    planes_arr = hyperplanes(planes, dim, seed)
+    vec = embeddings.select("vec_id", quantized("embedding").alias("vec"))
+    sk = vec.select(
+        "vec_id",
+        F.posexplode(F.array(*band_values(F.col("vec"), planes_arr, bands))).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = sk.select(F.col("vec_id").alias("id_a"), "band_idx", "band_val")
+    b = sk.select(F.col("vec_id").alias("id_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vec.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vec.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    cos = cosine_q(
+        dot_q(F.col("vec_a"), F.col("vec_b")),
+        norm_sq_q(F.col("vec_a")),
+        norm_sq_q(F.col("vec_b")),
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_max_id: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (seed centroids =
+    vectors with vec_id < n_centroids) partitions the corpus into cells;
+    each query probes its `nprobe` nearest cells and ranks exact cosine
+    only within them.
+
+    Scale path: centroids are tiny and broadcast; cell assignment is one
+    broadcast-nested-loop over the corpus (a single pass, map-side);
+    the probe→cell join shuffles on centroid_id, so per-cell work is
+    distributed. This is the standard IVF layout (Johnson et al.,
+    "Billion-scale similarity search with GPUs") minus k-means training,
+    which would be an offline job at scale.
+    """
+    vec = embeddings.select(
+        "vec_id", F.col("label"), quantized("embedding").alias("vec")
+    )
+    cent = vec.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("c_vec")
+    )
+    scored = vec.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos",
+        cosine_q(
+            dot_q(F.col("vec"), F.col("c_vec")),
+            norm_sq_q(F.col("vec")),
+            norm_sq_q(F.col("c_vec")),
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("vec").alias("c_vec2"),
+        "centroid_id",
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < query_max_id) & (F.col("crn") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "centroid_id")
+    )
+    pairs = assigned.join(probes, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    out = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        cosine_q(
+            dot_q(F.col("q_vec"), F.col("c_vec2")),
+            norm_sq_q(F.col("q_vec")),
+            norm_sq_q(F.col("c_vec2")),
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
