@@ -708,6 +708,28 @@ def _q56_rank_surface(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q57_user_event_arrays(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-aggregation surface: per-user sorted distinct event-type
+    array (order-insensitive collect_set made deterministic by
+    array_sort) + first/last activity."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+def _q58_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus canonicalization (lowercase / punctuation-strip /
+    whitespace-collapse) + normalized token counts — the step ahead of
+    every dedup tier."""
+    return text.normalized_documents(load_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -766,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_percentile_stats": _q54_percentile_stats,
         "q55_grouping_sets": _q55_grouping_sets,
         "q56_rank_surface": _q56_rank_surface,
+        "q57_user_event_arrays": _q57_user_event_arrays,
+        "q58_normalize_text": _q58_normalize_text,
     }
 
 
@@ -1447,5 +1471,25 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
                          o_orderkey ASC
             )
+        """,
+        "q57_user_event_arrays": """
+            SELECT user_id,
+                   array_to_string(list_sort(array_agg(DISTINCT event_type)), ',')
+                       AS event_types,
+                   count(*) AS n_events,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM events
+            GROUP BY user_id
+        """,
+        "q58_normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+                   CAST(len(string_split(
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))
+                       AS INT) AS n_norm_tokens
+            FROM documents
         """,
     }

@@ -17,6 +17,8 @@ aggregate) — JVM-side, no Python UDF in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,27 +107,18 @@ def hyperplane_sketch(embeddings: DataFrame, planes: int = 16, seed: int = 7) ->
     tiny); the sketch is `planes` fixed-order integer dot signs packed
     into one BIGINT — a pure map, shuffle-free.
     """
-    import hashlib
-
-    # deterministic ±1 hyperplanes — derived off-plan, shipped as literals
+    # deterministic ±1 hyperplanes — derived off-plan, shipped as one
+    # nested literal; the projection loop runs inside a single transform
+    # expression (unrolled per-plane aggregates blew up codegen time)
     dim = len(embeddings.select("embedding").first()[0])
-    planes_arr = []
-    for p in range(planes):
-        signs = []
-        for d in range(dim):
-            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
-            signs.append(1 if int(h[:8], 16) % 2 == 0 else -1)
-        planes_arr.append(signs)
-
-    qv = quantized("embedding")
-    bits = []
-    for p, signs in enumerate(planes_arr):
-        plane = F.array(*[F.lit(s) for s in signs])
-        proj = dot_q(qv, plane.cast("array<long>"))
-        bits.append(F.when(proj > 0, F.lit(1).cast("long") * (1 << p)).otherwise(F.lit(0).cast("long")))
-    sketch = bits[0]
-    for b in bits[1:]:
-        sketch = sketch + b
+    planes_arr = hyperplanes(planes, dim, seed)
+    bits = sign_bits(quantized("embedding"), planes_arr)
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
+    sketch = F.aggregate(
+        F.zip_with(bits, powers, lambda b, p: b * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return embeddings.select("vec_id", "label", sketch.alias("sketch"))
 
 
@@ -194,18 +187,37 @@ def hyperplanes(planes: int, dim: int, seed: int = 7) -> list[list[int]]:
     return out
 
 
+def _planes_lit(planes_arr: list[list[int]]) -> Column:
+    """All hyperplanes as ONE nested literal array<array<long>> so every
+    projection runs inside a single runtime `transform` loop instead of
+    `planes` unrolled aggregate expressions — unrolling blew codegen up
+    to multi-second compile times for a 2k-row input."""
+    return F.array(
+        *[F.array(*[F.lit(s) for s in row]).cast("array<long>") for row in planes_arr]
+    )
+
+
+def sign_bits(vec_q: Column, planes_arr: list[list[int]]) -> Column:
+    """array<long> of 0/1 sign bits of <v, h_i> for every plane, one
+    nested-loop expression."""
+    return F.transform(
+        _planes_lit(planes_arr),
+        lambda p: F.when(dot_q(vec_q, p) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
 def band_values(vec_q: Column, planes_arr: list[list[int]], bands: int) -> list[Column]:
     """Split `planes_arr` sign bits into `bands` integer band codes over
     a quantized vector column. Pure map-side expressions (no shuffle)."""
     bpb = len(planes_arr) // bands
+    bits = sign_bits(vec_q, planes_arr)
     vals = []
     for b in range(bands):
         v = F.lit(0).cast("long")
         for j in range(bpb):
-            plane = F.array(*[F.lit(s) for s in planes_arr[b * bpb + j]]).cast("array<long>")
-            v = v + F.when(dot_q(vec_q, plane) > 0, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+            v = v + F.element_at(bits, b * bpb + j + 1) * F.lit(1 << j).cast("long")
         vals.append(v)
     return vals
 
@@ -232,15 +244,16 @@ def embedding_neardup_pairs(
 
     The threshold default (0.35) is tuned to the driver's synthetic
     corpus (max pairwise cosine ≈ 0.48); real near-dup corpora would
-    use ~0.9+.
+    use ~0.9+ (where fewer, more selective bands also cut candidates).
+
+    Hot paths (band codes, pairwise cosine verify) run as Arrow-batched
+    numpy kernels — same exact integer math as the HOF expressions, see
+    the module's vectorized-kernels section.
     """
     planes_arr = hyperplanes(planes, dim, seed)
-    vec = embeddings.select("vec_id", quantized("embedding").alias("vec"))
-    sk = vec.select(
-        "vec_id",
-        F.posexplode(F.array(*band_values(F.col("vec"), planes_arr, bands))).alias(
-            "band_idx", "band_val"
-        ),
+    codes = band_codes_udf(planes_arr, bands)
+    sk = embeddings.select(
+        "vec_id", F.posexplode(codes("embedding")).alias("band_idx", "band_val")
     )
     a = sk.select(F.col("vec_id").alias("id_a"), "band_idx", "band_val")
     b = sk.select(F.col("vec_id").alias("id_b"), "band_idx", "band_val")
@@ -250,16 +263,11 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vec.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = vec.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    va = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    vb = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    cos = cosine_q(
-        dot_q(F.col("vec_a"), F.col("vec_b")),
-        norm_sq_q(F.col("vec_a")),
-        norm_sq_q(F.col("vec_b")),
-    )
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.withColumn("cosine", cosine_pair_udf()(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -329,3 +337,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized (Arrow/numpy) kernels.
+#
+# Spark's higher-order functions (transform/aggregate/zip_with) are
+# CodegenFallback — interpreted per element with lambda-variable
+# overhead, ~20M ops/s/core. For pairwise vector math that's the
+# bottleneck (a 64-dim cosine over 500k candidate pairs = ~100M ops).
+# These pandas UDFs batch through Arrow and do the same EXACT integer
+# math in numpy: floor(x*1e6+0.5) int64 quantization, int64 dot (no
+# overflow: |q|≤~2e6 → 64·4e12 < 2^63), then one double divide over
+# IEEE sqrt — bit-identical to the HOF path and the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+
+def _quantize_np(arrs):
+    V = np.stack([np.asarray(a, dtype=np.float64) for a in arrs])
+    return np.floor(V * 1_000_000.0 + 0.5).astype(np.int64)
+
+
+def cosine_pair_udf():
+    """(embedding_a, embedding_b) -> exact quantized cosine, vectorized."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        Qa, Qb = _quantize_np(a.to_numpy()), _quantize_np(b.to_numpy())
+        dot = (Qa * Qb).sum(axis=1).astype(np.float64)
+        na = (Qa * Qa).sum(axis=1).astype(np.float64)
+        nb = (Qb * Qb).sum(axis=1).astype(np.float64)
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos_pair
+
+
+def band_codes_udf(planes_arr: list[list[int]], bands: int):
+    """embedding -> array<long> of LSH band codes (sign-bit bands),
+    one matmul per Arrow batch instead of planes× interpreted dots."""
+    from pyspark.sql.functions import pandas_udf
+
+    bpb = len(planes_arr) // bands
+
+    @pandas_udf("array<long>")
+    def codes(emb: pd.Series) -> pd.Series:
+        P = np.array(planes_arr, dtype=np.int64)
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        Q = _quantize_np(emb.to_numpy())
+        bits = (Q @ P.T > 0).astype(np.int64)  # n × planes
+        pw = (1 << np.arange(bpb, dtype=np.int64))
+        out = np.stack(
+            [bits[:, b * bpb : (b + 1) * bpb] @ pw for b in range(bands)], axis=1
+        )
+        return pd.Series(list(out))
+
+    return codes

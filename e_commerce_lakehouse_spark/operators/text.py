@@ -138,3 +138,28 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Aggressive training-corpus normalization: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim.
+    Pure built-in string ops — codegen-friendly, no Python boundary.
+    SQL mirror: trim(regexp_replace(regexp_replace(lower(x),
+    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def normalized_documents(documents: DataFrame) -> DataFrame:
+    """doc_id + normalized text + token count of the normalized form —
+    the canonicalization step that feeds exact/near dedup tiers."""
+    norm = normalize_text("text")
+    return documents.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
