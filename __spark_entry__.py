@@ -825,7 +825,7 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _neardup_oracle_sql(threshold: float = 0.35, planes: int = 16, bands: int = 4) -> str:
+def _neardup_oracle_sql(threshold: float = 0.35, planes: int = 32, bands: int = 4) -> str:
     """Generated mirror of similarity.embedding_neardup_pairs: the same
     md5-derived ±1 hyperplane constants are embedded literally."""
     planes_arr = similarity.hyperplanes(planes, 64, seed=7)

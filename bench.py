@@ -42,6 +42,22 @@ def main() -> None:
         force(qs["q04_monthly_sales"](spark, sf_dir))
     except Exception:
         pass
+    # Warmup: the Arrow/pandas-UDF worker pool across all cores — the
+    # first pandas_udf stage otherwise pays ~cpus × python-worker spawn
+    # inside whichever query hits it first.
+    try:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _noop(x: pd.Series) -> pd.Series:
+            return x
+
+        force(
+            spark.range(int(cpus) * 100, numPartitions=int(cpus)).select(_noop("id"))
+        )
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

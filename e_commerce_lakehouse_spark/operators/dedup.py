@@ -25,9 +25,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelize import spread_for_cpu
 from .text import tokens
 
 # ---------------------------------------------------------------------------
@@ -103,7 +106,11 @@ def ngram_jaccard_pairs(
     left = documents.filter(F.col("doc_id") < probe_max_doc_id).select(
         F.col("doc_id").alias("a_id"), setcol.alias("a_set")
     )
-    right = documents.select(F.col("doc_id").alias("b_id"), setcol.alias("b_set"))
+    # the corpus side does all the per-pair set work — make sure a
+    # small scan doesn't serialize it onto one core
+    right = spread_for_cpu(documents).select(
+        F.col("doc_id").alias("b_id"), setcol.alias("b_set")
+    )
     # broadcast the bounded probe side; the corpus side streams through once
     pairs = right.join(F.broadcast(left), F.col("a_id") < F.col("b_id"))
     inter = F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
@@ -158,27 +165,81 @@ def minhash_signature(
 
     h2 is reduced mod 2^31 so i·h2' + h1 stays inside signed-64.
     """
-    # explode shingles so each digest is computed exactly ONCE per
-    # row (array-expression formulations get re-inlined by Catalyst's
-    # CollapseProject, recomputing md5 per family member), then take the
-    # per-member min as 16 partial-aggregated MIN columns — one shuffle
-    # on doc_id carrying 16 longs per (doc, partition).
-    tok_rows = documents.select(
-        "doc_id", F.explode(ngram_set("text", shingle)).alias("tok")
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h1"),
-        (F.conv(F.substring(F.md5("tok"), 17, 15), 16, 10).cast("long") % F.lit(1 << 31)).alias("h2"),
+    sm = minhash_sig_udf(num_hashes, shingle)
+    return (
+        documents.select("doc_id", sm("text").alias("signature"))
+        .filter(F.size("signature") > 0)
     )
-    mins = tok_rows.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h1") + F.lit(i) * F.col("h2")) % F.lit(MERSENNE61)).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]
+
+
+def _shingles(text: str, shingle: int) -> list[str]:
+    """Distinct word n-grams, first-occurrence order — the Python
+    mirror of ``ngram_set`` (tokens = split(text, ' ')). Docs shorter
+    than ``shingle`` tokens yield [] (the explode plan dropped them)."""
+    toks = text.split(" ")
+    if len(toks) < shingle:
+        return []
+    return list(
+        dict.fromkeys(
+            " ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)
+        )
     )
-    return mins.select(
-        "doc_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("signature")
-    )
+
+
+def minhash_sig_udf(num_hashes: int = 16, shingle: int = 3):
+    """text -> array<long> Broder MinHash signature in ONE Arrow-batched
+    pass — a pure map: no explode, no groupBy-mins shuffle, and only
+    ``num_hashes`` longs per doc cross the Arrow boundary.
+
+    Identical math to the SQL/oracle formulation (and to the previous
+    explode+MIN plan): shingles = distinct n-gram join(' '); per shingle
+    h1 = int(md5_hex[0:15], 16), h2 = int(md5_hex[16:31], 16) mod 2^31;
+    member i = (h1 + i*h2) mod MERSENNE61; sig[i] = min over shingles.
+    Python ints are exact and the int64 intermediates fit (h1 < 2^60,
+    i*h2 < 2^36). The earlier JVM-side explode+16-column-MIN plan spent
+    most of its time in interpreted higher-order-function shingle
+    construction; this kernel batches through hashlib/numpy (C-backed).
+    """
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sm(text: pd.Series) -> pd.Series:
+        ks = np.arange(num_hashes, dtype=np.int64)
+        sigs: list[list[int]] = []
+        for t in text:
+            grams = _shingles(t, shingle)
+            if not grams:
+                sigs.append([])
+                continue
+            h1 = np.empty(len(grams), dtype=np.int64)
+            h2 = np.empty(len(grams), dtype=np.int64)
+            for idx, g in enumerate(grams):
+                hx = hashlib.md5(g.encode()).hexdigest()
+                h1[idx] = int(hx[:15], 16)
+                h2[idx] = int(hx[16:31], 16) % (1 << 31)
+            members = (h1[:, None] + ks[None, :] * h2[:, None]) % MERSENNE61
+            sigs.append([int(v) for v in members.min(axis=0)])
+        return pd.Series(sigs)
+
+    # deterministic in fact — flagged nondeterministic so Catalyst never
+    # duplicates the eval or pushes a re-evaluating filter below the
+    # spread_for_cpu exchange (that re-runs the kernel single-partition)
+    return sm.asNondeterministic()
+
+
+def shingle_set_udf(shingle: int = 3):
+    """text -> array<string> distinct word shingles (the exact-verify
+    side of LSH dedup). Run it on the CANDIDATE doc set only — at scale
+    that's a tiny fraction of the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def sh(text: pd.Series) -> pd.Series:
+        return pd.Series([_shingles(t, shingle) for t in text])
+
+    return sh.asNondeterministic()  # see minhash_sig_udf note
 
 
 def minhash_lsh_pairs(
@@ -199,6 +260,7 @@ def minhash_lsh_pairs(
     N².
     """
     rows_per_band = num_hashes // bands
+    documents = spread_for_cpu(documents)
     sigs = minhash_signature(documents, num_hashes, shingle)
     banded = sigs.select(
         "doc_id",
@@ -223,28 +285,34 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # bucket-mate pairs via groupBy + double explode: the signature
+    # subtree is referenced ONCE (a banded self-join would evaluate the
+    # whole signature pass twice). Band-hash buckets only collect true
+    # collision groups, so collect_list stays small by construction.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("a_id"), F.col("r.doc_id").alias("b_id"))
+        buckets.select(F.explode("ids").alias("a_id"), "ids")
+        .select("a_id", F.explode("ids").alias("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .distinct()
     )
 
-    toks = documents.select("doc_id", ngram_set("text", shingle).alias("tset"))
-    verified = (
-        candidates.join(toks.withColumnsRenamed({"doc_id": "a_id", "tset": "a_set"}), "a_id")
-        .join(toks.withColumnsRenamed({"doc_id": "b_id", "tset": "b_set"}), "b_id")
-    )
-    inter = F.size(F.array_intersect(F.col("a_set"), F.col("b_set")))
-    union = F.size("a_set") + F.size("b_set") - inter
+    # exact-verify side: join the candidate pairs (tiny at scale) back
+    # to the two texts and compute shingle-set Jaccard per pair in one
+    # Arrow kernel — candidates is referenced once, so the signature
+    # pass over the full corpus runs exactly once.
+    txt = documents.select("doc_id", "text")
+    pairs = candidates.join(
+        txt.withColumnsRenamed({"doc_id": "a_id", "text": "a_text"}), "a_id"
+    ).join(txt.withColumnsRenamed({"doc_id": "b_id", "text": "b_text"}), "b_id")
+    iu = jaccard_iu_udf(shingle)
     return (
-        verified.select("a_id", "b_id", inter.alias("i"), union.alias("u"))
+        pairs.select("a_id", "b_id", iu("a_text", "b_text").alias("_iu"))
+        .select("a_id", "b_id", F.col("_iu.i").alias("i"), F.col("_iu.u").alias("u"))
         .filter(F.col("i") * 100 >= F.col("u") * threshold_pct)
         .select(
             "a_id",
@@ -252,6 +320,25 @@ def minhash_lsh_pairs(
             (F.col("i").cast("double") / F.col("u").cast("double")).alias("jaccard"),
         )
     )
+
+
+def jaccard_iu_udf(shingle: int = 3):
+    """(text_a, text_b) -> struct<i: long, u: long>: exact shingle-set
+    intersection / union sizes (integer — the Jaccard itself is one
+    exact double division JVM-side)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<i: long, u: long>")
+    def iu(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        out_i, out_u = [], []
+        for ta, tb in zip(a, b):
+            sa, sb = set(_shingles(ta, shingle)), set(_shingles(tb, shingle))
+            inter = len(sa & sb)
+            out_i.append(inter)
+            out_u.append(len(sa) + len(sb) - inter)
+        return pd.DataFrame({"i": out_i, "u": out_u})
+
+    return iu.asNondeterministic()  # see minhash_sig_udf note
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,39 @@
+"""Input-parallelism helper for CPU-heavy per-row operators.
+
+Spark sizes scan splits by bytes (``spark.sql.files.maxPartitionBytes``),
+which is right for I/O-bound plans but wrong for compute-bound ones: a
+small file packs into ONE split, serializing an expensive Arrow kernel
+or per-pair verify onto one core. ``spread_for_cpu`` round-robins such
+inputs up to the session's default parallelism — and is a structural
+no-op at 100 TB, where the scan already yields thousands of splits.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism IF
+    the scan is under-parallel. Split count is estimated from file
+    metadata (local files) — no job, no RDD conversion; non-local URIs
+    fall back to the physical-plan partition count."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+        total = sum(
+            os.path.getsize(urlparse(f).path) for f in files if f.startswith("file:")
+        )
+        est_splits = max(len(files), -(-total // max_bytes))
+    except Exception:
+        est_splits = df.rdd.getNumPartitions()
+    if est_splits < target:
+        return df.repartition(target)
+    return df

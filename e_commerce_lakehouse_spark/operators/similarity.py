@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .parallelize import spread_for_cpu
+
 QUANT = 1_000_000  # micro-unit quantization for exact integer vector math
 
 
@@ -72,7 +74,9 @@ def cosine_topk(
     q = embeddings.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"), quantized("embedding").alias("q_vec")
     )
-    c = embeddings.select(
+    # per-pair vector math happens on the corpus side — spread a small
+    # scan so it isn't serialized onto one core
+    c = spread_for_cpu(embeddings).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         quantized("embedding").alias("c_vec"),
@@ -98,7 +102,9 @@ def cosine_topk(
     )
 
 
-def hyperplane_sketch(embeddings: DataFrame, planes: int = 16, seed: int = 7) -> DataFrame:
+def hyperplane_sketch(
+    embeddings: DataFrame, planes: int = 16, seed: int = 7, dim: int | None = None
+) -> DataFrame:
     """Random-hyperplane sign sketch (SimHash-for-vectors): bit i is the
     sign of <v, h_i> where h_i is a deterministic ±1 hyperplane derived
     from md5(seed, i, dim). Rows with equal sketches are ANN candidates.
@@ -110,7 +116,8 @@ def hyperplane_sketch(embeddings: DataFrame, planes: int = 16, seed: int = 7) ->
     # deterministic ±1 hyperplanes — derived off-plan, shipped as one
     # nested literal; the projection loop runs inside a single transform
     # expression (unrolled per-plane aggregates blew up codegen time)
-    dim = len(embeddings.select("embedding").first()[0])
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()[0])
     planes_arr = hyperplanes(planes, dim, seed)
     bits = sign_bits(quantized("embedding"), planes_arr)
     powers = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
@@ -225,7 +232,7 @@ def band_values(vec_q: Column, planes_arr: list[list[int]], bands: int) -> list[
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.35,
-    planes: int = 16,
+    planes: int = 32,
     bands: int = 4,
     seed: int = 7,
     dim: int = 64,
@@ -292,7 +299,7 @@ def ivf_topk(
     "Billion-scale similarity search with GPUs") minus k-means training,
     which would be an offline job at scale.
     """
-    vec = embeddings.select(
+    vec = spread_for_cpu(embeddings).select(
         "vec_id", F.col("label"), quantized("embedding").alias("vec")
     )
     cent = vec.filter(F.col("vec_id") < n_centroids).select(
@@ -372,7 +379,11 @@ def cosine_pair_udf():
         nb = (Qb * Qb).sum(axis=1).astype(np.float64)
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
-    return cos_pair
+    # deterministic in fact, but flagged nondeterministic so Catalyst
+    # never duplicates the eval (filter+project each spawning their own
+    # ArrowEvalPython doubles Python work AND worker-pool pressure) nor
+    # pushes a re-evaluating filter below an exchange
+    return cos_pair.asNondeterministic()
 
 
 def band_codes_udf(planes_arr: list[list[int]], bands: int):
@@ -395,4 +406,4 @@ def band_codes_udf(planes_arr: list[list[int]], bands: int):
         )
         return pd.Series(list(out))
 
-    return codes
+    return codes.asNondeterministic()  # see cosine_pair_udf note
