@@ -730,6 +730,18 @@ def _q58_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
     return text.normalized_documents(load_table(spark, sf, "documents"))
 
 
+def _q59_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTER FORMATION: connected components (iterative
+    min-label propagation with lineage cut via localCheckpoint) over
+    the exact-Jaccard pair graph of q22 — the transitive-closure step
+    that turns pairwise near-dups into dedupable groups. Oracle:
+    recursive-CTE reachability in DuckDB."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), probe_max_doc_id=50, threshold_pct=30, n=1
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -790,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_rank_surface": _q56_rank_surface,
         "q57_user_event_arrays": _q57_user_event_arrays,
         "q58_normalize_text": _q58_normalize_text,
+        "q59_jaccard_clusters": _q59_jaccard_clusters,
     }
 
 
@@ -1491,5 +1504,29 @@ def oracle_sql() -> dict[str, str]:
                            '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))
                        AS INT) AS n_norm_tokens
             FROM documents
+        """,
+        "q59_jaccard_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE a.doc_id < 50
+                  AND len(list_intersect(a.tset, b.tset)) * 100
+                      >= (len(a.tset) + len(b.tset)
+                          - len(list_intersect(a.tset, b.tset))) * 30
+            ), edges AS (
+                SELECT a_id AS s, b_id AS d FROM p
+                UNION ALL
+                SELECT b_id, a_id FROM p
+            ), nodes AS (SELECT DISTINCT s AS node FROM edges),
+            walk(node, label) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY node
         """,
     }

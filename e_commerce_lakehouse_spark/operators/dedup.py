@@ -353,28 +353,39 @@ def simhash(documents: DataFrame, bits: int = 32) -> DataFrame:
     Expressed as aggregate over the token array per bit — stays in
     codegen. bits≤62 keeps the fingerprint in one signed BIGINT.
     """
-    toks = token_set("text")
-    # single md5 per token, then ONE pass accumulating all bit votes:
-    # votes[i] += (h & mask_i) ? +1 : -1, via zip_with over a literal
-    # mask array — O(tokens) digests instead of O(tokens × bits)
-    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
-    hashes = F.transform(toks, lambda t: _md5_hash64(t, 0))
-    zeros = F.array_repeat(F.lit(0), bits)
-    votes = F.aggregate(
-        hashes,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)),
-            lambda a, b: a + b,
-        ),
-    )
-    fp = F.aggregate(
-        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return documents.select("doc_id", fp.alias("simhash"))
+    sh = simhash_udf(bits)
+    return spread_for_cpu(documents).select("doc_id", sh("text").alias("simhash"))
+
+
+def simhash_udf(bits: int = 32):
+    """text -> BIGINT SimHash, Arrow-batched. Same math as the previous
+    higher-order-function formulation (that one ran interpreted —
+    CodegenFallback — at O(tokens × bits) lambda dispatches): per
+    distinct token h = int(md5('0:'||tok)_hex[0:15], 16); vote_i is ±1
+    on bit i of h; fingerprint bit i set iff Σ votes_i > 0."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sh(text: pd.Series) -> pd.Series:
+        idx = np.arange(bits, dtype=np.int64)
+        out = []
+        for t in text:
+            toks = set(t.split(" "))
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(f"0:{tok}".encode()).hexdigest()[:15], 16)
+                    for tok in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            votes = (2 * ((h[:, None] >> idx) & 1) - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.int64) << idx).sum()))
+        return pd.Series(out)
+
+    return sh.asNondeterministic()  # see minhash_sig_udf note
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

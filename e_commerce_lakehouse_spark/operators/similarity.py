@@ -113,20 +113,18 @@ def hyperplane_sketch(
     tiny); the sketch is `planes` fixed-order integer dot signs packed
     into one BIGINT — a pure map, shuffle-free.
     """
-    # deterministic ±1 hyperplanes — derived off-plan, shipped as one
-    # nested literal; the projection loop runs inside a single transform
-    # expression (unrolled per-plane aggregates blew up codegen time)
+    # deterministic ±1 hyperplanes derived off-plan; the projection runs
+    # as one Arrow-batched matmul kernel (band_codes_udf with a single
+    # band packs all sign bits into one code — the sketch). The same
+    # integer math as the sign_bits HOF expression, which runs
+    # interpreted (CodegenFallback) and was the q26 hot spot.
     if dim is None:
         dim = len(embeddings.select("embedding").first()[0])
     planes_arr = hyperplanes(planes, dim, seed)
-    bits = sign_bits(quantized("embedding"), planes_arr)
-    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
-    sketch = F.aggregate(
-        F.zip_with(bits, powers, lambda b, p: b * p),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    codes = band_codes_udf(planes_arr, bands=1)
+    return embeddings.select(
+        "vec_id", "label", F.element_at(codes("embedding"), 1).alias("sketch")
     )
-    return embeddings.select("vec_id", "label", sketch.alias("sketch"))
 
 
 def ann_topk_lsh(
