@@ -742,6 +742,16 @@ def _q59_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicate_clusters(pairs)
 
 
+def _q60_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing): k-gram
+    hash sequence → sliding-window min → distinct fingerprint set per
+    doc. The local-fingerprint tier between whole-doc md5 (q21) and
+    set-similarity (q22/q25)."""
+    return text.winnowing_fingerprints(
+        load_table(spark, sf, "documents"), k=3, window=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -803,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_user_event_arrays": _q57_user_event_arrays,
         "q58_normalize_text": _q58_normalize_text,
         "q59_jaccard_clusters": _q59_jaccard_clusters,
+        "q60_winnowing": _q60_winnowing,
     }
 
 
@@ -1528,5 +1539,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "q60_winnowing": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), p AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 3 + 2)) AS pos
+                FROM t
+            ), g AS (
+                SELECT doc_id, pos,
+                       CAST('0x' || substr(md5('0:' ||
+                           array_to_string(toks[pos:pos+2], ' ')), 1, 15)
+                           AS BIGINT) AS h
+                FROM p
+            ), wmin AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fp
+                FROM g
+            ), d AS (SELECT DISTINCT doc_id, fp FROM wmin)
+            SELECT doc_id,
+                   array_to_string(list_sort(array_agg(fp)), ',') AS fps,
+                   count(*) AS n_fps
+            FROM d GROUP BY doc_id
         """,
     }

@@ -260,12 +260,17 @@ def embedding_neardup_pairs(
     sk = embeddings.select(
         "vec_id", F.posexplode(codes("embedding")).alias("band_idx", "band_val")
     )
-    a = sk.select(F.col("vec_id").alias("id_a"), "band_idx", "band_val")
-    b = sk.select(F.col("vec_id").alias("id_b"), "band_idx", "band_val")
+    # bucket-mate pairs via groupBy + double explode — a banded
+    # self-join would evaluate the band-codes kernel twice
+    buckets = (
+        sk.groupBy("band_idx", "band_val")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(b, ["band_idx", "band_val"])
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
     va = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))

@@ -163,3 +163,39 @@ def normalized_documents(documents: DataFrame) -> DataFrame:
         norm.alias("norm_text"),
         F.size(F.split(norm, " ")).alias("n_norm_tokens"),
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 3, window: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): positional k-gram rolling hashes, then the min hash of
+    every length-``window`` sliding window, distinct per document.
+    Robust to insertions/edits: any shared substring of length
+    k + window - 1 guarantees a shared fingerprint.
+
+    Plan: positional k-grams (map) → posexplode → md5-derived BIGINT
+    hash (the '0:'-seed family shared with the DuckDB oracles) →
+    per-doc ROWS window min → distinct → per-doc sorted fingerprint
+    set. One shuffle on doc_id; at 100 TB the window runs inside each
+    doc partition. Requires docs with ≥ k tokens (guaranteed by the
+    corpus; shorter docs would hit Spark's descending-`sequence` edge).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _md5_hash64
+
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    g = documents.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    fp = g.select(
+        "doc_id", F.min(_md5_hash64(F.col("gram"), 0)).over(w).alias("fp")
+    ).distinct()
+    return fp.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_set("fp")), ",").alias("fps"),
+        F.count(F.lit(1)).alias("n_fps"),
+    )

@@ -126,3 +126,22 @@ def test_dedup_by_clusters_end_to_end(spark):
     assert cleaned.filter(F.col("doc_id") >= 1_000_000).count() == 0
     # originals all kept
     assert cleaned.count() == docs.count() - 30
+
+
+def test_winnowing_guarantees_shared_fingerprint_on_shared_substrings(spark):
+    """The winnowing guarantee: any shared token run of length
+    k + window - 1 (= 6 here) produces at least one shared fingerprint,
+    even when the rest of the document is edited."""
+    from e_commerce_lakehouse_spark.operators import text as text_ops
+
+    base = load_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 10)
+    # clone each doc with an inserted prefix + suffix — the original
+    # token sequence survives intact in the middle
+    edited = base.withColumn(
+        "text", F.concat(F.lit("zzz prefix goes here "), F.col("text"), F.lit(" tail"))
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    fps = text_ops.winnowing_fingerprints(base.unionByName(edited), k=3, window=4)
+    got = {r.doc_id: set(r.fps.split(",")) for r in fps.collect()}
+    for i in range(10):
+        shared = got[i] & got[i + 1_000_000]
+        assert shared, f"doc {i}: edited clone shares no winnowing fingerprint"

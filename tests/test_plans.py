@@ -70,3 +70,21 @@ def test_whole_stage_codegen_active(spark):
 def test_q24_broadcasts_probe_side(spark):
     plan = plan_of(Q["q24_cosine_topk"](spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_arrow_kernels_evaluate_once(spark):
+    """Every Arrow-batched kernel must appear in exactly ONE
+    ArrowEvalPython node per logical use. Catalyst duplicates
+    deterministic UDF expressions referenced by both a filter and a
+    projection (two nodes => two concurrent python workers per task —
+    a worker-pool spawn storm); asNondeterministic on the kernels
+    prevents it. This gate catches any regression."""
+    # q25: signature kernel once + pair-verify kernel once
+    plan = plan_of(Q["q25_minhash_lsh_pairs"](spark, SF_SMALL))
+    assert plan.count(") ArrowEvalPython") == 2, plan.count(") ArrowEvalPython")
+    # q51: band-codes kernel once + pairwise-cosine kernel once
+    plan = plan_of(Q["q51_embedding_neardup"](spark, SF_SMALL))
+    assert plan.count(") ArrowEvalPython") == 2, plan.count(") ArrowEvalPython")
+    # q27: simhash kernel once
+    plan = plan_of(Q["q27_simhash"](spark, SF_SMALL))
+    assert plan.count(") ArrowEvalPython") == 1, plan.count(") ArrowEvalPython")
