@@ -11,8 +11,12 @@ Determinism: embeddings are quantized to integer micro-units
 are exact BIGINTs; the final cosine is one fixed-order double
 expression — bit-identical across engines, shuffle orders, and reruns.
 
-All vector math is built-in array functions (transform / zip_with /
-aggregate) — JVM-side, no Python UDF in the hot path.
+Vector math comes in two equivalent forms: built-in array expressions
+(transform / zip_with / aggregate) for composability, and Arrow-batched
+numpy kernels for the hot paths — Spark's higher-order functions are
+CodegenFallback (interpreted per element), so pairwise math over many
+candidates runs 10-100x faster as a vectorized pandas UDF doing the
+same exact integer arithmetic (see the vectorized-kernels section).
 """
 
 from __future__ import annotations
