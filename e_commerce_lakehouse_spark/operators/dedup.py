@@ -413,10 +413,14 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     doesn't grow unboundedly — the standard Spark iterative-algorithm
     pattern (GraphX cc without GraphX).
     """
+    # materialize the edge list ONCE — it is re-joined every round, and
+    # without the lineage cut each iteration would recompute the whole
+    # upstream pair pipeline (LSH / Jaccard verify) from scratch
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -424,6 +428,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # labels decrease monotonically, so the label sum is a fixed-point
+    # witness: converged iff it stops changing. One narrow aggregate on
+    # checkpointed data per round — far cheaper than a join-based diff.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -440,16 +448,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
