@@ -885,6 +885,41 @@ def _neardup_oracle_sql(threshold: float = 0.35, planes: int = 32, bands: int = 
                 JOIN v vb ON vb.vec_id = c.id_b
             ) WHERE cosine >= {threshold}
         """
+def _ann_lsh_oracle_sql(planes: int = 8, k: int = 5, query_max_id: int = 10) -> str:
+    """Generated mirror of similarity.ann_topk_lsh: equal-sketch bucket
+    candidates + exact quantized cosine + per-query rank."""
+    planes_arr = similarity.hyperplanes(planes, 64, seed=7)
+    terms = []
+    for p, row in enumerate(planes_arr):
+        plane_lit = "[" + ", ".join(str(s) for s in row) + "]"
+        terms.append(
+            f"(CASE WHEN {_dot_sql('vec', plane_lit)} > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    sketch = " + ".join(terms)
+    return f"""
+            WITH v AS (
+                SELECT vec_id, label, {_qv_sql('embedding')} AS vec FROM embeddings
+            ), sk AS (
+                SELECT vec_id, label, vec, CAST({sketch} AS BIGINT) AS sketch FROM v
+            ), scored AS (
+                SELECT q.vec_id AS query_id,
+                       c.vec_id AS neighbor_id,
+                       c.label AS neighbor_label,
+                       {_cos_sql('q.vec', 'c.vec')} AS cosine
+                FROM sk c JOIN sk q
+                  ON q.sketch = c.sketch AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < {query_max_id}
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, neighbor_label, cosine,
+                   CAST(rk AS INT) AS rank
+            FROM ranked WHERE rk <= {k}
+        """
+
+
 TOTAL_SALES_SQL = f"CAST(sum({REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0"
 
 
@@ -1564,5 +1599,66 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(array_agg(fp)), ',') AS fps,
                    count(*) AS n_fps
             FROM d GROUP BY doc_id
+        """,
+        # upgraded from rows-only: the md5-derived MinHash/banding math
+        # is fully SQL-expressible (mirror of dedup.minhash_lsh_pairs)
+        "q25_minhash_lsh_pairs": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks)-3+2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+                FROM t WHERE len(toks) >= 3
+            ), sig AS (
+                SELECT doc_id, grams,
+                       list_transform(range(0,16), k ->
+                          list_min(list_transform(grams, s ->
+                             (CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+                              + k * (CAST('0x'||substr(md5(s),17,15) AS BIGINT)
+                                     % 2147483648))
+                             % 2305843009213693951))) AS sig
+                FROM g
+            ), banded AS (
+                SELECT doc_id, b AS band,
+                       md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+                FROM sig, (SELECT unnest(range(0,4)) AS b)
+            ), cand AS (
+                SELECT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id
+                GROUP BY 1,2
+            )
+            SELECT c.a_id, c.b_id,
+                   CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                     / (len(ga.grams) + len(gb.grams)
+                        - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+            FROM cand c
+            JOIN g ga ON ga.doc_id = c.a_id
+            JOIN g gb ON gb.doc_id = c.b_id
+            WHERE len(list_intersect(ga.grams, gb.grams)) * 100
+                  >= (len(ga.grams) + len(gb.grams)
+                      - len(list_intersect(ga.grams, gb.grams))) * 50
+        """,
+        "q26_ann_lsh": _ann_lsh_oracle_sql(),
+        "q27_simhash": """
+            WITH t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(tset,
+                           s -> CAST('0x'||substr(md5('0:'||s),1,15) AS BIGINT))
+                           AS hs
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0,32), i ->
+                      CASE WHEN list_sum(list_transform(hs,
+                             x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                           THEN (CAST(1 AS BIGINT) << i)
+                           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+            FROM h
         """,
     }
