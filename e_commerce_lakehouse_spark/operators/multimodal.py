@@ -186,3 +186,54 @@ def sample_frames(media: DataFrame, every_n: int = 10, use_fake: bool = False) -
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return media.mapInPandas(run, schema)
+
+
+def resize_images(
+    decoded: DataFrame, out_w: int = 32, out_h: int = 32, use_fake: bool = False
+) -> DataFrame:
+    """Resize decoded images to (out_w, out_h).
+
+    STUB like ``decode_images``: a real resize needs PIL/opencv. Fake
+    mode nearest-neighbor-samples the fake pixel buffer down to
+    out_w*out_h*channels bytes deterministically, preserving the real
+    operator's contract (schema, one-row-per-image, bounded output
+    size) so partitioning/batching behavior is identical to production.
+    Input is ``decode_images`` output (media_id, width, height,
+    channels, pixels).
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("pixels", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv — not available in this "
+                    "container; pass use_fake=True for the deterministic stub"
+                )
+            out_px = []
+            for _, r in pdf.iterrows():
+                src = bytes(r["pixels"])
+                n = out_w * out_h * int(r["channels"])
+                # nearest-neighbor byte sampling: index i -> floor(i*len/n)
+                out_px.append(
+                    bytes(src[(i * len(src)) // n] for i in range(n)) if src else b""
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                }
+            )
+
+    return decoded.mapInPandas(run, schema)

@@ -79,3 +79,23 @@ def test_frame_sampling_one_to_many(spark, media):
     r = frames.first()
     assert r["frame_no"] == 0
     assert len(bytes(r["frame"])) == 32
+
+
+def test_resize_fake_bounded_output(spark, media):
+    from e_commerce_lakehouse_spark.operators import multimodal as mm
+
+    decoded = mm.decode_images(media, use_fake=True)
+    resized = mm.resize_images(decoded, out_w=8, out_h=8, use_fake=True).collect()
+    assert len(resized) == media.count()
+    for r in resized:
+        assert (r.width, r.height) == (8, 8)
+        assert len(r.pixels) == 8 * 8 * r.channels
+
+
+def test_resize_stub_raises_without_fake(spark, media):
+    import pytest
+    from e_commerce_lakehouse_spark.operators import multimodal as mm
+
+    decoded = mm.decode_images(media, use_fake=True)
+    with pytest.raises(Exception):
+        mm.resize_images(decoded, use_fake=False).collect()
