@@ -752,6 +752,16 @@ def _q60_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q61_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantizer TRAINING: two deterministic Lloyd's k-means
+    rounds (seed centroids, exact integer L2 assignment, floor-mean
+    centroid update) and the final cell assignment. The offline job
+    `ivf_topk` defers to; oracle unrolls the same fixed iterations."""
+    return similarity.kmeans_assignments(
+        load_table(spark, sf, "embeddings"), k=8, iters=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -814,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_normalize_text": _q58_normalize_text,
         "q59_jaccard_clusters": _q59_jaccard_clusters,
         "q60_winnowing": _q60_winnowing,
+        "q61_kmeans_cells": _q61_kmeans_cells,
     }
 
 
@@ -918,6 +929,52 @@ def _ann_lsh_oracle_sql(planes: int = 8, k: int = 5, query_max_id: int = 10) -> 
                    CAST(rk AS INT) AS rank
             FROM ranked WHERE rk <= {k}
         """
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Generated mirror of similarity.kmeans_assignments: the same fixed
+    number of Lloyd rounds unrolled as chained CTEs (assignment via
+    row_number over exact integer L2; centroid update via per-dimension
+    floor-mean in micro-units — sums < 2^53, so the double divide is
+    exact on both engines)."""
+
+    def assign_cte(name: str, cent: str) -> str:
+        d2 = (
+            "CAST(list_sum(list_transform(list_zip(v.vec, c.cvec), "
+            "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+        return f"""{name} AS (
+            SELECT vec_id, cell, d2 FROM (
+                SELECT vec_id, cell, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2 ASC, cell ASC) AS rn
+                FROM (SELECT v.vec_id, c.cell, {d2} AS d2
+                      FROM v CROSS JOIN {cent} c)
+            ) WHERE rn = 1)"""
+
+    def update_cte(name: str, assign: str) -> str:
+        return f"""{name} AS (
+            SELECT cell, array_agg(m ORDER BY pos) AS cvec FROM (
+                SELECT a.cell, p.pos,
+                       CAST(floor(CAST(sum(v.vec[p.pos]) AS DOUBLE)
+                                  / count(*)) AS BIGINT) AS m
+                FROM {assign} a
+                JOIN v ON v.vec_id = a.vec_id
+                CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) p
+                GROUP BY a.cell, p.pos)
+            GROUP BY cell)"""
+
+    ctes = [
+        f"v AS (SELECT vec_id, {_qv_sql('embedding')} AS vec FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, vec AS cvec FROM v WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        ctes.append(assign_cte(f"a{i}", f"c{i}"))
+        ctes.append(update_cte(f"c{i + 1}", f"a{i}"))
+    ctes.append(assign_cte(f"a{iters}", f"c{iters}"))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell, d2 FROM a{iters}"
+    )
 
 
 TOTAL_SALES_SQL = f"CAST(sum({REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0"
@@ -1642,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
                       - len(list_intersect(ga.grams, gb.grams))) * 50
         """,
         "q26_ann_lsh": _ann_lsh_oracle_sql(),
+        "q61_kmeans_cells": _kmeans_oracle_sql(),
         "q27_simhash": """
             WITH t AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset

@@ -414,3 +414,69 @@ def band_codes_udf(planes_arr: list[list[int]], bands: int):
         return pd.Series(list(out))
 
     return codes.asNondeterministic()  # see cosine_pair_udf note
+
+
+# ---------------------------------------------------------------------------
+# K-means training for the IVF coarse quantizer.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assignments(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over quantized vectors: seeds are
+    the vectors with vec_id < k; each round assigns every vector to the
+    L2-nearest centroid (exact integer distance, ties to the smaller
+    cell id) and recomputes centroids as the element-wise
+    floor(mean) in micro-units. Returns the assignment under the final
+    centroids: (vec_id, cell, d2).
+
+    This is the offline training step `ivf_topk`'s docstring defers to:
+    at 100 TB the assignment is a broadcast-nested-loop map over the
+    corpus and the update is one posexplode + groupBy (k·dim rows) —
+    the classic distributed Lloyd iteration, fully deterministic so the
+    DuckDB oracle can unroll the same fixed number of rounds.
+
+    All arithmetic is exact: d2 ≤ dim·(2·QUANT)² < 2^63; centroid sums
+    stay < 2^53 so the floor(double-divide) mean is exact and
+    engine-portable.
+    """
+    v = embeddings.select("vec_id", quantized("embedding").alias("vec"))
+    cent = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        pairs = v.crossJoin(F.broadcast(cent))
+        d2 = F.aggregate(
+            F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cell").asc()
+        )
+        return (
+            pairs.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "d2")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        memb = a.join(v, "vec_id").select(
+            "cell", F.posexplode("vec").alias("pos", "val")
+        )
+        percell = memb.groupBy("cell", "pos").agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("m")
+        )
+        cent = percell.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("cvec")
+        )
+    return assign(cent)
