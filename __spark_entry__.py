@@ -762,6 +762,14 @@ def _q61_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q62_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram language-ID heuristic: per-language literal
+    trigram-profile scores + argmax prediction (mechanism validated on
+    planted multilingual text in tests; the synthetic corpus's lang
+    labels are arbitrary)."""
+    return text.lang_id(load_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -825,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_jaccard_clusters": _q59_jaccard_clusters,
         "q60_winnowing": _q60_winnowing,
         "q61_kmeans_cells": _q61_kmeans_cells,
+        "q62_lang_id": _q62_lang_id,
     }
 
 
@@ -975,6 +984,37 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell, d2 FROM a{iters}"
     )
+
+
+def _lang_id_oracle_sql() -> str:
+    """Generated mirror of text.lang_id over the same literal trigram
+    profiles (DuckDB string_split is literal; the Spark side regex-
+    escapes its needle, so counts agree)."""
+
+    def occ(tg: str) -> str:
+        esc = tg.replace("'", "''")
+        return f"(len(string_split(lower(text), '{esc}')) - 1)"
+
+    langs = sorted(text.LANG_TRIGRAMS)
+    score_exprs = {
+        lang: " + ".join(occ(t) for t in text.LANG_TRIGRAMS[lang]) for lang in langs
+    }
+    selects = [
+        f"CAST({score_exprs[lang]} AS INT) AS score_{lang}" for lang in langs
+    ]
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
+    return f"""
+            WITH s AS (
+                SELECT doc_id, {', '.join(selects)} FROM documents
+            )
+            SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+                   {pred} AS pred_lang
+            FROM s
+        """
 
 
 TOTAL_SALES_SQL = f"CAST(sum({REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0"
@@ -1700,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q26_ann_lsh": _ann_lsh_oracle_sql(),
         "q61_kmeans_cells": _kmeans_oracle_sql(),
+        "q62_lang_id": _lang_id_oracle_sql(),
         "q27_simhash": """
             WITH t AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset

@@ -199,3 +199,63 @@ def winnowing_fingerprints(
         F.array_join(F.array_sort(F.collect_set("fp")), ",").alias("fps"),
         F.count(F.lit(1)).alias("n_fps"),
     )
+
+
+# Character-trigram profiles for the n-gram language-ID heuristic.
+# Deliberately tiny + literal so both engines (and the oracle SQL)
+# inline the exact same constants; real deployments would learn these
+# from per-language corpora offline.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "ein", "ich", "und", "sch", "die", "cht", "gen"),
+    "en": ("the", " th", "ing", "and", " of", "ion", " to", "ed "),
+    "es": (" de", "que", "los", " la", "ión", "ado", " el", "nte"),
+    "fr": (" le", "les", " de", "ent", "que", "une", "ais", "eur"),
+}
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring:
+    size(split(text, needle)) - 1. split takes a regex — escape."""
+    import re
+
+    return F.size(F.split(col, re.escape(needle), -1)) - F.lit(1)
+
+
+def lang_id(documents: DataFrame, profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """N-gram language-ID heuristic: score = total occurrences of each
+    language's characteristic character trigrams; predict the argmax
+    (ties broken alphabetically). Pure codegen string expressions — a
+    per-row map that runs at scan speed at 100 TB.
+
+    The `lang` column in the synthetic corpus is an arbitrary label
+    (texts share one vocabulary), so accuracy there is meaningless —
+    the mechanism is validated on planted multilingual text in
+    tests/test_dedup_similarity.py; this operator's corpus output is
+    value-gated against the DuckDB oracle instead.
+    """
+    profiles = profiles or LANG_TRIGRAMS
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: sum_cols([_occurrences(lowered, t) for t in tgs])
+        for lang, tgs in sorted(profiles.items())
+    }
+    # argmax with alphabetical tie-break: fold over sorted langs keeping
+    # the strictly-greater winner
+    langs = sorted(scores)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    return documents.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out

@@ -164,3 +164,20 @@ def test_kmeans_training_improves_quantizer(spark):
         for r in similarity.kmeans_assignments(emb, k=8, iters=2).collect()
     )
     assert a1 == a2
+
+
+def test_lang_id_on_planted_multilingual_text(spark):
+    from e_commerce_lakehouse_spark.operators import text as text_ops
+
+    samples = [
+        (0, "the king and the queen were going to the city of the north", "en"),
+        (1, "les enfants mangent une pomme que le professeur leur a donnée", "fr"),
+        (2, "los estudiantes que estaban en la ciudad comieron el almuerzo", "es"),
+        (3, "ich habe einen schönen und guten freund der die schule mag", "de"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.pred_lang for r in text_ops.lang_id(df).collect()}
+    for i, _, want in samples:
+        assert got[i] == want, f"doc {i}: predicted {got[i]}, want {want}"
