@@ -293,6 +293,7 @@ def ivf_topk(
     nprobe: int = 2,
     query_max_id: int = 10,
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic coarse quantizer (seed centroids =
     vectors with vec_id < n_centroids) partitions the corpus into cells;
@@ -303,14 +304,22 @@ def ivf_topk(
     broadcast-nested-loop over the corpus (a single pass, map-side);
     the probe→cell join shuffles on centroid_id, so per-cell work is
     distributed. This is the standard IVF layout (Johnson et al.,
-    "Billion-scale similarity search with GPUs") minus k-means training,
-    which would be an offline job at scale.
+    "Billion-scale similarity search with GPUs").
+
+    ``centroids`` (columns: centroid_id, c_vec — quantized BIGINT
+    arrays, e.g. derived from ``kmeans_assignments``'s trained cells)
+    replaces the seed quantizer with the offline-trained one; default
+    stays the seed variant the q52 oracle mirrors.
     """
     vec = spread_for_cpu(embeddings).select(
         "vec_id", F.col("label"), quantized("embedding").alias("vec")
     )
-    cent = vec.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("c_vec")
+    cent = (
+        centroids
+        if centroids is not None
+        else vec.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("vec").alias("c_vec")
+        )
     )
     scored = vec.crossJoin(F.broadcast(cent)).withColumn(
         "ccos",
@@ -421,6 +430,53 @@ def band_codes_udf(planes_arr: list[list[int]], bands: int):
 # ---------------------------------------------------------------------------
 
 
+def _kmeans_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """L2-nearest centroid per vector (exact integer distance, ties to
+    the smaller cell id): broadcast-nested-loop + per-vector rank."""
+    pairs = v.crossJoin(F.broadcast(cent))
+    d2 = F.aggregate(
+        F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        pairs.withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "d2")
+    )
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """The trained coarse quantizer itself: (centroid_id, c_vec) after
+    ``iters`` Lloyd rounds — the shape ``ivf_topk(centroids=...)``
+    consumes."""
+    v = embeddings.select("vec_id", quantized("embedding").alias("vec"))
+    cent = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iters):
+        a = _kmeans_assign(v, cent)
+        memb = a.join(v, "vec_id").select(
+            "cell", F.posexplode("vec").alias("pos", "val")
+        )
+        percell = memb.groupBy("cell", "pos").agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("m")
+        )
+        cent = percell.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("cvec")
+        )
+    return cent.select(
+        F.col("cell").alias("centroid_id"), F.col("cvec").alias("c_vec")
+    )
+
+
 def kmeans_assignments(
     embeddings: DataFrame, k: int = 8, iters: int = 2
 ) -> DataFrame:
@@ -442,41 +498,7 @@ def kmeans_assignments(
     engine-portable.
     """
     v = embeddings.select("vec_id", quantized("embedding").alias("vec"))
-    cent = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
+    cent = kmeans_centroids(embeddings, k, iters).select(
+        F.col("centroid_id").alias("cell"), F.col("c_vec").alias("cvec")
     )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        pairs = v.crossJoin(F.broadcast(cent))
-        d2 = F.aggregate(
-            F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("cell").asc()
-        )
-        return (
-            pairs.withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell", "d2")
-        )
-
-    for _ in range(iters):
-        a = assign(cent)
-        memb = a.join(v, "vec_id").select(
-            "cell", F.posexplode("vec").alias("pos", "val")
-        )
-        percell = memb.groupBy("cell", "pos").agg(
-            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("m")
-        )
-        cent = percell.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.getField("m"),
-            ).alias("cvec")
-        )
-    return assign(cent)
+    return _kmeans_assign(v, cent)

@@ -181,3 +181,19 @@ def test_lang_id_on_planted_multilingual_text(spark):
     got = {r.doc_id: r.pred_lang for r in text_ops.lang_id(df).collect()}
     for i, _, want in samples:
         assert got[i] == want, f"doc {i}: predicted {got[i]}, want {want}"
+
+
+def test_ivf_with_trained_centroids(spark):
+    """ivf_topk accepts the trained quantizer and still produces a full
+    valid top-k per probe (k results, ranks 1..k, cosine within [-1,1])."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    trained = similarity.kmeans_centroids(emb, k=8, iters=2)
+    out = similarity.ivf_topk(emb, nprobe=2, query_max_id=5, k=5, centroids=trained)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 <= r.cosine <= 1.0
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+    assert len(by_q) == 5
