@@ -207,6 +207,10 @@ def minhash_sig_udf(num_hashes: int = 16, shingle: int = 3):
     @pandas_udf("array<long>")
     def sm(text: pd.Series) -> pd.Series:
         ks = np.arange(num_hashes, dtype=np.int64)
+        # grams repeat heavily across documents (shared vocabulary), so
+        # memoize gram -> (h1, h2) per Arrow batch: md5 + hex-parse run
+        # once per DISTINCT gram, not once per occurrence
+        cache: dict[str, tuple[int, int]] = {}
         sigs: list[list[int]] = []
         for t in text:
             grams = _shingles(t, shingle)
@@ -216,9 +220,12 @@ def minhash_sig_udf(num_hashes: int = 16, shingle: int = 3):
             h1 = np.empty(len(grams), dtype=np.int64)
             h2 = np.empty(len(grams), dtype=np.int64)
             for idx, g in enumerate(grams):
-                hx = hashlib.md5(g.encode()).hexdigest()
-                h1[idx] = int(hx[:15], 16)
-                h2[idx] = int(hx[16:31], 16) % (1 << 31)
+                v = cache.get(g)
+                if v is None:
+                    hx = hashlib.md5(g.encode()).hexdigest()
+                    v = (int(hx[:15], 16), int(hx[16:31], 16) % (1 << 31))
+                    cache[g] = v
+                h1[idx], h2[idx] = v
             members = (h1[:, None] + ks[None, :] * h2[:, None]) % MERSENNE61
             sigs.append([int(v) for v in members.min(axis=0)])
         return pd.Series(sigs)
@@ -413,14 +420,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     doesn't grow unboundedly — the standard Spark iterative-algorithm
     pattern (GraphX cc without GraphX).
     """
-    # materialize the edge list ONCE — it is re-joined every round, and
+    # materialize the pair list ONCE — it is re-joined every round, and
     # without the lineage cut each iteration would recompute the whole
-    # upstream pair pipeline (LSH / Jaccard verify) from scratch
-    edges = (
-        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    # upstream pair pipeline (LSH / Jaccard verify) from scratch. The
+    # doubled edge list is a cheap union OVER the checkpointed pairs
+    # (generators emit each undirected pair once with a_id < b_id, so
+    # both directions are already distinct — no dedup shuffle needed).
+    p = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).localCheckpoint()
+    edges = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("node"))
