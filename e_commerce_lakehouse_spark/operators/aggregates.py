@@ -32,35 +32,39 @@ def sales_summary(lineitem: DataFrame, orders: DataFrame, part: DataFrame) -> Da
     reference gold_transfrom.py:59-75).
 
     Join strategy: lineitem⋈orders is the big shuffle join on l_orderkey
-    (AQE handles skew); part is a dimension → explicit broadcast so the
-    fact table never shuffles for the enrich step.
+    (AQE handles skew). Aggregation runs on (year, month, product_id)
+    BEFORE the dimension join — group keys stay fixed-width ints through
+    the agg shuffle, and part's name/brand (product_id → name, brand is
+    a functional dependency, so grouping by the id alone is equivalent)
+    are broadcast-attached to the far smaller aggregate.
     """
-    enriched = (
+    aggd = (
         lineitem.join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part.select("p_partkey", "p_name", "p_brand")), lineitem.l_partkey == F.col("p_partkey"))
         .select(
             F.year("o_orderdate").alias("year"),
             F.month("o_orderdate").alias("month"),
             F.col("l_partkey").alias("product_id"),
-            F.col("p_name").alias("product_name"),
-            F.col("p_brand").alias("brand"),
             F.col("l_quantity"),
             revenue_cents().alias("rev_cents"),
         )
-    )
-    return (
-        enriched.groupBy("year", "month", "product_id", "product_name", "brand")
+        .groupBy("year", "month", "product_id")
         .agg(
             F.sum("l_quantity").alias("total_quantity"),
             F.sum("rev_cents").alias("cents"),
             F.count(F.lit(1)).alias("num_purchases"),
         )
+    )
+    return (
+        aggd.join(
+            F.broadcast(part.select("p_partkey", "p_name", "p_brand")),
+            aggd.product_id == F.col("p_partkey"),
+        )
         .select(
             "year",
             "month",
             "product_id",
-            "product_name",
-            "brand",
+            F.col("p_name").alias("product_name"),
+            F.col("p_brand").alias("brand"),
             "total_quantity",
             money_from_cents("cents").alias("total_sales"),
             "num_purchases",

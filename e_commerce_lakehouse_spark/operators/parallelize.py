@@ -16,13 +16,21 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame
 
 
-def spread_for_cpu(df: DataFrame) -> DataFrame:
+def spread_for_cpu(df: DataFrame, cap: int | None = None) -> DataFrame:
     """Round-robin repartition to the session's default parallelism IF
     the scan is under-parallel. Split count is estimated from file
     metadata (local files) — no job, no RDD conversion; non-local URIs
-    fall back to the physical-plan partition count."""
+    fall back to the physical-plan partition count.
+
+    ``cap`` bounds the inflation target (never the natural split count):
+    iterative algorithms that re-reference a SMALL input across many
+    stages pay per-task scheduling each round, so a caller that knows
+    its stage structure can cap fan-out. At scale the scan is already
+    parallel and both the spread and the cap are structural no-ops."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    if cap is not None:
+        target = min(target, cap)
     try:
         files = df.inputFiles()
         max_bytes = int(

@@ -430,50 +430,97 @@ def band_codes_udf(planes_arr: list[list[int]], bands: int):
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_assign(v: DataFrame, cent: DataFrame) -> DataFrame:
-    """L2-nearest centroid per vector (exact integer distance, ties to
-    the smaller cell id): broadcast-nested-loop + per-vector rank."""
-    pairs = v.crossJoin(F.broadcast(cent))
-    d2 = F.aggregate(
-        F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+
+def _kmeans_prep(embeddings: DataFrame) -> DataFrame:
+    """Quantized vector table, spread across cores and MATERIALIZED
+    (localCheckpoint): the Lloyd loop references it once per assign and
+    once per update — without the cut, every iteration re-runs the scan
+    + repartition + quantize sub-DAG. Fan-out is capped: the Lloyd loop
+    launches ~5 stages per round over this table, so task-count per
+    stage matters more than per-core spread for a small input."""
     return (
-        pairs.withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "d2")
+        spread_for_cpu(embeddings, cap=8)
+        .select("vec_id", quantized("embedding").alias("vec"))
+        .localCheckpoint()
     )
+
+
+def _assign_to_matrix_udf(cells: list[int], cent):
+    """vec -> struct<cell, d2>: nearest of the driver-held centroid
+    matrix, exact int64 arithmetic, ties to the smaller cell id (cells
+    are sorted ascending, argmin returns the first minimum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cellarr = np.asarray(cells, dtype=np.int64)
+    C = np.asarray(cent, dtype=np.int64)  # (m, dim)
+
+    @pandas_udf("struct<cell: long, d2: long>")
+    def a(vec: pd.Series) -> pd.DataFrame:
+        V = np.array(vec.tolist(), dtype=np.int64)  # (n, dim)
+        diff = V[:, None, :] - C[None, :, :]
+        d2 = np.einsum("nmd,nmd->nm", diff, diff)  # exact: < dim*(2*QUANT)^2 * n
+        idx = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cellarr[idx], "d2": d2[np.arange(len(idx)), idx]}
+        )
+
+    return a.asNondeterministic()  # see minhash_sig_udf note in dedup.py
+
+
+def _kmeans_train(v: DataFrame, k: int, iters: int):
+    """Lloyd rounds over a prepped vector table → (cells, centroid
+    matrix) held at the driver — the MLlib KMeans structure (see Spark's
+    mllib clustering.KMeans.runAlgorithm): per round the ASSIGNMENT and
+    the per-cell partial SUMS run distributed (one map + one groupBy
+    over k·dim rows), and only the k·dim aggregated state crosses to
+    the driver. One Spark job per round instead of a chain of
+    checkpoint/broadcast jobs; the data-sized work never leaves the
+    cluster. Empty cells drop (their rows simply don't appear in the
+    grouped sums), matching the join-based formulation.
+
+    Mean update is floor(sum_double / count) — the same double-division
+    floor the SQL oracle computes (sums < 2^53, so the double is exact;
+    the floor of the quotient is engine-portable).
+    """
+    import math
+
+    seed = (
+        v.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    )
+    cells = [int(r.vec_id) for r in seed]
+    cent = [list(map(int, r.vec)) for r in seed]
+    for _ in range(iters):
+        a = _assign_to_matrix_udf(cells, cent)
+        sums = (
+            v.select(a("vec").getField("cell").alias("cell"), "vec")
+            .select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(int(r.cell), {})[int(r.pos)] = (int(r.s), int(r.n))
+        cells = sorted(by_cell)
+        cent = [
+            [
+                math.floor(by_cell[c][p][0] / by_cell[c][p][1])
+                for p in sorted(by_cell[c])
+            ]
+            for c in cells
+        ]
+    return cells, cent
 
 
 def kmeans_centroids(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     """The trained coarse quantizer itself: (centroid_id, c_vec) after
     ``iters`` Lloyd rounds — the shape ``ivf_topk(centroids=...)``
     consumes."""
-    v = embeddings.select("vec_id", quantized("embedding").alias("vec"))
-    cent = v.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), F.col("vec").alias("cvec")
-    )
-    for _ in range(iters):
-        a = _kmeans_assign(v, cent)
-        memb = a.join(v, "vec_id").select(
-            "cell", F.posexplode("vec").alias("pos", "val")
-        )
-        percell = memb.groupBy("cell", "pos").agg(
-            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("m")
-        )
-        cent = percell.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s.getField("m"),
-            ).alias("cvec")
-        )
-    return cent.select(
-        F.col("cell").alias("centroid_id"), F.col("cvec").alias("c_vec")
+    spark = embeddings.sparkSession
+    cells, cent = _kmeans_train(_kmeans_prep(embeddings), k, iters)
+    return spark.createDataFrame(
+        [(c, vec) for c, vec in zip(cells, cent)],
+        "centroid_id long, c_vec array<bigint>",
     )
 
 
@@ -497,8 +544,9 @@ def kmeans_assignments(
     stay < 2^53 so the floor(double-divide) mean is exact and
     engine-portable.
     """
-    v = embeddings.select("vec_id", quantized("embedding").alias("vec"))
-    cent = kmeans_centroids(embeddings, k, iters).select(
-        F.col("centroid_id").alias("cell"), F.col("c_vec").alias("cvec")
+    v = _kmeans_prep(embeddings)
+    cells, cent = _kmeans_train(v, k, iters)
+    a = _assign_to_matrix_udf(cells, cent)
+    return v.select("vec_id", a("vec").alias("m")).select(
+        "vec_id", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2")
     )
-    return _kmeans_assign(v, cent)

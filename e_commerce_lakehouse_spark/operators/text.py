@@ -184,6 +184,11 @@ def winnowing_fingerprints(
     from pyspark.sql import Window
 
     from .dedup import _md5_hash64
+    from .parallelize import spread_for_cpu
+
+    # gram construction is an interpreted higher-order function — make
+    # sure a single-file scan doesn't serialize it onto one core
+    documents = spread_for_cpu(documents)
 
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
@@ -194,10 +199,19 @@ def winnowing_fingerprints(
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     fp = g.select(
         "doc_id", F.min(_md5_hash64(F.col("gram"), 0)).over(w).alias("fp")
-    ).distinct()
-    return fp.groupBy("doc_id").agg(
-        F.array_join(F.array_sort(F.collect_set("fp")), ",").alias("fps"),
-        F.count(F.lit(1)).alias("n_fps"),
+    )
+    # collect_set dedups per doc, so no standalone distinct — the window
+    # already partitions by doc_id, letting the groupBy reuse that
+    # partitioning with ZERO additional exchanges (a distinct in between
+    # would shuffle on (doc_id, fp) and break the reuse)
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("fp")).alias("arr"))
+        .select(
+            "doc_id",
+            F.array_join("arr", ",").alias("fps"),
+            F.size("arr").alias("n_fps"),
+        )
     )
 
 
