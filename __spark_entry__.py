@@ -770,6 +770,20 @@ def _q62_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return text.lang_id(load_table(spark, sf, "documents"))
 
 
+def _q63_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """OR-amplified multi-table LSH ANN (Indyk/Motwani L-table scheme):
+    candidates collide in ANY of 3 independent hyperplane sketch tables,
+    exact quantized cosine ranks the union — the recall-raising scale
+    path over q26's single-table baseline."""
+    return similarity.ann_topk_multi(
+        load_table(spark, sf, "embeddings"),
+        query_max_id=10,
+        k=5,
+        planes=8,
+        tables=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -834,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_winnowing": _q60_winnowing,
         "q61_kmeans_cells": _q61_kmeans_cells,
         "q62_lang_id": _q62_lang_id,
+        "q63_ann_multiprobe": _q63_ann_multiprobe,
     }
 
 
@@ -928,6 +943,51 @@ def _ann_lsh_oracle_sql(planes: int = 8, k: int = 5, query_max_id: int = 10) -> 
                        {_cos_sql('q.vec', 'c.vec')} AS cosine
                 FROM sk c JOIN sk q
                   ON q.sketch = c.sketch AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < {query_max_id}
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id ASC) AS rk
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, neighbor_label, cosine,
+                   CAST(rk AS INT) AS rank
+            FROM ranked WHERE rk <= {k}
+        """
+
+
+def _ann_multi_oracle_sql(
+    planes: int = 8,
+    k: int = 5,
+    query_max_id: int = 10,
+    tables: int = 3,
+    base_seed: int = 7,
+) -> str:
+    """Generated mirror of similarity.ann_topk_multi: per-table sign
+    sketches (same stacked-plane bit layout as band_codes_udf), OR of
+    per-table collisions, exact quantized cosine + per-query rank."""
+    sketch_cols = []
+    for t in range(tables):
+        planes_arr = similarity.hyperplanes(planes, 64, seed=base_seed + t)
+        terms = []
+        for p, row in enumerate(planes_arr):
+            plane_lit = "[" + ", ".join(str(s) for s in row) + "]"
+            terms.append(
+                f"(CASE WHEN {_dot_sql('vec', plane_lit)} > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        sketch_cols.append(f"CAST({' + '.join(terms)} AS BIGINT) AS sk{t}")
+    or_cond = " OR ".join(f"q.sk{t} = c.sk{t}" for t in range(tables))
+    return f"""
+            WITH v AS (
+                SELECT vec_id, label, {_qv_sql('embedding')} AS vec FROM embeddings
+            ), sk AS (
+                SELECT vec_id, label, vec, {', '.join(sketch_cols)} FROM v
+            ), scored AS (
+                SELECT q.vec_id AS query_id,
+                       c.vec_id AS neighbor_id,
+                       c.label AS neighbor_label,
+                       {_cos_sql('q.vec', 'c.vec')} AS cosine
+                FROM sk c JOIN sk q
+                  ON ({or_cond}) AND q.vec_id <> c.vec_id
                 WHERE q.vec_id < {query_max_id}
             ), ranked AS (
                 SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1739,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
                       - len(list_intersect(ga.grams, gb.grams))) * 50
         """,
         "q26_ann_lsh": _ann_lsh_oracle_sql(),
+        "q63_ann_multiprobe": _ann_multi_oracle_sql(),
         "q61_kmeans_cells": _kmeans_oracle_sql(),
         "q62_lang_id": _lang_id_oracle_sql(),
         "q27_simhash": """

@@ -179,6 +179,95 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_multi(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 3,
+    base_seed: int = 7,
+) -> DataFrame:
+    """OR-amplified multi-table LSH ANN — the recall-raising construction
+    ``ann_topk_lsh``'s docstring defers to (Indyk/Motwani LSH with L
+    independent hash tables): a pair is a candidate if its sign-sketches
+    collide in ANY of ``tables`` independent hyperplane sets; exact
+    quantized cosine then ranks the candidate union per query.
+
+    Plan: ONE Arrow matmul computes all ``tables`` sketches per vector
+    (stacked plane matrix, one band per table — the sketch table is
+    materialized once, exactly the index you'd persist at scale), then
+    posexplode → (table, code) bucket join against the broadcast probe
+    sketches → distinct candidate pairs → exact cosine → per-query rank.
+    Only probe rows broadcast; the corpus streams once. Recall grows as
+    1-(1-p^planes)^tables while the exact-verify cost stays proportional
+    to the candidate union.
+    """
+    dim = len(embeddings.select("embedding").first()[0])
+    planes_all: list[list[int]] = []
+    for t in range(tables):
+        planes_all.extend(hyperplanes(planes, dim, seed=base_seed + t))
+    codes = band_codes_udf(planes_all, bands=tables)
+    # materialize the sketch+vector side ONCE: both the probe build and
+    # the corpus side reference it, and a self-join on a UDF-derived
+    # frame would otherwise evaluate the Arrow kernel twice
+    side = (
+        spread_for_cpu(embeddings)
+        .select(
+            "vec_id",
+            "label",
+            quantized("embedding").alias("vec"),
+            codes("embedding").alias("codes"),
+        )
+        .localCheckpoint()
+    )
+    banded = side.select("vec_id", F.posexplode("codes").alias("tbl", "code"))
+    qb = banded.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("code").alias("q_code"),
+    )
+    cand = (
+        banded.join(
+            F.broadcast(qb),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("code") == F.col("q_code"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = side.select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    cv = side.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("vec").alias("c_vec"),
+    )
+    scored = (
+        cand.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            cosine_q(
+                dot_q(F.col("q_vec"), F.col("c_vec")),
+                norm_sq_q(F.col("q_vec")),
+                norm_sq_q(F.col("c_vec")),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
 def hyperplanes(planes: int, dim: int, seed: int = 7) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5(seed:plane:dim) — the same
     family `hyperplane_sketch` uses. Exposed so oracle SQL generation

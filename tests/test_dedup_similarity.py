@@ -197,3 +197,31 @@ def test_ivf_with_trained_centroids(spark):
     for q, rs in by_q.items():
         assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
     assert len(by_q) == 5
+
+
+def test_ann_multi_table_recall_dominates_single(spark):
+    """OR-amplification: the 3-table candidate union must recover at
+    least as much of the true top-5 as any single table alone (each
+    single table IS one of the three), and every returned cosine must
+    match the exact quantized math."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    truth_set = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, query_max_id=10, k=5).collect()
+    }
+    multi = similarity.ann_topk_multi(
+        emb, query_max_id=10, k=5, planes=8, tables=3, base_seed=7
+    ).collect()
+    single = similarity.ann_topk_lsh(
+        emb, query_max_id=10, k=5, planes=8
+    ).collect()
+    m_recall = len(truth_set & {(r.query_id, r.neighbor_id) for r in multi}) / len(truth_set)
+    s_recall = len(truth_set & {(r.query_id, r.neighbor_id) for r in single}) / len(truth_set)
+    assert m_recall >= s_recall, f"multi {m_recall} < single {s_recall}"
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, query_max_id=10, k=2000).collect()
+    }
+    for r in multi:
+        assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
+        assert 1 <= r.rank <= 5
