@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
 from e_commerce_lakehouse_spark.operators import asof, cleaning, dedup, joins, quality, sampling, similarity, text, upsert, windows
+from e_commerce_lakehouse_spark.operators import graph as graph_ops
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.streaming import events as stream_events
 from e_commerce_lakehouse_spark.sources import load_table
@@ -784,6 +785,17 @@ def _q63_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q64_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Clickstream item graph + integer-exact PageRank: consecutive
+    same-user events become directed item-transition edges; two fixed
+    damped rounds in 1e-12 rank units (floor divisions + integer sums,
+    shuffle-order independent). Oracle: the same rounds unrolled as
+    chained CTEs."""
+    return graph_ops.pagerank(
+        graph_ops.click_edges(load_table(spark, sf, "events")), iters=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -849,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_kmeans_cells": _q61_kmeans_cells,
         "q62_lang_id": _q62_lang_id,
         "q63_ann_multiprobe": _q63_ann_multiprobe,
+        "q64_pagerank": _q64_pagerank,
     }
 
 
@@ -998,6 +1011,63 @@ def _ann_multi_oracle_sql(
                    CAST(rk AS INT) AS rank
             FROM ranked WHERE rk <= {k}
         """
+
+
+def _pagerank_oracle_sql(
+    iters: int = 2,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> str:
+    """Generated mirror of graph.pagerank over graph.click_edges: the
+    same fixed damped rounds unrolled as chained CTEs, all-integer
+    (DuckDB // and Spark `div` both floor for the positive operands
+    used here, and integer sums are order-independent)."""
+    tele = f"({damp_den - damp_num} * {scale}) // ({damp_den} * (SELECT n FROM nn))"
+    ctes = [
+        f"""ev AS (
+                SELECT user_id, event_id, ts,
+                       CAST(props->>'$.k' AS BIGINT) AS item
+                FROM events
+            )""",
+        """seq AS (
+                SELECT item, lag(item) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM ev
+            )""",
+        """edges AS (
+                SELECT DISTINCT prev AS src, item AS dst FROM seq
+                WHERE prev IS NOT NULL AND prev <> item
+            )""",
+        """nodes AS (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            )""",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+                SELECT e.dst, CAST(SUM(r{i - 1}.r // d.deg) AS BIGINT) AS s
+                FROM edges e
+                JOIN r{i - 1} ON r{i - 1}.node = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+                SELECT nodes.node,
+                       {tele} + ({damp_num} * COALESCE(c{i}.s, 0)) // {damp_den} AS r
+                FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node
+            )"""
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"
+    )
 
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
@@ -1800,6 +1870,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q26_ann_lsh": _ann_lsh_oracle_sql(),
         "q63_ann_multiprobe": _ann_multi_oracle_sql(),
+        "q64_pagerank": _pagerank_oracle_sql(),
         "q61_kmeans_cells": _kmeans_oracle_sql(),
         "q62_lang_id": _lang_id_oracle_sql(),
         "q27_simhash": """
