@@ -796,6 +796,21 @@ def _q64_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q65_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-ingestion near-dup admission: docs with doc_id >= 400
+    "arrive" and are admitted iff no earlier doc is a >=50% MinHash-LSH
+    near-dup — the per-batch path whose cost tracks the delta, not the
+    corpus (old x old pairs never generated)."""
+    return dedup.minhash_lsh_incremental(
+        load_table(spark, sf, "documents"),
+        new_min_doc_id=400,
+        num_hashes=16,
+        bands=4,
+        threshold_pct=50,
+        shingle=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -862,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_lang_id": _q62_lang_id,
         "q63_ann_multiprobe": _q63_ann_multiprobe,
         "q64_pagerank": _q64_pagerank,
+        "q65_incremental_neardup": _q65_incremental_neardup,
     }
 
 
@@ -1871,6 +1887,60 @@ def oracle_sql() -> dict[str, str]:
         "q26_ann_lsh": _ann_lsh_oracle_sql(),
         "q63_ann_multiprobe": _ann_multi_oracle_sql(),
         "q64_pagerank": _pagerank_oracle_sql(),
+        "q65_incremental_neardup": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks)-3+2),
+                           i -> array_to_string(toks[i:i+2], ' '))) AS grams
+                FROM t WHERE len(toks) >= 3
+            ), sig AS (
+                SELECT doc_id, grams,
+                       list_transform(range(0,16), k ->
+                          list_min(list_transform(grams, s ->
+                             (CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+                              + k * (CAST('0x'||substr(md5(s),17,15) AS BIGINT)
+                                     % 2147483648))
+                             % 2305843009213693951))) AS sig
+                FROM g
+            ), banded AS (
+                SELECT doc_id, b AS band,
+                       md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS band_key
+                FROM sig, (SELECT unnest(range(0,4)) AS b)
+            ), cand AS (
+                SELECT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.band_key = y.band_key
+                 AND x.doc_id < y.doc_id
+                WHERE y.doc_id >= 400
+                GROUP BY 1,2
+            ), pairs AS (
+                SELECT c.a_id, c.b_id,
+                       CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+                         / (len(ga.grams) + len(gb.grams)
+                            - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+                FROM cand c
+                JOIN g ga ON ga.doc_id = c.a_id
+                JOIN g gb ON gb.doc_id = c.b_id
+                WHERE len(list_intersect(ga.grams, gb.grams)) * 100
+                      >= (len(ga.grams) + len(gb.grams)
+                          - len(list_intersect(ga.grams, gb.grams))) * 50
+            ), best AS (
+                SELECT b_id, a_id, jaccard,
+                       row_number() OVER (PARTITION BY b_id
+                                          ORDER BY jaccard DESC, a_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY b_id) AS n
+                FROM pairs
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(best.n, 0) AS BIGINT) AS n_dup_partners,
+                   best.a_id AS best_match_id,
+                   best.jaccard AS best_jaccard,
+                   best.b_id IS NULL AS admitted
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+            LEFT JOIN best ON best.b_id = d.doc_id AND best.rn = 1
+        """,
         "q61_kmeans_cells": _kmeans_oracle_sql(),
         "q62_lang_id": _lang_id_oracle_sql(),
         "q27_simhash": """

@@ -329,6 +329,112 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_incremental(
+    documents: DataFrame,
+    new_min_doc_id: int,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_pct: int = 50,
+    shingle: int = 3,
+) -> DataFrame:
+    """Delta-ingestion near-dup ADMISSION: every doc with doc_id ≥
+    ``new_min_doc_id`` is "arriving" and is admitted iff no earlier doc
+    (smaller doc_id — corpus OR an earlier arrival) is a near-dup at
+    ``threshold_pct``. One row per new doc: (doc_id, n_dup_partners,
+    best_match_id, best_jaccard, admitted).
+
+    This is the 100 TB ingestion path the full-corpus pair join (q25)
+    is NOT: the banded signature table is the persisted index
+    (materialized once here via localCheckpoint — its real-world analog
+    is a bucketed table), only NEW docs probe it, and old×old candidate
+    pairs are never generated, so per-batch cost tracks the delta size,
+    not the corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    documents = spread_for_cpu(documents)
+    sigs = minhash_signature(documents, num_hashes, shingle)
+    banded = (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at(
+                                            "signature", b * rows_per_band + r + 1
+                                        )
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.band_key")
+        # the index side and the probe side both read this — materialize
+        # so the signature kernel runs once (a self-join on a UDF-derived
+        # frame re-evaluates the subtree)
+        .localCheckpoint()
+    )
+    probe = banded.filter(F.col("doc_id") >= new_min_doc_id).select(
+        F.col("doc_id").alias("b_id"),
+        F.col("band").alias("p_band"),
+        F.col("band_key").alias("p_key"),
+    )
+    candidates = (
+        banded.join(
+            probe,
+            (F.col("band") == F.col("p_band"))
+            & (F.col("band_key") == F.col("p_key"))
+            & (F.col("doc_id") < F.col("b_id")),
+        )
+        .select(F.col("doc_id").alias("a_id"), "b_id")
+        .distinct()
+    )
+    txt = documents.select("doc_id", "text")
+    iu = jaccard_iu_udf(shingle)
+    pairs = (
+        candidates.join(
+            txt.withColumnsRenamed({"doc_id": "a_id", "text": "a_text"}), "a_id"
+        )
+        .join(txt.withColumnsRenamed({"doc_id": "b_id", "text": "b_text"}), "b_id")
+        .select("a_id", "b_id", iu("a_text", "b_text").alias("_iu"))
+        .select("a_id", "b_id", F.col("_iu.i").alias("i"), F.col("_iu.u").alias("u"))
+        .filter(F.col("i") * 100 >= F.col("u") * threshold_pct)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("i").cast("double") / F.col("u").cast("double")).alias("jaccard"),
+        )
+    )
+    verdicts = pairs.groupBy("b_id").agg(
+        F.count(F.lit(1)).alias("n_dup_partners"),
+        F.max_by(
+            F.struct(F.col("a_id").alias("mid"), F.col("jaccard").alias("mj")),
+            F.struct(F.col("jaccard").alias("j"), (-F.col("a_id")).alias("na")),
+        ).alias("best"),
+    )
+    new_docs = documents.filter(F.col("doc_id") >= new_min_doc_id).select("doc_id")
+    return (
+        new_docs.join(verdicts, new_docs.doc_id == verdicts.b_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_partners", F.lit(0)).alias("n_dup_partners"),
+            F.col("best.mid").alias("best_match_id"),
+            F.col("best.mj").alias("best_jaccard"),
+            F.col("n_dup_partners").isNull().alias("admitted"),
+        )
+    )
+
+
 def jaccard_iu_udf(shingle: int = 3):
     """(text_a, text_b) -> struct<i: long, u: long>: exact shingle-set
     intersection / union sizes (integer — the Jaccard itself is one

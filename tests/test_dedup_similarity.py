@@ -225,3 +225,21 @@ def test_ann_multi_table_recall_dominates_single(spark):
     for r in multi:
         assert abs(brute[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-12
         assert 1 <= r.rank <= 5
+
+
+def test_incremental_admission_rejects_clones(spark):
+    """Every cloned doc 'arrives' after the corpus and must be rejected
+    with a perfect-Jaccard best match; its best_match_id is an earlier
+    doc (the original, or an identical-text predecessor)."""
+    docs = _with_synthetic_dups(load_table(spark, SF_SMALL, "documents"))
+    out = dedup.minhash_lsh_incremental(
+        docs, new_min_doc_id=1_000_000, threshold_pct=99
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 30
+    for i in range(30):
+        r = rows[i + 1_000_000]
+        assert not r.admitted, f"clone {i} wrongly admitted"
+        assert r.best_jaccard == 1.0
+        assert r.best_match_id <= i
+        assert r.n_dup_partners >= 1
