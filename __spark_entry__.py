@@ -811,6 +811,20 @@ def _q65_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q66_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-level near-dup tier: SimHash byte-band blocking (Hamming
+    LSH) + exact banded Levenshtein verify, all-codegen after the
+    sketch — completes the dedup ladder md5 / edit-distance /
+    token-Jaccard / MinHash / embedding."""
+    return dedup.simhash_edit_pairs(
+        load_table(spark, sf, "documents"),
+        probe_max_doc_id=20,
+        bits=32,
+        band_bits=8,
+        threshold_pct=30,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -878,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_ann_multiprobe": _q63_ann_multiprobe,
         "q64_pagerank": _q64_pagerank,
         "q65_incremental_neardup": _q65_incremental_neardup,
+        "q66_edit_distance_pairs": _q66_edit_distance_pairs,
     }
 
 
@@ -1943,6 +1958,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q61_kmeans_cells": _kmeans_oracle_sql(),
         "q62_lang_id": _lang_id_oracle_sql(),
+        "q66_edit_distance_pairs": """
+            WITH t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(tset,
+                           s -> CAST('0x'||substr(md5('0:'||s),1,15) AS BIGINT))
+                           AS hs
+                FROM t
+            ), sh AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(range(0,32), i ->
+                          CASE WHEN list_sum(list_transform(hs,
+                                 x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                               THEN (CAST(1 AS BIGINT) << i)
+                               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+                FROM h
+            ), banded AS (
+                SELECT doc_id, b AS band, (simhash >> (b*8)) & 255 AS code
+                FROM sh, (SELECT unnest(range(0,4)) AS b)
+            ), cand AS (
+                SELECT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.code = y.code
+                 AND x.doc_id < y.doc_id
+                WHERE x.doc_id < 20
+                GROUP BY 1,2
+            )
+            SELECT c.a_id, c.b_id,
+                   CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+                   CAST(GREATEST(length(da.text), length(db.text)) AS INT) AS max_len
+            FROM cand c
+            JOIN documents da ON da.doc_id = c.a_id
+            JOIN documents db ON db.doc_id = c.b_id
+            WHERE levenshtein(da.text, db.text) * 100
+                  <= GREATEST(length(da.text), length(db.text)) * 30
+        """,
         "q27_simhash": """
             WITH t AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset

@@ -501,6 +501,98 @@ def simhash_udf(bits: int = 32):
     return sh.asNondeterministic()  # see minhash_sig_udf note
 
 
+def simhash_edit_pairs(
+    documents: DataFrame,
+    probe_max_doc_id: int = 20,
+    bits: int = 32,
+    band_bits: int = 8,
+    threshold_pct: int = 30,
+    max_edit: int = 200,
+) -> DataFrame:
+    """Char-level near-dup pairs: SimHash byte-band blocking + exact
+    Levenshtein verify — the edit-distance tier between whole-doc md5
+    (q21) and token-set Jaccard (q22/q25). Probe docs (doc_id <
+    ``probe_max_doc_id``) pair with any later doc sharing a
+    ``band_bits``-wide SimHash slice (Hamming-LSH blocking: d Hamming
+    errors corrupt at most d bands); kept iff lev(a,b)*100 <=
+    threshold_pct*max(len). The probe bound keeps the verify linear in
+    corpus size — at scale the probe set is a delta batch, as in
+    ``minhash_lsh_incremental``.
+
+    Verify-path cost controls (results unchanged, all codegen, no
+    Python): a length prefilter (lev >= |len_a-len_b|, so wide-length
+    pairs can't pass) runs before the DP, and the DP itself is Spark's
+    banded 3-arg levenshtein, O(max_edit·len) per pair. ``max_edit``
+    must be >= threshold_pct% of the longest doc (-1 sentinel rows are
+    exactly the rows the threshold filter drops, so the bound never
+    changes results — 200 covers this corpus's 577-char max).
+    """
+    bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    sh = simhash(documents, bits).localCheckpoint()  # index side ≡ probe side
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("code"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.code")
+    probe = banded.filter(F.col("doc_id") < probe_max_doc_id).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("band").alias("p_band"),
+        F.col("code").alias("p_code"),
+    )
+    candidates = (
+        banded.join(
+            F.broadcast(probe),
+            (F.col("band") == F.col("p_band"))
+            & (F.col("code") == F.col("p_code"))
+            & (F.col("a_id") < F.col("doc_id")),
+        )
+        .select("a_id", F.col("doc_id").alias("b_id"))
+        .distinct()
+        # Catalyst pushes the Levenshtein predicate into the text-join
+        # stage (correct — it prunes earliest there), and AQE coalesces
+        # the tiny candidate shuffle to ONE partition (right for row
+        # count, wrong for a DP-heavy verify). Repartitioning the
+        # candidates HERE makes that fused join+verify stage wide.
+        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    txt = documents.select("doc_id", "text")
+    sized = (
+        candidates.join(
+            txt.withColumnsRenamed({"doc_id": "a_id", "text": "a_text"}), "a_id"
+        )
+        .join(txt.withColumnsRenamed({"doc_id": "b_id", "text": "b_text"}), "b_id")
+        .withColumn(
+            "max_len", F.greatest(F.length("a_text"), F.length("b_text"))
+        )
+        .filter(
+            F.abs(F.length("a_text") - F.length("b_text")) * 100
+            <= F.col("max_len") * threshold_pct
+        )
+    )
+    return (
+        sized.withColumn(
+            "edit_distance", F.levenshtein("a_text", "b_text", max_edit)
+        )
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") * 100 <= F.col("max_len") * threshold_pct)
+        )
+        .select("a_id", "b_id", "edit_distance", "max_len")
+    )
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR — via bin() + count of '1' chars (no UDF)."""
     x = a.bitwiseXOR(b)

@@ -243,3 +243,15 @@ def test_incremental_admission_rejects_clones(spark):
         assert r.best_jaccard == 1.0
         assert r.best_match_id <= i
         assert r.n_dup_partners >= 1
+
+
+def test_edit_distance_pairs_find_clones(spark):
+    """Exact clones of probe docs share all SimHash bands and have edit
+    distance 0 — every probe's clone pair must surface."""
+    docs = _with_synthetic_dups(load_table(spark, SF_SMALL, "documents"), n=10)
+    out = dedup.simhash_edit_pairs(
+        docs, probe_max_doc_id=10, threshold_pct=30
+    )
+    got = {(r.a_id, r.b_id): r.edit_distance for r in out.collect()}
+    for i in range(10):
+        assert got.get((i, i + 1_000_000)) == 0, f"clone pair {i} missing"
