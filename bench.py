@@ -59,11 +59,24 @@ def main() -> None:
     except Exception:
         pass
 
+    def release_leftovers() -> None:
+        # Queries built on localCheckpoint (LSH indexes, iterative CC /
+        # PageRank / Lloyd state) pin RDD blocks that outlive the query:
+        # Spark's ContextCleaner frees them only after the Python
+        # wrapper AND its py4j proxy are GC'd. Dropping them between
+        # queries keeps each timing independent instead of charging
+        # query N with the storage-memory eviction caused by query N-1.
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in [k for k in jmap.keySet()]:
+            jmap.get(rid).unpersist(False)
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         t0 = time.perf_counter()
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_leftovers()
 
     total = round(sum(timings.values()), 3)
     print(

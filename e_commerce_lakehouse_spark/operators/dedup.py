@@ -618,23 +618,25 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     doesn't grow unboundedly — the standard Spark iterative-algorithm
     pattern (GraphX cc without GraphX).
     """
+    from .parallelize import local_checkpoint_tracked, release_rdds
+
+    spark = pairs.sparkSession
     # materialize the pair list ONCE — it is re-joined every round, and
     # without the lineage cut each iteration would recompute the whole
     # upstream pair pipeline (LSH / Jaccard verify) from scratch. The
     # doubled edge list is a cheap union OVER the checkpointed pairs
     # (generators emit each undirected pair once with a_id < b_id, so
     # both directions are already distinct — no dedup shuffle needed).
-    p = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).localCheckpoint()
+    p, p_ids = local_checkpoint_tracked(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
     edges = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
+    labels, labels_ids = local_checkpoint_tracked(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     # labels decrease monotonically, so the label sum is a fixed-point
     # witness: converged iff it stops changing. One narrow aggregate on
@@ -646,7 +648,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels, new_ids = local_checkpoint_tracked(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -654,13 +656,21 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
-        labels = new_labels
+        # the new checkpoint is materialized — the previous round's
+        # blocks are dead weight from here on. Without this release an
+        # N-round run pins N copies of the label table in storage
+        # memory (and, single-JVM, drags every later query through the
+        # eviction/GC it causes).
+        release_rdds(spark, labels_ids)
+        labels, labels_ids = new_labels, new_ids
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    # the returned frame reads only the final checkpoint — the pair
+    # list's blocks are no longer referenced by anything live.
+    release_rdds(spark, p_ids)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -45,3 +45,35 @@ def spread_for_cpu(df: DataFrame, cap: int | None = None) -> DataFrame:
     if est_splits < target:
         return df.repartition(target)
     return df
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``df.localCheckpoint()`` plus the ids of the RDD blocks the
+    checkpoint pinned, so iterative algorithms can release superseded
+    rounds with :func:`release_rdds`. Spark's ContextCleaner only frees
+    checkpoint blocks after BOTH the Python wrapper and the py4j proxy
+    are garbage-collected — far too late for a loop that pins a fresh
+    copy of its state every round (N rounds would hold N copies of the
+    state in executor storage memory, evicting genuinely hot blocks at
+    scale). Assumes a single driver thread persists RDDs (true for this
+    engine's operators)."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint()
+    return out, _persistent_rdd_ids(spark) - before
+
+
+def release_rdds(spark, ids: set[int]) -> None:
+    """Unpersist the given checkpoint block ids (non-blocking). Only
+    ever call this on SUPERSEDED state: a localCheckpoint's blocks ARE
+    its data — releasing blocks a live DataFrame still reads fails its
+    next action."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
