@@ -118,6 +118,30 @@ def test_duplicate_clusters_transitive(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_duplicate_clusters_releases_superseded_checkpoints(spark):
+    """The CC loop must unpersist every round it supersedes (a chain
+    forces several propagation rounds), keep ONLY the final labels
+    pinned, and that final checkpoint must stay consumable after the
+    releases — collect() runs after the whole loop has freed its
+    intermediates."""
+    from e_commerce_lakehouse_spark.operators.parallelize import (
+        _persistent_rdd_ids,
+        release_rdds,
+    )
+
+    before = _persistent_rdd_ids(spark)
+    chain = [(i, i + 1) for i in range(1, 9)]  # diameter-8 component
+    result = dedup.duplicate_clusters(
+        spark.createDataFrame(chain, ["a_id", "b_id"])
+    )
+    created = _persistent_rdd_ids(spark) - before
+    # one surviving checkpoint (the labels the result reads), not one
+    # per round + pairs — a regression here re-pins O(rounds) copies
+    assert len(created) == 1, f"leaked checkpoints: {created}"
+    assert {r["cluster_id"] for r in result.collect()} == {1}
+    release_rdds(spark, created)  # leave the session clean for other tests
+
+
 def test_dedup_by_clusters_end_to_end(spark):
     docs = _with_synthetic_dups(load_table(spark, SF_SMALL, "documents"))
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, threshold_pct=99)
