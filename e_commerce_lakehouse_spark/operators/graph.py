@@ -72,6 +72,9 @@ def pagerank(
     groupBy shuffled on uniform node keys. N (the node count) is the
     only driver-side value — a scalar, like any iterative-ML state.
     """
+    from .parallelize import local_checkpoint_tracked, release_rdds
+
+    spark = edges.sparkSession
     edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -83,7 +86,13 @@ def pagerank(
     n = nodes.count()
     teleport = ((damp_den - damp_num) * scale) // (damp_den * n)
     r = nodes.withColumn("r", F.lit(scale // n))
-    for _ in range(iters):
+    # r's plan otherwise deepens by two joins per round: harmless at the
+    # default 2 iterations, quadratic Catalyst analysis by ~50. Cut the
+    # lineage every few rounds and release the checkpoint the cut
+    # supersedes (values are unchanged — the math is integer-exact).
+    ckpt_every = 8
+    r_ids: set[int] = set()
+    for it in range(iters):
         contrib = (
             edges.join(r, edges.src == r.node)
             .join(deg, "src")
@@ -98,4 +107,8 @@ def pagerank(
                 + F.expr(f"({damp_num} * coalesce(s, CAST(0 AS BIGINT))) div {damp_den}")
             ).alias("r"),
         )
+        if (it + 1) % ckpt_every == 0 and it + 1 < iters:
+            r, new_ids = local_checkpoint_tracked(r)
+            release_rdds(spark, r_ids)
+            r_ids = new_ids
     return r.select("node", F.col("r").alias("rank_scaled"))

@@ -33,3 +33,33 @@ def test_pagerank_invariants_and_determinism(spark):
     # bit-identical on rerun (integer math, no shuffle-order dependence)
     again = {r.node: r.rank_scaled for r in graph.pagerank(edges, iters=2).collect()}
     assert {r.node: r.rank_scaled for r in rows} == again
+
+
+def test_pagerank_long_run_matches_python_model(spark):
+    """9 iterations crosses the periodic lineage cut (every 8 rounds) —
+    the checkpointed tail must produce EXACTLY the values of the pure
+    integer recurrence, computed here by a driver-side model on an
+    explicit graph (node 4 is dangling: its mass drops; node 1 has an
+    extra in-edge)."""
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)]
+    iters, scale, num, den = 9, graph.RANK_SCALE, 85, 100
+
+    nodes = sorted({v for e in edge_list for v in e})
+    out = {u: sum(1 for s, _ in edge_list if s == u) for u in nodes}
+    teleport = ((den - num) * scale) // (den * len(nodes))
+    r = {v: scale // len(nodes) for v in nodes}
+    for _ in range(iters):
+        share = {u: r[u] // out[u] for u in nodes if out.get(u)}
+        incoming = {
+            v: sum(share[s] for s, d in edge_list if d == v and s in share)
+            for v in nodes
+        }
+        r = {v: teleport + (num * incoming[v]) // den for v in nodes}
+
+    got = {
+        row.node: row.rank_scaled
+        for row in graph.pagerank(
+            spark.createDataFrame(edge_list, ["src", "dst"]), iters=iters
+        ).collect()
+    }
+    assert got == r
