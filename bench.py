@@ -18,6 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from e_commerce_lakehouse_spark.operators.parallelize import (  # noqa: E402
+    _persistent_rdd_ids,
+    release_rdds,
+)
 from e_commerce_lakehouse_spark.session import build_session  # noqa: E402
 
 
@@ -66,10 +70,11 @@ def main() -> None:
         # wrapper AND its py4j proxy are GC'd. Dropping them between
         # queries keeps each timing independent instead of charging
         # query N with the storage-memory eviction caused by query N-1.
+        # release_rdds null-guards each id: getPersistentRDDs is backed
+        # by a weak-value map, so an entry can be reclaimed between the
+        # keySet snapshot and the get.
         spark.catalog.clearCache()
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in [k for k in jmap.keySet()]:
-            jmap.get(rid).unpersist(False)
+        release_rdds(spark, _persistent_rdd_ids(spark))
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

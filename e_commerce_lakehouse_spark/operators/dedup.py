@@ -176,6 +176,8 @@ def _shingles(text: str, shingle: int) -> list[str]:
     """Distinct word n-grams, first-occurrence order — the Python
     mirror of ``ngram_set`` (tokens = split(text, ' ')). Docs shorter
     than ``shingle`` tokens yield [] (the explode plan dropped them)."""
+    if text is None:
+        return []  # null-propagate like the old SQL formulation (dirty corpora)
     toks = text.split(" ")
     if len(toks) < shingle:
         return []
@@ -255,6 +257,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold_pct: int = 50,
     shingle: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via LSH banding + exact Jaccard verification.
 
@@ -265,10 +268,15 @@ def minhash_lsh_pairs(
     At 100 TB this is THE near-dup plan: the only shuffles are on
     uniform band-hash keys and candidate pairs are a tiny fraction of
     N².
+
+    ``sigs`` lets callers pass a precomputed/persisted signature frame
+    (doc_id, signature) — e.g. ``corpus_cache.shared_df`` — so several
+    queries over the same corpus hash it once, not once each.
     """
     rows_per_band = num_hashes // bands
     documents = spread_for_cpu(documents)
-    sigs = minhash_signature(documents, num_hashes, shingle)
+    if sigs is None:
+        sigs = minhash_signature(documents, num_hashes, shingle)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -336,6 +344,7 @@ def minhash_lsh_incremental(
     bands: int = 4,
     threshold_pct: int = 50,
     shingle: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-ingestion near-dup ADMISSION: every doc with doc_id ≥
     ``new_min_doc_id`` is "arriving" and is admitted iff no earlier doc
@@ -352,7 +361,8 @@ def minhash_lsh_incremental(
     """
     rows_per_band = num_hashes // bands
     documents = spread_for_cpu(documents)
-    sigs = minhash_signature(documents, num_hashes, shingle)
+    if sigs is None:
+        sigs = minhash_signature(documents, num_hashes, shingle)
     banded = (
         sigs.select(
             "doc_id",
@@ -485,7 +495,7 @@ def simhash_udf(bits: int = 32):
         idx = np.arange(bits, dtype=np.int64)
         out = []
         for t in text:
-            toks = set(t.split(" "))
+            toks = set() if t is None else set(t.split(" "))
             h = np.fromiter(
                 (
                     int(hashlib.md5(f"0:{tok}".encode()).hexdigest()[:15], 16)
@@ -507,7 +517,7 @@ def simhash_edit_pairs(
     bits: int = 32,
     band_bits: int = 8,
     threshold_pct: int = 30,
-    max_edit: int = 200,
+    max_edit: int | None = None,
 ) -> DataFrame:
     """Char-level near-dup pairs: SimHash byte-band blocking + exact
     Levenshtein verify — the edit-distance tier between whole-doc md5
@@ -525,8 +535,20 @@ def simhash_edit_pairs(
     banded 3-arg levenshtein, O(max_edit·len) per pair. ``max_edit``
     must be >= threshold_pct% of the longest doc (-1 sentinel rows are
     exactly the rows the threshold filter drops, so the bound never
-    changes results — 200 covers this corpus's 577-char max).
+    changes results). Default (None) derives the bound from the corpus:
+    ceil(threshold_pct% · max doc length) via one scalar aggregate —
+    aggregated state like the k-means driver scalars, not a data
+    collect. A hardcoded bound would silently drop true pairs on a
+    corpus with longer docs.
     """
+    if max_edit is None:
+        # n_chars metadata when present (cheap narrow scan); text length
+        # otherwise. +1 guards the ceil boundary.
+        length_col = (
+            F.col("n_chars") if "n_chars" in documents.columns else F.length("text")
+        )
+        longest = documents.agg(F.max(length_col)).first()[0] or 0
+        max_edit = -(-int(longest) * threshold_pct // 100) + 1
     bands = bits // band_bits
     mask = (1 << band_bits) - 1
     sh = simhash(documents, bits).localCheckpoint()  # index side ≡ probe side
@@ -641,7 +663,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # labels decrease monotonically, so the label sum is a fixed-point
     # witness: converged iff it stops changing. One narrow aggregate on
     # checkpointed data per round — far cheaper than a join-based diff.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # Summed as decimal(38,0): a raw long sum over billions of 63-bit ids
+    # can wrap (Spark non-ANSI), which would break the monotone argument.
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -664,7 +689,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # eviction/GC it causes).
         release_rdds(spark, labels_ids)
         labels, labels_ids = new_labels, new_ids
-        new_sum = labels.agg(F.sum("label")).first()[0]
+        new_sum = labels.agg(_label_sum).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

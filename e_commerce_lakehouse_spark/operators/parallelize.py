@@ -41,6 +41,10 @@ def spread_for_cpu(df: DataFrame, cap: int | None = None) -> DataFrame:
         )
         est_splits = max(len(files), -(-total // max_bytes))
     except Exception:
+        # exception path ONLY (non-local URIs / missing files): df.rdd
+        # here is a metadata peek at the physical plan's partitioning,
+        # never an action — it must stay the one place this module
+        # touches the RDD API.
         est_splits = df.rdd.getNumPartitions()
     if est_splits < target:
         return df.repartition(target)

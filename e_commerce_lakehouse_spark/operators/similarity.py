@@ -107,7 +107,7 @@ def cosine_topk(
 
 
 def hyperplane_sketch(
-    embeddings: DataFrame, planes: int = 16, seed: int = 7, dim: int | None = None
+    embeddings: DataFrame, planes: int = 16, seed: int = 7, dim: int = 64
 ) -> DataFrame:
     """Random-hyperplane sign sketch (SimHash-for-vectors): bit i is the
     sign of <v, h_i> where h_i is a deterministic ±1 hyperplane derived
@@ -122,8 +122,8 @@ def hyperplane_sketch(
     # band packs all sign bits into one code — the sketch). The same
     # integer math as the sign_bits HOF expression, which runs
     # interpreted (CodegenFallback) and was the q26 hot spot.
-    if dim is None:
-        dim = len(embeddings.select("embedding").first()[0])
+    # ``dim`` is a parameter (callers know their embedding width) — no
+    # driver-side probe job.
     planes_arr = hyperplanes(planes, dim, seed)
     codes = band_codes_udf(planes_arr, bands=1)
     return embeddings.select(
@@ -136,14 +136,32 @@ def ann_topk_lsh(
     query_max_id: int = 10,
     k: int = 5,
     planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to equal-sketch buckets,
     then exact cosine rank within the bucket. Recall trades off with
     ``planes``; at scale, multiple sketch tables (OR-amplification)
-    raise recall — this is the single-table baseline."""
-    sk = hyperplane_sketch(embeddings, planes)
-    vec = embeddings.select("vec_id", quantized("embedding").alias("vec"))
-    side = sk.join(vec, "vec_id")
+    raise recall — this is the single-table baseline.
+
+    ``dim`` is a parameter (callers know their embedding width) — no
+    driver-side probe job. The sketch+vector side is computed in ONE
+    select and materialized (localCheckpoint) because both the probe
+    and corpus branches reference it: without the cut, the sketch
+    kernel would evaluate twice over the corpus.
+    """
+    planes_arr = hyperplanes(planes, dim, seed)
+    codes = band_codes_udf(planes_arr, bands=1)
+    side = (
+        spread_for_cpu(embeddings)
+        .select(
+            "vec_id",
+            "label",
+            quantized("embedding").alias("vec"),
+            F.element_at(codes("embedding"), 1).alias("sketch"),
+        )
+        .localCheckpoint()
+    )
     q = side.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
         F.col("sketch").alias("q_sketch"),
@@ -186,6 +204,7 @@ def ann_topk_multi(
     planes: int = 8,
     tables: int = 3,
     base_seed: int = 7,
+    dim: int = 64,
 ) -> DataFrame:
     """OR-amplified multi-table LSH ANN — the recall-raising construction
     ``ann_topk_lsh``'s docstring defers to (Indyk/Motwani LSH with L
@@ -200,9 +219,8 @@ def ann_topk_multi(
     sketches → distinct candidate pairs → exact cosine → per-query rank.
     Only probe rows broadcast; the corpus streams once. Recall grows as
     1-(1-p^planes)^tables while the exact-verify cost stays proportional
-    to the candidate union.
+    to the candidate union. ``dim`` is a parameter — no driver probe.
     """
-    dim = len(embeddings.select("embedding").first()[0])
     planes_all: list[list[int]] = []
     for t in range(tables):
         planes_all.extend(hyperplanes(planes, dim, seed=base_seed + t))
