@@ -4,10 +4,17 @@
 ``queries()`` — one named query per implemented operator (SURVEY §2).
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for the correctness gate.
 
+Exactly 50 queries: the round-1 driver recorded correctness rows for
+at most 50 queries, so the 66 round-1 entries were consolidated —
+same-granularity queries merged (one scan, wider projection, or a
+tagged union) so EVERY operator keeps a driver-checked row. The old →
+new mapping is in COVERAGE.md.
+
 Column names & types are aligned between both sides (DuckDB `year()`
 returns BIGINT → cast to INT in the SQL; money aggregates rounded to a
 fixed scale on both sides so double summation order can't flip the
-hash).
+hash). No query returns an array-typed column — the driver's
+canonicalizer hashes scalars only (round-1 q44 lesson).
 """
 
 from __future__ import annotations
@@ -19,8 +26,22 @@ from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
-from e_commerce_lakehouse_spark.operators import asof, cleaning, dedup, joins, quality, sampling, similarity, text, upsert, windows
+from e_commerce_lakehouse_spark.operators import (
+    asof,
+    cleaning,
+    corpus_cache,
+    dedup,
+    joins,
+    multimodal,
+    quality,
+    sampling,
+    similarity,
+    text,
+    upsert,
+    windows,
+)
 from e_commerce_lakehouse_spark.operators import graph as graph_ops
+from e_commerce_lakehouse_spark.operators.parallelize import spread_for_cpu
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.streaming import events as stream_events
 from e_commerce_lakehouse_spark.sources import load_table
@@ -40,6 +61,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared intermediates (corpus_cache): the exact-Jaccard pair list feeds
+# q19 AND q43's clustering; the MinHash signature frame feeds q21 AND
+# q48. Cached per (session, sf) so the corpus is tokenized/hashed once —
+# at 100 TB this is one pass instead of one per query.
+# ---------------------------------------------------------------------------
+
+
+def _shared_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus_cache.shared_df(
+        spark,
+        ("jaccard_pairs", sf, 50, 30, 1),
+        lambda: dedup.ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), probe_max_doc_id=50, threshold_pct=30, n=1
+        ),
+    )
+
+
+def _shared_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    return corpus_cache.shared_df(
+        spark,
+        ("minhash_sigs", sf, 16, 3),
+        lambda: dedup.minhash_signature(
+            spread_for_cpu(load_table(spark, sf, "documents")), num_hashes=16, shingle=3
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Query implementations. Each takes (spark, sf_dir) -> DataFrame.
 # ---------------------------------------------------------------------------
 
@@ -52,17 +101,49 @@ def _q01_sales_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q02_top20_products(spark: SparkSession, sf: str) -> DataFrame:
+def _q02_topk_products(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k surface, both W1 variants in one result: global top-20
+    products (TakeOrderedAndProject — scope 'ALL', rank NULL) and
+    per-brand top-3 (row_number window — scope = brand). One shared
+    aggregate feeds both branches."""
     li, part = load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
-    per_product = (
-        li.join(F.broadcast(part.select("p_partkey", "p_name")), li.l_partkey == F.col("p_partkey"))
-        .groupBy(F.col("l_partkey").alias("product_id"), F.col("p_name").alias("product_name"))
+    per_part = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_name", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("product_id"),
+            F.col("p_name").alias("product_name"),
+            F.col("p_brand").alias("brand"),
+        )
         .agg(F.sum(money.revenue_cents()).alias("cents"))
-        .select("product_id", "product_name", money.money_from_cents("cents").alias("total_sales"))
+        .select(
+            "brand",
+            "product_id",
+            "product_name",
+            money.money_from_cents("cents").alias("total_sales"),
+        )
     )
-    return windows.top_k(
-        per_product, [F.col("total_sales").desc(), F.col("product_id").asc()], 20
+    global_top = windows.top_k(
+        per_part, [F.col("total_sales").desc(), F.col("product_id").asc()], 20
+    ).select(
+        F.lit("ALL").alias("scope"),
+        "product_id",
+        "product_name",
+        "total_sales",
+        F.lit(None).cast("int").alias("rank"),
     )
+    per_brand = windows.top_k_per_group(
+        per_part, ["brand"], [F.col("total_sales").desc(), F.col("product_id").asc()], 3
+    ).select(
+        F.col("brand").alias("scope"),
+        "product_id",
+        "product_name",
+        "total_sales",
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return global_top.unionByName(per_brand)
 
 
 def _q03_brand_share(spark: SparkSession, sf: str) -> DataFrame:
@@ -77,8 +158,20 @@ def _q03_brand_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q04_monthly_sales(spark: SparkSession, sf: str) -> DataFrame:
-    return agg.monthly_sales(load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"))
+def _q04_monthly_sales_mom(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly time series ⊕ month-over-month lag — the W2 surface in
+    one query (total_sales, num_items, prev/delta)."""
+    monthly = agg.monthly_sales(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+    )
+    return windows.month_over_month(monthly, "total_sales", ["year", "month"]).select(
+        "year",
+        "month",
+        "total_sales",
+        "num_items",
+        "prev_total_sales",
+        "delta_total_sales",
+    )
 
 
 def _q05_event_summary(spark: SparkSession, sf: str) -> DataFrame:
@@ -93,11 +186,20 @@ def _q06_supplier_geo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q07_latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+def _q07_scd2_user_events(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 validity intervals from the event stream; the latest-event-
+    per-user view (old q07) is exactly the ``is_current`` slice, so one
+    query carries both the P10 dedup-latest semantics and the SCD2
+    versioning surface."""
     ev = load_table(spark, sf, "events")
-    return cleaning.dedup_latest(
-        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
-    ).select("user_id", "event_id", "ts", "event_type", "value")
+    return cleaning.scd2(
+        ev.select("user_id", "event_id", "event_type", "value", "ts"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).select(
+        "user_id", "event_id", "event_type", "value", "valid_from", "valid_to", "is_current"
+    )
 
 
 def _q08_urgent_lineitems(spark: SparkSession, sf: str) -> DataFrame:
@@ -111,69 +213,113 @@ def _q08_urgent_lineitems(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q09_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+def _q09_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-operation surface (INTERSECT / EXCEPT / UNION) ⊕ anti-join:
+    machinery vs urgent-order membership, plus customers with no orders
+    at all (left_anti) as a fourth tag."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
-    return joins.anti_join(
-        cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = machinery.intersect(urgent).withColumn("membership", F.lit("both"))
+    only_m = machinery.exceptAll(urgent).distinct().withColumn("membership", F.lit("machinery_only"))
+    only_u = urgent.exceptAll(machinery).distinct().withColumn("membership", F.lit("urgent_only"))
+    no_orders = (
+        joins.anti_join(
+            cust, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+        )
+        .select("c_custkey")
+        .withColumn("membership", F.lit("no_orders"))
+    )
+    return both.unionByName(only_m).unionByName(only_u).unionByName(no_orders)
 
 
-def _q10_watermark_incremental(spark: SparkSession, sf: str) -> DataFrame:
-    """High-watermark incremental load (SURVEY §2.9): rows newer than the
-    max order date of the 'already-loaded' slice (orderkey % 3 == 0)."""
-    orders = load_table(spark, sf, "orders")
-    loaded = orders.filter(F.col("o_orderkey") % 3 == 0)
-    wm = agg.watermark_max(loaded, "o_orderdate")
-    return orders.filter(F.col("o_orderdate") > F.lit(wm)).select(
+def _q10_incremental_load(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-load surface (SURVEY §2.9) in one tagged union:
+    high-watermark delta rows (op='watermark_new') and MERGE-upsert
+    output (op='merged' — source wins on conflict, both exclusives
+    kept)."""
+    orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
-
-
-def _q11_top3_parts_per_brand(spark: SparkSession, sf: str) -> DataFrame:
-    li, part = load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
-    per_part = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
-        .groupBy(F.col("p_brand").alias("brand"), F.col("l_partkey").alias("product_id"))
-        .agg(F.sum(money.revenue_cents()).alias("cents"))
-        .select("brand", "product_id", money.money_from_cents("cents").alias("total_sales"))
+    loaded = orders.filter(F.col("o_orderkey") % 3 == 0)
+    wm = agg.watermark_max(loaded, "o_orderdate")
+    fresh = orders.filter(F.col("o_orderdate") > F.lit(wm)).withColumn(
+        "op", F.lit("watermark_new")
     )
-    return windows.top_k_per_group(
-        per_part, ["brand"], [F.col("total_sales").desc(), F.col("product_id").asc()], 3
+    target = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.lit(-1.0)
     )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0)
+    merged = upsert.merge_upsert(target, source, ["o_orderkey"]).withColumn(
+        "op", F.lit("merged")
+    )
+    return fresh.unionByName(merged)
 
 
-def _q12_mom_sales(spark: SparkSession, sf: str) -> DataFrame:
-    monthly = agg.monthly_sales(
-        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
-    ).select("year", "month", "total_sales")
-    return windows.month_over_month(monthly, "total_sales", ["year", "month"])
+def _q11_grouping_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP (year, month) ⊕ CUBE (year, returnflag) as one tagged
+    union — the §2.4 multi-level aggregation surface with grouping_id
+    flags on both branches."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    r = agg.rollup_sales(li, orders).select(
+        F.lit("rollup").alias("kind"),
+        "year",
+        "month",
+        F.lit(None).cast("string").alias("returnflag"),
+        "total_sales",
+        "grouping_level",
+    )
+    base = li.join(
+        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        F.year("o_orderdate").alias("year"),
+        F.col("l_returnflag").alias("returnflag"),
+        money.revenue_cents().alias("rev_cents"),
+    )
+    c = (
+        base.cube("year", "returnflag")
+        .agg(F.sum("rev_cents").alias("cents"), F.grouping_id().alias("grouping_level"))
+        .select(
+            F.lit("cube").alias("kind"),
+            "year",
+            F.lit(None).cast("int").alias("month"),
+            "returnflag",
+            money.money_from_cents("cents").alias("total_sales"),
+            "grouping_level",
+        )
+    )
+    return r.unionByName(c)
 
 
-def _q13_rollup_sales(spark: SparkSession, sf: str) -> DataFrame:
-    return agg.rollup_sales(load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"))
-
-
-def _q14_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+def _q12_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     return agg.distinct_counts(load_table(spark, sf, "lineitem"))
 
 
-def _q15_clean_customers(spark: SparkSession, sf: str) -> DataFrame:
-    """Silver dim_users analog: normalized text + concat_ws full label
-    (reference silver_clean_transform.py:85-95, F4 bug fixed)."""
+def _q13_clean_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Silver dim_users analog ⊕ null repair: normalized text, concat_ws
+    display label (reference full_name bug fixed), and coalesce-defaulted
+    positive balance in one projection."""
     cust = load_table(spark, sf, "customer")
-    return (
-        cleaning.dedup_by_key(cust, ["c_custkey"])
-        .select(
-            "c_custkey",
-            cleaning.normalize_text("c_name").alias("name_norm"),
-            cleaning.full_name("c_name", "c_mktsegment").alias("display_name"),
-            F.col("c_acctbal").alias("acctbal"),
-        )
+    cleaned = cleaning.dedup_by_key(cust, ["c_custkey"]).withColumn(
+        "acctbal_pos",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")),
+    )
+    return cleaning.fill_defaults(cleaned, {"acctbal_pos": 0.0}).select(
+        "c_custkey",
+        cleaning.normalize_text("c_name").alias("name_norm"),
+        cleaning.full_name("c_name", "c_mktsegment").alias("display_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        "acctbal_pos",
     )
 
 
-def _q16_events_json(spark: SparkSession, sf: str) -> DataFrame:
+def _q14_events_json(spark: SparkSession, sf: str) -> DataFrame:
     """from_json-style payload extraction (reference streaming_flow.py:190-193),
     batch form: pull props.k out of the JSON string column."""
     ev = load_table(spark, sf, "events")
@@ -187,172 +333,141 @@ def _q16_events_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q17_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def _q15_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_dedup(load_table(spark, sf, "documents"))
 
 
-def _q18_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    return text.text_stats(load_table(spark, sf, "documents"))
+def _q16_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-scan per-doc profile: stats ⊕ quality flag ⊕ BPE-ish token
+    count ⊕ normalization ⊕ trigram lang-ID (text.doc_profile)."""
+    return text.doc_profile(load_table(spark, sf, "documents"))
 
 
-def _q19_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
-    return text.quality_filter(load_table(spark, sf, "documents"))
-
-
-def _q20_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
+def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
     return text.lang_profile(load_table(spark, sf, "documents"))
 
 
-def _q21_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    return text.fingerprint(load_table(spark, sf, "documents"))
-
-
-def _q22_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), probe_max_doc_id=50, threshold_pct=30, n=1
-    )
-
-
-def _q23_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash core (4 seeds as columns) — oracle-checkable via the
-    md5-derived hash family shared with DuckDB."""
-    docs = load_table(spark, sf, "documents")
+def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc fingerprint battery in ONE projection: whole-doc md5,
+    32-bit SimHash (Arrow kernel), and the 4-seed MinHash columns the
+    DuckDB oracle mirrors hash-for-hash."""
+    docs = spread_for_cpu(load_table(spark, sf, "documents"))
     toks = dedup.token_set("text")
 
     def hash_with(seed):
         return lambda t: dedup._md5_hash64(t, seed)
 
-    cols = [
-        F.array_min(F.transform(toks, hash_with(s))).alias(f"h{s}")
-        for s in range(4)
-    ]
-    return docs.select("doc_id", *cols)
+    sh = dedup.simhash_udf(32)
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        sh("text").alias("simhash"),
+        *[
+            F.array_min(F.transform(toks, hash_with(s))).alias(f"h{s}")
+            for s in range(4)
+        ],
+    )
 
 
-def _q24_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+def _q19_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return _shared_jaccard_pairs(spark, sf)
+
+
+def _q20_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(
         load_table(spark, sf, "embeddings"), query_max_id=10, k=5
     )
 
 
-def _q25_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def _q21_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf, "documents"), num_hashes=16, bands=4, threshold_pct=50
+        load_table(spark, sf, "documents"),
+        num_hashes=16,
+        bands=4,
+        threshold_pct=50,
+        sigs=_shared_minhash_sigs(spark, sf),
     )
 
 
-def _q26_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def _q22_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ann_topk_lsh(
         load_table(spark, sf, "embeddings"), query_max_id=10, k=5, planes=8
     )
 
 
-def _q27_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash(load_table(spark, sf, "documents"), bits=32)
-
-
-def _q28_tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
-    return stream_events.tumbling_counts(
-        load_table(spark, sf, "events"), width="1 hour"
+def _q23_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time windowed aggregation surface as one tagged union:
+    tumbling 1 h (with exact value sums) ⊕ sliding 1 h / 30 min."""
+    ev = load_table(spark, sf, "events")
+    t = stream_events.tumbling_counts(ev, width="1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
     )
-
-
-def _q29_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
-    return stream_events.sliding_counts(
-        load_table(spark, sf, "events"), width="1 hour", slide="30 minutes"
+    s = stream_events.sliding_counts(ev, width="1 hour", slide="30 minutes").select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        F.lit(None).cast("double").alias("total_value"),
     )
+    return t.unionByName(s)
 
 
-def _q30_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+def _q24_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     return stream_events.session_stats(
         load_table(spark, sf, "events"), gap="30 minutes"
     )
 
 
-def _q31_cube_sales(spark: SparkSession, sf: str) -> DataFrame:
-    """CUBE over (year, returnflag) with grouping_id (SURVEY §2.4
-    grouping-sets surface)."""
-    li = load_table(spark, sf, "lineitem")
-    orders = load_table(spark, sf, "orders")
-    base = li.join(
-        orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
-    ).select(
-        F.year("o_orderdate").alias("year"),
-        F.col("l_returnflag").alias("returnflag"),
-        money.revenue_cents().alias("rev_cents"),
-    )
-    return (
-        base.cube("year", "returnflag")
-        .agg(F.sum("rev_cents").alias("cents"), F.grouping_id().alias("grouping_level"))
-        .select(
-            "year",
-            "returnflag",
-            money.money_from_cents("cents").alias("total_sales"),
-            "grouping_level",
-        )
-    )
-
-
-def _q32_segment_setops(spark: SparkSession, sf: str) -> DataFrame:
-    """UNION / INTERSECT / EXCEPT surface: machinery-segment customers
-    vs customers holding urgent orders, tagged by membership."""
-    cust = load_table(spark, sf, "customer")
-    orders = load_table(spark, sf, "orders")
-    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
-    urgent = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
-    )
-    both = machinery.intersect(urgent).withColumn("membership", F.lit("both"))
-    only_m = machinery.exceptAll(urgent).distinct().withColumn("membership", F.lit("machinery_only"))
-    only_u = urgent.exceptAll(machinery).distinct().withColumn("membership", F.lit("urgent_only"))
-    return both.unionByName(only_m).unionByName(only_u)
-
-
-def _q33_string_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """Scalar string surface (SURVEY §2.6 beyond-reference): substr,
-    upper, replace, strpos, lpad, reverse, repeat-free & portable."""
-    part = load_table(spark, sf, "part")
-    return part.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.substring("p_name", 1, 5).alias("name_prefix"),
-        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
-        F.instr(F.col("p_name"), " ").alias("first_space"),
-        F.lpad(F.col("p_brand"), 12, "#").alias("brand_padded"),
-        F.length("p_type").alias("type_len"),
-        F.reverse(F.col("p_brand")).alias("brand_rev"),
-    )
-
-
-def _q34_event_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
-    """Pivot event counts per user (explicit value list so the schema is
-    stable; missing combos coalesced to 0 to match SQL conditional agg)."""
-    ev = load_table(spark, sf, "events")
-    types = ["click", "view", "purchase", "signup", "error"]
-    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
-    return pivoted.select(
-        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
-    )
-
-
-def _q35_date_functions(spark: SparkSession, sf: str) -> DataFrame:
-    """Calendar surface: quarter, day, iso week, month truncation,
-    day-diff vs a fixed epoch, last_day."""
+def _q25_scalar_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar function surface (SURVEY §2.6) — string ops on order
+    status/priority ⊕ the calendar battery — in one orders projection."""
     orders = load_table(spark, sf, "orders")
     return orders.select(
         "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("prio_snake"),
+        F.instr(F.col("o_orderpriority"), "-").alias("first_dash"),
+        F.lpad(F.col("o_orderpriority"), 12, "#").alias("prio_padded"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.reverse(F.col("o_orderpriority")).alias("prio_rev"),
         F.quarter("o_orderdate").alias("q"),
         F.dayofmonth("o_orderdate").alias("dom"),
         F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).cast("long").alias("days_since_1992"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("days_since_1992"),
         F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
     )
 
 
-def _q36_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
+def _q26_user_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user activity: explicit-value pivot counts ⊕ sorted distinct
+    event-type array ⊕ first/last timestamps. Pivot keeps the dedicated
+    operator surface; the two per-user aggregates join on user_id."""
+    ev = load_table(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
+    pivoted = pivoted.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+    arrays = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    return pivoted.join(arrays, "user_id")
+
+
+def _q27_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CASE WHEN bucketing + grouped counts (dashboard histogram shape)."""
     part = load_table(spark, sf, "part")
     bucket = (
@@ -372,7 +487,7 @@ def _q36_price_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q37_orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
+def _q28_orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
     """Correlated-subquery shape (orders above that customer's average),
     decorrelated as an aggregate self-join — exact cents average."""
     orders = load_table(spark, sf, "orders")
@@ -409,7 +524,7 @@ PRICING_SUMMARY_SQL = """
 """
 
 
-def _q38_sql_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+def _q29_sql_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary through the spark.sql() entry
     point — the SQL text is dialect-portable and used VERBATIM as its
     own oracle."""
@@ -417,7 +532,7 @@ def _q38_sql_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(PRICING_SUMMARY_SQL)
 
 
-def _q39_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+def _q30_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids (k-means M-step shape): posexplode
     quantized vectors, exact integer per-dimension sums. One shuffle on
     (label, dim) with partial aggregation."""
@@ -436,10 +551,9 @@ def _q39_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q40_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
-    """Event funnel: users who clicked, then viewed after first click,
-    then purchased after first view — classic conversion analysis via
-    conditional min-timestamps (one shuffle on user_id)."""
+def _q31_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Event funnel via conditional min-timestamps (one shuffle on
+    user_id)."""
     ev = load_table(spark, sf, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
@@ -464,7 +578,7 @@ def _q40_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q41_full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
+def _q32_full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
     """FULL OUTER join surface: per-customer order activity keeping
     both unmatched sides (SURVEY §2.3: expose the whole join family)."""
     cust = load_table(spark, sf, "customer")
@@ -483,56 +597,29 @@ def _q41_full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q42_scd2_user_events(spark: SparkSession, sf: str) -> DataFrame:
-    """SCD2 validity intervals from the event stream (engine extension:
-    the reference recreates dims wholesale; this versions them)."""
-    ev = load_table(spark, sf, "events")
-    return cleaning.scd2(
-        ev.select("user_id", "event_id", "event_type", "ts"),
-        key_cols=["user_id"],
-        ts_col="ts",
-        tiebreak_cols=["event_id"],
-    ).select("user_id", "event_id", "event_type", "valid_from", "valid_to", "is_current")
-
-
-def _q43_null_repair(spark: SparkSession, sf: str) -> DataFrame:
-    """coalesce/nullif cleaning surface (reference F7 realized):
-    negative balances nulled then defaulted."""
-    cust = load_table(spark, sf, "customer")
-    cleaned = cust.withColumn(
-        "acctbal_pos",
-        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")),
-    )
-    return cleaning.fill_defaults(cleaned, {"acctbal_pos": 0.0}).select(
-        "c_custkey", "c_acctbal", "acctbal_pos"
-    )
-
-
-def _q44_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate sketches (HLL distinct + quantile) — rows-only check;
-    property-tested against exact values in tests/."""
+def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate sketches (HLL distinct + quantile) — rows-only check
+    (engine-specific sketch values); property-tested against exact
+    values in tests/. The percentile array is projected into SCALAR
+    columns so the driver canonicalizer can hash the frame (round-1
+    q44 erred on the array column)."""
     li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pp"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.element_at("_pp", 1).alias("price_p50"),
+            F.element_at("_pp", 2).alias("price_p95"),
+        )
     )
 
 
-def _q45_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
-    """MERGE semantics preview (upsert.merge_upsert): target = even-key
-    orders with sentinel price, source = every-3rd-key orders; source
-    wins on conflict, both sides' exclusives kept."""
-    orders = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
-    )
-    target = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
-        "o_totalprice", F.lit(-1.0)
-    )
-    source = orders.filter(F.col("o_orderkey") % 3 == 0)
-    return upsert.merge_upsert(target, source, ["o_orderkey"])
-
-
-def _q46_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sampling (md5-bucket membership is a
     pure function of doc_id — reproducible across cluster sizes)."""
     docs = load_table(spark, sf, "documents")
@@ -541,18 +628,7 @@ def _q46_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-def _q47_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """BPE-ish tokenization: letter runs / digit runs / single
-    punctuation via regexp_extract_all (portable RE2-safe pattern)."""
-    docs = load_table(spark, sf, "documents")
-    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_tokens"),
-    )
-
-
-def _q48_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
+def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each event picks the user's most recent order at or
     before the event time (operators/asof.py; oracle = DuckDB's native
     ASOF JOIN). Order side deduped to one row per (custkey, date)."""
@@ -574,11 +650,10 @@ def _q48_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q49_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
+def _q36_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """Range (interval) self-join: clicks by the same user within the
     hour before each purchase — equality on user + time-range predicate
-    (SMJ with residual condition; SURVEY §2.3 'no range joins in
-    reference' gap)."""
+    (SMJ with residual condition)."""
     ev = load_table(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -600,7 +675,7 @@ def _q49_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q50_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     """Data-quality rule report (the reference's unrealized pydeequ
     intent, SURVEY §5) — violation counts per rule in one pass."""
     li = load_table(spark, sf, "lineitem")
@@ -616,43 +691,23 @@ def _q50_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q51_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+def _q38_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded sign-LSH blocking + exact
     quantized-cosine verify (the 4th dedup tier alongside exact /
-    MinHash-LSH / SimHash / n-gram Jaccard; BASELINE.json north star)."""
+    MinHash-LSH / SimHash / n-gram Jaccard)."""
     return similarity.embedding_neardup_pairs(load_table(spark, sf, "embeddings"))
 
 
-def _q52_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer ANN: nearest-cell assignment + nprobe-cell
     exact rank — the second scale path for similarity search next to
-    q26's hyperplane LSH."""
+    q22's hyperplane LSH."""
     return similarity.ivf_topk(load_table(spark, sf, "embeddings"))
 
 
-def _q53_rolling_7day_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """Event-time RANGE-frame window: per-customer trailing-7-day spend
-    on every order row (time-based frame, not row-based — SURVEY §2.5
-    gap: the reference has zero window functions)."""
-    orders = load_table(spark, sf, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
-        .rangeBetween(-6 * 86400, 0)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderdate",
-        money.money_from_cents(F.sum(money.cents("o_totalprice")).over(w)).alias(
-            "spend_7d"
-        ),
-    )
-
-
-def _q54_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated median (percentile 0.5 over integer cents —
-    engine-portable: midpoints land on exact .5 doubles) plus avg/min/max
-    per returnflag+linestatus group."""
+def _q40_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated median (percentile 0.5 over integer cents)
+    plus avg/min/max per returnflag+linestatus group."""
     li = load_table(spark, sf, "lineitem")
     cents = money.cents("l_extendedprice")
     return (
@@ -667,8 +722,8 @@ def _q54_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q55_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """Explicit GROUPING SETS (finer than q13 rollup / q31 cube): revenue
+def _q41_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than q11's rollup/cube): revenue
     by (year, segment), (year), and grand total, with grouping flags."""
     load_table(spark, sf, "orders").createOrReplaceTempView("v_orders")
     load_table(spark, sf, "customer").createOrReplaceTempView("v_customer")
@@ -687,95 +742,64 @@ def _q55_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q56_rank_surface(spark: SparkSession, sf: str) -> DataFrame:
-    """Full ranking-function surface over a unique ordering (orderkey
-    tiebreak): row_number / dense_rank / ntile / percent_rank /
-    cume_dist per order-priority partition."""
-    orders = load_table(spark, sf, "orders").filter(
-        F.year("o_orderdate") == 1995
-    )
+def _q42_window_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-function surface over 1995 orders, two specs in one
+    projection: the full ranking battery (row_number / dense_rank /
+    ntile / percent_rank / cume_dist per priority) ⊕ the event-time
+    RANGE frame (per-customer trailing-7-day spend)."""
+    orders = load_table(spark, sf, "orders").filter(F.year("o_orderdate") == 1995)
     w = Window.partitionBy("o_orderpriority").orderBy(
         money.cents("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w7 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
     )
     return orders.select(
         "o_orderpriority",
         "o_orderkey",
+        "o_custkey",
         "o_totalprice",
+        "o_orderdate",
         F.row_number().over(w).alias("rn"),
         F.dense_rank().over(w).alias("drank"),
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
-    )
-
-
-def _q57_user_event_arrays(spark: SparkSession, sf: str) -> DataFrame:
-    """Array-aggregation surface: per-user sorted distinct event-type
-    array (order-insensitive collect_set made deterministic by
-    array_sort) + first/last activity."""
-    ev = load_table(spark, sf, "events")
-    return ev.groupBy("user_id").agg(
-        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
-            "event_types"
+        money.money_from_cents(F.sum(money.cents("o_totalprice")).over(w7)).alias(
+            "spend_7d"
         ),
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
     )
 
 
-def _q58_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus canonicalization (lowercase / punctuation-strip /
-    whitespace-collapse) + normalized token counts — the step ahead of
-    every dedup tier."""
-    return text.normalized_documents(load_table(spark, sf, "documents"))
-
-
-def _q59_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
+def _q43_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTER FORMATION: connected components (iterative
-    min-label propagation with lineage cut via localCheckpoint) over
-    the exact-Jaccard pair graph of q22 — the transitive-closure step
-    that turns pairwise near-dups into dedupable groups. Oracle:
-    recursive-CTE reachability in DuckDB."""
-    pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), probe_max_doc_id=50, threshold_pct=30, n=1
-    )
-    return dedup.duplicate_clusters(pairs)
+    min-label propagation, lineage cut + superseded-round block release)
+    over q19's exact-Jaccard pair graph — the pair list comes from the
+    session cache, so the corpus is tokenized once for both queries.
+    Oracle: recursive-CTE reachability in DuckDB."""
+    return dedup.duplicate_clusters(_shared_jaccard_pairs(spark, sf))
 
 
-def _q60_winnowing(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling-hash document fingerprinting (MOSS winnowing): k-gram
-    hash sequence → sliding-window min → distinct fingerprint set per
-    doc. The local-fingerprint tier between whole-doc md5 (q21) and
-    set-similarity (q22/q25)."""
+def _q44_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (MOSS winnowing)."""
     return text.winnowing_fingerprints(
         load_table(spark, sf, "documents"), k=3, window=4
     )
 
 
-def _q61_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
+def _q45_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer TRAINING: two deterministic Lloyd's k-means
-    rounds (seed centroids, exact integer L2 assignment, floor-mean
-    centroid update) and the final cell assignment. The offline job
-    `ivf_topk` defers to; oracle unrolls the same fixed iterations."""
+    rounds and the final cell assignment; oracle unrolls the same fixed
+    iterations."""
     return similarity.kmeans_assignments(
         load_table(spark, sf, "embeddings"), k=8, iters=2
     )
 
 
-def _q62_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Character-trigram language-ID heuristic: per-language literal
-    trigram-profile scores + argmax prediction (mechanism validated on
-    planted multilingual text in tests; the synthetic corpus's lang
-    labels are arbitrary)."""
-    return text.lang_id(load_table(spark, sf, "documents"))
-
-
-def _q63_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
-    """OR-amplified multi-table LSH ANN (Indyk/Motwani L-table scheme):
-    candidates collide in ANY of 3 independent hyperplane sketch tables,
-    exact quantized cosine ranks the union — the recall-raising scale
-    path over q26's single-table baseline."""
+def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """OR-amplified multi-table LSH ANN (Indyk/Motwani L-table scheme)."""
     return similarity.ann_topk_multi(
         load_table(spark, sf, "embeddings"),
         query_max_id=10,
@@ -785,22 +809,19 @@ def _q63_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q64_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """Clickstream item graph + integer-exact PageRank: consecutive
-    same-user events become directed item-transition edges; two fixed
-    damped rounds in 1e-12 rank units (floor divisions + integer sums,
-    shuffle-order independent). Oracle: the same rounds unrolled as
+def _q47_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Clickstream item graph + integer-exact PageRank (two fixed damped
+    rounds in 1e-12 rank units). Oracle: the same rounds unrolled as
     chained CTEs."""
     return graph_ops.pagerank(
         graph_ops.click_edges(load_table(spark, sf, "events")), iters=2
     )
 
 
-def _q65_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Delta-ingestion near-dup admission: docs with doc_id >= 400
-    "arrive" and are admitted iff no earlier doc is a >=50% MinHash-LSH
-    near-dup — the per-batch path whose cost tracks the delta, not the
-    corpus (old x old pairs never generated)."""
+def _q48_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta-ingestion near-dup admission (probe-vs-index; old×old pairs
+    never generated). The signature frame is the session-cached one q21
+    also uses — the persisted-index analog at cluster scale."""
     return dedup.minhash_lsh_incremental(
         load_table(spark, sf, "documents"),
         new_min_doc_id=400,
@@ -808,14 +829,14 @@ def _q65_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
         bands=4,
         threshold_pct=50,
         shingle=3,
+        sigs=_shared_minhash_sigs(spark, sf),
     )
 
 
-def _q66_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+def _q49_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Char-level near-dup tier: SimHash byte-band blocking (Hamming
-    LSH) + exact banded Levenshtein verify, all-codegen after the
-    sketch — completes the dedup ladder md5 / edit-distance /
-    token-Jaccard / MinHash / embedding."""
+    LSH) + exact banded Levenshtein verify (bound derived from corpus
+    max length)."""
     return dedup.simhash_edit_pairs(
         load_table(spark, sf, "documents"),
         probe_max_doc_id=20,
@@ -825,74 +846,74 @@ def _q66_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (rows-only: binary payloads have
+    no SQL oracle): synthesize real PNG payloads from the documents
+    table, extract features via Arrow mapInPandas (size / magic-byte
+    mime / digest), and decode the PNGs with the stdlib-zlib codec to
+    attach real width/height/channels. Exercises binary columns,
+    mapInPandas batching, and the decode path the driver can execute."""
+    docs = load_table(spark, sf, "documents")
+    media = multimodal.synthesize_media(docs)
+    feats = multimodal.extract_features(media)
+    dims = multimodal.decode_images(media).select(
+        "media_id", "width", "height", "channels"
+    )
+    return feats.join(dims, "media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
-        "q02_top20_products": _q02_top20_products,
+        "q02_topk_products": _q02_topk_products,
         "q03_brand_share": _q03_brand_share,
-        "q04_monthly_sales": _q04_monthly_sales,
+        "q04_monthly_sales_mom": _q04_monthly_sales_mom,
         "q05_event_summary": _q05_event_summary,
         "q06_supplier_geo": _q06_supplier_geo,
-        "q07_latest_event_per_user": _q07_latest_event_per_user,
+        "q07_scd2_user_events": _q07_scd2_user_events,
         "q08_urgent_lineitems": _q08_urgent_lineitems,
-        "q09_customers_without_orders": _q09_customers_without_orders,
-        "q10_watermark_incremental": _q10_watermark_incremental,
-        "q11_top3_parts_per_brand": _q11_top3_parts_per_brand,
-        "q12_mom_sales": _q12_mom_sales,
-        "q13_rollup_sales": _q13_rollup_sales,
-        "q14_distinct_counts": _q14_distinct_counts,
-        "q15_clean_customers": _q15_clean_customers,
-        "q16_events_json": _q16_events_json,
-        "q17_exact_dedup": _q17_exact_dedup,
-        "q18_text_stats": _q18_text_stats,
-        "q19_quality_filter": _q19_quality_filter,
-        "q20_lang_profile": _q20_lang_profile,
-        "q21_doc_fingerprint": _q21_doc_fingerprint,
-        "q22_ngram_jaccard": _q22_ngram_jaccard,
-        "q23_minhash_signature": _q23_minhash_signature,
-        "q24_cosine_topk": _q24_cosine_topk,
-        "q25_minhash_lsh_pairs": _q25_minhash_lsh_pairs,
-        "q26_ann_lsh": _q26_ann_lsh,
-        "q27_simhash": _q27_simhash,
-        "q28_tumbling_hourly": _q28_tumbling_hourly,
-        "q29_sliding_windows": _q29_sliding_windows,
-        "q30_session_windows": _q30_session_windows,
-        "q31_cube_sales": _q31_cube_sales,
-        "q32_segment_setops": _q32_segment_setops,
-        "q33_string_functions": _q33_string_functions,
-        "q34_event_type_pivot": _q34_event_type_pivot,
-        "q35_date_functions": _q35_date_functions,
-        "q36_price_buckets": _q36_price_buckets,
-        "q37_orders_above_customer_avg": _q37_orders_above_customer_avg,
-        "q38_sql_pricing_summary": _q38_sql_pricing_summary,
-        "q39_label_centroids": _q39_label_centroids,
-        "q40_purchase_funnel": _q40_purchase_funnel,
-        "q41_full_outer_activity": _q41_full_outer_activity,
-        "q42_scd2_user_events": _q42_scd2_user_events,
-        "q43_null_repair": _q43_null_repair,
-        "q44_approx_sketches": _q44_approx_sketches,
-        "q45_merge_upsert": _q45_merge_upsert,
-        "q46_stratified_sample": _q46_stratified_sample,
-        "q47_bpe_token_count": _q47_bpe_token_count,
-        "q48_asof_last_order": _q48_asof_last_order,
-        "q49_clicks_before_purchase": _q49_clicks_before_purchase,
-        "q50_dq_report": _q50_dq_report,
-        "q51_embedding_neardup": _q51_embedding_neardup,
-        "q52_ivf_ann": _q52_ivf_ann,
-        "q53_rolling_7day_revenue": _q53_rolling_7day_revenue,
-        "q54_percentile_stats": _q54_percentile_stats,
-        "q55_grouping_sets": _q55_grouping_sets,
-        "q56_rank_surface": _q56_rank_surface,
-        "q57_user_event_arrays": _q57_user_event_arrays,
-        "q58_normalize_text": _q58_normalize_text,
-        "q59_jaccard_clusters": _q59_jaccard_clusters,
-        "q60_winnowing": _q60_winnowing,
-        "q61_kmeans_cells": _q61_kmeans_cells,
-        "q62_lang_id": _q62_lang_id,
-        "q63_ann_multiprobe": _q63_ann_multiprobe,
-        "q64_pagerank": _q64_pagerank,
-        "q65_incremental_neardup": _q65_incremental_neardup,
-        "q66_edit_distance_pairs": _q66_edit_distance_pairs,
+        "q09_customer_segments": _q09_customer_segments,
+        "q10_incremental_load": _q10_incremental_load,
+        "q11_grouping_surface": _q11_grouping_surface,
+        "q12_distinct_counts": _q12_distinct_counts,
+        "q13_clean_customers": _q13_clean_customers,
+        "q14_events_json": _q14_events_json,
+        "q15_exact_dedup": _q15_exact_dedup,
+        "q16_doc_profile": _q16_doc_profile,
+        "q17_lang_profile": _q17_lang_profile,
+        "q18_doc_fingerprints": _q18_doc_fingerprints,
+        "q19_ngram_jaccard": _q19_ngram_jaccard,
+        "q20_cosine_topk": _q20_cosine_topk,
+        "q21_minhash_lsh_pairs": _q21_minhash_lsh_pairs,
+        "q22_ann_lsh": _q22_ann_lsh,
+        "q23_window_counts": _q23_window_counts,
+        "q24_session_windows": _q24_session_windows,
+        "q25_scalar_surface": _q25_scalar_surface,
+        "q26_user_activity": _q26_user_activity,
+        "q27_price_buckets": _q27_price_buckets,
+        "q28_orders_above_customer_avg": _q28_orders_above_customer_avg,
+        "q29_sql_pricing_summary": _q29_sql_pricing_summary,
+        "q30_label_centroids": _q30_label_centroids,
+        "q31_purchase_funnel": _q31_purchase_funnel,
+        "q32_full_outer_activity": _q32_full_outer_activity,
+        "q33_approx_sketches": _q33_approx_sketches,
+        "q34_stratified_sample": _q34_stratified_sample,
+        "q35_asof_last_order": _q35_asof_last_order,
+        "q36_clicks_before_purchase": _q36_clicks_before_purchase,
+        "q37_dq_report": _q37_dq_report,
+        "q38_embedding_neardup": _q38_embedding_neardup,
+        "q39_ivf_ann": _q39_ivf_ann,
+        "q40_percentile_stats": _q40_percentile_stats,
+        "q41_grouping_sets": _q41_grouping_sets,
+        "q42_window_surface": _q42_window_surface,
+        "q43_jaccard_clusters": _q43_jaccard_clusters,
+        "q44_winnowing": _q44_winnowing,
+        "q45_kmeans_cells": _q45_kmeans_cells,
+        "q46_ann_multiprobe": _q46_ann_multiprobe,
+        "q47_pagerank": _q47_pagerank,
+        "q48_incremental_neardup": _q48_incremental_neardup,
+        "q49_edit_distance_pairs": _q49_edit_distance_pairs,
+        "q50_multimodal_features": _q50_multimodal_features,
     }
 
 
@@ -964,6 +985,8 @@ def _neardup_oracle_sql(threshold: float = 0.35, planes: int = 32, bands: int = 
                 JOIN v vb ON vb.vec_id = c.id_b
             ) WHERE cosine >= {threshold}
         """
+
+
 def _ann_lsh_oracle_sql(planes: int = 8, k: int = 5, query_max_id: int = 10) -> str:
     """Generated mirror of similarity.ann_topk_lsh: equal-sketch bucket
     candidates + exact quantized cosine + per-query rank."""
@@ -1007,8 +1030,8 @@ def _ann_multi_oracle_sql(
     base_seed: int = 7,
 ) -> str:
     """Generated mirror of similarity.ann_topk_multi: per-table sign
-    sketches (same stacked-plane bit layout as band_codes_udf), OR of
-    per-table collisions, exact quantized cosine + per-query rank."""
+    sketches, OR of per-table collisions, exact quantized cosine +
+    per-query rank."""
     sketch_cols = []
     for t in range(tables):
         planes_arr = similarity.hyperplanes(planes, 64, seed=base_seed + t)
@@ -1051,9 +1074,7 @@ def _pagerank_oracle_sql(
     damp_den: int = 100,
 ) -> str:
     """Generated mirror of graph.pagerank over graph.click_edges: the
-    same fixed damped rounds unrolled as chained CTEs, all-integer
-    (DuckDB // and Spark `div` both floor for the positive operands
-    used here, and integer sums are order-independent)."""
+    same fixed damped rounds unrolled as chained CTEs, all-integer."""
     tele = f"({damp_den - damp_num} * {scale}) // ({damp_den} * (SELECT n FROM nn))"
     ctes = [
         f"""ev AS (
@@ -1103,10 +1124,7 @@ def _pagerank_oracle_sql(
 
 def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """Generated mirror of similarity.kmeans_assignments: the same fixed
-    number of Lloyd rounds unrolled as chained CTEs (assignment via
-    row_number over exact integer L2; centroid update via per-dimension
-    floor-mean in micro-units — sums < 2^53, so the double divide is
-    exact on both engines)."""
+    number of Lloyd rounds unrolled as chained CTEs."""
 
     def assign_cte(name: str, cent: str) -> str:
         d2 = (
@@ -1147,10 +1165,17 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     )
 
 
-def _lang_id_oracle_sql() -> str:
-    """Generated mirror of text.lang_id over the same literal trigram
-    profiles (DuckDB string_split is literal; the Spark side regex-
-    escapes its needle, so counts agree)."""
+# DuckDB mirror of text.normalize_text (doubled backslashes -> \s etc.)
+NORM_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+def _doc_profile_oracle_sql() -> str:
+    """Generated mirror of text.doc_profile: one per-doc SELECT carrying
+    stats ⊕ quality flag ⊕ BPE count ⊕ normalization ⊕ the literal
+    trigram lang-ID profiles (same constants as the Spark side)."""
 
     def occ(tg: str) -> str:
         esc = tg.replace("'", "''")
@@ -1160,7 +1185,7 @@ def _lang_id_oracle_sql() -> str:
     score_exprs = {
         lang: " + ".join(occ(t) for t in text.LANG_TRIGRAMS[lang]) for lang in langs
     }
-    selects = [
+    score_selects = [
         f"CAST({score_exprs[lang]} AS INT) AS score_{lang}" for lang in langs
     ]
     pred = f"'{langs[0]}'"
@@ -1170,9 +1195,30 @@ def _lang_id_oracle_sql() -> str:
         best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
     return f"""
             WITH s AS (
-                SELECT doc_id, {', '.join(selects)} FROM documents
+                SELECT doc_id, lang, source,
+                       len(string_split(text, ' ')) AS n_tokens,
+                       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                       length(text) AS n_chars_measured,
+                       len(list_filter(string_split(text, ' '),
+                           t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                            AS INT) AS n_bpe_tokens,
+                       {NORM_TEXT_SQL} AS norm_text,
+                       CAST(len(string_split({NORM_TEXT_SQL}, ' ')) AS INT)
+                           AS n_norm_tokens,
+                       {', '.join(score_selects)}
+                FROM documents
             )
-            SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+            SELECT doc_id, lang, source,
+                   n_tokens, n_distinct_tokens, n_chars_measured, n_stopwords,
+                   CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
+                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+                   CAST(n_chars_measured - (n_tokens - 1) AS DOUBLE) / n_tokens
+                       AS avg_token_len,
+                   (n_tokens >= 10 AND n_tokens <= 100000
+                    AND n_distinct_tokens * 100 >= n_tokens * 20) AS passes_quality,
+                   n_bpe_tokens, norm_text, n_norm_tokens,
+                   {', '.join('score_' + lang for lang in langs)},
                    {pred} AS pred_lang
             FROM s
         """
@@ -1197,14 +1243,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN part ON l_partkey = p_partkey
             GROUP BY 1, 2, 3, 4, 5
         """,
-        "q02_top20_products": f"""
-            SELECT l_partkey AS product_id,
-                   p_name AS product_name,
-                   {TOTAL_SALES_SQL} AS total_sales
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            GROUP BY 1, 2
-            ORDER BY total_sales DESC, product_id ASC
-            LIMIT 20
+        "q02_topk_products": f"""
+            WITH per_part AS (
+                SELECT p_brand AS brand,
+                       l_partkey AS product_id,
+                       p_name AS product_name,
+                       {TOTAL_SALES_SQL} AS total_sales
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2, 3
+            )
+            SELECT 'ALL' AS scope, product_id, product_name, total_sales,
+                   CAST(NULL AS INT) AS rank
+            FROM (SELECT * FROM per_part
+                  ORDER BY total_sales DESC, product_id ASC LIMIT 20)
+            UNION ALL
+            SELECT brand AS scope, product_id, product_name, total_sales,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT brand, product_id, product_name, total_sales,
+                       row_number() OVER (
+                           PARTITION BY brand
+                           ORDER BY total_sales DESC, product_id ASC
+                       ) AS rank
+                FROM per_part
+            ) WHERE rank <= 3
         """,
         "q03_brand_share": f"""
             WITH per_brand AS (
@@ -1218,13 +1280,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE) AS share
             FROM per_brand
         """,
-        "q04_monthly_sales": f"""
-            SELECT CAST(year(o_orderdate) AS INT) AS year,
-                   CAST(month(o_orderdate) AS INT) AS month,
-                   {TOTAL_SALES_SQL} AS total_sales,
-                   count(*) AS num_items
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY 1, 2
+        "q04_monthly_sales_mom": f"""
+            WITH monthly AS (
+                SELECT CAST(year(o_orderdate) AS INT) AS year,
+                       CAST(month(o_orderdate) AS INT) AS month,
+                       {TOTAL_SALES_SQL} AS total_sales,
+                       count(*) AS num_items
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            )
+            SELECT year, month, total_sales, num_items,
+                   lag(total_sales) OVER (ORDER BY year, month) AS prev_total_sales,
+                   total_sales - lag(total_sales) OVER (ORDER BY year, month)
+                       AS delta_total_sales
+            FROM monthly
         """,
         "q05_event_summary": """
             SELECT CAST(year(ts) AS INT) AS year,
@@ -1243,16 +1312,14 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation ON s_nationkey = n_nationkey
             LEFT JOIN region ON n_regionkey = r_regionkey
         """,
-        "q07_latest_event_per_user": """
-            SELECT user_id, event_id, ts, event_type, value
-            FROM (
-                SELECT user_id, event_id, ts, event_type, value,
-                       row_number() OVER (
-                           PARTITION BY user_id
-                           ORDER BY ts DESC, event_id DESC
-                       ) AS rn
-                FROM events
-            ) WHERE rn = 1
+        "q07_scd2_user_events": """
+            SELECT user_id, event_id, event_type, value,
+                   ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS valid_to,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       AS is_current
+            FROM events
         """,
         "q08_urgent_lineitems": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
@@ -1261,56 +1328,68 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             )
         """,
-        "q09_customers_without_orders": """
-            SELECT c_custkey, c_name, c_mktsegment
-            FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        "q09_customer_segments": """
+            WITH machinery AS (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+            ), urgent AS (
+                SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            )
+            SELECT c_custkey, 'both' AS membership
+            FROM (SELECT c_custkey FROM machinery INTERSECT SELECT c_custkey FROM urgent)
+            UNION ALL
+            SELECT c_custkey, 'machinery_only' AS membership
+            FROM (SELECT c_custkey FROM machinery EXCEPT SELECT c_custkey FROM urgent)
+            UNION ALL
+            SELECT c_custkey, 'urgent_only' AS membership
+            FROM (SELECT c_custkey FROM urgent EXCEPT SELECT c_custkey FROM machinery)
+            UNION ALL
+            SELECT c_custkey, 'no_orders' AS membership
+            FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
-        "q10_watermark_incremental": """
-            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        "q10_incremental_load": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                   'watermark_new' AS op
             FROM orders
             WHERE o_orderdate > (
                 SELECT max(o_orderdate) FROM orders WHERE o_orderkey % 3 = 0
             )
-        """,
-        "q11_top3_parts_per_brand": f"""
-            SELECT brand, product_id, total_sales, CAST(rank AS INT) AS rank
+            UNION ALL
+            SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+                   coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+                   coalesce(s.o_orderdate, t.o_orderdate) AS o_orderdate,
+                   'merged' AS op
             FROM (
-                SELECT p_brand AS brand,
-                       l_partkey AS product_id,
-                       {TOTAL_SALES_SQL} AS total_sales,
-                       row_number() OVER (
-                           PARTITION BY p_brand
-                           ORDER BY {TOTAL_SALES_SQL} DESC, l_partkey ASC
-                       ) AS rank
-                FROM lineitem JOIN part ON l_partkey = p_partkey
-                GROUP BY 1, 2
-            ) WHERE rank <= 3
+                SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice, o_orderdate
+                FROM orders WHERE o_orderkey % 2 = 0
+            ) t FULL JOIN (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                FROM orders WHERE o_orderkey % 3 = 0
+            ) s ON t.o_orderkey = s.o_orderkey
         """,
-        "q12_mom_sales": f"""
-            WITH monthly AS (
-                SELECT CAST(year(o_orderdate) AS INT) AS year,
-                       CAST(month(o_orderdate) AS INT) AS month,
-                       {TOTAL_SALES_SQL} AS total_sales
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-                GROUP BY 1, 2
-            )
-            SELECT year, month, total_sales,
-                   lag(total_sales) OVER (ORDER BY year, month) AS prev_total_sales,
-                   total_sales - lag(total_sales) OVER (ORDER BY year, month)
-                       AS delta_total_sales
-            FROM monthly
-        """,
-        "q13_rollup_sales": f"""
-            SELECT CAST(year(o_orderdate) AS INT) AS year,
+        "q11_grouping_surface": f"""
+            SELECT 'rollup' AS kind,
+                   CAST(year(o_orderdate) AS INT) AS year,
                    CAST(month(o_orderdate) AS INT) AS month,
+                   CAST(NULL AS VARCHAR) AS returnflag,
                    {TOTAL_SALES_SQL} AS total_sales,
                    CAST(grouping(year(o_orderdate)) * 2 + grouping(month(o_orderdate)) AS BIGINT)
                        AS grouping_level
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+            UNION ALL
+            SELECT 'cube' AS kind,
+                   CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(NULL AS INT) AS month,
+                   l_returnflag AS returnflag,
+                   {TOTAL_SALES_SQL} AS total_sales,
+                   CAST(grouping(year(o_orderdate)) * 2 + grouping(l_returnflag) AS BIGINT)
+                       AS grouping_level
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY CUBE (year(o_orderdate), l_returnflag)
         """,
-        "q14_distinct_counts": """
+        "q12_distinct_counts": """
             SELECT l_returnflag,
                    count(DISTINCT l_partkey) AS distinct_parts,
                    count(DISTINCT l_suppkey) AS distinct_suppliers,
@@ -1318,63 +1397,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY 1
         """,
-        "q15_clean_customers": """
+        "q13_clean_customers": """
             SELECT c_custkey,
                    lower(trim(c_name)) AS name_norm,
                    concat_ws(' ', trim(c_name), trim(c_mktsegment)) AS display_name,
-                   c_acctbal AS acctbal
+                   c_acctbal AS acctbal,
+                   coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
+                       AS acctbal_pos
             FROM (SELECT DISTINCT ON (c_custkey) * FROM customer)
         """,
-        "q16_events_json": """
+        "q14_events_json": """
             SELECT event_id, event_type,
                    CAST(props->>'$.k' AS INT) AS prop_k
             FROM events
             WHERE CAST(props->>'$.k' AS INT) IS NOT NULL
         """,
-        "q17_exact_dedup": """
+        "q15_exact_dedup": """
             SELECT md5(lower(trim(text))) AS fp,
                    min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies
             FROM documents
             GROUP BY 1
         """,
-        "q18_text_stats": """
-            WITH s AS (
-                SELECT doc_id, lang, source,
-                       len(string_split(text, ' ')) AS n_tokens,
-                       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-                       length(text) AS n_chars_measured,
-                       len(list_filter(string_split(text, ' '),
-                           t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords
-                FROM documents
-            )
-            SELECT doc_id, lang, source,
-                   n_tokens, n_distinct_tokens, n_chars_measured, n_stopwords,
-                   CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
-                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
-                   CAST(n_chars_measured - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
-            FROM s
-        """,
-        "q19_quality_filter": """
-            WITH s AS (
-                SELECT doc_id, lang, source,
-                       len(string_split(text, ' ')) AS n_tokens,
-                       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-                       length(text) AS n_chars_measured,
-                       len(list_filter(string_split(text, ' '),
-                           t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords
-                FROM documents
-            )
-            SELECT doc_id, lang, source,
-                   n_tokens, n_distinct_tokens, n_chars_measured, n_stopwords,
-                   CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
-                   CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
-                   CAST(n_chars_measured - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len
-            FROM s
-            WHERE n_tokens >= 10 AND n_tokens <= 100000
-              AND n_distinct_tokens * 100 >= n_tokens * 20
-        """,
-        "q20_lang_profile": """
+        "q16_doc_profile": _doc_profile_oracle_sql(),
+        "q17_lang_profile": """
             WITH s AS (
                 SELECT lang,
                        len(string_split(text, ' ')) AS n_tokens,
@@ -1393,10 +1439,34 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY lang
         """,
-        "q21_doc_fingerprint": """
-            SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        "q18_doc_fingerprints": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            ), h AS (
+                SELECT doc_id, text, tset,
+                       list_transform(tset,
+                           s -> CAST('0x'||substr(md5('0:'||s),1,15) AS BIGINT)) AS hs
+                FROM t
+            )
+            SELECT doc_id,
+                   md5(lower(trim(text))) AS fp,
+                   CAST(list_sum(list_transform(range(0,32), i ->
+                      CASE WHEN list_sum(list_transform(hs,
+                             x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                           THEN (CAST(1 AS BIGINT) << i)
+                           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash,
+                   list_min(hs) AS h0,
+                   list_min(list_transform(tset,
+                       s -> CAST('0x' || substr(md5('1:' || s), 1, 15) AS BIGINT))) AS h1,
+                   list_min(list_transform(tset,
+                       s -> CAST('0x' || substr(md5('2:' || s), 1, 15) AS BIGINT))) AS h2,
+                   list_min(list_transform(tset,
+                       s -> CAST('0x' || substr(md5('3:' || s), 1, 15) AS BIGINT))) AS h3
+            FROM h
         """,
-        "q22_ngram_jaccard": """
+        "q19_ngram_jaccard": """
             WITH t AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
                 FROM documents
@@ -1410,23 +1480,7 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.tset, b.tset)) * 100
                   >= (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset))) * 30
         """,
-        "q23_minhash_signature": """
-            WITH t AS (
-                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
-                FROM documents
-            )
-            SELECT doc_id,
-                   list_min(list_transform(tset,
-                       s -> CAST('0x' || substr(md5('0:' || s), 1, 15) AS BIGINT))) AS h0,
-                   list_min(list_transform(tset,
-                       s -> CAST('0x' || substr(md5('1:' || s), 1, 15) AS BIGINT))) AS h1,
-                   list_min(list_transform(tset,
-                       s -> CAST('0x' || substr(md5('2:' || s), 1, 15) AS BIGINT))) AS h2,
-                   list_min(list_transform(tset,
-                       s -> CAST('0x' || substr(md5('3:' || s), 1, 15) AS BIGINT))) AS h3
-            FROM t
-        """,
-        "q24_cosine_topk": """
+        "q20_cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id,
                        list_transform(embedding,
@@ -1453,414 +1507,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
-        "q28_tumbling_hourly": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
-                   event_type,
-                   count(*) AS n_events,
-                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
-                       AS total_value
-            FROM events
-            GROUP BY 1, 2
-        """,
-        "q29_sliding_windows": """
-            WITH b AS (
-                SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type
-                FROM events
-                UNION ALL
-                SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')
-                           AS window_start, event_type
-                FROM events
-            )
-            SELECT window_start, event_type, count(*) AS n_events
-            FROM b GROUP BY 1, 2
-        """,
-        "q30_session_windows": """
-            WITH marked AS (
-                SELECT user_id, ts,
-                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                    >= INTERVAL '30 minutes'
-                            THEN 1 ELSE 0 END AS new_sess
-                FROM events
-            ), sess AS (
-                SELECT user_id, ts,
-                       sum(new_sess) OVER (
-                           PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING
-                       ) AS sid
-                FROM marked
-            )
-            SELECT user_id,
-                   min(ts) AS session_start,
-                   max(ts) + INTERVAL '30 minutes' AS session_end,
-                   count(*) AS n_events
-            FROM sess
-            GROUP BY user_id, sid
-        """,
-        "q31_cube_sales": f"""
-            SELECT CAST(year(o_orderdate) AS INT) AS year,
-                   l_returnflag AS returnflag,
-                   {TOTAL_SALES_SQL} AS total_sales,
-                   CAST(grouping(year(o_orderdate)) * 2 + grouping(l_returnflag) AS BIGINT)
-                       AS grouping_level
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY CUBE (year(o_orderdate), l_returnflag)
-        """,
-        "q32_segment_setops": """
-            WITH machinery AS (
-                SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-            ), urgent AS (
-                SELECT DISTINCT o_custkey AS c_custkey FROM orders
-                WHERE o_orderpriority = '1-URGENT'
-            )
-            SELECT c_custkey, 'both' AS membership
-            FROM (SELECT c_custkey FROM machinery INTERSECT SELECT c_custkey FROM urgent)
-            UNION ALL
-            SELECT c_custkey, 'machinery_only' AS membership
-            FROM (SELECT c_custkey FROM machinery EXCEPT SELECT c_custkey FROM urgent)
-            UNION ALL
-            SELECT c_custkey, 'urgent_only' AS membership
-            FROM (SELECT c_custkey FROM urgent EXCEPT SELECT c_custkey FROM machinery)
-        """,
-        "q33_string_functions": """
-            SELECT p_partkey,
-                   upper(p_name) AS name_upper,
-                   substr(p_name, 1, 5) AS name_prefix,
-                   replace(p_name, ' ', '_') AS name_snake,
-                   CAST(strpos(p_name, ' ') AS INT) AS first_space,
-                   lpad(p_brand, 12, '#') AS brand_padded,
-                   CAST(length(p_type) AS INT) AS type_len,
-                   reverse(p_brand) AS brand_rev
-            FROM part
-        """,
-        "q34_event_type_pivot": """
-            SELECT user_id,
-                   count(*) FILTER (event_type = 'click') AS click,
-                   count(*) FILTER (event_type = 'view') AS view,
-                   count(*) FILTER (event_type = 'purchase') AS purchase,
-                   count(*) FILTER (event_type = 'signup') AS signup,
-                   count(*) FILTER (event_type = 'error') AS error
-            FROM events
-            GROUP BY user_id
-        """,
-        "q35_date_functions": """
-            SELECT o_orderkey,
-                   CAST(quarter(o_orderdate) AS INT) AS q,
-                   CAST(day(o_orderdate) AS INT) AS dom,
-                   weekofyear(o_orderdate) AS iso_week,
-                   date_trunc('month', o_orderdate) AS month_start,
-                   datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
-                       AS days_since_1992,
-                   CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
-            FROM orders
-        """,
-        "q36_price_buckets": """
-            SELECT CASE WHEN p_retailprice < 500 THEN 'lo'
-                        WHEN p_retailprice < 1200 THEN 'mid'
-                        ELSE 'hi' END AS price_bucket,
-                   count(*) AS n_parts,
-                   CAST(sum(p_size) AS BIGINT) AS total_size,
-                   min(p_size) AS min_size,
-                   max(p_size) AS max_size
-            FROM part
-            GROUP BY 1
-        """,
-        "q37_orders_above_customer_avg": """
-            WITH per_cust AS (
-                SELECT o_custkey,
-                       (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                        / count(*)) / 100.0 AS cust_avg
-                FROM orders GROUP BY o_custkey
-            )
-            SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
-            FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
-            WHERE o_totalprice > cust_avg
-        """,
-        "q38_sql_pricing_summary": PRICING_SUMMARY_SQL,
-        "q39_label_centroids": """
-            SELECT label, CAST(r.range AS INT) AS dim,
-                   (CAST(sum(CAST(floor(CAST(embedding[r.range + 1] AS DOUBLE)
-                                        * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                    / count(*)) / 1000000.0 AS centroid
-            FROM embeddings, range(64) r
-            GROUP BY 1, 2
-        """,
-        "q40_purchase_funnel": """
-            WITH per_user AS (
-                SELECT user_id,
-                       min(ts) FILTER (event_type = 'click') AS first_click,
-                       min(ts) FILTER (event_type = 'view') AS first_view,
-                       min(ts) FILTER (event_type = 'purchase') AS first_purchase
-                FROM events GROUP BY user_id
-            )
-            SELECT count(*) AS n_users,
-                   count(first_click) AS clicked,
-                   CAST(sum(CASE WHEN first_view > first_click THEN 1 ELSE 0 END) AS BIGINT)
-                       AS viewed_after_click,
-                   CAST(sum(CASE WHEN first_view > first_click
-                                  AND first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
-                       AS purchased_after_view
-            FROM per_user
-        """,
-        "q41_full_outer_activity": """
-            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
-                   c.c_mktsegment AS mktsegment,
-                   count(o.o_orderkey) AS n_orders,
-                   CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                       / 100.0 AS total_spend
-            FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
-            GROUP BY 1, 2
-        """,
-        "q42_scd2_user_events": """
-            SELECT user_id, event_id, event_type,
-                   ts AS valid_from,
-                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       AS valid_to,
-                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       AS is_current
-            FROM events
-        """,
-        "q43_null_repair": """
-            SELECT c_custkey, c_acctbal,
-                   coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0)
-                       AS acctbal_pos
-            FROM customer
-        """,
-        "q45_merge_upsert": """
-            WITH t AS (
-                SELECT o_orderkey, o_custkey, -1.0 AS o_totalprice, o_orderdate
-                FROM orders WHERE o_orderkey % 2 = 0
-            ), s AS (
-                SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
-                FROM orders WHERE o_orderkey % 3 = 0
-            )
-            SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
-                   coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
-                   coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice,
-                   coalesce(s.o_orderdate, t.o_orderdate) AS o_orderdate
-            FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
-        """,
-        "q46_stratified_sample": """
-            SELECT doc_id, lang, source
-            FROM documents
-            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
-                  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
-        """,
-        "q47_bpe_token_count": """
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-                        AS INT) AS n_bpe_tokens
-            FROM documents
-        """,
-        "q48_asof_last_order": """
-            WITH orders_d AS (
-                SELECT o_orderkey, o_custkey AS user_id, o_orderdate, o_totalprice
-                FROM orders
-                QUALIFY row_number() OVER (
-                    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
-                ) = 1
-            )
-            SELECT e.event_id, e.user_id, e.ts,
-                   o.o_orderkey, o.o_orderdate, o.o_totalprice
-            FROM (SELECT event_id, user_id, ts FROM events) e
-            ASOF LEFT JOIN orders_d o
-              ON e.user_id = o.user_id AND o.o_orderdate <= e.ts
-        """,
-        "q49_clicks_before_purchase": """
-            WITH p AS (
-                SELECT event_id AS purchase_id, user_id, ts AS p_ts
-                FROM events WHERE event_type = 'purchase'
-            ), c AS (
-                SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
-            )
-            SELECT purchase_id, p.user_id, p_ts,
-                   count(c_ts) AS clicks_last_hour
-            FROM p LEFT JOIN c
-              ON p.user_id = c.user_id
-             AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
-             AND c.c_ts < p.p_ts
-            GROUP BY 1, 2, 3
-        """,
-        "q50_dq_report": """
-            WITH base AS (
-                SELECT count(*) AS n_rows,
-                       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
-                       sum(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
-                                THEN 1 ELSE 0 END) AS v2,
-                       sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
-                                  OR l_discount IS NULL THEN 1 ELSE 0 END) AS v3,
-                       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v4,
-                       sum(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$')
-                                  OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS v5
-                FROM lineitem
-            )
-            SELECT rule, n_rows, n_violations,
-                   CAST(n_rows - n_violations AS DOUBLE) / n_rows AS pass_rate
-            FROM (
-                SELECT 'l_orderkey_not_null' AS rule, n_rows, CAST(v1 AS BIGINT) AS n_violations FROM base
-                UNION ALL SELECT 'l_quantity_positive', n_rows, CAST(v2 AS BIGINT) FROM base
-                UNION ALL SELECT 'l_discount_between_0.0_0.1', n_rows, CAST(v3 AS BIGINT) FROM base
-                UNION ALL SELECT 'l_shipdate_not_null', n_rows, CAST(v4 AS BIGINT) FROM base
-                UNION ALL SELECT 'returnflag_valid', n_rows, CAST(v5 AS BIGINT) FROM base
-            )
-        """,
-        "q51_embedding_neardup": _neardup_oracle_sql(),
-        "q52_ivf_ann": f"""
-            WITH v AS (
-                SELECT vec_id, label, {_qv_sql('embedding')} AS vec FROM embeddings
-            ), scored AS (
-                SELECT v.vec_id, v.label, v.vec, c.centroid_id, c.c_vec,
-                       {_cos_sql('v.vec', 'c.c_vec')} AS ccos
-                FROM v CROSS JOIN (
-                    SELECT vec_id AS centroid_id, vec AS c_vec FROM v WHERE vec_id < 8
-                ) c
-            ), ranked AS (
-                SELECT *, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC
-                ) AS crn
-                FROM scored
-            ), assigned AS (
-                SELECT vec_id AS neighbor_id, label AS neighbor_label,
-                       vec AS n_vec, centroid_id
-                FROM ranked WHERE crn = 1
-            ), probes AS (
-                SELECT vec_id AS query_id, vec AS q_vec, centroid_id
-                FROM ranked WHERE vec_id < 10 AND crn <= 2
-            ), pairs AS (
-                SELECT query_id, neighbor_id, neighbor_label,
-                       {_cos_sql('q_vec', 'n_vec')} AS cosine
-                FROM probes JOIN assigned USING (centroid_id)
-                WHERE query_id != neighbor_id
-            )
-            SELECT query_id, neighbor_id, neighbor_label, cosine,
-                   CAST(rank AS INT) AS rank
-            FROM (
-                SELECT *, row_number() OVER (
-                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
-                ) AS rank
-                FROM pairs
-            ) WHERE rank <= 5
-        """,
-        "q53_rolling_7day_revenue": """
-            SELECT o_custkey, o_orderdate,
-                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (
-                       PARTITION BY o_custkey ORDER BY o_orderdate
-                       RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW
-                   ) AS DOUBLE) / 100.0 AS spend_7d
-            FROM orders
-        """,
-        "q54_percentile_stats": """
-            SELECT l_returnflag, l_linestatus,
-                   quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
-                                 0.5) / 100.0 AS median_price,
-                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                        AS DOUBLE) / count(*) / 100.0 AS avg_price,
-                   CAST(min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                        AS DOUBLE) / 100.0 AS min_price,
-                   CAST(max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
-                        AS DOUBLE) / 100.0 AS max_price,
-                   count(*) AS n_items
-            FROM lineitem
-            GROUP BY 1, 2
-        """,
-        "q55_grouping_sets": """
-            SELECT CAST(year(o_orderdate) AS INT) AS year,
-                   c_mktsegment AS segment,
-                   CAST(grouping(year(o_orderdate)) AS INT) AS g_year,
-                   CAST(grouping(c_mktsegment) AS INT) AS g_segment,
-                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                        AS DOUBLE) / 100.0 AS total_spend
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
-                                    (year(o_orderdate)), ())
-        """,
-        "q56_rank_surface": """
-            SELECT o_orderpriority, o_orderkey, o_totalprice,
-                   CAST(row_number() OVER w AS INT) AS rn,
-                   CAST(dense_rank() OVER w AS INT) AS drank,
-                   CAST(ntile(4) OVER w AS INT) AS quartile,
-                   percent_rank() OVER w AS pct_rank,
-                   cume_dist() OVER w AS cume
-            FROM orders
-            WHERE year(o_orderdate) = 1995
-            WINDOW w AS (
-                PARTITION BY o_orderpriority
-                ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
-                         o_orderkey ASC
-            )
-        """,
-        "q57_user_event_arrays": """
-            SELECT user_id,
-                   array_to_string(list_sort(array_agg(DISTINCT event_type)), ',')
-                       AS event_types,
-                   count(*) AS n_events,
-                   min(ts) AS first_ts,
-                   max(ts) AS last_ts
-            FROM events
-            GROUP BY user_id
-        """,
-        "q58_normalize_text": r"""
-            SELECT doc_id,
-                   trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
-                   CAST(len(string_split(
-                       trim(regexp_replace(regexp_replace(lower(text),
-                           '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))
-                       AS INT) AS n_norm_tokens
-            FROM documents
-        """,
-        "q59_jaccard_clusters": """
-            WITH RECURSIVE t AS (
-                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
-                FROM documents
-            ), p AS (
-                SELECT a.doc_id AS a_id, b.doc_id AS b_id
-                FROM t a JOIN t b ON a.doc_id < b.doc_id
-                WHERE a.doc_id < 50
-                  AND len(list_intersect(a.tset, b.tset)) * 100
-                      >= (len(a.tset) + len(b.tset)
-                          - len(list_intersect(a.tset, b.tset))) * 30
-            ), edges AS (
-                SELECT a_id AS s, b_id AS d FROM p
-                UNION ALL
-                SELECT b_id, a_id FROM p
-            ), nodes AS (SELECT DISTINCT s AS node FROM edges),
-            walk(node, label) AS (
-                SELECT node, node FROM nodes
-                UNION
-                SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
-            )
-            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
-            FROM walk GROUP BY node
-        """,
-        "q60_winnowing": """
-            WITH t AS (
-                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            ), p AS (
-                SELECT doc_id, toks,
-                       unnest(range(1, len(toks) - 3 + 2)) AS pos
-                FROM t
-            ), g AS (
-                SELECT doc_id, pos,
-                       CAST('0x' || substr(md5('0:' ||
-                           array_to_string(toks[pos:pos+2], ' ')), 1, 15)
-                           AS BIGINT) AS h
-                FROM p
-            ), wmin AS (
-                SELECT doc_id,
-                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
-                           AS fp
-                FROM g
-            ), d AS (SELECT DISTINCT doc_id, fp FROM wmin)
-            SELECT doc_id,
-                   array_to_string(list_sort(array_agg(fp)), ',') AS fps,
-                   count(*) AS n_fps
-            FROM d GROUP BY doc_id
-        """,
-        # upgraded from rows-only: the md5-derived MinHash/banding math
-        # is fully SQL-expressible (mirror of dedup.minhash_lsh_pairs)
-        "q25_minhash_lsh_pairs": """
+        "q21_minhash_lsh_pairs": """
             WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks FROM documents
             ), g AS (
@@ -1899,10 +1546,335 @@ def oracle_sql() -> dict[str, str]:
                   >= (len(ga.grams) + len(gb.grams)
                       - len(list_intersect(ga.grams, gb.grams))) * 50
         """,
-        "q26_ann_lsh": _ann_lsh_oracle_sql(),
-        "q63_ann_multiprobe": _ann_multi_oracle_sql(),
-        "q64_pagerank": _pagerank_oracle_sql(),
-        "q65_incremental_neardup": """
+        "q22_ann_lsh": _ann_lsh_oracle_sql(),
+        "q23_window_counts": """
+            WITH b AS (
+                SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')
+                           AS window_start, event_type
+                FROM events
+            )
+            SELECT 'tumbling' AS kind,
+                   time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS total_value
+            FROM events
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'sliding' AS kind, window_start, event_type,
+                   count(*) AS n_events, CAST(NULL AS DOUBLE) AS total_value
+            FROM b GROUP BY 2, 3
+        """,
+        "q24_session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                    >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL '30 minutes' AS session_end,
+                   count(*) AS n_events
+            FROM sess
+            GROUP BY user_id, sid
+        """,
+        "q25_scalar_surface": """
+            SELECT o_orderkey,
+                   upper(o_orderstatus) AS status_upper,
+                   substr(o_orderpriority, 1, 1) AS prio_code,
+                   replace(o_orderpriority, '-', '_') AS prio_snake,
+                   CAST(strpos(o_orderpriority, '-') AS INT) AS first_dash,
+                   lpad(o_orderpriority, 12, '#') AS prio_padded,
+                   CAST(length(o_orderpriority) AS INT) AS prio_len,
+                   reverse(o_orderpriority) AS prio_rev,
+                   CAST(quarter(o_orderdate) AS INT) AS q,
+                   CAST(day(o_orderdate) AS INT) AS dom,
+                   weekofyear(o_orderdate) AS iso_week,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                       AS days_since_1992,
+                   CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+            FROM orders
+        """,
+        "q26_user_activity": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   array_to_string(list_sort(array_agg(DISTINCT event_type)), ',')
+                       AS event_types,
+                   count(*) AS n_events,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM events
+            GROUP BY user_id
+        """,
+        "q27_price_buckets": """
+            SELECT CASE WHEN p_retailprice < 500 THEN 'lo'
+                        WHEN p_retailprice < 1200 THEN 'mid'
+                        ELSE 'hi' END AS price_bucket,
+                   count(*) AS n_parts,
+                   CAST(sum(p_size) AS BIGINT) AS total_size,
+                   min(p_size) AS min_size,
+                   max(p_size) AS max_size
+            FROM part
+            GROUP BY 1
+        """,
+        "q28_orders_above_customer_avg": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       (CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                        / count(*)) / 100.0 AS cust_avg
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
+            FROM orders o JOIN per_cust p ON o.o_custkey = p.o_custkey
+            WHERE o_totalprice > cust_avg
+        """,
+        "q29_sql_pricing_summary": PRICING_SUMMARY_SQL,
+        "q30_label_centroids": """
+            SELECT label, CAST(r.range AS INT) AS dim,
+                   (CAST(sum(CAST(floor(CAST(embedding[r.range + 1] AS DOUBLE)
+                                        * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / count(*)) / 1000000.0 AS centroid
+            FROM embeddings, range(64) r
+            GROUP BY 1, 2
+        """,
+        "q31_purchase_funnel": """
+            WITH per_user AS (
+                SELECT user_id,
+                       min(ts) FILTER (event_type = 'click') AS first_click,
+                       min(ts) FILTER (event_type = 'view') AS first_view,
+                       min(ts) FILTER (event_type = 'purchase') AS first_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                   count(first_click) AS clicked,
+                   CAST(sum(CASE WHEN first_view > first_click THEN 1 ELSE 0 END) AS BIGINT)
+                       AS viewed_after_click,
+                   CAST(sum(CASE WHEN first_view > first_click
+                                  AND first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
+                       AS purchased_after_view
+            FROM per_user
+        """,
+        "q32_full_outer_activity": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_mktsegment AS mktsegment,
+                   count(o.o_orderkey) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS total_spend
+            FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        """,
+        "q34_stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+                  < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        """,
+        "q35_asof_last_order": """
+            WITH orders_d AS (
+                SELECT o_orderkey, o_custkey AS user_id, o_orderdate, o_totalprice
+                FROM orders
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
+                ) = 1
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice
+            FROM (SELECT event_id, user_id, ts FROM events) e
+            ASOF LEFT JOIN orders_d o
+              ON e.user_id = o.user_id AND o.o_orderdate <= e.ts
+        """,
+        "q36_clicks_before_purchase": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+            )
+            SELECT purchase_id, p.user_id, p_ts,
+                   count(c_ts) AS clicks_last_hour
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
+             AND c.c_ts < p.p_ts
+            GROUP BY 1, 2, 3
+        """,
+        "q37_dq_report": """
+            WITH base AS (
+                SELECT count(*) AS n_rows,
+                       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v1,
+                       sum(CASE WHEN NOT (l_quantity > 0) OR l_quantity IS NULL
+                                THEN 1 ELSE 0 END) AS v2,
+                       sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                                  OR l_discount IS NULL THEN 1 ELSE 0 END) AS v3,
+                       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v4,
+                       sum(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$')
+                                  OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS v5
+                FROM lineitem
+            )
+            SELECT rule, n_rows, n_violations,
+                   CAST(n_rows - n_violations AS DOUBLE) / n_rows AS pass_rate
+            FROM (
+                SELECT 'l_orderkey_not_null' AS rule, n_rows, CAST(v1 AS BIGINT) AS n_violations FROM base
+                UNION ALL SELECT 'l_quantity_positive', n_rows, CAST(v2 AS BIGINT) FROM base
+                UNION ALL SELECT 'l_discount_between_0.0_0.1', n_rows, CAST(v3 AS BIGINT) FROM base
+                UNION ALL SELECT 'l_shipdate_not_null', n_rows, CAST(v4 AS BIGINT) FROM base
+                UNION ALL SELECT 'returnflag_valid', n_rows, CAST(v5 AS BIGINT) FROM base
+            )
+        """,
+        "q38_embedding_neardup": _neardup_oracle_sql(),
+        "q39_ivf_ann": f"""
+            WITH v AS (
+                SELECT vec_id, label, {_qv_sql('embedding')} AS vec FROM embeddings
+            ), scored AS (
+                SELECT v.vec_id, v.label, v.vec, c.centroid_id, c.c_vec,
+                       {_cos_sql('v.vec', 'c.c_vec')} AS ccos
+                FROM v CROSS JOIN (
+                    SELECT vec_id AS centroid_id, vec AS c_vec FROM v WHERE vec_id < 8
+                ) c
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC
+                ) AS crn
+                FROM scored
+            ), assigned AS (
+                SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                       vec AS n_vec, centroid_id
+                FROM ranked WHERE crn = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, vec AS q_vec, centroid_id
+                FROM ranked WHERE vec_id < 10 AND crn <= 2
+            ), pairs AS (
+                SELECT query_id, neighbor_id, neighbor_label,
+                       {_cos_sql('q_vec', 'n_vec')} AS cosine
+                FROM probes JOIN assigned USING (centroid_id)
+                WHERE query_id != neighbor_id
+            )
+            SELECT query_id, neighbor_id, neighbor_label, cosine,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rank
+                FROM pairs
+            ) WHERE rank <= 5
+        """,
+        "q40_percentile_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
+                                 0.5) / 100.0 AS median_price,
+                   CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / count(*) / 100.0 AS avg_price,
+                   CAST(min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS min_price,
+                   CAST(max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS max_price,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY 1, 2
+        """,
+        "q41_grouping_sets": """
+            SELECT CAST(year(o_orderdate) AS INT) AS year,
+                   c_mktsegment AS segment,
+                   CAST(grouping(year(o_orderdate)) AS INT) AS g_year,
+                   CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY GROUPING SETS ((year(o_orderdate), c_mktsegment),
+                                    (year(o_orderdate)), ())
+        """,
+        "q42_window_surface": """
+            SELECT o_orderpriority, o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                   CAST(row_number() OVER w AS INT) AS rn,
+                   CAST(dense_rank() OVER w AS INT) AS drank,
+                   CAST(ntile(4) OVER w AS INT) AS quartile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER w7
+                        AS DOUBLE) / 100.0 AS spend_7d
+            FROM orders
+            WHERE year(o_orderdate) = 1995
+            WINDOW w AS (
+                PARTITION BY o_orderpriority
+                ORDER BY CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) DESC,
+                         o_orderkey ASC
+            ), w7 AS (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW
+            )
+        """,
+        "q43_jaccard_clusters": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM t a JOIN t b ON a.doc_id < b.doc_id
+                WHERE a.doc_id < 50
+                  AND len(list_intersect(a.tset, b.tset)) * 100
+                      >= (len(a.tset) + len(b.tset)
+                          - len(list_intersect(a.tset, b.tset))) * 30
+            ), edges AS (
+                SELECT a_id AS s, b_id AS d FROM p
+                UNION ALL
+                SELECT b_id, a_id FROM p
+            ), nodes AS (SELECT DISTINCT s AS node FROM edges),
+            walk(node, label) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.node
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM walk GROUP BY node
+        """,
+        "q44_winnowing": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), p AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - 3 + 2)) AS pos
+                FROM t
+            ), g AS (
+                SELECT doc_id, pos,
+                       CAST('0x' || substr(md5('0:' ||
+                           array_to_string(toks[pos:pos+2], ' ')), 1, 15)
+                           AS BIGINT) AS h
+                FROM p
+            ), wmin AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fp
+                FROM g
+            ), d AS (SELECT DISTINCT doc_id, fp FROM wmin)
+            SELECT doc_id,
+                   array_to_string(list_sort(array_agg(fp)), ',') AS fps,
+                   count(*) AS n_fps
+            FROM d GROUP BY doc_id
+        """,
+        "q45_kmeans_cells": _kmeans_oracle_sql(),
+        "q46_ann_multiprobe": _ann_multi_oracle_sql(),
+        "q47_pagerank": _pagerank_oracle_sql(),
+        "q48_incremental_neardup": """
             WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks FROM documents
             ), g AS (
@@ -1956,9 +1928,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
             LEFT JOIN best ON best.b_id = d.doc_id AND best.rn = 1
         """,
-        "q61_kmeans_cells": _kmeans_oracle_sql(),
-        "q62_lang_id": _lang_id_oracle_sql(),
-        "q66_edit_distance_pairs": """
+        "q49_edit_distance_pairs": """
             WITH t AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
                 FROM documents
@@ -1995,24 +1965,5 @@ def oracle_sql() -> dict[str, str]:
             JOIN documents db ON db.doc_id = c.b_id
             WHERE levenshtein(da.text, db.text) * 100
                   <= GREATEST(length(da.text), length(db.text)) * 30
-        """,
-        "q27_simhash": """
-            WITH t AS (
-                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
-                FROM documents
-            ), h AS (
-                SELECT doc_id,
-                       list_transform(tset,
-                           s -> CAST('0x'||substr(md5('0:'||s),1,15) AS BIGINT))
-                           AS hs
-                FROM t
-            )
-            SELECT doc_id,
-                   CAST(list_sum(list_transform(range(0,32), i ->
-                      CASE WHEN list_sum(list_transform(hs,
-                             x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                           THEN (CAST(1 AS BIGINT) << i)
-                           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-            FROM h
         """,
     }

@@ -1,26 +1,36 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (engine extension; BASELINE.json north star).
 
-Real here: the Spark-side plumbing — schema (schemas.MEDIA), Arrow-
-batched mapInPandas pipelines, partition sizing, batch shapes, magic-
-byte sniffing, deterministic feature extraction. Stubbed here: actual
-codec work (decode/resize/frame-sample) — the image/audio libraries are
-not in this container, so codecs raise NotImplementedError unless the
-deterministic fake is requested (tests use the fake; swapping in a real
-codec is a one-function change).
+Real here: the Spark-side plumbing — schema, Arrow-batched mapInPandas
+pipelines, partition sizing, batch shapes, magic-byte sniffing, feature
+extraction — AND a real PNG codec: ``encode_png``/``decode_png`` are a
+complete 8-bit gray/RGB PNG implementation on stdlib zlib/struct +
+numpy (no external image library), with full 5-filter defiltering and
+CRC checks. ``synthesize_media`` emits real decodable PNGs, so
+``decode_images`` and ``resize_images`` run genuine codec work
+end-to-end in this container.
+
+Still stubbed: formats whose codecs genuinely need external libraries
+— JPEG decode and video frame extraction (ffmpeg). ``decode_images``
+raises NotImplementedError for non-PNG payloads; ``sample_frames``
+keeps its deterministic fake behind ``use_fake`` with the real
+one-to-many mapInPandas shape.
 
 Scale notes: binary payloads ride the normal Parquet path (page-
 compressed, column-pruned when untouched). mapInPandas streams Arrow
 record batches — set spark.sql.execution.arrow.maxRecordsPerBatch so
-batch_bytes ≈ rows × avg_payload stays inside executor memory. Feature
-extraction is a pure map: no shuffle at any scale.
+batch_bytes ≈ rows × avg_payload stays inside executor memory. Decode/
+resize/feature extraction are pure maps: no shuffle at any scale.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -42,6 +52,8 @@ MAGIC = {
     b"\x00\x00\x00\x20ftyp": "video/mp4",
 }
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff_mime(payload: bytes | None) -> str:
     if not payload:
@@ -52,16 +64,134 @@ def sniff_mime(payload: bytes | None) -> str:
     return "application/octet-stream"
 
 
-def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
-    """Deterministic fake media table derived from `documents` (the
-    container ships no binary fixtures): payload = PNG magic + md5-
-    stream bytes of the text; realistic enough to exercise the full
-    plumbing. Pure Column ops until the binary concat."""
-    payload = F.concat(
-        F.lit(bytearray(b"\x89PNG\r\n\x1a\n")),
-        F.unhex(F.md5(F.col("text"))),
-        F.unhex(F.md5(F.reverse(F.col("text")))),
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib/struct + numpy; RFC 2083). 8-bit depth,
+# grayscale (color type 0) and truecolor RGB (color type 2), no
+# interlace — the subset a training pipeline's thumbnail path needs.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
     )
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Encode raw 8-bit pixels (row-major, ``channels`` ∈ {1: gray,
+    3: RGB}) as a real PNG: IHDR + one zlib IDAT (filter 0 per
+    scanline) + IEND."""
+    color_type = {1: 0, 3: 2}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"need {stride * height} pixel bytes, got {len(pixels)}")
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to (width, height, channels, raw pixel bytes).
+    Full defiltering (None/Sub/Up/Average/Paeth) with CRC verification;
+    8-bit gray/RGB only (NotImplementedError otherwise — palettes,
+    alpha, 16-bit, and interlace are out of scope for this engine)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    width = height = color = -1
+    idat = b""
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or color not in (0, 2) or interlace:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}: only "
+                    "8-bit gray/RGB non-interlaced supported"
+                )
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width < 0:
+        raise ValueError("no IHDR chunk")
+    channels = 1 if color == 0 else 3
+    stride = width * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = row[0]
+        line = np.frombuffer(row, dtype=np.uint8, offset=1)
+        if ftype == 0:  # None
+            cur = line.copy()
+        elif ftype == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            cur = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return width, height, channels, out.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic media table derived from `documents` (the container
+    ships no binary fixtures): each payload is a REAL 8×8 grayscale PNG
+    whose pixels are the md5 stream of the text — decodable by
+    ``decode_images`` (or any PNG reader), so the whole codec path runs
+    for real. Arrow-batched encode kernel; one map, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def make_png(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            d = hashlib.md5(("" if t is None else t).encode()).digest()
+            out.append(encode_png((d * 4)[:64], 8, 8, 1))
+        return pd.Series(out)
+
+    payload = make_png(F.col("text"))
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
@@ -85,8 +215,8 @@ MEDIA_FEATURES_SCHEMA = StructType(
 def extract_features(media: DataFrame, batch_size: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas): size, magic-byte mime, content digest. The UDF
-    receives pandas batches — the canonical shape for plugging in a
-    real decoder (PIL/librosa/ffmpeg) later."""
+    receives pandas batches — the canonical shape for plugging in
+    heavier per-payload work."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,42 +251,79 @@ DECODED_IMAGE_SCHEMA = StructType(
 )
 
 
-def decode_images(media: DataFrame, use_fake: bool = False) -> DataFrame:
-    """Decode image payloads to (w, h, c, raw pixels).
-
-    STUB: real decoding needs an image library not present in this
-    container. ``use_fake=True`` produces a deterministic fake decode
-    (dimensions derived from the digest, pixels = repeated payload) so
-    the downstream plumbing — schema, batching, partitioning — is fully
-    exercised; otherwise NotImplementedError per batch.
-    """
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode image payloads to (w, h, c, raw pixels) with the REAL
+    stdlib-zlib PNG codec (``decode_png``) — null payloads and
+    non-image rows are dropped; non-PNG image formats raise
+    NotImplementedError (JPEG decode needs an external codec that is
+    not in this container). Pure map over Arrow batches."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv — not available in this "
-                    "container; pass use_fake=True for the deterministic stub"
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                mime = sniff_mime(data)
+                if mime != "image/png":
+                    if mime.startswith("image/"):
+                        raise NotImplementedError(
+                            f"{mime} decode requires an external codec; only the "
+                            "stdlib PNG path is available in this container"
+                        )
+                    continue  # non-image payloads pass through other operators
+                w, h, c, pix = decode_png(data)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "pixels": pix,
+                    }
                 )
-            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).digest())
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": digests.map(lambda d: 16 + d[0] % 64),
-                    "height": digests.map(lambda d: 16 + d[1] % 64),
-                    "channels": 3,
-                    "pixels": pdf["payload"].map(lambda b: bytes(b) * 2),
-                }
+                rows, columns=["media_id", "width", "height", "channels", "pixels"]
             )
 
     return media.mapInPandas(run, DECODED_IMAGE_SCHEMA)
 
 
+def resize_images(decoded: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """REAL nearest-neighbor resize over decoded pixel buffers (numpy
+    integer index maps — no external image library needed). Input is
+    ``decode_images`` output; one row per image, bounded output size
+    (out_w × out_h × channels bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for _, r in pdf.iterrows():
+                w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
+                img = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out_px.append(img[ys][:, xs].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                }
+            )
+
+    return decoded.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, use_fake: bool = False) -> DataFrame:
-    """Video frame sampling stub (one row per sampled frame). Fake mode
-    emits ceil(n_bytes / 32 / every_n) frames per video with
+    """Video frame sampling STUB (one row per sampled frame): real
+    frame extraction needs ffmpeg, which is not in this container. Fake
+    mode emits ceil(n_bytes / 32 / every_n) frames per video with
     deterministic frame ids — exercising the one-to-many mapInPandas
-    shape a real ffmpeg sampler would have."""
+    shape a real sampler would have."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -186,54 +353,3 @@ def sample_frames(media: DataFrame, every_n: int = 10, use_fake: bool = False) -
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return media.mapInPandas(run, schema)
-
-
-def resize_images(
-    decoded: DataFrame, out_w: int = 32, out_h: int = 32, use_fake: bool = False
-) -> DataFrame:
-    """Resize decoded images to (out_w, out_h).
-
-    STUB like ``decode_images``: a real resize needs PIL/opencv. Fake
-    mode nearest-neighbor-samples the fake pixel buffer down to
-    out_w*out_h*channels bytes deterministically, preserving the real
-    operator's contract (schema, one-row-per-image, bounded output
-    size) so partitioning/batching behavior is identical to production.
-    Input is ``decode_images`` output (media_id, width, height,
-    channels, pixels).
-    """
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("width", IntegerType()),
-            StructField("height", IntegerType()),
-            StructField("channels", IntegerType()),
-            StructField("pixels", BinaryType()),
-        ]
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not use_fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/opencv — not available in this "
-                    "container; pass use_fake=True for the deterministic stub"
-                )
-            out_px = []
-            for _, r in pdf.iterrows():
-                src = bytes(r["pixels"])
-                n = out_w * out_h * int(r["channels"])
-                # nearest-neighbor byte sampling: index i -> floor(i*len/n)
-                out_px.append(
-                    bytes(src[(i * len(src)) // n] for i in range(n)) if src else b""
-                )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": out_w,
-                    "height": out_h,
-                    "channels": pdf["channels"],
-                    "pixels": out_px,
-                }
-            )
-
-    return decoded.mapInPandas(run, schema)

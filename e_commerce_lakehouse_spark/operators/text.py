@@ -247,20 +247,8 @@ def lang_id(documents: DataFrame, profiles: dict[str, tuple[str, ...]] | None = 
     tests/test_dedup_similarity.py; this operator's corpus output is
     value-gated against the DuckDB oracle instead.
     """
-    profiles = profiles or LANG_TRIGRAMS
-    lowered = F.lower(F.col("text"))
-    scores = {
-        lang: sum_cols([_occurrences(lowered, t) for t in tgs])
-        for lang, tgs in sorted(profiles.items())
-    }
-    # argmax with alphabetical tie-break: fold over sorted langs keeping
-    # the strictly-greater winner
+    scores, pred = _lang_scores(profiles or LANG_TRIGRAMS)
     langs = sorted(scores)
-    pred = F.lit(langs[0])
-    best = scores[langs[0]]
-    for lang in langs[1:]:
-        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
-        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
     return documents.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
@@ -273,3 +261,87 @@ def sum_cols(cols: list[Column]) -> Column:
     for c in cols[1:]:
         out = out + c
     return out
+
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _lang_scores(profiles: dict[str, tuple[str, ...]]) -> tuple[dict[str, Column], Column]:
+    """(per-language trigram score columns, argmax prediction with
+    alphabetical tie-break) — shared by lang_id and doc_profile."""
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: sum_cols([_occurrences(lowered, t) for t in tgs])
+        for lang, tgs in sorted(profiles.items())
+    }
+    langs = sorted(scores)
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    return scores, pred
+
+
+def doc_profile(
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_ttr_pct: int = 20,
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """ONE-SCAN per-document profile: text stats ⊕ quality verdict ⊕
+    BPE-ish token count ⊕ normalization ⊕ trigram language-ID. Each
+    piece exists standalone (text_stats / quality_filter / lang_id /
+    normalized_documents); pipelines that want several of them should
+    use this composite — one corpus pass instead of one per feature,
+    which at 100 TB is the whole game. The quality gate is emitted as a
+    ``passes_quality`` flag (not a filter) so downstream stages choose
+    drop vs route-to-review without a second scan.
+    """
+    scores, pred = _lang_scores(profiles or LANG_TRIGRAMS)
+    langs = sorted(scores)
+    norm = normalize_text("text")
+    base = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count("text").alias("n_tokens"),
+        distinct_token_count("text").alias("n_distinct_tokens"),
+        char_count("text").alias("n_chars_measured"),
+        stopword_count("text").alias("n_stopwords"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return base.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_chars_measured",
+        "n_stopwords",
+        (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias("ttr"),
+        (F.col("n_stopwords").cast("double") / F.col("n_tokens")).alias(
+            "stopword_ratio"
+        ),
+        (
+            (F.col("n_chars_measured") - (F.col("n_tokens") - F.lit(1))).cast("double")
+            / F.col("n_tokens")
+        ).alias("avg_token_len"),
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("n_distinct_tokens") * 100 >= F.col("n_tokens") * min_ttr_pct)
+        ).alias("passes_quality"),
+        "n_bpe_tokens",
+        "norm_text",
+        "n_norm_tokens",
+        *[f"score_{lang}" for lang in langs],
+        "pred_lang",
+    )

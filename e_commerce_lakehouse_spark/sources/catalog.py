@@ -41,6 +41,37 @@ def create_or_replace(
     writer.saveAsTable(name)
 
 
+def append_evolve(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """Schema-evolving append — the Iceberg ``merge-schema`` write the
+    reference's gold sink uses (gold_transfrom.py:73,92
+    ``.option("merge-schema","true")``): appending a frame whose schema
+    gained or lost columns widens the TABLE schema to the union, with
+    missing columns null-filled on BOTH the old rows and the new batch.
+
+    Without this, a user re-running gold after adding a metric loses the
+    new column (plain overwrite) or fails the append (schema mismatch).
+
+    Implementation on the parquet catalog: if the schemas already match
+    (by name), plain append. Otherwise rewrite = existing ∪ new via
+    unionByName(allowMissingColumns=True) — a full rewrite, like
+    Iceberg's copy-on-write path for metadata-incompatible changes. The
+    combined frame is localCheckpoint-materialized first because Spark
+    cannot overwrite a table that is also the read source of the write.
+    At warehouse scale the same operation is a metadata-only schema
+    update + partition append; the parquet stand-in keeps the exact
+    user-visible semantics.
+    """
+    if not table_exists(spark, name):
+        df.write.mode("overwrite").saveAsTable(name)
+        return
+    existing = spark.table(name)
+    if set(existing.columns) == set(df.columns):
+        df.select(*existing.columns).write.mode("append").saveAsTable(name)
+        return
+    combined = existing.unionByName(df, allowMissingColumns=True).localCheckpoint()
+    create_or_replace(spark, combined, name)
+
+
 def save_bucketed(
     spark: SparkSession,
     df: DataFrame,

@@ -38,16 +38,31 @@ def write_bronze_stream(
 
 class RecencyStore(Protocol):
     """Redis-shaped serving interface (LPUSH/LTRIM/EXPIRE semantics).
-    Implementations must be serializable or constructed per-partition."""
+    Implementations must be serializable or constructed per-partition.
 
-    def push(self, user_id: str, kind: str, product_ids: Iterable[str]) -> None: ...
+    ``expire_seconds`` carries the reference's 24 h key TTL
+    (streaming_flow.py:109-111 issues EXPIRE alongside LTRIM) through
+    the protocol — implementations that ignore it silently diverge from
+    reference serving semantics (keys of inactive users never age out).
+    """
+
+    def push(
+        self,
+        user_id: str,
+        kind: str,
+        product_ids: Iterable[str],
+        expire_seconds: int = 86400,
+    ) -> None: ...
 
 
-def foreach_batch_recency(store_factory, kind: str, cap: int = 50):
+def foreach_batch_recency(
+    store_factory, kind: str, cap: int = 50, expire_seconds: int = 86400
+):
     """Build a foreachBatch fn that updates per-user recency lists
     DISTRIBUTED: newest-first per user computed with Spark (not a
     driver loop), then foreachPartition opens one store connection per
-    partition (reference K5 semantics: cap 50; streaming_flow.py:87-113).
+    partition (reference K5 semantics: cap 50, 24 h EXPIRE;
+    streaming_flow.py:87-113).
     """
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -67,7 +82,7 @@ def foreach_batch_recency(store_factory, kind: str, cap: int = 50):
         def handle(rows):
             store = store_factory()
             for row in rows:
-                store.push(row["user_id"], kind, row["products"])
+                store.push(row["user_id"], kind, row["products"], expire_seconds)
 
         compact.foreachPartition(handle)
 

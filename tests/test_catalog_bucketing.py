@@ -27,6 +27,35 @@ def test_create_or_replace_and_inspect(spark):
     assert not catalog.table_exists(spark, "t_nation")
 
 
+def test_append_evolve_merges_schema(spark):
+    """Schema-evolving append (reference gold merge-schema write,
+    gold_transfrom.py:73,92): write v1, append v2 with an extra column,
+    read both generations through the union schema with null-fill."""
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    v2 = spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    )
+    catalog.drop_table(spark, "t_evolve")
+    catalog.append_evolve(spark, v1, "t_evolve")
+    catalog.append_evolve(spark, v2, "t_evolve")
+    got = {r["id"]: (r["name"], r["score"]) for r in spark.table("t_evolve").collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # appending a frame MISSING a column also works (null-filled)
+    catalog.append_evolve(
+        spark, spark.createDataFrame([(4,)], "id long"), "t_evolve"
+    )
+    got = {r["id"]: (r["name"], r["score"]) for r in spark.table("t_evolve").collect()}
+    assert got[4] == (None, None) and len(got) == 4
+    # same-schema appends stay plain appends (no rewrite needed)
+    catalog.append_evolve(
+        spark,
+        spark.createDataFrame([(5, "e", 1.0)], "id long, name string, score double"),
+        "t_evolve",
+    )
+    assert spark.table("t_evolve").count() == 5
+    catalog.drop_table(spark, "t_evolve")
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Both sides bucketed on the join key → SortMergeJoin with NO
     Exchange in the plan (the 100 TB fact-fact join strategy)."""

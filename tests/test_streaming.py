@@ -158,11 +158,15 @@ def test_foreach_batch_recency_distributed(spark, tmpdir):
         def __init__(self, path: str):
             self.path = path
 
-        def push(self, user_id, kind, product_ids):
+        def push(self, user_id, kind, product_ids, expire_seconds=86400):
+            # record the TTL the sink passed — reference semantics are
+            # LPUSH + LTRIM + EXPIRE(24h) per key (streaming_flow.py:109-111)
             with open(f"{self.path}/{kind}_{user_id}", "a") as f:
-                f.write(",".join(product_ids) + "\n")
+                f.write(",".join(product_ids) + f"|ttl={expire_seconds}\n")
 
-    fn = sinks.foreach_batch_recency(lambda: FakeStore(store_dir), "views", cap=3)
+    fn = sinks.foreach_batch_recency(
+        lambda: FakeStore(store_dir), "views", cap=3, expire_seconds=86400
+    )
     q = (
         parsed.writeStream.foreachBatch(fn)
         .option("checkpointLocation", f"{tmpdir}/ck")
@@ -171,8 +175,10 @@ def test_foreach_batch_recency_distributed(spark, tmpdir):
     )
     q.awaitTermination(60)
     # u0 saw products for i=0,3,6,9 → newest-first capped at 3: p4(9), p1(6), p3(3)
-    got = open(f"{store_dir}/views_u0").read().strip().split(",")
-    assert got == ["p4", "p1", "p3"]
+    line = open(f"{store_dir}/views_u0").read().strip()
+    got, ttl_part = line.split("|")
+    assert got.split(",") == ["p4", "p1", "p3"]
+    assert ttl_part == "ttl=86400"  # the 24h EXPIRE rides the protocol
 
 
 def test_rerank_distributed(spark):

@@ -58,7 +58,8 @@ def test_full_fanout_flow(spark, tmpdir):
         def __init__(self, path):
             self.path = path
 
-        def push(self, user_id, kind, product_ids):
+        def push(self, user_id, kind, product_ids, expire_seconds=86400):
+            assert expire_seconds == 86400  # reference 24h EXPIRE carried
             with open(f"{self.path}/{kind}_{user_id}", "a") as f:
                 f.write(",".join(product_ids) + "\n")
 
