@@ -1,0 +1,79 @@
+"""Snapshot/time-travel layout: append is metadata-only, every prior
+snapshot stays readable, rollback is a pointer swap, expiry deletes
+only unreferenced dirs (the Iceberg table-maintenance contract the
+reference's format-version property implies)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from e_commerce_lakehouse_spark.sources import snapshots as S
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def test_append_time_travel_and_rollback(spark, root):
+    v1 = S.write_snapshot(_df(spark, [{"id": 1, "v": "a"}]), root)
+    v2 = S.write_snapshot(_df(spark, [{"id": 2, "v": "b"}]), root, mode="append")
+
+    assert S.read_snapshot(spark, root).count() == 2  # latest = v1 ∪ delta
+    assert S.read_snapshot(spark, root, snapshot_id=v1).count() == 1  # time travel
+
+    # append reused v1's dir — no rewrite happened
+    assert S._entry(S._load(root), v2)["dirs"][0] in S._entry(S._load(root), v1)["dirs"]
+
+    rb = S.rollback(root, v1)
+    assert S.read_snapshot(spark, root).count() == 1  # current = v1 contents
+    ops = [h["op"] for h in S.history(root)]
+    assert ops == ["overwrite", "append", f"rollback->{v1}"]
+    assert S.history(root)[-1]["id"] == rb
+
+
+def test_as_of_timestamp(spark, root):
+    S.write_snapshot(_df(spark, [{"id": 1}]), root)
+    ts_between = S.history(root)[-1]["ts"]
+    S.write_snapshot(_df(spark, [{"id": 2}]), root, mode="append")
+    assert S.read_snapshot(spark, root, as_of=ts_between).count() == 1
+    with pytest.raises(KeyError):
+        S.read_snapshot(spark, root, as_of=ts_between - 1e6)
+
+
+def test_schema_evolution_across_snapshots(spark, root):
+    S.write_snapshot(_df(spark, [{"id": 1}]), root)
+    S.write_snapshot(_df(spark, [{"id": 2, "extra": "x"}]), root, mode="append")
+    latest = S.read_snapshot(spark, root)
+    assert set(latest.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in latest.collect()}
+    assert rows == {1: None, 2: "x"}  # old rows null-filled
+
+
+def test_expire_keeps_reachable_dirs_only(spark, root):
+    S.write_snapshot(_df(spark, [{"id": 1}]), root)  # dirs: snap1
+    S.write_snapshot(_df(spark, [{"id": 2}]), root, mode="append")  # snap1+snap2
+    S.write_snapshot(_df(spark, [{"id": 9}]), root)  # overwrite: snap3 only
+    S.write_snapshot(_df(spark, [{"id": 10}]), root, mode="append")  # snap3+snap4
+
+    deleted = S.expire_snapshots(root, keep_last=2)
+    # snapshots 1-2 expired; their exclusive dirs gone, snap3 dir SURVIVES
+    # because the retained append still references it
+    assert any(d.startswith("snap-00000001") for d in deleted)
+    assert any(d.startswith("snap-00000002") for d in deleted)
+    assert not any(d.startswith("snap-00000003") for d in deleted)
+    assert S.read_snapshot(spark, root).count() == 2
+    assert S.read_snapshot(spark, root, snapshot_id=3).count() == 1
+    with pytest.raises(KeyError):
+        S.read_snapshot(spark, root, snapshot_id=1)
+    # manifest never points at a deleted dir
+    live = {d for s in S._load(root)["snapshots"] for d in s["dirs"]}
+    for d in live:
+        assert os.path.isdir(os.path.join(root, d))
