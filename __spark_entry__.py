@@ -848,18 +848,35 @@ def _q49_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal plumbing end-to-end (rows-only: binary payloads have
-    no SQL oracle): synthesize real PNG payloads from the documents
-    table, extract features via Arrow mapInPandas (size / magic-byte
-    mime / digest), and decode the PNGs with the stdlib-zlib codec to
-    attach real width/height/channels. Exercises binary columns,
-    mapInPandas batching, and the decode path the driver can execute."""
+    no SQL oracle): synthesize real PNG and WAV payloads from the
+    documents table, extract generic features via Arrow mapInPandas
+    (size / magic-byte mime / digest), decode the PNGs with the
+    stdlib-zlib codec to attach real width/height/channels, and decode
+    the WAVs to attach duration/RMS/zero-crossing audio features. One
+    row per (doc, modality), kind-tagged; modality columns null on the
+    other kind. Exercises binary columns, mapInPandas batching, and
+    both real codec paths the driver can execute."""
     docs = load_table(spark, sf, "documents")
-    media = multimodal.synthesize_media(docs)
-    feats = multimodal.extract_features(media)
-    dims = multimodal.decode_images(media).select(
+    images = multimodal.synthesize_media(docs, kind="image")
+    audio = multimodal.synthesize_media(docs, kind="audio")
+    feats = multimodal.extract_features(images.unionByName(audio))
+    dims = multimodal.decode_images(images).select(
         "media_id", "width", "height", "channels"
     )
-    return feats.join(dims, "media_id")
+    sound = multimodal.extract_audio_features(audio).select(
+        "media_id", "duration_ms", "rms", "zero_cross_rate_ppm"
+    )
+    return (
+        feats.alias("f")
+        .join(dims.alias("dims"), (F.col("f.media_id") == F.col("dims.media_id")) & (F.col("kind") == "image"), "left")
+        .join(sound.alias("s"), (F.col("f.media_id") == F.col("s.media_id")) & (F.col("kind") == "audio"), "left")
+        .select(
+            F.col("f.media_id").alias("media_id"),
+            "kind", "n_bytes", "sniffed_mime", "digest",
+            "width", "height", "channels",
+            "duration_ms", "rms", "zero_cross_rate_ppm",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -10,6 +10,12 @@ CRC checks. ``synthesize_media`` emits real decodable PNGs, so
 ``decode_images`` and ``resize_images`` run genuine codec work
 end-to-end in this container.
 
+Also real: a WAV audio codec — ``encode_wav``/``decode_wav`` handle
+RIFF/PCM 16-bit mono/stereo on stdlib struct + numpy, and
+``extract_audio_features`` computes duration / RMS energy / zero-
+crossing rate / peak over decoded samples (the audio-quality filters a
+training pipeline gates on).
+
 Still stubbed: formats whose codecs genuinely need external libraries
 — JPEG decode and video frame extraction (ffmpeg). ``decode_images``
 raises NotImplementedError for non-PNG payloads; ``sample_frames``
@@ -171,17 +177,76 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# WAV codec (RIFF/PCM, stdlib struct + numpy). 16-bit signed PCM,
+# mono/stereo — the canonical uncompressed interchange format; the
+# subset an audio-quality gate needs before handing compressed formats
+# to an external decoder.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 PCM samples (shape (n,) mono or (n, 2) stereo) as a
+    RIFF/WAVE file: RIFF header + fmt chunk (PCM) + data chunk."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"need int16 samples, got {samples.dtype}")
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
+    data = samples.tobytes()  # int16 is little-endian on all our targets
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE file to (sample_rate, channels, int16 array
+    of shape (n_frames, channels)). PCM 16-bit only
+    (NotImplementedError otherwise — compressed codecs are external)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, channels, pcm = 12, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM supported"
+                )
+        elif tag == b"data":
+            pcm = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    samples = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    return sample_rate, channels, samples
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 
 
 def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic media table derived from `documents` (the container
-    ships no binary fixtures): each payload is a REAL 8×8 grayscale PNG
-    whose pixels are the md5 stream of the text — decodable by
-    ``decode_images`` (or any PNG reader), so the whole codec path runs
-    for real. Arrow-batched encode kernel; one map, no shuffle."""
+    ships no binary fixtures): each IMAGE payload is a REAL 8×8
+    grayscale PNG whose pixels are the md5 stream of the text; each
+    AUDIO payload is a REAL 16 kHz mono WAV of a short md5-seeded sine
+    tone — both decodable by this module's codecs (or any standard
+    reader), so the whole codec path runs for real. Arrow-batched
+    encode kernel; one map, no shuffle."""
     from pyspark.sql.functions import pandas_udf
+
+    if kind not in ("image", "audio"):
+        raise ValueError(f"kind must be image|audio, got {kind!r}")
 
     @pandas_udf("binary")
     def make_png(text: pd.Series) -> pd.Series:
@@ -191,12 +256,25 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
             out.append(encode_png((d * 4)[:64], 8, 8, 1))
         return pd.Series(out)
 
-    payload = make_png(F.col("text"))
+    @pandas_udf("binary")
+    def make_wav(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            d = hashlib.md5(("" if t is None else t).encode()).digest()
+            freq = 200 + d[0] * 8  # 200-2240 Hz, text-deterministic
+            n = 1600 + d[1] * 16  # 0.1-0.35 s at 16 kHz
+            ts = np.arange(n, dtype=np.float64) / 16000.0
+            tone = (np.sin(2 * np.pi * freq * ts) * (d[2] + 1) * 100).astype(np.int16)
+            out.append(encode_wav(tone, 16000))
+        return pd.Series(out)
+
+    payload = make_png(F.col("text")) if kind == "image" else make_wav(F.col("text"))
+    mime = "image/png" if kind == "image" else "audio/wav"
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
         payload.alias("payload"),
-        F.lit("image/png").alias("mime"),
+        F.lit(mime).alias("mime"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
 
@@ -316,6 +394,59 @@ def resize_images(decoded: DataFrame, out_w: int = 32, out_h: int = 32) -> DataF
             )
 
     return decoded.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("zero_cross_rate_ppm", IntegerType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads with the REAL stdlib codec and compute the
+    audio-quality features a training pipeline gates on: duration, RMS
+    energy, peak amplitude, zero-crossing rate (all integer-quantized
+    so results are bit-stable across partitionings — rms/peak in int16
+    units, ZCR in crossings per million frame steps). Non-audio and
+    null rows are dropped; numpy-vectorized per payload, pure map, no
+    shuffle at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if sniff_mime(data) != "audio/wav":
+                    continue
+                rate, ch, samples = decode_wav(data)
+                mono = samples.astype(np.int64).mean(axis=1)
+                n = len(mono)
+                crossings = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "n_frames": n,
+                        "duration_ms": int(n * 1000 // rate),
+                        "rms": int(np.sqrt(np.mean(mono**2))) if n else 0,
+                        "peak": int(np.abs(samples).max()) if n else 0,
+                        "zero_cross_rate_ppm": int(crossings * 1_000_000 // max(1, n - 1)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, use_fake: bool = False) -> DataFrame:

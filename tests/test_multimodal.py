@@ -148,6 +148,48 @@ def test_resize_real_nearest_neighbor(spark, media):
         assert bytes(r["pixels"]) == img[::2, ::2].tobytes()
 
 
+def test_wav_round_trip_mono_and_stereo():
+    mono = (np.sin(np.arange(800) / 5.0) * 3000).astype(np.int16)
+    rate, ch, out = mm.decode_wav(mm.encode_wav(mono, 8000))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out[:, 0], mono)
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    rate, ch, out = mm.decode_wav(mm.encode_wav(stereo, 44100))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, stereo)
+
+
+def test_wav_rejects_non_pcm():
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxJUNK")
+    # float-format WAV (fmt tag 3) is out of scope -> NotImplementedError
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_pipeline_real(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(30)
+    audio = mm.synthesize_media(docs, kind="audio")
+    row = audio.first()
+    assert mm.sniff_mime(bytes(row["payload"])) == "audio/wav"
+    feats = mm.extract_audio_features(audio).collect()
+    assert len(feats) == 30
+    raw = {r["media_id"]: bytes(r["payload"]) for r in audio.collect()}
+    for r in feats:
+        assert r["sample_rate"] == 16000
+        assert r["channels"] == 1
+        assert r["duration_ms"] == r["n_frames"] * 1000 // 16000
+        assert 0 < r["rms"] <= r["peak"] <= 32767
+        # a sine tone crosses zero ~2x per period: ZCR tracks frequency
+        rate, _, samples = mm.decode_wav(raw[r["media_id"]])
+        assert r["n_frames"] == len(samples)
+    # image payloads are skipped, not mangled
+    images = mm.synthesize_media(docs, kind="image")
+    assert mm.extract_audio_features(images).count() == 0
+
+
 def test_frame_sampling_one_to_many(spark, media):
     frames = mm.sample_frames(media, every_n=1, use_fake=True)
     n = frames.count()
