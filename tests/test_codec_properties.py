@@ -1,0 +1,141 @@
+"""Fuzzed invariants for the real codec kernels (hypothesis, no Spark)
+plus the winnowing guarantee (one batched Spark job): these are the
+components whose failure modes are silent data corruption, so they get
+adversarial inputs, not just the fixture corpus."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from e_commerce_lakehouse_spark.operators import multimodal as mm
+
+# -- PNG --------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_shape(w, h, channels, data):
+    n = w * h * channels
+    pix = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    assert mm.decode_png(mm.encode_png(pix, w, h, channels)) == (w, h, channels, pix)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_decoder_defilters_random_filter_choices(w, h, channels, data):
+    """Encode with RANDOM per-scanline filter types (our encoder only
+    emits filter 0, but real PNGs use all five) and require the decoder
+    to recover the exact pixels."""
+    stride = w * channels
+    img = np.frombuffer(
+        bytes(data.draw(st.binary(min_size=stride * h, max_size=stride * h))),
+        dtype=np.uint8,
+    ).reshape(h, stride)
+    filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+    lines, prev = [], np.zeros(stride, dtype=int)
+    for y, f in enumerate(filters):
+        cur = img[y].astype(int)
+        enc = np.zeros(stride, dtype=int)
+        for x in range(stride):
+            a = cur[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) % 256
+        lines.append(bytes([f]) + bytes(enc.tolist()))
+        prev = cur
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert mm.decode_png(png) == (w, h, channels, img.tobytes())
+
+
+# -- WAV --------------------------------------------------------------------
+
+
+@given(
+    n=st.integers(1, 4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    stereo=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_signal(n, rate, stereo, data):
+    raw = bytes(data.draw(st.binary(min_size=n * 2 * (2 if stereo else 1),
+                                    max_size=n * 2 * (2 if stereo else 1))))
+    samples = np.frombuffer(raw, dtype=np.int16)
+    if stereo:
+        samples = samples.reshape(-1, 2)
+    out_rate, out_ch, out = mm.decode_wav(mm.encode_wav(samples, rate))
+    assert (out_rate, out_ch) == (rate, 2 if stereo else 1)
+    assert np.array_equal(out, samples.reshape(-1, 2 if stereo else 1))
+
+
+# -- Winnowing guarantee (batched Spark) -------------------------------------
+
+
+def test_winnowing_guarantee_planted_substrings(spark):
+    """Schleimer/Wilkerson/Aiken theorem: any shared substring of
+    k + window - 1 tokens forces a shared fingerprint. Plant a common
+    run of exactly that length into 40 otherwise-disjoint random doc
+    pairs (one Spark job, seeded RNG) and require overlap in every
+    pair; also require disjoint-vocabulary pairs to share nothing."""
+    import random
+
+    from e_commerce_lakehouse_spark.operators.text import winnowing_fingerprints
+
+    k, window = 3, 4
+    guarantee = k + window - 1  # 6 shared tokens
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        shared = [f"s{i}_{j}" for j in range(guarantee)]
+        mk = lambda tag: [
+            f"{tag}{i}_{rng.randrange(1000)}" for _ in range(rng.randrange(4, 30))
+        ]
+        rows.append((2 * i, " ".join(mk("a") + shared + mk("b"))))
+        rows.append((2 * i + 1, " ".join(mk("c") + shared + mk("d"))))
+    # 10 control pairs with fully disjoint vocabularies
+    for i in range(40, 50):
+        rows.append((2 * i, " ".join(f"x{i}_{j}" for j in range(12))))
+        rows.append((2 * i + 1, " ".join(f"y{i}_{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fps"].split(","))
+        for r in winnowing_fingerprints(docs, k=k, window=window).collect()
+    }
+    for i in range(40):
+        assert fps[2 * i] & fps[2 * i + 1], f"planted pair {i} shares no fingerprint"
+    for i in range(40, 50):
+        assert not (fps[2 * i] & fps[2 * i + 1]), f"control pair {i} overlaps"
