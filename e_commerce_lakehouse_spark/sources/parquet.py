@@ -50,12 +50,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(raw.schema["ts"].dataType, LongType):
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             return raw.withColumn("ts_ns", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        if isinstance(ts_type, TimestampNTZType):
+            # Naive micros parquet (no isAdjustedToUTC): interpret the
+            # wall-clock as UTC — the session tz is pinned UTC above, so
+            # the NTZ→LTZ cast is deterministic and downstream queries
+            # see the exact ts/ts_ns the NANOS and LTZ layouts produce.
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return spark.read.parquet(path)
 
