@@ -16,9 +16,11 @@ Scale notes (100 TB):
   - exact_dedup: one shuffle on the 128-bit digest — the canonical
     map-side-combine groupBy; skew impossible (hash keys uniform).
   - minhash_lsh: per-row signature (cheap map) → explode bands (xB rows)
-    → groupBy band-hash (uniform keys) → pairs only within buckets.
-    This is the linear-ish scale path; exact Jaccard verification runs
-    only on bucket-mates.
+    → bounded bucket-mate pairing (operators/buckets.py) → exact
+    Jaccard verification only on candidates. Band-hash keys are NOT
+    uniformly small on real corpora (boilerplate classes collide on
+    every band); over-cap buckets switch to star/grid pairing with
+    explicit overflow accounting instead of a single-task collect_list.
   - ngram_jaccard_pairs on a full corpus is quadratic — use only on a
     bounded candidate set (LSH buckets or a sampled probe set).
 """
@@ -30,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import buckets
 from .parallelize import spread_for_cpu
 from .text import tokens
 
@@ -258,26 +261,88 @@ def minhash_lsh_pairs(
     threshold_pct: int = 50,
     shingle: int = 3,
     sigs: DataFrame | None = None,
+    hot_cap: int = buckets.DEFAULT_HOT_CAP,
+    hot_mode: str = "star",
 ) -> DataFrame:
     """Near-dup pairs via LSH banding + exact Jaccard verification.
 
     Pipeline: signature (map) → explode into ``bands`` band-keys
-    (band index + md5 of that signature slice) → self-join per bucket
-    (groupBy collects only bucket-mates) → exact Jaccard on candidates.
+    (band index + md5 of that signature slice) → bounded bucket-mate
+    pairing (operators/buckets.py) → exact Jaccard on candidates.
 
     At 100 TB this is THE near-dup plan: the only shuffles are on
-    uniform band-hash keys and candidate pairs are a tiny fraction of
-    N².
+    band-hash keys and candidate pairs are a tiny fraction of N².
+    Band-hash buckets are NOT uniformly small on real corpora —
+    boilerplate/near-identical documents collide on every band, so one
+    bucket can hold an entire duplicate class. Pairing therefore goes
+    through ``bucket_mate_pairs``: exact all-pairs up to ``hot_cap``
+    members, then connectivity-preserving star pairing (or exact
+    grid-split pairing with ``hot_mode="grid"``) with overflow
+    accounting via ``lsh_bucket_overflow``.
 
     ``sigs`` lets callers pass a precomputed/persisted signature frame
     (doc_id, signature) — e.g. ``corpus_cache.shared_df`` — so several
     queries over the same corpus hash it once, not once each.
     """
-    rows_per_band = num_hashes // bands
     documents = spread_for_cpu(documents)
     if sigs is None:
         sigs = minhash_signature(documents, num_hashes, shingle)
-    banded = sigs.select(
+    banded = _minhash_banded(sigs, num_hashes, bands)
+
+    candidates = buckets.bucket_mate_pairs(
+        banded, ["band", "band_key"], "doc_id", hot_cap=hot_cap, hot_mode=hot_mode
+    ).withColumnsRenamed({"a": "a_id", "b": "b_id"}).distinct()
+
+    # exact-verify side: join the candidate pairs (tiny at scale) back
+    # to the two texts and compute shingle-set Jaccard per pair in one
+    # Arrow kernel — candidates is referenced once, so the signature
+    # pass over the full corpus runs exactly once.
+    txt = documents.select("doc_id", "text")
+    pairs = candidates.join(
+        txt.withColumnsRenamed({"doc_id": "a_id", "text": "a_text"}), "a_id"
+    ).join(txt.withColumnsRenamed({"doc_id": "b_id", "text": "b_text"}), "b_id")
+    iu = jaccard_iu_udf(shingle)
+    return (
+        pairs.select("a_id", "b_id", iu("a_text", "b_text").alias("_iu"))
+        .select("a_id", "b_id", F.col("_iu.i").alias("i"), F.col("_iu.u").alias("u"))
+        .filter(F.col("i") * 100 >= F.col("u") * threshold_pct)
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("i").cast("double") / F.col("u").cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def lsh_bucket_overflow(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    sigs: DataFrame | None = None,
+    hot_cap: int = buckets.DEFAULT_HOT_CAP,
+    hot_mode: str = "star",
+) -> DataFrame:
+    """Accounting report for ``minhash_lsh_pairs``'s over-cap buckets:
+    one row per degenerate band bucket (band, band_key, bucket_size,
+    pairs_emitted, pairs_suppressed). Empty on healthy corpora; at
+    web scale these rows are the boilerplate-class dedup report."""
+    if sigs is None:
+        sigs = minhash_signature(spread_for_cpu(documents), num_hashes, shingle)
+    return buckets.bucket_overflow_stats(
+        _minhash_banded(sigs, num_hashes, bands),
+        ["band", "band_key"],
+        "doc_id",
+        hot_cap=hot_cap,
+        hot_mode=hot_mode,
+    )
+
+
+def _minhash_banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_key) — one row per document per band; the
+    band key is md5 of that signature slice."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -299,42 +364,6 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
-
-    # bucket-mate pairs via groupBy + double explode: the signature
-    # subtree is referenced ONCE (a banded self-join would evaluate the
-    # whole signature pass twice). Band-hash buckets only collect true
-    # collision groups, so collect_list stays small by construction.
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    candidates = (
-        buckets.select(F.explode("ids").alias("a_id"), "ids")
-        .select("a_id", F.explode("ids").alias("b_id"))
-        .filter(F.col("a_id") < F.col("b_id"))
-        .distinct()
-    )
-
-    # exact-verify side: join the candidate pairs (tiny at scale) back
-    # to the two texts and compute shingle-set Jaccard per pair in one
-    # Arrow kernel — candidates is referenced once, so the signature
-    # pass over the full corpus runs exactly once.
-    txt = documents.select("doc_id", "text")
-    pairs = candidates.join(
-        txt.withColumnsRenamed({"doc_id": "a_id", "text": "a_text"}), "a_id"
-    ).join(txt.withColumnsRenamed({"doc_id": "b_id", "text": "b_text"}), "b_id")
-    iu = jaccard_iu_udf(shingle)
-    return (
-        pairs.select("a_id", "b_id", iu("a_text", "b_text").alias("_iu"))
-        .select("a_id", "b_id", F.col("_iu.i").alias("i"), F.col("_iu.u").alias("u"))
-        .filter(F.col("i") * 100 >= F.col("u") * threshold_pct)
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("i").cast("double") / F.col("u").cast("double")).alias("jaccard"),
-        )
-    )
 
 
 def minhash_lsh_incremental(

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import buckets
 from .parallelize import spread_for_cpu
 
 QUANT = 1_000_000  # micro-unit quantization for exact integer vector math
@@ -345,6 +346,8 @@ def embedding_neardup_pairs(
     bands: int = 4,
     seed: int = 7,
     dim: int = 64,
+    hot_cap: int = buckets.DEFAULT_HOT_CAP,
+    hot_mode: str = "star",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded sign-LSH blocking
     (candidates share ≥1 of `bands` sign-bit band codes) then an exact
@@ -352,11 +355,19 @@ def embedding_neardup_pairs(
     lacks; semantics mirror classic SimHash/MinHash banding but over
     dense vectors.
 
-    Scale path: the band self-join shuffles on (band_idx, band_val) —
-    bucket sizes are ~N/2^(planes/bands) per band, so skew is bounded;
-    candidate ids are deduped BEFORE vectors are re-attached, so wide
-    vector payloads never ride through the LSH shuffle. At 100 TB the
-    two id→vector joins are plain shuffle-hash joins on vec_id.
+    Scale path: the band pairing shuffles on (band_idx, band_val).
+    Real embedding spaces are CLUSTERED — a dense cluster (the normal
+    near-dup case) lands its whole membership in one band bucket, so
+    bucket sizes are not bounded by the ~N/2^(planes/bands) uniform
+    estimate. Pairing therefore goes through
+    ``buckets.bucket_mate_pairs``: exact all-pairs up to ``hot_cap``
+    members per bucket, then connectivity-preserving star pairing (or
+    exact grid-split with ``hot_mode="grid"``); over-cap buckets are
+    reported by ``embedding_bucket_overflow``, never truncated
+    silently. Candidate ids are deduped BEFORE vectors are re-attached,
+    so wide vector payloads never ride through the LSH shuffle. At
+    100 TB the two id→vector joins are plain shuffle-hash joins on
+    vec_id.
 
     The threshold default (0.35) is tuned to the driver's synthetic
     corpus (max pairwise cosine ≈ 0.48); real near-dup corpora would
@@ -366,22 +377,12 @@ def embedding_neardup_pairs(
     numpy kernels — same exact integer math as the HOF expressions, see
     the module's vectorized-kernels section.
     """
-    planes_arr = hyperplanes(planes, dim, seed)
-    codes = band_codes_udf(planes_arr, bands)
-    sk = embeddings.select(
-        "vec_id", F.posexplode(codes("embedding")).alias("band_idx", "band_val")
-    )
-    # bucket-mate pairs via groupBy + double explode — a banded
-    # self-join would evaluate the band-codes kernel twice
-    buckets = (
-        sk.groupBy("band_idx", "band_val")
-        .agg(F.collect_list("vec_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    sk = _banded_sign_codes(embeddings, planes, bands, seed, dim)
     cand = (
-        buckets.select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.bucket_mate_pairs(
+            sk, ["band_idx", "band_val"], "vec_id", hot_cap=hot_cap, hot_mode=hot_mode
+        )
+        .withColumnsRenamed({"a": "id_a", "b": "id_b"})
         .distinct()
     )
     va = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
@@ -391,6 +392,39 @@ def embedding_neardup_pairs(
         pairs.withColumn("cosine", cosine_pair_udf()(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_bucket_overflow(
+    embeddings: DataFrame,
+    planes: int = 32,
+    bands: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    hot_cap: int = buckets.DEFAULT_HOT_CAP,
+    hot_mode: str = "star",
+) -> DataFrame:
+    """Accounting report for ``embedding_neardup_pairs``'s over-cap
+    sign-LSH buckets (band_idx, band_val, bucket_size, pairs_emitted,
+    pairs_suppressed) — the dense-cluster report at scale."""
+    return buckets.bucket_overflow_stats(
+        _banded_sign_codes(embeddings, planes, bands, seed, dim),
+        ["band_idx", "band_val"],
+        "vec_id",
+        hot_cap=hot_cap,
+        hot_mode=hot_mode,
+    )
+
+
+def _banded_sign_codes(
+    embeddings: DataFrame, planes: int, bands: int, seed: int, dim: int
+) -> DataFrame:
+    """(vec_id, band_idx, band_val) — one row per vector per sign-LSH
+    band (Arrow-batched band-codes kernel)."""
+    planes_arr = hyperplanes(planes, dim, seed)
+    codes = band_codes_udf(planes_arr, bands)
+    return embeddings.select(
+        "vec_id", F.posexplode(codes("embedding")).alias("band_idx", "band_val")
     )
 
 

@@ -36,10 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     calendar/timestamp semantics regardless of who built the session:
       - session timezone pinned to UTC (year()/month() over naive
         timestamps must not depend on host tz);
-      - ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark can't
-        read natively: read as nanos-long, keep full precision in
-        ``ts_ns``, and expose ``ts`` truncated to microseconds (the same
-        truncation DuckDB applies when it reads NANOS parquet).
+      - ``events.ts`` arrives in one of two driver-generated layouts —
+        TIMESTAMP(NANOS) parquet (read as nanos-long, Spark has no
+        native NANOS type) or naive-micros TIMESTAMP_NTZ parquet — and
+        BOTH are normalized to the same surface: UTC-interpreted LTZ
+        ``ts`` (micros precision, the truncation DuckDB applies to
+        NANOS) plus full-precision long ``ts_ns``. Never unix_micros a
+        raw events scan; always come through here.
     """
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -50,7 +53,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
         ts_type = raw.schema["ts"].dataType
         if isinstance(ts_type, LongType):
@@ -59,10 +62,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         if isinstance(ts_type, TimestampNTZType):
             # Naive micros parquet (no isAdjustedToUTC): interpret the
-            # wall-clock as UTC — the session tz is pinned UTC above, so
-            # the NTZ→LTZ cast is deterministic and downstream queries
-            # see the exact ts/ts_ns the NANOS and LTZ layouts produce.
-            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            # wall-clock as UTC. That is only deterministic if the
+            # session tz pin above actually took — fail loudly rather
+            # than silently producing host-tz-shifted ts/ts_ns. The
+            # cast target is an explicit TimestampType() so a session
+            # that overrides spark.sql.timestampType to NTZ can't turn
+            # the cast into a no-op.
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                raise RuntimeError(
+                    "events NTZ normalization requires session timeZone=UTC; "
+                    "got %r — the NTZ->LTZ cast would be host-tz dependent"
+                    % spark.conf.get("spark.sql.session.timeZone")
+                )
+            raw = raw.withColumn("ts", F.col("ts").cast(TimestampType()))
         return raw.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return spark.read.parquet(path)
 
@@ -70,11 +82,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLE_NAMES
 ) -> dict[str, DataFrame]:
+    """Load every table through ``load_table`` so the ``events``
+    normalization (UTC-pinned LTZ ``ts`` + long ``ts_ns``) is identical
+    whether a consumer reaches the table as a DataFrame or as the
+    ``events`` temp view registered by ``register_views``."""
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

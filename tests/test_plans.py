@@ -81,13 +81,16 @@ def test_arrow_kernels_evaluate_once(spark):
     prevents it, and localCheckpoint-materialized intermediates must
     hide their kernel from downstream plans entirely. This gate
     catches any regression."""
-    # q21: signature kernel is behind the session-cached checkpoint, so
-    # only the pair-verify kernel may appear
+    # q21: signature kernel is behind the session-cached checkpoint AND
+    # the banded index is checkpoint-materialized by bucket_mate_pairs,
+    # so only the pair-verify kernel may appear
     plan = plan_of(Q["q21_minhash_lsh_pairs"](spark, SF_SMALL))
     assert plan.count(") ArrowEvalPython") == 1, plan.count(") ArrowEvalPython")
-    # q38: band-codes kernel once + pairwise-cosine kernel once
+    # q38: the band-codes kernel ran once when bucket_mate_pairs
+    # checkpointed the banded index; only the pairwise-cosine verify
+    # kernel may appear downstream
     plan = plan_of(Q["q38_embedding_neardup"](spark, SF_SMALL))
-    assert plan.count(") ArrowEvalPython") == 2, plan.count(") ArrowEvalPython")
+    assert plan.count(") ArrowEvalPython") == 1, plan.count(") ArrowEvalPython")
     # q18: simhash kernel once (md5/minhash columns are JVM expressions)
     plan = plan_of(Q["q18_doc_fingerprints"](spark, SF_SMALL))
     assert plan.count(") ArrowEvalPython") == 1, plan.count(") ArrowEvalPython")
