@@ -598,23 +598,49 @@ def _q32_full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate sketches (HLL distinct + quantile) — rows-only check
-    (engine-specific sketch values); property-tested against exact
-    values in tests/. The percentile array is projected into SCALAR
-    columns so the driver canonicalizer can hash the frame (round-1
-    q44 erred on the array column)."""
+    """Approximate sketches (HLL distinct + quantile) with a
+    HASH-VERIFIED driver row: sketch VALUES are engine-specific (HLL ≠
+    DuckDB's estimator), so the hashed columns are the exact
+    counterparts (exact distinct count + exact interpolated cents
+    percentiles, q40's technique) plus ``sketch_ok`` — an in-row
+    tolerance check that the sketches actually ran and landed within
+    their error bounds (HLL rsd 5% → 10% gate; KLL accuracy 10000 → 2%
+    value gate). The oracle emits the same exact columns and a
+    constant 1, so a sketch regression flips the row red instead of
+    hiding behind a rows-only check. Sketch-vs-exact tolerance is
+    additionally property-tested in tests/test_properties.py."""
     li = load_table(spark, sf, "lineitem")
+    p_cents = money.CENTS_SQL.format(x="l_extendedprice")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            (F.expr(f"percentile({p_cents}, 0.5)") / 100.0).alias("price_p50"),
+            (F.expr(f"percentile({p_cents}, 0.95)") / 100.0).alias("price_p95"),
+            F.approx_count_distinct("l_partkey").alias("_approx_parts"),
             F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pp"),
         )
         .select(
             "l_returnflag",
-            "approx_parts",
-            F.element_at("_pp", 1).alias("price_p50"),
-            F.element_at("_pp", 2).alias("price_p95"),
+            "exact_parts",
+            "price_p50",
+            "price_p95",
+            (
+                (
+                    F.abs(F.col("_approx_parts") - F.col("exact_parts")) * 10
+                    <= F.col("exact_parts")
+                )
+                & (
+                    F.abs(F.element_at("_pp", 1) - F.col("price_p50"))
+                    <= F.col("price_p50") * 0.02
+                )
+                & (
+                    F.abs(F.element_at("_pp", 2) - F.col("price_p95"))
+                    <= F.col("price_p95") * 0.02
+                )
+            )
+            .cast("int")
+            .alias("sketch_ok"),
         )
     )
 
@@ -1698,6 +1724,17 @@ def oracle_sql() -> dict[str, str]:
                        / 100.0 AS total_spend
             FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY 1, 2
+        """,
+        "q33_approx_sketches": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS exact_parts,
+                   quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
+                                 0.5) / 100.0 AS price_p50,
+                   quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
+                                 0.95) / 100.0 AS price_p95,
+                   CAST(1 AS INT) AS sketch_ok
+            FROM lineitem
+            GROUP BY 1
         """,
         "q34_stratified_sample": """
             SELECT doc_id, lang, source
