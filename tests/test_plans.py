@@ -99,6 +99,13 @@ def test_arrow_kernels_evaluate_once(spark):
     # (= be re-evaluated by) the downstream join plan
     plan = plan_of(Q["q22_ann_lsh"](spark, SF_SMALL))
     assert plan.count(") ArrowEvalPython") == 0, plan.count(") ArrowEvalPython")
+    # q50/q51: the PNG/WAV encode kernels are behind the shared-media
+    # checkpoints (each runs ONCE even though both frames have two
+    # consumers) — no pandas_udf may appear in the downstream plans,
+    # only the mapInPandas feature/decode stages
+    for q in ("q50_multimodal_features", "q51_media_manifest"):
+        plan = plan_of(Q[q](spark, SF_SMALL))
+        assert plan.count(") ArrowEvalPython") == 0, (q, plan)
 
 
 def test_corpus_cache_shares_one_frame(spark):
