@@ -624,15 +624,25 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     additionally property-tested in tests/test_properties.py."""
     li = load_table(spark, sf, "lineitem")
     p_cents = money.CENTS_SQL.format(x="l_extendedprice")
+    # exact distinct as a TWO-LEVEL group-by, not count(DISTINCT) in
+    # the sketch agg: mixing a distinct aggregate with percentile
+    # buffers forces Spark's Expand+sort-agg rewrite (~8x slower
+    # measured, and a full-width row expansion at 100 TB); two hash
+    # aggregates + a 3-row broadcast join stay partial-agg safe.
+    exact_distinct = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    sketches = li.groupBy("l_returnflag").agg(
+        (F.expr(f"percentile({p_cents}, 0.5)") / 100.0).alias("price_p50"),
+        (F.expr(f"percentile({p_cents}, 0.95)") / 100.0).alias("price_p95"),
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pp"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_partkey").alias("exact_parts"),
-            (F.expr(f"percentile({p_cents}, 0.5)") / 100.0).alias("price_p50"),
-            (F.expr(f"percentile({p_cents}, 0.95)") / 100.0).alias("price_p95"),
-            F.approx_count_distinct("l_partkey").alias("_approx_parts"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pp"),
-        )
+        sketches.join(F.broadcast(exact_distinct), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",

@@ -8,7 +8,9 @@ collect overhead). Each query is timed individually over
 $SPARK_GRAFT_BENCH_RUNS passes (default 3); the per-query number is the
 MIN across passes — single-run timings at this scale swing ~2x both
 directions on identical code, which makes round-over-round regression
-detection impossible. `value` is the sum of per-query minimums.
+detection impossible. `value` is the sum of per-query minimums;
+`queries_median`/`total_median` expose the per-query medians so tail
+variance is visible alongside the best case.
 
 Between queries, leftover checkpoint blocks are dropped EXCEPT the
 corpus_cache frames — those model persisted cross-query indexes and are
@@ -19,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -89,15 +92,19 @@ def main() -> None:
         )
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _ in range(n_runs):
         for name in sorted(qs):
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            samples.setdefault(name, []).append(elapsed)
             release_leftovers()
 
+    # min = best-case (regression detection); median alongside so tail
+    # variance is visible round-over-round instead of hidden by min
+    timings = {name: min(ts) for name, ts in samples.items()}
+    medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     corpus_cache.clear(spark)
     print(
@@ -107,6 +114,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "total_median": round(sum(medians.values()), 3),
                 "sf": sf,
                 "runs": n_runs,
             }
