@@ -1,0 +1,505 @@
+"""Baseline JPEG codec — pure stdlib + numpy (no external image
+library), closing the codec-table gap called out in round 2: real
+corpora are mostly JPEG, and `decode_images` previously raised for
+them.
+
+Scope (and honest boundaries):
+  - ENCODE: baseline sequential DCT (SOF0), 8-bit, grayscale or RGB as
+    YCbCr 4:4:4 (no chroma subsampling), standard-shaped quant tables
+    scaled by `quality`, canonical Huffman tables written to DHT.
+  - DECODE: baseline sequential (SOF0), 8-bit, 1- or 3-component,
+    4:4:4 only (every component h=v=1), restart intervals supported.
+    Progressive (SOF2), subsampled 4:2:0/4:2:2, arithmetic coding, and
+    12-bit raise NotImplementedError — those need a full libjpeg, not
+    a training-pipeline thumbnail path.
+
+Determinism: encode is pure integer/float math with fixed tables — the
+same pixels always produce the same bytes; decode reads quant/Huffman
+tables from the stream, so round-trip correctness is self-contained
+(tables in the file, not assumptions in the reader).
+
+Performance shape: the per-payload work is Python+numpy inside Arrow
+`mapInPandas` batches (operators/multimodal.py) — a pure map, no
+shuffle, linear scale-out; a production cluster would swap this kernel
+for libjpeg-turbo behind the same DataFrame signature.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag scan order: index i of the scan -> (row, col) flat index
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex-K-shaped base quantization tables (luminance / chrominance)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Huffman table specs: (bits[1..16] code-length histogram, symbol list).
+# DC symbols are magnitude categories 0..11; AC symbols are
+# (run << 4) | size pairs covering every value the encoder can emit
+# (all runs 0..15 x sizes 1..10, plus EOB 0x00 and ZRL 0xF0). Written
+# to DHT verbatim, so decode correctness never depends on these being
+# any particular "standard" ordering.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+
+def _ac_table_spec() -> tuple[list[int], list[int]]:
+    """A valid canonical AC Huffman spec covering all 162 baseline AC
+    symbols: EOB and ZRL get short codes, low-run/low-size symbols get
+    mid-length codes, everything else shares the long tail. Simple flat
+    assignment: 2 symbols at 4 bits, 30 at 8 bits, 130 at 12 bits
+    (Kraft sum 2/16 + 30/256 + 130/4096 = 0.274 < 1 — prefix-free)."""
+    syms = [0x00, 0xF0]  # EOB, ZRL first (shortest codes)
+    for run in range(16):
+        for size in range(1, 11):
+            syms.append((run << 4) | size)
+    bits = [0] * 16
+    bits[3] = 2  # 4-bit codes (bits[i] = count of (i+1)-bit codes)
+    bits[7] = 30  # 8-bit codes
+    bits[11] = 130  # 12-bit codes
+    assert sum(bits) == len(syms) == 162
+    return bits, syms
+
+
+_AC_BITS, _AC_VALS = _ac_table_spec()
+
+# 8x8 type-II DCT basis: C[u, x] = alpha(u)/2 * cos((2x+1) u pi / 16)
+_C = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _C[_u, _x] = (
+            (np.sqrt(1 / 8) if _u == 0 else 0.5)
+            * np.cos((2 * _x + 1) * _u * np.pi / 16)
+        )
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 1..100 -> scaled table clamped to
+    [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+    def marker(self, byte2: int) -> None:
+        """Emit a raw 0xFF xx marker (byte-aligned, no stuffing)."""
+        self.byte_align()
+        self.buf += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.byte_align()
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = int(a).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """Pad (edge-replicate) to multiples of 8 and return
+    (n_blocks_y, n_blocks_x, 8, 8)."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return p.reshape(p.shape[0] // 8, 8, p.shape[1] // 8, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 90,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw 8-bit pixels (row-major, channels in {1: gray,
+    3: RGB}) as a baseline sequential JFIF JPEG (4:4:4, no
+    subsampling). ``restart_interval`` > 0 writes a DRI segment and
+    RSTn markers every N MCUs — the resync points a parallel or
+    fault-tolerant reader keys on."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"need {width * height * channels} pixel bytes, got {len(pixels)}"
+        )
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 3:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [img[..., 0].astype(np.float64)]
+
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    quants = [ql] + [qc] * (len(planes) - 1)
+
+    dc_codes = _huffman_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huffman_codes(_AC_BITS, _AC_VALS)
+
+    # quantized coefficients per component: forward DCT is
+    # C @ block @ C.T batched over all blocks
+    comp_coeffs = []
+    for plane, q in zip(planes, quants):
+        blk = _blocks(plane) - 128.0
+        by, bx = blk.shape[:2]
+        dct = _C @ blk.reshape(-1, 8, 8) @ _C.T
+        qz = np.round(dct / q.reshape(8, 8)).astype(np.int64)
+        comp_coeffs.append(qz.reshape(by, bx, 8, 8))
+
+    # entropy-code interleaved MCUs (4:4:4 -> one block per component)
+    bw = _BitWriter()
+    by, bx = comp_coeffs[0].shape[:2]
+    prev_dc = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * len(planes)
+            mcu_count += 1
+            for ci, qz in enumerate(comp_coeffs):
+                block = qz[y, x].reshape(64)[ZIGZAG]
+                diff = int(block[0]) - prev_dc[ci]
+                prev_dc[ci] = int(block[0])
+                size, mag = _magnitude(diff)
+                code, ln = dc_codes[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(mag, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(block)[0])) if np.any(block[1:]) else 0
+                for k in range(1, 64):
+                    v = int(block[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    size, mag = _magnitude(v)
+                    code, ln = ac_codes[(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(mag, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_codes[0x00]  # EOB
+                    bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if len(planes) == 3:
+        out += seg(0xFFDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    # SOF0: precision 8, dims, components (id, sampling 0x11, quant id)
+    comps = b"".join(
+        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(len(planes))
+    )
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, len(planes)) + comps)
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if len(planes) == 3:
+        out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    # SOS: every component uses (dc table, ac table) = (0,0) for luma,
+    # (1,1) for chroma
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)]) + b"".join(
+        bytes([i + 1, 0x00 if i == 0 else 0x11]) for i in range(len(planes))
+    ) + bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded segment")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                # restart marker consumed by caller via sync(); landing
+                # here means coefficients overran the interval
+                raise ValueError("unexpected restart marker inside block")
+            else:
+                raise ValueError(f"unexpected marker 0xff{nxt:02x} in scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.nbits = 0
+        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return
+            break
+        raise ValueError("expected restart marker")
+
+
+def _huffman_tree(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for canonical codes."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG to (width, height, channels,
+    raw 8-bit pixels — gray or RGB). Progressive / subsampled /
+    arithmetic / 12-bit inputs raise NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, quant_id)
+    width = height = -1
+    restart_interval = 0
+    scan_comps: list[tuple[int, int, int]] = []
+    scan_start = -1
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        payload = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                prec, tid = payload[p] >> 4, payload[p] & 0xF
+                if prec:
+                    raise NotImplementedError("16-bit quant tables (12-bit JPEG)")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
+                quant[tid] = tbl
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = payload[p + 1 : p + 17]
+                n = sum(bits)
+                vals = payload[p + 17 : p + 17 + n]
+                (huff_dc if cls == 0 else huff_ac)[tid] = _huffman_tree(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, height, width, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG (only 8-bit baseline)")
+            for i in range(nc):
+                cid, samp, qid = payload[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (only 4:4:4/gray); "
+                        "subsampling needs a full decoder"
+                    )
+                comps.append((cid, samp, qid))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0} JPEG (progressive/arithmetic) — baseline only"
+            )
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:
+            ns = payload[0]
+            for i in range(ns):
+                cid, tids = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_comps.append((cid, tids >> 4, tids & 0xF))
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+
+    if scan_start < 0 or width < 0:
+        raise ValueError("missing SOS/SOF segment")
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(f"{len(comps)}-component JPEG (1 or 3 only)")
+
+    br = _BitReader(data[scan_start:])
+    by, bx = (height + 7) // 8, (width + 7) // 8
+    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
+    prev_dc = [0] * len(comps)
+    mcu_count = 0
+    comp_by_id = {c[0]: c for c in comps}
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.sync_restart()
+                prev_dc = [0] * len(comps)
+            mcu_count += 1
+            for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
+                qtbl = quant[comp_by_id[cid][2]]
+                coeff = np.zeros(64, dtype=np.int64)
+                size = _decode_symbol(br, huff_dc[dc_id])
+                diff = _extend(br.read_bits(size), size) if size else 0
+                prev_dc[ci] += diff
+                coeff[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _decode_symbol(br, huff_ac[ac_id])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overrun")
+                    coeff[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[ZIGZAG] = coeff * qtbl[ZIGZAG]
+                spatial = _C.T @ block.reshape(8, 8) @ _C + 128.0
+                planes[ci][y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = spatial
+
+    planes = [p[:height, :width] for p in planes]
+    if len(planes) == 3:
+        yy, cb, cr = planes
+        r = yy + 1.402 * (cr - 128.0)
+        g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = yy + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        return width, height, 3, out.tobytes()
+    out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    return width, height, 1, out.tobytes()

@@ -16,9 +16,14 @@ RIFF/PCM 16-bit mono/stereo on stdlib struct + numpy, and
 crossing rate / peak over decoded samples (the audio-quality filters a
 training pipeline gates on).
 
-Still stubbed: formats whose codecs genuinely need external libraries
-— JPEG decode and video frame extraction (ffmpeg). ``decode_images``
-raises NotImplementedError for non-PNG payloads; ``sample_frames``
+Also real: a baseline JPEG codec (operators/jpeg.py — pure
+stdlib+numpy DCT/Huffman): ``decode_images`` handles baseline
+sequential 8-bit gray/4:4:4 JPEG for real, and ``encode_images``
+transcodes decoded pixel frames back to PNG or JPEG. Progressive,
+chroma-subsampled, arithmetic-coded, and 12-bit JPEG raise
+NotImplementedError (a full libjpeg concern, not a plumbing one).
+
+Still stubbed: video frame extraction (ffmpeg). ``sample_frames``
 keeps its deterministic fake behind ``use_fake`` with the real
 one-to-many mapInPandas shape.
 
@@ -331,10 +336,11 @@ DECODED_IMAGE_SCHEMA = StructType(
 
 def decode_images(media: DataFrame) -> DataFrame:
     """Decode image payloads to (w, h, c, raw pixels) with the REAL
-    stdlib-zlib PNG codec (``decode_png``) — null payloads and
-    non-image rows are dropped; non-PNG image formats raise
-    NotImplementedError (JPEG decode needs an external codec that is
-    not in this container). Pure map over Arrow batches."""
+    in-repo codecs — stdlib-zlib PNG (``decode_png``) and baseline
+    DCT/Huffman JPEG (``jpeg.decode_jpeg``); null payloads and
+    non-image rows are dropped; other image formats raise
+    NotImplementedError. Pure map over Arrow batches."""
+    from .jpeg import decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -344,14 +350,17 @@ def decode_images(media: DataFrame) -> DataFrame:
                     continue
                 data = bytes(payload)
                 mime = sniff_mime(data)
-                if mime != "image/png":
-                    if mime.startswith("image/"):
-                        raise NotImplementedError(
-                            f"{mime} decode requires an external codec; only the "
-                            "stdlib PNG path is available in this container"
-                        )
+                if mime == "image/png":
+                    w, h, c, pix = decode_png(data)
+                elif mime == "image/jpeg":
+                    w, h, c, pix = decode_jpeg(data)
+                elif mime.startswith("image/"):
+                    raise NotImplementedError(
+                        f"{mime} decode: only PNG and baseline JPEG codecs "
+                        "are implemented in-repo"
+                    )
+                else:
                     continue  # non-image payloads pass through other operators
-                w, h, c, pix = decode_png(data)
                 rows.append(
                     {
                         "media_id": media_id,
@@ -366,6 +375,46 @@ def decode_images(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
+def encode_images(decoded: DataFrame, fmt: str = "png", quality: int = 90) -> DataFrame:
+    """Transcode decoded pixel frames (``decode_images``/
+    ``resize_images`` output) back to an interchange format — the
+    write half of an image-normalization pipeline (decode → resize →
+    re-encode). ``fmt`` is "png" (lossless) or "jpeg" (baseline,
+    ``quality``). One row per image: (media_id, mime, payload). Pure
+    map over Arrow batches, no shuffle at any scale."""
+    from .jpeg import encode_jpeg
+
+    if fmt not in ("png", "jpeg"):
+        raise ValueError(f"fmt must be png|jpeg, got {fmt!r}")
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("mime", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for _, r in pdf.iterrows():
+                w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
+                pix = bytes(r["pixels"])
+                if fmt == "png":
+                    payloads.append(encode_png(pix, w, h, c))
+                else:
+                    payloads.append(encode_jpeg(pix, w, h, c, quality))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "image/png" if fmt == "png" else "image/jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    return decoded.mapInPandas(run, schema)
 
 
 def resize_images(decoded: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:

@@ -1,0 +1,122 @@
+"""Baseline JPEG codec gates (operators/jpeg.py): round-trip fidelity
+within quantization error, marker/restart handling, honest
+NotImplementedError boundaries, and the Spark-side decode/transcode
+plumbing over mapInPandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import multimodal
+from e_commerce_lakehouse_spark.operators.jpeg import (
+    _AC_BITS,
+    _AC_VALS,
+    _DC_BITS,
+    _DC_VALS,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 5 + xx * 3) % 200
+    img = np.stack([(base + 20 * i) % 256 for i in range(c)], axis=-1)
+    img = np.clip(img + rng.integers(0, 12, (h, w, c)), 0, 255)
+    return img.astype(np.uint8)
+
+
+def test_huffman_specs_are_valid():
+    # counts match symbols and Kraft inequality holds (prefix-free)
+    for bits, vals in ((_DC_BITS, _DC_VALS), (_AC_BITS, _AC_VALS)):
+        assert sum(bits) == len(vals)
+        assert sum(n / (1 << (i + 1)) for i, n in enumerate(bits)) <= 1.0
+
+
+@pytest.mark.parametrize("h,w,c", [(23, 37, 1), (16, 40, 3), (8, 8, 1), (9, 9, 3)])
+def test_roundtrip_within_quantization_error(h, w, c):
+    img = _gradient(h, w, c)
+    blob = encode_jpeg(img.tobytes(), w, h, c, quality=90)
+    assert blob[:3] == b"\xff\xd8\xff" and blob[-2:] == b"\xff\xd9"
+    W, H, C, px = decode_jpeg(blob)
+    assert (W, H, C) == (w, h, c)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.mean() < 5.0 and err.max() <= 35
+
+
+def test_restart_intervals_roundtrip():
+    img = _gradient(64, 48, 3, seed=3)
+    blob = encode_jpeg(img.tobytes(), 48, 64, 3, quality=85, restart_interval=5)
+    assert b"\xff\xdd" in blob  # DRI segment present
+    W, H, C, px = decode_jpeg(blob)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(64, 48, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 5.0
+
+
+def test_quality_monotonic_size():
+    img = _gradient(32, 32, 1, seed=1)
+    sizes = [len(encode_jpeg(img.tobytes(), 32, 32, 1, quality=q)) for q in (30, 60, 95)]
+    assert sizes == sorted(sizes)
+
+
+def test_unsupported_shapes_raise_honestly():
+    img = _gradient(16, 16, 1)
+    blob = bytearray(encode_jpeg(img.tobytes(), 16, 16, 1))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+
+
+def test_decode_images_handles_jpeg_and_png(spark):
+    """decode_images must route per-payload by magic bytes: PNG rows
+    through the zlib codec, JPEG rows through the DCT codec — one
+    mixed frame, real pixels back from both."""
+    img = _gradient(8, 8, 1, seed=5)
+    png_blob = multimodal.encode_png(img.tobytes(), 8, 8, 1)
+    jpg_blob = encode_jpeg(img.tobytes(), 8, 8, 1, quality=95)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png_blob)), (2, "image", bytearray(jpg_blob))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r.media_id: r for r in multimodal.decode_images(media).collect()}
+    assert rows[1].width == rows[2].width == 8
+    assert rows[1].channels == rows[2].channels == 1
+    # PNG is lossless; JPEG within quantization error of the PNG pixels
+    a = np.frombuffer(bytes(rows[1].pixels), dtype=np.uint8).astype(int)
+    b = np.frombuffer(bytes(rows[2].pixels), dtype=np.uint8).astype(int)
+    assert np.array_equal(a, img.reshape(-1))
+    assert np.abs(a - b).mean() < 6.0
+
+
+def test_transcode_pipeline_decode_resize_reencode(spark):
+    """The full normalization pipeline: synthesize PNG -> decode ->
+    resize -> re-encode as JPEG -> decode again. Dims survive, pixels
+    stay within lossy tolerance."""
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} with words", "test") for i in range(8)],
+        "doc_id long, text string, source string",
+    )
+    media = multimodal.synthesize_media(docs, kind="image")
+    decoded = multimodal.decode_images(media)
+    resized = multimodal.resize_images(decoded, out_w=16, out_h=16)
+    jpegs = multimodal.encode_images(resized, fmt="jpeg", quality=95)
+    assert jpegs.count() == 8
+    again = multimodal.decode_images(
+        jpegs.select("media_id", F.lit("image").alias("kind"), "payload")
+    )
+    rows = again.collect()
+    assert len(rows) == 8
+    assert all(r.width == 16 and r.height == 16 and r.channels == 1 for r in rows)
+    # and the round-trip is faithful per image
+    orig = {r.media_id: np.frombuffer(bytes(r.pixels), dtype=np.uint8).astype(int)
+            for r in resized.collect()}
+    for r in rows:
+        back = np.frombuffer(bytes(r.pixels), dtype=np.uint8).astype(int)
+        assert np.abs(back - orig[r.media_id]).mean() < 8.0

@@ -125,14 +125,16 @@ def test_decode_images_real(spark, media):
         assert bytes(r["pixels"]) == mm.decode_png(raw[r["media_id"]])[3]
 
 
-def test_decode_images_jpeg_still_stubbed(spark):
+def test_decode_images_rejects_truncated_jpeg(spark):
+    # JPEG decode is REAL now (operators/jpeg.py, round 3) — a
+    # truncated/garbage JPEG must error loudly, not pass through
     jpeg_like = spark.createDataFrame(
         [(1, "image", bytearray(b"\xff\xd8\xff\xe0fakejpeg"))],
         "media_id long, kind string, payload binary",
     )
     with pytest.raises(Exception) as ei:
         mm.decode_images(jpeg_like).collect()
-    assert "NotImplementedError" in str(ei.value) or "external codec" in str(ei.value)
+    assert "marker" in str(ei.value) or "SOS" in str(ei.value)
 
 
 def test_resize_real_nearest_neighbor(spark, media):
