@@ -636,13 +636,17 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_parts"))
     )
     sketches = li.groupBy("l_returnflag").agg(
-        (F.expr(f"percentile({p_cents}, 0.5)") / 100.0).alias("price_p50"),
-        (F.expr(f"percentile({p_cents}, 0.95)") / 100.0).alias("price_p95"),
+        # BOTH exact quantiles from ONE percentile buffer (array arg)
+        # — two scalar percentile() calls would each buffer the whole
+        # group's values
+        F.expr(f"percentile({p_cents}, array(0.5, 0.95))").alias("_pcts"),
         F.approx_count_distinct("l_partkey").alias("_approx_parts"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pp"),
     )
     return (
         sketches.join(F.broadcast(exact_distinct), "l_returnflag")
+        .withColumn("price_p50", F.element_at("_pcts", 1) / 100.0)
+        .withColumn("price_p95", F.element_at("_pcts", 2) / 100.0)
         .select(
             "l_returnflag",
             "exact_parts",

@@ -43,16 +43,18 @@ every over-cap bucket (key, size, pairs emitted vs pairs suppressed) so
 pipelines can log/account the degenerate classes — at 100 TB those
 rows ARE the interesting dedup report.
 
-The input frame is localCheckpoint-materialized first: pairing
-references it several times (stats + small path + hot path) and the
-upstream is typically an Arrow-batched signature kernel that must not
-re-run per reference (see tests/test_plans.py::
-test_arrow_kernels_evaluate_once).
+The input frame is localCheckpoint-materialized first: both pairing
+branches reference it and the upstream is typically an Arrow-batched
+signature kernel that must not re-run per reference (see
+tests/test_plans.py::test_arrow_kernels_evaluate_once). Bucket
+size/min come from a window over the bucket key — one shuffle whose
+hash partitioning the small-bucket groupBy then reuses, instead of a
+groupBy+join that would re-shuffle the index three times.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_HOT_CAP = 1024
@@ -84,22 +86,31 @@ def bucket_mate_pairs(
     """
     if hot_mode not in ("star", "grid"):
         raise ValueError(f"hot_mode must be star|grid, got {hot_mode!r}")
-    # Materialize: referenced by the stats agg AND the pairing paths —
-    # without this the upstream signature kernel would re-run per
-    # reference. The checkpointed frame is the banded index (ids +
-    # small keys), the cluster-scale analog of a persisted LSH index.
+    # Materialize: referenced by both pairing branches — without this
+    # the upstream signature kernel would re-run per reference. The
+    # checkpointed frame is the banded index (ids + small keys), the
+    # cluster-scale analog of a persisted LSH index.
     banded = banded.localCheckpoint()
-    stats = _bucket_stats(banded, key_cols, id_col)
-    # join (not window) so no task ever buffers a whole hot bucket:
-    # the build side contributes exactly one stats row per key
-    keyed = banded.join(stats, key_cols)
+    # Per-bucket size/min via a WINDOW, not a groupBy+join: one shuffle
+    # on the bucket key instead of three join legs, and the downstream
+    # small-bucket groupBy reuses the window's hash partitioning (no
+    # second exchange). The window buffers one bucket per container —
+    # rows here are (id, small key) only, and the container spills, so
+    # even a 10M-row degenerate bucket is a slow spill, not an OOM; the
+    # O(n^2) explode that made degenerate buckets FATAL is what the
+    # hot path removes.
+    w = Window.partitionBy(*key_cols)
+    keyed = banded.select(
+        *key_cols,
+        F.col(id_col).alias("_id"),
+        F.count(F.lit(1)).over(w).alias("_bsz"),
+        F.min(id_col).over(w).alias("_bmin"),
+    ).filter(F.col("_bsz") > 1)
 
     small = keyed.filter(F.col("_bsz") <= hot_cap)
-    # exchange reuse: keyed is already hash-partitioned on key_cols by
-    # the join above, so this groupBy does not add a shuffle
     small_pairs = (
         small.groupBy(*key_cols)
-        .agg(F.collect_list(id_col).alias("_ids"))
+        .agg(F.collect_list("_id").alias("_ids"))
         .select(F.explode("_ids").alias("a"), "_ids")
         .select("a", F.explode("_ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
@@ -109,8 +120,8 @@ def bucket_mate_pairs(
     if hot_mode == "star":
         # star spans the bucket: O(n) candidates, same connected
         # components as all-pairs; _bmin < id always, so a < b holds
-        hot_pairs = hot.filter(F.col(id_col) != F.col("_bmin")).select(
-            F.col("_bmin").alias("a"), F.col(id_col).alias("b")
+        hot_pairs = hot.filter(F.col("_id") != F.col("_bmin")).select(
+            F.col("_bmin").alias("a"), F.col("_id").alias("b")
         )
     else:
         ncell = F.ceil(F.col("_bsz") / F.lit(hot_cap)).cast("int")
@@ -118,12 +129,12 @@ def bucket_mate_pairs(
         # each (bucket, cell) join group holds ≤ hot_cap rows
         right = hot.select(
             *key_cols,
-            F.col(id_col).alias("b"),
-            F.pmod(F.xxhash64(F.col(id_col)), ncell).cast("int").alias("_cell"),
+            F.col("_id").alias("b"),
+            F.pmod(F.xxhash64(F.col("_id")), ncell).cast("int").alias("_cell"),
         )
         left = hot.select(
             *key_cols,
-            F.col(id_col).alias("a"),
+            F.col("_id").alias("a"),
             F.explode(F.sequence(F.lit(0), ncell - 1)).alias("_cell"),
         )
         hot_pairs = (
