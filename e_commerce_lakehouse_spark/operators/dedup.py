@@ -387,6 +387,15 @@ def minhash_lsh_incremental(
     is a bucketed table), only NEW docs probe it, and old×old candidate
     pairs are never generated, so per-batch cost tracks the delta size,
     not the corpus size.
+
+    Degenerate-corpus note: a new doc probing a boilerplate class
+    yields O(class size) candidates because ``n_dup_partners`` COUNTS
+    the verified partners — that is the requested semantics, and the
+    downstream count/max aggregation is partial-agg safe (no
+    collect_list, no single-task bucket materialization). Pipelines
+    that only need admission (any partner exists) on clone-heavy
+    corpora should pre-dedup the index with ``exact_dedup`` or the
+    hot-capped ``minhash_lsh_pairs`` star path first.
     """
     rows_per_band = num_hashes // bands
     documents = spread_for_cpu(documents)
@@ -547,6 +556,7 @@ def simhash_edit_pairs(
     band_bits: int = 8,
     threshold_pct: int = 30,
     max_edit: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Char-level near-dup pairs: SimHash byte-band blocking + exact
     Levenshtein verify — the edit-distance tier between whole-doc md5
@@ -580,7 +590,11 @@ def simhash_edit_pairs(
         max_edit = -(-int(longest) * threshold_pct // 100) + 1
     bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    sh = simhash(documents, bits).localCheckpoint()  # index side ≡ probe side
+    # ``sh`` lets callers pass a precomputed/persisted (doc_id, simhash)
+    # frame — e.g. corpus_cache.shared_df — so the corpus-wide SimHash
+    # kernel runs once per session, not once per query
+    if sh is None:
+        sh = simhash(documents, bits).localCheckpoint()  # index ≡ probe side
     banded = sh.select(
         "doc_id",
         F.explode(
@@ -611,12 +625,18 @@ def simhash_edit_pairs(
         )
         .select("a_id", F.col("doc_id").alias("b_id"))
         .distinct()
-        # Catalyst pushes the Levenshtein predicate into the text-join
-        # stage (correct — it prunes earliest there), and AQE coalesces
-        # the tiny candidate shuffle to ONE partition (right for row
-        # count, wrong for a DP-heavy verify). Repartitioning the
-        # candidates HERE makes that fused join+verify stage wide.
-        .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+    )
+    # Catalyst pushes the Levenshtein predicate into the text-join
+    # stage (correct — it prunes earliest there), and AQE coalesces
+    # the tiny candidate shuffle to ONE partition (right for row
+    # count, wrong for a DP-heavy verify). Repartitioning the
+    # candidates makes that fused join+verify stage wide. (A
+    # broadcast-the-candidates variant that avoids shuffling the text
+    # column was measured ~9x SLOWER here: the broadcast build
+    # re-evaluates its join subtree eagerly and serially — keep the
+    # shuffle joins.)
+    candidates = candidates.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
     )
     txt = documents.select("doc_id", "text")
     sized = (
