@@ -996,6 +996,21 @@ def _q51_media_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q52_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (train/eval n-gram overlap gate):
+    docs 0-24 stand in for the held-out benchmark; every corpus doc
+    (id >= 25) sharing >= 10 distinct bigrams with a benchmark doc is
+    flagged with the exact shared-gram count. Broadcast benchmark
+    grams — the corpus never shuffles."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.contamination_pairs(
+        spread_for_cpu(docs.filter(F.col("doc_id") >= 25)),
+        docs.filter(F.col("doc_id") < 25),
+        n=2,
+        min_overlap=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -1049,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_edit_distance_pairs": _q49_edit_distance_pairs,
         "q50_multimodal_features": _q50_multimodal_features,
         "q51_media_manifest": _q51_media_manifest,
+        "q52_contamination": _q52_contamination,
     }
 
 
@@ -2138,5 +2154,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(100 + CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)
                                    AS INT) AS INT)
             FROM documents
+        """,
+        "q52_contamination": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks)),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS grams
+                FROM t WHERE len(toks) >= 2
+            )
+            SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+                   CAST(len(list_intersect(c.grams, b.grams)) AS BIGINT)
+                       AS n_shared_grams
+            FROM g b JOIN g c ON b.doc_id < 25 AND c.doc_id >= 25
+            WHERE len(list_intersect(c.grams, b.grams)) >= 10
         """,
     }

@@ -72,7 +72,10 @@ def token_set(col: Column | str) -> Column:
 
 def ngram_set(col: Column | str, n: int) -> Column:
     """Distinct word n-grams as join(' ') strings. Built with
-    transform over index positions — pure Column ops, no UDF."""
+    transform over index positions — pure Column ops, no UDF. Docs
+    shorter than ``n`` tokens yield [] (guarded: Spark's sequence(0,
+    negative) would otherwise produce a DESCENDING range and feed
+    slice() a 0 start, which errors)."""
     toks = tokens(col)
     if n == 1:
         return F.array_distinct(toks)
@@ -80,7 +83,9 @@ def ngram_set(col: Column | str, n: int) -> Column:
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -133,6 +138,38 @@ def ngram_jaccard_pairs(
                 "jaccard"
             ),
         )
+    )
+
+
+def contamination_pairs(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 2,
+    min_overlap: int = 10,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the train/eval-overlap gate every
+    LLM data pipeline runs before training: flag corpus docs sharing at
+    least ``min_overlap`` distinct word ``n``-grams with any benchmark
+    doc. One row per contaminated (doc_id, bench_id) pair with the
+    exact shared-gram count (both gram sets are distinct, so a plain
+    count of gram-join hits IS |intersection|).
+
+    100 TB shape: the benchmark side is small by definition (eval sets)
+    — its exploded gram table broadcasts; the corpus side explodes
+    map-side and joins without shuffling the corpus; the only shuffle
+    is the groupBy on matched (doc, bench) pairs, bounded by true
+    overlap. No N x M document cross join at any scale.
+    """
+    bg = benchmark.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(ngram_set("text", n)).alias("gram"),
+    )
+    cg = documents.select("doc_id", F.explode(ngram_set("text", n)).alias("gram"))
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_overlap)
     )
 
 

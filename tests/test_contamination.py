@@ -1,0 +1,77 @@
+"""Benchmark-decontamination gates: a corpus doc that quotes a
+benchmark doc verbatim MUST be flagged with the exact shared-gram
+count; disjoint docs must not appear; the benchmark side must be on
+the broadcast side of the plan (the corpus never shuffles)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.operators import dedup
+
+BENCH_TEXT = "the capital of france is paris and the capital of italy is rome"
+
+
+def _frames(spark):
+    bench = spark.createDataFrame(
+        [(0, BENCH_TEXT), (1, "completely unrelated benchmark question here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim leak of bench doc 0 inside a longer doc
+            (100, "intro words " + BENCH_TEXT + " trailing words"),
+            # near-miss sharing exactly two bigrams with bench doc 0
+            # ("the capital", "capital of")
+            (101, "what is the capital of germany"),
+            # disjoint
+            (102, "numpy arrays broadcast along their trailing axes"),
+            # too short for bigrams (ngram_set guard)
+            (103, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, bench
+
+
+def test_verbatim_leak_flagged_with_exact_count(spark):
+    corpus, bench = _frames(spark)
+    rows = {
+        (r.doc_id, r.bench_id): r.n_shared_grams
+        for r in dedup.contamination_pairs(corpus, bench, n=2, min_overlap=5).collect()
+    }
+    # bench doc 0 has 12 distinct bigrams; doc 100 contains them all
+    # plus the two splice-boundary bigrams, which are not in the bench
+    # set — the count is exactly the bench gram count
+    n_bench_grams = len(
+        dict.fromkeys(
+            f"{a} {b}"
+            for a, b in zip(BENCH_TEXT.split(" "), BENCH_TEXT.split(" ")[1:])
+        )
+    )
+    assert rows == {(100, 0): n_bench_grams}
+
+
+def test_threshold_excludes_near_miss(spark):
+    corpus, bench = _frames(spark)
+    low = dedup.contamination_pairs(corpus, bench, n=2, min_overlap=2).collect()
+    counts = {(r.doc_id, r.bench_id): r.n_shared_grams for r in low}
+    assert counts[(101, 0)] == 2  # the two shared bigrams, exactly
+    assert (102, 0) not in counts and (102, 1) not in counts
+    # raising the bar drops the near-miss but keeps the verbatim leak
+    high = {
+        (r.doc_id, r.bench_id)
+        for r in dedup.contamination_pairs(corpus, bench, n=2, min_overlap=5).collect()
+    }
+    assert (101, 0) not in high and (100, 0) in high
+
+
+def test_benchmark_side_broadcasts(spark):
+    corpus, bench = _frames(spark)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        dedup.contamination_pairs(corpus, bench).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
