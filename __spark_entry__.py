@@ -1011,6 +1011,16 @@ def _q52_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q53_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: per-source contiguous-stream layout of every
+    doc into 512-token context windows (bin, offset, windows spanned)
+    — the deterministic map a pre-training tokenizer-writer consumes.
+    One window cumsum per source stream; streams pack in parallel."""
+    return sampling.pack_sequences(
+        load_table(spark, sf, "documents"), ctx_len=512
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_sales_summary": _q01_sales_summary,
@@ -1065,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_multimodal_features": _q50_multimodal_features,
         "q51_media_manifest": _q51_media_manifest,
         "q52_contamination": _q52_contamination,
+        "q53_sequence_packing": _q53_sequence_packing,
     }
 
 
@@ -2169,5 +2180,23 @@ def oracle_sql() -> dict[str, str]:
                        AS n_shared_grams
             FROM g b JOIN g c ON b.doc_id < 25 AND c.doc_id >= 25
             WHERE len(list_intersect(c.grams, b.grams)) >= 10
+        """,
+        "q53_sequence_packing": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens
+                           AS ts
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens,
+                   ts // 512 AS bin_id,
+                   ts % 512 AS bin_offset,
+                   ((ts % 512) + n_tokens + 511) // 512 AS n_bins_spanned
+            FROM c
         """,
     }

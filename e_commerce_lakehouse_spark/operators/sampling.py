@@ -10,7 +10,7 @@ Scale: pure filters — pushdown-friendly, no shuffle, no state.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,3 +44,47 @@ def train_test_split(df: DataFrame, key: str, test_pct: int = 10) -> tuple[DataF
     never changes when data is appended elsewhere."""
     b = hash_bucket(key)
     return df.filter(b >= test_pct), df.filter(b < test_pct)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    ctx_len: int = 512,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence PACKING — map every document into the fixed-size
+    context windows a pre-training run consumes (GPT-style contiguous
+    stream): within each ``part_col`` stream, docs are concatenated in
+    ``order_col`` order and each doc gets the bin (window index) and
+    offset where its tokens start, plus how many windows it spans.
+    Deterministic, exact, and invertible — the (bin, offset) layout is
+    the shuffle-free description a downstream tokenizer-writer needs.
+
+    Scale shape: one window cumsum per stream — partitions by
+    ``part_col``, so streams pack in parallel and no global ordering
+    bottleneck exists (a single global stream would serialize the
+    cumsum; at 100 TB ALWAYS pack per source/shard). Pure Column ops,
+    one shuffle on ``part_col``.
+    """
+    from .text import tokens
+
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    df = documents.select(
+        order_col, part_col, n_tok.alias("n_tokens")
+    )
+    t_start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_ts")
+    return df.select(order_col, part_col, "n_tokens", t_start).select(
+        order_col,
+        part_col,
+        "n_tokens",
+        F.expr(f"_ts div {ctx_len}").alias("bin_id"),
+        (F.col("_ts") % ctx_len).alias("bin_offset"),
+        # windows this doc touches: ceil((offset + n_tokens) / ctx)
+        F.expr(f"((_ts % {ctx_len}) + n_tokens + {ctx_len} - 1) div {ctx_len}")
+        .alias("n_bins_spanned"),
+    )

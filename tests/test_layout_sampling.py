@@ -101,3 +101,25 @@ def test_stratified_rates_direction(spark):
     for lang, r in rates.items():
         if lang != "en":
             assert r < 0.3  # ~5%
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing layout invariants per source stream: starts are a
+    contiguous token stream (next start = prev start + prev len),
+    offsets stay inside the window, span counts are exact."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    ctx = 512
+    rows = sampling.pack_sequences(docs, ctx_len=ctx).collect()
+    assert len(rows) == docs.count()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r.doc_id)
+        t = 0
+        for r in rs:
+            assert r.bin_id == t // ctx and r.bin_offset == t % ctx, (src, r)
+            expect_span = (r.bin_offset + r.n_tokens + ctx - 1) // ctx
+            assert r.n_bins_spanned == expect_span
+            assert r.n_tokens >= 1
+            t += r.n_tokens
