@@ -103,7 +103,7 @@ def _shared_simhash(spark: SparkSession, sf: str) -> DataFrame:
 def _shared_media(spark: SparkSession, sf: str, kind: str) -> DataFrame:
     """Synthesized media table (real PNG/WAV payloads), materialized
     once per (session, sf, kind) — the persisted-media-table analog.
-    Both q50 and q51 consume each frame more than once; without this
+    q50 consumes each frame more than once; without this
     checkpoint the encode kernels would re-run per consumer (the q22
     double-eval pattern the plan test pins)."""
     return corpus_cache.shared_df(
@@ -395,7 +395,35 @@ def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q19_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return _shared_jaccard_pairs(spark, sf)
+    """N-gram overlap surface, kind-tagged union (keeps the registry at
+    the driver's 50-row window — same consolidation shape as round 2):
+      - kind='jaccard': exact token-set Jaccard pairs (probe-bounded;
+        the session-cached frame q43's clustering also reads);
+      - kind='contamination': benchmark decontamination — corpus docs
+        (id >= 25) sharing >= 10 distinct bigrams with a benchmark doc
+        (id < 25), exact shared-gram counts, benchmark grams broadcast
+        so the corpus never shuffles (dedup.contamination_pairs)."""
+    pairs = _shared_jaccard_pairs(spark, sf).select(
+        F.lit("jaccard").alias("kind"),
+        "a_id",
+        "b_id",
+        "jaccard",
+        F.lit(None).cast("long").alias("n_shared_grams"),
+    )
+    docs = load_table(spark, sf, "documents")
+    cont = dedup.contamination_pairs(
+        spread_for_cpu(docs.filter(F.col("doc_id") >= 25)),
+        docs.filter(F.col("doc_id") < 25),
+        n=2,
+        min_overlap=10,
+    ).select(
+        F.lit("contamination").alias("kind"),
+        F.col("doc_id").alias("a_id"),
+        F.col("bench_id").alias("b_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+        "n_shared_grams",
+    )
+    return pairs.unionByName(cont)
 
 
 def _q20_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -685,12 +713,39 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic stratified sampling (md5-bucket membership is a
-    pure function of doc_id — reproducible across cluster sizes)."""
+    """Dataset-construction surface, kind-tagged union (keeps the
+    registry at the driver's 50-row window):
+      - kind='sample': deterministic stratified sampling (md5-bucket
+        membership is a pure function of doc_id — reproducible across
+        cluster sizes);
+      - kind='packing': per-source contiguous-stream sequence packing
+        into 512-token context windows (window cumsum per source;
+        streams pack in parallel — sampling.pack_sequences), the
+        layout a pre-training tokenizer-writer consumes."""
     docs = load_table(spark, sf, "documents")
-    return sampling.stratified_sample(
+    samp = sampling.stratified_sample(
         docs, key="doc_id", strata_col="lang", rates={"en": 50}, default_pct=10
-    ).select("doc_id", "lang", "source")
+    ).select(
+        F.lit("sample").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("bin_id"),
+        F.lit(None).cast("long").alias("bin_offset"),
+        F.lit(None).cast("long").alias("n_bins_spanned"),
+    )
+    pack = sampling.pack_sequences(docs, ctx_len=512).select(
+        F.lit("packing").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        "n_tokens",
+        "bin_id",
+        "bin_offset",
+        "n_bins_spanned",
+    )
+    return samp.unionByName(pack)
 
 
 def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
@@ -915,52 +970,25 @@ def _q49_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing end-to-end (rows-only: binary payloads have
-    no SQL oracle): synthesize real PNG and WAV payloads from the
-    documents table, extract generic features via Arrow mapInPandas
-    (size / magic-byte mime / digest), decode the PNGs with the
-    stdlib-zlib codec to attach real width/height/channels, and decode
-    the WAVs to attach duration/RMS/zero-crossing audio features. One
-    row per (doc, modality), kind-tagged; modality columns null on the
-    other kind. Exercises binary columns, mapInPandas batching, and
-    both real codec paths the driver can execute. The synthesized
-    frames come checkpoint-materialized from _shared_media (shared
-    with q51's manifest), so each encode kernel runs exactly ONCE even
-    though images feeds both the feature union and decode_images, and
-    audio feeds the union and extract_audio_features (the q22
-    double-eval pattern, pinned by tests/test_plans.py)."""
-    images = _shared_media(spark, sf, "image")
-    audio = _shared_media(spark, sf, "audio")
-    feats = multimodal.extract_features(images.unionByName(audio))
-    dims = multimodal.decode_images(images).select(
-        "media_id", "width", "height", "channels"
-    )
-    sound = multimodal.extract_audio_features(audio).select(
-        "media_id", "duration_ms", "rms", "zero_cross_rate_ppm"
-    )
-    return (
-        feats.alias("f")
-        .join(dims.alias("dims"), (F.col("f.media_id") == F.col("dims.media_id")) & (F.col("kind") == "image"), "left")
-        .join(sound.alias("s"), (F.col("f.media_id") == F.col("s.media_id")) & (F.col("kind") == "audio"), "left")
-        .select(
-            F.col("f.media_id").alias("media_id"),
-            "kind", "n_bytes", "sniffed_mime", "digest",
-            "width", "height", "channels",
-            "duration_ms", "rms", "zero_cross_rate_ppm",
-        )
-    )
-
-
-def _q51_media_manifest(spark: SparkSession, sf: str) -> DataFrame:
-    """Codec-path VALUE check the driver can hash (q50's companion):
-    every manifest column is a deterministic function of the synthesis
-    parameters, but the Spark side derives them the hard way — encode
-    real PNG/WAV payloads, sniff magic bytes, DECODE them back — while
-    the oracle derives the same values arithmetically from `documents`
-    (images are always 8x8 gray; WAV duration_ms = 100 + second md5
-    byte of the text, since n_frames = 1600 + 16*d[1] at 16 kHz). Any
-    bit-rot in either codec direction, the mime sniffer, or the
-    synthesis parameters flips this row red."""
+    """Multimodal codec pipeline end-to-end with a HASH-VERIFIED
+    manifest (was rows-only in round 2): synthesize real PNG and WAV
+    payloads from the documents table, extract features via Arrow
+    mapInPandas (magic-byte sniff), decode the PNGs with the
+    stdlib-zlib codec (real width/height/channels) and the WAVs with
+    the RIFF/PCM codec (real duration). Every projected column is a
+    deterministic function of the synthesis parameters, so the oracle
+    predicts them arithmetically (images are always 8x8 gray; WAV
+    duration_ms = 100 + second md5 byte of the text, since n_frames =
+    1600 + 16*d[1] at 16 kHz) — bit-rot anywhere in either codec
+    direction, the sniffer, or the synthesis flips the row red. The
+    non-predictable features (payload digest, n_bytes, RMS/ZCR) are
+    still computed by the executed kernels and are pinned by
+    tests/test_multimodal.py. The synthesized frames are
+    checkpoint-materialized (_shared_media), so each encode kernel
+    runs exactly ONCE despite two consumers per frame (the q22
+    double-eval pattern, pinned by tests/test_plans.py). One row per
+    (doc, modality), kind-tagged; modality columns null on the other
+    kind."""
     images = _shared_media(spark, sf, "image")
     audio = _shared_media(spark, sf, "audio")
     feats = multimodal.extract_features(images.unionByName(audio)).select(
@@ -993,31 +1021,6 @@ def _q51_media_manifest(spark: SparkSession, sf: str) -> DataFrame:
             "channels",
             "duration_ms",
         )
-    )
-
-
-def _q52_contamination(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark decontamination (train/eval n-gram overlap gate):
-    docs 0-24 stand in for the held-out benchmark; every corpus doc
-    (id >= 25) sharing >= 10 distinct bigrams with a benchmark doc is
-    flagged with the exact shared-gram count. Broadcast benchmark
-    grams — the corpus never shuffles."""
-    docs = load_table(spark, sf, "documents")
-    return dedup.contamination_pairs(
-        spread_for_cpu(docs.filter(F.col("doc_id") >= 25)),
-        docs.filter(F.col("doc_id") < 25),
-        n=2,
-        min_overlap=10,
-    )
-
-
-def _q53_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
-    """Sequence packing: per-source contiguous-stream layout of every
-    doc into 512-token context windows (bin, offset, windows spanned)
-    — the deterministic map a pre-training tokenizer-writer consumes.
-    One window cumsum per source stream; streams pack in parallel."""
-    return sampling.pack_sequences(
-        load_table(spark, sf, "documents"), ctx_len=512
     )
 
 
@@ -1073,9 +1076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_incremental_neardup": _q48_incremental_neardup,
         "q49_edit_distance_pairs": _q49_edit_distance_pairs,
         "q50_multimodal_features": _q50_multimodal_features,
-        "q51_media_manifest": _q51_media_manifest,
-        "q52_contamination": _q52_contamination,
-        "q53_sequence_packing": _q53_sequence_packing,
     }
 
 
@@ -1632,15 +1632,29 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
                 FROM documents
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks)),
+                           i -> array_to_string(toks[i:i+1], ' '))) AS grams
+                FROM toks WHERE len(toks) >= 2
             )
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            SELECT 'jaccard' AS kind, a.doc_id AS a_id, b.doc_id AS b_id,
                    CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
                        / (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))
-                       AS jaccard
+                       AS jaccard,
+                   CAST(NULL AS BIGINT) AS n_shared_grams
             FROM t a JOIN t b ON a.doc_id < b.doc_id
             WHERE a.doc_id < 50
               AND len(list_intersect(a.tset, b.tset)) * 100
                   >= (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset))) * 30
+            UNION ALL
+            SELECT 'contamination', c.doc_id, b.doc_id,
+                   CAST(NULL AS DOUBLE),
+                   CAST(len(list_intersect(c.grams, b.grams)) AS BIGINT)
+            FROM g b JOIN g c ON b.doc_id < 25 AND c.doc_id >= 25
+            WHERE len(list_intersect(c.grams, b.grams)) >= 10
         """,
         "q20_cosine_topk": """
             WITH q AS (
@@ -1856,10 +1870,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "q34_stratified_sample": """
-            SELECT doc_id, lang, source
+            SELECT 'sample' AS kind, doc_id, lang, source,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS bin_id,
+                   CAST(NULL AS BIGINT) AS bin_offset,
+                   CAST(NULL AS BIGINT) AS n_bins_spanned
             FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+            UNION ALL
+            SELECT 'packing', doc_id, CAST(NULL AS VARCHAR), source,
+                   n_tokens, ts // 512, ts % 512,
+                   ((ts % 512) + n_tokens + 511) // 512
+            FROM (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                           OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+                           - CAST(len(string_split(text, ' ')) AS BIGINT) AS ts
+                FROM documents
+            )
         """,
         "q35_asof_last_order": """
             WITH orders_d AS (
@@ -2139,14 +2170,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(da.text, db.text) * 100
                   <= GREATEST(length(da.text), length(db.text)) * 35
         """,
-        # q51: the Spark side ENCODES real PNG/WAV payloads, sniffs the
+        # q50: the Spark side ENCODES real PNG/WAV payloads, sniffs the
         # magic bytes, and DECODES them back; the oracle predicts every
         # manifest value arithmetically from the synthesis parameters
         # (images are constant 8x8 gray; WAV frames = 1600 + 16*d1 at
         # 16 kHz, so duration_ms = 100 + d1 where d1 is the second
         # md5 byte of the text). A mismatch anywhere in the codec
         # round-trip turns the row red.
-        "q51_media_manifest": """
+        "q50_multimodal_features": """
             SELECT doc_id AS media_id,
                    'image' AS kind,
                    'image/png' AS sniffed_mime,
@@ -2165,38 +2196,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(100 + CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)
                                    AS INT) AS INT)
             FROM documents
-        """,
-        "q52_contamination": """
-            WITH t AS (
-                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-            ), g AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(range(1, len(toks)),
-                           i -> array_to_string(toks[i:i+1], ' '))) AS grams
-                FROM t WHERE len(toks) >= 2
-            )
-            SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
-                   CAST(len(list_intersect(c.grams, b.grams)) AS BIGINT)
-                       AS n_shared_grams
-            FROM g b JOIN g c ON b.doc_id < 25 AND c.doc_id >= 25
-            WHERE len(list_intersect(c.grams, b.grams)) >= 10
-        """,
-        "q53_sequence_packing": """
-            WITH t AS (
-                SELECT doc_id, source,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-                FROM documents
-            ), c AS (
-                SELECT doc_id, source, n_tokens,
-                       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                           ROWS UNBOUNDED PRECEDING) - n_tokens
-                           AS ts
-                FROM t
-            )
-            SELECT doc_id, source, n_tokens,
-                   ts // 512 AS bin_id,
-                   ts % 512 AS bin_offset,
-                   ((ts % 512) + n_tokens + 511) // 512 AS n_bins_spanned
-            FROM c
         """,
     }

@@ -99,22 +99,26 @@ def test_arrow_kernels_evaluate_once(spark):
     # (= be re-evaluated by) the downstream join plan
     plan = plan_of(Q["q22_ann_lsh"](spark, SF_SMALL))
     assert plan.count(") ArrowEvalPython") == 0, plan.count(") ArrowEvalPython")
-    # q50/q51: the PNG/WAV encode kernels are behind the shared-media
+    # q50: the PNG/WAV encode kernels are behind the shared-media
     # checkpoints (each runs ONCE even though both frames have two
-    # consumers) — no pandas_udf may appear in the downstream plans,
+    # consumers) — no pandas_udf may appear in the downstream plan,
     # only the mapInPandas feature/decode stages
-    for q in ("q50_multimodal_features", "q51_media_manifest"):
-        plan = plan_of(Q[q](spark, SF_SMALL))
-        assert plan.count(") ArrowEvalPython") == 0, (q, plan)
+    plan = plan_of(Q["q50_multimodal_features"](spark, SF_SMALL))
+    assert plan.count(") ArrowEvalPython") == 0, plan
 
 
 def test_corpus_cache_shares_one_frame(spark):
     """q19 and q43 must read the SAME cached pair frame (one corpus
     tokenization for the family), and the cache must track its blocks
-    so harnesses can exempt them from between-query block sweeps."""
+    so harnesses can exempt them from between-query block sweeps.
+    (q19 itself now returns a kind-tagged union AROUND the cached
+    frame, so identity is asserted on the shared frame.)"""
+    import __spark_entry__ as em
     from e_commerce_lakehouse_spark.operators import corpus_cache
 
-    a = Q["q19_ngram_jaccard"](spark, SF_SMALL)
-    b = Q["q19_ngram_jaccard"](spark, SF_SMALL)
+    a = em._shared_jaccard_pairs(spark, SF_SMALL)
+    b = em._shared_jaccard_pairs(spark, SF_SMALL)
     assert a is b  # cache hit returns the identical frame
+    Q["q19_ngram_jaccard"](spark, SF_SMALL)  # builds on the same cache
+    assert em._shared_jaccard_pairs(spark, SF_SMALL) is a
     assert corpus_cache.cached_rdd_ids(spark)  # blocks tracked
