@@ -156,6 +156,8 @@ def bucket_overflow_stats(
     exhaustively paired" report (no silent truncation): one row per hot
     bucket with its size, the candidate pairs the chosen mode emits,
     and the all-pairs count a small bucket would have produced."""
+    if hot_mode not in ("star", "grid"):
+        raise ValueError(f"hot_mode must be star|grid, got {hot_mode!r}")
     all_pairs = (F.col("_bsz") * (F.col("_bsz") - 1) / 2).cast("long")
     emitted = (
         (F.col("_bsz") - 1).cast("long") if hot_mode == "star" else all_pairs

@@ -146,6 +146,9 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # trim emitted high bits — an unbounded Python-int accumulator
+        # makes every shift O(stream length), i.e. quadratic encode
+        self.acc &= (1 << self.nbits) - 1
 
     def byte_align(self) -> None:
         if self.nbits:
@@ -331,7 +334,11 @@ class _BitReader:
         if not self.nbits:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # trim the consumed high bit — see _BitWriter.write (quadratic
+        # decode otherwise)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -453,6 +460,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("missing SOS/SOF segment")
     if len(comps) not in (1, 3):
         raise NotImplementedError(f"{len(comps)}-component JPEG (1 or 3 only)")
+    if len(scan_comps) != len(comps):
+        # legal baseline JPEGs may carry one scan per component; this
+        # decoder reads only the first SOS — decoding it as if it were
+        # the whole image would return silently wrong (tinted) pixels
+        raise NotImplementedError(
+            f"non-interleaved multi-scan JPEG ({len(scan_comps)} of "
+            f"{len(comps)} components in first scan) — interleaved baseline only"
+        )
 
     br = _BitReader(data[scan_start:])
     by, bx = (height + 7) // 8, (width + 7) // 8
@@ -482,6 +497,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         k += 16
                         continue
                     run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        # only EOB (0x00) and ZRL (0xF0) may carry
+                        # size 0; anything else is a corrupt stream —
+                        # fail cleanly, not with a negative-shift error
+                        # inside _extend
+                        raise ValueError(
+                            f"invalid AC symbol 0x{sym:02x} (run>0, size=0) in scan"
+                        )
                     k += run
                     if k > 63:
                         raise ValueError("AC coefficient index overrun")
