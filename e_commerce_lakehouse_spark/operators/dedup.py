@@ -741,10 +741,15 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # eager=False: the convergence-witness aggregate right below is the
+    # materializing action, so checkpoint-write + witness are ONE job
+    # per round instead of two (halves the per-round latency floor of
+    # this latency-bound loop)
     labels, labels_ids = local_checkpoint_tracked(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
+        .withColumn("label", F.col("node")),
+        eager=False,
     )
     # labels decrease monotonically, so the label sum is a fixed-point
     # witness: converged iff it stops changing. One narrow aggregate on
@@ -766,16 +771,18 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            )
+            ),
+            eager=False,
         )
-        # the new checkpoint is materialized — the previous round's
-        # blocks are dead weight from here on. Without this release an
-        # N-round run pins N copies of the label table in storage
-        # memory (and, single-JVM, drags every later query through the
-        # eviction/GC it causes).
+        # ORDER MATTERS with the lazy checkpoint: the witness agg is
+        # what materializes new_labels, and its plan still reads the
+        # PREVIOUS round's blocks — release them only after the agg
+        # returns. Without the release an N-round run pins N copies of
+        # the label table in storage memory (and, single-JVM, drags
+        # every later query through the eviction/GC it causes).
+        new_sum = new_labels.agg(_label_sum).first()[0]
         release_rdds(spark, labels_ids)
         labels, labels_ids = new_labels, new_ids
-        new_sum = labels.agg(_label_sum).first()[0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -55,7 +55,9 @@ def _persistent_rdd_ids(spark) -> set[int]:
     return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
 
 
-def local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+def local_checkpoint_tracked(
+    df: DataFrame, eager: bool = True
+) -> tuple[DataFrame, set[int]]:
     """``df.localCheckpoint()`` plus the ids of the RDD blocks the
     checkpoint pinned, so iterative algorithms can release superseded
     rounds with :func:`release_rdds`. Spark's ContextCleaner only frees
@@ -64,10 +66,19 @@ def local_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
     copy of its state every round (N rounds would hold N copies of the
     state in executor storage memory, evicting genuinely hot blocks at
     scale). Assumes a single driver thread persists RDDs (true for this
-    engine's operators)."""
+    engine's operators).
+
+    ``eager=False`` marks the checkpoint but defers materialization to
+    the caller's next action — use when that action is immediate (e.g.
+    a convergence-witness aggregate), folding checkpoint-write and
+    witness into ONE job instead of two. The persist registration (and
+    therefore id tracking) happens at call time either way. Only safe
+    when the frame is consumed by an action before any multi-reference
+    plan — a lazy checkpoint referenced twice inside its materializing
+    job may compute partitions twice."""
     spark = df.sparkSession
     before = _persistent_rdd_ids(spark)
-    out = df.localCheckpoint()
+    out = df.localCheckpoint(eager=eager)
     return out, _persistent_rdd_ids(spark) - before
 
 
