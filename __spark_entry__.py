@@ -88,6 +88,18 @@ def _shared_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _shared_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized MinHash band index (doc_id, band, band_key) —
+    the persisted LSH-index analog, banded once per session on top of
+    the shared signature frame; q21's pairing and q48's incremental
+    admission both probe it."""
+    return corpus_cache.shared_df(
+        spark,
+        ("minhash_banded", sf, 16, 4),
+        lambda: dedup._minhash_banded(_shared_minhash_sigs(spark, sf), 16, 4),
+    )
+
+
 def _shared_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-wide (doc_id, simhash) frame, hashed once per session —
     the persisted fingerprint-index analog; q49's blocking side."""
@@ -438,7 +450,7 @@ def _q21_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         num_hashes=16,
         bands=4,
         threshold_pct=50,
-        sigs=_shared_minhash_sigs(spark, sf),
+        banded=_shared_banded(spark, sf),
     )
 
 
@@ -940,8 +952,8 @@ def _q47_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q48_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Delta-ingestion near-dup admission (probe-vs-index; old×old pairs
-    never generated). The signature frame is the session-cached one q21
-    also uses — the persisted-index analog at cluster scale."""
+    never generated). The band index is the session-cached one q21
+    also probes — the persisted-index analog at cluster scale."""
     return dedup.minhash_lsh_incremental(
         load_table(spark, sf, "documents"),
         new_min_doc_id=400,
@@ -949,7 +961,7 @@ def _q48_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
         bands=4,
         threshold_pct=50,
         shingle=3,
-        sigs=_shared_minhash_sigs(spark, sf),
+        banded=_shared_banded(spark, sf),
     )
 
 

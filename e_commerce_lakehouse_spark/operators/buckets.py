@@ -76,6 +76,7 @@ def bucket_mate_pairs(
     id_col: str,
     hot_cap: int = DEFAULT_HOT_CAP,
     hot_mode: str = "star",
+    materialize_input: bool = True,
 ) -> DataFrame:
     """All candidate pairs (a, b), a < b, of rows sharing a bucket key,
     with per-task memory bounded by ``hot_cap`` regardless of bucket
@@ -83,14 +84,21 @@ def bucket_mate_pairs(
 
     Returns columns ``(a, b)``; callers typically ``.distinct()`` the
     result because the same pair can surface from several bands.
+
+    ``materialize_input=False`` skips the internal localCheckpoint —
+    pass it ONLY when ``banded`` is already materialized (a
+    corpus_cache frame / persisted index); an unmaterialized kernel
+    frame would re-run per pairing branch.
     """
     if hot_mode not in ("star", "grid"):
         raise ValueError(f"hot_mode must be star|grid, got {hot_mode!r}")
-    # Materialize: referenced by both pairing branches — without this
-    # the upstream signature kernel would re-run per reference. The
-    # checkpointed frame is the banded index (ids + small keys), the
-    # cluster-scale analog of a persisted LSH index.
-    banded = banded.localCheckpoint()
+    if materialize_input:
+        # Materialize: referenced by both pairing branches — without
+        # this the upstream signature kernel would re-run per
+        # reference. The checkpointed frame is the banded index (ids +
+        # small keys), the cluster-scale analog of a persisted LSH
+        # index.
+        banded = banded.localCheckpoint()
     # Per-bucket size/min via a WINDOW, not a groupBy+join: one shuffle
     # on the bucket key instead of three join legs, and the downstream
     # small-bucket groupBy reuses the window's hash partitioning (no

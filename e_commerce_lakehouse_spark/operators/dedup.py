@@ -300,6 +300,7 @@ def minhash_lsh_pairs(
     sigs: DataFrame | None = None,
     hot_cap: int = buckets.DEFAULT_HOT_CAP,
     hot_mode: str = "star",
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via LSH banding + exact Jaccard verification.
 
@@ -319,15 +320,25 @@ def minhash_lsh_pairs(
 
     ``sigs`` lets callers pass a precomputed/persisted signature frame
     (doc_id, signature) — e.g. ``corpus_cache.shared_df`` — so several
-    queries over the same corpus hash it once, not once each.
+    queries over the same corpus hash it once, not once each; ``banded``
+    goes one step further and shares the MATERIALIZED band index itself
+    (must already be checkpointed/cached — it is consumed by both
+    pairing branches).
     """
     documents = spread_for_cpu(documents)
-    if sigs is None:
-        sigs = minhash_signature(documents, num_hashes, shingle)
-    banded = _minhash_banded(sigs, num_hashes, bands)
+    already_materialized = banded is not None
+    if banded is None:
+        if sigs is None:
+            sigs = minhash_signature(documents, num_hashes, shingle)
+        banded = _minhash_banded(sigs, num_hashes, bands)
 
     candidates = buckets.bucket_mate_pairs(
-        banded, ["band", "band_key"], "doc_id", hot_cap=hot_cap, hot_mode=hot_mode
+        banded,
+        ["band", "band_key"],
+        "doc_id",
+        hot_cap=hot_cap,
+        hot_mode=hot_mode,
+        materialize_input=not already_materialized,
     ).withColumnsRenamed({"a": "a_id", "b": "b_id"}).distinct()
 
     # exact-verify side: join the candidate pairs (tiny at scale) back
@@ -411,6 +422,7 @@ def minhash_lsh_incremental(
     threshold_pct: int = 50,
     shingle: int = 3,
     sigs: DataFrame | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-ingestion near-dup ADMISSION: every doc with doc_id ≥
     ``new_min_doc_id`` is "arriving" and is admitted iff no earlier doc
@@ -434,41 +446,15 @@ def minhash_lsh_incremental(
     corpora should pre-dedup the index with ``exact_dedup`` or the
     hot-capped ``minhash_lsh_pairs`` star path first.
     """
-    rows_per_band = num_hashes // bands
     documents = spread_for_cpu(documents)
-    if sigs is None:
-        sigs = minhash_signature(documents, num_hashes, shingle)
-    banded = (
-        sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at(
-                                            "signature", b * rows_per_band + r + 1
-                                        )
-                                        for r in range(rows_per_band)
-                                    ],
-                                )
-                            ).alias("band_key"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("doc_id", "bk.band", "bk.band_key")
+    if banded is None:
+        if sigs is None:
+            sigs = minhash_signature(documents, num_hashes, shingle)
         # the index side and the probe side both read this — materialize
         # so the signature kernel runs once (a self-join on a UDF-derived
-        # frame re-evaluates the subtree)
-        .localCheckpoint()
-    )
+        # frame re-evaluates the subtree). Callers with a persisted/
+        # cached band index (corpus_cache) pass it via ``banded``.
+        banded = _minhash_banded(sigs, num_hashes, bands).localCheckpoint()
     probe = banded.filter(F.col("doc_id") >= new_min_doc_id).select(
         F.col("doc_id").alias("b_id"),
         F.col("band").alias("p_band"),
