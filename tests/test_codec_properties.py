@@ -139,3 +139,57 @@ def test_winnowing_guarantee_planted_substrings(spark):
         assert fps[2 * i] & fps[2 * i + 1], f"planted pair {i} shares no fingerprint"
     for i in range(40, 50):
         assert not (fps[2 * i] & fps[2 * i + 1]), f"control pair {i} overlaps"
+
+
+# -- JPEG -------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+    quality=st.integers(30, 100),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_any_shape(w, h, channels, quality, data):
+    """Baseline JPEG must decode to the ORIGINAL dims/channels for any
+    image shape (including non-multiple-of-8 and 1-pixel edges) and
+    stay within lossy-codec error of the source. Error bound: DCT
+    quantization at q>=30 keeps smooth images close; pure noise is the
+    worst case, so the bound is loose but still catches structural
+    bugs (plane swaps, off-by-one defiltering, block misalignment)."""
+    from e_commerce_lakehouse_spark.operators import jpeg
+
+    n = w * h * channels
+    pix = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    blob = jpeg.encode_jpeg(pix, w, h, channels, quality=quality)
+    W, H, C, out = jpeg.decode_jpeg(blob)
+    assert (W, H, C) == (w, h, channels)
+    assert len(out) == n
+    a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+    b = np.frombuffer(out, dtype=np.uint8).astype(int)
+    # worst-case (noise) quantization error at q=30 stays far below a
+    # structural failure, which shifts/permutes whole blocks (err~85+)
+    assert np.abs(a - b).mean() < 70
+
+
+@given(
+    w=st.integers(8, 32),
+    h=st.integers(8, 32),
+    restart=st.integers(1, 9),
+    data=st.data(),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_restart_interval_equivalence(w, h, restart, data):
+    """RSTn markers are resync metadata — any restart interval must
+    decode to the IDENTICAL pixels as the no-restart encoding."""
+    from e_commerce_lakehouse_spark.operators import jpeg
+
+    n = w * h
+    pix = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(pix, w, h, 1, quality=80))
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(pix, w, h, 1, quality=80, restart_interval=restart)
+    )
+    assert plain == rst

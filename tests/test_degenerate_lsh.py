@@ -144,3 +144,27 @@ def test_embedding_neardup_dense_cluster_bounded(spark):
     overflow = similarity.embedding_bucket_overflow(emb, hot_cap=32).collect()
     assert len(overflow) == 4  # hot in every band
     assert all(r.bucket_size == n for r in overflow)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_grid_equals_exact_on_random_buckets(spark, seed):
+    """Randomized multi-bucket frames: the grid hot path must produce
+    the IDENTICAL pair set as the exact collect_list path for every
+    bucket-size mix and cap (exactness is the grid mode's contract)."""
+    import random
+
+    rng = random.Random(seed)
+    rows, next_id = [], 0
+    for b in range(rng.randint(2, 5)):
+        for _ in range(rng.randint(1, 120)):
+            rows.append((str(b), next_id))
+            next_id += 1
+    df = spark.createDataFrame(rows, "k string, doc_id long")
+    cap = rng.randint(2, 40)
+    exact = buckets.bucket_mate_pairs(df, ["k"], "doc_id", hot_cap=10_000)
+    grid = buckets.bucket_mate_pairs(
+        df, ["k"], "doc_id", hot_cap=cap, hot_mode="grid"
+    )
+    assert {(r.a, r.b) for r in grid.collect()} == {
+        (r.a, r.b) for r in exact.collect()
+    }
