@@ -321,9 +321,11 @@ def minhash_lsh_pairs(
     ``sigs`` lets callers pass a precomputed/persisted signature frame
     (doc_id, signature) — e.g. ``corpus_cache.shared_df`` — so several
     queries over the same corpus hash it once, not once each; ``banded``
-    goes one step further and shares the MATERIALIZED band index itself
-    (must already be checkpointed/cached — it is consumed by both
-    pairing branches).
+    goes one step further and shares the MATERIALIZED band index itself.
+    When ``banded`` is given, ``num_hashes``/``bands``/``sigs`` are
+    IGNORED (the index fixes them) and the frame MUST already be
+    checkpointed/cached — it is consumed by both pairing branches, and
+    an unmaterialized kernel frame would re-run per branch.
     """
     documents = spread_for_cpu(documents)
     already_materialized = banded is not None
@@ -331,6 +333,8 @@ def minhash_lsh_pairs(
         if sigs is None:
             sigs = minhash_signature(documents, num_hashes, shingle)
         banded = _minhash_banded(sigs, num_hashes, bands)
+    else:
+        _check_banded_schema(banded)
 
     candidates = buckets.bucket_mate_pairs(
         banded,
@@ -384,6 +388,19 @@ def lsh_bucket_overflow(
         hot_cap=hot_cap,
         hot_mode=hot_mode,
     )
+
+
+def _check_banded_schema(banded: DataFrame) -> None:
+    """Cheap contract check for caller-supplied band indexes: the
+    column shape must match ``_minhash_banded`` output. (Band-count/
+    hash-count mismatches are not detectable without an action — the
+    index fixes those parameters; see the ``banded`` docstrings.)"""
+    missing = {"doc_id", "band", "band_key"} - set(banded.columns)
+    if missing:
+        raise ValueError(
+            f"banded index is missing columns {sorted(missing)}; expected "
+            "_minhash_banded output (doc_id, band, band_key)"
+        )
 
 
 def _minhash_banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -453,8 +470,12 @@ def minhash_lsh_incremental(
         # the index side and the probe side both read this — materialize
         # so the signature kernel runs once (a self-join on a UDF-derived
         # frame re-evaluates the subtree). Callers with a persisted/
-        # cached band index (corpus_cache) pass it via ``banded``.
+        # cached band index (corpus_cache) pass it via ``banded``
+        # (num_hashes/bands/sigs are then ignored — the index fixes them
+        # — and the frame must already be materialized).
         banded = _minhash_banded(sigs, num_hashes, bands).localCheckpoint()
+    else:
+        _check_banded_schema(banded)
     probe = banded.filter(F.col("doc_id") >= new_min_doc_id).select(
         F.col("doc_id").alias("b_id"),
         F.col("band").alias("p_band"),
