@@ -709,9 +709,10 @@ def simhash_edit_pairs(
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
-    """Popcount of XOR — via bin() + count of '1' chars (no UDF)."""
-    x = a.bitwiseXOR(b)
-    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+    """Popcount of XOR via the native ``bit_count`` (single codegen
+    instruction — the earlier bin()+regexp formulation allocated a
+    64-char string per row)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
 # ---------------------------------------------------------------------------
