@@ -1375,6 +1375,10 @@ def _doc_profile_oracle_sql() -> str:
                        length(text) AS n_chars_measured,
                        len(list_filter(string_split(text, ' '),
                            t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords,
+                       CAST(len(list_distinct(list_transform(
+                            range(1, len(string_split(text, ' '))),
+                            i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))))
+                            AS INT) AS n_distinct_bigrams,
                        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
                             AS INT) AS n_bpe_tokens,
                        {NORM_TEXT_SQL} AS norm_text,
@@ -1391,6 +1395,11 @@ def _doc_profile_oracle_sql() -> str:
                        AS avg_token_len,
                    (n_tokens >= 10 AND n_tokens <= 100000
                     AND n_distinct_tokens * 100 >= n_tokens * 20) AS passes_quality,
+                   n_distinct_bigrams,
+                   CASE WHEN n_tokens > 1
+                        THEN CAST(((n_tokens - 1 - n_distinct_bigrams) * 100)
+                                  // (n_tokens - 1) AS INT)
+                        ELSE 0 END AS dup_bigram_pct,
                    n_bpe_tokens, norm_text, n_norm_tokens,
                    {', '.join('score_' + lang for lang in langs)},
                    {pred} AS pred_lang

@@ -302,12 +302,27 @@ def doc_profile(
     scores, pred = _lang_scores(profiles or LANG_TRIGRAMS)
     langs = sorted(scores)
     norm = normalize_text("text")
+    toks = tokens("text")
+    # distinct word bigrams (mirrors dedup.ngram_set(n=2) incl. the
+    # short-doc guard) — feeds the repetition signal below
+    distinct_bigrams = F.when(
+        F.size(toks) >= 2,
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+                )
+            )
+        ),
+    ).otherwise(F.lit(0))
     base = documents.select(
         "doc_id",
         "lang",
         "source",
         token_count("text").alias("n_tokens"),
         distinct_token_count("text").alias("n_distinct_tokens"),
+        distinct_bigrams.cast("int").alias("n_distinct_bigrams"),
         char_count("text").alias("n_chars_measured"),
         stopword_count("text").alias("n_stopwords"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
@@ -339,6 +354,20 @@ def doc_profile(
             & (F.col("n_tokens") <= max_tokens)
             & (F.col("n_distinct_tokens") * 100 >= F.col("n_tokens") * min_ttr_pct)
         ).alias("passes_quality"),
+        "n_distinct_bigrams",
+        # repetition signal (the Gopher/MassiveText dup-ngram rule):
+        # percent of bigram OCCURRENCES that are repeats of an earlier
+        # bigram — boilerplate/looping text scores high. Exact integer
+        # division for hash stability.
+        F.when(
+            F.col("n_tokens") > 1,
+            F.expr(
+                "((n_tokens - 1 - n_distinct_bigrams) * 100) div (n_tokens - 1)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("dup_bigram_pct"),
         "n_bpe_tokens",
         "norm_text",
         "n_norm_tokens",

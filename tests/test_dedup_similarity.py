@@ -279,3 +279,26 @@ def test_edit_distance_pairs_find_clones(spark):
     got = {(r.a_id, r.b_id): r.edit_distance for r in out.collect()}
     for i in range(10):
         assert got.get((i, i + 1_000_000)) == 0, f"clone pair {i} missing"
+
+
+def test_doc_profile_repetition_signal(spark):
+    """The Gopher-style dup-bigram rule: a looping/boilerplate doc must
+    score high, a token-diverse doc 0, and a sub-bigram doc (0, 0) —
+    exact integer percentages (hash-stable)."""
+    from e_commerce_lakehouse_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam spam", "en", "t"),
+            (2, "eleven completely different tokens appear in this one sentence here now", "en", "t"),
+            (3, "one", "en", "t"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {
+        r.doc_id: (r.n_distinct_bigrams, r.dup_bigram_pct)
+        for r in T.doc_profile(docs).collect()
+    }
+    assert rows[1] == (1, 90)   # 10 bigram occurrences, 1 distinct -> 90%
+    assert rows[2] == (10, 0)   # all bigrams distinct
+    assert rows[3] == (0, 0)    # shorter than a bigram
