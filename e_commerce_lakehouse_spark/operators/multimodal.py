@@ -417,11 +417,17 @@ def encode_images(decoded: DataFrame, fmt: str = "png", quality: int = 90) -> Da
     return decoded.mapInPandas(run, schema)
 
 
-def resize_images(decoded: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
-    """REAL nearest-neighbor resize over decoded pixel buffers (numpy
-    integer index maps — no external image library needed). Input is
-    ``decode_images`` output; one row per image, bounded output size
-    (out_w × out_h × channels bytes)."""
+def resize_images(
+    decoded: DataFrame, out_w: int = 32, out_h: int = 32, method: str = "nearest"
+) -> DataFrame:
+    """REAL resize over decoded pixel buffers (vectorized numpy — no
+    external image library): ``method="nearest"`` (integer index maps)
+    or ``method="bilinear"`` (align-corners-false sample-grid
+    interpolation, the convention of the mainstream tensor libraries).
+    Input is ``decode_images`` output; one row per image, bounded
+    output size (out_w × out_h × channels bytes)."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be nearest|bilinear, got {method!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -429,9 +435,28 @@ def resize_images(decoded: DataFrame, out_w: int = 32, out_h: int = 32) -> DataF
             for _, r in pdf.iterrows():
                 w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
                 img = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, c)
-                ys = (np.arange(out_h) * h) // out_h
-                xs = (np.arange(out_w) * w) // out_w
-                out_px.append(img[ys][:, xs].tobytes())
+                if method == "nearest":
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    out_px.append(img[ys][:, xs].tobytes())
+                    continue
+                # bilinear: source sample positions at output-pixel
+                # centers (align_corners=False), edge-clamped
+                fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+                fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+                y0 = np.floor(fy).astype(np.int64)
+                x0 = np.floor(fx).astype(np.int64)
+                y1 = np.minimum(y0 + 1, h - 1)
+                x1 = np.minimum(x0 + 1, w - 1)
+                wy = (fy - y0)[:, None, None]
+                wx = (fx - x0)[None, :, None]
+                f = img.astype(np.float64)
+                top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+                bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+                out = top * (1 - wy) + bot * wy
+                out_px.append(
+                    np.clip(np.round(out), 0, 255).astype(np.uint8).tobytes()
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

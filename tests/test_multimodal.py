@@ -1,7 +1,7 @@
 """Multimodal tests: real PNG codec (encode/decode round trip, all
 filter types, CRC) + the Spark-side pipeline (schema, Arrow batching,
-one-to-many expansion). Only genuinely-unavailable codecs (JPEG,
-ffmpeg frame extraction) remain stubbed."""
+one-to-many expansion). JPEG is real too since round 3 (see
+tests/test_jpeg.py); only ffmpeg frame extraction remains stubbed."""
 
 from __future__ import annotations
 
@@ -204,3 +204,28 @@ def test_frame_sampling_one_to_many(spark, media):
 def test_frame_sampling_stub_raises_without_fake(spark, media):
     with pytest.raises(Exception):
         mm.sample_frames(media, use_fake=False).collect()
+
+
+def test_resize_bilinear_interpolates(spark, media):
+    """Bilinear mode: identity-size resize reproduces the source
+    exactly (sample grid aligns with pixel centers), and a 2x
+    downscale of a linear horizontal ramp stays a linear ramp (the
+    interpolation property nearest-neighbor lacks)."""
+    decoded = mm.decode_images(media)
+    same = mm.resize_images(decoded, out_w=8, out_h=8, method="bilinear")
+    src = {r["media_id"]: bytes(r["pixels"]) for r in decoded.collect()}
+    for r in same.collect():
+        assert bytes(r["pixels"]) == src[r["media_id"]]
+
+    ramp = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (4, 1))  # 4x16 ramp
+    frame = spark.createDataFrame(
+        [(1, 16, 4, 1, bytearray(ramp.tobytes()))],
+        "media_id long, width int, height int, channels int, pixels binary",
+    )
+    out = mm.resize_images(frame, out_w=8, out_h=4, method="bilinear").collect()[0]
+    vals = np.frombuffer(bytes(out["pixels"]), dtype=np.uint8).reshape(4, 8)
+    diffs = np.diff(vals[0].astype(int))
+    assert all(d == diffs[0] for d in diffs[1:-1])  # interior steps uniform
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        mm.resize_images(decoded, method="bicubic").collect()
