@@ -51,6 +51,7 @@ def pack_sequences(
     ctx_len: int = 512,
     part_col: str = "source",
     order_col: str = "doc_id",
+    shard_size: int = 100_000,
 ) -> DataFrame:
     """Sequence PACKING — map every document into the fixed-size
     context windows a pre-training run consumes (GPT-style contiguous
@@ -60,25 +61,52 @@ def pack_sequences(
     Deterministic, exact, and invertible — the (bin, offset) layout is
     the shuffle-free description a downstream tokenizer-writer needs.
 
-    Scale shape: one window cumsum per stream — partitions by
-    ``part_col``, so streams pack in parallel and no global ordering
-    bottleneck exists (a single global stream would serialize the
-    cumsum; at 100 TB ALWAYS pack per source/shard). Pure Column ops,
-    one shuffle on ``part_col``.
+    Scale shape — TWO-LEVEL cumsum, because "one window per source" is
+    not enough at 100 TB (one dominant source would serialize into a
+    single giant window partition): docs cumsum WITHIN bounded
+    ``shard_size`` id-range shards (parallel across shards), per-shard
+    token totals (a tiny frame, one row per shard) cumsum across
+    shards per source, and each doc's stream position is shard base +
+    within-shard offset — exactly the single-stream positions, with no
+    window partition ever exceeding ``shard_size`` rows. The shard
+    frame broadcasts back. Shard keys are ``order_col div
+    shard_size``, monotone in ``order_col``, so the two-level order
+    equals the global per-source order.
     """
     from .text import tokens
 
-    w = (
-        Window.partitionBy(part_col)
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    df = documents.select(
+        order_col,
+        part_col,
+        n_tok.alias("n_tokens"),
+        F.expr(f"{order_col} div {shard_size}").alias("_shard"),
+    )
+    w_in = (
+        Window.partitionBy(part_col, "_shard")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
-    df = documents.select(
-        order_col, part_col, n_tok.alias("n_tokens")
+    local = df.withColumn(
+        "_local_start", F.sum("n_tokens").over(w_in) - F.col("n_tokens")
     )
-    t_start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_ts")
-    return df.select(order_col, part_col, "n_tokens", t_start).select(
+    w_sh = (
+        Window.partitionBy(part_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_bases = (
+        df.groupBy(part_col, "_shard")
+        .agg(F.sum("n_tokens").alias("_shard_tokens"))
+        .withColumn(
+            "_shard_base", F.coalesce(F.sum("_shard_tokens").over(w_sh), F.lit(0))
+        )
+        .select(part_col, "_shard", "_shard_base")
+    )
+    placed = local.join(F.broadcast(shard_bases), [part_col, "_shard"]).withColumn(
+        "_ts", F.col("_shard_base") + F.col("_local_start")
+    )
+    return placed.select(
         order_col,
         part_col,
         "n_tokens",

@@ -123,3 +123,17 @@ def test_pack_sequences_invariants(spark):
             assert r.n_bins_spanned == expect_span
             assert r.n_tokens >= 1
             t += r.n_tokens
+
+
+def test_pack_sequences_sharded_equals_single_stream(spark):
+    """Forcing many shards (shard_size=7) must reproduce the exact
+    same layout as one big shard — the two-level cumsum is an
+    implementation of the single-stream semantics, not a variant."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    one = {r.doc_id: r for r in sampling.pack_sequences(docs, 512, shard_size=10**9).collect()}
+    many = {r.doc_id: r for r in sampling.pack_sequences(docs, 512, shard_size=7).collect()}
+    assert one.keys() == many.keys()
+    for k in one:
+        a, b = one[k], many[k]
+        assert (a.bin_id, a.bin_offset, a.n_bins_spanned) == (
+            b.bin_id, b.bin_offset, b.n_bins_spanned), k
