@@ -72,4 +72,17 @@ def tune_existing(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this deployment — fine, defaults are close
+    try:
+        # match shuffle width to the actual core count, but ONLY when
+        # the session still has the stock 200 default — a harness that
+        # set partitions deliberately (bench: cpus; tests: 4) keeps its
+        # choice. Every oracle-hashed value is integer-exact, so
+        # partition count cannot change results, only wall-clock.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark

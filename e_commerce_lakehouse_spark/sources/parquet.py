@@ -48,6 +48,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    # every query funnels through here, so this is the choke point
+    # where a driver-supplied plain session picks up AQE + a shuffle
+    # width matched to its core count (no-ops on engine-built sessions)
+    from ..session import tune_existing
+
+    tune_existing(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

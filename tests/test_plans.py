@@ -58,10 +58,14 @@ def test_q15_single_shuffle_dedup(spark):
 
 def test_whole_stage_codegen_active(spark):
     # AQE's plan wrappers hide codegen markers until stages materialize;
-    # disable AQE momentarily to see the codegen spans in the plan
+    # disable AQE momentarily to see the codegen spans in the plan.
+    # Build the frame FIRST: query construction goes through load_table,
+    # which re-enables AQE (driver-session tuning) — the physical plan
+    # is derived lazily at explain time under whatever conf holds then.
+    df = Q["q04_monthly_sales_mom"](spark, SF_SMALL)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = plan_of(Q["q04_monthly_sales_mom"](spark, SF_SMALL))
+        plan = plan_of(df)
         assert "[codegen id :" in plan  # operators fused into codegen stages
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
