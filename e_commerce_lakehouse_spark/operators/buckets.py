@@ -30,7 +30,9 @@ switches strategy per-bucket once size exceeds ``hot_cap``:
 
   hot bucket, ``hot_mode="grid"``
       EXACT all-pairs, still task-bounded: the bucket is split into
-      ``ceil(n / hot_cap)`` deterministic cells by id-hash, the left
+      ``ceil(n / hot_cap)`` deterministic cells by RANK (row_number
+      over id, div hot_cap — a hard ≤ hot_cap guarantee per cell, not
+      the in-expectation bound a hash assignment would give), the left
       side replicates across cells, and the pair (a, b) is emitted in
       cell(b) only. Every join group holds ≤ hot_cap build rows, so no
       task ever materializes the whole bucket; the O(n²) OUTPUT remains
@@ -57,7 +59,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .parallelize import local_checkpoint_tracked, release_rdds
+
 DEFAULT_HOT_CAP = 1024
+
+# Block ids pinned by bucket_mate_pairs' internal materialization
+# (materialize_input=True). Spark's ContextCleaner frees checkpoint
+# blocks only after wrapper+proxy GC, so a long-lived session calling
+# the LSH pairing repeatedly would otherwise accumulate dead indexes
+# in executor storage memory. Callers release consumed indexes with
+# release_pinned_indexes(spark); bench.py's between-query sweep covers
+# its runs either way. Single-driver-thread assumption, like
+# parallelize.local_checkpoint_tracked.
+_PINNED_INDEX_BLOCKS: set[int] = set()
+
+
+def pinned_index_blocks() -> set[int]:
+    """Ids of checkpoint blocks currently pinned by internal
+    materializations — exposure for callers that manage lifecycle."""
+    return set(_PINNED_INDEX_BLOCKS)
+
+
+def release_pinned_indexes(spark) -> None:
+    """Unpersist every internally-pinned banded index. Call AFTER the
+    pairing output has been consumed by an action — the blocks ARE the
+    index data while the returned frame is still live."""
+    release_rdds(spark, _PINNED_INDEX_BLOCKS)
+    _PINNED_INDEX_BLOCKS.clear()
 
 
 def _bucket_stats(banded: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -88,7 +116,9 @@ def bucket_mate_pairs(
     ``materialize_input=False`` skips the internal localCheckpoint —
     pass it ONLY when ``banded`` is already materialized (a
     corpus_cache frame / persisted index); an unmaterialized kernel
-    frame would re-run per pairing branch.
+    frame would re-run per pairing branch. With ``True`` the pinned
+    blocks are tracked — long-lived sessions release consumed indexes
+    via :func:`release_pinned_indexes`.
     """
     if hot_mode not in ("star", "grid"):
         raise ValueError(f"hot_mode must be star|grid, got {hot_mode!r}")
@@ -97,8 +127,11 @@ def bucket_mate_pairs(
         # this the upstream signature kernel would re-run per
         # reference. The checkpointed frame is the banded index (ids +
         # small keys), the cluster-scale analog of a persisted LSH
-        # index.
-        banded = banded.localCheckpoint()
+        # index. Tracked so long-lived sessions can release superseded
+        # indexes (release_pinned_indexes) instead of leaking blocks
+        # until GC.
+        banded, ids = local_checkpoint_tracked(banded)
+        _PINNED_INDEX_BLOCKS.update(ids)
     # Per-bucket size/min via a WINDOW, not a groupBy+join: one shuffle
     # on the bucket key instead of three join legs, and the downstream
     # small-bucket groupBy reuses the window's hash partitioning (no
@@ -134,11 +167,21 @@ def bucket_mate_pairs(
     else:
         ncell = F.ceil(F.col("_bsz") / F.lit(hot_cap)).cast("int")
         # pair (a, b) is emitted in cell(b): the build (right) side of
-        # each (bucket, cell) join group holds ≤ hot_cap rows
+        # each (bucket, cell) join group holds ≤ hot_cap rows. Cells
+        # are assigned by RANK within the bucket, not id-hash: a hash
+        # draw only bounds cell size in expectation, while
+        # (row_number - 1) div hot_cap is a deterministic ≤ hot_cap
+        # guarantee. The row_number sort buffers one (hot) bucket of
+        # (id, small key) rows per container and spills — the same
+        # envelope as the stats window above, and sorting only the
+        # over-cap slice.
+        wn = Window.partitionBy(*key_cols).orderBy("_id")
         right = hot.select(
             *key_cols,
             F.col("_id").alias("b"),
-            F.pmod(F.xxhash64(F.col("_id")), ncell).cast("int").alias("_cell"),
+            ((F.row_number().over(wn) - 1) / F.lit(hot_cap))
+            .cast("int")
+            .alias("_cell"),
         )
         left = hot.select(
             *key_cols,

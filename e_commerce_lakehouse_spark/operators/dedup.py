@@ -141,11 +141,24 @@ def ngram_jaccard_pairs(
     )
 
 
+# Published decontamination rules, exposed as presets. The GPT-3 paper
+# (Brown et al. 2020, appendix C) filters on 13-gram collisions — ONE
+# shared 13-gram flags the document; later reports (PaLM, GPT-4, Llama)
+# use the same single-hit rule over 8–13-gram windows. The default
+# (n=2, min_overlap=10) is this engine's exact-count mode — tighter
+# grams but requiring substantial overlap.
+DECONTAMINATION_PRESETS: dict[str, dict[str, int]] = {
+    "gpt3_13gram": {"n": 13, "min_overlap": 1},
+    "8gram_single_hit": {"n": 8, "min_overlap": 1},
+}
+
+
 def contamination_pairs(
     documents: DataFrame,
     benchmark: DataFrame,
     n: int = 2,
     min_overlap: int = 10,
+    preset: str | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION — the train/eval-overlap gate every
     LLM data pipeline runs before training: flag corpus docs sharing at
@@ -154,12 +167,24 @@ def contamination_pairs(
     exact shared-gram count (both gram sets are distinct, so a plain
     count of gram-join hits IS |intersection|).
 
+    ``preset`` overrides (n, min_overlap) with a published rule from
+    :data:`DECONTAMINATION_PRESETS` — e.g. ``"gpt3_13gram"`` is the
+    GPT-3/PaLM-style single-hit 13-gram filter: any one verbatim
+    13-gram shared with an eval doc marks the pair.
+
     100 TB shape: the benchmark side is small by definition (eval sets)
     — its exploded gram table broadcasts; the corpus side explodes
     map-side and joins without shuffling the corpus; the only shuffle
     is the groupBy on matched (doc, bench) pairs, bounded by true
     overlap. No N x M document cross join at any scale.
     """
+    if preset is not None:
+        if preset not in DECONTAMINATION_PRESETS:
+            raise ValueError(
+                f"unknown preset {preset!r}; have {sorted(DECONTAMINATION_PRESETS)}"
+            )
+        cfg = DECONTAMINATION_PRESETS[preset]
+        n, min_overlap = cfg["n"], cfg["min_overlap"]
     bg = benchmark.select(
         F.col("doc_id").alias("bench_id"),
         F.explode(ngram_set("text", n)).alias("gram"),

@@ -402,12 +402,24 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     scan_comps: list[tuple[int, int, int]] = []
     scan_start = -1
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # legal JPEGs may pad with any number of 0xFF fill bytes
+        # before the marker byte (ITU-T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # parameterless markers: TEM, stray RSTn, repeated SOI —
+            # no length field follows; treating them as length-prefixed
+            # segments would misparse the rest of the stream
+            pos += 2
+            continue
+        if marker == 0x00 or pos + 4 > len(data):
+            raise ValueError(f"invalid marker 0xff{marker:02x} at {pos}")
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:

@@ -18,17 +18,39 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _compaction_frame(df: DataFrame, target_files: int) -> DataFrame:
+    """The compaction rewrite plan: full-width scan → round-robin
+    shuffle → ``target_files`` write tasks. Factored out so the layout
+    test can assert the plan shape (shuffle present, scan width not
+    capped) — the property that distinguishes it from ``coalesce``."""
+    return df.repartition(target_files)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_files: int, out_path: str | None = None
 ) -> int:
     """Rewrite ``path`` into ``target_files`` files; returns the new
-    file count. In-place via write-aside + swap when out_path is None."""
+    file count.
+
+    ``repartition`` (round-robin shuffle), NOT ``coalesce``: coalesce
+    caps the whole job's parallelism at ``target_files``, so compacting
+    a 10k-file directory into 32 files would READ on 32 tasks — the
+    shuffle buys a full-width scan and the write side alone narrows to
+    ``target_files``. (The shuffled bytes are the data being rewritten
+    anyway; compaction is inherently a full rewrite.)
+
+    The in-place swap (``out_path=None``) uses driver-side
+    ``shutil``/``os.rename`` — LOCAL-FILESYSTEM ONLY, and not atomic
+    for concurrent readers. On an object store / HDFS at scale, pass
+    ``out_path`` and flip the table location in the catalog instead
+    (the pointer-swap pattern ``sources/snapshots.py`` implements)."""
     import os
     import shutil
 
-    df = spark.read.parquet(path)
     dest = out_path or (path.rstrip("/") + "__compact_tmp")
-    df.coalesce(target_files).write.mode("overwrite").parquet(dest)
+    _compaction_frame(spark.read.parquet(path), target_files).write.mode(
+        "overwrite"
+    ).parquet(dest)
     if out_path is None:
         shutil.rmtree(path)
         os.rename(dest, path)

@@ -304,18 +304,26 @@ def doc_profile(
     norm = normalize_text("text")
     toks = tokens("text")
     # distinct word bigrams (mirrors dedup.ngram_set(n=2) incl. the
-    # short-doc guard) — feeds the repetition signal below
-    distinct_bigrams = F.when(
-        F.size(toks) >= 2,
-        F.size(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    # short-doc guard) — feeds the repetition signal below. NULL text
+    # propagates NULL explicitly: size(NULL)'s when-condition is NULL,
+    # so without the isNull guard the otherwise(0) branch would fire
+    # and diverge from SQL semantics (list ops over NULL → NULL) —
+    # every other profile column null-propagates.
+    distinct_bigrams = (
+        F.when(F.col("text").isNull(), F.lit(None))
+        .when(
+            F.size(toks) >= 2,
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+                    )
                 )
-            )
-        ),
-    ).otherwise(F.lit(0))
+            ),
+        )
+        .otherwise(F.lit(0))
+    )
     base = documents.select(
         "doc_id",
         "lang",

@@ -8,6 +8,7 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+import pytest
 from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import dedup
@@ -67,6 +68,36 @@ def test_threshold_excludes_near_miss(spark):
         for r in dedup.contamination_pairs(corpus, bench, n=2, min_overlap=5).collect()
     }
     assert (101, 0) not in high and (100, 0) in high
+
+
+def test_gpt3_13gram_preset_single_hit(spark):
+    """The published single-hit rule (GPT-3 appendix C, PaLM style):
+    ONE verbatim 13-gram shared with a benchmark doc flags the pair;
+    a 12-token verbatim overlap does not."""
+    bench13 = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike"
+    assert len(bench13.split()) == 13
+    bench = spark.createDataFrame(
+        [(0, bench13)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim 13-gram leak inside a longer doc
+            (200, "preamble text " + bench13 + " epilogue text"),
+            # only the first 12 tokens — no shared 13-gram
+            (201, "preamble " + " ".join(bench13.split()[:12]) + " zulu"),
+            (202, "entirely disjoint vocabulary in this training document"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.bench_id): r.n_shared_grams
+        for r in dedup.contamination_pairs(
+            corpus, bench, preset="gpt3_13gram"
+        ).collect()
+    }
+    assert rows == {(200, 0): 1}
+    with pytest.raises(ValueError, match="unknown preset"):
+        dedup.contamination_pairs(corpus, bench, preset="nope")
 
 
 def test_benchmark_side_broadcasts(spark):

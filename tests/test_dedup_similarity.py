@@ -302,3 +302,20 @@ def test_doc_profile_repetition_signal(spark):
     assert rows[1] == (1, 90)   # 10 bigram occurrences, 1 distinct -> 90%
     assert rows[2] == (10, 0)   # all bigrams distinct
     assert rows[3] == (0, 0)    # shorter than a bigram
+
+
+def test_doc_profile_null_text_propagates(spark):
+    """NULL text must null-propagate through n_distinct_bigrams like
+    every other profile column (SQL list-op semantics — the q16 oracle
+    computes NULL here), while dup_bigram_pct stays 0 on both sides."""
+    from e_commerce_lakehouse_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, None, "en", "t"), (2, "a b a b", "en", "t")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.doc_id: r for r in T.doc_profile(docs).collect()}
+    assert rows[1].n_distinct_bigrams is None
+    assert rows[1].dup_bigram_pct == 0
+    assert rows[1].n_tokens is None  # the pre-existing null contract
+    assert rows[2].n_distinct_bigrams == 2

@@ -7,6 +7,7 @@ pin the bounded-candidate behavior of operators/buckets.py."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import buckets, dedup, similarity
@@ -144,6 +145,48 @@ def test_embedding_neardup_dense_cluster_bounded(spark):
     overflow = similarity.embedding_bucket_overflow(emb, hot_cap=32).collect()
     assert len(overflow) == 4  # hot in every band
     assert all(r.bucket_size == n for r in overflow)
+
+
+def test_grid_cells_hard_bounded(spark):
+    """Grid cells are assigned by RANK, so every (bucket, cell) build
+    group holds ≤ hot_cap rows DETERMINISTICALLY — not just in hash
+    expectation. 257 rows at cap 50 → cells of exactly 50,50,50,50,50,7."""
+    df = _banded(spark, 257)
+    cap = 50
+    w = Window.partitionBy("k").orderBy("doc_id")
+    cells = (
+        df.select(
+            "k",
+            ((F.row_number().over(w) - 1) / F.lit(cap)).cast("int").alias("_cell"),
+        )
+        .groupBy("k", "_cell")
+        .count()
+        .collect()
+    )
+    sizes = sorted(r["count"] for r in cells)
+    assert sizes == [7, 50, 50, 50, 50, 50]
+    # and the operator's pair set over that assignment stays exact
+    grid = buckets.bucket_mate_pairs(df, ["k"], "doc_id", hot_cap=cap, hot_mode="grid")
+    assert grid.count() == 257 * 256 // 2
+
+
+def test_release_pinned_indexes(spark):
+    """Internal materializations are tracked and releasable: after
+    consuming the pairs, release_pinned_indexes drops the pinned
+    checkpoint blocks (long-lived-session leak guard)."""
+    df = _banded(spark, 100, n_buckets=4)
+    pairs = buckets.bucket_mate_pairs(df, ["k"], "doc_id", hot_cap=10)
+    pairs.count()
+    assert buckets.pinned_index_blocks()
+    buckets.release_pinned_indexes(spark)
+    assert not buckets.pinned_index_blocks()
+    from e_commerce_lakehouse_spark.operators.parallelize import _persistent_rdd_ids
+
+    # none of the previously-pinned ids remain persisted
+    # (other frames may still be pinned by other tests' fixtures)
+    assert not (
+        {b for b in buckets.pinned_index_blocks()} & _persistent_rdd_ids(spark)
+    )
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])

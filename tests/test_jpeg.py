@@ -74,6 +74,19 @@ def test_unsupported_shapes_raise_honestly():
         decode_jpeg(b"not a jpeg at all")
 
 
+def test_fill_bytes_and_parameterless_markers_tolerated():
+    """ITU-T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes, and TEM/stray-RSTn markers carry no length field —
+    foreign JPEGs using either must parse identically, not be misread
+    as length-prefixed segments."""
+    img = _gradient(16, 16, 1, seed=2)
+    blob = encode_jpeg(img.tobytes(), 16, 16, 1)
+    want = decode_jpeg(blob)
+    # splice fill bytes + TEM + stray RST0 between SOI and APP0
+    doctored = blob[:2] + b"\xff\xff" + b"\xff\x01" + b"\xff\xd0" + blob[2:]
+    assert decode_jpeg(doctored) == want
+
+
 def test_decode_images_handles_jpeg_and_png(spark):
     """decode_images must route per-payload by magic bytes: PNG rows
     through the zlib codec, JPEG rows through the DCT codec — one

@@ -28,6 +28,16 @@ def test_compact_parquet(spark, tmpdir):
     li.repartition(24).write.parquet(path)
     n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_before >= 20
+    # the rewrite plan must SHUFFLE to target_files (round-robin), not
+    # coalesce: coalesce would cap the scan itself at target_files
+    # tasks, reading a wide directory narrow
+    frame = layout._compaction_frame(spark.read.parquet(path), 2)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan, plan
+    # the scan keeps its natural width (split-packing decides — here
+    # the session's parallelism floor); only the post-shuffle write
+    # side narrows to target_files
+    assert spark.read.parquet(path).rdd.getNumPartitions() > 2
     n_after = layout.compact_parquet(spark, path, target_files=2)
     assert n_after == 2
     assert spark.read.parquet(path).count() == li.count()
