@@ -28,6 +28,7 @@ from e_commerce_lakehouse_spark.operators import aggregates as agg
 from e_commerce_lakehouse_spark.functions import money
 from e_commerce_lakehouse_spark.operators import (
     asof,
+    buckets,
     cleaning,
     corpus_cache,
     dedup,
@@ -808,10 +809,21 @@ def _q36_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
-    """Data-quality rule report (the reference's unrealized pydeequ
-    intent, SURVEY §5) — violation counts per rule in one pass."""
+    """Data-quality surface, kind-tagged union (keeps the registry at
+    the driver's 50-row window):
+      - kind='dq_rule': violation counts per rule in one pass (the
+        reference's unrealized pydeequ intent, SURVEY §5);
+      - kind='lsh_overflow': the 100 TB dedup accounting report —
+        buckets.bucket_overflow_stats over a planted banded index
+        (documents bucketed by doc_id mod 7, hot_cap 16, star mode).
+        Every over-cap bucket appears with its size (n_rows), the
+        pairs star mode suppressed (n_violations), and the emitted /
+        all-pairs ratio (pass_rate) — all exact closed-form functions
+        of the bucket size, so the oracle predicts them arithmetically
+        and silent truncation anywhere in the pairing path flips the
+        row red."""
     li = load_table(spark, sf, "lineitem")
-    return quality.dq_report(
+    rules = quality.dq_report(
         li,
         [
             quality.not_null("l_orderkey"),
@@ -820,7 +832,21 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
             quality.not_null("l_shipdate"),
             quality.matches("l_returnflag", "^[ANR]$", "returnflag_valid"),
         ],
+    ).select(F.lit("dq_rule").alias("kind"), "rule", "n_rows", "n_violations", "pass_rate")
+    banded = load_table(spark, sf, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(7)).alias("bucket"), "doc_id"
     )
+    all_pairs = F.col("pairs_emitted") + F.col("pairs_suppressed")
+    overflow = buckets.bucket_overflow_stats(
+        banded, ["bucket"], "doc_id", hot_cap=16, hot_mode="star"
+    ).select(
+        F.lit("lsh_overflow").alias("kind"),
+        F.concat(F.lit("bucket_"), F.col("bucket").cast("string")).alias("rule"),
+        F.col("bucket_size").cast("long").alias("n_rows"),
+        F.col("pairs_suppressed").cast("long").alias("n_violations"),
+        (F.col("pairs_emitted").cast("double") / all_pairs).alias("pass_rate"),
+    )
+    return rules.unionByName(overflow)
 
 
 def _q38_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1955,7 +1981,7 @@ def oracle_sql() -> dict[str, str]:
                                   OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS v5
                 FROM lineitem
             )
-            SELECT rule, n_rows, n_violations,
+            SELECT 'dq_rule' AS kind, rule, n_rows, n_violations,
                    CAST(n_rows - n_violations AS DOUBLE) / n_rows AS pass_rate
             FROM (
                 SELECT 'l_orderkey_not_null' AS rule, n_rows, CAST(v1 AS BIGINT) AS n_violations FROM base
@@ -1963,6 +1989,23 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'l_discount_between_0.0_0.1', n_rows, CAST(v3 AS BIGINT) FROM base
                 UNION ALL SELECT 'l_shipdate_not_null', n_rows, CAST(v4 AS BIGINT) FROM base
                 UNION ALL SELECT 'returnflag_valid', n_rows, CAST(v5 AS BIGINT) FROM base
+            )
+            UNION ALL
+            -- lsh_overflow: star-mode pairing accounting over documents
+            -- bucketed by doc_id % 7, hot_cap 16. Closed-form per
+            -- bucket of size n: emitted = n - 1 (the star),
+            -- suppressed = n(n-1)/2 - (n-1), pass_rate = emitted /
+            -- all-pairs. The Spark side computes these from the actual
+            -- bucket_overflow_stats operator - divergence anywhere in
+            -- its accounting flips the hash red.
+            SELECT 'lsh_overflow' AS kind,
+                   'bucket_' || CAST(bucket AS VARCHAR) AS rule,
+                   sz AS n_rows,
+                   CAST(sz * (sz - 1) // 2 - (sz - 1) AS BIGINT) AS n_violations,
+                   CAST(sz - 1 AS DOUBLE) / (sz * (sz - 1) // 2) AS pass_rate
+            FROM (
+                SELECT doc_id % 7 AS bucket, count(*) AS sz
+                FROM documents GROUP BY 1 HAVING count(*) > 16
             )
         """,
         "q38_embedding_neardup": _neardup_oracle_sql(),
