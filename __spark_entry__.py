@@ -1009,16 +1009,19 @@ def _q49_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal codec pipeline end-to-end with a HASH-VERIFIED
-    manifest (was rows-only in round 2): synthesize real PNG and WAV
-    payloads from the documents table, extract features via Arrow
-    mapInPandas (magic-byte sniff), decode the PNGs with the
-    stdlib-zlib codec (real width/height/channels) and the WAVs with
-    the RIFF/PCM codec (real duration). Every projected column is a
+    manifest: synthesize real PNG, WAV, AND MJPEG-AVI payloads from the
+    documents table, extract features via Arrow mapInPandas (magic-byte
+    sniff incl. RIFF-subtype dispatch), decode the PNGs with the
+    stdlib-zlib codec (real width/height/channels), the WAVs with the
+    RIFF/PCM codec (real duration + frame count), and the AVIs with the
+    RIFF walker + baseline JPEG codec (real per-frame decode,
+    operators/multimodal.py sample_frames). Every projected column is a
     deterministic function of the synthesis parameters, so the oracle
-    predicts them arithmetically (images are always 8x8 gray; WAV
-    duration_ms = 100 + second md5 byte of the text, since n_frames =
-    1600 + 16*d[1] at 16 kHz) — bit-rot anywhere in either codec
-    direction, the sniffer, or the synthesis flips the row red. The
+    predicts them arithmetically (images/video frames are always 8x8
+    gray; WAV n_frames = 1600 + 16*d[1] at 16 kHz so duration_ms =
+    100 + d[1]; AVI n_frames = 2 + d[3] mod 6, where d is the md5 of
+    the text) — bit-rot anywhere in any codec direction, the sniffer,
+    the AVI chunk walker, or the synthesis flips the row red. The
     non-predictable features (payload digest, n_bytes, RMS/ZCR) are
     still computed by the executed kernels and are pinned by
     tests/test_multimodal.py. The synthesized frames are
@@ -1026,17 +1029,28 @@ def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     runs exactly ONCE despite two consumers per frame (the q22
     double-eval pattern, pinned by tests/test_plans.py). One row per
     (doc, modality), kind-tagged; modality columns null on the other
-    kind."""
+    kinds."""
     images = _shared_media(spark, sf, "image")
     audio = _shared_media(spark, sf, "audio")
-    feats = multimodal.extract_features(images.unionByName(audio)).select(
-        "media_id", "kind", "sniffed_mime"
-    )
+    videos = _shared_media(spark, sf, "video")
+    feats = multimodal.extract_features(
+        images.unionByName(audio).unionByName(videos)
+    ).select("media_id", "kind", "sniffed_mime")
     dims = multimodal.decode_images(images).select(
         "media_id", "width", "height", "channels"
     )
     sound = multimodal.extract_audio_features(audio).select(
-        "media_id", "duration_ms"
+        "media_id", "duration_ms", F.col("n_frames").alias("a_frames")
+    )
+    vstats = (
+        multimodal.sample_frames(videos, every_n=1)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("v_frames"),
+            F.max("width").alias("v_width"),
+            F.max("height").alias("v_height"),
+            F.max("channels").alias("v_channels"),
+        )
     )
     return (
         feats.alias("f")
@@ -1050,14 +1064,20 @@ def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("f.media_id") == F.col("s.media_id")) & (F.col("kind") == "audio"),
             "left",
         )
+        .join(
+            vstats.alias("v"),
+            (F.col("f.media_id") == F.col("v.media_id")) & (F.col("kind") == "video"),
+            "left",
+        )
         .select(
             F.col("f.media_id").alias("media_id"),
             "kind",
             "sniffed_mime",
-            "width",
-            "height",
-            "channels",
+            F.coalesce(F.col("d.width"), F.col("v_width")).alias("width"),
+            F.coalesce(F.col("d.height"), F.col("v_height")).alias("height"),
+            F.coalesce(F.col("d.channels"), F.col("v_channels")).alias("channels"),
             "duration_ms",
+            F.coalesce(F.col("v_frames"), F.col("a_frames")).alias("n_frames"),
         )
     )
 
@@ -2234,13 +2254,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(da.text, db.text) * 100
                   <= GREATEST(length(da.text), length(db.text)) * 35
         """,
-        # q50: the Spark side ENCODES real PNG/WAV payloads, sniffs the
-        # magic bytes, and DECODES them back; the oracle predicts every
-        # manifest value arithmetically from the synthesis parameters
-        # (images are constant 8x8 gray; WAV frames = 1600 + 16*d1 at
-        # 16 kHz, so duration_ms = 100 + d1 where d1 is the second
-        # md5 byte of the text). A mismatch anywhere in the codec
-        # round-trip turns the row red.
+        # q50: the Spark side ENCODES real PNG/WAV/MJPEG-AVI payloads,
+        # sniffs the magic bytes (RIFF subtype dispatch), and DECODES
+        # them back; the oracle predicts every manifest value
+        # arithmetically from the synthesis parameters (images and
+        # video frames are constant 8x8 gray; WAV frames = 1600 +
+        # 16*d1 at 16 kHz, so duration_ms = 100 + d1; AVI frames =
+        # 2 + d3 % 6 — d1/d3 the second/fourth md5 bytes of the text).
+        # A mismatch anywhere in any codec round-trip, the sniffer, or
+        # the AVI chunk walker turns the row red.
         "q50_multimodal_features": """
             SELECT doc_id AS media_id,
                    'image' AS kind,
@@ -2248,7 +2270,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INT) AS width,
                    CAST(8 AS INT) AS height,
                    CAST(1 AS INT) AS channels,
-                   CAST(NULL AS INT) AS duration_ms
+                   CAST(NULL AS INT) AS duration_ms,
+                   CAST(NULL AS INT) AS n_frames
             FROM documents
             UNION ALL
             SELECT doc_id,
@@ -2258,7 +2281,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INT),
                    CAST(NULL AS INT),
                    CAST(100 + CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)
-                                   AS INT) AS INT)
+                                   AS INT) AS INT),
+                   CAST(1600 + 16 * CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)
+                                         AS INT) AS INT)
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'video',
+                   'video/avi',
+                   CAST(8 AS INT),
+                   CAST(8 AS INT),
+                   CAST(1 AS INT),
+                   CAST(NULL AS INT),
+                   CAST(2 + CAST('0x' || substr(md5(coalesce(text, '')), 7, 2)
+                                 AS INT) % 6 AS INT)
             FROM documents
         """,
     }

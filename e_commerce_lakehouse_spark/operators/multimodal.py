@@ -23,9 +23,13 @@ transcodes decoded pixel frames back to PNG or JPEG. Progressive,
 chroma-subsampled, arithmetic-coded, and 12-bit JPEG raise
 NotImplementedError (a full libjpeg concern, not a plumbing one).
 
-Still stubbed: video frame extraction (ffmpeg). ``sample_frames``
-keeps its deterministic fake behind ``use_fake`` with the real
-one-to-many mapInPandas shape.
+Also real: video frame sampling — ``encode_avi``/``iter_avi_frames``
+implement the RIFF/AVI container (public AVI spec; the same chunk
+grammar as the WAV codec, plus LIST nesting), and ``sample_frames``
+walks each MJPEG AVI's 'movi' list and decodes every-nth frame with
+the in-repo baseline JPEG codec — no ffmpeg. Non-MJPEG FourCCs raise
+NotImplementedError (other codecs are a libavcodec concern, not a
+plumbing one).
 
 Scale notes: binary payloads ride the normal Parquet path (page-
 compressed, column-pruned when untouched). mapInPandas streams Arrow
@@ -57,7 +61,6 @@ from pyspark.sql.types import (
 MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
-    b"RIFF": "audio/wav",
     b"ID3": "audio/mpeg",
     b"\x00\x00\x00\x18ftyp": "video/mp4",
     b"\x00\x00\x00\x20ftyp": "video/mp4",
@@ -68,6 +71,14 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff_mime(payload: bytes | None) -> str:
     if not payload:
+        return "application/octet-stream"
+    if payload[:4] == b"RIFF":
+        # RIFF is a container family — dispatch on the form type
+        sub = payload[8:12]
+        if sub == b"WAVE":
+            return "audio/wav"
+        if sub == b"AVI ":
+            return "video/avi"
         return "application/octet-stream"
     for magic, mime in MAGIC.items():
         if payload.startswith(magic):
@@ -236,6 +247,97 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# AVI container codec (RIFF, stdlib struct — the same chunk grammar
+# decode_wav walks, with LIST nesting). MJPEG video: each frame is a
+# standalone baseline JPEG in a '00dc' chunk, decodable by
+# operators/jpeg.py — so frame sampling needs no external ffmpeg.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Pack pre-encoded JPEG frames as a minimal spec-correct MJPEG
+    AVI: RIFF('AVI ') { LIST hdrl { avih, LIST strl { strh 'vids'/
+    'MJPG', strf BITMAPINFOHEADER } }, LIST movi { '00dc' chunks },
+    idx1 } — readable by standard players, walkable by
+    :func:`sample_frames`."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    n = len(jpeg_frames)
+    bufsz = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        bufsz * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n, 0, 1, bufsz,  # frames, initial, streams, suggested buffer
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0, 0,  # flags, priority, language, initial frames
+            1, fps,  # dwScale / dwRate: frame time = scale/rate s
+            0, n, bufsz, 0xFFFFFFFF, 0,  # start, length, bufsz, quality -1, samplesize
+        )
+        + struct.pack("<4H", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: offsets are relative to the 'movi' fourcc position,
+    # pointing at each chunk header (the convention players expect)
+    idx_entries, off = [], 4
+    for f in jpeg_frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def iter_avi_frames(data: bytes):
+    """Yield the raw codec payload of every video frame chunk
+    ('00dc'/'00db', including inside 'rec ' groups) of a RIFF/AVI
+    stream, in stream order. Pure chunk walking — no decode."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    # (start, end) byte ranges of chunk sequences still to walk,
+    # beginning with the top-level body; LIST movi / rec bodies are
+    # pushed as new ranges (explicit stack — no recursion depth limit)
+    stack = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + ln, end)
+            if tag == b"LIST" and data[body_start : body_start + 4] in (
+                b"movi",
+                b"rec ",
+            ):
+                stack.append((body_end + (ln & 1), end))  # resume after LIST
+                pos, end = body_start + 4, body_end  # walk into it
+                continue
+            if tag[2:4] in (b"dc", b"db"):
+                yield data[body_start:body_end]
+            pos = body_end + (ln & 1)
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 
@@ -245,13 +347,17 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     ships no binary fixtures): each IMAGE payload is a REAL 8×8
     grayscale PNG whose pixels are the md5 stream of the text; each
     AUDIO payload is a REAL 16 kHz mono WAV of a short md5-seeded sine
-    tone — both decodable by this module's codecs (or any standard
-    reader), so the whole codec path runs for real. Arrow-batched
-    encode kernel; one map, no shuffle."""
+    tone; each VIDEO payload is a REAL MJPEG-in-AVI of 2 + (d[3] mod 6)
+    8×8 grayscale JPEG frames (frame i's pixels are the md5 stream
+    shifted by i) — all decodable by this module's codecs (or any
+    standard reader), so the whole codec path runs for real.
+    Arrow-batched encode kernel; one map, no shuffle."""
     from pyspark.sql.functions import pandas_udf
 
-    if kind not in ("image", "audio"):
-        raise ValueError(f"kind must be image|audio, got {kind!r}")
+    from .jpeg import encode_jpeg
+
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(f"kind must be image|audio|video, got {kind!r}")
 
     @pandas_udf("binary")
     def make_png(text: pd.Series) -> pd.Series:
@@ -273,8 +379,26 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
             out.append(encode_wav(tone, 16000))
         return pd.Series(out)
 
-    payload = make_png(F.col("text")) if kind == "image" else make_wav(F.col("text"))
-    mime = "image/png" if kind == "image" else "audio/wav"
+    @pandas_udf("binary")
+    def make_avi(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            d = hashlib.md5(("" if t is None else t).encode()).digest()
+            n_frames = 2 + d[3] % 6  # 2..7 frames, text-deterministic
+            base = np.frombuffer((d * 4)[:64], dtype=np.uint8).astype(np.int64)
+            frames = [
+                encode_jpeg(
+                    ((base + i) % 256).astype(np.uint8).tobytes(), 8, 8, 1, quality=90
+                )
+                for i in range(n_frames)
+            ]
+            out.append(encode_avi(frames, 8, 8, fps=4))
+        return pd.Series(out)
+
+    payload = {"image": make_png, "audio": make_wav, "video": make_avi}[kind](
+        F.col("text")
+    )
+    mime = {"image": "image/png", "audio": "audio/wav", "video": "video/avi"}[kind]
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
@@ -523,38 +647,69 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int = 10, use_fake: bool = False) -> DataFrame:
-    """Video frame sampling STUB (one row per sampled frame): real
-    frame extraction needs ffmpeg, which is not in this container. Fake
-    mode emits ceil(n_bytes / 32 / every_n) frames per video with
-    deterministic frame ids — exercising the one-to-many mapInPandas
-    shape a real sampler would have."""
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("frame_no", IntegerType()),
-            StructField("frame", BinaryType()),
-        ]
-    )
+SAMPLED_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling (no ffmpeg): walk each MJPEG-in-AVI
+    payload's RIFF 'movi' list (:func:`iter_avi_frames` — the same
+    chunk grammar ``decode_wav`` walks), keep every ``every_n``-th
+    frame, and decode it with the in-repo baseline JPEG codec
+    (``jpeg.decode_jpeg``). One row per sampled frame, decoded to raw
+    pixels — the schema ``decode_images`` emits plus ``frame_no``, so
+    sampled frames feed ``resize_images``/``encode_images`` directly.
+
+    Null and non-AVI rows are dropped (pass through other operators);
+    a frame chunk that is not a JPEG raises NotImplementedError — a
+    non-MJPEG FourCC needs its own codec, an honest external boundary.
+
+    One-to-many Arrow mapInPandas, pure map: no shuffle at any scale.
+    Skipped frames cost only the chunk walk (header reads), not a
+    decode — sampling 1-in-100 does ~1/100th of the DCT work."""
+    from .jpeg import decode_jpeg
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake:
-                raise NotImplementedError(
-                    "frame sampling requires ffmpeg — not available; use use_fake=True"
-                )
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                n_frames = max(1, len(payload) // 32 // every_n)
-                for i in range(n_frames):
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if sniff_mime(data) != "video/avi":
+                    continue
+                for idx, frame in enumerate(iter_avi_frames(data)):
+                    if idx % every_n:
+                        continue
+                    if frame[:2] != b"\xff\xd8":
+                        raise NotImplementedError(
+                            "non-MJPEG video frame chunk: only MJPEG AVIs "
+                            "decode in-repo"
+                        )
+                    w, h, c, px = decode_jpeg(frame)
                     rows.append(
                         {
-                            "media_id": r["media_id"],
-                            "frame_no": i * every_n,
-                            "frame": payload[i * 32 : (i + 1) * 32],
+                            "media_id": media_id,
+                            "frame_no": idx,
+                            "width": w,
+                            "height": h,
+                            "channels": c,
+                            "pixels": px,
                         }
                     )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SAMPLED_FRAME_SCHEMA.fields]
+            )
 
-    return media.mapInPandas(run, schema)
+    return media.mapInPandas(run, SAMPLED_FRAME_SCHEMA)
