@@ -3,12 +3,14 @@ metadata (engine extension; BASELINE.json north star).
 
 Real here: the Spark-side plumbing — schema, Arrow-batched mapInPandas
 pipelines, partition sizing, batch shapes, magic-byte sniffing, feature
-extraction — AND a real PNG codec: ``encode_png``/``decode_png`` are a
-complete 8-bit gray/RGB PNG implementation on stdlib zlib/struct +
+extraction — AND a real PNG codec: ``encode_png``/``decode_png`` cover
+8/16-bit gray, RGB, gray+alpha, RGBA and 1/2/4/8-bit palette
+(PLTE/tRNS LUT expansion, 16→8 downshift) on stdlib zlib/struct +
 numpy (no external image library), with full 5-filter defiltering and
-CRC checks. ``synthesize_media`` emits real decodable PNGs, so
-``decode_images`` and ``resize_images`` run genuine codec work
-end-to-end in this container.
+CRC checks; only Adam7 interlace stays NotImplementedError.
+``synthesize_media`` emits real decodable PNGs, so ``decode_images``
+and ``resize_images`` run genuine codec work end-to-end in this
+container.
 
 Also real: a WAV audio codec — ``encode_wav``/``decode_wav`` handle
 RIFF/PCM 16-bit mono/stereo on stdlib struct + numpy, and
@@ -104,9 +106,9 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
 
 def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
     """Encode raw 8-bit pixels (row-major, ``channels`` ∈ {1: gray,
-    3: RGB}) as a real PNG: IHDR + one zlib IDAT (filter 0 per
-    scanline) + IEND."""
-    color_type = {1: 0, 3: 2}[channels]
+    2: gray+alpha, 3: RGB, 4: RGBA}) as a real PNG: IHDR + one zlib
+    IDAT (filter 0 per scanline) + IEND."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     stride = width * channels
     if len(pixels) != stride * height:
@@ -122,16 +124,32 @@ def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> byt
     )
 
 
+# (color type, bit depth) -> raw channels per pixel, for the supported
+# combos. Palette rows carry 1 index channel at 1/2/4/8 bits; gray/RGB
+# (+alpha) carry 8- or 16-bit samples.
+_PNG_SHAPES = {
+    (0, 8): 1, (0, 16): 1,   # grayscale
+    (2, 8): 3, (2, 16): 3,   # truecolor RGB
+    (3, 1): 1, (3, 2): 1, (3, 4): 1, (3, 8): 1,  # palette indices
+    (4, 8): 2, (4, 16): 2,   # gray + alpha
+    (6, 8): 4, (6, 16): 4,   # RGBA
+}
+
+
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG to (width, height, channels, raw pixel bytes).
-    Full defiltering (None/Sub/Up/Average/Paeth) with CRC verification;
-    8-bit gray/RGB only (NotImplementedError otherwise — palettes,
-    alpha, 16-bit, and interlace are out of scope for this engine)."""
+    """Decode a PNG to (width, height, channels, raw 8-bit pixel
+    bytes). Full defiltering (None/Sub/Up/Average/Paeth) with CRC
+    verification. Supported: 8/16-bit gray, RGB, gray+alpha, RGBA
+    (16-bit downshifted to 8 — the thumbnail-path convention) and
+    1/2/4/8-bit palette with PLTE (+ optional tRNS → RGBA) LUT
+    expansion. Interlace (Adam7) raises NotImplementedError. Output
+    ``channels``: 1 gray, 2 gray+alpha, 3 RGB (incl. opaque palette),
+    4 RGBA (incl. palette with tRNS)."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     pos = len(PNG_SIG)
-    width = height = color = -1
-    idat = b""
+    width = height = color = depth = -1
+    idat, plte, trns = b"", b"", None
     while pos + 12 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -143,11 +161,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
-            if depth != 8 or color not in (0, 2) or interlace:
+            if interlace or (color, depth) not in _PNG_SHAPES:
                 raise NotImplementedError(
-                    f"PNG depth={depth} color={color} interlace={interlace}: only "
-                    "8-bit gray/RGB non-interlaced supported"
+                    f"PNG depth={depth} color={color} interlace={interlace}: "
+                    "supported are 8/16-bit gray/RGB/alpha and 1/2/4/8-bit "
+                    "palette, non-interlaced"
                 )
+        elif tag == b"PLTE":
+            plte = chunk
+        elif tag == b"tRNS":
+            trns = chunk
         elif tag == b"IDAT":
             idat += chunk
         elif tag == b"IEND":
@@ -155,8 +178,11 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + ln
     if width < 0:
         raise ValueError("no IHDR chunk")
-    channels = 1 if color == 0 else 3
-    stride = width * channels
+    raw_ch = _PNG_SHAPES[(color, depth)]
+    # filtering operates on BYTES: stride = ceil(width·ch·depth/8),
+    # bpp = the byte distance to the "left" sample (min 1)
+    stride = (width * raw_ch * depth + 7) // 8
+    bpp = max(1, raw_ch * depth // 8)
     raw = zlib.decompress(idat)
     if len(raw) != (stride + 1) * height:
         raise ValueError("IDAT length does not match dimensions")
@@ -173,9 +199,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
             cur = np.empty(stride, dtype=np.uint8)
             for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -189,7 +215,39 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur
         prev = cur
-    return width, height, channels, out.tobytes()
+
+    if color == 3:
+        # palette: unpack indices, then LUT-expand via PLTE (+tRNS)
+        if not plte or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        if depth == 8:
+            idx = out
+        else:
+            # sub-byte depths pack big-endian within each byte;
+            # unpack bits rowwise and regroup depth-bit values
+            bits = np.unpackbits(out, axis=1)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (
+                bits[:, : (stride * 8 // depth) * depth]
+                .reshape(height, -1, depth)
+                .dot(weights)
+                .astype(np.uint8)
+            )
+        idx = idx[:, :width]
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if np.any(idx >= len(lut)):
+            raise ValueError("palette index out of range")
+        if trns is not None:
+            alpha = np.full(len(lut), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            lut = np.concatenate([lut, alpha[:, None]], axis=1)
+        px = lut[idx]
+        return width, height, px.shape[-1], px.tobytes()
+
+    if depth == 16:
+        # big-endian 16-bit samples -> high-byte downshift to 8-bit
+        out = out.reshape(height, width * raw_ch, 2)[:, :, 0]
+    return width, height, raw_ch, np.ascontiguousarray(out).tobytes()
 
 
 # ---------------------------------------------------------------------------

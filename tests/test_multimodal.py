@@ -107,6 +107,87 @@ def test_feature_extraction(spark, media):
     assert r0["digest"] == hashlib.md5(raw[r0["media_id"]]).hexdigest()
 
 
+def _mk_png(w, h, depth, color, raw_rows, plte=None, trns=None):
+    """Hand-assemble a PNG from pre-filtered scanline bytes."""
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    out = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += mm._png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += mm._png_chunk(b"tRNS", trns)
+    out += mm._png_chunk(b"IDAT", zlib.compress(raw_rows))
+    return out + mm._png_chunk(b"IEND", b"")
+
+
+def test_png_palette_8bit_lut_expansion():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2, 1]) + b"\x00" + bytes([2, 2, 0, 0])
+    w, h, c, px = mm.decode_png(_mk_png(4, 2, 8, 3, raw, plte=plte))
+    assert (w, h, c) == (4, 2, 3)
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    want = lut[np.array([[0, 1, 2, 1], [2, 2, 0, 0]])]
+    assert px == want.tobytes()
+
+
+def test_png_palette_subbyte_depths():
+    # 2-bit, width 5 (stride 2 bytes, 6 pad bits): indices 0,1,2,3,1
+    plte = bytes(range(12))  # 4 colors
+    packed = bytes([0b00011011, 0b01000000])
+    w, h, c, px = mm.decode_png(_mk_png(5, 1, 2, 3, b"\x00" + packed, plte=plte))
+    assert (w, h, c) == (5, 1, 3)
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert px == lut[np.array([0, 1, 2, 3, 1])].tobytes()
+    # 1-bit two-color: 10110000 -> indices 1,0,1,1
+    plte2 = bytes([0, 0, 0, 255, 255, 255])
+    w, h, c, px = mm.decode_png(
+        _mk_png(4, 1, 1, 3, b"\x00" + bytes([0b10110000]), plte=plte2)
+    )
+    assert (w, h, c) == (4, 1, 3)
+    assert px == lut2b(plte2, [1, 0, 1, 1])
+
+
+def lut2b(plte, idx):
+    return np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)[np.array(idx)].tobytes()
+
+
+def test_png_palette_trns_yields_rgba():
+    plte = bytes([10, 20, 30, 40, 50, 60])
+    raw = b"\x00" + bytes([0, 1])
+    w, h, c, px = mm.decode_png(_mk_png(2, 1, 8, 3, raw, plte=plte, trns=bytes([128])))
+    assert (w, h, c) == (2, 1, 4)
+    assert px == bytes([10, 20, 30, 128, 40, 50, 60, 255])
+
+
+def test_png_16bit_downshift_and_bpp2_defilter():
+    # 16-bit gray, 3x1, filter None: high bytes survive the downshift
+    samples = struct.pack(">3H", 0x1234, 0xABCD, 0x00FF)
+    w, h, c, px = mm.decode_png(_mk_png(3, 1, 16, 0, b"\x00" + samples))
+    assert (w, h, c, px) == (3, 1, 1, bytes([0x12, 0xAB, 0x00]))
+    # Sub filter at 16-bit: bpp is 2 BYTES, so defiltering must reach
+    # back one full sample, not one byte
+    orig = np.frombuffer(struct.pack(">4H", 0x1000, 0x2010, 0x3020, 0x4030), np.uint8)
+    filt = orig.copy()
+    filt[2:] = (orig[2:].astype(int) - orig[:-2].astype(int)) % 256
+    w, h, c, px = mm.decode_png(_mk_png(4, 1, 16, 0, b"\x01" + filt.tobytes()))
+    assert px == bytes([0x10, 0x20, 0x30, 0x40])
+
+
+def test_png_alpha_roundtrip_and_boundaries():
+    # RGBA and gray+alpha round-trip through encode_png/decode_png
+    rgba = bytes(range(32))  # 2x4 RGBA
+    assert mm.decode_png(mm.encode_png(rgba, 4, 2, 4)) == (4, 2, 4, rgba)
+    ga = bytes(range(16))  # 4x2 gray+alpha
+    assert mm.decode_png(mm.encode_png(ga, 4, 2, 2)) == (4, 2, 2, ga)
+    # interlace stays an honest boundary
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    bad = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        mm.decode_png(bad + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x00")) + mm._png_chunk(b"IEND", b""))
+    # palette without PLTE is corrupt, not silently black
+    with pytest.raises(ValueError, match="PLTE"):
+        mm.decode_png(_mk_png(1, 1, 8, 3, b"\x00\x00"))
+
+
 def test_sniff_mime_table():
     assert mm.sniff_mime(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
     assert mm.sniff_mime(b"RIFF....WAVE") == "audio/wav"
