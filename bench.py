@@ -10,7 +10,11 @@ MIN across passes — single-run timings at this scale swing ~2x both
 directions on identical code, which makes round-over-round regression
 detection impossible. `value` is the sum of per-query minimums;
 `queries_median`/`total_median` expose the per-query medians so tail
-variance is visible alongside the best case.
+variance is visible alongside the best case. The codec/DP-heavy
+queries (q49/q50) get one untimed warm-up plus
+$SPARK_GRAFT_BENCH_HEAVY_RUNS (default 5) timed passes: their
+first-run effects produced up to 2.5x min-vs-median spread, swamping
+real deltas.
 
 Between queries, leftover checkpoint blocks are dropped EXCEPT the
 corpus_cache frames — those model persisted cross-query indexes and are
@@ -92,9 +96,23 @@ def main() -> None:
         )
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # codec/DP-heavy queries showed up to 2.5x min-vs-median spread
+    # from first-run effects (Arrow worker steady-state, codegen for
+    # the widest kernels) — give them one untimed warm-up pass and
+    # median-of-5 so round-over-round deltas stay attributable
+    heavy = {"q49_edit_distance_pairs", "q50_multimodal_features"}
+    heavy_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5")))
+    for name in sorted(heavy & set(qs)):
+        try:
+            force(qs[name](spark, sf_dir))
+        except Exception:
+            pass
+        release_leftovers()
     samples: dict[str, list[float]] = {}
-    for _ in range(n_runs):
+    for i in range(max(n_runs, heavy_runs)):
         for name in sorted(qs):
+            if i >= (heavy_runs if name in heavy else n_runs):
+                continue
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 3)

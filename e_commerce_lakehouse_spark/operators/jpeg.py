@@ -330,6 +330,38 @@ class _BitReader:
         self.acc = (self.acc << 8) | byte
         self.nbits += 8
 
+    def _try_fill(self) -> bool:
+        """Append one data byte to the accumulator if one is available
+        — stops (False) at any marker or EOF WITHOUT consuming it, so
+        the strict per-bit path keeps its error semantics there."""
+        pos = self.pos
+        data = self.data
+        if pos >= len(data):
+            return False
+        byte = data[pos]
+        if byte == 0xFF:
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False  # marker (RSTn/EOI/...) — slow path decides
+            self.pos = pos + 2  # stuffed 0xFF data byte
+        else:
+            self.pos = pos + 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+        return True
+
+    def peek16(self) -> int | None:
+        """Left-aligned next-16-bits view for LUT symbol decode, or
+        None when fewer than 16 bits remain before a marker/EOF (the
+        tree walk handles that tail)."""
+        while self.nbits < 16:
+            if not self._try_fill():
+                return None
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
     def read_bit(self) -> int:
         if not self.nbits:
             self._fill()
@@ -341,14 +373,19 @@ class _BitReader:
         return bit
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()  # raises at markers, like the per-bit path did
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def sync_restart(self) -> None:
         """Byte-align and consume one RSTn marker."""
         self.nbits = 0
+        self.acc = 0
         while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
             nxt = self.data[self.pos + 1]
             if 0xD0 <= nxt <= 0xD7:
@@ -371,12 +408,57 @@ def _huffman_tree(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
     return out
 
 
-def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huffman_lut(bits: bytes, vals: bytes) -> np.ndarray:
+    """Flat 2^16 lookup: left-aligned 16-bit prefix -> (code length
+    << 8) | symbol, 0 = invalid. One array read decodes a symbol
+    instead of a per-bit tree walk — the decode hot path (a ~500-byte
+    scan is ~4000 bits; per-bit Python costs dominate tiny-image
+    corpora like thumbnail/frame tables)."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            lut[start : start + (1 << (16 - length))] = (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+# (bits ‖ vals) -> (lut, tree), shared across payloads: a corpus of
+# same-encoder images (and every frame of an MJPEG video) reuses
+# identical DHT specs, so table construction amortizes to zero.
+# Bounded; worst case (adversarial distinct tables) falls back to
+# per-stream construction, never unbounded growth.
+_HUFF_CACHE: dict[bytes, tuple[np.ndarray, dict]] = {}
+
+
+def _huffman_tables(bits: bytes, vals: bytes) -> tuple[np.ndarray, dict]:
+    key = bytes(bits) + bytes(vals)
+    hit = _HUFF_CACHE.get(key)
+    if hit is None:
+        hit = (_huffman_lut(bits, vals), _huffman_tree(bits, vals))
+        if len(_HUFF_CACHE) < 64:
+            _HUFF_CACHE[key] = hit
+    return hit
+
+
+def _decode_symbol(br: _BitReader, lut: np.ndarray, tree: dict) -> int:
+    peek = br.peek16()
+    if peek is not None:
+        v = int(lut[peek])
+        if v == 0:
+            raise ValueError("invalid Huffman code in scan")
+        br.consume(v >> 8)
+        return v & 0xFF
+    # <16 bits left before a marker/EOF: strict per-bit walk keeps the
+    # truncation/overrun error semantics
     code, length = 0, 0
     while length <= 16:
         code = (code << 1) | br.read_bit()
         length += 1
-        sym = table.get((length, code))
+        sym = tree.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in scan")
@@ -439,7 +521,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 bits = payload[p + 1 : p + 17]
                 n = sum(bits)
                 vals = payload[p + 17 : p + 17 + n]
-                (huff_dc if cls == 0 else huff_ac)[tid] = _huffman_tree(bits, vals)
+                (huff_dc if cls == 0 else huff_ac)[tid] = _huffman_tables(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:
             prec, height, width, nc = struct.unpack(">BHHB", payload[:6])
@@ -483,10 +565,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
     br = _BitReader(data[scan_start:])
     by, bx = (height + 7) // 8, (width + 7) // 8
-    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
     prev_dc = [0] * len(comps)
     mcu_count = 0
     comp_by_id = {c[0]: c for c in comps}
+    # entropy-decode into per-component raster-order coefficient rows
+    # (plain Python lists — scalar writes beat numpy here), then do
+    # dequant + de-zigzag + IDCT as ONE batched numpy pass per
+    # component instead of two 8x8 matmuls per block: per-block numpy
+    # call overhead dominates on small images (thumbnail/frame
+    # corpora). Peak extra memory is ~3x the pixel buffer (64 int
+    # coefficients per 64-pixel block).
+    coeff_rows: list[list[list[int]]] = [[] for _ in comps]
     for y in range(by):
         for x in range(bx):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -494,15 +583,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 prev_dc = [0] * len(comps)
             mcu_count += 1
             for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
-                qtbl = quant[comp_by_id[cid][2]]
-                coeff = np.zeros(64, dtype=np.int64)
-                size = _decode_symbol(br, huff_dc[dc_id])
+                dc_lut, dc_tree = huff_dc[dc_id]
+                ac_lut, ac_tree = huff_ac[ac_id]
+                coeff = [0] * 64
+                size = _decode_symbol(br, dc_lut, dc_tree)
                 diff = _extend(br.read_bits(size), size) if size else 0
                 prev_dc[ci] += diff
                 coeff[0] = prev_dc[ci]
                 k = 1
                 while k < 64:
-                    sym = _decode_symbol(br, huff_ac[ac_id])
+                    sym = _decode_symbol(br, ac_lut, ac_tree)
                     if sym == 0x00:  # EOB
                         break
                     if sym == 0xF0:  # ZRL
@@ -522,10 +612,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                         raise ValueError("AC coefficient index overrun")
                     coeff[k] = _extend(br.read_bits(size), size)
                     k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[ZIGZAG] = coeff * qtbl[ZIGZAG]
-                spatial = _C.T @ block.reshape(8, 8) @ _C + 128.0
-                planes[ci][y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = spatial
+                coeff_rows[ci].append(coeff)
+
+    planes = []
+    for ci, (cid, _dc, _ac) in enumerate(scan_comps):
+        qtbl = quant[comp_by_id[cid][2]]
+        cz = np.asarray(coeff_rows[ci], dtype=np.int64)  # (by*bx, 64) zigzag
+        cf = np.zeros((by * bx, 64), dtype=np.float64)
+        cf[:, ZIGZAG] = cz * qtbl[ZIGZAG]  # dequant + de-zigzag, batched
+        spatial = _C.T @ cf.reshape(-1, 8, 8) @ _C + 128.0
+        planes.append(
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
 
     planes = [p[:height, :width] for p in planes]
     if len(planes) == 3:

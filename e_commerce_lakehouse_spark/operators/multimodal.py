@@ -581,9 +581,10 @@ def encode_images(decoded: DataFrame, fmt: str = "png", quality: int = 90) -> Da
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for _, r in pdf.iterrows():
-                w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
-                pix = bytes(r["pixels"])
+            for w, h, c, pix in zip(
+                pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                w, h, c, pix = int(w), int(h), int(c), bytes(pix)
                 if fmt == "png":
                     payloads.append(encode_png(pix, w, h, c))
                 else:
@@ -614,9 +615,11 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_px = []
-            for _, r in pdf.iterrows():
-                w, h, c = int(r["width"]), int(r["height"]), int(r["channels"])
-                img = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, c)
+            for w, h, c, pix in zip(
+                pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                w, h, c = int(w), int(h), int(c)
+                img = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, c)
                 if method == "nearest":
                     ys = (np.arange(out_h) * h) // out_h
                     xs = (np.arange(out_w) * w) // out_w

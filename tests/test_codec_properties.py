@@ -81,6 +81,90 @@ def test_png_decoder_defilters_random_filter_choices(w, h, channels, data):
     assert mm.decode_png(png) == (w, h, channels, img.tobytes())
 
 
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 8),
+    channels=st.sampled_from([2, 4]),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_alpha_roundtrip_any_shape(w, h, channels, data):
+    n = w * h * channels
+    pix = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    assert mm.decode_png(mm.encode_png(pix, w, h, channels)) == (w, h, channels, pix)
+
+
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 6),
+    depth=st.sampled_from([1, 2, 4, 8]),
+    n_colors=st.integers(2, 16),
+    with_trns=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_palette_lut_any_depth(w, h, depth, n_colors, with_trns, data):
+    """Random palette, random indices, every sub-byte depth: decode
+    must reproduce LUT[idx] exactly (RGBA when tRNS present)."""
+    n_colors = min(n_colors, 1 << depth)
+    plte = bytes(data.draw(st.binary(min_size=n_colors * 3, max_size=n_colors * 3)))
+    idx = np.array(
+        [data.draw(st.integers(0, n_colors - 1)) for _ in range(w * h)],
+        dtype=np.uint8,
+    ).reshape(h, w)
+    # pack rows at the given depth (big-endian within byte)
+    stride = (w * depth + 7) // 8
+    raw = b""
+    for y in range(h):
+        # take the low `depth` bits of each index, big-endian
+        rowbits = np.unpackbits(idx[y][:, None], axis=1)[:, 8 - depth :].ravel()
+        padded = np.pad(rowbits, (0, stride * 8 - len(rowbits)))
+        raw += b"\x00" + np.packbits(padded).tobytes()
+    trns = (
+        bytes(data.draw(st.binary(min_size=1, max_size=n_colors)))
+        if with_trns
+        else None
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    png = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr) + mm._png_chunk(b"PLTE", plte)
+    if trns is not None:
+        png += mm._png_chunk(b"tRNS", trns)
+    png += mm._png_chunk(b"IDAT", zlib.compress(raw)) + mm._png_chunk(b"IEND", b"")
+    got_w, got_h, got_c, got_px = mm.decode_png(png)
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if trns is not None:
+        alpha = np.full(n_colors, 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        lut = np.concatenate([lut, alpha[:, None]], axis=1)
+    assert (got_w, got_h, got_c) == (w, h, lut.shape[1])
+    assert got_px == lut[idx].tobytes()
+
+
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 6),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_16bit_high_byte_downshift(w, h, channels, data):
+    n = w * h * channels
+    raw16 = bytes(data.draw(st.binary(min_size=n * 2, max_size=n * 2)))
+    rows = b"".join(
+        b"\x00" + raw16[y * w * channels * 2 : (y + 1) * w * channels * 2]
+        for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0 if channels == 1 else 2, 0, 0, 0)
+    png = (
+        mm.PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(rows))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    want = np.frombuffer(raw16, dtype=np.uint8).reshape(-1, 2)[:, 0]  # high bytes
+    assert mm.decode_png(png) == (w, h, channels, want.tobytes())
+
+
 # -- WAV --------------------------------------------------------------------
 
 
