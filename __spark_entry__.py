@@ -1029,56 +1029,21 @@ def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     runs exactly ONCE despite two consumers per frame (the q22
     double-eval pattern, pinned by tests/test_plans.py). One row per
     (doc, modality), kind-tagged; modality columns null on the other
-    kinds."""
+    kinds.
+
+    Plan shape: the fused one-pass ``media_manifest`` kernel — at
+    100 TB the payload column IS the table, and the composed form
+    (extract_features ⊕ decode_images ⊕ extract_audio_features ⊕
+    sample_frames + three metadata joins) scans payload bytes twice
+    and shuffles three times; the fused kernel reads each payload
+    ONCE, emits the finished row, and the whole query is a pure map
+    over the three checkpointed media frames. The composed operators
+    remain first-class (tests pin them equivalent to this kernel)."""
     images = _shared_media(spark, sf, "image")
     audio = _shared_media(spark, sf, "audio")
     videos = _shared_media(spark, sf, "video")
-    feats = multimodal.extract_features(
+    return multimodal.media_manifest(
         images.unionByName(audio).unionByName(videos)
-    ).select("media_id", "kind", "sniffed_mime")
-    dims = multimodal.decode_images(images).select(
-        "media_id", "width", "height", "channels"
-    )
-    sound = multimodal.extract_audio_features(audio).select(
-        "media_id", "duration_ms", F.col("n_frames").alias("a_frames")
-    )
-    vstats = (
-        multimodal.sample_frames(videos, every_n=1)
-        .groupBy("media_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("v_frames"),
-            F.max("width").alias("v_width"),
-            F.max("height").alias("v_height"),
-            F.max("channels").alias("v_channels"),
-        )
-    )
-    return (
-        feats.alias("f")
-        .join(
-            dims.alias("d"),
-            (F.col("f.media_id") == F.col("d.media_id")) & (F.col("kind") == "image"),
-            "left",
-        )
-        .join(
-            sound.alias("s"),
-            (F.col("f.media_id") == F.col("s.media_id")) & (F.col("kind") == "audio"),
-            "left",
-        )
-        .join(
-            vstats.alias("v"),
-            (F.col("f.media_id") == F.col("v.media_id")) & (F.col("kind") == "video"),
-            "left",
-        )
-        .select(
-            F.col("f.media_id").alias("media_id"),
-            "kind",
-            "sniffed_mime",
-            F.coalesce(F.col("d.width"), F.col("v_width")).alias("width"),
-            F.coalesce(F.col("d.height"), F.col("v_height")).alias("height"),
-            F.coalesce(F.col("d.channels"), F.col("v_channels")).alias("channels"),
-            "duration_ms",
-            F.coalesce(F.col("v_frames"), F.col("a_frames")).alias("n_frames"),
-        )
     )
 
 

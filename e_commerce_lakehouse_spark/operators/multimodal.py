@@ -708,6 +708,88 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+MEDIA_MANIFEST_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("sniffed_mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def media_manifest(media: DataFrame) -> DataFrame:
+    """ONE-PASS multimodal manifest: magic-byte sniff + kind-specific
+    decode (PNG/JPEG dims, WAV duration + frame count, MJPEG-AVI frame
+    count + frame dims) fused into a single Arrow kernel.
+
+    Why it exists next to the composable operators: at 100 TB the
+    payload column IS the table — composing ``extract_features`` +
+    ``decode_images`` + ``extract_audio_features`` + ``sample_frames``
+    scans the payload bytes twice (the sniff pass and the per-kind
+    decode pass) and reassembles rows through three metadata joins.
+    This kernel reads each payload ONCE and emits the finished manifest
+    row: half the payload I/O, zero joins, zero shuffle at any scale.
+    The composed form stays available for pipelines that need the
+    intermediate frames; ``tests/test_multimodal.py`` pins the two
+    forms equivalent. Unknown payload kinds get a sniff row with null
+    modality columns (they pass through, not error — the dominant case
+    in a crawled corpus)."""
+    from .jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else None
+                mime = sniff_mime(data)
+                w = h = c = dur = nf = None
+                if mime == "image/png":
+                    w, h, c, _ = decode_png(data)
+                elif mime == "image/jpeg":
+                    w, h, c, _ = decode_jpeg(data)
+                elif mime == "audio/wav":
+                    rate, _ch, samples = decode_wav(data)
+                    nf = len(samples)
+                    dur = nf * 1000 // rate
+                elif mime == "video/avi":
+                    nf = 0
+                    for frame in iter_avi_frames(data):
+                        if frame[:2] != b"\xff\xd8":
+                            raise NotImplementedError(
+                                "non-MJPEG video frame chunk: only MJPEG AVIs "
+                                "decode in-repo"
+                            )
+                        fw, fh, fc, _ = decode_jpeg(frame)
+                        w = fw if w is None else max(w, fw)
+                        h = fh if h is None else max(h, fh)
+                        c = fc if c is None else max(c, fc)
+                        nf += 1
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "sniffed_mime": mime,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "duration_ms": dur,
+                        "n_frames": nf,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_MANIFEST_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, MEDIA_MANIFEST_SCHEMA)
+
+
 SAMPLED_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -352,6 +352,62 @@ def test_frame_sampling_every_n_and_boundaries(spark):
         mm.sample_frames(bad, every_n=1).collect()
 
 
+def test_media_manifest_equals_composed_operators(spark):
+    """The fused one-pass manifest kernel must produce EXACTLY the rows
+    the composed form (sniff ⊕ image decode ⊕ audio decode ⊕ frame
+    sampling + joins) produces — it is an I/O optimization (one payload
+    scan instead of two, no joins), not a semantic variant."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(25)
+    frames = [mm.synthesize_media(docs, kind=k) for k in ("image", "audio", "video")]
+    union = frames[0].unionByName(frames[1]).unionByName(frames[2]).localCheckpoint()
+    images = union.filter(F.col("kind") == "image")
+    audio = union.filter(F.col("kind") == "audio")
+    videos = union.filter(F.col("kind") == "video")
+
+    fused = {
+        (r["media_id"], r["kind"]): (
+            r["sniffed_mime"], r["width"], r["height"], r["channels"],
+            r["duration_ms"], r["n_frames"],
+        )
+        for r in mm.media_manifest(union).collect()
+    }
+    sniff = {
+        (r["media_id"], r["kind"]): r["sniffed_mime"]
+        for r in mm.extract_features(union).collect()
+    }
+    dims = {r["media_id"]: r for r in mm.decode_images(images).collect()}
+    sound = {r["media_id"]: r for r in mm.extract_audio_features(audio).collect()}
+    vframes = {}
+    for r in mm.sample_frames(videos, every_n=1).collect():
+        vframes.setdefault(r["media_id"], []).append(r)
+
+    composed = {}
+    for (mid, kind), mime in sniff.items():
+        w = h = c = dur = nf = None
+        if kind == "image":
+            d = dims[mid]
+            w, h, c = d["width"], d["height"], d["channels"]
+        elif kind == "audio":
+            s = sound[mid]
+            dur, nf = s["duration_ms"], s["n_frames"]
+        else:
+            fs = vframes[mid]
+            nf = len(fs)
+            w = max(f["width"] for f in fs)
+            h = max(f["height"] for f in fs)
+            c = max(f["channels"] for f in fs)
+        composed[(mid, kind)] = (mime, w, h, c, dur, nf)
+    assert fused == composed
+    # unknown payloads pass through with a sniff row, null modality cols
+    odd = spark.createDataFrame(
+        [(99, "blob", bytearray(b"not a known container"))],
+        "media_id long, kind string, payload binary",
+    )
+    row = mm.media_manifest(odd).collect()[0]
+    assert row["sniffed_mime"] == "application/octet-stream"
+    assert row["width"] is None and row["n_frames"] is None
+
+
 def test_resize_bilinear_interpolates(spark, media):
     """Bilinear mode: identity-size resize reproduces the source
     exactly (sample grid aligns with pixel centers), and a 2x
