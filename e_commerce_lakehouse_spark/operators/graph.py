@@ -33,6 +33,11 @@ def click_edges(events: DataFrame) -> DataFrame:
     One window shuffle on user_id + one distinct; at 100 TB both hash
     uniformly (user_id is high-cardinality, edges are bounded by
     items²)."""
+    from .parallelize import spread_for_cpu
+
+    # get_json_object is regex-backed per-row parsing — don't let a
+    # single-split scan serialize it ahead of the window shuffle
+    events = spread_for_cpu(events)
     ev = events.select(
         "user_id",
         "event_id",

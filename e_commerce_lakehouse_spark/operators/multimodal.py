@@ -413,9 +413,15 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     from .jpeg import encode_jpeg
+    from .parallelize import spread_for_cpu
 
     if kind not in ("image", "audio", "video"):
         raise ValueError(f"kind must be image|audio|video, got {kind!r}")
+    # encode kernels are heavy per-row compute (DCT/Huffman for video);
+    # a single-split documents scan would run them on one core — and the
+    # downstream _shared_media checkpoint would FREEZE that narrow
+    # partitioning for every decode consumer. No-op on wide scans.
+    documents = spread_for_cpu(documents)
 
     @pandas_udf("binary")
     def make_png(text: pd.Series) -> pd.Series:

@@ -299,6 +299,13 @@ def doc_profile(
     ``passes_quality`` flag (not a filter) so downstream stages choose
     drop vs route-to-review without a second scan.
     """
+    from .parallelize import spread_for_cpu
+
+    # the profile is pure per-row compute (higher-order bigram arrays,
+    # 32 trigram splits, BPE regex) with no shuffle before the final
+    # projection — a single-split scan would serialize all of it onto
+    # one core; no-op when the scan is already wide
+    documents = spread_for_cpu(documents)
     scores, pred = _lang_scores(profiles or LANG_TRIGRAMS)
     langs = sorted(scores)
     norm = normalize_text("text")
