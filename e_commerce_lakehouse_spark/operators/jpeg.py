@@ -5,13 +5,17 @@ them.
 
 Scope (and honest boundaries):
   - ENCODE: baseline sequential DCT (SOF0), 8-bit, grayscale or RGB as
-    YCbCr 4:4:4 (no chroma subsampling), standard-shaped quant tables
-    scaled by `quality`, canonical Huffman tables written to DHT.
+    YCbCr at 4:4:4, 4:2:2, or 4:2:0 (box-filter chroma downsampling),
+    standard-shaped quant tables scaled by `quality`, canonical Huffman
+    tables written to DHT.
   - DECODE: baseline sequential (SOF0), 8-bit, 1- or 3-component,
-    4:4:4 only (every component h=v=1), restart intervals supported.
-    Progressive (SOF2), subsampled 4:2:0/4:2:2, arithmetic coding, and
-    12-bit raise NotImplementedError — those need a full libjpeg, not
-    a training-pipeline thumbnail path.
+    interleaved, any sampling-factor grid where each component's
+    factors divide the maximum (covers 4:4:4, 4:2:2, 4:2:0, 4:4:0,
+    4:1:1 — i.e. essentially every real camera/web JPEG), restart
+    intervals supported. Chroma upsampling is sample replication
+    (nearest), the ITU-T.81 default. Progressive (SOF2), arithmetic
+    coding, and 12-bit raise NotImplementedError — those need a full
+    libjpeg, not a training-pipeline thumbnail path.
 
 Determinism: encode is pure integer/float math with fixed tables — the
 same pixels always produce the same bytes; decode reads quant/Huffman
@@ -184,6 +188,15 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
     return p.reshape(p.shape[0] // 8, 8, p.shape[1] // 8, 8).transpose(0, 2, 1, 3)
 
 
+SUBSAMPLING_FACTORS = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a plane up to exactly (ph, pw)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
 def encode_jpeg(
     pixels: bytes,
     width: int,
@@ -191,14 +204,21 @@ def encode_jpeg(
     channels: int = 1,
     quality: int = 90,
     restart_interval: int = 0,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """Encode raw 8-bit pixels (row-major, channels in {1: gray,
-    3: RGB}) as a baseline sequential JFIF JPEG (4:4:4, no
-    subsampling). ``restart_interval`` > 0 writes a DRI segment and
-    RSTn markers every N MCUs — the resync points a parallel or
-    fault-tolerant reader keys on."""
+    3: RGB}) as a baseline sequential JFIF JPEG. ``subsampling``
+    selects the chroma layout (4:4:4 / 4:2:2 / 4:2:0 — box-filter
+    downsampled; ignored for grayscale). ``restart_interval`` > 0
+    writes a DRI segment and RSTn markers every N MCUs — the resync
+    points a parallel or fault-tolerant reader keys on."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if subsampling not in SUBSAMPLING_FACTORS:
+        raise ValueError(
+            f"subsampling must be one of {sorted(SUBSAMPLING_FACTORS)}, "
+            f"got {subsampling!r}"
+        )
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"need {width * height * channels} pixel bytes, got {len(pixels)}"
@@ -214,6 +234,21 @@ def encode_jpeg(
     else:
         planes = [img[..., 0].astype(np.float64)]
 
+    # sampling factors: luma carries the max factors, chroma is 1x1 —
+    # the standard JFIF arrangement for every common layout
+    hmax, vmax = SUBSAMPLING_FACTORS[subsampling] if channels == 3 else (1, 1)
+    factors = [(hmax, vmax)] + [(1, 1)] * (len(planes) - 1)
+    mcu_x = -(-width // (8 * hmax))
+    mcu_y = -(-height // (8 * vmax))
+    if channels == 3 and (hmax, vmax) != (1, 1):
+        # box-filter chroma downsampling: pad to the factor grid, then
+        # average each hmax x vmax cell
+        for i in (1, 2):
+            p = _pad_to(planes[i], -(-height // vmax) * vmax, -(-width // hmax) * hmax)
+            planes[i] = p.reshape(
+                p.shape[0] // vmax, vmax, p.shape[1] // hmax, hmax
+            ).mean(axis=(1, 3))
+
     ql = _scaled_quant(QUANT_LUMA, quality)
     qc = _scaled_quant(QUANT_CHROMA, quality)
     quants = [ql] + [qc] * (len(planes) - 1)
@@ -222,56 +257,44 @@ def encode_jpeg(
     ac_codes = _huffman_codes(_AC_BITS, _AC_VALS)
 
     # quantized coefficients per component: forward DCT is
-    # C @ block @ C.T batched over all blocks
+    # C @ block @ C.T batched over all blocks. Each component is padded
+    # to its full MCU block grid (mcu_y*v x mcu_x*h blocks) so the
+    # interleaved scan below can index blocks uniformly.
     comp_coeffs = []
-    for plane, q in zip(planes, quants):
-        blk = _blocks(plane) - 128.0
+    for plane, q, (hi, vi) in zip(planes, quants, factors):
+        padded = _pad_to(plane, mcu_y * vi * 8, mcu_x * hi * 8)
+        blk = _blocks(padded) - 128.0
         by, bx = blk.shape[:2]
         dct = _C @ blk.reshape(-1, 8, 8) @ _C.T
         qz = np.round(dct / q.reshape(8, 8)).astype(np.int64)
         comp_coeffs.append(qz.reshape(by, bx, 8, 8))
 
-    # entropy-code interleaved MCUs (4:4:4 -> one block per component)
+    # entropy-code interleaved MCUs: each MCU carries h*v blocks per
+    # component in raster order (ITU-T.81 A.2.3); 4:4:4 degenerates to
+    # one block per component
     bw = _BitWriter()
-    by, bx = comp_coeffs[0].shape[:2]
     prev_dc = [0] * len(planes)
     mcu_count = 0
     rst = 0
-    for y in range(by):
-        for x in range(bx):
+    for y in range(mcu_y):
+        for x in range(mcu_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 bw.marker(0xD0 + rst)
                 rst = (rst + 1) % 8
                 prev_dc = [0] * len(planes)
             mcu_count += 1
             for ci, qz in enumerate(comp_coeffs):
-                block = qz[y, x].reshape(64)[ZIGZAG]
-                diff = int(block[0]) - prev_dc[ci]
-                prev_dc[ci] = int(block[0])
-                size, mag = _magnitude(diff)
-                code, ln = dc_codes[size]
-                bw.write(code, ln)
-                if size:
-                    bw.write(mag, size)
-                run = 0
-                last_nz = int(np.max(np.nonzero(block)[0])) if np.any(block[1:]) else 0
-                for k in range(1, 64):
-                    v = int(block[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size, mag = _magnitude(v)
-                    code, ln = ac_codes[(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(mag, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.write(code, ln)
+                hi, vi = factors[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        _encode_block(
+                            bw,
+                            qz[y * vi + byi, x * hi + bxi],
+                            ci,
+                            prev_dc,
+                            dc_codes,
+                            ac_codes,
+                        )
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -282,9 +305,10 @@ def encode_jpeg(
     out += seg(0xFFDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
     if len(planes) == 3:
         out += seg(0xFFDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
-    # SOF0: precision 8, dims, components (id, sampling 0x11, quant id)
+    # SOF0: precision 8, dims, components (id, sampling (h<<4)|v, quant id)
     comps = b"".join(
-        bytes([i + 1, 0x11, 0 if i == 0 else 1]) for i in range(len(planes))
+        bytes([i + 1, (factors[i][0] << 4) | factors[i][1], 0 if i == 0 else 1])
+        for i in range(len(planes))
     )
     out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, len(planes)) + comps)
     out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
@@ -303,6 +327,44 @@ def encode_jpeg(
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_block(
+    bw: "_BitWriter",
+    block8x8: np.ndarray,
+    ci: int,
+    prev_dc: list[int],
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Entropy-code one quantized 8x8 block (DC diff + AC run-length)."""
+    block = block8x8.reshape(64)[ZIGZAG]
+    diff = int(block[0]) - prev_dc[ci]
+    prev_dc[ci] = int(block[0])
+    size, mag = _magnitude(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(mag, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(block)[0])) if np.any(block[1:]) else 0
+    for k in range(1, 64):
+        v = int(block[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, mag = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(mag, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
 
 
 class _BitReader:
@@ -470,8 +532,11 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline sequential JPEG to (width, height, channels,
-    raw 8-bit pixels — gray or RGB). Progressive / subsampled /
-    arithmetic / 12-bit inputs raise NotImplementedError."""
+    raw 8-bit pixels — gray or RGB). Any sampling-factor grid whose
+    factors divide the maximum is handled (4:4:4 / 4:2:2 / 4:2:0 /
+    4:4:0 / 4:1:1); chroma upsampling is sample replication.
+    Progressive / arithmetic / 12-bit inputs raise
+    NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -529,10 +594,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise NotImplementedError(f"{prec}-bit JPEG (only 8-bit baseline)")
             for i in range(nc):
                 cid, samp, qid = payload[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG (only 4:4:4/gray); "
-                        "subsampling needs a full decoder"
+                if not (1 <= samp >> 4 <= 4 and 1 <= (samp & 0xF) <= 4):
+                    raise ValueError(
+                        f"sampling factors out of range: 0x{samp:02x}"
                     )
                 comps.append((cid, samp, qid))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -564,10 +628,31 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         )
 
     br = _BitReader(data[scan_start:])
-    by, bx = (height + 7) // 8, (width + 7) // 8
+    comp_by_id = {c[0]: c for c in comps}
+    # sampling geometry: a single-component scan has no interleave, so
+    # its factors are irrelevant — treat as 1x1 (ITU-T.81 A.2.2); for
+    # 3-component scans any grid whose factors divide the max works
+    # with replication upsampling (covers every common layout)
+    if len(comps) == 1:
+        factors = [(1, 1)]
+    else:
+        # aligned to SCAN order (scan_comps), which may differ from SOF
+        # order in a legal stream
+        factors = [
+            (comp_by_id[cid][1] >> 4, comp_by_id[cid][1] & 0xF)
+            for cid, _, _ in scan_comps
+        ]
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    if any(hmax % h or vmax % v for h, v in factors):
+        raise NotImplementedError(
+            f"non-dividing sampling factors {factors} (fractional chroma "
+            "upsampling) — common layouts only"
+        )
+    mcu_y = -(-height // (8 * vmax))
+    mcu_x = -(-width // (8 * hmax))
     prev_dc = [0] * len(comps)
     mcu_count = 0
-    comp_by_id = {c[0]: c for c in comps}
     # entropy-decode into per-component raster-order coefficient rows
     # (plain Python lists — scalar writes beat numpy here), then do
     # dequant + de-zigzag + IDCT as ONE batched numpy pass per
@@ -576,8 +661,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     # corpora). Peak extra memory is ~3x the pixel buffer (64 int
     # coefficients per 64-pixel block).
     coeff_rows: list[list[list[int]]] = [[] for _ in comps]
-    for y in range(by):
-        for x in range(bx):
+    for _my in range(mcu_y):
+        for _mx in range(mcu_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 br.sync_restart()
                 prev_dc = [0] * len(comps)
@@ -585,47 +670,60 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for ci, (cid, dc_id, ac_id) in enumerate(scan_comps):
                 dc_lut, dc_tree = huff_dc[dc_id]
                 ac_lut, ac_tree = huff_ac[ac_id]
-                coeff = [0] * 64
-                size = _decode_symbol(br, dc_lut, dc_tree)
-                diff = _extend(br.read_bits(size), size) if size else 0
-                prev_dc[ci] += diff
-                coeff[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_symbol(br, ac_lut, ac_tree)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        # only EOB (0x00) and ZRL (0xF0) may carry
-                        # size 0; anything else is a corrupt stream —
-                        # fail cleanly, not with a negative-shift error
-                        # inside _extend
-                        raise ValueError(
-                            f"invalid AC symbol 0x{sym:02x} (run>0, size=0) in scan"
-                        )
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overrun")
-                    coeff[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                coeff_rows[ci].append(coeff)
+                # h*v blocks per component per MCU, raster order
+                # (ITU-T.81 A.2.3); 1 for unsubsampled components
+                for _blk in range(factors[ci][0] * factors[ci][1]):
+                    coeff = [0] * 64
+                    size = _decode_symbol(br, dc_lut, dc_tree)
+                    diff = _extend(br.read_bits(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    coeff[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _decode_symbol(br, ac_lut, ac_tree)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            # only EOB (0x00) and ZRL (0xF0) may carry
+                            # size 0; anything else is a corrupt stream —
+                            # fail cleanly, not with a negative-shift
+                            # error inside _extend
+                            raise ValueError(
+                                f"invalid AC symbol 0x{sym:02x} (run>0, size=0) in scan"
+                            )
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC coefficient index overrun")
+                        coeff[k] = _extend(br.read_bits(size), size)
+                        k += 1
+                    coeff_rows[ci].append(coeff)
 
     planes = []
     for ci, (cid, _dc, _ac) in enumerate(scan_comps):
+        hi, vi = factors[ci]
         qtbl = quant[comp_by_id[cid][2]]
-        cz = np.asarray(coeff_rows[ci], dtype=np.int64)  # (by*bx, 64) zigzag
-        cf = np.zeros((by * bx, 64), dtype=np.float64)
+        nblocks = mcu_y * mcu_x * vi * hi
+        cz = np.asarray(coeff_rows[ci], dtype=np.int64)  # (nblocks, 64) zigzag
+        cf = np.zeros((nblocks, 64), dtype=np.float64)
         cf[:, ZIGZAG] = cz * qtbl[ZIGZAG]  # dequant + de-zigzag, batched
         spatial = _C.T @ cf.reshape(-1, 8, 8) @ _C + 128.0
-        planes.append(
-            spatial.reshape(by, bx, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)
+        # block order is MCU-major: (my, mx, byi, bxi) -> raster grid
+        plane = (
+            spatial.reshape(mcu_y, mcu_x, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcu_y * vi * 8, mcu_x * hi * 8)
         )
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1 or rx > 1:
+            # replication upsampling to full resolution (ITU-T.81's
+            # stated default; box-downsample -> replicate round-trips
+            # flat regions exactly)
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane)
 
     planes = [p[:height, :width] for p in planes]
     if len(planes) == 3:

@@ -20,10 +20,12 @@ training pipeline gates on).
 
 Also real: a baseline JPEG codec (operators/jpeg.py — pure
 stdlib+numpy DCT/Huffman): ``decode_images`` handles baseline
-sequential 8-bit gray/4:4:4 JPEG for real, and ``encode_images``
-transcodes decoded pixel frames back to PNG or JPEG. Progressive,
-chroma-subsampled, arithmetic-coded, and 12-bit JPEG raise
-NotImplementedError (a full libjpeg concern, not a plumbing one).
+sequential 8-bit gray and color JPEG at any dividing sampling grid
+(4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 / 4:1:1 — i.e. essentially every real
+camera/web JPEG), and ``encode_images`` transcodes decoded pixel
+frames back to PNG or JPEG (4:4:4/4:2:2/4:2:0 on encode). Progressive,
+arithmetic-coded, and 12-bit JPEG raise NotImplementedError (a full
+libjpeg concern, not a plumbing one).
 
 Also real: video frame sampling — ``encode_avi``/``iter_avi_frames``
 implement the RIFF/AVI container (public AVI spec; the same chunk

@@ -133,3 +133,74 @@ def test_transcode_pipeline_decode_resize_reencode(spark):
     for r in rows:
         back = np.frombuffer(bytes(r.pixels), dtype=np.uint8).astype(int)
         assert np.abs(back - orig[r.media_id]).mean() < 8.0
+
+
+@pytest.mark.parametrize("ss", ["4:2:2", "4:2:0"])
+@pytest.mark.parametrize("h,w", [(16, 16), (17, 13), (64, 48), (9, 7), (1, 1)])
+def test_subsampled_roundtrip(ss, h, w):
+    """Chroma-subsampled encode -> decode stays within lossy tolerance
+    at every dimension parity (odd dims exercise the padded MCU grid
+    and the post-upsample crop)."""
+    img = _gradient(h, w, 3, seed=11)
+    blob = encode_jpeg(img.tobytes(), w, h, 3, quality=92, subsampling=ss)
+    W, H, C, px = decode_jpeg(blob)
+    assert (W, H, C) == (w, h, 3)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    # luma must stay near-exact even though chroma is subsampled: check
+    # the BT.601 luma projection separately from the raw channels
+    luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert np.abs(luma(out.astype(float)) - luma(img.astype(float))).mean() < 6.0
+    assert err.mean() < 16.0
+
+
+def test_subsampled_flat_chroma_is_exact():
+    """A gray-in-RGB image (chroma planes are constant 128) must
+    round-trip 4:2:0 with the same fidelity as 4:4:4 — box-downsample
+    and replication-upsample are exact inverses on flat chroma."""
+    g = _gradient(24, 32, 1, seed=4)[..., 0]
+    img = np.stack([g, g, g], axis=-1).astype(np.uint8)
+    for ss in ("4:4:4", "4:2:0"):
+        blob = encode_jpeg(img.tobytes(), 32, 24, 3, quality=95, subsampling=ss)
+        _, _, _, px = decode_jpeg(blob)
+        out = np.frombuffer(px, dtype=np.uint8).reshape(24, 32, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+
+def test_subsampled_restart_intervals():
+    img = _gradient(40, 56, 3, seed=9)
+    blob = encode_jpeg(
+        img.tobytes(), 56, 40, 3, quality=88, restart_interval=3, subsampling="4:2:0"
+    )
+    assert b"\xff\xdd" in blob
+    W, H, C, px = decode_jpeg(blob)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(40, 56, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 16.0
+
+
+def test_sof_sampling_byte_is_written():
+    """The SOF0 component spec must carry (h<<4)|v: 0x22 luma / 0x11
+    chroma for 4:2:0 — what any foreign decoder keys on."""
+    img = _gradient(16, 16, 3)
+    blob = encode_jpeg(img.tobytes(), 16, 16, 3, subsampling="4:2:0")
+    sof = blob.find(b"\xff\xc0")
+    comps = blob[sof + 4 + 6 : sof + 4 + 6 + 9]
+    assert comps[1] == 0x22 and comps[4] == 0x11 and comps[7] == 0x11
+
+
+def test_non_dividing_factors_raise():
+    """Fractional upsampling ratios (e.g. 3x1 luma in a 2-max grid)
+    are out of scope and must fail loudly, not decode wrong."""
+    img = _gradient(16, 16, 3)
+    blob = bytearray(encode_jpeg(img.tobytes(), 16, 16, 3, subsampling="4:2:0"))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 4 + 6 + 1] = 0x32  # luma h=3, v=2
+    blob[sof + 4 + 6 + 4] = 0x21  # chroma h=2: 2 does not divide hmax=3
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(bytes(blob))
+
+
+def test_bad_subsampling_arg_raises():
+    img = _gradient(8, 8, 3)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(img.tobytes(), 8, 8, 3, subsampling="4:1:1")
