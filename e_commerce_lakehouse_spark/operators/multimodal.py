@@ -6,8 +6,8 @@ pipelines, partition sizing, batch shapes, magic-byte sniffing, feature
 extraction — AND a real PNG codec: ``encode_png``/``decode_png`` cover
 8/16-bit gray, RGB, gray+alpha, RGBA and 1/2/4/8-bit palette
 (PLTE/tRNS LUT expansion, 16→8 downshift) on stdlib zlib/struct +
-numpy (no external image library), with full 5-filter defiltering and
-CRC checks; only Adam7 interlace stays NotImplementedError.
+numpy (no external image library), with full 5-filter defiltering,
+Adam7 interlace, and CRC checks — the complete PNG surface.
 ``synthesize_media`` emits real decodable PNGs, so ``decode_images``
 and ``resize_images`` run genuine codec work end-to-end in this
 container.
@@ -138,60 +138,26 @@ _PNG_SHAPES = {
 }
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG to (width, height, channels, raw 8-bit pixel
-    bytes). Full defiltering (None/Sub/Up/Average/Paeth) with CRC
-    verification. Supported: 8/16-bit gray, RGB, gray+alpha, RGBA
-    (16-bit downshifted to 8 — the thumbnail-path convention) and
-    1/2/4/8-bit palette with PLTE (+ optional tRNS → RGBA) LUT
-    expansion. Interlace (Adam7) raises NotImplementedError. Output
-    ``channels``: 1 gray, 2 gray+alpha, 3 RGB (incl. opaque palette),
-    4 RGBA (incl. palette with tRNS)."""
-    if not data.startswith(PNG_SIG):
-        raise ValueError("not a PNG (bad signature)")
-    pos = len(PNG_SIG)
-    width = height = color = depth = -1
-    idat, plte, trns = b"", b"", None
-    while pos + 12 <= len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
-        if zlib.crc32(tag + chunk) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r} chunk")
-        if tag == b"IHDR":
-            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", chunk
-            )
-            if interlace or (color, depth) not in _PNG_SHAPES:
-                raise NotImplementedError(
-                    f"PNG depth={depth} color={color} interlace={interlace}: "
-                    "supported are 8/16-bit gray/RGB/alpha and 1/2/4/8-bit "
-                    "palette, non-interlaced"
-                )
-        elif tag == b"PLTE":
-            plte = chunk
-        elif tag == b"tRNS":
-            trns = chunk
-        elif tag == b"IDAT":
-            idat += chunk
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if width < 0:
-        raise ValueError("no IHDR chunk")
-    raw_ch = _PNG_SHAPES[(color, depth)]
-    # filtering operates on BYTES: stride = ceil(width·ch·depth/8),
-    # bpp = the byte distance to the "left" sample (min 1)
-    stride = (width * raw_ch * depth + 7) // 8
-    bpp = max(1, raw_ch * depth // 8)
-    raw = zlib.decompress(idat)
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("IDAT length does not match dimensions")
+# Adam7 pass grid: (x start, y start, x step, y step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, height: int, stride: int, bpp: int, offset: int) -> np.ndarray:
+    """Reverse PNG scanline filtering for one (sub-)image: consumes
+    ``(stride+1) * height`` bytes of ``raw`` starting at ``offset`` and
+    returns the defiltered rows as (height, stride) uint8."""
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        row = raw[offset + y * (stride + 1) : offset + (y + 1) * (stride + 1)]
         ftype = row[0]
         line = np.frombuffer(row, dtype=np.uint8, offset=1)
         if ftype == 0:  # None
@@ -217,25 +183,113 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur
         prev = cur
+    return out
+
+
+def _png_rows_to_samples(
+    rows: np.ndarray, width: int, raw_ch: int, depth: int
+) -> np.ndarray:
+    """Defiltered byte rows -> per-pixel sample grid (h, width, raw_ch):
+    uint16 for depth 16, uint8 otherwise (palette rows yield indices)."""
+    h = rows.shape[0]
+    if depth == 16:
+        b = rows[:, : width * raw_ch * 2].reshape(h, width, raw_ch, 2).astype(np.uint16)
+        return (b[..., 0] << 8) | b[..., 1]
+    if depth == 8:
+        return rows[:, : width * raw_ch].reshape(h, width, raw_ch)
+    # sub-byte depths (palette indices) pack big-endian within each byte
+    bits = np.unpackbits(rows, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    idx = (
+        bits[:, : (rows.shape[1] * 8 // depth) * depth]
+        .reshape(h, -1, depth)
+        .dot(weights)
+        .astype(np.uint8)
+    )
+    return idx[:, :width, None]
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to (width, height, channels, raw 8-bit pixel
+    bytes). Full defiltering (None/Sub/Up/Average/Paeth) with CRC
+    verification. Supported: 8/16-bit gray, RGB, gray+alpha, RGBA
+    (16-bit downshifted to 8 — the thumbnail-path convention) and
+    1/2/4/8-bit palette with PLTE (+ optional tRNS → RGBA) LUT
+    expansion — each in both progressive-display (Adam7 interlaced)
+    and non-interlaced layouts (each Adam7 pass is an independently
+    filtered sub-image scattered onto the full grid, RFC 2083 §2.6).
+    Output ``channels``: 1 gray, 2 gray+alpha, 3 RGB (incl. opaque
+    palette), 4 RGBA (incl. palette with tRNS)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_SIG)
+    width = height = color = depth = -1
+    idat, plte, trns = b"", b"", None
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if interlace not in (0, 1) or (color, depth) not in _PNG_SHAPES:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}: "
+                    "supported are 8/16-bit gray/RGB/alpha and 1/2/4/8-bit "
+                    "palette, interlace 0 (none) or 1 (Adam7)"
+                )
+        elif tag == b"PLTE":
+            plte = chunk
+        elif tag == b"tRNS":
+            trns = chunk
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width < 0:
+        raise ValueError("no IHDR chunk")
+    raw_ch = _PNG_SHAPES[(color, depth)]
+    bpp = max(1, raw_ch * depth // 8)  # byte distance to the "left" sample
+    raw = zlib.decompress(idat)
+    if not interlace:
+        # filtering operates on BYTES: stride = ceil(width·ch·depth/8)
+        stride = (width * raw_ch * depth + 7) // 8
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("IDAT length does not match dimensions")
+        rows = _png_defilter(raw, height, stride, bpp, 0)
+        samples = _png_rows_to_samples(rows, width, raw_ch, depth)
+    else:
+        # Adam7: seven independently filtered sub-images, scattered
+        # onto the full grid by the pass lattice; empty passes (tiny
+        # images) contribute zero bytes
+        samples = np.zeros(
+            (height, width, raw_ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            pstride = (pw * raw_ch * depth + 7) // 8
+            if offset + (pstride + 1) * ph > len(raw):
+                raise ValueError("IDAT length does not match Adam7 passes")
+            rows = _png_defilter(raw, ph, pstride, bpp, offset)
+            offset += (pstride + 1) * ph
+            samples[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, raw_ch, depth)
+        if offset != len(raw):
+            raise ValueError("IDAT length does not match Adam7 passes")
 
     if color == 3:
-        # palette: unpack indices, then LUT-expand via PLTE (+tRNS)
+        # palette: LUT-expand indices via PLTE (+tRNS)
         if not plte or len(plte) % 3:
             raise ValueError("palette PNG without a valid PLTE chunk")
-        if depth == 8:
-            idx = out
-        else:
-            # sub-byte depths pack big-endian within each byte;
-            # unpack bits rowwise and regroup depth-bit values
-            bits = np.unpackbits(out, axis=1)
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            idx = (
-                bits[:, : (stride * 8 // depth) * depth]
-                .reshape(height, -1, depth)
-                .dot(weights)
-                .astype(np.uint8)
-            )
-        idx = idx[:, :width]
+        idx = samples[..., 0]
         lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if np.any(idx >= len(lut)):
             raise ValueError("palette index out of range")
@@ -248,8 +302,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
     if depth == 16:
         # big-endian 16-bit samples -> high-byte downshift to 8-bit
-        out = out.reshape(height, width * raw_ch, 2)[:, :, 0]
-    return width, height, raw_ch, np.ascontiguousarray(out).tobytes()
+        samples = (samples >> 8).astype(np.uint8)
+    return width, height, raw_ch, np.ascontiguousarray(samples).tobytes()
 
 
 # ---------------------------------------------------------------------------

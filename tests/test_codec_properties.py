@@ -277,3 +277,82 @@ def test_jpeg_restart_interval_equivalence(w, h, restart, data):
         jpeg.encode_jpeg(pix, w, h, 1, quality=80, restart_interval=restart)
     )
     assert plain == rst
+
+
+def _interlaced_png(samples, depth, color, plte=None, trns=None):
+    """Assemble an Adam7-interlaced PNG (filter 0 rows) from a
+    (h, w, raw_ch) sample grid — indices for palette color."""
+    h, w, _ch = samples.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in mm._ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        for y in range(ph):
+            vals = sub[y].reshape(-1)
+            if depth == 8:
+                rowb = bytes(vals.astype(np.uint8))
+            elif depth == 16:
+                rowb = b"".join(struct.pack(">H", int(v)) for v in vals)
+            else:
+                bits = np.unpackbits(
+                    vals.astype(np.uint8)[:, None], axis=1
+                )[:, 8 - depth :].ravel()
+                stride = (pw * depth + 7) // 8
+                rowb = np.packbits(
+                    np.pad(bits, (0, stride * 8 - len(bits)))
+                ).tobytes()
+            raw += b"\x00" + rowb
+    png = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += mm._png_chunk(b"PLTE", plte)
+    if trns is not None:
+        png += mm._png_chunk(b"tRNS", trns)
+    return png + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw))) + mm._png_chunk(
+        b"IEND", b""
+    )
+
+
+@given(
+    w=st.integers(1, 21),
+    h=st.integers(1, 19),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_exact_any_shape(w, h, channels, data):
+    """Adam7 is a pixel permutation: decoding the interlaced layout
+    must reproduce the sample grid exactly at every dimension parity
+    (sub-8 dims leave some passes empty)."""
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    img = np.array(
+        [data.draw(st.integers(0, 255)) for _ in range(w * h * channels)],
+        dtype=np.uint8,
+    ).reshape(h, w, channels)
+    got_w, got_h, got_c, got_px = mm.decode_png(_interlaced_png(img, 8, color))
+    assert (got_w, got_h, got_c) == (w, h, channels)
+    assert got_px == img.tobytes()
+
+
+@given(w=st.integers(1, 12), h=st.integers(1, 12), data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_png_adam7_16bit_and_palette(w, h, data):
+    """Interlaced 16-bit gray downshifts the high byte; interlaced
+    4-bit palette LUT-expands — same contracts as the plain layouts."""
+    img16 = np.array(
+        [data.draw(st.integers(0, 65535)) for _ in range(w * h)], dtype=np.uint16
+    ).reshape(h, w, 1)
+    got = mm.decode_png(_interlaced_png(img16, 16, 0))
+    assert got[:3] == (w, h, 1)
+    assert got[3] == (img16[..., 0] >> 8).astype(np.uint8).tobytes()
+
+    plte = bytes(data.draw(st.binary(min_size=48, max_size=48)))
+    idx = np.array(
+        [data.draw(st.integers(0, 15)) for _ in range(w * h)], dtype=np.uint8
+    ).reshape(h, w, 1)
+    got_w, got_h, got_c, got_px = mm.decode_png(_interlaced_png(idx, 4, 3, plte=plte))
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(16, 3)
+    assert (got_w, got_h, got_c) == (w, h, 3)
+    assert got_px == lut[idx[..., 0]].tobytes()

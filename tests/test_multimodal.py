@@ -178,9 +178,18 @@ def test_png_alpha_roundtrip_and_boundaries():
     assert mm.decode_png(mm.encode_png(rgba, 4, 2, 4)) == (4, 2, 4, rgba)
     ga = bytes(range(16))  # 4x2 gray+alpha
     assert mm.decode_png(mm.encode_png(ga, 4, 2, 2)) == (4, 2, 2, ga)
-    # interlace stays an honest boundary
+    # Adam7 interlace is supported: a 1x1 interlaced gray PNG is a
+    # single pass-1 sample
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-    bad = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    adam = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr)
+    assert mm.decode_png(
+        adam
+        + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x7f"))
+        + mm._png_chunk(b"IEND", b"")
+    ) == (1, 1, 1, b"\x7f")
+    # unknown interlace methods stay an honest boundary
+    ihdr_bad = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)
+    bad = mm.PNG_SIG + mm._png_chunk(b"IHDR", ihdr_bad)
     with pytest.raises(NotImplementedError, match="interlace"):
         mm.decode_png(bad + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x00")) + mm._png_chunk(b"IEND", b""))
     # palette without PLTE is corrupt, not silently black
