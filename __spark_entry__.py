@@ -1018,10 +1018,12 @@ def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     operators/multimodal.py sample_frames). Every projected column is a
     deterministic function of the synthesis parameters, so the oracle
     predicts them arithmetically (images/video frames are always 8x8
-    gray; WAV n_frames = 1600 + 16*d[1] at 16 kHz so duration_ms =
-    100 + d[1]; AVI n_frames = 2 + d[3] mod 6, where d is the md5 of
-    the text) — bit-rot anywhere in any codec direction, the sniffer,
-    the AVI chunk walker, or the synthesis flips the row red. The
+    gray; the image container cycles PNG / baseline JPEG / progressive
+    JPEG by d[4] mod 3, so all three decode paths are hash-gated; WAV
+    n_frames = 1600 + 16*d[1] at 16 kHz so duration_ms = 100 + d[1];
+    AVI n_frames = 2 + d[3] mod 6, where d is the md5 of the text) —
+    bit-rot anywhere in any codec direction, the sniffer, the AVI
+    chunk walker, or the synthesis flips the row red. The
     non-predictable features (payload digest, n_bytes, RMS/ZCR) are
     still computed by the executed kernels and are pinned by
     tests/test_multimodal.py. The synthesized frames are
@@ -2219,19 +2221,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE levenshtein(da.text, db.text) * 100
                   <= GREATEST(length(da.text), length(db.text)) * 35
         """,
-        # q50: the Spark side ENCODES real PNG/WAV/MJPEG-AVI payloads,
-        # sniffs the magic bytes (RIFF subtype dispatch), and DECODES
-        # them back; the oracle predicts every manifest value
-        # arithmetically from the synthesis parameters (images and
-        # video frames are constant 8x8 gray; WAV frames = 1600 +
-        # 16*d1 at 16 kHz, so duration_ms = 100 + d1; AVI frames =
-        # 2 + d3 % 6 — d1/d3 the second/fourth md5 bytes of the text).
-        # A mismatch anywhere in any codec round-trip, the sniffer, or
-        # the AVI chunk walker turns the row red.
+        # q50: the Spark side ENCODES real PNG / baseline-JPEG /
+        # progressive-JPEG / WAV / MJPEG-AVI payloads, sniffs the magic
+        # bytes (RIFF subtype dispatch), and DECODES them back; the
+        # oracle predicts every manifest value arithmetically from the
+        # synthesis parameters (images and video frames are constant
+        # 8x8 gray; the image container cycles PNG / baseline JPEG /
+        # progressive JPEG by d4 % 3; WAV frames = 1600 + 16*d1 at
+        # 16 kHz, so duration_ms = 100 + d1; AVI frames = 2 + d3 % 6 —
+        # d1/d3/d4 md5 bytes of the text). A mismatch anywhere in any
+        # codec round-trip (incl. the progressive scan paths), the
+        # sniffer, or the AVI chunk walker turns the row red.
         "q50_multimodal_features": """
             SELECT doc_id AS media_id,
                    'image' AS kind,
-                   'image/png' AS sniffed_mime,
+                   CASE WHEN CAST('0x' || substr(md5(coalesce(text, '')), 9, 2)
+                                  AS INT) % 3 = 0
+                        THEN 'image/png' ELSE 'image/jpeg' END AS sniffed_mime,
                    CAST(8 AS INT) AS width,
                    CAST(8 AS INT) AS height,
                    CAST(1 AS INT) AS channels,

@@ -8,9 +8,9 @@ extraction — AND a real PNG codec: ``encode_png``/``decode_png`` cover
 (PLTE/tRNS LUT expansion, 16→8 downshift) on stdlib zlib/struct +
 numpy (no external image library), with full 5-filter defiltering,
 Adam7 interlace, and CRC checks — the complete PNG surface.
-``synthesize_media`` emits real decodable PNGs, so ``decode_images``
-and ``resize_images`` run genuine codec work end-to-end in this
-container.
+``synthesize_media`` emits real decodable PNGs and (baseline and
+progressive) JPEGs, so ``decode_images`` and ``resize_images`` run
+genuine codec work end-to-end in this container.
 
 Also real: a WAV audio codec — ``encode_wav``/``decode_wav`` handle
 RIFF/PCM 16-bit mono/stereo on stdlib struct + numpy, and
@@ -23,9 +23,11 @@ stdlib+numpy DCT/Huffman): ``decode_images`` handles baseline
 sequential 8-bit gray and color JPEG at any dividing sampling grid
 (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 / 4:1:1 — i.e. essentially every real
 camera/web JPEG), and ``encode_images`` transcodes decoded pixel
-frames back to PNG or JPEG (4:4:4/4:2:2/4:2:0 on encode). Progressive,
-arithmetic-coded, and 12-bit JPEG raise NotImplementedError (a full
-libjpeg concern, not a plumbing one).
+frames back to PNG or JPEG (4:4:4/4:2:2/4:2:0 on encode). Progressive
+(SOF2) decode is real too — spectral selection, successive
+approximation, EOB runs — plus a progressive encoder used by the
+synthesis mix; only arithmetic-coded, 12-bit, and lossless JPEG raise
+NotImplementedError (a full libjpeg concern, not a plumbing one).
 
 Also real: video frame sampling — ``encode_avi``/``iter_avi_frames``
 implement the RIFF/AVI container (public AVI spec; the same chunk
@@ -459,16 +461,21 @@ def iter_avi_frames(data: bytes):
 def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic media table derived from `documents` (the container
     ships no binary fixtures): each IMAGE payload is a REAL 8×8
-    grayscale PNG whose pixels are the md5 stream of the text; each
+    grayscale image whose pixels are the md5 stream of the text, in a
+    per-row container chosen by d[4] mod 3 — PNG, baseline JPEG, or
+    progressive JPEG — the way a crawled corpus mixes formats; each
     AUDIO payload is a REAL 16 kHz mono WAV of a short md5-seeded sine
     tone; each VIDEO payload is a REAL MJPEG-in-AVI of 2 + (d[3] mod 6)
     8×8 grayscale JPEG frames (frame i's pixels are the md5 stream
     shifted by i) — all decodable by this module's codecs (or any
     standard reader), so the whole codec path runs for real.
-    Arrow-batched encode kernel; one map, no shuffle."""
+    Arrow-batched encode kernel; one map, no shuffle. The ``mime``
+    column is computed JVM-side from the same md5 rule the kernel
+    uses, so a codec-dispatch drift surfaces as a mime/payload
+    mismatch."""
     from pyspark.sql.functions import pandas_udf
 
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
     from .parallelize import spread_for_cpu
 
     if kind not in ("image", "audio", "video"):
@@ -480,11 +487,18 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     documents = spread_for_cpu(documents)
 
     @pandas_udf("binary")
-    def make_png(text: pd.Series) -> pd.Series:
+    def make_image(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
             d = hashlib.md5(("" if t is None else t).encode()).digest()
-            out.append(encode_png((d * 4)[:64], 8, 8, 1))
+            pix = (d * 4)[:64]
+            which = d[4] % 3
+            if which == 0:
+                out.append(encode_png(pix, 8, 8, 1))
+            elif which == 1:
+                out.append(encode_jpeg(pix, 8, 8, 1, quality=90))
+            else:
+                out.append(encode_jpeg_progressive(pix, 8, 8, 1, quality=90))
         return pd.Series(out)
 
     @pandas_udf("binary")
@@ -515,15 +529,24 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
             out.append(encode_avi(frames, 8, 8, fps=4))
         return pd.Series(out)
 
-    payload = {"image": make_png, "audio": make_wav, "video": make_avi}[kind](
+    payload = {"image": make_image, "audio": make_wav, "video": make_avi}[kind](
         F.col("text")
     )
-    mime = {"image": "image/png", "audio": "audio/wav", "video": "video/avi"}[kind]
+    if kind == "image":
+        # same d[4] % 3 rule as the kernel, computed JVM-side: md5 hex
+        # chars 9..10 are digest byte 4
+        mime = F.when(
+            F.conv(F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 9, 2), 16, 10)
+            .cast("int") % 3 == 0,
+            F.lit("image/png"),
+        ).otherwise(F.lit("image/jpeg"))
+    else:
+        mime = F.lit({"audio": "audio/wav", "video": "video/avi"}[kind])
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
         payload.alias("payload"),
-        F.lit(mime).alias("mime"),
+        mime.alias("mime"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
 

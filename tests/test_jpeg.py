@@ -67,11 +67,17 @@ def test_unsupported_shapes_raise_honestly():
     img = _gradient(16, 16, 1)
     blob = bytearray(encode_jpeg(img.tobytes(), 16, 16, 1))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+    blob[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
+    # a baseline stream RELABELED as progressive is invalid (a
+    # progressive scan with Ss=0 must have Se=0) — fail loudly, not
+    # decode garbage
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(blob))
 
 
 def test_fill_bytes_and_parameterless_markers_tolerated():
@@ -204,3 +210,115 @@ def test_bad_subsampling_arg_raises():
     img = _gradient(8, 8, 3)
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(img.tobytes(), 8, 8, 3, subsampling="4:1:1")
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) codec gates
+# ---------------------------------------------------------------------------
+
+
+def _prog_cases():
+    return [
+        (8, 8, 1, "4:4:4"),
+        (23, 37, 1, "4:4:4"),
+        (16, 40, 3, "4:4:4"),
+        (9, 9, 3, "4:4:4"),
+        (17, 13, 3, "4:2:0"),
+        (64, 48, 3, "4:2:2"),
+        (1, 1, 1, "4:4:4"),
+        (9, 7, 3, "4:2:0"),
+    ]
+
+
+@pytest.mark.parametrize("h,w,c,ss", _prog_cases())
+def test_progressive_decode_is_bitexact_vs_baseline(h, w, c, ss):
+    """Progressive and baseline encode the SAME quantized coefficients
+    at a given quality, so a full progressive decode must be
+    bit-identical to the baseline decode — the strongest possible
+    cross-check of the EOB-run / refinement scan paths."""
+    from e_commerce_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient(h, w, c, seed=h * w + c)
+    blob = encode_jpeg_progressive(img.tobytes(), w, h, c, quality=90, subsampling=ss)
+    assert b"\xff\xc2" in blob  # SOF2 frame header
+    base = decode_jpeg(encode_jpeg(img.tobytes(), w, h, c, quality=90, subsampling=ss))
+    assert decode_jpeg(blob) == base
+
+
+def test_progressive_noise_fuzz_bitexact():
+    """Random-noise images maximize coefficient density (ZRL runs,
+    high magnitudes, correction-bit traffic in refinement scans) —
+    every seed must stay bit-exact vs baseline at a random quality."""
+    from e_commerce_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        h, w = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+        c = int(rng.choice([1, 3]))
+        ss = str(rng.choice(["4:4:4", "4:2:2", "4:2:0"])) if c == 3 else "4:4:4"
+        q = int(rng.integers(5, 99))
+        img = rng.integers(0, 256, (h, w, c)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img.tobytes(), w, h, c, quality=q, subsampling=ss))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img.tobytes(), w, h, c, quality=q, subsampling=ss)
+        )
+        assert prog == base, (h, w, c, ss, q)
+
+
+def test_progressive_partial_prefix_renders():
+    """The point of progressive: a stream truncated at any scan
+    boundary still decodes to a coarser approximation of the image.
+    Every prefix must decode without error and the error must shrink
+    as scans accumulate."""
+    import re
+
+    from e_commerce_lakehouse_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient(32, 24, 3, seed=6)
+    blob = encode_jpeg_progressive(img.tobytes(), 24, 32, 3, quality=90)
+    sos = [m.start() for m in re.finditer(b"\xff\xda", blob)]
+    assert len(sos) >= 6  # DC first, split AC firsts, refinements, DC refine
+    errs = []
+    for i in range(1, len(sos) + 1):
+        end = sos[i] if i < len(sos) else len(blob) - 2
+        W, H, C, px = decode_jpeg(blob[:end] + b"\xff\xd9")
+        assert (W, H, C) == (24, 32, 3)
+        out = np.frombuffer(px, dtype=np.uint8).reshape(32, 24, 3).astype(int)
+        errs.append(np.abs(out - img.astype(int)).mean())
+    # complete stream is at least as faithful as the DC-only prefix
+    assert errs[-1] < errs[0]
+    assert errs[-1] < 6.0
+
+
+def test_noninterleaved_baseline_multiscan_decodes():
+    """Legal baseline streams may carry one scan per component
+    (non-interleaved); the multi-scan path must decode them to the
+    same pixels as the interleaved form (identical coefficients at
+    4:4:4 where the component grid equals the MCU grid)."""
+    import struct as _struct
+
+    from e_commerce_lakehouse_spark.operators import jpeg as J
+
+    img = _gradient(24, 40, 3, seed=8)
+    interleaved = encode_jpeg(img.tobytes(), 40, 24, 3, quality=90)
+    want = decode_jpeg(interleaved)
+
+    comp_coeffs, factors, mcu_x, mcu_y, ql, qc = J._quantized_components(
+        img.tobytes(), 40, 24, 3, 90, "4:4:4"
+    )
+    dc_codes = J._huffman_codes(J._DC_BITS, J._DC_VALS)
+    ac_codes = J._huffman_codes(J._AC_BITS, J._AC_VALS)
+    out = J._frame_headers(
+        0xFFC0, 40, 24, 3, factors, ql, qc, (J._AC_BITS, J._AC_VALS)
+    )
+    for ci in range(3):
+        bw = J._BitWriter()
+        prev = [0, 0, 0]
+        qz = comp_coeffs[ci]
+        for by in range(qz.shape[0]):
+            for bx in range(qz.shape[1]):
+                J._encode_block(bw, qz[by, bx], ci, prev, dc_codes, ac_codes)
+        sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0])
+        out += _struct.pack(">HH", 0xFFDA, len(sos) + 2) + sos + bw.flush()
+    out += b"\xff\xd9"
+    assert decode_jpeg(bytes(out)) == want

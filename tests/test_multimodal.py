@@ -86,12 +86,23 @@ def test_png_decode_rejects_corruption():
 
 
 def test_media_schema_and_payloads(media):
+    from e_commerce_lakehouse_spark.operators.jpeg import decode_jpeg
+
     assert set(media.columns) == {"media_id", "kind", "payload", "mime", "meta"}
-    row = media.first()
-    payload = bytes(row["payload"])
-    assert payload.startswith(mm.PNG_SIG)
-    # every synthesized payload is a real decodable 8x8 grayscale PNG
-    assert mm.decode_png(payload)[:3] == (8, 8, 1)
+    rows = media.collect()
+    seen = set()
+    for row in rows:
+        payload = bytes(row["payload"])
+        mime = mm.sniff_mime(payload)
+        # the mime column (JVM-side md5 rule) must agree with the
+        # payload bytes the Arrow kernel actually wrote
+        assert row["mime"] == mime
+        seen.add(mime)
+        decode = mm.decode_png if mime == "image/png" else decode_jpeg
+        # every synthesized payload is a real decodable 8x8 gray image
+        assert decode(payload)[:3] == (8, 8, 1)
+    # the 50-doc sample covers the full PNG/JPEG container mix
+    assert seen == {"image/png", "image/jpeg"}
 
 
 def test_feature_extraction(spark, media):
@@ -99,7 +110,7 @@ def test_feature_extraction(spark, media):
     rows = feats.collect()
     assert len(rows) == 50
     for r in rows:
-        assert r["sniffed_mime"] == "image/png"
+        assert r["sniffed_mime"] in ("image/png", "image/jpeg")
         assert r["n_bytes"] > len(mm.PNG_SIG)
         assert len(r["digest"]) == 32
     raw = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
@@ -208,6 +219,8 @@ def test_sniff_mime_table():
 
 
 def test_decode_images_real(spark, media):
+    from e_commerce_lakehouse_spark.operators.jpeg import decode_jpeg
+
     decoded = mm.decode_images(media)
     rows = decoded.collect()
     assert len(rows) == 50
@@ -215,7 +228,10 @@ def test_decode_images_real(spark, media):
     for r in rows:
         assert (r["width"], r["height"], r["channels"]) == (8, 8, 1)
         # distributed decode == local reference decode, byte-exact
-        assert bytes(r["pixels"]) == mm.decode_png(raw[r["media_id"]])[3]
+        # (per-payload codec dispatch: PNG or baseline/progressive JPEG)
+        payload = raw[r["media_id"]]
+        decode = mm.decode_png if mm.sniff_mime(payload) == "image/png" else decode_jpeg
+        assert bytes(r["pixels"]) == decode(payload)[3]
 
 
 def test_decode_images_rejects_truncated_jpeg(spark):
