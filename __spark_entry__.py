@@ -34,6 +34,7 @@ from e_commerce_lakehouse_spark.operators import (
     dedup,
     joins,
     multimodal,
+    pii,
     quality,
     sampling,
     similarity,
@@ -821,7 +822,12 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
         all-pairs ratio (pass_rate) — all exact closed-form functions
         of the bucket size, so the oracle predicts them arithmetically
         and silent truncation anywhere in the pairing path flips the
-        row red."""
+        row red;
+      - kind='pii' / 'pii_redaction': the PII scrubbing gate
+        (operators/pii.py) over documents — per detector class, total
+        matches + clean-doc share, and the summed length of the
+        redacted corpus (regexp_replace semantics value-pinned against
+        DuckDB's RE2, not just counted)."""
     li = load_table(spark, sf, "lineitem")
     rules = quality.dq_report(
         li,
@@ -846,7 +852,31 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
         F.col("pairs_suppressed").cast("long").alias("n_violations"),
         (F.col("pairs_emitted").cast("double") / all_pairs).alias("pass_rate"),
     )
-    return rules.unionByName(overflow)
+    pr = pii.pii_report(load_table(spark, sf, "documents"))
+    pii_rows = pr.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("pii").alias("kind"),
+                    F.concat(F.lit("pii_"), F.col("pii_type")).alias("rule"),
+                    F.col("n_docs").cast("long").alias("n_rows"),
+                    F.col("n_matches").cast("long").alias("n_violations"),
+                    (
+                        (F.col("n_docs") - F.col("n_docs_with")).cast("double")
+                        / F.col("n_docs")
+                    ).alias("pass_rate"),
+                ),
+                F.struct(
+                    F.lit("pii_redaction").alias("kind"),
+                    F.concat(F.lit("pii_"), F.col("pii_type")).alias("rule"),
+                    F.col("n_docs").cast("long").alias("n_rows"),
+                    F.col("redacted_len").cast("long").alias("n_violations"),
+                    F.lit(None).cast("double").alias("pass_rate"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rules.unionByName(overflow).unionByName(pii_rows)
 
 
 def _q38_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -1134,6 +1164,34 @@ def _cos_sql(a: str, b: str) -> str:
         f"CAST({_dot_sql(a, b)} AS DOUBLE) / "
         f"(sqrt(CAST({_normsq_sql(a)} AS DOUBLE)) * sqrt(CAST({_normsq_sql(b)} AS DOUBLE)))"
     )
+
+
+def _pii_oracle_sql() -> str:
+    """Generated mirror of operators/pii.py pii_report: the same
+    regex patterns (RE2-compatible by construction) and redaction
+    tokens, rendered as two UNION ALL rows per detector class.
+    Generated from pii.PII_PATTERNS so the two sides cannot drift."""
+    parts = []
+    for kind, (pattern, token) in pii.PII_PATTERNS.items():
+        n = f"len(regexp_extract_all(coalesce(text, ''), '{pattern}'))"
+        red = f"length(regexp_replace(coalesce(text, ''), '{pattern}', '{token}', 'g'))"
+        parts.append(
+            f"""
+            SELECT 'pii' AS kind, 'pii_{kind}' AS rule,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum({n}) AS BIGINT) AS n_violations,
+                   CAST(count(*) - sum(CASE WHEN {n} > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS pass_rate
+            FROM documents
+            UNION ALL
+            SELECT 'pii_redaction', 'pii_{kind}',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum({red}) AS BIGINT),
+                   CAST(NULL AS DOUBLE)
+            FROM documents
+            """
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _neardup_oracle_sql(threshold: float = 0.35, planes: int = 32, bands: int = 4) -> str:
@@ -1994,7 +2052,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id % 7 AS bucket, count(*) AS sz
                 FROM documents GROUP BY 1 HAVING count(*) > 16
             )
-        """,
+            UNION ALL
+        """
+        + _pii_oracle_sql(),
         "q38_embedding_neardup": _neardup_oracle_sql(),
         "q39_ivf_ann": f"""
             WITH v AS (
