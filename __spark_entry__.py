@@ -978,11 +978,39 @@ def _q44_winnowing(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q45_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF coarse-quantizer TRAINING: two deterministic Lloyd's k-means
-    rounds and the final cell assignment; oracle unrolls the same fixed
-    iterations."""
-    return similarity.kmeans_assignments(
-        load_table(spark, sf, "embeddings"), k=8, iters=2
+    """Clustering surface, kind-tagged union (keeps the registry at the
+    driver's 50-row window):
+      - kind='assign': IVF coarse-quantizer TRAINING — two
+        deterministic Lloyd's k-means rounds and the final cell
+        assignment; oracle unrolls the same fixed iterations;
+      - kind='semdup_pair' / 'semdup_drop': SemDeDup (Abbas et al.
+        2023) on top of the SAME training run — intra-cluster exact
+        quantized cosine >= 0.3 pairs, and the keep-furthest-from-
+        centroid drop policy (similarity.semdedup). One checkpointed
+        assignment feeds all three branches."""
+    assign, pairs, drops = similarity.semdedup(
+        load_table(spark, sf, "embeddings"), k=8, iters=2, threshold=0.3
+    )
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    return (
+        assign.select(
+            F.lit("assign").alias("kind"), "vec_id", "cell", "d2",
+            nl.alias("b_id"), nd.alias("cosine"),
+        )
+        .unionByName(
+            pairs.select(
+                F.lit("semdup_pair").alias("kind"),
+                F.col("a_id").alias("vec_id"), "cell", nl.alias("d2"),
+                "b_id", "cosine",
+            )
+        )
+        .unionByName(
+            drops.select(
+                F.lit("semdup_drop").alias("kind"), "vec_id", "cell",
+                nl.alias("d2"), nl.alias("b_id"), nd.alias("cosine"),
+            )
+        )
     )
 
 
@@ -1405,8 +1433,38 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         ctes.append(assign_cte(f"a{i}", f"c{i}"))
         ctes.append(update_cte(f"c{i + 1}", f"a{i}"))
     ctes.append(assign_cte(f"a{iters}", f"c{iters}"))
+    # SemDeDup mirror (similarity.semdedup): intra-cell exact cosine
+    # pairs over the final assignment + the keep-furthest-from-centroid
+    # drop policy (smaller d2 drops; ties drop the larger id)
+    fin = f"a{iters}"
+    ctes.extend([
+        f"""p AS (
+            SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.cell,
+                   x.d2 AS d2_a, y.d2 AS d2_b,
+                   {_cos_sql('va.vec', 'vb.vec')} AS cosine
+            FROM {fin} x
+            JOIN {fin} y ON x.cell = y.cell AND x.vec_id < y.vec_id
+            JOIN v va ON va.vec_id = x.vec_id
+            JOIN v vb ON vb.vec_id = y.vec_id)""",
+        """q AS (SELECT a_id, b_id, cell, cosine,
+                   CASE WHEN d2_a < d2_b THEN a_id
+                        WHEN d2_b < d2_a THEN b_id
+                        ELSE greatest(a_id, b_id) END AS drop_id
+            FROM p WHERE cosine >= 0.3)""",
+    ])
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cell, d2 FROM a{iters}"
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT 'assign' AS kind, vec_id, cell, d2,
+               CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS DOUBLE) AS cosine
+        FROM {fin}
+        UNION ALL
+        SELECT 'semdup_pair', a_id, cell, CAST(NULL AS BIGINT), b_id, cosine
+        FROM q
+        UNION ALL
+        SELECT DISTINCT 'semdup_drop', drop_id, cell,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM q"""
     )
 
 

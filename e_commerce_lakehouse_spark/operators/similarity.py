@@ -691,3 +691,99 @@ def kmeans_assignments(
     return v.select("vec_id", a("vec").alias("m")).select(
         "vec_id", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    hot_cap: int = buckets.DEFAULT_HOT_CAP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means clustering + exact pairwise cosine WITHIN
+    each cluster. The embedding-space analog of MinHash-LSH dedup for
+    paraphrase-level duplicates that share no n-grams; the published
+    pipeline step between exact dedup and quality filtering in
+    LLM-corpus construction.
+
+    Returns three frames sharing ONE training run and ONE checkpointed
+    assignment (the clustering is the expensive pass at 100 TB — it
+    must not re-run per consumer):
+
+      assignments  (vec_id, cell, d2)  — final-round Lloyd assignment,
+          identical to :func:`kmeans_assignments`;
+      pairs        (a_id, b_id, cell, cosine)  — intra-cell pairs with
+          quantized cosine >= ``threshold``, a_id < b_id;
+      drops        (vec_id, cell)  — the member of each qualifying pair
+          that sits CLOSER to its centroid (smaller d2, ties drop the
+          larger vec_id): the paper keeps the member furthest from the
+          centroid as the cluster's "most representative of the
+          boundary" exemplar. Distinct — one row per dropped vector.
+
+    Scale shape: clusters ARE hot buckets (k << N/hot_cap), so pairing
+    routes through ``buckets.bucket_mate_pairs`` in GRID mode —
+    all-pairs exactness with per-task build side <= hot_cap regardless
+    of cluster size; the O(n_cell^2) pair OUTPUT is inherent to the
+    published algorithm (SemDeDup caps cluster width by raising k —
+    callers tune k ~ N/1e4 as in the paper — not by sampling pairs).
+    Candidate ids pair up BEFORE vectors re-attach, so the wide
+    embedding column never rides the pairing shuffle; the cosine verify
+    is one Arrow-batched numpy kernel over the surviving pairs.
+    """
+    from .parallelize import local_checkpoint_tracked
+
+    v = _kmeans_prep(embeddings)
+    cells, cent = _kmeans_train(v, k, iters)
+    a = _assign_to_matrix_udf(cells, cent)
+    # one checkpoint feeds the returned assignment, the pairing, and
+    # both d2 lookups — without it the assign kernel re-runs per branch
+    assign, _ids = local_checkpoint_tracked(
+        v.select("vec_id", a("vec").alias("m")).select(
+            "vec_id", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2")
+        )
+    )
+    cand = buckets.bucket_mate_pairs(
+        assign.select("cell", "vec_id"),
+        ["cell"],
+        "vec_id",
+        hot_cap=hot_cap,
+        hot_mode="grid",
+        materialize_input=False,
+    ).withColumnsRenamed({"a": "a_id", "b": "b_id"})
+    emb_a = embeddings.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a")
+    )
+    emb_b = embeddings.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b")
+    )
+    side = lambda n: assign.select(  # noqa: E731
+        F.col("vec_id").alias(f"{n}_id"), F.col("d2").alias(f"d2_{n}"), "cell"
+    )
+    pairs_full = (
+        cand.join(emb_a, "a_id")
+        .join(emb_b, "b_id")
+        .withColumn("cosine", cosine_pair_udf()(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .join(side("a").drop("cell"), "a_id")
+        .join(side("b"), "b_id")
+    )
+    # qualifying pairs are a tiny fraction of candidates; checkpoint so
+    # the cosine kernel runs ONCE even with two consumers (pairs+drops)
+    pairs_full, _pids = local_checkpoint_tracked(
+        pairs_full.select(
+            "a_id",
+            "b_id",
+            "cell",
+            "cosine",
+            F.when(F.col("d2_a") < F.col("d2_b"), F.col("a_id"))
+            .when(F.col("d2_b") < F.col("d2_a"), F.col("b_id"))
+            .otherwise(F.greatest("a_id", "b_id"))
+            .alias("drop_id"),
+        )
+    )
+    pairs = pairs_full.select("a_id", "b_id", "cell", "cosine")
+    drops = (
+        pairs_full.select(F.col("drop_id").alias("vec_id"), "cell").distinct()
+    )
+    return assign, pairs, drops

@@ -319,3 +319,61 @@ def test_doc_profile_null_text_propagates(spark):
     assert rows[1].dup_bigram_pct == 0
     assert rows[1].n_tokens is None  # the pre-existing null contract
     assert rows[2].n_distinct_bigrams == 2
+
+
+def test_semdedup_finds_planted_semantic_dups(spark):
+    """A cloned embedding (cosine 1.0 with its source) must surface as
+    an intra-cluster pair, and the keep-furthest-from-centroid policy
+    must drop exactly one member of each pair (ties drop the larger
+    id — clones tie on d2 by construction)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    clones = (
+        emb.filter(F.col("vec_id") < 10)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    assign, pairs, drops = similarity.semdedup(
+        emb.unionByName(clones), k=8, iters=2, threshold=0.999
+    )
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    for i in range(10):
+        assert (i, i + 1_000_000) in got, f"missing clone pair {i}"
+    # every pair drops exactly one side; clones tie on d2 so the larger
+    # (cloned) id goes
+    dropped = {r.vec_id for r in drops.collect()}
+    for i in range(10):
+        assert i + 1_000_000 in dropped
+        assert i not in dropped or any(
+            a == i or b == i for a, b in got if (a, b) != (i, i + 1_000_000)
+        )
+    # assignment covers every vector exactly once
+    n_all = emb.count() + 10
+    assert assign.count() == n_all
+    assert assign.select("vec_id").distinct().count() == n_all
+
+
+def test_semdedup_pairs_match_bruteforce(spark):
+    """The intra-cell pair set equals the brute-force intra-cell
+    all-pairs >= threshold (grid pairing is exact, never truncated)."""
+    emb = load_table(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 120)
+    assign, pairs, _ = similarity.semdedup(emb, k=4, iters=1, threshold=0.2)
+    a = {(r.vec_id): r.cell for r in assign.collect()}
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(x, y):
+        import math
+        qx = [math.floor(float(v) * 1e6 + 0.5) for v in x]
+        qy = [math.floor(float(v) * 1e6 + 0.5) for v in y]
+        dot = sum(p * q for p, q in zip(qx, qy))
+        nx = sum(p * p for p in qx)
+        ny = sum(q * q for q in qy)
+        return dot / (nx**0.5 * ny**0.5)
+
+    ids = sorted(vecs)
+    expect = {
+        (i, j)
+        for ii, i in enumerate(ids)
+        for j in ids[ii + 1 :]
+        if a[i] == a[j] and cos(vecs[i], vecs[j]) >= 0.2
+    }
+    assert got == expect
