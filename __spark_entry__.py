@@ -383,7 +383,29 @@ def _q16_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
-    return text.lang_profile(load_table(spark, sf, "documents"))
+    """Corpus-model surface, kind-tagged union (keeps the registry at
+    the driver's 50-row window):
+      - kind='lang': per-language rollup (volume + heuristic scores);
+      - kind='surprisal': per-doc character-bigram LM quality score
+        (text.doc_surprisal) — the CCNet perplexity-bucket signal,
+        quantized to exact integer bits (floor-log2 counts) so the
+        oracle hashes it value-exact."""
+    docs = load_table(spark, sf, "documents")
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    lang = text.lang_profile(docs).select(
+        F.lit("lang").alias("kind"), "lang", "n_docs", "total_tokens",
+        "stopword_ratio", "avg_ttr", nl.alias("doc_id"),
+        nl.alias("n_bigrams"), nl.alias("surprisal_bits"),
+        nl.alias("mean_bits_x100"),
+    )
+    surp = text.doc_surprisal(spread_for_cpu(docs)).select(
+        F.lit("surprisal").alias("kind"), F.lit(None).cast("string").alias("lang"),
+        nl.alias("n_docs"), nl.alias("total_tokens"), nd.alias("stopword_ratio"),
+        nd.alias("avg_ttr"), "doc_id", "n_bigrams", "surprisal_bits",
+        "mean_bits_x100",
+    )
+    return lang.unionByName(surp)
 
 
 def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -735,8 +757,14 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
       - kind='packing': per-source contiguous-stream sequence packing
         into 512-token context windows (window cumsum per source;
         streams pack in parallel — sampling.pack_sequences), the
-        layout a pre-training tokenizer-writer consumes."""
+        layout a pre-training tokenizer-writer consumes;
+      - kind='source_cap': C4/RefinedWeb-style per-domain cap — keep
+        the 20 longest docs per source (rank carried as rk);
+      - kind='importance': quality-weighted deterministic sampling —
+        md5-bucket survival at a per-doc integer rate (longer docs
+        keep more often), reproducible across cluster sizes."""
     docs = load_table(spark, sf, "documents")
+    nl = F.lit(None).cast("long")
     samp = sampling.stratified_sample(
         docs, key="doc_id", strata_col="lang", rates={"en": 50}, default_pct=10
     ).select(
@@ -744,10 +772,12 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.lit(None).cast("long").alias("n_tokens"),
-        F.lit(None).cast("long").alias("bin_id"),
-        F.lit(None).cast("long").alias("bin_offset"),
-        F.lit(None).cast("long").alias("n_bins_spanned"),
+        nl.alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        nl.alias("rk"),
+        nl.alias("weight_pct"),
     )
     pack = sampling.pack_sequences(docs, ctx_len=512).select(
         F.lit("packing").alias("kind"),
@@ -758,8 +788,34 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         "bin_id",
         "bin_offset",
         "n_bins_spanned",
+        nl.alias("rk"),
+        nl.alias("weight_pct"),
     )
-    return samp.unionByName(pack)
+    cap = sampling.source_cap(docs, n=20).select(
+        F.lit("source_cap").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        nl.alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        F.col("rk").cast("long").alias("rk"),
+        nl.alias("weight_pct"),
+    )
+    imp = sampling.importance_sample(docs).select(
+        F.lit("importance").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        nl.alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        nl.alias("rk"),
+        "weight_pct",
+    )
+    return samp.unionByName(pack).unionByName(cap).unionByName(imp)
 
 
 def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
@@ -1732,7 +1788,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "q16_doc_profile": _doc_profile_oracle_sql(),
-        "q17_lang_profile": """
+        "q17_lang_profile": f"""
             WITH s AS (
                 SELECT lang,
                        len(string_split(text, ' ')) AS n_tokens,
@@ -1740,16 +1796,49 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(string_split(text, ' '),
                            t -> list_contains(['the','a','and','of','to'], t))) AS n_stopwords
                 FROM documents
+            ),
+            -- char-bigram LM surprisal mirror (text.doc_surprisal):
+            -- integer floor-log2 surprisal over normalized-text bigrams
+            nrm AS (SELECT doc_id, {NORM_TEXT_SQL} AS norm FROM documents),
+            g AS (
+                SELECT doc_id, substr(norm, i, 2) AS bg
+                FROM (SELECT doc_id, norm,
+                             unnest(range(1, length(norm))) AS i
+                      FROM nrm)
+            ),
+            lm AS (SELECT bg, count(*) AS c FROM g GROUP BY bg),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM lm),
+            bits AS (SELECT bg,
+                            length(format('{{:b}}', t)) - length(format('{{:b}}', c))
+                                AS bits
+                     FROM lm, tot),
+            sc AS (
+                SELECT g.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(sum(bits) AS BIGINT) AS surprisal_bits
+                FROM g JOIN bits USING (bg)
+                GROUP BY g.doc_id
             )
-            SELECT lang,
+            SELECT 'lang' AS kind, lang,
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(sum(n_stopwords) AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT)
                        AS stopword_ratio,
                    CAST(sum(n_distinct_tokens) AS DOUBLE) / CAST(sum(n_tokens) AS BIGINT)
-                       AS avg_ttr
+                       AS avg_ttr,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS n_bigrams,
+                   CAST(NULL AS BIGINT) AS surprisal_bits,
+                   CAST(NULL AS BIGINT) AS mean_bits_x100
             FROM s
             GROUP BY lang
+            UNION ALL
+            SELECT 'surprisal', CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   d.doc_id, sc.n_bigrams, sc.surprisal_bits,
+                   CAST((sc.surprisal_bits * 100) // sc.n_bigrams AS BIGINT)
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
         """,
         "q18_doc_fingerprints": """
             WITH t AS (
@@ -2024,14 +2113,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_tokens,
                    CAST(NULL AS BIGINT) AS bin_id,
                    CAST(NULL AS BIGINT) AS bin_offset,
-                   CAST(NULL AS BIGINT) AS n_bins_spanned
+                   CAST(NULL AS BIGINT) AS n_bins_spanned,
+                   CAST(NULL AS BIGINT) AS rk,
+                   CAST(NULL AS BIGINT) AS weight_pct
             FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
             UNION ALL
             SELECT 'packing', doc_id, CAST(NULL AS VARCHAR), source,
                    n_tokens, ts // 512, ts % 512,
-                   ((ts % 512) + n_tokens + 511) // 512
+                   ((ts % 512) + n_tokens + 511) // 512,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM (
                 SELECT doc_id, source,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -2041,6 +2133,26 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(len(string_split(text, ' ')) AS BIGINT) AS ts
                 FROM documents
             )
+            UNION ALL
+            SELECT 'source_cap', doc_id, lang, source,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(rk AS BIGINT), CAST(NULL AS BIGINT)
+            FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 20
+            UNION ALL
+            SELECT 'importance', doc_id, lang, source,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(greatest(10, least(90, n_chars // 10)) AS BIGINT)
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+                  < greatest(10, least(90, n_chars // 10))
         """,
         "q35_asof_last_order": """
             WITH orders_d AS (

@@ -116,3 +116,53 @@ def pack_sequences(
         F.expr(f"((_ts % {ctx_len}) + n_tokens + {ctx_len} - 1) div {ctx_len}")
         .alias("n_bins_spanned"),
     )
+
+
+def source_cap(
+    df: DataFrame,
+    n: int,
+    part_col: str = "source",
+    order_cols: list[Column] | None = None,
+) -> DataFrame:
+    """Per-source document cap (the C4/RefinedWeb domain-balancing
+    step): keep at most ``n`` documents per ``part_col`` value, best
+    first. Default order keeps the LONGEST docs (n_chars DESC, doc_id
+    ASC tie-break) — deterministic, so membership is reproducible
+    across cluster sizes like every sampler in this module.
+
+    Returns the surviving rows plus their in-source rank ``rk``
+    (1-based). One shuffle on the source key; the rank window buffers
+    one source per task and spills, so a mega-domain degrades to a
+    spilling sort, not an OOM — and at real scale the top-n per group
+    is exactly the pattern AQE + the window TopK rewrite optimize."""
+    order_cols = order_cols or [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    key: str = "doc_id",
+    weight_pct: Column | None = None,
+) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep each row with
+    probability ``weight_pct``/100, decided by the stable md5 bucket of
+    ``key`` — so higher-quality rows survive at higher rates but the
+    selection stays a pure function of the row (reproducible,
+    cluster-size-independent, append-stable).
+
+    ``weight_pct`` is an integer-percent Column; the default derives a
+    length-based proxy (longer docs keep more often): clamp(n_chars
+    div 10, 10, 90). Pure filter — pushdown-friendly, no shuffle.
+
+    Returns surviving rows plus the ``weight_pct`` they survived at."""
+    if weight_pct is None:
+        weight_pct = F.greatest(
+            F.lit(10), F.least(F.lit(90), F.expr("n_chars div 10"))
+        )
+    return df.withColumn("weight_pct", weight_pct.cast("long")).filter(
+        hash_bucket(key) < F.col("weight_pct")
+    )

@@ -389,3 +389,90 @@ def doc_profile(
         *[f"score_{lang}" for lang in langs],
         "pred_lang",
     )
+
+
+def char_bigram_lm(documents: DataFrame) -> DataFrame:
+    """Train a corpus-level character-bigram language model over
+    NORMALIZED text: one row per bigram with its occurrence count and
+    its integer surprisal in bits.
+
+    The CCNet recipe (Wenzek et al. 2020) scores each document with a
+    small LM trained on reference text and buckets the corpus by
+    perplexity; this is that scorer's engine-exact stand-in. Surprisal
+    is quantized to whole bits via exact integer floor-log2
+    (length(bin(x)) - 1): bits(bigram) = floor_log2(total_occurrences)
+    - floor_log2(count). Integer everywhere — no float log whose last
+    ulp could differ between engines, so the scores are hash-stable.
+
+    Returns (bg, c, bits). The frame is tiny (≤ |alphabet|² rows after
+    normalization — letters+digits+space) and is meant to be broadcast
+    or persisted; at 100 TB the train pass is one explode + one
+    partial-aggregated groupBy over the corpus scan.
+    """
+    grams = _char_bigrams(documents)
+    lm = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.sum("c").alias("t"))
+    return lm.crossJoin(F.broadcast(tot)).select(
+        "bg",
+        "c",
+        (F.length(F.bin("t")) - F.length(F.bin("c"))).alias("bits"),
+    )
+
+
+def _char_bigrams(documents: DataFrame) -> DataFrame:
+    """(doc_id, bg): every character-bigram OCCURRENCE of the
+    normalized text, positions 1..len-1. NULL/short texts yield no
+    rows (explode of empty/NULL array). The sequence is guarded — Spark
+    generates DESCENDING sequences when start > stop, so len<2 must
+    short-circuit to an empty array, not sequence(1, len-1)."""
+    norm = normalize_text("text")
+    n = documents.select("doc_id", norm.alias("norm"))
+    grams = F.when(
+        F.length("norm") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("norm") - 1),
+            lambda i: F.substr(F.col("norm"), i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return n.select("doc_id", F.explode(grams).alias("bg"))
+
+
+def doc_surprisal(documents: DataFrame, lm: DataFrame | None = None) -> DataFrame:
+    """Per-document LM quality score: total and mean character-bigram
+    surprisal under a corpus bigram LM (see :func:`char_bigram_lm`) —
+    the perplexity-bucket signal of the CCNet pipeline, engine-exact.
+
+    ``lm`` takes a pre-trained (persisted) model frame; None trains on
+    ``documents`` itself (self-scoring — boilerplate scores LOW bits,
+    rare/noisy text scores HIGH). Two corpus passes by construction
+    (train, then score) — the published pipeline shape; the score pass
+    is one explode + broadcast LM join + per-doc partial-aggregated
+    sum. Docs with no bigrams (NULL/short text) emit NULL scores, not
+    zeros, so the gate can distinguish "no signal" from "score 0".
+
+    Returns (doc_id, n_bigrams, surprisal_bits, mean_bits_x100) with
+    mean quantized to exact integer hundredths (``div`` semantics).
+    """
+    if lm is None:
+        # tiny frame; checkpoint so the train pass runs once even when
+        # the returned plan is consumed by several actions
+        lm = char_bigram_lm(documents).localCheckpoint()
+    grams = _char_bigrams(documents)
+    scored = (
+        grams.join(F.broadcast(lm.select("bg", "bits")), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("bits").cast("long")).alias("surprisal_bits"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_bits",
+            F.expr("(surprisal_bits * 100) div n_bigrams").alias("mean_bits_x100"),
+        )
+    )

@@ -147,3 +147,36 @@ def test_pack_sequences_sharded_equals_single_stream(spark):
         a, b = one[k], many[k]
         assert (a.bin_id, a.bin_offset, a.n_bins_spanned) == (
             b.bin_id, b.bin_offset, b.n_bins_spanned), k
+
+
+def test_source_cap_keeps_longest_n(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    capped = sampling.source_cap(docs, n=5).collect()
+    by_src = {}
+    for r in capped:
+        by_src.setdefault(r.source, []).append(r)
+    full = docs.collect()
+    for src, rs in by_src.items():
+        assert len(rs) <= 5
+        assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1))
+        # the survivors ARE the 5 longest (ties by smaller doc_id)
+        pool = sorted(
+            (r for r in full if r.source == src),
+            key=lambda r: (-r.n_chars, r.doc_id),
+        )[:5]
+        assert {r.doc_id for r in rs} == {r.doc_id for r in pool}
+
+
+def test_importance_sample_deterministic_and_monotone(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = {r.doc_id for r in sampling.importance_sample(docs).collect()}
+    b = {r.doc_id for r in sampling.importance_sample(docs.repartition(13)).collect()}
+    assert a == b  # pure function of the row, not the partitioning
+    # survival rate grows with the weight proxy: all-90 docs keep ~90%,
+    # all-10 keep ~10% (exact md5 buckets, checked loosely)
+    kept = sampling.importance_sample(docs)
+    rates = {
+        r.weight_pct: r.cnt
+        for r in kept.groupBy("weight_pct").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(rates) <= set(range(10, 91))

@@ -45,3 +45,42 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"id", "a", "b"}
     assert merged.count() == 6
     assert merged.filter(F.col("a").isNull()).count() == 3  # v2 rows lack a
+
+
+def test_doc_surprisal_hand_computed(spark):
+    """Tiny corpus with hand-countable bigrams: 'aa aa' normalizes to
+    itself → bigrams [aa, 'a ', ' a', aa]; 'ab' → [ab]. LM counts:
+    aa:2, 'a ':1, ' a':1, ab:1 (total 5, floor_log2=2). bits: aa=2-1=1,
+    others=2-0=2. Doc0 = 1+2+2+1 = 6 over 4 grams; doc1 = 2 over 1."""
+    from e_commerce_lakehouse_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa"), (1, "ab"), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.doc_surprisal(docs).collect()}
+    assert (got[0].n_bigrams, got[0].surprisal_bits, got[0].mean_bits_x100) == (4, 6, 150)
+    assert (got[1].n_bigrams, got[1].surprisal_bits, got[1].mean_bits_x100) == (1, 2, 200)
+    # NULL text and single-char text: no signal → NULLs, not zeros
+    for d in (2, 3):
+        assert got[d].n_bigrams is None
+        assert got[d].surprisal_bits is None
+        assert got[d].mean_bits_x100 is None
+
+
+def test_doc_surprisal_pretrained_lm(spark):
+    """Scoring under a persisted LM trained on a different corpus:
+    boilerplate (high-count bigrams) scores fewer bits than rare text,
+    and the trained LM is reused — not retrained on the scored docs."""
+    from e_commerce_lakehouse_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [(i, "the common phrase") for i in range(50)] + [(99, "zq")],
+        "doc_id long, text string",
+    )
+    lm = T.char_bigram_lm(train).localCheckpoint()
+    score = spark.createDataFrame(
+        [(0, "the common phrase"), (1, "zq")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in T.doc_surprisal(score, lm=lm).collect()}
+    assert got[0].mean_bits_x100 < got[1].mean_bits_x100
