@@ -373,7 +373,28 @@ def _q14_events_json(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q15_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.exact_dedup(load_table(spark, sf, "documents"))
+    """Exact-dedup surface, kind-tagged union (keeps the registry at
+    the driver's 50-row window):
+      - kind='exact': whole-doc md5 groups (canonical id + copy count);
+      - kind='span_dedup': C4-style duplicate-span removal
+        (dedup.span_dedup) — 10-token spans, corpus-wide first
+        occurrence wins, docs reassembled from surviving spans; the
+        rebuilt text is value-pinned via its md5 in the fp column."""
+    docs = load_table(spark, sf, "documents")
+    nl = F.lit(None).cast("long")
+    exact = dedup.exact_dedup(docs).select(
+        F.lit("exact").alias("kind"), "fp", "canonical_doc_id", "n_copies",
+        nl.alias("n_spans"), nl.alias("n_spans_kept"),
+    )
+    spans = dedup.span_dedup(spread_for_cpu(docs), span_tokens=10).select(
+        F.lit("span_dedup").alias("kind"),
+        F.md5("clean_text").alias("fp"),
+        F.col("doc_id").alias("canonical_doc_id"),
+        nl.alias("n_copies"),
+        "n_spans",
+        "n_spans_kept",
+    )
+    return exact.unionByName(spans)
 
 
 def _q16_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -1781,11 +1802,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(props->>'$.k' AS INT) IS NOT NULL
         """,
         "q15_exact_dedup": """
-            SELECT md5(lower(trim(text))) AS fp,
+            WITH sp AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS span
+                FROM (
+                    SELECT doc_id, toks,
+                           unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+                               AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents WHERE text IS NOT NULL)
+                )
+            ), marked AS (
+                SELECT doc_id, pos, span,
+                       row_number() OVER (PARTITION BY md5(span)
+                                          ORDER BY doc_id, pos) = 1 AS keep
+                FROM sp
+            ), per_doc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_spans_kept,
+                       string_agg(span, ' ' ORDER BY pos)
+                           FILTER (WHERE keep) AS clean_text
+                FROM marked GROUP BY doc_id
+            )
+            SELECT 'exact' AS kind,
+                   md5(lower(trim(text))) AS fp,
                    min(doc_id) AS canonical_doc_id,
-                   count(*) AS n_copies
+                   count(*) AS n_copies,
+                   CAST(NULL AS BIGINT) AS n_spans,
+                   CAST(NULL AS BIGINT) AS n_spans_kept
             FROM documents
-            GROUP BY 1
+            GROUP BY 2
+            UNION ALL
+            SELECT 'span_dedup', md5(p.clean_text), d.doc_id,
+                   CAST(NULL AS BIGINT), p.n_spans, p.n_spans_kept
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
         "q16_doc_profile": _doc_profile_oracle_sql(),
         "q17_lang_profile": f"""

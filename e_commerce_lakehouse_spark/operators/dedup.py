@@ -831,3 +831,72 @@ def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
     clusters = duplicate_clusters(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return documents.join(drop, "doc_id", "left_anti")
+
+
+def span_dedup(documents: DataFrame, span_tokens: int = 10) -> DataFrame:
+    """C4-style duplicate-SPAN removal (Raffel et al. 2020 §2.2 discard
+    repeated three-sentence spans; here spans are fixed ``span_tokens``
+    token windows since the corpus has no sentence punctuation): every
+    occurrence of a span after its corpus-wide first occurrence is cut,
+    and each document is reassembled from its surviving spans.
+
+    First occurrence = lexicographic min (doc_id, pos) over all
+    occurrences of the span text — deterministic, partitioning-
+    independent. Within-doc repeats are cut by the same rule.
+
+    Plan shape at 100 TB: spans explode off the corpus scan; the winner
+    per span is a partial-aggregated groupBy on the span hash (min
+    struct — NO window, so a boilerplate span occurring 10M times is
+    map-side combined, never buffered in one task); survivors join back
+    on the hash (uniform key) and re-group by doc_id to reassemble.
+    Two shuffles total, both on uniform keys.
+
+    Returns (doc_id, n_spans, n_spans_kept, clean_text); clean_text is
+    NULL when every span was cut (and for NULL-text docs, which carry
+    n_spans = NULL).
+    """
+    s = span_tokens
+    spans = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {s}.0)) - 1), "
+                f"i -> array_join(slice(split(text, ' '), i * {s} + 1, {s}), ' '))"
+            )
+        ).alias("pos", "span"),
+    )
+    h = F.md5("span")
+    winners = (
+        spans.groupBy(h.alias("h"))
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select("h", F.col("w.doc_id").alias("w_doc"), F.col("w.pos").alias("w_pos"))
+    )
+    marked = spans.join(winners, h == F.col("h")).select(
+        "doc_id",
+        "pos",
+        "span",
+        ((F.col("doc_id") == F.col("w_doc")) & (F.col("pos") == F.col("w_pos"))).alias(
+            "keep"
+        ),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_spans_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("keep"), F.struct("pos", "span")))
+        ).alias("kept"),
+    )
+    clean = per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_spans_kept",
+        F.when(
+            F.col("n_spans_kept") > 0,
+            F.array_join(F.transform("kept", lambda x: x.span), " "),
+        ).alias("clean_text"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(clean, "doc_id", "left")
+        .select("doc_id", "n_spans", "n_spans_kept", "clean_text")
+    )

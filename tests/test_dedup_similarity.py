@@ -377,3 +377,36 @@ def test_semdedup_pairs_match_bruteforce(spark):
         if a[i] == a[j] and cos(vecs[i], vecs[j]) >= 0.2
     }
     assert got == expect
+
+
+def test_span_dedup_cuts_repeated_spans(spark):
+    """Planted corpus: doc 0 owns span A; doc 1 repeats A then unique
+    text; doc 2 is A twice (within-doc repeat). First occurrence =
+    (min doc_id, min pos) survives; everything else is cut."""
+    A = "a b c d e f g h i j"  # exactly one 10-token span
+    docs = spark.createDataFrame(
+        [
+            (0, A + " " + "k l m n o p q r s t"),
+            (1, A + " " + "u v w x y z aa bb cc dd"),
+            (2, A + " " + A),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.span_dedup(docs, span_tokens=10).collect()}
+    assert (got[0].n_spans, got[0].n_spans_kept) == (2, 2)
+    assert got[0].clean_text == A + " " + "k l m n o p q r s t"
+    assert (got[1].n_spans, got[1].n_spans_kept) == (2, 1)
+    assert got[1].clean_text == "u v w x y z aa bb cc dd"
+    assert (got[2].n_spans, got[2].n_spans_kept) == (2, 0)
+    assert got[2].clean_text is None
+    assert got[3].n_spans is None and got[3].clean_text is None
+
+
+def test_span_dedup_partitioning_independent(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    a = {r.doc_id: (r.n_spans_kept, r.clean_text)
+         for r in dedup.span_dedup(docs).collect()}
+    b = {r.doc_id: (r.n_spans_kept, r.clean_text)
+         for r in dedup.span_dedup(docs.repartition(17)).collect()}
+    assert a == b
