@@ -13,10 +13,13 @@ progressive) JPEGs, so ``decode_images`` and ``resize_images`` run
 genuine codec work end-to-end in this container.
 
 Also real: a WAV audio codec — ``encode_wav``/``decode_wav`` handle
-RIFF/PCM 16-bit mono/stereo on stdlib struct + numpy, and
+RIFF/PCM 16-bit mono/stereo AND mono IMA ADPCM (format tag 0x11,
+public IMA/DVI spec; both codec directions vectorized across blocks,
+fact-chunk-exact frame counts) on stdlib struct + numpy, and
 ``extract_audio_features`` computes duration / RMS energy / zero-
 crossing rate / peak over decoded samples (the audio-quality filters a
-training pipeline gates on).
+training pipeline gates on). Stereo ADPCM and non-PCM/non-ADPCM codecs
+raise NotImplementedError.
 
 Also real: a baseline JPEG codec (operators/jpeg.py — pure
 stdlib+numpy DCT/Huffman): ``decode_images`` handles baseline
@@ -336,30 +339,169 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a RIFF/WAVE file to (sample_rate, channels, int16 array
-    of shape (n_frames, channels)). PCM 16-bit only
-    (NotImplementedError otherwise — compressed codecs are external)."""
+    of shape (n_frames, channels)). 16-bit PCM (mono/stereo) and mono
+    IMA ADPCM (format tag 0x11, fact-chunk-trimmed) decode in-repo;
+    other codecs raise NotImplementedError (external-decoder concern)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, channels, pcm = 12, None, None, None
+    audio_fmt = spb = fact_frames = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+            audio_fmt, channels, sample_rate, _, _block_align, bits = struct.unpack(
                 "<HHIIHH", chunk[:16]
             )
-            if audio_fmt != 1 or bits != 16:
+            if audio_fmt == 0x11:
+                if channels != 1:
+                    raise NotImplementedError("IMA ADPCM: mono only in-repo")
+                (spb,) = struct.unpack("<H", chunk[18:20])
+            elif audio_fmt != 1 or bits != 16:
                 raise NotImplementedError(
-                    f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM supported"
+                    f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM and "
+                    "mono IMA ADPCM supported"
                 )
+        elif tag == b"fact":
+            (fact_frames,) = struct.unpack("<I", chunk[:4])
         elif tag == b"data":
             pcm = chunk
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
+    if audio_fmt == 0x11:
+        samples = _adpcm_decode_blocks(pcm, spb)
+        if fact_frames is not None:
+            samples = samples[:fact_frames]  # trim block padding
+        return sample_rate, 1, samples.reshape(-1, 1)
     samples = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
     return sample_rate, channels, samples
+
+
+# IMA/DVI ADPCM (public spec: IMA Recommended Practices for Enhancing
+# Digital Audio Compatibility, rev 3.00 — WAV format tag 0x11). 4-bit
+# code per sample; the standard 89-entry step table and code→index
+# adjustment table. Blocks are independent (header carries predictor +
+# step index), which is exactly what lets both codec directions run
+# VECTORIZED: sequential only in the 505 sample-steps, numpy across
+# all blocks of the payload at each step.
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+_IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int64,
+)
+_ADPCM_BLOCK_ALIGN = 256  # 4-byte header + 252 nibble bytes
+_ADPCM_SPB = 1 + (_ADPCM_BLOCK_ALIGN - 4) * 2  # 505 samples per block
+
+
+def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
+    """Mono int16 → IMA ADPCM block stream (block_align 256). The last
+    block is padded by repeating the final sample; callers record the
+    true frame count in the WAV fact chunk. Blocks are self-contained
+    (the header carries predictor AND step index, which the decoder
+    honors) — each block's start index is seeded from its first delta
+    magnitude instead of carrying state across blocks, avoiding both
+    the slope-overload of a cold index-0 start and any cross-block
+    sequential dependency (full vectorization)."""
+    x = samples.astype(np.int64)
+    spb = _ADPCM_SPB
+    nb = max(1, -(-len(x) // spb))
+    pad = np.full(nb * spb - len(x), x[-1] if len(x) else 0, dtype=np.int64)
+    blocks = np.concatenate([x, pad]).reshape(nb, spb)
+    pred = blocks[:, 0].copy()
+    idx0 = np.clip(
+        np.searchsorted(_IMA_STEP_TABLE, np.abs(blocks[:, 1] - blocks[:, 0])),
+        0,
+        88,
+    ).astype(np.int64)
+    idx = idx0.copy()
+    codes = np.zeros((nb, spb - 1), dtype=np.uint8)
+    for j in range(spb - 1):
+        step = _IMA_STEP_TABLE[idx]
+        diff = blocks[:, j + 1] - pred
+        sign = diff < 0
+        mag = np.abs(diff)
+        b4 = mag >= step
+        mag = mag - b4 * step
+        b2 = mag >= step >> 1
+        mag = mag - b2 * (step >> 1)
+        b1 = mag >= step >> 2
+        code = sign * 8 + b4 * 4 + b2 * 2 + b1
+        # reconstruct exactly as the decoder will, so no drift
+        delta = (step >> 3) + b1 * (step >> 2) + b2 * (step >> 1) + b4 * step
+        pred = np.clip(pred + np.where(sign, -delta, delta), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_TABLE[code & 7], 0, 88)
+        codes[:, j] = code
+    nib = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)  # low first
+    headers = np.zeros((nb, 4), dtype=np.uint8)
+    h16 = blocks[:, 0].astype(np.int16)
+    headers[:, 0] = h16.view(np.uint16) & 0xFF
+    headers[:, 1] = h16.view(np.uint16) >> 8
+    headers[:, 2] = idx0.astype(np.uint8)  # per-block start index (see above)
+    return np.concatenate([headers, nib], axis=1).tobytes()
+
+
+def _adpcm_decode_blocks(data: bytes, spb: int) -> np.ndarray:
+    """IMA ADPCM block stream → mono int16 samples (incl. any final-
+    block padding — callers trim via the fact chunk). Vectorized across
+    blocks at each of the spb-1 sequential sample-steps."""
+    block_align = 4 + (spb - 1) // 2
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if len(raw) % block_align:
+        raise ValueError("ADPCM data is not block-aligned")
+    nb = len(raw) // block_align
+    blocks = raw.reshape(nb, block_align)
+    pred = (
+        blocks[:, 0].astype(np.uint16) | (blocks[:, 1].astype(np.uint16) << 8)
+    ).astype(np.uint16).view(np.int16).astype(np.int64)
+    idx = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
+    nib = blocks[:, 4:]
+    codes = np.empty((nb, (block_align - 4) * 2), dtype=np.uint8)
+    codes[:, 0::2] = nib & 0x0F
+    codes[:, 1::2] = nib >> 4
+    out = np.empty((nb, spb), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for j in range(spb - 1):
+        code = codes[:, j].astype(np.int64)
+        step = _IMA_STEP_TABLE[idx]
+        delta = (
+            (step >> 3)
+            + np.where(code & 1, step >> 2, 0)
+            + np.where(code & 2, step >> 1, 0)
+            + np.where(code & 4, step, 0)
+        )
+        pred = np.clip(pred + np.where(code & 8, -delta, delta), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_TABLE[code & 7], 0, 88)
+        out[:, j + 1] = pred.astype(np.int16)
+    return out.reshape(-1)
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono int16 samples as a mono IMA ADPCM RIFF/WAVE file
+    (format tag 0x11, block_align 256, fact chunk carrying the exact
+    frame count so decode round-trips the true length)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("ADPCM encode needs mono int16 samples")
+    data = _adpcm_encode_blocks(samples)
+    spb = _ADPCM_SPB
+    byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, _ADPCM_BLOCK_ALIGN, 4, 2, spb
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +652,14 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
             n = 1600 + d[1] * 16  # 0.1-0.35 s at 16 kHz
             ts = np.arange(n, dtype=np.float64) / 16000.0
             tone = (np.sin(2 * np.pi * freq * ts) * (d[2] + 1) * 100).astype(np.int16)
-            out.append(encode_wav(tone, 16000))
+            # container cycles PCM / IMA ADPCM by d[2] parity — the way
+            # a crawled corpus mixes codecs; the fact chunk keeps the
+            # ADPCM frame count exact, so duration stays an arithmetic
+            # function of d[1] for the oracle on BOTH paths
+            if d[2] & 1:
+                out.append(encode_wav_adpcm(tone, 16000))
+            else:
+                out.append(encode_wav(tone, 16000))
         return pd.Series(out)
 
     @pandas_udf("binary")

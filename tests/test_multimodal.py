@@ -456,3 +456,61 @@ def test_resize_bilinear_interpolates(spark, media):
     import pytest as _pytest
     with _pytest.raises(Exception):
         mm.resize_images(decoded, method="bicubic").collect()
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x11)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_roundtrip_snr_and_exact_length():
+    """Lossy but bounded: a sine tone round-trips at > 30 dB SNR with
+    the exact frame count restored from the fact chunk (including
+    non-block-multiple lengths), at ~3.8x compression."""
+    n = 5000
+    ts = np.arange(n) / 16000.0
+    tone = (np.sin(2 * np.pi * 440 * ts) * 12000).astype(np.int16)
+    wav = mm.encode_wav_adpcm(tone, 16000)
+    rate, ch, out = mm.decode_wav(wav)
+    out = out.reshape(-1)
+    assert (rate, ch, len(out)) == (16000, 1, n)
+    noise = (out.astype(np.float64) - tone.astype(np.float64)) ** 2
+    snr = 10 * np.log10((tone.astype(np.float64) ** 2).mean() / noise.mean())
+    assert snr > 30.0
+    assert len(wav) < len(tone.tobytes()) // 3
+
+
+def test_adpcm_edge_lengths():
+    for m in (0, 1, 2, 504, 505, 506, 1011):
+        t = (np.arange(m, dtype=np.int64) % 200 - 100).astype(np.int16)
+        w = mm.encode_wav_adpcm(t, 8000)
+        r, c, o = mm.decode_wav(w)
+        assert (r, c, len(o.reshape(-1))) == (8000, 1, m)
+
+
+def test_adpcm_deterministic_and_sniffable():
+    t = (np.arange(1000, dtype=np.int64) % 500 - 250).astype(np.int16)
+    a = mm.encode_wav_adpcm(t, 16000)
+    assert a == mm.encode_wav_adpcm(t, 16000)
+    assert mm.sniff_mime(a) == "audio/wav"
+
+
+def test_adpcm_first_sample_exact():
+    """The block header carries the first sample verbatim — it must
+    decode bit-exact even though the stream is lossy."""
+    t = np.array([-32768, 100, 200, 32767], dtype=np.int16)
+    _, _, o = mm.decode_wav(mm.encode_wav_adpcm(t, 8000))
+    assert o.reshape(-1)[0] == -32768
+
+
+def test_stereo_adpcm_rejected():
+    """Mono-only boundary is explicit, not a silent mis-decode."""
+    # hand-craft a stereo ADPCM fmt chunk
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 256, 4, 2, 505)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(wav)
