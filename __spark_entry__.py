@@ -783,7 +783,12 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         the 20 longest docs per source (rank carried as rk);
       - kind='importance': quality-weighted deterministic sampling —
         md5-bucket survival at a per-doc integer rate (longer docs
-        keep more often), reproducible across cluster sizes."""
+        keep more often), reproducible across cluster sizes;
+      - kind='mixture': Pile/DoReMi-style source reweighting
+        (sampling.mixture_rates) — per-source acceptance rates that
+        realize a target token mixture by downsampling (weight-richest
+        source keeps 100%), rates floored from fixed-order IEEE
+        ratios so the oracle hashes them exactly."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     samp = sampling.stratified_sample(
@@ -799,6 +804,8 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("n_bins_spanned"),
         nl.alias("rk"),
         nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        nl.alias("weight"),
     )
     pack = sampling.pack_sequences(docs, ctx_len=512).select(
         F.lit("packing").alias("kind"),
@@ -811,6 +818,8 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         "n_bins_spanned",
         nl.alias("rk"),
         nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        nl.alias("weight"),
     )
     cap = sampling.source_cap(docs, n=20).select(
         F.lit("source_cap").alias("kind"),
@@ -823,6 +832,8 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("n_bins_spanned"),
         F.col("rk").cast("long").alias("rk"),
         nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        nl.alias("weight"),
     )
     imp = sampling.importance_sample(docs).select(
         F.lit("importance").alias("kind"),
@@ -835,8 +846,24 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("n_bins_spanned"),
         nl.alias("rk"),
         "weight_pct",
+        nl.alias("n_docs"),
+        nl.alias("weight"),
     )
-    return samp.unionByName(pack).unionByName(cap).unionByName(imp)
+    mix = sampling.mixture_rates(docs, {"src0": 5, "src1": 3}).select(
+        F.lit("mixture").alias("kind"),
+        nl.alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("total_tokens").alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        nl.alias("rk"),
+        F.col("rate_pct").alias("weight_pct"),
+        "n_docs",
+        "weight",
+    )
+    return samp.unionByName(pack).unionByName(cap).unionByName(imp).unionByName(mix)
 
 
 def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
@@ -2167,7 +2194,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS bin_offset,
                    CAST(NULL AS BIGINT) AS n_bins_spanned,
                    CAST(NULL AS BIGINT) AS rk,
-                   CAST(NULL AS BIGINT) AS weight_pct
+                   CAST(NULL AS BIGINT) AS weight_pct,
+                   CAST(NULL AS BIGINT) AS n_docs,
+                   CAST(NULL AS BIGINT) AS weight
             FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
@@ -2175,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'packing', doc_id, CAST(NULL AS VARCHAR), source,
                    n_tokens, ts // 512, ts % 512,
                    ((ts % 512) + n_tokens + 511) // 512,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM (
                 SELECT doc_id, source,
@@ -2189,7 +2219,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'source_cap', doc_id, lang, source,
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(rk AS BIGINT), CAST(NULL AS BIGINT)
+                   CAST(rk AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM (
                 SELECT doc_id, lang, source,
                        row_number() OVER (PARTITION BY source
@@ -2201,10 +2232,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT),
-                   CAST(greatest(10, least(90, n_chars // 10)) AS BIGINT)
+                   CAST(greatest(10, least(90, n_chars // 10)) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                   < greatest(10, least(90, n_chars // 10))
+            UNION ALL
+            SELECT 'mixture', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), source,
+                   total_tokens, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(floor((100.0 * ratio) / (max(ratio) OVER ())) AS BIGINT),
+                   n_docs, weight
+            FROM (
+                SELECT source, n_docs, total_tokens, weight,
+                       CAST(weight AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS ratio
+                FROM (
+                    SELECT source,
+                           CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                               AS total_tokens,
+                           CAST(CASE WHEN source = 'src0' THEN 5
+                                     WHEN source = 'src1' THEN 3
+                                     ELSE 1 END AS BIGINT) AS weight
+                    FROM documents GROUP BY source
+                )
+            )
         """,
         "q35_asof_last_order": """
             WITH orders_d AS (

@@ -80,6 +80,14 @@ def pinned_index_blocks() -> set[int]:
     return set(_PINNED_INDEX_BLOCKS)
 
 
+def track_pinned(ids: set[int]) -> None:
+    """Register internally-pinned checkpoint blocks from OTHER
+    operators (e.g. similarity.semdedup's assignment/pair frames) in
+    the same release registry, so one release_pinned_indexes(spark)
+    sweep covers every internal materialization."""
+    _PINNED_INDEX_BLOCKS.update(ids)
+
+
 def release_pinned_indexes(spark) -> None:
     """Unpersist every internally-pinned banded index. Call AFTER the
     pairing output has been consumed by an action — the blocks ARE the

@@ -166,3 +166,44 @@ def importance_sample(
     return df.withColumn("weight_pct", weight_pct.cast("long")).filter(
         hash_bucket(key) < F.col("weight_pct")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    target: dict[str, int],
+    default_weight: int = 1,
+) -> DataFrame:
+    """Data-MIXING rates (the Pile/DoReMi-style source reweighting):
+    given integer mixture weights per source, compute the per-source
+    acceptance rate that realizes the target token mixture as closely
+    as a downsampling-only pass can — the source with the highest
+    weight-per-token keeps 100% and every other source scales down
+    proportionally (no upsampling; epochs are a trainer concern).
+
+    rate_pct(s) = floor(100 · (w_s / tokens_s) / max_u(w_u / tokens_u))
+
+    Feed the result to :func:`importance_sample` (join rate_pct on
+    source as the weight column) for the actual filter pass.
+
+    One partial-aggregated groupBy over the corpus; the rate math runs
+    on the per-source frame (source cardinality is small at any data
+    scale — a global window over it is driver-trivial). Ratios are
+    single IEEE divisions in a fixed order, so the floored rates are
+    engine-portable. Returns (source, n_docs, total_tokens, weight,
+    rate_pct)."""
+    tc = F.size(F.split("text", " ")).cast("long")
+    w: Column = F.lit(default_weight)
+    for src, wt in sorted(target.items()):
+        w = F.when(F.col("source") == src, F.lit(wt)).otherwise(w)
+    per = df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(tc).alias("total_tokens")
+    ).withColumn("weight", w.cast("long"))
+    ratio = F.col("weight").cast("double") / F.col("total_tokens").cast("double")
+    maxr = F.max(ratio).over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "weight",
+        F.floor((F.lit(100.0) * ratio) / maxr).cast("long").alias("rate_pct"),
+    )

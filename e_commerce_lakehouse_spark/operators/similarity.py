@@ -737,12 +737,16 @@ def semdedup(
     cells, cent = _kmeans_train(v, k, iters)
     a = _assign_to_matrix_udf(cells, cent)
     # one checkpoint feeds the returned assignment, the pairing, and
-    # both d2 lookups — without it the assign kernel re-runs per branch
+    # both d2 lookups — without it the assign kernel re-runs per branch.
+    # Pinned blocks go in the shared release registry
+    # (buckets.release_pinned_indexes) so long-lived sessions can sweep
+    # consumed runs.
     assign, _ids = local_checkpoint_tracked(
         v.select("vec_id", a("vec").alias("m")).select(
             "vec_id", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2")
         )
     )
+    buckets.track_pinned(_ids)
     cand = buckets.bucket_mate_pairs(
         assign.select("cell", "vec_id"),
         ["cell"],
@@ -782,6 +786,7 @@ def semdedup(
             .alias("drop_id"),
         )
     )
+    buckets.track_pinned(_pids)
     pairs = pairs_full.select("a_id", "b_id", "cell", "cosine")
     drops = (
         pairs_full.select(F.col("drop_id").alias("vec_id"), "cell").distinct()

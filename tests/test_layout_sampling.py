@@ -180,3 +180,31 @@ def test_importance_sample_deterministic_and_monotone(spark):
         for r in kept.groupBy("weight_pct").agg(F.count("*").alias("cnt")).collect()
     }
     assert set(rates) <= set(range(10, 91))
+
+
+def test_mixture_rates_hand_computed(spark):
+    """Three sources, 10 tokens each, weights 5/3/1: the weight-richest
+    source keeps 100%, the rest scale proportionally (60 / 20)."""
+    rows = [(i, "t " * 9 + "t", f"s{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.source: r
+        for r in sampling.mixture_rates(docs, {"s0": 5, "s1": 3}).collect()
+    }
+    assert got["s0"].rate_pct == 100 and got["s0"].weight == 5
+    assert got["s1"].rate_pct == 60
+    assert got["s2"].rate_pct == 20 and got["s2"].weight == 1
+    assert all(got[s].n_docs == 10 and got[s].total_tokens == 100 for s in got)
+
+
+def test_mixture_rates_feed_importance_sample(spark):
+    """The advertised composition: join rate_pct on source and filter
+    deterministically — kept share tracks the rate per source."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    rates = sampling.mixture_rates(docs, {"src0": 5})
+    joined = docs.join(F.broadcast(rates.select("source", "rate_pct")), "source")
+    kept = sampling.importance_sample(joined, weight_pct=F.col("rate_pct"))
+    per = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per.get("src0", 0) > 0  # 100%-rate source keeps everything
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    assert per["src0"] == n_src0

@@ -50,10 +50,22 @@ def test_q02_scan_width_minimal(spark):
 
 
 def test_q15_single_shuffle_dedup(spark):
-    plan = plan_of(Q["q15_exact_dedup"](spark, SF_SMALL))
-    # hash-agg dedup: exactly one exchange (partial -> final agg)
+    from e_commerce_lakehouse_spark.operators import dedup
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    # the exact-dedup operator itself: one exchange (partial -> final)
+    plan = plan_of(dedup.exact_dedup(load_table(spark, SF_SMALL, "documents")))
     assert plan.count("Exchange") <= 2  # Exchange + AQE wrapper mention
     assert "HashAggregate" in plan
+    # the q15 union adds the span_dedup branch: winner groupBy + two
+    # id-keyed joins + per-doc regroup — still hash-aggregated and
+    # bounded, never a cartesian
+    plan = plan_of(Q["q15_exact_dedup"](spark, SF_SMALL))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    # formatted plans mention each exchange ~2x (tree + detail); the
+    # union is exact(1) + span winner agg/join/regroup/rejoin (~7)
+    assert plan.count("Exchange") <= 16
 
 
 def test_whole_stage_codegen_active(spark):
