@@ -2241,11 +2241,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'mixture', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), source,
                    total_tokens, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(floor((100.0 * ratio) / (max(ratio) OVER ())) AS BIGINT),
+                   greatest(CAST(1 AS BIGINT),
+                            (100 * weight * t_m) // (w_m * total_tokens)),
                    n_docs, weight
             FROM (
                 SELECT source, n_docs, total_tokens, weight,
-                       CAST(weight AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS ratio
+                       first(weight) OVER (
+                           ORDER BY CAST(weight AS DOUBLE) /
+                                    CAST(total_tokens AS DOUBLE) DESC,
+                                    source ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS w_m,
+                       first(total_tokens) OVER (
+                           ORDER BY CAST(weight AS DOUBLE) /
+                                    CAST(total_tokens AS DOUBLE) DESC,
+                                    source ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS t_m
                 FROM (
                     SELECT source,
                            CAST(count(*) AS BIGINT) AS n_docs,

@@ -139,7 +139,7 @@ def bucket_mate_pairs(
         # indexes (release_pinned_indexes) instead of leaking blocks
         # until GC.
         banded, ids = local_checkpoint_tracked(banded)
-        _PINNED_INDEX_BLOCKS.update(ids)
+        track_pinned(ids)
     # Per-bucket size/min via a WINDOW, not a groupBy+join: one shuffle
     # on the bucket key instead of three join legs, and the downstream
     # small-bucket groupBy reuses the window's hash partitioning (no

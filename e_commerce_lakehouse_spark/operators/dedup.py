@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import buckets
-from .parallelize import spread_for_cpu
+from .parallelize import local_checkpoint_tracked, spread_for_cpu
 from .text import tokens
 
 # ---------------------------------------------------------------------------
@@ -498,7 +498,10 @@ def minhash_lsh_incremental(
         # cached band index (corpus_cache) pass it via ``banded``
         # (num_hashes/bands/sigs are then ignored — the index fixes them
         # — and the frame must already be materialized).
-        banded = _minhash_banded(sigs, num_hashes, bands).localCheckpoint()
+        banded, _bids = local_checkpoint_tracked(
+            _minhash_banded(sigs, num_hashes, bands)
+        )
+        buckets.track_pinned(_bids)
     else:
         _check_banded_schema(banded)
     probe = banded.filter(F.col("doc_id") >= new_min_doc_id).select(
@@ -663,7 +666,8 @@ def simhash_edit_pairs(
     # frame — e.g. corpus_cache.shared_df — so the corpus-wide SimHash
     # kernel runs once per session, not once per query
     if sh is None:
-        sh = simhash(documents, bits).localCheckpoint()  # index ≡ probe side
+        sh, _sids = local_checkpoint_tracked(simhash(documents, bits))
+        buckets.track_pinned(_sids)  # index ≡ probe side
     banded = sh.select(
         "doc_id",
         F.explode(

@@ -345,19 +345,33 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, channels, pcm = 12, None, None, None
-    audio_fmt = spb = fact_frames = None
+    audio_fmt = spb = fact_frames = block_align = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, _, _block_align, bits = struct.unpack(
+            audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", chunk[:16]
             )
             if audio_fmt == 0x11:
                 if channels != 1:
                     raise NotImplementedError("IMA ADPCM: mono only in-repo")
+                if len(chunk) < 20:
+                    # 16/18-byte fmt without samplesPerBlock exists in
+                    # the wild — reject cleanly, don't struct.error
+                    raise NotImplementedError(
+                        "IMA ADPCM fmt chunk without samplesPerBlock"
+                    )
                 (spb,) = struct.unpack("<H", chunk[18:20])
+                # the declared block_align is authoritative — a stream
+                # whose nibble count disagrees with samplesPerBlock
+                # would decode garbage, not data
+                if block_align != 4 + spb // 2:
+                    raise NotImplementedError(
+                        f"IMA ADPCM block_align={block_align} inconsistent "
+                        f"with samplesPerBlock={spb}"
+                    )
             elif audio_fmt != 1 or bits != 16:
                 raise NotImplementedError(
                     f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM and "
@@ -371,12 +385,67 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
     if audio_fmt == 0x11:
-        samples = _adpcm_decode_blocks(pcm, spb)
-        if fact_frames is not None:
-            samples = samples[:fact_frames]  # trim block padding
+        if fact_frames is None:
+            # the spec requires fact for compressed WAV; without it the
+            # final-block padding is indistinguishable from data —
+            # refuse rather than silently inflate duration/RMS
+            raise ValueError("IMA ADPCM WAV without a fact chunk")
+        samples = _adpcm_decode_blocks(pcm, spb)[:fact_frames]
         return sample_rate, 1, samples.reshape(-1, 1)
     samples = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
     return sample_rate, channels, samples
+
+
+def wav_header_info(data: bytes) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) from the RIFF headers ALONE —
+    no sample decode. For PCM the frame count is data_len/(ch·2); for
+    IMA ADPCM it is the fact chunk (required by spec for compressed
+    WAV; its absence raises like :func:`decode_wav`). The manifest path
+    uses this: reporting duration must not cost a nibble-stream decode
+    at 100 TB. Validation (mono-only ADPCM, fmt/block_align
+    consistency, supported codec) matches ``decode_wav`` exactly."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, channels, data_len = 12, None, None, None
+    audio_fmt = fact_frames = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if audio_fmt == 0x11:
+                if channels != 1:
+                    raise NotImplementedError("IMA ADPCM: mono only in-repo")
+                if len(chunk) < 20:
+                    raise NotImplementedError(
+                        "IMA ADPCM fmt chunk without samplesPerBlock"
+                    )
+                (spb,) = struct.unpack("<H", chunk[18:20])
+                if block_align != 4 + spb // 2:
+                    raise NotImplementedError(
+                        f"IMA ADPCM block_align={block_align} inconsistent "
+                        f"with samplesPerBlock={spb}"
+                    )
+            elif audio_fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM and "
+                    "mono IMA ADPCM supported"
+                )
+        elif tag == b"fact":
+            (fact_frames,) = struct.unpack("<I", chunk[:4])
+        elif tag == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)
+    if sample_rate is None or data_len is None:
+        raise ValueError("missing fmt or data chunk")
+    if audio_fmt == 0x11:
+        if fact_frames is None:
+            raise ValueError("IMA ADPCM WAV without a fact chunk")
+        return sample_rate, 1, fact_frames
+    return sample_rate, channels, data_len // (channels * 2)
 
 
 # IMA/DVI ADPCM (public spec: IMA Recommended Practices for Enhancing
@@ -452,7 +521,7 @@ def _adpcm_decode_blocks(data: bytes, spb: int) -> np.ndarray:
     """IMA ADPCM block stream → mono int16 samples (incl. any final-
     block padding — callers trim via the fact chunk). Vectorized across
     blocks at each of the spb-1 sequential sample-steps."""
-    block_align = 4 + (spb - 1) // 2
+    block_align = 4 + spb // 2  # ceil((spb-1)/2) nibble bytes
     raw = np.frombuffer(data, dtype=np.uint8)
     if len(raw) % block_align:
         raise ValueError("ADPCM data is not block-aligned")
@@ -989,8 +1058,13 @@ def media_manifest(media: DataFrame) -> DataFrame:
                 elif mime == "image/jpeg":
                     w, h, c, _ = decode_jpeg(data)
                 elif mime == "audio/wav":
-                    rate, _ch, samples = decode_wav(data)
-                    nf = len(samples)
+                    # header-only: duration/frame-count are RIFF facts
+                    # (PCM data length; ADPCM fact chunk) — the fused
+                    # manifest must not pay a sample decode for them.
+                    # Sample-level decode (incl. the vectorized ADPCM
+                    # path) runs in extract_audio_features + the codec
+                    # round-trip tests.
+                    rate, _ch, nf = wav_header_info(data)
                     dur = nf * 1000 // rate
                 elif mime == "video/avi":
                     nf = 0

@@ -180,17 +180,22 @@ def mixture_rates(
     weight-per-token keeps 100% and every other source scales down
     proportionally (no upsampling; epochs are a trainer concern).
 
-    rate_pct(s) = floor(100 · (w_s / tokens_s) / max_u(w_u / tokens_u))
+    rate_pct(s) = max(1, floor(100·w_s·t_m / (w_m·t_s)))  where m is
+    the weight-richest source (argmax w_u/t_u, ties to the smaller
+    source name) — EXACT integer arithmetic (no float ratio whose last
+    ulp could floor the max source to 99), and floored at 1 so a
+    positive-weight source is downsampled, never silently eliminated
+    (hash_bucket < 0 keeps nothing).
 
     Feed the result to :func:`importance_sample` (join rate_pct on
     source as the weight column) for the actual filter pass.
 
     One partial-aggregated groupBy over the corpus; the rate math runs
     on the per-source frame (source cardinality is small at any data
-    scale — a global window over it is driver-trivial). Ratios are
-    single IEEE divisions in a fixed order, so the floored rates are
-    engine-portable. Returns (source, n_docs, total_tokens, weight,
-    rate_pct)."""
+    scale — the argmax broadcast is driver-trivial). The argmax itself
+    compares one IEEE division per source (identical in any engine);
+    every rate is then integer. Returns (source, n_docs, total_tokens,
+    weight, rate_pct)."""
     tc = F.size(F.split("text", " ")).cast("long")
     w: Column = F.lit(default_weight)
     for src, wt in sorted(target.items()):
@@ -199,11 +204,24 @@ def mixture_rates(
         F.count(F.lit(1)).alias("n_docs"), F.sum(tc).alias("total_tokens")
     ).withColumn("weight", w.cast("long"))
     ratio = F.col("weight").cast("double") / F.col("total_tokens").cast("double")
-    maxr = F.max(ratio).over(Window.partitionBy())
-    return per.select(
+    top = (
+        per.select(
+            F.col("weight").alias("w_m"),
+            F.col("total_tokens").alias("t_m"),
+            ratio.alias("_r"),
+            F.col("source").alias("_s"),
+        )
+        .orderBy(F.col("_r").desc(), F.col("_s").asc())
+        .limit(1)
+        .select("w_m", "t_m")
+    )
+    return per.crossJoin(F.broadcast(top)).select(
         "source",
         "n_docs",
         "total_tokens",
         "weight",
-        F.floor((F.lit(100.0) * ratio) / maxr).cast("long").alias("rate_pct"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(100 * weight * t_m) div (w_m * total_tokens)"),
+        ).alias("rate_pct"),
     )

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import buckets
-from .parallelize import spread_for_cpu
+from .parallelize import local_checkpoint_tracked, spread_for_cpu
 
 QUANT = 1_000_000  # micro-unit quantization for exact integer vector math
 
@@ -153,7 +153,7 @@ def ann_topk_lsh(
     """
     planes_arr = hyperplanes(planes, dim, seed)
     codes = band_codes_udf(planes_arr, bands=1)
-    side = (
+    side, _sids = local_checkpoint_tracked(
         spread_for_cpu(embeddings)
         .select(
             "vec_id",
@@ -161,8 +161,8 @@ def ann_topk_lsh(
             quantized("embedding").alias("vec"),
             F.element_at(codes("embedding"), 1).alias("sketch"),
         )
-        .localCheckpoint()
     )
+    buckets.track_pinned(_sids)
     q = side.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
         F.col("sketch").alias("q_sketch"),
@@ -229,7 +229,7 @@ def ann_topk_multi(
     # materialize the sketch+vector side ONCE: both the probe build and
     # the corpus side reference it, and a self-join on a UDF-derived
     # frame would otherwise evaluate the Arrow kernel twice
-    side = (
+    side, _sids = local_checkpoint_tracked(
         spread_for_cpu(embeddings)
         .select(
             "vec_id",
@@ -237,8 +237,8 @@ def ann_topk_multi(
             quantized("embedding").alias("vec"),
             codes("embedding").alias("codes"),
         )
-        .localCheckpoint()
     )
+    buckets.track_pinned(_sids)
     banded = side.select("vec_id", F.posexplode("codes").alias("tbl", "code"))
     qb = banded.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
@@ -578,12 +578,20 @@ def _kmeans_prep(embeddings: DataFrame) -> DataFrame:
     once per update — without the cut, every iteration re-runs the scan
     + repartition + quantize sub-DAG. Fan-out is capped: the Lloyd loop
     launches ~5 stages per round over this table, so task-count per
-    stage matters more than per-core spread for a small input."""
-    return (
-        spread_for_cpu(embeddings, cap=8)
-        .select("vec_id", quantized("embedding").alias("vec"))
-        .localCheckpoint()
+    stage matters more than per-core spread for a small input.
+
+    The pinned blocks — the largest internal materialization in this
+    module (the full quantized corpus) — register in the shared release
+    registry, so ``buckets.release_pinned_indexes(spark)`` frees
+    superseded training runs in long-lived sessions instead of leaking
+    them until Python+py4j GC."""
+    out, ids = local_checkpoint_tracked(
+        spread_for_cpu(embeddings, cap=8).select(
+            "vec_id", quantized("embedding").alias("vec")
+        )
     )
+    buckets.track_pinned(ids)
+    return out
 
 
 def _assign_to_matrix_udf(cells: list[int], cent):
@@ -698,7 +706,7 @@ def semdedup(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.3,
-    hot_cap: int = buckets.DEFAULT_HOT_CAP,
+    pair_block: int = 1024,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication = k-means clustering + exact pairwise cosine WITHIN
@@ -721,69 +729,81 @@ def semdedup(
           centroid as the cluster's "most representative of the
           boundary" exemplar. Distinct — one row per dropped vector.
 
-    Scale shape: clusters ARE hot buckets (k << N/hot_cap), so pairing
-    routes through ``buckets.bucket_mate_pairs`` in GRID mode —
-    all-pairs exactness with per-task build side <= hot_cap regardless
-    of cluster size; the O(n_cell^2) pair OUTPUT is inherent to the
-    published algorithm (SemDeDup caps cluster width by raising k —
-    callers tune k ~ N/1e4 as in the paper — not by sampling pairs).
-    Candidate ids pair up BEFORE vectors re-attach, so the wide
-    embedding column never rides the pairing shuffle; the cosine verify
-    is one Arrow-batched numpy kernel over the surviving pairs.
+    Scale shape — the pairwise pass is the published matrix form, not a
+    pair join: ONE shuffle groups each cell's (vec_id, vec, d2) rows
+    and a per-cell Arrow kernel computes the gram matrix blockwise
+    (``pair_block`` rows × cell int64 matmul — exact dot products, the
+    same fixed-order sqrt·sqrt/divide cosine as ``cosine_q``) and emits
+    ONLY qualifying pairs. Versus routing 250k+ candidate pairs through
+    two vector joins and a per-pair kernel, nothing quadratic ever
+    crosses the Python boundary or a shuffle. Per-task memory is
+    O(cell·dim + pair_block·cell): bounded by the cluster width, which
+    SemDeDup itself prescribes capping by raising k (paper: k ≈ N/1e4);
+    the O(n_cell²) COMPUTE is inherent to the algorithm and stays
+    inside one numpy matmul per block.
     """
-    from .parallelize import local_checkpoint_tracked
-
     v = _kmeans_prep(embeddings)
     cells, cent = _kmeans_train(v, k, iters)
     a = _assign_to_matrix_udf(cells, cent)
-    # one checkpoint feeds the returned assignment, the pairing, and
-    # both d2 lookups — without it the assign kernel re-runs per branch.
+    # one checkpoint feeds the returned assignment and the cell-grouped
+    # pairwise pass — without it the assign kernel re-runs per branch.
     # Pinned blocks go in the shared release registry
     # (buckets.release_pinned_indexes) so long-lived sessions can sweep
     # consumed runs.
-    assign, _ids = local_checkpoint_tracked(
-        v.select("vec_id", a("vec").alias("m")).select(
-            "vec_id", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2")
+    assign_v, _ids = local_checkpoint_tracked(
+        v.select("vec_id", "vec", a("vec").alias("m")).select(
+            "vec_id", "vec", F.col("m.cell").alias("cell"), F.col("m.d2").alias("d2")
         )
     )
     buckets.track_pinned(_ids)
-    cand = buckets.bucket_mate_pairs(
-        assign.select("cell", "vec_id"),
-        ["cell"],
-        "vec_id",
-        hot_cap=hot_cap,
-        hot_mode="grid",
-        materialize_input=False,
-    ).withColumnsRenamed({"a": "a_id", "b": "b_id"})
-    emb_a = embeddings.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a")
-    )
-    emb_b = embeddings.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b")
-    )
-    side = lambda n: assign.select(  # noqa: E731
-        F.col("vec_id").alias(f"{n}_id"), F.col("d2").alias(f"d2_{n}"), "cell"
-    )
-    pairs_full = (
-        cand.join(emb_a, "a_id")
-        .join(emb_b, "b_id")
-        .withColumn("cosine", cosine_pair_udf()(F.col("emb_a"), F.col("emb_b")))
-        .filter(F.col("cosine") >= F.lit(threshold))
-        .join(side("a").drop("cell"), "a_id")
-        .join(side("b"), "b_id")
-    )
-    # qualifying pairs are a tiny fraction of candidates; checkpoint so
-    # the cosine kernel runs ONCE even with two consumers (pairs+drops)
+    assign = assign_v.select("vec_id", "cell", "d2")
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"a_id": pd.Series([], dtype="int64"),
+             "b_id": pd.Series([], dtype="int64"),
+             "cell": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64"),
+             "drop_id": pd.Series([], dtype="int64")}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        V = np.array(pdf["vec"].tolist(), dtype=np.int64)[order]
+        d2 = pdf["d2"].to_numpy()[order]
+        cell = int(pdf["cell"].iloc[0])
+        # sqrt each norm THEN multiply — the exact op order of
+        # cosine_q / the oracle's sqrt(na)*sqrt(nb)
+        rs = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+        out = []
+        for s0 in range(0, n, pair_block):
+            e0 = min(s0 + pair_block, n)
+            dot = V[s0:e0] @ V.T  # exact int64: |dot| <= dim·QUANT²·1 < 2^63
+            cos = dot.astype(np.float64) / (rs[s0:e0, None] * rs[None, :])
+            bi, bj = np.nonzero(cos >= threshold)
+            gi = bi + s0
+            keep = gi < bj  # upper triangle: a_id < b_id (ids sorted)
+            gi, bj = gi[keep], bj[keep]
+            if len(gi):
+                drop = np.where(
+                    d2[gi] < d2[bj], ids[gi],
+                    np.where(d2[bj] < d2[gi], ids[bj],
+                             np.maximum(ids[gi], ids[bj])),
+                )
+                out.append(pd.DataFrame({
+                    "a_id": ids[gi], "b_id": ids[bj],
+                    "cell": np.full(len(gi), cell, dtype=np.int64),
+                    "cosine": cos[bi[keep], bj],
+                    "drop_id": drop,
+                }))
+        return pd.concat(out) if out else empty
+
     pairs_full, _pids = local_checkpoint_tracked(
-        pairs_full.select(
-            "a_id",
-            "b_id",
-            "cell",
-            "cosine",
-            F.when(F.col("d2_a") < F.col("d2_b"), F.col("a_id"))
-            .when(F.col("d2_b") < F.col("d2_a"), F.col("b_id"))
-            .otherwise(F.greatest("a_id", "b_id"))
-            .alias("drop_id"),
+        assign_v.groupBy("cell").applyInPandas(
+            cell_pairs,
+            "a_id long, b_id long, cell long, cosine double, drop_id long",
         )
     )
     buckets.track_pinned(_pids)

@@ -444,26 +444,52 @@ def doc_surprisal(documents: DataFrame, lm: DataFrame | None = None) -> DataFram
 
     ``lm`` takes a pre-trained (persisted) model frame; None trains on
     ``documents`` itself (self-scoring — boilerplate scores LOW bits,
-    rare/noisy text scores HIGH). Two corpus passes by construction
-    (train, then score) — the published pipeline shape; the score pass
-    is one explode + broadcast LM join + per-doc partial-aggregated
-    sum. Docs with no bigrams (NULL/short text) emit NULL scores, not
-    zeros, so the gate can distinguish "no signal" from "score 0".
+    rare/noisy text scores HIGH). The corpus is exploded and tokenized
+    ONCE into checkpointed per-doc (doc_id, bigram, n) counts; the LM
+    train (when self-scoring) and the score pass are both cheap
+    aggregations over that frame — the train/score structure of the
+    published pipeline without a second corpus pass. Docs with no
+    bigrams (NULL/short text) emit NULL scores, not zeros, so the gate
+    can distinguish "no signal" from "score 0".
+
+    Out-of-vocabulary bigrams (possible only on the pre-trained-LM
+    path — self-training covers its own vocabulary) score max-observed
+    bits + 1: dropping them would INVERT the signal, crediting the
+    noisiest text with the lowest perplexity. The left join + coalesce
+    is a no-op for self-scoring, so the oracle mirror is unchanged.
 
     Returns (doc_id, n_bigrams, surprisal_bits, mean_bits_x100) with
     mean quantized to exact integer hundredths (``div`` semantics).
     """
+    from .buckets import track_pinned
+    from .parallelize import local_checkpoint_tracked
+
+    # ONE corpus explode: per-doc bigram counts feed BOTH the LM train
+    # (self-scoring path — summing per-doc counts IS the global count)
+    # and the score pass, so the explode+tokenize never runs twice.
+    # Checkpointed (tracked in the shared release registry) because the
+    # two passes are separate jobs.
+    counts, _cids = local_checkpoint_tracked(
+        _char_bigrams(documents)
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    track_pinned(_cids)
     if lm is None:
-        # tiny frame; checkpoint so the train pass runs once even when
-        # the returned plan is consumed by several actions
-        lm = char_bigram_lm(documents).localCheckpoint()
-    grams = _char_bigrams(documents)
+        lmc = counts.groupBy("bg").agg(F.sum("n").alias("c"))
+        tot = lmc.agg(F.sum("c").alias("t"))
+        lm = lmc.crossJoin(F.broadcast(tot)).select(
+            "bg", "c", (F.length(F.bin("t")) - F.length(F.bin("c"))).alias("bits")
+        )
+    oov = lm.agg((F.max("bits") + 1).alias("oov_bits"))
     scored = (
-        grams.join(F.broadcast(lm.select("bg", "bits")), "bg")
+        counts.join(F.broadcast(lm.select("bg", "bits")), "bg", "left")
+        .crossJoin(F.broadcast(oov))
+        .withColumn("bits", F.coalesce(F.col("bits"), F.col("oov_bits")))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(F.col("bits").cast("long")).alias("surprisal_bits"),
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("bits").cast("long")).alias("surprisal_bits"),
         )
     )
     return (

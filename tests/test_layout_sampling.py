@@ -172,14 +172,17 @@ def test_importance_sample_deterministic_and_monotone(spark):
     a = {r.doc_id for r in sampling.importance_sample(docs).collect()}
     b = {r.doc_id for r in sampling.importance_sample(docs.repartition(13)).collect()}
     assert a == b  # pure function of the row, not the partitioning
-    # survival rate grows with the weight proxy: all-90 docs keep ~90%,
-    # all-10 keep ~10% (exact md5 buckets, checked loosely)
-    kept = sampling.importance_sample(docs)
-    rates = {
-        r.weight_pct: r.cnt
-        for r in kept.groupBy("weight_pct").agg(F.count("*").alias("cnt")).collect()
-    }
-    assert set(rates) <= set(range(10, 91))
+    # EXACT membership: every doc survives iff its md5 bucket is below
+    # its clamp(n_chars div 10, 10, 90) weight — recomputed in Python
+    import hashlib
+
+    expect = set()
+    for r in docs.select("doc_id", "n_chars").collect():
+        w = max(10, min(90, r.n_chars // 10))
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16) % 100
+        if bucket < w:
+            expect.add(r.doc_id)
+    assert a == expect
 
 
 def test_mixture_rates_hand_computed(spark):

@@ -84,3 +84,43 @@ def test_doc_surprisal_pretrained_lm(spark):
     )
     got = {r.doc_id: r for r in T.doc_surprisal(score, lm=lm).collect()}
     assert got[0].mean_bits_x100 < got[1].mean_bits_x100
+
+
+def test_doc_surprisal_oov_scores_max_bits(spark):
+    """Out-of-vocabulary bigrams under a PRE-TRAINED LM score
+    max-observed-bits + 1 — dropping them would credit the noisiest
+    text with the lowest perplexity (signal inversion)."""
+    from e_commerce_lakehouse_spark.operators import text as T
+
+    train = spark.createDataFrame(
+        [(i, "the common phrase") for i in range(50)],
+        "doc_id long, text string",
+    )
+    lm = T.char_bigram_lm(train).localCheckpoint()
+    max_bits = lm.agg(F.max("bits")).first()[0]
+    score = spark.createDataFrame(
+        [(0, "the common phrase"), (1, "zzqqxxjj")],  # fully OOV doc
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in T.doc_surprisal(score, lm=lm).collect()}
+    # the OOV doc scores exactly (max_bits + 1) per bigram
+    assert got[1].mean_bits_x100 == (max_bits + 1) * 100
+    assert got[1].n_bigrams == 7  # every bigram still counted
+    assert got[0].mean_bits_x100 < got[1].mean_bits_x100
+
+
+def test_mixture_rates_never_zero(spark):
+    """A positive-weight source is downsampled, never eliminated: the
+    exact-integer floor is clamped at 1 even when the ratio rounds to
+    zero percent."""
+    from e_commerce_lakehouse_spark.operators import sampling
+
+    rows = [(0, "t", "tiny")] + [
+        (i, "t " * 2999 + "t", "huge") for i in range(1, 4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.rate_pct for r in sampling.mixture_rates(docs, {}).collect()}
+    # tiny: 1 token, huge: 9000 tokens, equal weights -> tiny keeps 100,
+    # huge floors to 100*1*1 // (1*9000) = 0 -> clamped to 1
+    assert got["tiny"] == 100
+    assert got["huge"] == 1
