@@ -37,6 +37,7 @@ from e_commerce_lakehouse_spark.operators import (
     pii,
     quality,
     sampling,
+    search,
     similarity,
     text,
     upsert,
@@ -1074,11 +1075,32 @@ def _q43_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.duplicate_clusters(_shared_jaccard_pairs(spark, sf))
 
 
+#: q44's BM25 branch: a mixed rare/common query over the corpus vocab
+#: ('dup' is the planted low-df term, so the fixed-point idf spread is
+#: actually exercised); shared with the oracle so the sides agree.
+_BM25_TERMS = ("dup", "spark", "vector", "merge", "scan")
+
+
 def _q44_winnowing(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling-hash document fingerprinting (MOSS winnowing)."""
-    return text.winnowing_fingerprints(
-        load_table(spark, sf, "documents"), k=3, window=4
+    """Fingerprint + retrieval surface, kind-tagged union (keeps the
+    registry at the driver's 50-row window):
+      - kind='winnow': rolling-hash document fingerprinting (MOSS
+        winnowing);
+      - kind='bm25': exact-integer BM25 top-10 keyword retrieval
+        (operators/search.py — fixed-point log2 idf, no float log),
+        over a mixed rare/common query-term set."""
+    docs = load_table(spark, sf, "documents")
+    nl = F.lit(None).cast("long")
+    winnow = text.winnowing_fingerprints(docs, k=3, window=4).select(
+        F.lit("winnow").alias("kind"), "doc_id", "fps", "n_fps",
+        nl.alias("n_terms"), nl.alias("score_x1000"), nl.alias("rank"),
     )
+    bm25 = search.bm25_topk(docs, _BM25_TERMS, k=10).select(
+        F.lit("bm25").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("fps"), nl.alias("n_fps"),
+        "n_terms", "score_x1000", F.col("rank").cast("long").alias("rank"),
+    )
+    return winnow.unionByName(bm25)
 
 
 def _q45_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
@@ -2447,7 +2469,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
             FROM walk GROUP BY node
         """,
-        "q44_winnowing": """
+        "q44_winnowing": f"""
             WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS toks FROM documents
             ), p AS (
@@ -2467,10 +2489,17 @@ def oracle_sql() -> dict[str, str]:
                            AS fp
                 FROM g
             ), d AS (SELECT DISTINCT doc_id, fp FROM wmin)
-            SELECT doc_id,
+            SELECT 'winnow' AS kind, doc_id,
                    array_to_string(list_sort(array_agg(fp)), ',') AS fps,
-                   count(*) AS n_fps
+                   count(*) AS n_fps,
+                   CAST(NULL AS BIGINT) AS n_terms,
+                   CAST(NULL AS BIGINT) AS score_x1000,
+                   CAST(NULL AS BIGINT) AS rank
             FROM d GROUP BY doc_id
+            UNION ALL
+            SELECT 'bm25', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   n_terms, score_x1000, rank
+            FROM ({search.bm25_oracle_sql(_BM25_TERMS, k=10)})
         """,
         "q45_kmeans_cells": _kmeans_oracle_sql(),
         "q46_ann_multiprobe": _ann_multi_oracle_sql(),
