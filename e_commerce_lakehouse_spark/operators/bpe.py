@@ -1,0 +1,241 @@
+"""Distributed BPE tokenizer training + encoding (engine extension —
+BASELINE.json north star; the tokenizer-training pass every LLM data
+pipeline runs before packing).
+
+Byte-pair-encoding merge training per Sennrich et al. 2016 ("Neural
+Machine Translation of Rare Words with Subword Units"), restructured
+for Spark's execution model:
+
+- the corpus collapses to a WORD-FREQUENCY vocab first (one
+  explode + partially-aggregated groupBy — the only corpus-wide
+  shuffle; at 100 TB the vocab is millions of rows, not trillions, and
+  every subsequent round runs on it alone);
+- each merge round is one job: count adjacent symbol pairs weighted by
+  word frequency (explode over the vocab, partial-agg groupBy), take
+  the top pair (count desc, then lexicographic (a, b) — a TOTAL order,
+  so the learned merge sequence is partitioning-independent), and
+  rewrite the vocab's symbol arrays with a left-to-right non-
+  overlapping fold (``F.aggregate`` — JVM-side, no Python in the
+  loop);
+- per-round state is localCheckpoint-tracked (lazy — the next round's
+  top-pair aggregation materializes it, one job per round) and
+  superseded rounds are released, the same discipline as the
+  connected-components and PageRank loops (dedup.duplicate_clusters).
+
+The per-round ``.first()`` is a 1-row scalar collect — the same
+legitimate driver-side state as the k-means centroids
+(similarity.py) — the merge table IS driver state (it ships to every
+encoder afterwards).
+
+Encoding applies the learned merge table per word inside an
+Arrow-batched kernel (mapInPandas) with a per-batch word memo —
+tokenization is inherently per-word sequential rank-chasing, the
+honest Python boundary; the corpus pass is a pure map, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .parallelize import local_checkpoint_tracked, release_rdds
+from .text import tokens
+
+#: end-of-word marker, a separate final symbol (Sennrich §3.2's
+#: word-boundary symbol) so merges cannot cross word boundaries and
+#: word-final subwords stay distinct from word-internal ones.
+END_OF_WORD = "</w>"
+
+
+def _char_symbols(word: Column) -> Column:
+    """word -> its character symbols + the end-of-word marker."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def word_vocab(documents: DataFrame) -> DataFrame:
+    """(word, freq, syms) word-frequency vocab — the frame BPE training
+    iterates on. One corpus shuffle, keyed by word (uniform: hot words
+    combine map-side)."""
+    return (
+        documents.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", _char_symbols(F.col("word")))
+    )
+
+
+def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite every symbol array, merging adjacent (a, b) -> a||b
+    left-to-right without overlap (a fresh merge output never fuses
+    with the following symbol in the same round — the ``just`` flag).
+    Pure Column fold (F.aggregate), JVM-side."""
+    merged = a + b
+
+    def step(acc: Column, s: Column) -> Column:
+        can = (
+            (~acc.getField("just"))
+            & (F.size(acc.getField("arr")) > 0)
+            & (F.element_at(acc.getField("arr"), -1) == a)
+            & (s == b)
+        )
+        arr = acc.getField("arr")
+        return F.struct(
+            F.when(
+                can,
+                F.concat(
+                    F.slice(arr, F.lit(1), F.size(arr) - 1), F.array(F.lit(merged))
+                ),
+            )
+            .otherwise(F.concat(arr, F.array(s)))
+            .alias("arr"),
+            can.alias("just"),
+        )
+
+    zero = F.struct(
+        F.array().cast("array<string>").alias("arr"), F.lit(False).alias("just")
+    )
+    return vocab.withColumn(
+        "syms",
+        F.aggregate("syms", zero, step, lambda acc: acc.getField("arr")),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the vocab, weighted by word freq:
+    one explode + partial-agg groupBy per round (vocab-sized, never
+    corpus-sized)."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("syms") - 1),
+        lambda i: F.struct(
+            F.element_at("syms", i).alias("a"),
+            F.element_at("syms", i + 1).alias("b"),
+        ),
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def train_bpe(
+    documents: DataFrame, num_merges: int = 20, min_count: int = 2
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn up to ``num_merges`` BPE merges over the corpus; returns
+    (merge list in learned order, final vocab frame (word, freq,
+    syms)). Stops early when no pair reaches ``min_count``. The merge
+    sequence is deterministic and partitioning-independent (total-order
+    tie-break). The returned vocab pins its last checkpoint blocks —
+    long-lived sessions should unpersist when done (the bench harness
+    sweeps leftovers)."""
+    spark = documents.sparkSession
+    vocab = word_vocab(documents)
+    merges: list[tuple[str, str]] = []
+    ids_live: set[int] = set()  # blocks the CURRENT vocab reads
+    ids_old: set[int] = set()  # superseded, safe to drop after next action
+    for _ in range(num_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("c"), "a", "b")
+            .first()
+        )  # the round's ONE job: materializes the pending lazy checkpoint
+        release_rdds(spark, ids_old)
+        ids_old = set()
+        if best is None or best.c < min_count:
+            break
+        merges.append((best.a, best.b))
+        vocab, new_ids = local_checkpoint_tracked(
+            _apply_merge(vocab, best.a, best.b), eager=False
+        )
+        ids_old, ids_live = ids_live, new_ids
+    return merges, vocab
+
+
+ENCODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_words", IntegerType()),
+        StructField("n_symbols", IntegerType()),
+        StructField("bpe_text", StringType()),
+    ]
+)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a learned merge table to one word: repeatedly merge the
+    LOWEST-RANK adjacent pair (left-to-right, non-overlapping) until no
+    ranked pair remains — the standard BPE segmenter."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) >= 2:
+        best_rank, best_pair = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        a, b = best_pair
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(documents: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: per-doc
+    (n_words, n_symbols, space-joined symbol string). Arrow-batched
+    pure map (the merge table rides the closure — it is the small
+    artifact training exists to produce); per-batch word memo so hot
+    words segment once per batch, not once per occurrence."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append(
+                        {"doc_id": doc_id, "n_words": None, "n_symbols": None,
+                         "bpe_text": None}
+                    )
+                    continue
+                words = [w for w in text.split(" ") if w]
+                syms: list[str] = []
+                for w in words:
+                    enc = memo.get(w)
+                    if enc is None:
+                        enc = memo[w] = encode_word(w, ranks)
+                    syms.extend(enc)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_words": len(words),
+                        "n_symbols": len(syms),
+                        "bpe_text": " ".join(syms),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ENCODED_SCHEMA.fields])
+
+    return documents.mapInPandas(run, ENCODED_SCHEMA)
