@@ -789,7 +789,10 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         (sampling.mixture_rates) — per-source acceptance rates that
         realize a target token mixture by downsampling (weight-richest
         source keeps 100%), rates floored from fixed-order IEEE
-        ratios so the oracle hashes them exactly."""
+        ratios so the oracle hashes them exactly;
+      - kind='chunk': RAG sliding-window chunking
+        (sampling.chunk_documents, 32-token windows / 8-token
+        overlap) — chunk content value-pinned via md5 in chunk_fp."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     samp = sampling.stratified_sample(
@@ -807,6 +810,7 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("weight_pct"),
         nl.alias("n_docs"),
         nl.alias("weight"),
+        F.lit(None).cast("string").alias("chunk_fp"),
     )
     pack = sampling.pack_sequences(docs, ctx_len=512).select(
         F.lit("packing").alias("kind"),
@@ -821,6 +825,7 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("weight_pct"),
         nl.alias("n_docs"),
         nl.alias("weight"),
+        F.lit(None).cast("string").alias("chunk_fp"),
     )
     cap = sampling.source_cap(docs, n=20).select(
         F.lit("source_cap").alias("kind"),
@@ -835,6 +840,7 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("weight_pct"),
         nl.alias("n_docs"),
         nl.alias("weight"),
+        F.lit(None).cast("string").alias("chunk_fp"),
     )
     imp = sampling.importance_sample(docs).select(
         F.lit("importance").alias("kind"),
@@ -849,6 +855,7 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         "weight_pct",
         nl.alias("n_docs"),
         nl.alias("weight"),
+        F.lit(None).cast("string").alias("chunk_fp"),
     )
     mix = sampling.mixture_rates(docs, {"src0": 5, "src1": 3}).select(
         F.lit("mixture").alias("kind"),
@@ -863,8 +870,30 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rate_pct").alias("weight_pct"),
         "n_docs",
         "weight",
+        F.lit(None).cast("string").alias("chunk_fp"),
     )
-    return samp.unionByName(pack).unionByName(cap).unionByName(imp).unionByName(mix)
+    chunk = sampling.chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+        F.col("chunk_no").alias("bin_id"),
+        F.col("start_tok").alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        nl.alias("rk"),
+        nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        nl.alias("weight"),
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+    return (
+        samp.unionByName(pack)
+        .unionByName(cap)
+        .unionByName(imp)
+        .unionByName(mix)
+        .unionByName(chunk)
+    )
 
 
 def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
@@ -2218,7 +2247,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS rk,
                    CAST(NULL AS BIGINT) AS weight_pct,
                    CAST(NULL AS BIGINT) AS n_docs,
-                   CAST(NULL AS BIGINT) AS weight
+                   CAST(NULL AS BIGINT) AS weight,
+                   CAST(NULL AS VARCHAR) AS chunk_fp
             FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                   < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
@@ -2227,7 +2257,8 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens, ts // 512, ts % 512,
                    ((ts % 512) + n_tokens + 511) // 512,
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR)
             FROM (
                 SELECT doc_id, source,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -2242,7 +2273,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(rk AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR)
             FROM (
                 SELECT doc_id, lang, source,
                        row_number() OVER (PARTITION BY source
@@ -2255,7 +2287,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT),
                    CAST(greatest(10, least(90, n_chars // 10)) AS BIGINT),
-                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR)
             FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                   < greatest(10, least(90, n_chars // 10))
@@ -2265,7 +2298,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    greatest(CAST(1 AS BIGINT),
                             (100 * weight * t_m) // (w_m * total_tokens)),
-                   n_docs, weight
+                   n_docs, weight,
+                   CAST(NULL AS VARCHAR)
             FROM (
                 SELECT source, n_docs, total_tokens, weight,
                        first(weight) OVER (
@@ -2289,6 +2323,28 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN source = 'src1' THEN 3
                                      ELSE 1 END AS BIGINT) AS weight
                     FROM documents GROUP BY source
+                )
+            )
+            UNION ALL
+            SELECT 'chunk', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(len(string_split(chunk_text, ' ')) AS BIGINT),
+                   chunk_no, chunk_no * 24 AS bin_offset,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   md5(chunk_text)
+            FROM (
+                SELECT doc_id,
+                       CAST(i AS BIGINT) AS chunk_no,
+                       array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')
+                           AS chunk_text
+                FROM (
+                    SELECT doc_id, string_split(text, ' ') AS toks,
+                           unnest(range(0,
+                               CASE WHEN len(string_split(text, ' ')) <= 32 THEN 1
+                                    ELSE (len(string_split(text, ' ')) - 32 + 23) // 24 + 1
+                               END)) AS i
+                    FROM documents WHERE text IS NOT NULL
                 )
             )
         """,

@@ -225,3 +225,58 @@ def mixture_rates(
             F.expr("(100 * weight * t_m) div (w_m * total_tokens)"),
         ).alias("rate_pct"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 32
+) -> DataFrame:
+    """Sliding-window document CHUNKING — the retrieval/RAG layout
+    step: split each document into ``chunk_tokens``-token windows that
+    overlap by ``overlap`` tokens (stride = chunk_tokens - overlap), so
+    an answer span near a boundary is fully inside at least one chunk.
+
+    Chunk grid: starts at token 0, chunk_tokens, 2·stride, … — a doc of
+    n tokens yields 1 chunk when n <= chunk_tokens, else
+    ceil((n - chunk_tokens)/stride) + 1 (the final chunk may be short
+    but always carries >= 1 token past the previous chunk's coverage).
+    Deterministic and partitioning-independent by construction.
+
+    Returns one row per chunk: (doc_id, chunk_no, start_tok,
+    n_chunk_tokens, chunk_text). NULL-text docs yield no rows (they
+    cannot be retrieved against). Pure per-row explode off the corpus
+    scan — no shuffle at any scale; downstream embedding/indexing
+    consumes the chunk rows directly."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            # exact integer ceil-div (repo convention: no float division
+            # in oracle-gated arithmetic)
+            F.expr(
+                f"(size(split(text, ' ')) - {chunk_tokens} + {stride} - 1) "
+                f"div {stride} + 1"
+            )
+        )
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )
+    return (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(chunks).alias("chunk_no", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            (F.col("chunk_no") * stride).cast("long").alias("start_tok"),
+            F.size(F.split("chunk_text", " ")).cast("long").alias("n_chunk_tokens"),
+            "chunk_text",
+        )
+    )

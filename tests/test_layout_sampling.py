@@ -211,3 +211,48 @@ def test_mixture_rates_feed_importance_sample(spark):
     assert per.get("src0", 0) > 0  # 100%-rate source keeps everything
     n_src0 = docs.filter(F.col("source") == "src0").count()
     assert per["src0"] == n_src0
+
+
+def test_chunk_documents_windows(spark):
+    # 10 tokens, chunk 4 / overlap 2 (stride 2): starts 0,2,4,6 ->
+    # ceil((10-4)/2)+1 = 4 chunks, all full
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        sampling.chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_no),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [(r.chunk_no, r.start_tok, r.n_chunk_tokens) for r in d1] == [
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)
+    ]
+    assert d1[1].chunk_text == "t2 t3 t4 t5"
+    # every consecutive pair overlaps by exactly `overlap` tokens
+    for a, b in zip(d1, d1[1:]):
+        assert a.chunk_text.split(" ")[2:] == b.chunk_text.split(" ")[:2]
+    # short doc -> single (short) chunk; NULL text -> no rows
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert [(r.chunk_no, r.n_chunk_tokens, r.chunk_text) for r in d2] == [(0, 2, "a b")]
+    assert not [r for r in rows if r.doc_id == 3]
+
+
+def test_chunk_documents_ragged_tail(spark):
+    # 7 tokens, chunk 4 / overlap 2: starts 0,2,4 -> last chunk short (3)
+    docs = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    rows = sorted(
+        sampling.chunk_documents(docs, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_no,
+    )
+    assert [(r.start_tok, r.n_chunk_tokens) for r in rows] == [(0, 4), (2, 4), (4, 3)]
+    # union of chunks covers the doc exactly (each chunk adds stride new tokens)
+    assert rows[-1].chunk_text == "e f g"
+
+
+def test_chunk_documents_validates_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.chunk_documents(docs, chunk_tokens=4, overlap=4)
