@@ -792,7 +792,11 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         ratios so the oracle hashes them exactly;
       - kind='chunk': RAG sliding-window chunking
         (sampling.chunk_documents, 32-token windows / 8-token
-        overlap) — chunk content value-pinned via md5 in chunk_fp."""
+        overlap) — chunk content value-pinned via md5 in chunk_fp;
+      - kind='shuffle': deterministic global shuffle order
+        (sampling.shuffle_positions, two-level bucket ranks — no
+        single-partition sort; position carried as rk), verified
+        against the oracle's single-window global rank."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     samp = sampling.stratified_sample(
@@ -887,12 +891,30 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("weight"),
         F.md5("chunk_text").alias("chunk_fp"),
     )
+    shuf = sampling.shuffle_positions(
+        docs.select("doc_id", "lang", "source"), key="doc_id", seed=0
+    ).select(
+        F.lit("shuffle").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        nl.alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        F.col("shuffle_pos").alias("rk"),
+        nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        nl.alias("weight"),
+        F.lit(None).cast("string").alias("chunk_fp"),
+    )
     return (
         samp.unionByName(pack)
         .unionByName(cap)
         .unionByName(imp)
         .unionByName(mix)
         .unionByName(chunk)
+        .unionByName(shuf)
     )
 
 
@@ -2346,6 +2368,19 @@ def oracle_sql() -> dict[str, str]:
                                END)) AS i
                     FROM documents WHERE text IS NOT NULL
                 )
+            )
+            UNION ALL
+            SELECT 'shuffle', doc_id, lang, source,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   row_number() OVER (ORDER BY hv, doc_id) - 1 AS rk,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+            FROM (
+                SELECT doc_id, lang, source,
+                       CAST('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+                                           1, 15) AS BIGINT) AS hv
+                FROM documents
             )
         """,
         "q35_asof_last_order": """

@@ -280,3 +280,55 @@ def chunk_documents(
             "chunk_text",
         )
     )
+
+
+def shuffle_positions(
+    df: DataFrame, key: str = "doc_id", seed: int = 0, buckets: int = 1024
+) -> DataFrame:
+    """Deterministic global SHUFFLE order for training-data writes:
+    every row gets a stable position in a pseudorandom permutation of
+    the corpus (the "shuffle the dataset before training" step, made
+    reproducible across cluster sizes and reruns — same contract as the
+    hash samplers above).
+
+    Order = md5(seed ':' key) ascending, ties broken by key (a total
+    order, so the permutation is unique). Computed WITHOUT a global
+    single-partition sort: rows hash into ``buckets`` ordered buckets
+    (the hash prefix IS the bucket, so bucket id ascending + in-bucket
+    hash ascending is exactly global hash order); in-bucket ranks come
+    from per-bucket windows (~n/buckets rows per task — raise
+    ``buckets`` with corpus size), and each bucket's global offset is a
+    running sum over the tiny (bucket, count) frame, broadcast back.
+    Two compact shuffles (window + broadcast join), no stage ever sees
+    the corpus in one task.
+
+    Returns the input plus ``shuffle_pos`` (0-based BIGINT). Writing
+    sorted by (bucket, h) — e.g. repartitionByRange on shuffle_pos —
+    materializes the shuffled corpus without ever totally sorting it."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string")))
+    # first 15 hex digits as the orderable hash value; its high bits
+    # (div) are the bucket, so bucket order == hash order
+    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    span = (1 << 60) // buckets  # 15 hex digits = 60 bits
+    out = df.withColumn("_h", hv).withColumn(
+        "_b", F.expr(f"_h div {span}L")
+    )
+    within = F.row_number().over(
+        Window.partitionBy("_b").orderBy(F.col("_h"), F.col(key))
+    )
+    counts = out.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = counts.select(
+        "_b",
+        (
+            F.sum("_c").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("_c")
+        ).alias("_off"),
+    )
+    return (
+        out.withColumn("_w", within.cast("long"))
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("shuffle_pos", F.col("_off") + F.col("_w") - 1)
+        .drop("_h", "_b", "_w", "_off")
+    )

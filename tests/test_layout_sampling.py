@@ -256,3 +256,28 @@ def test_chunk_documents_validates_overlap(spark):
 
     with _pytest.raises(ValueError):
         sampling.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_shuffle_positions_is_permutation_and_stable(spark):
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = sampling.shuffle_positions(docs, buckets=8)
+    rows = {r.doc_id: r.shuffle_pos for r in a.collect()}
+    # a 0..n-1 permutation
+    assert sorted(rows.values()) == list(range(200))
+    # not the identity (it actually shuffles)
+    assert any(rows[i] != i for i in range(200))
+    # partitioning- and bucket-count-independent: two-level ranks equal
+    # the global hash order regardless of layout
+    b = {
+        r.doc_id: r.shuffle_pos
+        for r in sampling.shuffle_positions(
+            docs.repartition(7), buckets=32
+        ).collect()
+    }
+    assert rows == b
+    # seed changes the permutation
+    c = {
+        r.doc_id: r.shuffle_pos
+        for r in sampling.shuffle_positions(docs, seed=1).collect()
+    }
+    assert rows != c and sorted(c.values()) == list(range(200))
