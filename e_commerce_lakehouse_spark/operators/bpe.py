@@ -80,37 +80,24 @@ def word_vocab(documents: DataFrame) -> DataFrame:
 
 def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     """Rewrite every symbol array, merging adjacent (a, b) -> a||b
-    left-to-right without overlap (a fresh merge output never fuses
-    with the following symbol in the same round — the ``just`` flag).
-    Pure Column fold (F.aggregate), JVM-side."""
+    left-to-right. Non-overlap is automatic: a fresh merge leaves
+    ``a||b`` as the last element, and ``a||b == a`` would require an
+    empty ``b`` — impossible (symbols are non-empty chars / </w> /
+    concatenations) — so a plain array accumulator suffices (merge iff
+    last == a and current == b). Pure Column fold (F.aggregate),
+    JVM-side."""
     merged = a + b
 
-    def step(acc: Column, s: Column) -> Column:
-        can = (
-            (~acc.getField("just"))
-            & (F.size(acc.getField("arr")) > 0)
-            & (F.element_at(acc.getField("arr"), -1) == a)
-            & (s == b)
-        )
-        arr = acc.getField("arr")
-        return F.struct(
-            F.when(
-                can,
-                F.concat(
-                    F.slice(arr, F.lit(1), F.size(arr) - 1), F.array(F.lit(merged))
-                ),
-            )
-            .otherwise(F.concat(arr, F.array(s)))
-            .alias("arr"),
-            can.alias("just"),
-        )
+    def step(arr: Column, s: Column) -> Column:
+        can = (F.size(arr) > 0) & (F.element_at(arr, -1) == a) & (s == b)
+        return F.when(
+            can,
+            F.concat(F.slice(arr, F.lit(1), F.size(arr) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(arr, F.array(s)))
 
-    zero = F.struct(
-        F.array().cast("array<string>").alias("arr"), F.lit(False).alias("just")
-    )
     return vocab.withColumn(
         "syms",
-        F.aggregate("syms", zero, step, lambda acc: acc.getField("arr")),
+        F.aggregate("syms", F.array().cast("array<string>"), step),
     )
 
 

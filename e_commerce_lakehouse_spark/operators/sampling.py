@@ -14,15 +14,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _hash60(s: Column) -> Column:
+    """md5 of a string column, first 15 hex digits as a 60-bit BIGINT —
+    THE engine-portable hash value every sampler in this module orders
+    or buckets by. One definition so the '15 hex digits = 60 bits'
+    convention cannot drift between operators. SQL equivalent:
+    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
     """Stable bucket in [0, buckets): md5 of the key's string form,
     first 15 hex digits, mod buckets. SQL equivalent:
     CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % buckets."""
     c = F.col(key) if isinstance(key, str) else key
-    return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
-        % F.lit(buckets)
-    )
+    return _hash60(c.cast("string")) % F.lit(buckets)
 
 
 def deterministic_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
@@ -235,7 +241,7 @@ def chunk_documents(
     overlap by ``overlap`` tokens (stride = chunk_tokens - overlap), so
     an answer span near a boundary is fully inside at least one chunk.
 
-    Chunk grid: starts at token 0, chunk_tokens, 2·stride, … — a doc of
+    Chunk grid: starts at token 0, stride, 2·stride, … — a doc of
     n tokens yields 1 chunk when n <= chunk_tokens, else
     ceil((n - chunk_tokens)/stride) + 1 (the final chunk may be short
     but always carries >= 1 token past the previous chunk's coverage).
@@ -244,41 +250,43 @@ def chunk_documents(
     Returns one row per chunk: (doc_id, chunk_no, start_tok,
     n_chunk_tokens, chunk_text). NULL-text docs yield no rows (they
     cannot be retrieved against). Pure per-row explode off the corpus
-    scan — no shuffle at any scale; downstream embedding/indexing
-    consumes the chunk rows directly."""
+    scan — the text is tokenized ONCE and every derived quantity
+    (window count, per-chunk token count) is arithmetic on the token
+    count, not a re-split; no shuffle at any scale; downstream
+    embedding/indexing consumes the chunk rows directly."""
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
     stride = chunk_tokens - overlap
-    toks = F.split("text", " ")
-    n = F.size(toks)
+    base = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+    )
     n_chunks = (
-        F.when(n <= chunk_tokens, F.lit(1))
+        F.when(F.col("_n") <= chunk_tokens, F.lit(1))
         .otherwise(
             # exact integer ceil-div (repo convention: no float division
             # in oracle-gated arithmetic)
-            F.expr(
-                f"(size(split(text, ' ')) - {chunk_tokens} + {stride} - 1) "
-                f"div {stride} + 1"
-            )
+            F.expr(f"(_n - {chunk_tokens} + {stride} - 1) div {stride} + 1")
         )
         .cast("int")
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * stride + 1, chunk_tokens), " "
-        ),
+        lambda i: F.array_join(F.slice("_toks", i * stride + 1, chunk_tokens), " "),
     )
-    return (
-        documents.filter(F.col("text").isNotNull())
-        .select("doc_id", F.posexplode(chunks).alias("chunk_no", "chunk_text"))
-        .select(
-            "doc_id",
-            F.col("chunk_no").cast("long").alias("chunk_no"),
-            (F.col("chunk_no") * stride).cast("long").alias("start_tok"),
-            F.size(F.split("chunk_text", " ")).cast("long").alias("n_chunk_tokens"),
-            "chunk_text",
-        )
+    return base.select(
+        "doc_id", "_n", F.posexplode(chunks).alias("chunk_no", "chunk_text")
+    ).select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        (F.col("chunk_no") * stride).cast("long").alias("start_tok"),
+        # chunk length from the slice bounds (min(chunk, n - start)) —
+        # no chunk_text re-split; equals the oracle's split-count form
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_no") * stride)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        "chunk_text",
     )
 
 
@@ -291,8 +299,17 @@ def shuffle_positions(
     reproducible across cluster sizes and reruns — same contract as the
     hash samplers above).
 
-    Order = md5(seed ':' key) ascending, ties broken by key (a total
-    order, so the permutation is unique). Computed WITHOUT a global
+    ``key`` must be UNIQUE and NON-NULL (a primary key): duplicate or
+    NULL keys collide on the hash AND the tie-break, and row_number
+    over tied sort keys is partition-order dependent — the positions
+    of the tied rows would change across reruns, breaking exactly the
+    contract above. (A permutation is only well-defined over distinct
+    identities in the first place.)
+
+    Order = md5(seed ':' key) ascending (its 60-bit prefix, via the
+    module's shared ``_hash60``), ties broken by key (a total order
+    given a unique key, so the permutation is unique). Computed
+    WITHOUT a global
     single-partition sort: rows hash into ``buckets`` ordered buckets
     (the hash prefix IS the bucket, so bucket id ascending + in-bucket
     hash ascending is exactly global hash order); in-bucket ranks come
@@ -305,10 +322,11 @@ def shuffle_positions(
     Returns the input plus ``shuffle_pos`` (0-based BIGINT). Writing
     sorted by (bucket, h) — e.g. repartitionByRange on shuffle_pos —
     materializes the shuffled corpus without ever totally sorting it."""
-    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string")))
-    # first 15 hex digits as the orderable hash value; its high bits
-    # (div) are the bucket, so bucket order == hash order
-    hv = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    # shared 60-bit hash; its high bits (div) are the bucket, so
+    # bucket order == hash order
+    hv = _hash60(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key).cast("string"))
+    )
     span = (1 << 60) // buckets  # 15 hex digits = 60 bits
     out = df.withColumn("_h", hv).withColumn(
         "_b", F.expr(f"_h div {span}L")

@@ -29,11 +29,14 @@ value-identical:
               div (64 · (1000·T·tf + k1_x10·(100−b_x100)·T
                          + k1_x10·b_x100·dl·N)).
 
-  int64 headroom: the numerator is ≈ 2.2e9 · idf_x64 · T · tf — safe
-  to T·tf ≈ 4e12·(640/idf_x64); beyond that (a ~1e12-token corpus with
-  hot terms) shift T and dl·N right by the same power of two first
-  (the ratio, hence the ranking, is preserved to the shifted
-  precision).
+  int64 headroom: the numerator is 2.2e6 · idf_x64 · T · tf, so it
+  overflows at T·tf ≈ 4.2e12 / idf_x64 — for a rare term
+  (idf_x64 ≈ 640 at N/df ≈ 1000) that is T·tf ≈ 6.5e9, i.e. a
+  ~5e9-token corpus already needs mitigation. Beyond that, shift T
+  and dl·N right by the same power of two before scoring (the ratio,
+  hence the ranking, is preserved to the shifted precision) — under
+  Spark's default ANSI mode the overflow raises rather than
+  corrupting rankings, so the boundary is loud.
 
 Scale shape: the query-term list is tiny and rides into the row-level
 tf computation as an array literal (no join, no explode of the corpus
