@@ -138,3 +138,52 @@ def test_corpus_cache_shares_one_frame(spark):
     Q["q19_ngram_jaccard"](spark, SF_SMALL)  # builds on the same cache
     assert em._shared_jaccard_pairs(spark, SF_SMALL) is a
     assert corpus_cache.cached_rdd_ids(spark)  # blocks tracked
+
+
+def test_bm25_plan_shape(spark):
+    """BM25 (q44 branch): stats broadcast, top-k as TakeOrdered, all
+    shuffles on the compact candidate frame, zero Python eval."""
+    from e_commerce_lakehouse_spark.operators import search
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    df = search.bm25_topk(
+        load_table(spark, SF_SMALL, "documents"), ("dup", "spark"), k=10
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # the 1-row corpus-stats frame
+    assert "EvalPython" not in plan  # fixed-point log2 stays JVM-side
+
+
+def test_shuffle_positions_no_corpus_single_partition(spark):
+    """The two-level shuffle-order scheme must never funnel the CORPUS
+    through one partition: the only SinglePartition exchange feeds the
+    tiny per-bucket offset frame (post-aggregation), and the corpus
+    rank window partitions by bucket."""
+    from e_commerce_lakehouse_spark.operators import sampling
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    df = sampling.shuffle_positions(
+        load_table(spark, SF_SMALL, "documents").select("doc_id")
+    )
+    plan = plan_of(df)
+    # exactly one SinglePartition exchange in the whole plan — the
+    # tiny post-aggregation (bucket, count) offset frame; the
+    # corpus-side rank window partitions by bucket (hashpartitioning
+    # on _b), so the corpus itself never funnels through one task
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(_b" in plan
+    # and the single-partition input is the aggregated count frame,
+    # not corpus rows
+    single_block = plan[plan.index("SinglePartition") - 200 : plan.index("SinglePartition")]
+    assert "_c#" in single_block or "count#" in single_block
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from e_commerce_lakehouse_spark.operators import sampling
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    df = sampling.chunk_documents(load_table(spark, SF_SMALL, "documents"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan  # pure per-row explode off the scan
+    assert "Generate" in plan  # the posexplode
