@@ -1137,21 +1137,36 @@ def _q44_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     registry at the driver's 50-row window):
       - kind='winnow': rolling-hash document fingerprinting (MOSS
         winnowing);
+      - kind='winnow_pair': winnowing PAIR MATCHING (MOSS's detection
+        step) — doc pairs sharing >= 2 fingerprints, i.e. >= 2
+        independent verbatim substring matches (text.winnowing_pairs,
+        broadcast probe, corpus never shuffles);
       - kind='bm25': exact-integer BM25 top-10 keyword retrieval
         (operators/search.py — fixed-point log2 idf, no float log),
         over a mixed rare/common query-term set."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
     winnow = text.winnowing_fingerprints(docs, k=3, window=4).select(
         F.lit("winnow").alias("kind"), "doc_id", "fps", "n_fps",
+        nl.alias("b_id"), nl.alias("n_shared_fps"),
+        nl.alias("n_terms"), nl.alias("score_x1000"), nl.alias("rank"),
+    )
+    wpairs = text.winnowing_pairs(
+        docs, probe_max_doc_id=50, min_shared=2, k=3, window=4
+    ).select(
+        F.lit("winnow_pair").alias("kind"),
+        F.col("a_id").alias("doc_id"), ns.alias("fps"), nl.alias("n_fps"),
+        "b_id", "n_shared_fps",
         nl.alias("n_terms"), nl.alias("score_x1000"), nl.alias("rank"),
     )
     bm25 = search.bm25_topk(docs, _BM25_TERMS, k=10).select(
         F.lit("bm25").alias("kind"), "doc_id",
-        F.lit(None).cast("string").alias("fps"), nl.alias("n_fps"),
+        ns.alias("fps"), nl.alias("n_fps"),
+        nl.alias("b_id"), nl.alias("n_shared_fps"),
         "n_terms", "score_x1000", F.col("rank").cast("long").alias("rank"),
     )
-    return winnow.unionByName(bm25)
+    return winnow.unionByName(wpairs).unionByName(bm25)
 
 
 def _q45_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
@@ -2583,12 +2598,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'winnow' AS kind, doc_id,
                    array_to_string(list_sort(array_agg(fp)), ',') AS fps,
                    count(*) AS n_fps,
+                   CAST(NULL AS BIGINT) AS b_id,
+                   CAST(NULL AS BIGINT) AS n_shared_fps,
                    CAST(NULL AS BIGINT) AS n_terms,
                    CAST(NULL AS BIGINT) AS score_x1000,
                    CAST(NULL AS BIGINT) AS rank
             FROM d GROUP BY doc_id
             UNION ALL
+            SELECT 'winnow_pair', a.doc_id, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), b.doc_id, count(*),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            WHERE a.doc_id < 50
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+            UNION ALL
             SELECT 'bm25', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    n_terms, score_x1000, rank
             FROM ({search.bm25_oracle_sql(_BM25_TERMS, k=10)})
         """,

@@ -410,3 +410,26 @@ def test_span_dedup_partitioning_independent(spark):
     b = {r.doc_id: (r.n_spans_kept, r.clean_text)
          for r in dedup.span_dedup(docs.repartition(17)).collect()}
     assert a == b
+
+
+def test_winnowing_pairs_planted_passage(spark):
+    """A verbatim passage long enough for >= min_shared fingerprint
+    windows flags the pair; unrelated docs don't; a_id < b_id."""
+    from e_commerce_lakehouse_spark.operators import text as text_ops
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} closing remark"),
+            (60, f"totally different opening {shared} and another tail"),
+            (61, "nothing in common with anything here at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = text_ops.winnowing_pairs(
+        docs, probe_max_doc_id=50, min_shared=2, k=3, window=4
+    ).collect()
+    got = {(r.a_id, r.b_id): r.n_shared_fps for r in rows}
+    assert (1, 60) in got and got[(1, 60)] >= 2
+    assert all(b != 61 for (_, b) in got)
+    assert all(a < b for (a, b) in got)
