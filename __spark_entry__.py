@@ -1143,7 +1143,10 @@ def _q44_winnowing(spark: SparkSession, sf: str) -> DataFrame:
         broadcast probe, corpus never shuffles);
       - kind='bm25': exact-integer BM25 top-10 keyword retrieval
         (operators/search.py — fixed-point log2 idf, no float log),
-        over a mixed rare/common query-term set."""
+        over a mixed rare/common query-term set;
+      - kind='posting': the inverted index itself (search.
+        build_postings — one (term, doc_id, tf) row per posting, one
+        uniform-key shuffle), exact-count-gated."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
@@ -1165,8 +1168,20 @@ def _q44_winnowing(spark: SparkSession, sf: str) -> DataFrame:
         ns.alias("fps"), nl.alias("n_fps"),
         nl.alias("b_id"), nl.alias("n_shared_fps"),
         "n_terms", "score_x1000", F.col("rank").cast("long").alias("rank"),
+        ns.alias("term"), nl.alias("tf"),
     )
-    return winnow.unionByName(wpairs).unionByName(bm25)
+    posting = search.build_postings(docs).select(
+        F.lit("posting").alias("kind"), "doc_id",
+        ns.alias("fps"), nl.alias("n_fps"),
+        nl.alias("b_id"), nl.alias("n_shared_fps"),
+        nl.alias("n_terms"), nl.alias("score_x1000"), nl.alias("rank"),
+        "term", "tf",
+    )
+    winnow = winnow.withColumns({"term": ns, "tf": nl})
+    wpairs = wpairs.withColumns({"term": ns, "tf": nl})
+    return (
+        winnow.unionByName(wpairs).unionByName(bm25).unionByName(posting)
+    )
 
 
 def _q45_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
@@ -2602,13 +2617,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_shared_fps,
                    CAST(NULL AS BIGINT) AS n_terms,
                    CAST(NULL AS BIGINT) AS score_x1000,
-                   CAST(NULL AS BIGINT) AS rank
+                   CAST(NULL AS BIGINT) AS rank,
+                   CAST(NULL AS VARCHAR) AS term,
+                   CAST(NULL AS BIGINT) AS tf
             FROM d GROUP BY doc_id
             UNION ALL
             SELECT 'winnow_pair', a.doc_id, CAST(NULL AS VARCHAR),
                    CAST(NULL AS BIGINT), b.doc_id, count(*),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
             FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE a.doc_id < 50
             GROUP BY a.doc_id, b.doc_id
@@ -2616,8 +2634,21 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'bm25', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   n_terms, score_x1000, rank
+                   n_terms, score_x1000, rank,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
             FROM ({search.bm25_oracle_sql(_BM25_TERMS, k=10)})
+            UNION ALL
+            SELECT 'posting', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   term, count(*) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            WHERE term <> ''
+            GROUP BY doc_id, term
         """,
         "q45_kmeans_cells": _kmeans_oracle_sql(),
         "q46_ann_multiprobe": _ann_multi_oracle_sql(),

@@ -137,6 +137,7 @@ def build_postings(documents: DataFrame) -> DataFrame:
         documents.select(
             "doc_id", F.explode(tokens("text")).alias("term")
         )
+        .filter(F.length("term") > 0)  # split artifacts index nothing
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
