@@ -1150,13 +1150,22 @@ def _q44_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
-    winnow = text.winnowing_fingerprints(docs, k=3, window=4).select(
+    # the fingerprint chain (gram explode + rolling hash + window min)
+    # feeds BOTH the per-doc-set branch and the pair branch — compute
+    # it once per session (corpus_cache), like the jaccard/minhash
+    # families
+    shared_fps = corpus_cache.shared_df(
+        spark,
+        ("winnow_fps", sf, 3, 4),
+        lambda: text.winnowing_fp_frame(docs, k=3, window=4),
+    )
+    winnow = text.winnowing_fingerprints(docs, k=3, window=4, fps=shared_fps).select(
         F.lit("winnow").alias("kind"), "doc_id", "fps", "n_fps",
         nl.alias("b_id"), nl.alias("n_shared_fps"),
         nl.alias("n_terms"), nl.alias("score_x1000"), nl.alias("rank"),
     )
     wpairs = text.winnowing_pairs(
-        docs, probe_max_doc_id=50, min_shared=2, k=3, window=4
+        docs, probe_max_doc_id=50, min_shared=2, k=3, window=4, fps=shared_fps
     ).select(
         F.lit("winnow_pair").alias("kind"),
         F.col("a_id").alias("doc_id"), ns.alias("fps"), nl.alias("n_fps"),

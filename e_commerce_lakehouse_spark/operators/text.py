@@ -165,8 +165,36 @@ def normalized_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def winnowing_fingerprints(
+def winnowing_fp_frame(
     documents: DataFrame, k: int = 3, window: int = 4
+) -> DataFrame:
+    """The distinct (doc_id, fp) winnowing-fingerprint frame BOTH
+    consumers read — per-doc fingerprint sets (winnowing_fingerprints)
+    and pair matching (winnowing_pairs). Compute it once per corpus
+    (session-cache / persist it) instead of re-running the gram+hash
+    chain per consumer. The distinct adds NO exchange: the window
+    already partitions by doc_id, which satisfies the (doc_id, fp)
+    clustering."""
+    from pyspark.sql import Window
+
+    from .dedup import _md5_hash64
+    from .parallelize import spread_for_cpu
+
+    documents = spread_for_cpu(documents)
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    g = documents.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    return g.select(
+        "doc_id", F.min(_md5_hash64(F.col("gram"), 0)).over(w).alias("fp")
+    ).distinct()
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, k: int = 3, window: int = 4, fps: DataFrame | None = None
 ) -> DataFrame:
     """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): positional k-gram rolling hashes, then the min hash of
@@ -180,7 +208,23 @@ def winnowing_fingerprints(
     set. One shuffle on doc_id; at 100 TB the window runs inside each
     doc partition. Requires docs with ≥ k tokens (guaranteed by the
     corpus; shorter docs would hit Spark's descending-`sequence` edge).
+
+    ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame`
+    (e.g. corpus_cache.shared_df) so a query that also runs
+    winnowing_pairs pays the gram+hash chain ONCE; None keeps the
+    single-consumer zero-extra-exchange inline plan (collect_set over
+    the window's own doc_id partitioning).
     """
+    if fps is not None:
+        return (
+            fps.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("fp")).alias("arr"))
+            .select(
+                "doc_id",
+                F.array_join("arr", ",").alias("fps"),
+                F.size("arr").alias("n_fps"),
+            )
+        )
     from pyspark.sql import Window
 
     from .dedup import _md5_hash64
@@ -510,6 +554,7 @@ def winnowing_pairs(
     min_shared: int = 2,
     k: int = 3,
     window: int = 4,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowing PAIR MATCHING — what the fingerprints exist for
     (MOSS's actual detection step): flag document pairs sharing at
@@ -529,25 +574,12 @@ def winnowing_pairs(
     the probe-set size, never by corpus frequency. At scale the probe
     set is a delta batch or an LSH bucket, as in the other pair tiers.
 
-    Returns (a_id, b_id, n_shared_fps), a_id < b_id.
+    ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame`;
+    None builds it inline. Returns (a_id, b_id, n_shared_fps),
+    a_id < b_id.
     """
-    from pyspark.sql import Window as W
-
-    from .dedup import _md5_hash64
-    from .parallelize import spread_for_cpu
-
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
-    g = spread_for_cpu(documents).select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    )
-    wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    fps = g.select(
-        "doc_id", F.min(_md5_hash64(F.col("gram"), 0)).over(wmin).alias("fp")
-    ).distinct()
+    if fps is None:
+        fps = winnowing_fp_frame(documents, k=k, window=window)
     probe = fps.filter(F.col("doc_id") < probe_max_doc_id).select(
         F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp")
     )
