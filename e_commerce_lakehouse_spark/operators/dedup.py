@@ -766,32 +766,31 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     from .parallelize import local_checkpoint_tracked, release_rdds
 
     spark = pairs.sparkSession
-    # materialize the pair list ONCE — it is re-joined every round, and
-    # without the lineage cut each iteration would recompute the whole
-    # upstream pair pipeline (LSH / Jaccard verify) from scratch. The
-    # doubled edge list is a cheap union OVER the checkpointed pairs
-    # (generators emit each undirected pair once with a_id < b_id, so
-    # both directions are already distinct — no dedup shuffle needed).
-    # The DOUBLED edge list is what gets checkpointed (not the one-
-    # directional pair list): every round re-joins it, and doubling
-    # before the checkpoint makes each round one scan of one RDD
-    # instead of two scans + a union. It is repartitioned to the
-    # session's shuffle width first — NOT for exchange elimination (a
-    # localCheckpoint surfaces as Scan ExistingRDD with unknown
-    # outputPartitioning, so EnsureRequirements re-inserts the per-
-    # round exchange regardless; verified against the executed plan)
-    # but to NORMALIZE THE CHECKPOINT LAYOUT: the upstream pair
-    # pipeline leaves fragmented/skewed partitions, and every round
-    # re-scans this frame, so balanced fixed-width blocks set the
-    # task shape for the whole loop (measured ~20% off q43 at sf0.1
-    # vs checkpointing the raw union). Generators emit each
+    # The DOUBLED edge list is what gets checkpointed ONCE (without
+    # the lineage cut every round would recompute the whole upstream
+    # pair pipeline — LSH / Jaccard verify — from scratch), and
+    # doubling BEFORE the checkpoint makes each round one scan of one
+    # RDD instead of two scans + a union. Generators emit each
     # undirected pair once with a_id < b_id, so both directions are
-    # already distinct — no dedup shuffle needed.
+    # already distinct — no dedup shuffle needed. The frame is ROUND-
+    # ROBIN repartitioned to the session's shuffle width first — NOT
+    # for exchange elimination (a localCheckpoint surfaces as Scan
+    # ExistingRDD with unknown outputPartitioning, so
+    # EnsureRequirements re-inserts the per-round exchange regardless;
+    # verified against the executed plan) but to NORMALIZE THE
+    # CHECKPOINT LAYOUT: the upstream pair pipeline leaves fragmented/
+    # skewed partitions, and every round re-scans this frame, so
+    # balanced fixed-width blocks set the task shape for the whole
+    # loop (measured ~20% off q43 at sf0.1 vs checkpointing the raw
+    # union). Round-robin, NOT hash-by-dst: a large cluster's hub node
+    # appears as dst in every one of its doubled edges, so key-hashing
+    # would pile that cluster into one block and re-create the
+    # straggler the repartition exists to remove.
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     edges, p_ids = local_checkpoint_tracked(
         p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(n_shuffle, F.col("dst"))
+        .repartition(n_shuffle)
     )
     # eager=False: the convergence-witness aggregate right below is the
     # materializing action, so checkpoint-write + witness are ONE job

@@ -165,21 +165,21 @@ def normalized_documents(documents: DataFrame) -> DataFrame:
     )
 
 
-def winnowing_fp_frame(
-    documents: DataFrame, k: int = 3, window: int = 4
-) -> DataFrame:
-    """The distinct (doc_id, fp) winnowing-fingerprint frame BOTH
-    consumers read — per-doc fingerprint sets (winnowing_fingerprints)
-    and pair matching (winnowing_pairs). Compute it once per corpus
-    (session-cache / persist it) instead of re-running the gram+hash
-    chain per consumer. The distinct adds NO exchange: the window
-    already partitions by doc_id, which satisfies the (doc_id, fp)
-    clustering."""
+def _winnow_chain(documents: DataFrame, k: int, window: int) -> DataFrame:
+    """THE winnowing fingerprint spec, in one place: positional k-gram
+    rolling hashes ('0:'-seed md5 family, shared with the DuckDB
+    oracles) → per-doc ROWS window min. Returns the per-POSITION
+    (doc_id, fp) frame, doc_id-partitioned by the window, WITH
+    duplicates — the set consumer dedups via collect_set (zero extra
+    exchange), the frame consumer via distinct. Every consumer must go
+    through here so the spec cannot fork."""
     from pyspark.sql import Window
 
     from .dedup import _md5_hash64
     from .parallelize import spread_for_cpu
 
+    # gram construction is an interpreted higher-order function — make
+    # sure a single-file scan doesn't serialize it onto one core
     documents = spread_for_cpu(documents)
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
@@ -190,7 +190,22 @@ def winnowing_fp_frame(
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     return g.select(
         "doc_id", F.min(_md5_hash64(F.col("gram"), 0)).over(w).alias("fp")
-    ).distinct()
+    )
+
+
+def winnowing_fp_frame(
+    documents: DataFrame, k: int = 3, window: int = 4
+) -> DataFrame:
+    """The distinct (doc_id, fp) winnowing-fingerprint frame BOTH
+    consumers read — per-doc fingerprint sets (winnowing_fingerprints)
+    and pair matching (winnowing_pairs). Compute it once per corpus
+    (session-cache / persist it) instead of re-running the gram+hash
+    chain per consumer. The distinct adds NO exchange: the window
+    already partitions by doc_id, which satisfies the (doc_id, fp)
+    clustering. A frame built with one (k, window) is only valid for
+    consumers expecting that same (k, window) — the parameters are
+    baked into the fingerprints."""
+    return _winnow_chain(documents, k, window).distinct()
 
 
 def winnowing_fingerprints(
@@ -211,43 +226,15 @@ def winnowing_fingerprints(
 
     ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame`
     (e.g. corpus_cache.shared_df) so a query that also runs
-    winnowing_pairs pays the gram+hash chain ONCE; None keeps the
+    winnowing_pairs pays the gram+hash chain ONCE — the frame's baked-
+    in (k, window) then OVERRIDE this call's k/window arguments, so
+    pass a frame built with the same parameters. None keeps the
     single-consumer zero-extra-exchange inline plan (collect_set over
-    the window's own doc_id partitioning).
+    the window's own doc_id partitioning, no standalone distinct —
+    a distinct in between would shuffle on (doc_id, fp) and break the
+    partitioning reuse).
     """
-    if fps is not None:
-        return (
-            fps.groupBy("doc_id")
-            .agg(F.array_sort(F.collect_set("fp")).alias("arr"))
-            .select(
-                "doc_id",
-                F.array_join("arr", ",").alias("fps"),
-                F.size("arr").alias("n_fps"),
-            )
-        )
-    from pyspark.sql import Window
-
-    from .dedup import _md5_hash64
-    from .parallelize import spread_for_cpu
-
-    # gram construction is an interpreted higher-order function — make
-    # sure a single-file scan doesn't serialize it onto one core
-    documents = spread_for_cpu(documents)
-
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
-    g = documents.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    fp = g.select(
-        "doc_id", F.min(_md5_hash64(F.col("gram"), 0)).over(w).alias("fp")
-    )
-    # collect_set dedups per doc, so no standalone distinct — the window
-    # already partitions by doc_id, letting the groupBy reuse that
-    # partitioning with ZERO additional exchanges (a distinct in between
-    # would shuffle on (doc_id, fp) and break the reuse)
+    fp = fps if fps is not None else _winnow_chain(documents, k, window)
     return (
         fp.groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("fp")).alias("arr"))
@@ -574,9 +561,10 @@ def winnowing_pairs(
     the probe-set size, never by corpus frequency. At scale the probe
     set is a delta batch or an LSH bucket, as in the other pair tiers.
 
-    ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame`;
-    None builds it inline. Returns (a_id, b_id, n_shared_fps),
-    a_id < b_id.
+    ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame`
+    — its baked-in (k, window) then OVERRIDE this call's k/window
+    arguments, so pass a frame built with the same parameters; None
+    builds it inline. Returns (a_id, b_id, n_shared_fps), a_id < b_id.
     """
     if fps is None:
         fps = winnowing_fp_frame(documents, k=k, window=window)

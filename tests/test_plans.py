@@ -175,7 +175,8 @@ def test_shuffle_positions_no_corpus_single_partition(spark):
     assert "hashpartitioning(_b" in plan
     # and the single-partition input is the aggregated count frame,
     # not corpus rows
-    single_block = plan[plan.index("SinglePartition") - 200 : plan.index("SinglePartition")]
+    idx = plan.index("SinglePartition")
+    single_block = plan[max(0, idx - 200) : idx]
     assert "_c#" in single_block or "count#" in single_block
 
 
