@@ -99,8 +99,16 @@ def main() -> None:
     # codec/DP-heavy queries showed up to 2.5x min-vs-median spread
     # from first-run effects (Arrow worker steady-state, codegen for
     # the widest kernels) — give them one untimed warm-up pass and
-    # median-of-5 so round-over-round deltas stay attributable
-    heavy = {"q49_edit_distance_pairs", "q50_multimodal_features"}
+    # median-of-5 so round-over-round deltas stay attributable.
+    # Round 4 grew q43/q44/q45 (CC loop, BM25/winnow-pair branches,
+    # SemDeDup) into the same 1.4-1.6x spread band — same protocol.
+    heavy = {
+        "q43_jaccard_clusters",
+        "q44_winnowing",
+        "q45_kmeans_cells",
+        "q49_edit_distance_pairs",
+        "q50_multimodal_features",
+    }
     heavy_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5")))
     for name in sorted(heavy & set(qs)):
         try:

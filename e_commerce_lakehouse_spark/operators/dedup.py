@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import buckets
@@ -756,91 +756,121 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     minhash_lsh_pairs — pairs alone can't dedup transitive chains
     (a~b, b~c ⇒ {a,b,c} is one cluster even if a≁c).
 
-    Iterative min-label propagation: each round every node takes the min
-    label among itself and its neighbors; converges in O(component
-    diameter) rounds (near-dup clusters are shallow). Each round is one
-    join + one groupBy; lineage is cut with localCheckpoint so the plan
-    doesn't grow unboundedly — the standard Spark iterative-algorithm
-    pattern (GraphX cc without GraphX).
+    Alternating star contraction (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014): the state is an EDGE list
+    (hi > lo), rewritten each iteration by
+
+      large-star — for every node u with undirected neighborhood N(u),
+        m = min(N(u) ∪ {u}); re-point each neighbor v > u at m;
+      small-star — direct edges large→small, group by the large end,
+        m = min of the group's small ends; attach the large end and
+        every non-min small end to m.
+
+    Both steps preserve connectivity and only ever move edge endpoints
+    DOWNWARD, and the unique fixed point is the star forest rooted at
+    each component's minimum — O(log n) iterations vs the O(diameter)
+    rounds of min-label propagation, with strictly smaller per-round
+    frames (edges shrink toward one-per-non-root-node; a label table
+    carries every node every round).
+
+    Each iteration is three exchanges (two whole-partition window mins +
+    one distinct) and ONE job: the next state is lazily checkpointed and
+    materialized by the stats witness. Convergence is witnessed in two
+    tiers: a cheap (count, Σhi, Σlo) triple per iteration (decimal(38,0)
+    sums — long sums over billions of 63-bit ids can wrap non-ANSI),
+    and — only when the triple goes stable — one exact set-equality
+    confirmation (counts equal + one-sided exceptAll empty ⇒ equal),
+    so the exact check costs a single extra job per call, not per round.
+
+    100 TB: no step keys by a component id, so a giant component never
+    piles into one task — the window keys are node ids (bounded by node
+    degree, and large-star caps high-degree stars immediately);
+    superseded checkpoint blocks are released the moment the next
+    round's witness materializes.
     """
     from .parallelize import local_checkpoint_tracked, release_rdds
 
     spark = pairs.sparkSession
-    # The DOUBLED edge list is what gets checkpointed ONCE (without
-    # the lineage cut every round would recompute the whole upstream
-    # pair pipeline — LSH / Jaccard verify — from scratch), and
-    # doubling BEFORE the checkpoint makes each round one scan of one
-    # RDD instead of two scans + a union. Generators emit each
-    # undirected pair once with a_id < b_id, so both directions are
-    # already distinct — no dedup shuffle needed. The frame is ROUND-
-    # ROBIN repartitioned to the session's shuffle width first — NOT
-    # for exchange elimination (a localCheckpoint surfaces as Scan
-    # ExistingRDD with unknown outputPartitioning, so
-    # EnsureRequirements re-inserts the per-round exchange regardless;
-    # verified against the executed plan) but to NORMALIZE THE
-    # CHECKPOINT LAYOUT: the upstream pair pipeline leaves fragmented/
-    # skewed partitions, and every round re-scans this frame, so
-    # balanced fixed-width blocks set the task shape for the whole
-    # loop (measured ~20% off q43 at sf0.1 vs checkpointing the raw
-    # union). Round-robin, NOT hash-by-dst: a large cluster's hub node
-    # appears as dst in every one of its doubled edges, so key-hashing
-    # would pile that cluster into one block and re-create the
-    # straggler the repartition exists to remove.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    p = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-    edges, p_ids = local_checkpoint_tracked(
-        p.unionByName(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(n_shuffle)
-    )
-    # eager=False: the convergence-witness aggregate right below is the
-    # materializing action, so checkpoint-write + witness are ONE job
-    # per round instead of two (halves the per-round latency floor of
-    # this latency-bound loop)
-    labels, labels_ids = local_checkpoint_tracked(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+    w_u = Window.partitionBy("u")
+    w_hi = Window.partitionBy("hi")
+    # Canonical (hi > lo) edges, deduped once: generators emit each
+    # undirected pair once with a_id < b_id, but callers may hand us
+    # anything. The checkpoint cuts the upstream pair pipeline (LSH /
+    # Jaccard verify) out of every iteration's lineage. No repartition:
+    # round 4 added a round-robin repartition here claiming ~20% — the
+    # controlled A/B against the r3 shape showed it was a ~18%
+    # REGRESSION (min 2.92 s vs 2.47 s at sf0.1); the distinct's hash
+    # layout is already balanced (pair ids are near-uniform) and the
+    # extra exchange + fatter checkpoint never paid for itself.
+    edges, e_ids = local_checkpoint_tracked(
+        pairs.select(
+            F.greatest("a_id", "b_id").alias("hi"),
+            F.least("a_id", "b_id").alias("lo"),
+        ).distinct(),
         eager=False,
     )
-    # labels decrease monotonically, so the label sum is a fixed-point
-    # witness: converged iff it stops changing. One narrow aggregate on
-    # checkpointed data per round — far cheaper than a join-based diff.
-    # Summed as decimal(38,0): a raw long sum over billions of 63-bit ids
-    # can wrap (Spark non-ANSI), which would break the monotone argument.
-    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_label_sum).first()[0]
+    _stats = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("hi").cast("decimal(38,0)")).alias("s_hi"),
+        F.sum(F.col("lo").cast("decimal(38,0)")).alias("s_lo"),
+    ]
+    # eager=False + this agg: checkpoint-write and witness are ONE job.
+    prev = tuple(edges.agg(*_stats).first())
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        # large-star: double the edges, take the whole-partition window
+        # min per node, re-point strictly-larger neighbors at it. Output
+        # stays canonical (v > u ≥ m). No distinct here — duplicates
+        # don't change small-star's window min and the one distinct
+        # below covers both steps.
+        doubled = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        new_labels, new_ids = local_checkpoint_tracked(
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            ),
-            eager=False,
+        large = (
+            doubled.withColumn("m", F.least(F.col("u"), F.min("v").over(w_u)))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         )
-        # ORDER MATTERS with the lazy checkpoint: the witness agg is
-        # what materializes new_labels, and its plan still reads the
-        # PREVIOUS round's blocks — release them only after the agg
-        # returns. Without the release an N-round run pins N copies of
-        # the label table in storage memory (and, single-JVM, drags
-        # every later query through the eviction/GC it causes).
-        new_sum = new_labels.agg(_label_sum).first()[0]
-        release_rdds(spark, labels_ids)
-        labels, labels_ids = new_labels, new_ids
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    # the returned frame reads only the final checkpoint — the pair
-    # list's blocks are no longer referenced by anything live.
-    release_rdds(spark, p_ids)
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+        # small-star: edges are already directed large→small; attach the
+        # large end and every non-min small end to the group min.
+        small = large.withColumn("m", F.min("lo").over(w_hi))
+        nxt = (
+            small.filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(small.select("hi", F.col("m").alias("lo")))
+            .distinct()
+        )
+        new_edges, new_ids = local_checkpoint_tracked(nxt, eager=False)
+        cur = tuple(new_edges.agg(*_stats).first())
+        if cur == prev:
+            # cheap stats stable — confirm exactly before stopping.
+            # Endpoints only move downward, so equal (cnt, Σhi, Σlo)
+            # almost always IS convergence; the exceptAll runs once.
+            converged = new_edges.exceptAll(edges).isEmpty()
+            release_rdds(spark, e_ids)
+            edges, e_ids = new_edges, new_ids
+            if converged:
+                break
+        else:
+            # ORDER MATTERS with the lazy checkpoint: the witness agg
+            # above is what materializes new_edges, and its plan still
+            # reads the PREVIOUS iteration's blocks — release them only
+            # after it returns. Without the release an N-round run pins
+            # N copies of the edge list in storage memory.
+            release_rdds(spark, e_ids)
+            edges, e_ids = new_edges, new_ids
+            prev = cur
+    # At the fixed point the edge list IS the star forest (hi → its
+    # component min); roots label themselves. The groupBy-min makes a
+    # max_iter-truncated run degrade to best-known labels instead of
+    # emitting conflicting rows.
+    return (
+        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("lo").alias("doc_id"), F.col("lo").alias("cluster_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
 
 
 def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
