@@ -89,7 +89,12 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     merged = a + b
 
     def step(arr: Column, s: Column) -> Column:
-        can = (F.size(arr) > 0) & (F.element_at(arr, -1) == a) & (s == b)
+        # try_element_at: NULL (never an error) on the empty fold
+        # accumulator — the earlier size-guard + element_at relied on
+        # And short-circuit order, which the SQL standard does not
+        # guarantee and ANSI element_at would turn into an
+        # out-of-bounds error under an optimizer reorder.
+        can = (F.try_element_at(arr, F.lit(-1)) == a) & (s == b)
         return F.when(
             can,
             F.concat(F.slice(arr, F.lit(1), F.size(arr) - 1), F.array(F.lit(merged))),
@@ -151,6 +156,42 @@ def train_bpe(
         )
         ids_old, ids_live = ids_live, new_ids
     return merges, vocab
+
+
+# ---------------------------------------------------------------------------
+# Merge-table artifact: training returns a Python list, but a pipeline
+# owner persists/ships the table between the training and encoding
+# jobs. One row per merge, rank = learned order — tiny (the whole
+# artifact is the merge count, e.g. 32k rows for a GPT-2-sized vocab).
+# ---------------------------------------------------------------------------
+
+
+def merge_table(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """The persistable (rank, a, b) artifact of :func:`train_bpe`."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )
+
+
+def merges_from_table(table: DataFrame) -> list[tuple[str, str]]:
+    """Reconstruct the ordered merge list from a (rank, a, b) frame
+    regardless of on-disk row order. The collect is the artifact's
+    whole point — the table is driver/closure state for encoders."""
+    return [
+        (r.a, r.b)
+        for r in sorted(table.select("rank", "a", "b").collect(), key=lambda r: r.rank)
+    ]
+
+
+def save_merge_table(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table as parquet (coalesced to one file — it
+    is a k-row artifact, not data)."""
+    merge_table(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merge_table(spark, path: str) -> list[tuple[str, str]]:
+    return merges_from_table(spark.read.parquet(path))
 
 
 ENCODED_SCHEMA = StructType(

@@ -29,14 +29,25 @@ value-identical:
               div (64 · (1000·T·tf + k1_x10·(100−b_x100)·T
                          + k1_x10·b_x100·dl·N)).
 
-  int64 headroom: the numerator is 2.2e6 · idf_x64 · T · tf, so it
-  overflows at T·tf ≈ 4.2e12 / idf_x64 — for a rare term
-  (idf_x64 ≈ 640 at N/df ≈ 1000) that is T·tf ≈ 6.5e9, i.e. a
-  ~5e9-token corpus already needs mitigation. Beyond that, shift T
-  and dl·N right by the same power of two before scoring (the ratio,
-  hence the ranking, is preserved to the shifted precision) — under
-  Spark's default ANSI mode the overflow raises rather than
-  corrupting rankings, so the boundary is loud.
+  int64 headroom: the numerator is 2.2e6 · idf_x64 · T · tf, which
+  would overflow at T·tf ≈ 4.2e12 / idf_x64 — a ~5e9-token corpus for
+  a rare term. MITIGATION (applied in-plan, same spec both dialects):
+  a global shift s is derived from bit_length bounds —
+
+    s = max(0, bl(T) + bl(max_dl) + bl(c1) + 12 − 63,
+               bl(max_dl) + bl(N) + bl(k1·b) + 6 − 63)
+
+  (12 = the universal idf_x64 bound: fl_out ≤ 64·63 + 63 < 2^12 for
+  any int64 input) and T and dl·N are right-shifted by s before
+  scoring. Both numerator and denominator scale by ~2^−s, so the
+  ratio — hence the ranking — is preserved to the shifted precision
+  (relative error ≤ 2^−bl(T>>s)); s = 0 on any corpus under the old
+  boundary, so small-scale scores are bit-identical to the unshifted
+  form. s is computed from the stats row INSIDE the plan (no extra
+  action), and the oracle renders the same chain. Remaining documented
+  boundaries: dl·N must fit int64 pre-shift (bl(max_dl) + bl(N) ≤ 63 —
+  at 1e11 docs × 1e5 tokens that is 2^53, far inside), and a single
+  document beyond ~2^29 tokens would shift T to zero.
 
 Scale shape: the query-term list is tiny and rides into the row-level
 tf computation as an array literal (no join, no explode of the corpus
@@ -121,6 +132,60 @@ def fixed_log2_sql_select(p: str, q: str, out: str, carry: list[str]) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Overflow-shift + score: one chain spec, two renderers (same discipline
+# as the fixed-point log2 above). Expects columns t_tokens, max_dl,
+# n_docs, dl, tf, idf_x64 in scope.
+# ---------------------------------------------------------------------------
+
+
+def _bitlen(expr: str, duck: bool) -> str:
+    return (
+        f"length(format('{{:b}}', {expr}))" if duck else f"length(bin({expr}))"
+    )
+
+
+def _shift_chain(k1_x10: int, b_x100: int) -> list[tuple[str, str, str]]:
+    """(name, spark, duck) steps computing the global headroom shift
+    ``bm_s`` and the shifted corpus quantities ``bm_ts`` (T >> s) and
+    ``bm_dlns`` ((dl·N) >> s). See the module docstring for the bound
+    derivation; 12 is the universal idf_x64 bit bound."""
+    blc1 = (1000 * 100 * (k1_x10 + 10)).bit_length()
+    blk3 = (k1_x10 * b_x100).bit_length()
+
+    def s_expr(duck: bool) -> str:
+        return (
+            f"greatest(0, {_bitlen('t_tokens', duck)} + {_bitlen('max_dl', duck)}"
+            f" + {blc1 + 12} - 63, {_bitlen('max_dl', duck)}"
+            f" + {_bitlen('n_docs', duck)} + {blk3 + 6} - 63)"
+        )
+
+    return [
+        ("bm_s", s_expr(False), s_expr(True)),
+        ("bm_ts", "shiftright(t_tokens, bm_s)", "t_tokens >> bm_s"),
+        ("bm_dlns", "shiftright(dl * n_docs, bm_s)", "(dl * n_docs) >> bm_s"),
+    ]
+
+
+def _score_templates(k1_x10: int, b_x100: int) -> tuple[str, str]:
+    """(spark, duck) templates for score_x1000 over the shifted
+    quantities — identical arithmetic, only the integer-division
+    operator differs."""
+    k2 = k1_x10 * (100 - b_x100)
+    k3 = k1_x10 * b_x100
+    # idf_x64 is INT (it comes off length(bin(...)) arithmetic) — the
+    # leading literal must be long or the constant-first product
+    # overflows int32 long before the int64 headroom analysis applies.
+    def num(one_thousand_long: str) -> str:
+        return f"{one_thousand_long} * idf_x64 * (100 * ({k1_x10} + 10)) * bm_ts * tf"
+
+    den = f"64 * (1000 * bm_ts * tf + {k2} * bm_ts + {k3} * bm_dlns)"
+    return (
+        f"({num('1000L')}) div ({den})",
+        f"({num('CAST(1000 AS BIGINT)')}) // ({den})",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Inverted index
 # ---------------------------------------------------------------------------
 
@@ -186,6 +251,7 @@ def bm25_topk(
     stats = documents.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("t_tokens"),
+        F.max(F.size(toks)).alias("max_dl"),
     )
     cand = cand.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
@@ -193,14 +259,13 @@ def bm25_topk(
     # Lucene-form idf argument: 1 + (N - df + 0.5)/(df + 0.5)
     #                         = (2N + 2) / (2 df + 1)
     cand = with_fixed_log2_x64(cand, "2 * n_docs + 2", "2 * df + 1", "idf_x64")
+    shift_names = []
+    for name, spark_tmpl, _ in _shift_chain(k1_x10, b_x100):
+        cand = cand.withColumn(name, F.expr(spark_tmpl))
+        shift_names.append(name)
     scored = cand.withColumn(
-        "score_x1000",
-        F.expr(
-            f"(1000 * idf_x64 * (100 * ({k1_x10} + 10)) * t_tokens * tf) div "
-            f"(64 * (1000 * t_tokens * tf + ({k1_x10} * (100 - {b_x100})) * t_tokens "
-            f"+ ({k1_x10} * {b_x100}) * dl * n_docs))"
-        ),
-    )
+        "score_x1000", F.expr(_score_templates(k1_x10, b_x100)[0])
+    ).drop(*shift_names)
     top = (
         scored.groupBy("doc_id")
         .agg(
@@ -231,8 +296,12 @@ def bm25_oracle_sql(
         "2 * n_docs + 2",
         "2 * df + 1",
         "idf_x64",
-        ["doc_id", "dl", "term", "tf", "df", "n_docs", "t_tokens"],
+        ["doc_id", "dl", "term", "tf", "df", "n_docs", "t_tokens", "max_dl"],
     )
+    shift = ", ".join(
+        f"{duck} AS {name}" for name, _, duck in _shift_chain(k1_x10, b_x100)
+    )
+    duck_score = _score_templates(k1_x10, b_x100)[1]
     return f"""
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -243,21 +312,19 @@ def bm25_oracle_sql(
             WHERE len(list_filter(toks, x -> x = term)) > 0
         ), stats AS (
             SELECT count(*) AS n_docs,
-                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t_tokens,
+                   CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_dl
             FROM documents
         ), withdf AS (
             SELECT c.*, count(*) OVER (PARTITION BY term) AS df,
-                   s.n_docs, s.t_tokens
+                   s.n_docs, s.t_tokens, s.max_dl
             FROM cand c, stats s
         ), idf AS (
             {fl}
             FROM withdf
         ), scored AS (
-            SELECT doc_id,
-                   (1000 * idf_x64 * (100 * ({k1_x10} + 10)) * t_tokens * tf) //
-                   (64 * (1000 * t_tokens * tf
-                          + ({k1_x10} * (100 - {b_x100})) * t_tokens
-                          + ({k1_x10} * {b_x100}) * dl * n_docs)) AS score_x1000
+            SELECT doc_id, {shift},
+                   {duck_score} AS score_x1000
             FROM idf
         ), agg AS (
             SELECT doc_id, count(*) AS n_terms,

@@ -202,10 +202,38 @@ def winnowing_fp_frame(
     (session-cache / persist it) instead of re-running the gram+hash
     chain per consumer. The distinct adds NO exchange: the window
     already partitions by doc_id, which satisfies the (doc_id, fp)
-    clustering. A frame built with one (k, window) is only valid for
-    consumers expecting that same (k, window) — the parameters are
-    baked into the fingerprints."""
-    return _winnow_chain(documents, k, window).distinct()
+    clustering.
+
+    The build parameters are baked into the fingerprints, so the frame
+    is SELF-DESCRIBING: (k, window) ride in the ``fp`` column's schema
+    metadata (zero runtime cost — no extra columns, survives distinct /
+    checkpoint / parquet round-trips) and every consumer asserts them
+    against its own arguments instead of silently trusting the caller."""
+    return (
+        _winnow_chain(documents, k, window)
+        .select(
+            "doc_id",
+            F.col("fp").alias(
+                "fp", metadata={"winnow_k": k, "winnow_window": window}
+            ),
+        )
+        .distinct()
+    )
+
+
+def _check_fp_frame(fps: DataFrame, k: int, window: int) -> DataFrame:
+    """Raise unless ``fps`` declares it was built with exactly this
+    (k, window) — fingerprints from different parameters are not
+    comparable, and a silent mismatch yields wrong pairs/sets."""
+    md = fps.schema["fp"].metadata
+    got = (md.get("winnow_k"), md.get("winnow_window"))
+    if got != (k, window):
+        raise ValueError(
+            f"winnowing fp frame declares (k, window)={got} but the call "
+            f"expects ({k}, {window}); build the frame with "
+            "winnowing_fp_frame(documents, k, window) so the parameters match"
+        )
+    return fps
 
 
 def winnowing_fingerprints(
@@ -226,15 +254,19 @@ def winnowing_fingerprints(
 
     ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame`
     (e.g. corpus_cache.shared_df) so a query that also runs
-    winnowing_pairs pays the gram+hash chain ONCE — the frame's baked-
-    in (k, window) then OVERRIDE this call's k/window arguments, so
-    pass a frame built with the same parameters. None keeps the
-    single-consumer zero-extra-exchange inline plan (collect_set over
-    the window's own doc_id partitioning, no standalone distinct —
-    a distinct in between would shuffle on (doc_id, fp) and break the
-    partitioning reuse).
+    winnowing_pairs pays the gram+hash chain ONCE — the frame's
+    schema-metadata (k, window) must MATCH this call's arguments
+    (ValueError otherwise; fingerprints from different parameters are
+    not comparable). None keeps the single-consumer zero-extra-exchange
+    inline plan (collect_set over the window's own doc_id partitioning,
+    no standalone distinct — a distinct in between would shuffle on
+    (doc_id, fp) and break the partitioning reuse).
     """
-    fp = fps if fps is not None else _winnow_chain(documents, k, window)
+    fp = (
+        _check_fp_frame(fps, k, window)
+        if fps is not None
+        else _winnow_chain(documents, k, window)
+    )
     return (
         fp.groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("fp")).alias("arr"))
@@ -561,13 +593,15 @@ def winnowing_pairs(
     the probe-set size, never by corpus frequency. At scale the probe
     set is a delta batch or an LSH bucket, as in the other pair tiers.
 
-    ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame`
-    — its baked-in (k, window) then OVERRIDE this call's k/window
-    arguments, so pass a frame built with the same parameters; None
-    builds it inline. Returns (a_id, b_id, n_shared_fps), a_id < b_id.
+    ``fps`` takes a precomputed/persisted :func:`winnowing_fp_frame` —
+    its schema-metadata (k, window) must MATCH this call's arguments
+    (ValueError otherwise); None builds it inline. Returns
+    (a_id, b_id, n_shared_fps), a_id < b_id.
     """
     if fps is None:
         fps = winnowing_fp_frame(documents, k=k, window=window)
+    else:
+        fps = _check_fp_frame(fps, k, window)
     probe = fps.filter(F.col("doc_id") < probe_max_doc_id).select(
         F.col("doc_id").alias("a_id"), F.col("fp").alias("a_fp")
     )

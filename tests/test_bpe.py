@@ -95,3 +95,19 @@ def test_encode_null_text(spark):
     docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = bpe.bpe_encode(docs, [("a", "b")]).collect()[0]
     assert r.bpe_text is None and r.n_words is None
+
+
+def test_merge_table_round_trip(spark, tmp_path):
+    """save -> load reconstructs the merge list exactly (order included)
+    and encoding with the reloaded table equals encoding with the
+    in-memory list."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, vocab = bpe.train_bpe(docs, num_merges=8)
+    assert merges, "fixture must learn at least one merge"
+    path = str(tmp_path / "merges.parquet")
+    bpe.save_merge_table(spark, merges, path)
+    reloaded = bpe.load_merge_table(spark, path)
+    assert reloaded == merges
+    a = {r.doc_id: r.bpe_text for r in bpe.bpe_encode(docs, merges).collect()}
+    b = {r.doc_id: r.bpe_text for r in bpe.bpe_encode(docs, reloaded).collect()}
+    assert a == b

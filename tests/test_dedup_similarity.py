@@ -433,3 +433,41 @@ def test_winnowing_pairs_planted_passage(spark):
     assert (1, 60) in got and got[(1, 60)] >= 2
     assert all(b != 61 for (_, b) in got)
     assert all(a < b for (a, b) in got)
+
+
+def test_winnowing_fp_frame_self_describing(spark):
+    """fp frames carry their (k, window) in schema metadata; consumers
+    raise on mismatch instead of silently producing wrong-parameter
+    results, and the metadata survives the localCheckpoint a session
+    cache applies."""
+    import pytest
+
+    from e_commerce_lakehouse_spark.operators import text as text_ops
+    from e_commerce_lakehouse_spark.operators.parallelize import (
+        local_checkpoint_tracked,
+        release_rdds,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    fps = text_ops.winnowing_fp_frame(docs, k=3, window=4)
+    # matching parameters: both consumers accept the frame
+    assert text_ops.winnowing_fingerprints(docs, k=3, window=4, fps=fps).count() == 1
+    text_ops.winnowing_pairs(docs, k=3, window=4, fps=fps).count()
+    # mismatched parameters: loud, not silent
+    with pytest.raises(ValueError, match=r"\(k, window\)"):
+        text_ops.winnowing_fingerprints(docs, k=2, window=4, fps=fps)
+    with pytest.raises(ValueError, match=r"\(k, window\)"):
+        text_ops.winnowing_pairs(docs, k=3, window=5, fps=fps)
+    # a frame that never declared its parameters is rejected too
+    # (a bare re-alias PRESERVES the metadata — stripping needs an
+    # explicit empty metadata dict, so accidental loss is hard)
+    stripped = fps.select("doc_id", F.col("fp").alias("fp", metadata={}))
+    with pytest.raises(ValueError, match="winnowing_fp_frame"):
+        text_ops.winnowing_pairs(docs, k=3, window=4, fps=stripped)
+    # metadata survives the checkpoint the session cache applies
+    ck, ids = local_checkpoint_tracked(fps)
+    assert text_ops.winnowing_fingerprints(docs, k=3, window=4, fps=ck).count() == 1
+    release_rdds(spark, ids)

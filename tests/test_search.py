@@ -91,3 +91,89 @@ def test_bm25_no_python_udf(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     plan = search.bm25_topk(docs, ("a",), k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _score_ref(T, N, max_dl, dl, tf, df, k1_x10=12, b_x100=75):
+    """Pure-Python mirror of the shift + score chain."""
+    idf = _fx64_ref(2 * N + 2, 2 * df + 1)
+    blc1 = (1000 * 100 * (k1_x10 + 10)).bit_length()
+    blk3 = (k1_x10 * b_x100).bit_length()
+    s = max(
+        0,
+        T.bit_length() + max_dl.bit_length() + blc1 + 12 - 63,
+        max_dl.bit_length() + N.bit_length() + blk3 + 6 - 63,
+    )
+    ts, dlns = T >> s, (dl * N) >> s
+    k2, k3 = k1_x10 * (100 - b_x100), k1_x10 * b_x100
+    num = 1000 * idf * (100 * (k1_x10 + 10)) * ts * tf
+    den = 64 * (1000 * ts * tf + k2 * ts + k3 * dlns)
+    return s, num // den
+
+
+def _shifted_score_frame(spark, row):
+    df = spark.createDataFrame(
+        [row], "dl long, tf long, df long, n_docs long, t_tokens long, max_dl long"
+    )
+    df = search.with_fixed_log2_x64(df, "2 * n_docs + 2", "2 * df + 1", "idf_x64")
+    for name, tmpl, _ in search._shift_chain(12, 75):
+        df = df.withColumn(name, F.expr(tmpl))
+    return df.withColumn("score_x1000", F.expr(search._score_templates(12, 75)[0]))
+
+
+def test_bm25_overflow_shift_past_boundary(spark):
+    """Past the pre-mitigation ~5e9-token int64 boundary: the shifted
+    chain scores inside int64 where the unshifted formula overflows
+    (loudly, under ANSI), and the value matches the Python mirror and
+    the DuckDB rendering of the same spec."""
+    import duckdb
+    import pytest
+
+    dl, tf, df_, N, T, max_dl = 200, 3, 1, 60_000_000, 6_000_000_000, 500
+    frame = _shifted_score_frame(spark, (dl, tf, df_, N, T, max_dl))
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = frame.first()
+        exp_s, exp_score = _score_ref(T, N, max_dl, dl, tf, df_)
+        assert got.bm_s == exp_s and exp_s > 0
+        assert got.score_x1000 == exp_score
+        unshifted = frame.withColumn(
+            "boom",
+            F.expr(
+                "(1000 * idf_x64 * (100 * (12 + 10)) * t_tokens * tf) div "
+                "(64 * (1000 * t_tokens * tf + 300 * t_tokens + 900 * dl * n_docs))"
+            ),
+        )
+        with pytest.raises(Exception, match="(?i)overflow|arithmetic"):
+            unshifted.first()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+
+    # DuckDB renders the same chain to the same value
+    fl = search.fixed_log2_sql_select(
+        "2 * n_docs + 2", "2 * df + 1", "idf_x64",
+        ["dl", "tf", "df", "n_docs", "t_tokens", "max_dl"],
+    )
+    shift = ", ".join(f"{d} AS {n}" for n, _, d in search._shift_chain(12, 75))
+    duck = duckdb.sql(
+        f"""WITH r AS (SELECT CAST({dl} AS BIGINT) AS dl, CAST({tf} AS BIGINT) AS tf,
+                CAST({df_} AS BIGINT) AS df, CAST({N} AS BIGINT) AS n_docs,
+                CAST({T} AS BIGINT) AS t_tokens, CAST({max_dl} AS BIGINT) AS max_dl),
+            i AS ({fl} FROM r)
+            SELECT {shift}, {search._score_templates(12, 75)[1]} AS score FROM i"""
+    ).fetchone()
+    assert duck[-1] == exp_score
+
+
+def test_bm25_shift_is_identity_below_boundary(spark):
+    """s == 0 on a small corpus: the shifted score is bit-identical to
+    the historical unshifted formula (q44 hashes cannot move)."""
+    dl, tf, df_, N, T, max_dl = 200, 3, 1, 100, 10_000, 500
+    got = _shifted_score_frame(spark, (dl, tf, df_, N, T, max_dl)).withColumn(
+        "old",
+        F.expr(
+            "(1000 * idf_x64 * (100 * (12 + 10)) * t_tokens * tf) div "
+            "(64 * (1000 * t_tokens * tf + 300 * t_tokens + 900 * dl * n_docs))"
+        ),
+    ).first()
+    assert got.bm_s == 0 and got.score_x1000 == got.old
