@@ -1294,8 +1294,10 @@ def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     predicts them arithmetically (images/video frames are always 8x8
     gray; the image container cycles PNG / baseline JPEG / progressive
     JPEG by d[4] mod 3, so all three decode paths are hash-gated; WAV
-    n_frames = 1600 + 16*d[1] at 16 kHz so duration_ms = 100 + d[1];
-    AVI n_frames = 2 + d[3] mod 6, where d is the md5 of the text) —
+    n_frames = 1600 + 16*d[1] at 16 kHz so duration_ms = 100 + d[1],
+    channels = 1 + d[3] mod 2 with the codec cycling PCM/ADPCM by d[2]
+    parity — so mono/stereo × PCM/ADPCM all hash-gate; AVI
+    n_frames = 2 + d[3] mod 6, where d is the md5 of the text) —
     bit-rot anywhere in any codec direction, the sniffer, the AVI
     chunk walker, or the synthesis flips the row red. The
     non-predictable features (payload digest, n_bytes, RMS/ZCR) are
@@ -2783,7 +2785,8 @@ def oracle_sql() -> dict[str, str]:
                    'audio/wav',
                    CAST(NULL AS INT),
                    CAST(NULL AS INT),
-                   CAST(NULL AS INT),
+                   CAST(1 + CAST('0x' || substr(md5(coalesce(text, '')), 7, 2)
+                                 AS INT) % 2 AS INT),
                    CAST(100 + CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)
                                    AS INT) AS INT),
                    CAST(1600 + 16 * CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)

@@ -13,13 +13,14 @@ progressive) JPEGs, so ``decode_images`` and ``resize_images`` run
 genuine codec work end-to-end in this container.
 
 Also real: a WAV audio codec — ``encode_wav``/``decode_wav`` handle
-RIFF/PCM 16-bit mono/stereo AND mono IMA ADPCM (format tag 0x11,
-public IMA/DVI spec; both codec directions vectorized across blocks,
-fact-chunk-exact frame counts) on stdlib struct + numpy, and
-``extract_audio_features`` computes duration / RMS energy / zero-
-crossing rate / peak over decoded samples (the audio-quality filters a
-training pipeline gates on). Stereo ADPCM and non-PCM/non-ADPCM codecs
-raise NotImplementedError.
+RIFF/PCM 16-bit mono/stereo AND mono/stereo (any channel count) IMA
+ADPCM (format tag 0x11, public IMA/DVI spec; both codec directions
+vectorized across (block, channel) rows, fact-chunk-exact frame
+counts, per-channel headers + 4-byte nibble-group interleave) on
+stdlib struct + numpy, and ``extract_audio_features`` computes
+duration / RMS energy / zero-crossing rate / peak over decoded,
+mono-mixed samples (the audio-quality filters a training pipeline
+gates on). Non-PCM/non-ADPCM codecs raise NotImplementedError.
 
 Also real: a baseline JPEG codec (operators/jpeg.py — pure
 stdlib+numpy DCT/Huffman): ``decode_images`` handles baseline
@@ -337,46 +338,56 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _parse_wav_fmt(chunk: bytes) -> tuple[int, int, int, int | None]:
+    """Validate a fmt chunk; return (audio_fmt, channels, sample_rate,
+    samplesPerBlock-or-None). The validation is SHARED between
+    decode_wav and wav_header_info so the header-only path can never
+    accept a stream the decoder would reject (or vice versa). 16-bit
+    PCM and mono/stereo/n-channel IMA ADPCM (format tag 0x11) pass;
+    other codecs raise NotImplementedError (external-decoder
+    concern)."""
+    audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack(
+        "<HHIIHH", chunk[:16]
+    )
+    spb = None
+    if audio_fmt == 0x11:
+        if len(chunk) < 20:
+            # 16/18-byte fmt without samplesPerBlock exists in
+            # the wild — reject cleanly, don't struct.error
+            raise NotImplementedError("IMA ADPCM fmt chunk without samplesPerBlock")
+        (spb,) = struct.unpack("<H", chunk[18:20])
+        # the declared block_align is authoritative — a stream whose
+        # nibble count disagrees with samplesPerBlock would decode
+        # garbage, not data
+        if block_align != channels * (4 + spb // 2):
+            raise NotImplementedError(
+                f"IMA ADPCM block_align={block_align} inconsistent with "
+                f"samplesPerBlock={spb} at {channels} channel(s)"
+            )
+    elif audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM and "
+            "IMA ADPCM supported"
+        )
+    return audio_fmt, channels, sample_rate, spb
+
+
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a RIFF/WAVE file to (sample_rate, channels, int16 array
-    of shape (n_frames, channels)). 16-bit PCM (mono/stereo) and mono
-    IMA ADPCM (format tag 0x11, fact-chunk-trimmed) decode in-repo;
-    other codecs raise NotImplementedError (external-decoder concern)."""
+    of shape (n_frames, channels)). 16-bit PCM and IMA ADPCM (format
+    tag 0x11, fact-chunk-trimmed), mono or stereo (any channel count),
+    decode in-repo; other codecs raise NotImplementedError
+    (external-decoder concern)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, channels, pcm = 12, None, None, None
-    audio_fmt = spb = fact_frames = block_align = None
+    audio_fmt = spb = fact_frames = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack(
-                "<HHIIHH", chunk[:16]
-            )
-            if audio_fmt == 0x11:
-                if channels != 1:
-                    raise NotImplementedError("IMA ADPCM: mono only in-repo")
-                if len(chunk) < 20:
-                    # 16/18-byte fmt without samplesPerBlock exists in
-                    # the wild — reject cleanly, don't struct.error
-                    raise NotImplementedError(
-                        "IMA ADPCM fmt chunk without samplesPerBlock"
-                    )
-                (spb,) = struct.unpack("<H", chunk[18:20])
-                # the declared block_align is authoritative — a stream
-                # whose nibble count disagrees with samplesPerBlock
-                # would decode garbage, not data
-                if block_align != 4 + spb // 2:
-                    raise NotImplementedError(
-                        f"IMA ADPCM block_align={block_align} inconsistent "
-                        f"with samplesPerBlock={spb}"
-                    )
-            elif audio_fmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM and "
-                    "mono IMA ADPCM supported"
-                )
+            audio_fmt, channels, sample_rate, spb = _parse_wav_fmt(chunk)
         elif tag == b"fact":
             (fact_frames,) = struct.unpack("<I", chunk[:4])
         elif tag == b"data":
@@ -390,8 +401,8 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             # final-block padding is indistinguishable from data —
             # refuse rather than silently inflate duration/RMS
             raise ValueError("IMA ADPCM WAV without a fact chunk")
-        samples = _adpcm_decode_blocks(pcm, spb)[:fact_frames]
-        return sample_rate, 1, samples.reshape(-1, 1)
+        samples = _adpcm_decode_blocks(pcm, spb, channels)[:fact_frames]
+        return sample_rate, channels, samples
     samples = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
     return sample_rate, channels, samples
 
@@ -402,8 +413,8 @@ def wav_header_info(data: bytes) -> tuple[int, int, int]:
     IMA ADPCM it is the fact chunk (required by spec for compressed
     WAV; its absence raises like :func:`decode_wav`). The manifest path
     uses this: reporting duration must not cost a nibble-stream decode
-    at 100 TB. Validation (mono-only ADPCM, fmt/block_align
-    consistency, supported codec) matches ``decode_wav`` exactly."""
+    at 100 TB. Validation is literally shared with ``decode_wav``
+    (:func:`_parse_wav_fmt`)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, channels, data_len = 12, None, None, None
@@ -413,27 +424,7 @@ def wav_header_info(data: bytes) -> tuple[int, int, int]:
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack(
-                "<HHIIHH", chunk[:16]
-            )
-            if audio_fmt == 0x11:
-                if channels != 1:
-                    raise NotImplementedError("IMA ADPCM: mono only in-repo")
-                if len(chunk) < 20:
-                    raise NotImplementedError(
-                        "IMA ADPCM fmt chunk without samplesPerBlock"
-                    )
-                (spb,) = struct.unpack("<H", chunk[18:20])
-                if block_align != 4 + spb // 2:
-                    raise NotImplementedError(
-                        f"IMA ADPCM block_align={block_align} inconsistent "
-                        f"with samplesPerBlock={spb}"
-                    )
-            elif audio_fmt != 1 or bits != 16:
-                raise NotImplementedError(
-                    f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM and "
-                    "mono IMA ADPCM supported"
-                )
+            audio_fmt, channels, sample_rate, _spb = _parse_wav_fmt(chunk)
         elif tag == b"fact":
             (fact_frames,) = struct.unpack("<I", chunk[:4])
         elif tag == b"data":
@@ -444,7 +435,7 @@ def wav_header_info(data: bytes) -> tuple[int, int, int]:
     if audio_fmt == 0x11:
         if fact_frames is None:
             raise ValueError("IMA ADPCM WAV without a fact chunk")
-        return sample_rate, 1, fact_frames
+        return sample_rate, channels, fact_frames
     return sample_rate, channels, data_len // (channels * 2)
 
 
@@ -471,19 +462,33 @@ _ADPCM_SPB = 1 + (_ADPCM_BLOCK_ALIGN - 4) * 2  # 505 samples per block
 
 
 def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
-    """Mono int16 → IMA ADPCM block stream (block_align 256). The last
-    block is padded by repeating the final sample; callers record the
-    true frame count in the WAV fact chunk. Blocks are self-contained
-    (the header carries predictor AND step index, which the decoder
-    honors) — each block's start index is seeded from its first delta
-    magnitude instead of carrying state across blocks, avoiding both
-    the slope-overload of a cold index-0 start and any cross-block
-    sequential dependency (full vectorization)."""
+    """int16 → IMA ADPCM block stream (shape (n,) mono or (n, ch)
+    interleaved frames). The last block is padded by repeating the
+    final frame; callers record the true frame count in the WAV fact
+    chunk. Blocks are self-contained (the header carries predictor AND
+    step index, which the decoder honors) — each block's start index is
+    seeded from its first delta magnitude instead of carrying state
+    across blocks, avoiding both the slope-overload of a cold index-0
+    start and any cross-block sequential dependency (full
+    vectorization). Multi-channel uses the WAV tag-0x11 layout: one
+    4-byte header per channel, then nibble data in 4-byte groups
+    alternating per channel; the per-channel coder state simply rides
+    the vectorized block axis as (block, channel) rows, so stereo costs
+    no extra Python-level loop."""
     x = samples.astype(np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
     spb = _ADPCM_SPB
-    nb = max(1, -(-len(x) // spb))
-    pad = np.full(nb * spb - len(x), x[-1] if len(x) else 0, dtype=np.int64)
-    blocks = np.concatenate([x, pad]).reshape(nb, spb)
+    nb = max(1, -(-n // spb))
+    pad = np.repeat(
+        x[-1:] if n else np.zeros((1, ch), dtype=np.int64), nb * spb - n, axis=0
+    )
+    # (nb, spb, ch) frames → (nb·ch, spb) per-channel rows: each row is
+    # one channel of one block, the unit the coder state vectorizes over
+    blocks = np.concatenate([x, pad]).reshape(nb, spb, ch).transpose(0, 2, 1).reshape(
+        nb * ch, spb
+    )
     pred = blocks[:, 0].copy()
     idx0 = np.clip(
         np.searchsorted(_IMA_STEP_TABLE, np.abs(blocks[:, 1] - blocks[:, 0])),
@@ -491,7 +496,7 @@ def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
         88,
     ).astype(np.int64)
     idx = idx0.copy()
-    codes = np.zeros((nb, spb - 1), dtype=np.uint8)
+    codes = np.zeros((nb * ch, spb - 1), dtype=np.uint8)
     for j in range(spb - 1):
         step = _IMA_STEP_TABLE[idx]
         diff = blocks[:, j + 1] - pred
@@ -509,33 +514,58 @@ def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
         idx = np.clip(idx + _IMA_INDEX_TABLE[code & 7], 0, 88)
         codes[:, j] = code
     nib = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)  # low first
-    headers = np.zeros((nb, 4), dtype=np.uint8)
+    headers = np.zeros((nb * ch, 4), dtype=np.uint8)
     h16 = blocks[:, 0].astype(np.int16)
     headers[:, 0] = h16.view(np.uint16) & 0xFF
     headers[:, 1] = h16.view(np.uint16) >> 8
     headers[:, 2] = idx0.astype(np.uint8)  # per-block start index (see above)
-    return np.concatenate([headers, nib], axis=1).tobytes()
+    # block layout: ch headers back-to-back, then 4-byte nibble groups
+    # alternating per channel (the tag-0x11 interleave). (spb-1)/2 is a
+    # multiple of 4 by construction (_ADPCM_SPB), so groups are exact.
+    hdrs = headers.reshape(nb, ch * 4)
+    payload = nib.reshape(nb, ch, -1, 4).transpose(0, 2, 1, 3).reshape(nb, -1)
+    return np.concatenate([hdrs, payload], axis=1).tobytes()
 
 
-def _adpcm_decode_blocks(data: bytes, spb: int) -> np.ndarray:
-    """IMA ADPCM block stream → mono int16 samples (incl. any final-
-    block padding — callers trim via the fact chunk). Vectorized across
-    blocks at each of the spb-1 sequential sample-steps."""
-    block_align = 4 + spb // 2  # ceil((spb-1)/2) nibble bytes
+def _adpcm_decode_blocks(data: bytes, spb: int, channels: int = 1) -> np.ndarray:
+    """IMA ADPCM block stream → int16 frames of shape (n, channels)
+    (incl. any final-block padding — callers trim via the fact chunk).
+    Vectorized across (block, channel) rows at each of the spb-1
+    sequential sample-steps. Multi-channel expects the tag-0x11
+    interleave: ch headers, then 4-byte nibble groups alternating per
+    channel — which requires (spb-1)/2 per-channel nibble bytes to be
+    a multiple of 4 (true of every spec-conformant multi-channel
+    stream; rejected loudly otherwise)."""
+    per_ch_bytes = (spb - 1 + 1) // 2  # == spb // 2 for the odd spb the spec implies
+    block_align = channels * (4 + per_ch_bytes)
     raw = np.frombuffer(data, dtype=np.uint8)
     if len(raw) % block_align:
         raise ValueError("ADPCM data is not block-aligned")
+    if channels > 1 and per_ch_bytes % 4:
+        raise NotImplementedError(
+            f"multi-channel IMA ADPCM needs 4-byte nibble groups; "
+            f"samplesPerBlock={spb} leaves {per_ch_bytes} bytes/channel"
+        )
     nb = len(raw) // block_align
     blocks = raw.reshape(nb, block_align)
+    hdrs = blocks[:, : 4 * channels].reshape(nb * channels, 4)
     pred = (
-        blocks[:, 0].astype(np.uint16) | (blocks[:, 1].astype(np.uint16) << 8)
+        hdrs[:, 0].astype(np.uint16) | (hdrs[:, 1].astype(np.uint16) << 8)
     ).astype(np.uint16).view(np.int16).astype(np.int64)
-    idx = np.clip(blocks[:, 2].astype(np.int64), 0, 88)
-    nib = blocks[:, 4:]
-    codes = np.empty((nb, (block_align - 4) * 2), dtype=np.uint8)
+    idx = np.clip(hdrs[:, 2].astype(np.int64), 0, 88)
+    if channels > 1:
+        nib = (
+            blocks[:, 4 * channels :]
+            .reshape(nb, -1, channels, 4)
+            .transpose(0, 2, 1, 3)
+            .reshape(nb * channels, -1)
+        )
+    else:
+        nib = blocks[:, 4:]
+    codes = np.empty((nb * channels, per_ch_bytes * 2), dtype=np.uint8)
     codes[:, 0::2] = nib & 0x0F
     codes[:, 1::2] = nib >> 4
-    out = np.empty((nb, spb), dtype=np.int16)
+    out = np.empty((nb * channels, spb), dtype=np.int16)
     out[:, 0] = pred.astype(np.int16)
     for j in range(spb - 1):
         code = codes[:, j].astype(np.int64)
@@ -549,20 +579,24 @@ def _adpcm_decode_blocks(data: bytes, spb: int) -> np.ndarray:
         pred = np.clip(pred + np.where(code & 8, -delta, delta), -32768, 32767)
         idx = np.clip(idx + _IMA_INDEX_TABLE[code & 7], 0, 88)
         out[:, j + 1] = pred.astype(np.int16)
-    return out.reshape(-1)
+    # (nb·ch, spb) per-channel rows → interleaved (frames, ch)
+    return out.reshape(nb, channels, spb).transpose(0, 2, 1).reshape(-1, channels)
 
 
 def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Encode mono int16 samples as a mono IMA ADPCM RIFF/WAVE file
-    (format tag 0x11, block_align 256, fact chunk carrying the exact
-    frame count so decode round-trips the true length)."""
-    if samples.dtype != np.int16 or samples.ndim != 1:
-        raise ValueError("ADPCM encode needs mono int16 samples")
+    """Encode int16 samples (shape (n,) mono or (n, ch) interleaved —
+    stereo is the common real-world case) as an IMA ADPCM RIFF/WAVE
+    file (format tag 0x11, block_align 256·ch, fact chunk carrying the
+    exact frame count so decode round-trips the true length)."""
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError("ADPCM encode needs int16 samples, (n,) or (n, ch)")
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
     data = _adpcm_encode_blocks(samples)
     spb = _ADPCM_SPB
-    byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN + spb - 1) // spb
+    block_align = ch * _ADPCM_BLOCK_ALIGN
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
     fmt = struct.pack(
-        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, _ADPCM_BLOCK_ALIGN, 4, 2, spb
+        "<HHIIHHHH", 0x11, ch, sample_rate, byte_rate, block_align, 4, 2, spb
     )
     body = (
         b"WAVE"
@@ -721,10 +755,14 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
             n = 1600 + d[1] * 16  # 0.1-0.35 s at 16 kHz
             ts = np.arange(n, dtype=np.float64) / 16000.0
             tone = (np.sin(2 * np.pi * freq * ts) * (d[2] + 1) * 100).astype(np.int16)
-            # container cycles PCM / IMA ADPCM by d[2] parity — the way
-            # a crawled corpus mixes codecs; the fact chunk keeps the
-            # ADPCM frame count exact, so duration stays an arithmetic
-            # function of d[1] for the oracle on BOTH paths
+            # container cycles PCM / IMA ADPCM by d[2] parity and
+            # mono / stereo by d[3] parity — the way a crawled corpus
+            # mixes codecs and layouts, so all four combinations are
+            # hash-gated; the fact chunk keeps the ADPCM frame count
+            # exact, so duration stays an arithmetic function of d[1]
+            # and channels of d[3] for the oracle on EVERY path
+            if d[3] & 1:
+                tone = np.stack([tone, (tone // 2).astype(np.int16)], axis=1)
             if d[2] & 1:
                 out.append(encode_wav_adpcm(tone, 16000))
             else:
@@ -1064,7 +1102,7 @@ def media_manifest(media: DataFrame) -> DataFrame:
                     # Sample-level decode (incl. the vectorized ADPCM
                     # path) runs in extract_audio_features + the codec
                     # round-trip tests.
-                    rate, _ch, nf = wav_header_info(data)
+                    rate, c, nf = wav_header_info(data)
                     dur = nf * 1000 // rate
                 elif mime == "video/avi":
                     nf = 0

@@ -288,14 +288,17 @@ def test_audio_pipeline_real(spark):
     feats = mm.extract_audio_features(audio).collect()
     assert len(feats) == 30
     raw = {r["media_id"]: bytes(r["payload"]) for r in audio.collect()}
+    seen_channels = set()
     for r in feats:
         assert r["sample_rate"] == 16000
-        assert r["channels"] == 1
+        assert r["channels"] in (1, 2)  # d[3] parity mixes mono/stereo
+        seen_channels.add(r["channels"])
         assert r["duration_ms"] == r["n_frames"] * 1000 // 16000
         assert 0 < r["rms"] <= r["peak"] <= 32767
         # a sine tone crosses zero ~2x per period: ZCR tracks frequency
-        rate, _, samples = mm.decode_wav(raw[r["media_id"]])
-        assert r["n_frames"] == len(samples)
+        rate, ch, samples = mm.decode_wav(raw[r["media_id"]])
+        assert (r["n_frames"], r["channels"]) == (len(samples), ch)
+    assert seen_channels == {1, 2}  # 30 docs: both layouts occur
     # image payloads are skipped, not mangled
     images = mm.synthesize_media(docs, kind="image")
     assert mm.extract_audio_features(images).count() == 0
@@ -414,7 +417,7 @@ def test_media_manifest_equals_composed_operators(spark):
             w, h, c = d["width"], d["height"], d["channels"]
         elif kind == "audio":
             s = sound[mid]
-            dur, nf = s["duration_ms"], s["n_frames"]
+            c, dur, nf = s["channels"], s["duration_ms"], s["n_frames"]
         else:
             fs = vframes[mid]
             nf = len(fs)
@@ -503,9 +506,46 @@ def test_adpcm_first_sample_exact():
     assert o.reshape(-1)[0] == -32768
 
 
-def test_stereo_adpcm_rejected():
-    """Mono-only boundary is explicit, not a silent mis-decode."""
-    # hand-craft a stereo ADPCM fmt chunk
+def test_stereo_adpcm_roundtrip():
+    """Stereo IMA ADPCM: per-channel headers + 4-byte nibble-group
+    interleave; each channel round-trips at > 30 dB SNR with the exact
+    frame count, and a channel decodes IDENTICALLY whether it travels
+    alone (mono stream) or interleaved (the coder state is strictly
+    per-channel)."""
+    n = 5000
+    ts = np.arange(n) / 16000.0
+    left = (np.sin(2 * np.pi * 440 * ts) * 12000).astype(np.int16)
+    right = (np.sin(2 * np.pi * 523 * ts) * 9000).astype(np.int16)
+    stereo = np.stack([left, right], axis=1)
+    wav = mm.encode_wav_adpcm(stereo, 16000)
+    rate, ch, out = mm.decode_wav(wav)
+    assert (rate, ch, out.shape) == (16000, 2, (n, 2))
+    assert mm.wav_header_info(wav) == (16000, 2, n)  # header-only path agrees
+    for c, src in ((0, left), (1, right)):
+        err = (out[:, c].astype(np.float64) - src.astype(np.float64)) ** 2
+        snr = 10 * np.log10((src.astype(np.float64) ** 2).mean() / err.mean())
+        assert snr > 30.0, c
+    _, _, mono_left = mm.decode_wav(mm.encode_wav_adpcm(left, 16000))
+    assert np.array_equal(out[:, 0], mono_left.reshape(-1))
+
+
+def test_stereo_adpcm_edge_lengths():
+    for m in (1, 2, 504, 505, 506, 1011):
+        t = np.stack(
+            [
+                (np.arange(m, dtype=np.int64) % 200 - 100).astype(np.int16),
+                (np.arange(m, dtype=np.int64) % 90 - 45).astype(np.int16),
+            ],
+            axis=1,
+        )
+        r, c, o = mm.decode_wav(mm.encode_wav_adpcm(t, 8000))
+        assert (r, c, o.shape) == (8000, 2, (m, 2))
+
+
+def test_adpcm_inconsistent_block_align_rejected():
+    """A fmt whose block_align disagrees with samplesPerBlock at the
+    declared channel count would decode garbage — explicit boundary,
+    not a silent mis-decode (stereo at spb=505 needs 512, not 256)."""
     fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, 256, 4, 2, 505)
     body = (
         b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -514,3 +554,27 @@ def test_stereo_adpcm_rejected():
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(NotImplementedError):
         mm.decode_wav(wav)
+    with pytest.raises(NotImplementedError):
+        mm.wav_header_info(wav)
+
+
+def test_stereo_pcm_and_adpcm_features(spark):
+    """extract_audio_features mono-mixes stereo payloads (PCM and
+    ADPCM) and reports channels=2 with the exact frame count."""
+    n = 2000
+    ts = np.arange(n) / 16000.0
+    tone = (np.sin(2 * np.pi * 300 * ts) * 8000).astype(np.int16)
+    stereo = np.stack([tone, (tone // 2).astype(np.int16)], axis=1)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(mm.encode_wav(stereo, 16000))),
+            (2, "audio", bytearray(mm.encode_wav_adpcm(stereo, 16000))),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
+    for mid in (1, 2):
+        r = rows[mid]
+        assert (r["channels"], r["n_frames"], r["sample_rate"]) == (2, n, 16000)
+        assert r["duration_ms"] == n * 1000 // 16000
+        assert r["rms"] > 0 and r["peak"] > 0

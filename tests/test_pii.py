@@ -75,3 +75,49 @@ def test_report_is_single_pass(docs):
     # one aggregate over the source: no joins, no window, one Exchange
     plan = pii.pii_report(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_international_preset_planted(spark):
+    """E.164 numbers and IBANs (planted, valid-shaped) are detected and
+    redacted under PII_PRESETS['international']; the default preset is
+    untouched by the addition; both engines (java.regex / RE2) agree on
+    the new patterns."""
+    import duckdb
+
+    intl = pii.PII_PRESETS["international"]
+    rows = [
+        (0, "call +442071838750 today"),
+        (1, "wire to DE89370400440532013000 ref GB29NWBK60161331926819"),
+        (2, "us office 415-555-0101 and intl +14155550101"),
+        (3, "no pii here at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    det = {r.doc_id: r for r in pii.detect_pii(df, patterns=intl).collect()}
+    assert (det[0].n_e164, det[0].n_iban) == (1, 0)
+    assert (det[1].n_iban, det[1].n_e164) == (2, 0)
+    assert (det[2].n_phone, det[2].n_e164) == (1, 1)
+    assert not det[3].has_pii and not det[4].has_pii
+    red = {r.doc_id: r.text_redacted
+           for r in pii.redact_pii(df, patterns=intl).collect()}
+    assert red[0] == "call <PHONE> today"
+    assert red[1] == "wire to <IBAN> ref <IBAN>"
+    assert red[2] == "us office <PHONE> and intl <PHONE>"
+    assert red[4] is None
+    # default preset unchanged: no n_e164/n_iban columns, same classes
+    assert set(pii.PII_PATTERNS) == {"email", "ssn", "phone", "ipv4"}
+    # report covers the preset's classes
+    rep = {r.pii_type: r for r in pii.pii_report(df, patterns=intl).collect()}
+    assert set(rep) == set(intl)
+    assert rep["iban"].n_matches == 2 and rep["e164"].n_matches == 2
+    # RE2 (DuckDB) extracts the same matches as java.regex did above
+    for kind, text, want in [
+        ("e164", rows[0][1], ["+442071838750"]),
+        ("iban", rows[1][1], ["DE89370400440532013000", "GB29NWBK60161331926819"]),
+        ("e164", rows[2][1], ["+14155550101"]),
+    ]:
+        pat = intl[kind][0]
+        got = duckdb.sql(
+            "SELECT regexp_extract_all(?, ?)", params=[text, pat]
+        ).fetchone()[0]
+        assert got == want, (kind, got)
