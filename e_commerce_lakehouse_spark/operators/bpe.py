@@ -125,35 +125,92 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _select_batch(rows, limit: int, batch: int, min_count: int):
+    """Pick the prefix of the (count desc, a, b)-ordered pair rows that
+    can be merged IN ONE ROUND with output identical to the sequential
+    algorithm. Two conditions make the batch exact:
+
+    1. the selected pairs are CONSECUTIVE top pairs and pairwise
+       symbol-disjoint — merging one cannot change another's count
+       (only pairs adjacent to an occurrence of (a, b) change, and all
+       of those share a or b);
+    2. every selected count is STRICTLY greater than the first
+       conflicting (or first un-inspected) pair's count — a merge can
+       create new pairs, but a new pair's count is bounded by its
+       parent's (which shares a symbol, so it ranks at/below the
+       conflict boundary); strict descent means no new or unselected
+       pair can tie or beat a selected one mid-replay, ties included
+       (the lexicographic tie-break could otherwise reorder equals).
+
+    Returns the selected rows (possibly just the global best, which is
+    always exactly the sequential step)."""
+    selected, used = [], set()
+    boundary = None  # count of the first pair the batch must stay above
+    for r in rows:
+        if r.c < min_count or len(selected) >= batch or r.a in used or r.b in used:
+            boundary = r.c
+            break
+        selected.append(r)
+        used.add(r.a)
+        used.add(r.b)
+    else:
+        if len(rows) == limit:
+            # the list was truncated — pairs beyond it have count <=
+            # the last seen; stay strictly above it to be safe
+            boundary = rows[-1].c
+    if boundary is not None:
+        safe = [r for r in selected if r.c > boundary]
+        # a full tie at the top defeats the strict filter — fall back
+        # to the plain sequential single step, which needs no condition
+        selected = safe if safe else selected[:1]
+    return selected
+
+
 def train_bpe(
-    documents: DataFrame, num_merges: int = 20, min_count: int = 2
+    documents: DataFrame,
+    num_merges: int = 20,
+    min_count: int = 2,
+    batch_merges: int = 8,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn up to ``num_merges`` BPE merges over the corpus; returns
     (merge list in learned order, final vocab frame (word, freq,
     syms)). Stops early when no pair reaches ``min_count``. The merge
-    sequence is deterministic and partitioning-independent (total-order
-    tie-break). The returned vocab pins its last checkpoint blocks —
-    long-lived sessions should unpersist when done (the bench harness
-    sweeps leftovers)."""
+    sequence is deterministic, partitioning-independent (total-order
+    tie-break), and EXACTLY the sequential Sennrich sequence regardless
+    of ``batch_merges``: each round applies up to ``batch_merges``
+    top pairs at once, restricted to the provably order-equivalent
+    prefix (:func:`_select_batch`). Profiling at sf0.1 put the
+    per-round latency floor at ~0.3 s of pure job scheduling on a
+    31-row vocab — at a 32k-merge production vocab rounds, not work,
+    are the cost, and batching divides them. The returned vocab pins
+    its last checkpoint blocks — long-lived sessions should unpersist
+    when done (the bench harness sweeps leftovers)."""
     spark = documents.sparkSession
     vocab = word_vocab(documents)
     merges: list[tuple[str, str]] = []
     ids_live: set[int] = set()  # blocks the CURRENT vocab reads
     ids_old: set[int] = set()  # superseded, safe to drop after next action
-    for _ in range(num_merges):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("c"), "a", "b")
-            .first()
-        )  # the round's ONE job: materializes the pending lazy checkpoint
+    while len(merges) < num_merges:
+        # one job per round: the top-of-leaderboard collect
+        # materializes the pending lazy checkpoint. The limit leaves
+        # headroom to see past ties/conflicts without collecting the
+        # whole pair distribution.
+        limit = 4 * batch_merges
+        top = (
+            _pair_counts(vocab).orderBy(F.desc("c"), "a", "b").limit(limit).collect()
+        )
         release_rdds(spark, ids_old)
         ids_old = set()
-        if best is None or best.c < min_count:
+        if not top or top[0].c < min_count:
             break
-        merges.append((best.a, best.b))
-        vocab, new_ids = local_checkpoint_tracked(
-            _apply_merge(vocab, best.a, best.b), eager=False
+        selected = _select_batch(
+            top, limit, min(batch_merges, num_merges - len(merges)), min_count
         )
+        out = vocab
+        for r in selected:
+            merges.append((r.a, r.b))
+            out = _apply_merge(out, r.a, r.b)
+        vocab, new_ids = local_checkpoint_tracked(out, eager=False)
         ids_old, ids_live = ids_live, new_ids
     return merges, vocab
 

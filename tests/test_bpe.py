@@ -111,3 +111,27 @@ def test_merge_table_round_trip(spark, tmp_path):
     a = {r.doc_id: r.bpe_text for r in bpe.bpe_encode(docs, merges).collect()}
     b = {r.doc_id: r.bpe_text for r in bpe.bpe_encode(docs, reloaded).collect()}
     assert a == b
+
+
+def test_batched_training_equals_sequential(spark):
+    """batch_merges must not change the learned sequence: tie-heavy and
+    conflict-heavy corpora (shared symbols between top pairs, exact
+    count ties) against the sequential reference AND batch=1."""
+    corpora = [
+        # heavy symbol sharing: 'aa' chains force conflicts at the top
+        [(1, "aaaa aaab abab baba"), (2, "aaab abba aaaa aaaa")],
+        # exact ties everywhere: uniform frequencies
+        [(1, "ab cd ef gh"), (2, "ab cd ef gh"), (3, "ab cd ef gh")],
+        CORPUS,
+    ]
+    for rows in corpora:
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        wf = {}
+        for _, t in rows:
+            for w in t.split(" "):
+                wf[w] = wf.get(w, 0) + 1
+        ref, _ = _ref_train(wf, 12)
+        batched, _ = bpe.train_bpe(docs, num_merges=12, batch_merges=8)
+        single, _ = bpe.train_bpe(docs, num_merges=12, batch_merges=1)
+        assert batched == ref, rows
+        assert single == ref, rows
