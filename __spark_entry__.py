@@ -796,7 +796,13 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
       - kind='shuffle': deterministic global shuffle order
         (sampling.shuffle_positions, two-level bucket ranks — no
         single-partition sort; position carried as rk), verified
-        against the oracle's single-window global rank."""
+        against the oracle's single-window global rank;
+      - kind='dsir': DSIR data selection (Xie et al. 2023,
+        sampling.dsir_select) — hashed unigram+bigram importance
+        weights of raw docs (id >= 25) against the target corpus
+        (id < 25), exact-integer via the shared fixed-point log2
+        chain; deterministic top-50 with the log-weight carried as
+        weight and the selection rank as rk."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     samp = sampling.stratified_sample(
@@ -908,6 +914,21 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("weight"),
         F.lit(None).cast("string").alias("chunk_fp"),
     )
+    dsir = sampling.dsir_select(docs).select(
+        F.lit("dsir").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_grams").alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        F.col("rk").cast("long").alias("rk"),
+        nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        F.col("weight_x64").alias("weight"),
+        F.lit(None).cast("string").alias("chunk_fp"),
+    )
     return (
         samp.unionByName(pack)
         .unionByName(cap)
@@ -915,7 +936,89 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(mix)
         .unionByName(chunk)
         .unionByName(shuf)
+        .unionByName(dsir)
     )
+
+
+def _dsir_oracle_branch() -> str:
+    """The 'dsir' UNION branch of q34's oracle — the fixed-point log2
+    select is rendered from the SAME chain spec the Spark side uses
+    (search.fixed_log2_sql_select), so the idf-style arithmetic cannot
+    drift between engines. Mirrors sampling.dsir_select exactly:
+    hashed unigram+bigram buckets (B=256, md5-60bit), Laplace-smoothed
+    target/raw models over docs split at id 25, signed fl chain over
+    (greatest, least), per-doc c·w sum, top-50 by (weight desc, id)."""
+    fl = search.fixed_log2_sql_select("hi", "lo", "fl", ["bucket", "num", "den"])
+    return f"""
+            UNION ALL
+            SELECT 'dsir', doc_id, lang, source, n_grams,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(row_number() OVER (ORDER BY weight_x64 DESC, doc_id)
+                        AS BIGINT) AS rk,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   weight_x64,
+                   CAST(NULL AS VARCHAR)
+            FROM (
+                WITH dt AS (
+                    SELECT doc_id, lang, source,
+                           string_split(text, ' ') AS toks
+                    FROM documents
+                ), dg AS (
+                    SELECT doc_id, lang, source, unnest(
+                        CASE WHEN len(toks) >= 2
+                             THEN list_concat(toks,
+                                 list_transform(range(1, len(toks)),
+                                     i -> array_to_string(toks[i:i+1], ' ')))
+                             ELSE toks END) AS gram
+                    FROM dt
+                ), db AS (
+                    SELECT doc_id, lang, source,
+                           CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                               % 256 AS bucket,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM dg GROUP BY 1, 2, 3, 4
+                ), dtgt AS (
+                    SELECT bucket, CAST(sum(c) AS BIGINT) AS ct
+                    FROM db WHERE doc_id < 25 GROUP BY bucket
+                ), draw AS (
+                    SELECT * FROM db WHERE doc_id >= 25
+                ), drawc AS (
+                    SELECT bucket, CAST(sum(c) AS BIGINT) AS cr
+                    FROM draw GROUP BY bucket
+                ), dtot AS (
+                    SELECT CAST((SELECT coalesce(sum(ct), 0) FROM dtgt)
+                                AS BIGINT) AS tt,
+                           CAST((SELECT coalesce(sum(cr), 0) FROM drawc)
+                                AS BIGINT) AS tr
+                ), dwt AS (
+                    SELECT r.bucket,
+                           (coalesce(t.ct, 0) + 1) * (dtot.tr + 256) AS num,
+                           (r.cr + 1) * (dtot.tt + 256) AS den
+                    FROM drawc r LEFT JOIN dtgt t USING (bucket), dtot
+                ), dwt2 AS (
+                    SELECT bucket, num, den,
+                           greatest(num, den) AS hi, least(num, den) AS lo
+                    FROM dwt
+                ), dfl AS (
+                    {fl}
+                    FROM dwt2
+                ), dw AS (
+                    SELECT bucket,
+                           (CASE WHEN num >= den THEN 1 ELSE -1 END) * fl
+                               AS w_x64
+                    FROM dfl
+                ), dscored AS (
+                    SELECT r.doc_id, r.lang, r.source,
+                           CAST(sum(r.c) AS BIGINT) AS n_grams,
+                           CAST(sum(r.c * w.w_x64) AS BIGINT) AS weight_x64
+                    FROM draw r JOIN dw w USING (bucket)
+                    GROUP BY 1, 2, 3
+                )
+                SELECT doc_id, lang, source, n_grams, weight_x64
+                FROM dscored ORDER BY weight_x64 DESC, doc_id LIMIT 50
+            )
+    """
 
 
 def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
@@ -2423,7 +2526,7 @@ def oracle_sql() -> dict[str, str]:
                                            1, 15) AS BIGINT) AS hv
                 FROM documents
             )
-        """,
+        """ + _dsir_oracle_branch(),
         "q35_asof_last_order": """
             WITH orders_d AS (
                 SELECT o_orderkey, o_custkey AS user_id, o_orderdate, o_totalprice

@@ -350,3 +350,123 @@ def shuffle_positions(
         .withColumn("shuffle_pos", F.col("_off") + F.col("_w") - 1)
         .drop("_h", "_b", "_w", "_off")
     )
+
+
+def dsir_doc_buckets(
+    documents: DataFrame, n_buckets: int = 256
+) -> tuple[DataFrame, set[int]]:
+    """Per-document hashed n-gram feature vectors for DSIR (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): unigram + bigram OCCURRENCES hashed into
+    ``n_buckets`` buckets via the module's engine-portable md5 hash —
+    one compact row per (doc, bucket) with the occurrence count.
+
+    This frame is THE intermediate every DSIR stage reads (target
+    model, raw model, per-doc scoring), so it is checkpoint-
+    materialized once; at 100 TB it is the persisted document-feature
+    matrix (≤ n_buckets rows per doc — orders of magnitude smaller
+    than the exploded gram stream), built with one corpus explode and
+    one map-side-combining groupBy on the uniform (doc_id, bucket)
+    key. Returns (frame, pinned block ids) — callers release when
+    done (bench sweeps leftovers)."""
+    from .parallelize import local_checkpoint_tracked
+    from .text import tokens
+
+    toks = tokens(F.col("text"))
+    bi = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    grams_arr = F.when(F.size(toks) >= 2, F.concat(toks, bi)).otherwise(toks)
+    docb = (
+        documents.select(
+            "doc_id", "lang", "source", F.explode(grams_arr).alias("gram")
+        )
+        .withColumn("bucket", _hash60(F.col("gram")) % n_buckets)
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return local_checkpoint_tracked(docb)
+
+
+def dsir_select(
+    documents: DataFrame,
+    target_max_doc_id: int = 25,
+    n_buckets: int = 256,
+    k: int = 50,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by its hashed-n-gram importance weight against a curated target
+    corpus and keep the top ``k``. The published estimator, exact-
+    integer end to end so the DuckDB oracle hashes it value-identical:
+
+      log w(x) = Σ_b c_b(x) · (log p̂_b − log q̂_b)
+
+    with Laplace-smoothed bag-of-hashed-grams models
+    p̂_b = (ct_b + 1)/(T_t + B) (target), q̂_b = (cr_b + 1)/(T_r + B)
+    (raw). Per bucket the log-ratio collapses to one integer ratio
+
+      (ct_b + 1)·(T_r + B)  /  (cr_b + 1)·(T_t + B)
+
+    whose log2 runs through the fixed-point chain shared with BM25
+    (operators/search.py — rendered for Spark AND DuckDB from one
+    spec), applied to (greatest, least) with the sign split out so
+    both directions stay in the chain's p ≥ q domain. Selection is
+    deterministic top-k (weight desc, doc_id) — the deterministic
+    counterpart of the paper's Gumbel resampling, same contract as
+    every sampler in this module.
+
+    Here the target is docs with doc_id < ``target_max_doc_id`` (the
+    probe convention shared with contamination_pairs); a deployment
+    passes its curated corpus (Wikipedia-sized — the headroom analysis
+    assumes bl(T_t) + bl(T_r) ≤ 62, which a small-by-construction
+    target satisfies).
+
+    Plan shape: the checkpointed doc-feature frame feeds three
+    aggregates — two B-row count tables (map-side combine to B rows
+    per task), then a broadcast join of the B-row weight table back
+    onto the feature frame with one per-doc sum; the only corpus-wide
+    shuffles are the feature groupBy and the per-doc sum, both on
+    uniform keys. Top-k is TakeOrderedAndProject."""
+    from .search import with_fixed_log2_x64
+
+    docb, _ids = dsir_doc_buckets(documents, n_buckets)
+    tgt = (
+        docb.filter(F.col("doc_id") < target_max_doc_id)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    rawb = docb.filter(F.col("doc_id") >= target_max_doc_id)
+    rawc = rawb.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    totals = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")).crossJoin(
+        rawc.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+    )
+    wt = (
+        rawc.join(tgt, "bucket", "left")
+        .select("bucket", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("num", (F.col("ct") + 1) * (F.col("tr") + n_buckets))
+        .withColumn("den", (F.col("cr") + 1) * (F.col("tt") + n_buckets))
+        .withColumn("hi", F.greatest("num", "den"))
+        .withColumn("lo", F.least("num", "den"))
+    )
+    wt = with_fixed_log2_x64(wt, "hi", "lo", "fl")
+    wt = wt.select(
+        "bucket",
+        (
+            F.when(F.col("num") >= F.col("den"), F.lit(1)).otherwise(F.lit(-1))
+            * F.col("fl")
+        ).alias("w_x64"),
+    )
+    scored = (
+        rawb.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("w_x64")).alias("weight_x64"),
+        )
+    )
+    top = scored.orderBy(F.desc("weight_x64"), "doc_id").limit(k)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("weight_x64"), "doc_id"))
+    )

@@ -281,3 +281,88 @@ def test_shuffle_positions_is_permutation_and_stable(spark):
         for r in sampling.shuffle_positions(docs, seed=1).collect()
     }
     assert rows != c and sorted(c.values()) == list(range(200))
+
+
+def _dsir_ref(rows, target_max=25, B=256, k=50):
+    """Pure-Python DSIR reference: same hash, same Laplace smoothing,
+    same fixed-point signed log2, same top-k order."""
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fx64(p: int, q: int) -> int:
+        m = (p // q).bit_length() - 1
+        x = (p << 20) // (q << m)
+        frac = 0
+        for _ in range(6):
+            x = (x * x) >> 20
+            bit = 1 if x >= (1 << 21) else 0
+            if bit:
+                x >>= 1
+            frac = (frac << 1) | bit
+        return m * 64 + frac
+
+    def grams(text):
+        t = text.split(" ")
+        return t + [" ".join(t[i:i + 2]) for i in range(len(t) - 1)]
+
+    tgt, raw = {}, []
+    for doc_id, lang, source, text in rows:
+        bs = [h60(g) % B for g in grams(text)]
+        if doc_id < target_max:
+            for b in bs:
+                tgt[b] = tgt.get(b, 0) + 1
+        else:
+            raw.append((doc_id, lang, source, bs))
+    rawc = {}
+    for _, _, _, bs in raw:
+        for b in bs:
+            rawc[b] = rawc.get(b, 0) + 1
+    tt, tr = sum(tgt.values()), sum(rawc.values())
+    w = {}
+    for b, cr in rawc.items():
+        num = (tgt.get(b, 0) + 1) * (tr + B)
+        den = (cr + 1) * (tt + B)
+        w[b] = fx64(num, den) if num >= den else -fx64(den, num)
+    scored = [
+        (doc_id, lang, source, len(bs), sum(w[b] for b in bs))
+        for doc_id, lang, source, bs in raw
+    ]
+    scored.sort(key=lambda r: (-r[4], r[0]))
+    return scored[:k]
+
+
+def test_dsir_matches_reference_and_prefers_target_like_docs(spark):
+    """dsir_select == the independent integer reference on a planted
+    corpus, and docs written in the target's vocabulary outrank
+    off-topic docs (the selection signal actually points at the
+    target distribution)."""
+    rows = (
+        # target: "spark" corpus
+        [(i, "en", "tgt", "spark shuffle partition broadcast join spark plan")
+         for i in range(5)]
+        # raw: 3 on-topic, 3 off-topic
+        + [(30, "en", "raw", "spark join plan with broadcast shuffle"),
+           (31, "en", "raw", "partition the spark plan and join"),
+           (32, "en", "raw", "broadcast shuffle spark spark join"),
+           (40, "en", "raw", "cats purr softly near warm windows"),
+           (41, "en", "raw", "bread rises slowly in cold ovens"),
+           (42, "en", "raw", "violet dusk settles over quiet hills")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    got = [
+        (r.doc_id, r.lang, r.source, r.n_grams, r.weight_x64, r.rk)
+        for r in sampling.dsir_select(docs).orderBy("rk").collect()
+    ]
+    ref = _dsir_ref(rows)
+    assert [(g[:5]) for g in got] == [tuple(r) for r in ref]
+    assert [g[5] for g in got] == list(range(1, len(ref) + 1))
+    ranks = {doc_id: rk for doc_id, _, _, _, _, rk in got}
+    assert max(ranks[d] for d in (30, 31, 32)) < min(ranks[d] for d in (40, 41, 42))
+    # partitioning-independent (deterministic across cluster widths)
+    again = [
+        (r.doc_id, r.weight_x64)
+        for r in sampling.dsir_select(docs.repartition(7)).orderBy("rk").collect()
+    ]
+    assert again == [(g[0], g[4]) for g in got]

@@ -188,3 +188,22 @@ def test_chunk_documents_is_shuffle_free(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan  # pure per-row explode off the scan
     assert "Generate" in plan  # the posexplode
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR (q34 branch): the doc-feature frame is checkpointed (one
+    corpus explode feeds target model, raw model, and scoring), the
+    B-row weight table broadcasts back onto it, top-k is TakeOrdered,
+    zero Python eval."""
+    from e_commerce_lakehouse_spark.operators import sampling
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    df = sampling.dsir_select(load_table(spark, SF_SMALL, "documents"))
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # the B-row weight table
+    assert "Scan ExistingRDD" in plan  # the checkpointed feature frame
+    # the gram explode must not appear in the scoring plan at all —
+    # it ran once, into the checkpoint
+    assert "Generate explode" not in plan
+    assert "EvalPython" not in plan
