@@ -1221,11 +1221,13 @@ def _q42_window_surface(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q43_jaccard_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup CLUSTER FORMATION: connected components (iterative
-    min-label propagation, lineage cut + superseded-round block release)
-    over q19's exact-Jaccard pair graph — the pair list comes from the
-    session cache, so the corpus is tokenized once for both queries.
-    Oracle: recursive-CTE reachability in DuckDB."""
+    """Near-dup CLUSTER FORMATION: connected components (alternating
+    large-star/small-star contraction, Kiveris et al. SoCC'14 — lazy
+    checkpoints, superseded-round block release, exact two-tier
+    convergence witness) over q19's exact-Jaccard pair graph — the
+    pair list comes from the session cache, so the corpus is tokenized
+    once for both queries. Oracle: recursive-CTE reachability in
+    DuckDB."""
     return dedup.duplicate_clusters(_shared_jaccard_pairs(spark, sf))
 
 

@@ -70,3 +70,91 @@ def clustered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(cols: Sequence[str], bits: int = 21):
+    """Z-order (Morton) key over up to 3 ALREADY-NORMALIZED integer
+    rank columns in [0, 2^bits): bit-interleaves the columns so that
+    sorting by the key clusters rows that are close in EVERY dimension
+    — the multi-dimensional generalization of `clustered_write`'s
+    single-column range sort. Pure Column expression (shift/mask/or
+    chain, whole-stage codegen — no UDF); 3 × 21 bits fills the int64
+    sign-free range.
+
+    Column i's bit b lands at output position b·n_cols + i, the
+    standard Morton layout. Use :func:`zorder_write` for end-to-end
+    normalization + layout; this is the raw key for callers that
+    already hold bounded ranks."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if not 2 <= n <= 3:
+        raise ValueError("zorder_key interleaves 2 or 3 columns")
+    if bits * n > 63:
+        raise ValueError(f"{n} x {bits} bits exceeds int64")
+    terms = " + ".join(
+        f"(shiftleft(shiftright(CAST({c} AS BIGINT), {b}) & 1, {b * n + i}))"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    )
+    return F.expr(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int = 8,
+    bits: int = 21,
+) -> None:
+    """Z-ORDER clustered write (the Delta/Iceberg `OPTIMIZE ZORDER BY`
+    capability): normalize each clustering column to a [0, 2^bits)
+    rank by min/max (one tiny stats aggregate, broadcast back —
+    exact, no sampling), bit-interleave into a Morton key, then
+    range-partition + sort by the key. Every output file then covers
+    a small HYPER-RECTANGLE of the clustering space instead of a thin
+    slab of the first column — min/max footer stats prune files for
+    predicates on ANY clustered column, which a lexicographic sort
+    only delivers for its leading column.
+
+    Scale: the stats pass is a count-free min/max agg (partial,
+    broadcast back as one row); the layout pass is the same
+    repartitionByRange + local sort as `clustered_write` — one
+    shuffle, no skew (Morton keys of real data spread uniformly at
+    this bit depth). Numeric (integral) columns only — the min/max
+    normalization is affine, so ordering within each dimension is
+    preserved exactly."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[
+            m(F.col(c)).cast("long").alias(f"__{nm}_{c}")
+            for c in cluster_cols
+            for nm, m in (("min", F.min), ("max", F.max))
+        ]
+    )
+    ranked = df.crossJoin(F.broadcast(stats))
+    rank_cols = []
+    for c in cluster_cols:
+        # exact integer affine map onto [0, 2^bits - 1] (integer div,
+        # not double — a double round-off could misplace boundary
+        # ranks). Headroom: span · (2^bits - 1) must fit int64, i.e.
+        # value span < 2^42 at the default 21 bits — drop ``bits`` for
+        # wider-spanned keys.
+        rank_cols.append(
+            F.expr(
+                f"((CAST({c} AS BIGINT) - __min_{c}) * {(1 << bits) - 1}) div "
+                f"greatest(__max_{c} - __min_{c}, 1)"
+            ).alias(f"__z_{c}")
+        )
+    ranked = ranked.select(*df.columns, *rank_cols)
+    keyed = ranked.withColumn(
+        "__zkey", zorder_key([f"__z_{c}" for c in cluster_cols], bits=bits)
+    )
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey", *[f"__z_{c}" for c in cluster_cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -366,3 +366,95 @@ def test_dsir_matches_reference_and_prefers_target_like_docs(spark):
         for r in sampling.dsir_select(docs.repartition(7)).orderBy("rk").collect()
     ]
     assert again == [(g[0], g[4]) for g in got]
+
+
+def _morton_ref(vals, bits):
+    out = 0
+    n = len(vals)
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (b * n + i)
+    return out
+
+
+def test_zorder_key_matches_reference(spark):
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (2**20, 2**21 - 1), (123456, 654321)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", layout.zorder_key(["x", "y"])).collect()
+    }
+    for x, y in cases:
+        assert got[(x, y)] == _morton_ref([x, y], 21), (x, y)
+    # 3-D and argument validation
+    d3 = spark.createDataFrame([(3, 5, 7)], "a long, b long, c long")
+    assert d3.withColumn("z", layout.zorder_key(["a", "b", "c"])).first().z == _morton_ref([3, 5, 7], 21)
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a"])
+    with pytest.raises(ValueError):
+        layout.zorder_key(["a", "b"], bits=32)
+
+
+def test_zorder_write_bounds_every_dimension(spark, tmpdir):
+    """Z-order vs single-column clustering on a 2-D grid: the linear
+    sort leaves the second dimension unclustered (every file spans the
+    full y range); the z-order layout bounds BOTH dimensions, so a 2-D
+    box predicate touches strictly fewer files."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(x, y) for x in range(100) for y in range(100)]
+    rng.shuffle(rows)
+    # 64 files so the two layouts separate decisively: a linear x-sort
+    # file spans ~1.6 columns (a 10-wide box overlaps ~7 of them, all
+    # full-height), while a Morton segment of 156 cells sits in a
+    # ~12-16 cell-wide quadrant region (box overlaps ~4). At 16 files
+    # the margins are close enough that an unlucky equal-count range
+    # cut (sampling seed varies with RDD id) can tie — observed flaky.
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    zpath, lpath = f"{tmpdir}/zorder", f"{tmpdir}/linear"
+    layout.zorder_write(df, zpath, ["x", "y"], num_files=64)
+    layout.clustered_write(df, lpath, ["x"], num_files=64)
+
+    def file_spans(path, col):
+        import pyarrow.parquet as pq
+        spans = []
+        for f in sorted(os.listdir(path)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(path, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            if mins:
+                spans.append(max(maxs) - min(mins))
+        return spans
+
+    # linear layout: y is unclustered — files span (nearly) all of y
+    assert min(file_spans(lpath, "y")) > 90
+    # z-order: the TYPICAL file's bounding box is narrow in BOTH
+    # dimensions (range cuts that straddle a quadrant boundary can
+    # leave a few wide boundary files — inherent to cutting the Morton
+    # curve into equal-count segments, so assert the median, and that
+    # wide files are the exception)
+    for dim in ("x", "y"):
+        spans = sorted(file_spans(zpath, dim))
+        assert spans[len(spans) // 2] <= 32, (dim, spans)
+        assert sum(1 for s in spans if s > 50) <= 4, (dim, spans)
+    # the payoff: a 2-D box query touches fewer files (footer pruning
+    # proxy: files that actually CONTAIN matching rows)
+    box = "x BETWEEN 10 AND 19 AND y BETWEEN 70 AND 79"
+    touched = {
+        p: spark.read.parquet(p).filter(box)
+            .select(F.input_file_name()).distinct().count()
+        for p in (zpath, lpath)
+    }
+    assert touched[zpath] < touched[lpath], touched
+    # and the rewrite is lossless
+    assert spark.read.parquet(zpath).count() == 10000
