@@ -1425,8 +1425,19 @@ def _q50_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     images = _shared_media(spark, sf, "image")
     audio = _shared_media(spark, sf, "audio")
     videos = _shared_media(spark, sf, "video")
-    return multimodal.media_manifest(
+    manifest = multimodal.media_manifest(
         images.unionByName(audio).unionByName(videos)
+    )
+    # dhash gate: the manifest's native-resolution perceptual hash is
+    # computed from DECODED pixels for every image; only the LOSSLESS
+    # (PNG) containers are arithmetically predictable by the oracle
+    # (JPEG decode is a real DCT round-trip — its dhash is pinned by
+    # tests/test_multimodal.py instead), so the lossy rows mask to
+    # NULL here. A PNG encode/decode/grayscale/hash drift anywhere
+    # flips those rows red.
+    return manifest.withColumn(
+        "dhash",
+        F.when(F.col("sniffed_mime") == "image/png", F.col("dhash")),
     )
 
 
@@ -1860,6 +1871,30 @@ def _doc_profile_oracle_sql() -> str:
 
 
 TOTAL_SALES_SQL = f"CAST(sum({REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0"
+
+
+def _dhash56_oracle_sql() -> str:
+    """Render q50's predicted native-resolution dHash for the PNG
+    synthesis path as DuckDB SQL. The synthesized 8x8 pixel stream is
+    (md5(text) * 4)[:64], so pixel (r, c) = digest byte (8r+c) mod 16;
+    dHash bit (r, c) = 1 iff pixel(r, c+1) > pixel(r, c), packed at
+    position r*7 + c (operators/multimodal.py dhash_bits). Rendered
+    term-by-term from that one spec — the oracle gates the full PNG
+    encode -> decode -> grayscale -> hash loop bit-for-bit."""
+
+    def byte(i: int) -> str:
+        return (
+            f"CAST('0x' || substr(md5(coalesce(text, '')), {1 + 2 * i}, 2)"
+            " AS BIGINT)"
+        )
+
+    terms = [
+        f"CASE WHEN {byte((8 * r + c + 1) % 16)} > {byte((8 * r + c) % 16)}"
+        f" THEN {1 << (r * 7 + c)} ELSE 0 END"
+        for r in range(8)
+        for c in range(7)
+    ]
+    return "(" + "\n                     + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2871,8 +2906,13 @@ def oracle_sql() -> dict[str, str]:
         # 16 kHz, so duration_ms = 100 + d1; AVI frames = 2 + d3 % 6 —
         # d1/d3/d4 md5 bytes of the text). A mismatch anywhere in any
         # codec round-trip (incl. the progressive scan paths), the
-        # sniffer, or the AVI chunk walker turns the row red.
-        "q50_multimodal_features": """
+        # sniffer, or the AVI chunk walker turns the row red. The
+        # dhash column additionally gates the perceptual-hash kernel
+        # over REAL decoded pixels on the lossless (PNG) subset —
+        # _dhash56_oracle_sql renders the predicted hash from digest
+        # arithmetic; lossy-container rows mask to NULL (their dhash
+        # is pytest-pinned, JPEG decode being a real DCT round-trip).
+        "q50_multimodal_features": f"""
             SELECT doc_id AS media_id,
                    'image' AS kind,
                    CASE WHEN CAST('0x' || substr(md5(coalesce(text, '')), 9, 2)
@@ -2882,7 +2922,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INT) AS height,
                    CAST(1 AS INT) AS channels,
                    CAST(NULL AS INT) AS duration_ms,
-                   CAST(NULL AS INT) AS n_frames
+                   CAST(NULL AS INT) AS n_frames,
+                   CASE WHEN CAST('0x' || substr(md5(coalesce(text, '')), 9, 2)
+                                  AS INT) % 3 = 0
+                        THEN {_dhash56_oracle_sql()}
+                        ELSE CAST(NULL AS BIGINT) END AS dhash
             FROM documents
             UNION ALL
             SELECT doc_id,
@@ -2895,7 +2939,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(100 + CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)
                                    AS INT) AS INT),
                    CAST(1600 + 16 * CAST('0x' || substr(md5(coalesce(text, '')), 3, 2)
-                                         AS INT) AS INT)
+                                         AS INT) AS INT),
+                   CAST(NULL AS BIGINT)
             FROM documents
             UNION ALL
             SELECT doc_id,
@@ -2906,7 +2951,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT),
                    CAST(NULL AS INT),
                    CAST(2 + CAST('0x' || substr(md5(coalesce(text, '')), 7, 2)
-                                 AS INT) % 6 AS INT)
+                                 AS INT) % 6 AS INT),
+                   CAST(NULL AS BIGINT)
             FROM documents
         """,
     }

@@ -41,6 +41,14 @@ the in-repo baseline JPEG codec — no ffmpeg. Non-MJPEG FourCCs raise
 NotImplementedError (other codecs are a libavcodec concern, not a
 plumbing one).
 
+Also real: an image near-duplicate tier — ``dhash_bits``/
+``image_dhash`` compute the classic 64-bit difference perceptual hash
+over decoded pixels (grayscale luma → bilinear 9x8 → gradient-sign
+bits; native-grid for thumbnails, fused into ``media_manifest``), and
+``image_neardup_pairs`` blocks on Hamming-LSH hash bands (bounded via
+``buckets.bucket_mate_pairs``) with an exact popcount verify — the
+re-encoded/brightness-shifted crawl-image dedup step.
+
 Scale notes: binary payloads ride the normal Parquet path (page-
 compressed, column-pruned when untouched). mapInPandas streams Arrow
 record batches — set spark.sql.execution.arrow.maxRecordsPerBatch so
@@ -996,6 +1004,138 @@ def resize_images(
     return decoded.mapInPandas(run, DECODED_IMAGE_SCHEMA)
 
 
+def _gray2d(pix: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Decoded pixel buffer -> 2-D uint8 luma grid. Gray / gray+alpha
+    take the luma channel directly; RGB / RGBA use fixed-point BT.601
+    weights ((77R + 150G + 29B) >> 8) so the result is bit-stable
+    across platforms (no float rounding)."""
+    img = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, c)
+    if c <= 2:
+        return img[:, :, 0]
+    r = img[:, :, 0].astype(np.int64)
+    g = img[:, :, 1].astype(np.int64)
+    b = img[:, :, 2].astype(np.int64)
+    return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+
+
+def dhash_bits(gray: np.ndarray) -> int:
+    """Difference hash (dHash) of a 2-D luma grid: bit (r, c) = 1 iff
+    gray[r, c+1] > gray[r, c], packed at position r*(w-1) + c. The
+    classic gradient-direction perceptual hash — invariant to global
+    brightness/contrast shifts, and a small pixel perturbation flips
+    only the bits whose adjacent comparison it straddles, so perceptual
+    near-duplicates land at small Hamming distance.
+
+    Requires 0 < (w-1)*h <= 64; a 64-bit result (the standard 9x8
+    grid) wraps into a signed int64 two's-complement — XOR / bit_count
+    Hamming semantics are unaffected by the sign bit."""
+    h, w = gray.shape
+    nbits = (w - 1) * h
+    if not 0 < nbits <= 64:
+        raise ValueError(f"dhash needs 0 < (w-1)*h <= 64 bits, got {w}x{h}")
+    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint64).ravel()
+    total = int((bits << np.arange(nbits, dtype=np.uint64)).sum())
+    return total - (1 << 64) if total >= 1 << 63 else total
+
+
+IMAGE_DHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("dhash", LongType())]
+)
+
+
+def image_dhash(decoded: DataFrame, grid: tuple[int, int] | None = (9, 8)) -> DataFrame:
+    """Per-image perceptual hash over DECODED pixel frames
+    (``decode_images`` output): grayscale -> (optionally) bilinear
+    resize to ``grid=(w, h)`` -> :func:`dhash_bits`. The default 9x8
+    grid is the standard 64-bit dHash; ``grid=None`` hashes at native
+    resolution (requires (w-1)*h <= 64 per image — the thumbnail
+    path, exact for lossless codecs since no resampling happens).
+
+    Pure Arrow map, no shuffle; output (media_id, dhash BIGINT) is the
+    input to :func:`image_neardup_pairs`."""
+    if grid is not None:
+        decoded = resize_images(
+            decoded, out_w=grid[0], out_h=grid[1], method="bilinear"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_bits(_gray2d(bytes(pix), int(w), int(h), int(c)))
+                for w, h, c, pix in zip(
+                    pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+                )
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "dhash": hashes})
+
+    return decoded.mapInPandas(run, IMAGE_DHASH_SCHEMA)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    bands: int = 4,
+    bits: int = 64,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    hot_cap: int | None = None,
+    hot_mode: str = "star",
+) -> DataFrame:
+    """Image near-duplicate pairs from perceptual hashes: Hamming-LSH
+    band blocking (candidates share >= 1 of ``bands`` contiguous
+    ``bits/bands``-wide hash slices — d bit flips corrupt at most d
+    bands, so pairs within ``max_hamming < bands`` Hamming distance
+    are guaranteed a surviving band) then an exact
+    ``bit_count(a XOR b) <= max_hamming`` verify. The image analog of
+    the SimHash text tier (``dedup.simhash_edit_pairs``), downstream
+    of real decode: re-encoded / brightness-shifted / lightly-edited
+    crawl images collapse to the same cluster.
+
+    Scale: identical viral images make degenerate hot buckets, so
+    pairing goes through ``buckets.bucket_mate_pairs`` (per-task
+    memory bounded by ``hot_cap``; over-cap buckets star-paired, never
+    silently truncated). Candidate ids are deduped before hashes are
+    re-attached; the two id->hash joins are plain shuffle-hash joins.
+    All post-kernel math (band slices, XOR popcount) is pure Column —
+    codegen, no Python."""
+    from . import buckets
+
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftrightunsigned({hash_col}, {i * band_bits}) & {mask}"
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    kw = {} if hot_cap is None else {"hot_cap": hot_cap}
+    cand = (
+        buckets.bucket_mate_pairs(
+            banded, ["band_idx", "band_val"], id_col, hot_mode=hot_mode, **kw
+        )
+        .withColumnsRenamed({"a": "a_id", "b": "b_id"})
+        .distinct()
+    )
+    ha = hashes.select(F.col(id_col).alias("a_id"), F.col(hash_col).alias("h_a"))
+    hb = hashes.select(F.col(id_col).alias("b_id"), F.col(hash_col).alias("h_b"))
+    return (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1059,14 +1199,16 @@ MEDIA_MANIFEST_SCHEMA = StructType(
         StructField("channels", IntegerType()),
         StructField("duration_ms", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("dhash", LongType()),
     ]
 )
 
 
 def media_manifest(media: DataFrame) -> DataFrame:
     """ONE-PASS multimodal manifest: magic-byte sniff + kind-specific
-    decode (PNG/JPEG dims, WAV duration + frame count, MJPEG-AVI frame
-    count + frame dims) fused into a single Arrow kernel.
+    decode (PNG/JPEG dims + native-resolution perceptual dhash for
+    thumbnail-sized images, WAV duration + frame count, MJPEG-AVI
+    frame count + frame dims) fused into a single Arrow kernel.
 
     Why it exists next to the composable operators: at 100 TB the
     payload column IS the table — composing ``extract_features`` +
@@ -1090,11 +1232,18 @@ def media_manifest(media: DataFrame) -> DataFrame:
             ):
                 data = bytes(payload) if payload is not None else None
                 mime = sniff_mime(data)
-                w = h = c = dur = nf = None
+                w = h = c = dur = nf = dh = None
                 if mime == "image/png":
-                    w, h, c, _ = decode_png(data)
+                    w, h, c, pix = decode_png(data)
                 elif mime == "image/jpeg":
-                    w, h, c, _ = decode_jpeg(data)
+                    w, h, c, pix = decode_jpeg(data)
+                if mime in ("image/png", "image/jpeg") and 0 < (w - 1) * h <= 64:
+                    # thumbnail-sized images hash at NATIVE resolution
+                    # (exact for lossless codecs — no resampling);
+                    # larger images get the standard resized 9x8 hash
+                    # via image_dhash, not here (the fused manifest
+                    # stays a cheap metadata pass)
+                    dh = dhash_bits(_gray2d(pix, w, h, c))
                 elif mime == "audio/wav":
                     # header-only: duration/frame-count are RIFF facts
                     # (PCM data length; ADPCM fact chunk) — the fused
@@ -1127,6 +1276,7 @@ def media_manifest(media: DataFrame) -> DataFrame:
                         "channels": c,
                         "duration_ms": dur,
                         "n_frames": nf,
+                        "dhash": dh,
                     }
                 )
             yield pd.DataFrame(

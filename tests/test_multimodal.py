@@ -578,3 +578,126 @@ def test_stereo_pcm_and_adpcm_features(spark):
         assert (r["channels"], r["n_frames"], r["sample_rate"]) == (2, n, 16000)
         assert r["duration_ms"] == n * 1000 // 16000
         assert r["rms"] > 0 and r["peak"] > 0
+
+
+# -- perceptual hash (dHash) tier -------------------------------------------
+
+
+def _ref_dhash(gray: np.ndarray) -> int:
+    h, w = gray.shape
+    out = 0
+    for r in range(h):
+        for c in range(w - 1):
+            if int(gray[r, c + 1]) > int(gray[r, c]):
+                out |= 1 << (r * (w - 1) + c)
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def test_dhash_bits_matches_reference_and_wraps():
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (8, 9), (3, 4), (1, 9)]:
+        g = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert mm.dhash_bits(g) == _ref_dhash(g), shape
+    # 9x8 ramp sets all 64 bits -> two's-complement -1
+    assert mm.dhash_bits(np.tile(np.arange(9, dtype=np.uint8), (8, 1))) == -1
+    # brightness invariance: +40 on every pixel, same hash
+    g = rng.integers(0, 200, size=(8, 9), dtype=np.uint8)
+    assert mm.dhash_bits(g) == mm.dhash_bits(g + 40)
+    with pytest.raises(ValueError):
+        mm.dhash_bits(np.zeros((1, 1), dtype=np.uint8))  # 0 bits
+    with pytest.raises(ValueError):
+        mm.dhash_bits(np.zeros((9, 9), dtype=np.uint8))  # 72 bits
+
+
+def test_gray2d_channels():
+    # gray and gray+alpha take the luma plane
+    ga = np.array([[10, 255, 20, 0]], dtype=np.uint8)  # 2 px, gray+alpha
+    assert mm._gray2d(ga.tobytes(), 2, 1, 2).tolist() == [[10, 20]]
+    # RGB uses fixed-point BT.601: (77R + 150G + 29B) >> 8
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    assert mm._gray2d(rgb, 3, 1, 3).tolist() == [
+        [(77 * 255) >> 8, (150 * 255) >> 8, (29 * 255) >> 8]
+    ]
+
+
+def test_image_dhash_native_exact_and_standard_grid(spark):
+    """Native-grid dhash of a PNG equals the hash of the source pixels
+    (lossless round trip); the standard 9x8 path is deterministic and
+    equal for identical images."""
+    rng = np.random.default_rng(5)
+    pix = rng.integers(0, 256, size=64, dtype=np.uint8)
+    png = mm.encode_png(pix.tobytes(), 8, 8, 1)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(png))],
+        "media_id long, kind string, payload binary",
+    )
+    dec = mm.decode_images(media)
+    native = {r.media_id: r.dhash for r in mm.image_dhash(dec, grid=None).collect()}
+    assert native[1] == mm.dhash_bits(pix.reshape(8, 8))
+    std = {r.media_id: r.dhash for r in mm.image_dhash(dec).collect()}
+    assert std[1] == std[2] and std[1] is not None
+
+
+def test_image_neardup_pairs_planted(spark):
+    """A lightly-perturbed copy (few pixels nudged across a comparison
+    boundary) pairs with its source within max_hamming; an unrelated
+    image does not. Exercises banding guarantee: hamming <= bands-1
+    always shares a band."""
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    base[2, 2:5] = (50, 100, 150)  # comparisons (2,2)=1, (2,3)=1
+    near = base.copy()
+    near[2, 3] = 160  # (2,2) stays 1, (2,3) flips to 0 -> exactly 1 bit
+    other = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    rows = [
+        (i + 1, int(mm.dhash_bits(g))) for i, g in enumerate((base, near, other))
+    ]
+    hashes = spark.createDataFrame(rows, "media_id long, dhash long")
+    d12 = bin(rows[0][1] ^ rows[1][1]).count("1")
+    assert 0 < d12 <= 3, d12  # genuinely near, not identical
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in mm.image_neardup_pairs(hashes, bands=4, bits=64, max_hamming=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == d12
+    assert (1, 3) not in got and (2, 3) not in got
+    with pytest.raises(ValueError):
+        mm.image_neardup_pairs(hashes, bands=5, bits=64)
+
+
+def test_jpeg_roundtrip_dhash_stability(spark):
+    """Perceptual robustness: a smooth gradient survives quality-90
+    JPEG round trip with a near-identical dhash (the property that
+    makes dHash a re-encode dedup key), while an unrelated gradient
+    stays far away."""
+    from e_commerce_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:16, 0:16]
+    smooth = (8 * x + 4 * y).astype(np.uint8)
+    flipped = (8 * (15 - x) + 4 * y).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(mm.encode_png(smooth.tobytes(), 16, 16, 1))),
+            (2, "image", bytearray(encode_jpeg(smooth.tobytes(), 16, 16, 1, quality=90))),
+            (3, "image", bytearray(mm.encode_png(flipped.tobytes(), 16, 16, 1))),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    h = {r.media_id: r.dhash for r in mm.image_dhash(mm.decode_images(media)).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[1], h[2]) <= 4, ham(h[1], h[2])
+    assert ham(h[1], h[3]) > 20, ham(h[1], h[3])
+
+
+def test_manifest_dhash_matches_image_dhash_native(spark, media):
+    """The fused manifest's thumbnail dhash column is the same hash
+    image_dhash(grid=None) computes from the composed decode path —
+    for EVERY container (PNG exact; JPEG via the same lossy decode)."""
+    man = {r.media_id: r.dhash for r in mm.media_manifest(media).collect()}
+    native = {
+        r.media_id: r.dhash
+        for r in mm.image_dhash(mm.decode_images(media), grid=None).collect()
+    }
+    assert len(man) == len(native) == 50
+    assert man == native
+    assert all(v is not None for v in man.values())
