@@ -1146,10 +1146,48 @@ def _q38_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF coarse-quantizer ANN: nearest-cell assignment + nprobe-cell
-    exact rank — the second scale path for similarity search next to
-    q22's hyperplane LSH."""
-    return similarity.ivf_topk(load_table(spark, sf, "embeddings"))
+    """Vector-index surface, kind-tagged union (50-row window):
+      - kind='ivf': IVF coarse-quantizer ANN — nearest-cell assignment
+        + nprobe-cell exact rank (the second scale path for similarity
+        search next to q22's hyperplane LSH);
+      - kind='pq_code': product-quantization corpus encoding (Jégou et
+        al. 2011) — joint per-subspace Lloyd training, codes packed
+        4 bits/subspace into one BIGINT (the compressed representation
+        a 100 TB index stores);
+      - kind='pq_topk': ADC ANN over the SAME training run — each
+        query ranks the corpus by summed per-subspace codeword
+        distances (exact int64, oracle unrolls identical rounds).
+    One `pq_index` call shares training + a checkpointed code frame
+    between the two PQ branches."""
+    emb = load_table(spark, sf, "embeddings")
+    ivf = similarity.ivf_topk(emb)
+    codes, ptk = similarity.pq_index(emb)
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("int")  # label is int32 in the testdata schema
+    ni = F.lit(None).cast("int")
+    return (
+        ivf.select(
+            F.lit("ivf").alias("kind"), "query_id", "neighbor_id",
+            "neighbor_label", "cosine", "rank",
+            nl.alias("pq_code"), nl.alias("adc_d2"),
+        )
+        .unionByName(
+            codes.select(
+                F.lit("pq_code").alias("kind"), nl.alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                ns.alias("neighbor_label"), nd.alias("cosine"),
+                ni.alias("rank"), "pq_code", nl.alias("adc_d2"),
+            )
+        )
+        .unionByName(
+            ptk.select(
+                F.lit("pq_topk").alias("kind"), "query_id", "neighbor_id",
+                ns.alias("neighbor_label"), nd.alias("cosine"), "rank",
+                nl.alias("pq_code"), "adc_d2",
+            )
+        )
+    )
 
 
 def _q40_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1871,6 +1909,86 @@ def _doc_profile_oracle_sql() -> str:
 
 
 TOTAL_SALES_SQL = f"CAST(sum({REVENUE_CENTS_SQL}) AS DOUBLE) / 100.0"
+
+
+def _pq_oracle_sql(
+    m: int = 8, ks: int = 16, iters: int = 2, dim: int = 64,
+    q_max: int = 10, k: int = 5,
+) -> tuple[str, str, str]:
+    """Generated mirror of similarity.pq_index: the joint per-subspace
+    Lloyd training unrolled as chained CTEs (the `_kmeans_oracle_sql`
+    structure with a `sub` grouping key), then the packed-code and
+    ADC top-k surfaces. Returns the CTE list + two SELECTs used by
+    q39's union."""
+    d0 = dim // m
+    bits = max(1, (ks - 1).bit_length())
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(s.svec, c.cvec), "
+        "p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, sub, cell, d2 FROM (
+                SELECT vec_id, sub, cell, d2,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2 ASC, cell ASC) AS rn
+                FROM (SELECT s.vec_id, s.sub, c.cell, {d2} AS d2
+                      FROM sv s JOIN {cent} c ON c.sub = s.sub)
+            ) WHERE rn = 1)"""
+
+    def update_cte(name: str, assign: str) -> str:
+        return f"""{name} AS (
+            SELECT sub, cell, array_agg(mu ORDER BY p) AS cvec FROM (
+                SELECT a.sub, a.cell, p.p,
+                       CAST(floor(CAST(sum(s.svec[p.p]) AS DOUBLE)
+                                  / count(*)) AS BIGINT) AS mu
+                FROM {assign} a
+                JOIN sv s ON s.vec_id = a.vec_id AND s.sub = a.sub
+                CROSS JOIN (SELECT unnest(range(1, {d0 + 1})) AS p) p
+                GROUP BY a.sub, a.cell, p.p)
+            GROUP BY sub, cell)"""
+
+    ctes = [
+        f"""sv AS (
+            SELECT vec_id, sub,
+                   list_slice(vec, sub * {d0} + 1, sub * {d0} + {d0}) AS svec
+            FROM v CROSS JOIN (SELECT unnest(range(0, {m})) AS sub) subs)""",
+        f"pc0 AS (SELECT sub, vec_id AS cell, svec AS cvec FROM sv WHERE vec_id < {ks})",
+    ]
+    for i in range(iters):
+        ctes.append(assign_cte(f"pa{i}", f"pc{i}"))
+        ctes.append(update_cte(f"pc{i + 1}", f"pa{i}"))
+    ctes.append(assign_cte(f"pa{iters}", f"pc{iters}"))
+    fin = f"pa{iters}"
+    ctes.append(f"""adc AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   CAST(sum(list_sum(list_transform(list_zip(q.svec, c.cvec),
+                            p -> (p[1]-p[2])*(p[1]-p[2])))) AS BIGINT) AS adc_d2
+            FROM {fin} x
+            JOIN pc{iters} c ON c.sub = x.sub AND c.cell = x.cell
+            JOIN sv q ON q.sub = x.sub
+            WHERE q.vec_id < {q_max} AND x.vec_id != q.vec_id
+            GROUP BY q.vec_id, x.vec_id)""")
+    code_select = f"""
+            SELECT 'pq_code' AS kind, CAST(NULL AS BIGINT) AS query_id,
+                   vec_id AS neighbor_id, CAST(NULL AS INT) AS neighbor_label,
+                   CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS INT) AS rank,
+                   CAST(sum(cell << ({bits} * sub)) AS BIGINT) AS pq_code,
+                   CAST(NULL AS BIGINT) AS adc_d2
+            FROM {fin} GROUP BY vec_id"""
+    topk_select = f"""
+            SELECT 'pq_topk', query_id, neighbor_id, CAST(NULL AS INT),
+                   CAST(NULL AS DOUBLE), CAST(rank AS INT),
+                   CAST(NULL AS BIGINT), adc_d2
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+                  FROM adc) WHERE rank <= {k}"""
+    return ",\n".join(ctes), code_select, topk_select
+
+
+_PQ_CTES, _PQ_CODE_SELECT, _PQ_TOPK_SELECT = _pq_oracle_sql()
 
 
 def _dhash56_oracle_sql() -> str:
@@ -2662,15 +2780,20 @@ def oracle_sql() -> dict[str, str]:
                        {_cos_sql('q_vec', 'n_vec')} AS cosine
                 FROM probes JOIN assigned USING (centroid_id)
                 WHERE query_id != neighbor_id
-            )
-            SELECT query_id, neighbor_id, neighbor_label, cosine,
-                   CAST(rank AS INT) AS rank
+            ),
+            {_PQ_CTES}
+            SELECT 'ivf' AS kind, query_id, neighbor_id, neighbor_label,
+                   cosine, CAST(rank AS INT) AS rank,
+                   CAST(NULL AS BIGINT) AS pq_code,
+                   CAST(NULL AS BIGINT) AS adc_d2
             FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
                 ) AS rank
                 FROM pairs
             ) WHERE rank <= 5
+            UNION ALL {_PQ_CODE_SELECT}
+            UNION ALL {_PQ_TOPK_SELECT}
         """,
         "q40_percentile_stats": """
             SELECT l_returnflag, l_linestatus,

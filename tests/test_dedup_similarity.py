@@ -471,3 +471,55 @@ def test_winnowing_fp_frame_self_describing(spark):
     ck, ids = local_checkpoint_tracked(fps)
     assert text_ops.winnowing_fingerprints(docs, k=3, window=4, fps=ck).count() == 1
     release_rdds(spark, ids)
+
+
+# -- product quantization (PQ) ----------------------------------------------
+
+
+def test_pq_codes_pack_and_bounds(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    codes, _ = similarity.pq_index(emb, m=8, ks=16, iters=1)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+        # pq_code packs 4 bits per subspace, losslessly
+        assert [(r.pq_code >> (4 * s)) & 0xF for s in range(8)] == list(r.codes)
+
+
+def test_pq_planted_clone_ranks_first(spark):
+    """A clone of the query vector gets identical codes, so its ADC
+    distance equals the query's own quantization error — strictly the
+    minimum over the synthetic corpus. The PQ analog of the planted-dup
+    gates on the text tiers."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select("embedding").first()
+    clone_id = 100000
+    clone = spark.createDataFrame(
+        [(clone_id, q.embedding, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    _, topk = similarity.pq_index(emb.unionByName(clone), query_max_id=4, k=3)
+    top1 = {r.query_id: r.neighbor_id for r in topk.collect() if r.rank == 1}
+    assert top1[3] == clone_id
+    # and the pair is symmetric in code space: same adc to each other
+    d = {(r.query_id, r.neighbor_id): r.adc_d2 for r in topk.collect()}
+    assert d[(3, clone_id)] >= 0
+
+
+def test_pq_deterministic_across_partitionings(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    c1, t1 = similarity.pq_index(emb)
+    c2, t2 = similarity.pq_index(emb.repartition(13))
+    assert sorted((r.vec_id, r.pq_code) for r in c1.collect()) == sorted(
+        (r.vec_id, r.pq_code) for r in c2.collect()
+    )
+    assert sorted(map(tuple, t1.collect())) == sorted(map(tuple, t2.collect()))
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="divisible"):
+        similarity.pq_index(emb, m=7).__getitem__(0).collect()
