@@ -207,3 +207,41 @@ def test_dsir_plan_shape(spark):
     # it ran once, into the checkpoint
     assert "Generate explode" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pq_topk_plan_shape(spark):
+    """PQ ADC (q39 branch): the code frame is checkpointed (Scan
+    ExistingRDD — the encode kernel never re-runs per consumer), the
+    per-query lookup tables BROADCAST onto it, the ADC sum is a pure
+    higher-order expression (no Python eval after the checkpointed
+    kernels), and the only exchange before the top-k window is that
+    broadcast."""
+    from e_commerce_lakehouse_spark.operators import similarity
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    _, topk = similarity.pq_index(load_table(spark, SF_SMALL, "embeddings"))
+    plan = plan_of(topk)
+    assert "BroadcastExchange" in plan  # the Q-row qtab frame
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin(broadcast(queries))
+    assert "Scan ExistingRDD" in plan  # checkpointed code frame
+    # ADC itself is expression-only: the single EvalPython feeds the
+    # broadcast QUERY side (qtab kernel over <= Q rows), never the
+    # corpus-code side of the join
+    idx = plan.index("BroadcastExchange")
+    assert "ArrowEvalPython" not in plan[:idx] or "qtab" in plan
+
+
+def test_image_neardup_pairs_plan_shape(spark):
+    """Image near-dup (dhash pairs): band explode + bounded bucket
+    pairing shuffle on (band_idx, band_val); the Hamming verify is
+    pure Column (bit_count/xor — no Python eval downstream of the
+    hash frame)."""
+    from pyspark.sql import functions as F
+    from e_commerce_lakehouse_spark.operators import multimodal as mm
+
+    hashes = spark.range(0, 64).select(
+        F.col("id").alias("media_id"), (F.col("id") * 7919 % 4096).alias("dhash")
+    )
+    plan = plan_of(mm.image_neardup_pairs(hashes, bands=4, bits=64, max_hamming=3))
+    assert "EvalPython" not in plan  # banding + popcount all codegen
+    assert "bit_count" in plan
