@@ -1071,7 +1071,7 @@ def image_dhash(decoded: DataFrame, grid: tuple[int, int] | None = (9, 8)) -> Da
     return decoded.mapInPandas(run, IMAGE_DHASH_SCHEMA)
 
 
-def image_neardup_pairs(
+def hamming_neardup_pairs(
     hashes: DataFrame,
     bands: int = 4,
     bits: int = 64,
@@ -1081,17 +1081,18 @@ def image_neardup_pairs(
     hot_cap: int | None = None,
     hot_mode: str = "star",
 ) -> DataFrame:
-    """Image near-duplicate pairs from perceptual hashes: Hamming-LSH
-    band blocking (candidates share >= 1 of ``bands`` contiguous
+    """Near-duplicate pairs from ANY fixed-width perceptual hash
+    column (image dHash, audio fingerprint, ...): Hamming-LSH band
+    blocking (candidates share >= 1 of ``bands`` contiguous
     ``bits/bands``-wide hash slices — d bit flips corrupt at most d
     bands, so pairs within ``max_hamming < bands`` Hamming distance
     are guaranteed a surviving band) then an exact
-    ``bit_count(a XOR b) <= max_hamming`` verify. The image analog of
+    ``bit_count(a XOR b) <= max_hamming`` verify. The media analog of
     the SimHash text tier (``dedup.simhash_edit_pairs``), downstream
-    of real decode: re-encoded / brightness-shifted / lightly-edited
-    crawl images collapse to the same cluster.
+    of real decode: re-encoded / brightness-shifted / volume-shifted /
+    lightly-edited crawl media collapse to the same cluster.
 
-    Scale: identical viral images make degenerate hot buckets, so
+    Scale: identical viral payloads make degenerate hot buckets, so
     pairing goes through ``buckets.bucket_mate_pairs`` (per-task
     memory bounded by ``hot_cap``; over-cap buckets star-paired, never
     silently truncated). Candidate ids are deduped before hashes are
@@ -1134,6 +1135,70 @@ def image_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+#: Image-named alias — same implementation, documented generic.
+image_neardup_pairs = hamming_neardup_pairs
+
+
+def audio_envelope_bits(samples: np.ndarray, blocks: int = 65) -> int:
+    """Energy-envelope perceptual hash of a mono PCM signal: split
+    into ``blocks`` equal-length windows, take exact int64 energy
+    (sum of squared samples) per window, and emit bit i = 1 iff
+    energy[i+1] > energy[i] — the sign-of-delta chain the published
+    audio fingerprints (Chromaprint/AcoustID, Haitsma-Kalker) apply
+    per spectral band, here over the time-domain envelope so the hash
+    stays exact-integer and engine-portable. Uniform gain scales every
+    window energy identically, so the hash is volume-invariant; a
+    localized edit flips only the bits whose windows it straddles.
+    Trailing samples that don't fill the equal-division grid are
+    dropped (deterministic for any length >= blocks)."""
+    if blocks < 2 or blocks > 65:
+        raise ValueError(f"blocks must be in [2, 65], got {blocks}")
+    n = len(samples) // blocks
+    if n == 0:
+        raise ValueError(f"need >= {blocks} samples, got {len(samples)}")
+    x = samples[: n * blocks].astype(np.int64).reshape(blocks, n)
+    e = (x * x).sum(axis=1)  # exact: n * 32767^2 < 2^63 for n < 8.5e9
+    bits = (e[1:] > e[:-1]).astype(np.uint64)
+    total = int((bits << np.arange(blocks - 1, dtype=np.uint64)).sum())
+    return total - (1 << 64) if total >= 1 << 63 else total
+
+
+AUDIO_FINGERPRINT_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("afp", LongType())]
+)
+
+
+def audio_fingerprint(media: DataFrame, blocks: int = 65) -> DataFrame:
+    """Per-payload audio perceptual hash: decode WAV (PCM or ADPCM)
+    with the in-repo codec, mono-mix, and compute the 64-bit
+    energy-envelope hash (:func:`audio_envelope_bits`). Output
+    (media_id, afp BIGINT) feeds :func:`hamming_neardup_pairs` — the
+    audio leg of the media near-dup tier. Non-audio / null / too-short
+    payloads are dropped. Pure Arrow map, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if sniff_mime(data) != "audio/wav":
+                    continue
+                _rate, _ch, samples = decode_wav(data)
+                mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+                if len(mono) < blocks:
+                    continue
+                rows.append(
+                    {"media_id": media_id, "afp": audio_envelope_bits(mono, blocks)}
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FINGERPRINT_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, AUDIO_FINGERPRINT_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType(

@@ -701,3 +701,69 @@ def test_manifest_dhash_matches_image_dhash_native(spark, media):
     assert len(man) == len(native) == 50
     assert man == native
     assert all(v is not None for v in man.values())
+
+
+# -- audio fingerprint tier -------------------------------------------------
+
+
+def test_audio_envelope_bits_reference_and_gain_invariance():
+    rng = np.random.default_rng(3)
+    x = (rng.normal(0, 3000, size=65 * 50)).astype(np.int16)
+
+    def ref(sig, blocks):
+        n = len(sig) // blocks
+        e = [
+            sum(int(v) ** 2 for v in sig[i * n : (i + 1) * n])
+            for i in range(blocks)
+        ]
+        out = 0
+        for i in range(blocks - 1):
+            if e[i + 1] > e[i]:
+                out |= 1 << i
+        return out - (1 << 64) if out >= 1 << 63 else out
+
+    for blocks in (5, 17, 65):
+        assert mm.audio_envelope_bits(x, blocks) == ref(x, blocks), blocks
+    # uniform gain (x2) preserves every energy comparison
+    assert mm.audio_envelope_bits(x.astype(np.int64) * 2, 65) == mm.audio_envelope_bits(x, 65)
+    with pytest.raises(ValueError):
+        mm.audio_envelope_bits(x, blocks=66)
+    with pytest.raises(ValueError):
+        mm.audio_envelope_bits(x[:10], blocks=65)
+
+
+def test_audio_fingerprint_neardup_pairs_planted(spark):
+    """A lightly-noised copy of an amplitude-modulated tone lands
+    within small Hamming distance of its source; a reversed-envelope
+    signal lands far. The pairing op is the SAME generic Hamming
+    banding the image tier uses."""
+    rng = np.random.default_rng(9)
+    n = 65 * 200
+    t = np.arange(n)
+    env = np.linspace(0.1, 1.0, n)  # rising envelope
+    base = (np.sin(2 * np.pi * 440 * t / 16000) * env * 12000).astype(np.int16)
+    near = (base.astype(np.int64) + rng.integers(-150, 151, size=n)).astype(np.int16)
+    far = base[::-1].copy()  # falling envelope: ~all delta signs flip
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(mm.encode_wav(base, 16000))),
+            (2, "audio", bytearray(mm.encode_wav(near, 16000))),
+            (3, "audio", bytearray(mm.encode_wav_adpcm(base, 16000))),
+            (4, "audio", bytearray(mm.encode_wav(far, 16000))),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    fps = mm.audio_fingerprint(media)
+    h = {r.media_id: r.afp for r in fps.collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[1], h[2]) <= 6, ham(h[1], h[2])   # noised copy: near
+    assert ham(h[1], h[3]) <= 6, ham(h[1], h[3])   # ADPCM re-encode: near
+    assert ham(h[1], h[4]) >= 20, ham(h[1], h[4])  # reversed: far
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in mm.hamming_neardup_pairs(
+            fps, hash_col="afp", bands=8, max_hamming=6
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs
