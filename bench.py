@@ -102,7 +102,10 @@ def main() -> None:
     # median-of-5 so round-over-round deltas stay attributable.
     # Round 4 grew q43/q44/q45 (CC loop, BM25/winnow-pair branches,
     # SemDeDup) into the same 1.4-1.6x spread band — same protocol.
+    # Round 5 grew q39 (PQ training/encode/ADC branches) into the same
+    # iterative-kernel class as q45 — same protocol.
     heavy = {
+        "q39_ivf_ann",
         "q43_jaccard_clusters",
         "q44_winnowing",
         "q45_kmeans_cells",
