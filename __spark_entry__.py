@@ -460,7 +460,13 @@ def _q19_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       - kind='contamination': benchmark decontamination — corpus docs
         (id >= 25) sharing >= 10 distinct bigrams with a benchmark doc
         (id < 25), exact shared-gram counts, benchmark grams broadcast
-        so the corpus never shuffles (dedup.contamination_pairs)."""
+        so the corpus never shuffles (dedup.contamination_pairs);
+      - kind='bloom': the constant-memory variant — docs with >= 1
+        bigram hitting a 16384-bit/4-hash Bloom filter built from the
+        benchmark grams (dedup.bloom_contaminated). False positives
+        are a deterministic function of the hash spec, so the oracle
+        reproduces the flag set exactly by testing the same positions
+        against the benchmark's set-bit set."""
     pairs = _shared_jaccard_pairs(spark, sf).select(
         F.lit("jaccard").alias("kind"),
         "a_id",
@@ -481,7 +487,18 @@ def _q19_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("double").alias("jaccard"),
         "n_shared_grams",
     )
-    return pairs.unionByName(cont)
+    bloom = dedup.bloom_contaminated(
+        spread_for_cpu(docs.filter(F.col("doc_id") >= 25)),
+        docs.filter(F.col("doc_id") < 25),
+        n=2,
+    ).select(
+        F.lit("bloom").alias("kind"),
+        F.col("doc_id").alias("a_id"),
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("n_flagged_grams").alias("n_shared_grams"),
+    )
+    return pairs.unionByName(cont).unionByName(bloom)
 
 
 def _q20_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2329,6 +2346,14 @@ def oracle_sql() -> dict[str, str]:
                        list_distinct(list_transform(range(1, len(toks)),
                            i -> array_to_string(toks[i:i+1], ' '))) AS grams
                 FROM toks WHERE len(toks) >= 2
+            ), bset AS (
+                SELECT DISTINCT
+                       CAST('0x'||substr(md5(concat('bloom', CAST(i AS VARCHAR),
+                                                    ':', gram)),1,15) AS BIGINT)
+                           % 16384 AS pos
+                FROM (SELECT DISTINCT unnest(grams) AS gram
+                      FROM g WHERE doc_id < 25)
+                CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
             )
             SELECT 'jaccard' AS kind, a.doc_id AS a_id, b.doc_id AS b_id,
                    CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
@@ -2345,6 +2370,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(c.grams, b.grams)) AS BIGINT)
             FROM g b JOIN g c ON b.doc_id < 25 AND c.doc_id >= 25
             WHERE len(list_intersect(c.grams, b.grams)) >= 10
+            UNION ALL
+            -- bloom: the Spark side packs the benchmark grams' k=4
+            -- md5 positions into a real 16384-bit array and tests
+            -- corpus grams with Column bit math; position membership
+            -- against the benchmark's set-bit SET is the same
+            -- function, false positives included
+            SELECT 'bloom', c.doc_id, CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(count(*) AS BIGINT)
+            FROM (SELECT doc_id, unnest(grams) AS gram
+                  FROM g WHERE doc_id >= 25) c
+            WHERE CAST('0x'||substr(md5('bloom0:'||c.gram),1,15) AS BIGINT) % 16384
+                      IN (SELECT pos FROM bset)
+              AND CAST('0x'||substr(md5('bloom1:'||c.gram),1,15) AS BIGINT) % 16384
+                      IN (SELECT pos FROM bset)
+              AND CAST('0x'||substr(md5('bloom2:'||c.gram),1,15) AS BIGINT) % 16384
+                      IN (SELECT pos FROM bset)
+              AND CAST('0x'||substr(md5('bloom3:'||c.gram),1,15) AS BIGINT) % 16384
+                      IN (SELECT pos FROM bset)
+            GROUP BY c.doc_id
         """,
         "q20_cosine_topk": """
             WITH q AS (

@@ -198,6 +198,91 @@ def contamination_pairs(
     )
 
 
+def bloom_filter_build(
+    grams: DataFrame, gram_col: str = "gram", m_bits: int = 16384, k: int = 4
+) -> list[int]:
+    """Distributed Bloom-filter build over a gram frame: each gram sets
+    ``k`` bit positions (the repo's md5 hash family, seeds
+    'bloom0'..'bloom{k-1}', mod ``m_bits``); bits pack 64-per-word via
+    one (word_idx → bit_or) groupBy — m_bits/64 rows cross to the
+    driver regardless of input size. Returns the dense int64 word list
+    (the m_bits/8-byte artifact — e.g. 2 KB at the defaults). m_bits
+    must be a power of two (positions split as pos>>6 / pos&63)."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    pos = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    (_md5_hash64(F.col(gram_col), f"bloom{i}") % m_bits).alias(
+                        f"p{i}"
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .collect()
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words:
+        arr[int(r.w)] = int(r.bits)
+    return arr
+
+
+def bloom_contaminated(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 2,
+    m_bits: int = 16384,
+    k: int = 4,
+) -> DataFrame:
+    """Constant-memory benchmark decontamination: flag corpus docs with
+    at least one distinct ``n``-gram whose ``k`` Bloom bits are all
+    set in the filter built from the benchmark's grams — the classic
+    scale alternative to :func:`contamination_pairs`'s broadcast gram
+    join when the "benchmark" side is itself large (e.g. a whole held-
+    out corpus): the filter is m_bits/8 bytes REGARDLESS of its
+    cardinality, rides the task closure as a literal array, and the
+    membership test is pure Column bit arithmetic (codegen).
+
+    Bloom semantics are honest and DETERMINISTIC: false positives are
+    a fixed function of the hash spec, so the same spec rendered for
+    the DuckDB oracle reproduces the flag set bit-for-bit (position
+    membership against the benchmark's set-bit set). Returns
+    (doc_id, n_flagged_grams) — one row per flagged doc; the only
+    shuffle is the per-doc count, bounded by flagged grams."""
+    bloom = bloom_filter_build(
+        benchmark.select(F.explode(ngram_set("text", n)).alias("gram")),
+        m_bits=m_bits,
+        k=k,
+    )
+    arr = F.array(*[F.lit(w).cast("long") for w in bloom])
+    cg = documents.select(
+        "doc_id", F.explode(ngram_set("text", n)).alias("gram")
+    )
+    for i in range(k):
+        cg = cg.withColumn(f"p{i}", _md5_hash64(F.col("gram"), f"bloom{i}") % m_bits)
+    hit = None
+    for i in range(k):
+        word = F.element_at(arr, F.shiftright(f"p{i}", 6).cast("int") + 1)
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} & 63 AS INT))")
+        cond = word.bitwiseAND(mask) != 0
+        hit = cond if hit is None else (hit & cond)
+    return (
+        cg.filter(hit)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -106,3 +106,57 @@ def test_benchmark_side_broadcasts(spark):
     with redirect_stdout(buf):
         dedup.contamination_pairs(corpus, bench).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+# -- Bloom-filter decontamination -------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_counts(spark):
+    """Every doc that truly shares a bigram with the benchmark MUST be
+    flagged (Bloom filters have no false negatives), and its flagged
+    count >= its true shared-gram count."""
+    corpus, bench = _frames(spark)
+    flagged = {
+        r.doc_id: r.n_flagged_grams
+        for r in dedup.bloom_contaminated(corpus, bench, n=2).collect()
+    }
+    exact = {}
+    for r in (
+        dedup.contamination_pairs(corpus, bench, n=2, min_overlap=1)
+        .groupBy("doc_id")
+        .agg(F.sum("n_shared_grams").alias("c"))
+        .collect()
+    ):
+        exact[r.doc_id] = r.c
+    for doc, c in exact.items():
+        assert doc in flagged and flagged[doc] >= 1, doc
+    # the verbatim leak shares many grams -> many flagged grams
+    assert flagged[100] >= exact[100] - 0  # every shared gram hits
+    assert 103 not in flagged  # too short for any bigram
+
+
+def test_bloom_deterministic_and_filter_shape(spark):
+    corpus, bench = _frames(spark)
+    a = sorted(map(tuple, dedup.bloom_contaminated(corpus, bench).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup.bloom_contaminated(corpus.repartition(5), bench).collect(),
+        )
+    )
+    assert a == b
+    # the artifact is m_bits/64 words; set-bit count is bounded by k*grams
+    bloom = dedup.bloom_filter_build(
+        bench.select(F.explode(dedup.ngram_set("text", 2)).alias("gram"))
+    )
+    assert len(bloom) == 16384 // 64
+    setbits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bloom)
+    n_grams = (
+        bench.select(F.explode(dedup.ngram_set("text", 2))).distinct().count()
+    )
+    assert 0 < setbits <= 4 * n_grams
+    with pytest.raises(ValueError, match="power of two"):
+        dedup.bloom_filter_build(
+            bench.select(F.explode(dedup.ngram_set("text", 2)).alias("gram")),
+            m_bits=1000,
+        )
