@@ -44,6 +44,7 @@ from e_commerce_lakehouse_spark.operators import (
     windows,
 )
 from e_commerce_lakehouse_spark.operators import graph as graph_ops
+from e_commerce_lakehouse_spark.operators import sketches as sketch_ops
 from e_commerce_lakehouse_spark.operators.parallelize import spread_for_cpu
 from e_commerce_lakehouse_spark.session import tune_existing
 from e_commerce_lakehouse_spark.streaming import events as stream_events
@@ -736,7 +737,14 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     value gate). The oracle emits the same exact columns and a
     constant 1, so a sketch regression flips the row red instead of
     hiding behind a rows-only check. Sketch-vs-exact tolerance is
-    additionally property-tested in tests/test_properties.py."""
+    additionally property-tested in tests/test_properties.py.
+
+    kind='cms' branch: count-min sketch (Cormode-Muthukrishnan 2005)
+    frequency estimates for the top-5 parts by exact count — unlike
+    HLL/KLL, CMS is a pure function of the md5 position spec, so the
+    estimates (one-sided overcounts included) hash-gate EXACTLY
+    against the oracle's identical cell construction
+    (operators/sketches.py)."""
     li = load_table(spark, sf, "lineitem")
     p_cents = money.CENTS_SQL.format(x="l_extendedprice")
     # exact distinct as a TWO-LEVEL group-by, not count(DISTINCT) in
@@ -758,11 +766,12 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("_approx_parts"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("_pp"),
     )
-    return (
+    flags = (
         sketches.join(F.broadcast(exact_distinct), "l_returnflag")
         .withColumn("price_p50", F.element_at("_pcts", 1) / 100.0)
         .withColumn("price_p95", F.element_at("_pcts", 2) / 100.0)
         .select(
+            F.lit("sketch").alias("kind"),
             "l_returnflag",
             "exact_parts",
             "price_p50",
@@ -783,8 +792,30 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
             )
             .cast("int")
             .alias("sketch_ok"),
+            F.lit(None).cast("long").alias("part_key"),
+            F.lit(None).cast("long").alias("exact_cnt"),
+            F.lit(None).cast("long").alias("cms_est"),
         )
     )
+    cms_cells = sketch_ops.countmin_cells(li.select("l_partkey"), "l_partkey")
+    top_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
+        .limit(5)
+    )
+    cms = sketch_ops.countmin_estimate(cms_cells, top_parts, "l_partkey").select(
+        F.lit("cms").alias("kind"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("long").alias("exact_parts"),
+        F.lit(None).cast("double").alias("price_p50"),
+        F.lit(None).cast("double").alias("price_p95"),
+        F.lit(None).cast("int").alias("sketch_ok"),
+        F.col("l_partkey").alias("part_key"),
+        "exact_cnt",
+        "cms_est",
+    )
+    return flags.unionByName(cms)
 
 
 def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -2593,15 +2624,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q33_approx_sketches": """
-            SELECT l_returnflag,
+            WITH cmsc AS (
+                SELECT i, CAST('0x'||substr(md5('cms' || CAST(i AS VARCHAR) || ':'
+                               || CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT)
+                              % 1024 AS pos,
+                       count(*) AS c
+                FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+                GROUP BY 1, 2
+            ), topp AS (
+                SELECT l_partkey, count(*) AS exact_cnt
+                FROM lineitem GROUP BY 1
+                ORDER BY exact_cnt DESC, l_partkey ASC LIMIT 5
+            )
+            SELECT 'sketch' AS kind, l_returnflag,
                    count(DISTINCT l_partkey) AS exact_parts,
                    quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
                                  0.5) / 100.0 AS price_p50,
                    quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
                                  0.95) / 100.0 AS price_p95,
-                   CAST(1 AS INT) AS sketch_ok
+                   CAST(1 AS INT) AS sketch_ok,
+                   CAST(NULL AS BIGINT) AS part_key,
+                   CAST(NULL AS BIGINT) AS exact_cnt,
+                   CAST(NULL AS BIGINT) AS cms_est
             FROM lineitem
-            GROUP BY 1
+            GROUP BY 2
+            UNION ALL
+            SELECT 'cms', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS INT),
+                   t.l_partkey, t.exact_cnt, min(coalesce(cm.c, 0))
+            FROM topp t
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+            LEFT JOIN cmsc cm
+              ON cm.i = ii.i
+             AND cm.pos = CAST('0x'||substr(md5('cms' || CAST(ii.i AS VARCHAR)
+                              || ':' || CAST(t.l_partkey AS VARCHAR)),1,15)
+                              AS BIGINT) % 1024
+            GROUP BY t.l_partkey, t.exact_cnt
         """,
         "q34_stratified_sample": """
             SELECT 'sample' AS kind, doc_id, lang, source,
