@@ -116,6 +116,19 @@ def _shared_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _shared_vec_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized embedding vector table, materialized once per
+    (session, sf) — the shared training input of the coarse k-means /
+    SemDeDup run (q45) and the product-quantization run (q39): each
+    trainer scans it ~5 stages per Lloyd round, and without the shared
+    frame every trainer would re-quantize + re-checkpoint the corpus."""
+    return corpus_cache.shared_df(
+        spark,
+        ("vec_prep", sf),
+        lambda: similarity.kmeans_prep_frame(load_table(spark, sf, "embeddings")),
+    )
+
+
 def _shared_media(spark: SparkSession, sf: str, kind: str) -> DataFrame:
     """Synthesized media table (real PNG/WAV payloads), materialized
     once per (session, sf, kind) — the persisted-media-table analog.
@@ -1209,7 +1222,7 @@ def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     between the two PQ branches."""
     emb = load_table(spark, sf, "embeddings")
     ivf = similarity.ivf_topk(emb)
-    codes, ptk = similarity.pq_index(emb)
+    codes, ptk = similarity.pq_index(emb, prep=_shared_vec_prep(spark, sf))
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("int")  # label is int32 in the testdata schema
@@ -1396,7 +1409,8 @@ def _q45_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
         centroid drop policy (similarity.semdedup). One checkpointed
         assignment feeds all three branches."""
     assign, pairs, drops = similarity.semdedup(
-        load_table(spark, sf, "embeddings"), k=8, iters=2, threshold=0.3
+        load_table(spark, sf, "embeddings"), k=8, iters=2, threshold=0.3,
+        prep=_shared_vec_prep(spark, sf),
     )
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -2378,9 +2392,11 @@ def oracle_sql() -> dict[str, str]:
                            i -> array_to_string(toks[i:i+1], ' '))) AS grams
                 FROM toks WHERE len(toks) >= 2
             ), bset AS (
+                -- one md5 per gram; position i = hex digits [1+7i, 7+7i)
+                -- (the Kirsch-Mitzenmacher single-hash derivation the
+                -- Spark side uses)
                 SELECT DISTINCT
-                       CAST('0x'||substr(md5(concat('bloom', CAST(i AS VARCHAR),
-                                                    ':', gram)),1,15) AS BIGINT)
+                       CAST('0x'||substr(md5('bloom:'||gram), 1 + 7*i, 7) AS BIGINT)
                            % 16384 AS pos
                 FROM (SELECT DISTINCT unnest(grams) AS gram
                       FROM g WHERE doc_id < 25)
@@ -2411,13 +2427,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(count(*) AS BIGINT)
             FROM (SELECT doc_id, unnest(grams) AS gram
                   FROM g WHERE doc_id >= 25) c
-            WHERE CAST('0x'||substr(md5('bloom0:'||c.gram),1,15) AS BIGINT) % 16384
+            WHERE CAST('0x'||substr(md5('bloom:'||c.gram),1,7) AS BIGINT) % 16384
                       IN (SELECT pos FROM bset)
-              AND CAST('0x'||substr(md5('bloom1:'||c.gram),1,15) AS BIGINT) % 16384
+              AND CAST('0x'||substr(md5('bloom:'||c.gram),8,7) AS BIGINT) % 16384
                       IN (SELECT pos FROM bset)
-              AND CAST('0x'||substr(md5('bloom2:'||c.gram),1,15) AS BIGINT) % 16384
+              AND CAST('0x'||substr(md5('bloom:'||c.gram),15,7) AS BIGINT) % 16384
                       IN (SELECT pos FROM bset)
-              AND CAST('0x'||substr(md5('bloom3:'||c.gram),1,15) AS BIGINT) % 16384
+              AND CAST('0x'||substr(md5('bloom:'||c.gram),22,7) AS BIGINT) % 16384
                       IN (SELECT pos FROM bset)
             GROUP BY c.doc_id
         """,

@@ -198,6 +198,19 @@ def contamination_pairs(
     )
 
 
+def _bloom_positions(gram: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a gram, all derived from ONE md5
+    (Kirsch-Mitzenmacher-style): position i is hex digits
+    [1+7i, 7+7i) of md5('bloom:' || gram) mod m_bits — 28 bits per
+    slice, k <= 4. One hash evaluation per gram instead of k (md5 is
+    the dominant cost of the build and the membership scan)."""
+    h = F.md5(F.concat(F.lit("bloom:"), gram))
+    return [
+        F.conv(F.substring(h, 1 + 7 * i, 7), 16, 10).cast("long") % m_bits
+        for i in range(k)
+    ]
+
+
 def bloom_filter_build(
     grams: DataFrame, gram_col: str = "gram", m_bits: int = 16384, k: int = 4
 ) -> list[int]:
@@ -210,17 +223,10 @@ def bloom_filter_build(
     must be a power of two (positions split as pos>>6 / pos&63)."""
     if m_bits & (m_bits - 1) or m_bits < 64:
         raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (positions are 7-hex slices of one md5), got {k}")
     pos = grams.select(
-        F.explode(
-            F.array(
-                *[
-                    (_md5_hash64(F.col(gram_col), f"bloom{i}") % m_bits).alias(
-                        f"p{i}"
-                    )
-                    for i in range(k)
-                ]
-            )
-        ).alias("pos")
+        F.explode(F.array(*_bloom_positions(F.col(gram_col), m_bits, k))).alias("pos")
     )
     words = (
         pos.select(
@@ -264,23 +270,46 @@ def bloom_contaminated(
         m_bits=m_bits,
         k=k,
     )
-    arr = F.array(*[F.lit(w).cast("long") for w in bloom])
     cg = documents.select(
         "doc_id", F.explode(ngram_set("text", n)).alias("gram")
     )
-    for i in range(k):
-        cg = cg.withColumn(f"p{i}", _md5_hash64(F.col("gram"), f"bloom{i}") % m_bits)
-    hit = None
-    for i in range(k):
-        word = F.element_at(arr, F.shiftright(f"p{i}", 6).cast("int") + 1)
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} & 63 AS INT))")
-        cond = word.bitwiseAND(mask) != 0
-        hit = cond if hit is None else (hit & cond)
     return (
-        cg.filter(hit)
+        bloom_member(cg, "gram", bloom, m_bits=m_bits, k=k)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
     )
+
+
+def bloom_hit(gram: Column, bloom: list[int], m_bits: int = 16384, k: int = 4) -> Column:
+    """Pure-Column Bloom membership predicate: true iff every one of
+    ``gram``'s ``k`` bit positions is set in the literal filter array.
+    STATELESS (the filter rides the expression as a literal), so it
+    composes anywhere a Column does — batch filters, higher-order
+    lambdas (``F.exists`` over a gram array), and Structured Streaming
+    projections unchanged: the stream-side decontamination gate is
+    this exact predicate on the parsed stream."""
+    arr = F.array(*[F.lit(w).cast("long") for w in bloom])
+    cond = None
+    for pos in _bloom_positions(gram, m_bits, k):
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), pos.bitwiseAND(F.lit(63)).cast("int")
+        )
+        c = word.bitwiseAND(mask) != 0
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_member(
+    df: DataFrame,
+    col: str,
+    bloom: list[int],
+    m_bits: int = 16384,
+    k: int = 4,
+) -> DataFrame:
+    """Keep the rows whose ``col`` value hits every one of its ``k``
+    Bloom bits (:func:`bloom_hit` as a frame-level filter)."""
+    return df.filter(bloom_hit(F.col(col), bloom, m_bits=m_bits, k=k))
 
 
 # ---------------------------------------------------------------------------

@@ -572,6 +572,16 @@ def band_codes_udf(planes_arr: list[list[int]], bands: int):
 
 
 
+def kmeans_prep_frame(embeddings: DataFrame) -> DataFrame:
+    """The UNmaterialized quantized vector frame `_kmeans_prep`
+    checkpoints — exposed so a session cache (corpus_cache.shared_df)
+    can materialize ONE copy shared by every trainer that scans it
+    (coarse k-means / SemDeDup in q45, product quantization in q39)."""
+    return spread_for_cpu(embeddings, cap=8).select(
+        "vec_id", quantized("embedding").alias("vec")
+    )
+
+
 def _kmeans_prep(embeddings: DataFrame) -> DataFrame:
     """Quantized vector table, spread across cores and MATERIALIZED
     (localCheckpoint): the Lloyd loop references it once per assign and
@@ -585,11 +595,7 @@ def _kmeans_prep(embeddings: DataFrame) -> DataFrame:
     registry, so ``buckets.release_pinned_indexes(spark)`` frees
     superseded training runs in long-lived sessions instead of leaking
     them until Python+py4j GC."""
-    out, ids = local_checkpoint_tracked(
-        spread_for_cpu(embeddings, cap=8).select(
-            "vec_id", quantized("embedding").alias("vec")
-        )
-    )
+    out, ids = local_checkpoint_tracked(kmeans_prep_frame(embeddings))
     buckets.track_pinned(ids)
     return out
 
@@ -707,6 +713,7 @@ def semdedup(
     iters: int = 2,
     threshold: float = 0.3,
     pair_block: int = 1024,
+    prep: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication = k-means clustering + exact pairwise cosine WITHIN
@@ -742,7 +749,7 @@ def semdedup(
     the O(n_cell²) COMPUTE is inherent to the algorithm and stays
     inside one numpy matmul per block.
     """
-    v = _kmeans_prep(embeddings)
+    v = prep if prep is not None else _kmeans_prep(embeddings)
     cells, cent = _kmeans_train(v, k, iters)
     a = _assign_to_matrix_udf(cells, cent)
     # one checkpoint feeds the returned assignment and the cell-grouped
@@ -914,6 +921,7 @@ def pq_index(
     m: int = 8,
     ks: int = 16,
     iters: int = 2,
+    prep: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train a product quantizer ONCE and return both PQ surfaces over
     the shared run (the semdedup discipline — training is the
@@ -943,7 +951,7 @@ def pq_index(
     over m subs ≪ 2^63."""
     from pyspark.sql.functions import pandas_udf
 
-    v = _kmeans_prep(embeddings)
+    v = prep if prep is not None else _kmeans_prep(embeddings)
     cells, cent = _pq_train(v, m, ks, iters)
     codes = _pq_codes_udf(m, cells, cent)
     bits = max(1, (ks - 1).bit_length())

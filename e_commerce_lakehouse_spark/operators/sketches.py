@@ -30,7 +30,16 @@ def countmin_cells(
 ) -> DataFrame:
     """Build the sketch: (row_idx, col_idx, c) cell counts, one row
     per NON-EMPTY cell (at most depth*width). Each input row
-    increments one cell per hash row."""
+    increments one cell per hash row.
+
+    Two-phase build: rows pre-aggregate to per-KEY weights first (a
+    partial-agg groupBy on the key), and only the distinct keys pay
+    the depth md5 hashes + explode — hashing work scales with
+    |distinct keys|, not |rows| (q33's lineitem branch: 80k md5 calls
+    instead of 9.6M at sf0.1). Identical cells by construction; when
+    the key cardinality itself is huge the key groupBy still
+    partial-aggs map-side and the cell groupBy stays bounded by
+    depth*width."""
     pos = F.array(
         *[
             F.struct(
@@ -42,10 +51,11 @@ def countmin_cells(
             for i in range(depth)
         ]
     )
+    keyed = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_w"))
     return (
-        df.select(F.explode(pos).alias("s"))
+        keyed.select(F.explode(pos).alias("s"), "_w")
         .groupBy(F.col("s.row_idx").alias("row_idx"), F.col("s.col_idx").alias("col_idx"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("_w").alias("c"))
     )
 
 

@@ -58,7 +58,12 @@ from .bpe import word_vocab
 
 #: fixed-point scale for expected counts: order-independent integer
 #: sums; resolution 2^-20 per occurrence keeps total error far below
-#: any count gap the pruning order could see.
+#: any count gap the pruning order could see. int64 headroom: the
+#: grand total of expected counts equals the corpus token count, so
+#: sums stay exact while tokens x COUNT_FP < 2^63 — ~8.8e12 tokens at
+#: the default. Beyond that (a full 100 TB text corpus), pass a
+#: smaller ``count_fp`` to :func:`train_unigram` (2^10 buys 10^16
+#: tokens; resolution is still far finer than any pruning gap).
 COUNT_FP = 1 << 20
 
 
@@ -158,7 +163,12 @@ def _forward_backward(word: str, logp: dict[str, float], max_len: int):
     return out, z
 
 
-def _e_step(vocab: DataFrame, logp: dict[str, float], max_len: int) -> dict[str, int]:
+def _e_step(
+    vocab: DataFrame,
+    logp: dict[str, float],
+    max_len: int,
+    count_fp: int = COUNT_FP,
+) -> dict[str, int]:
     """One distributed E-step: the forward-backward kernel over the
     word-frequency vocab emits fixed-point expected counts per piece;
     ONE vocab-sized groupBy sums them (integer — order-independent);
@@ -175,7 +185,7 @@ def _e_step(vocab: DataFrame, logp: dict[str, float], max_len: int) -> dict[str,
                     counts = memo[word] = _forward_backward(word, logp, max_len)[0]
                 f = int(freq)
                 for piece, c in counts.items():
-                    acc[piece] = acc.get(piece, 0) + round(c * COUNT_FP) * f
+                    acc[piece] = acc.get(piece, 0) + round(c * count_fp) * f
             yield pd.DataFrame(
                 {"piece": list(acc.keys()), "c_fp": list(acc.values())}
             )
@@ -240,6 +250,7 @@ def train_unigram(
     max_piece_len: int = 8,
     seed_size: int = 400,
     min_count: int = 2,
+    count_fp: int = COUNT_FP,
 ) -> list[tuple[str, float]]:
     """Learn a unigram-LM piece vocabulary of (at most) ``vocab_size``
     pieces: seed → alternate (EM × ``em_iters``, loss-based prune to
@@ -257,7 +268,7 @@ def train_unigram(
     logp = {p: math.log(c) - math.log(total) for p, c in seed}
     while True:
         for _ in range(em_iters):
-            counts = _e_step(vocab, logp, max_piece_len)
+            counts = _e_step(vocab, logp, max_piece_len, count_fp)
             logp = _m_step(counts)
         n_now = len(logp)
         if n_now <= vocab_size:
@@ -281,7 +292,7 @@ def train_unigram(
         losses.sort(key=lambda t: (-t[0], t[1]))
         keep = chars | {p for _, p in losses[: max(0, target - len(chars))]}
         logp = {p: lp for p, lp in logp.items() if p in keep}
-    counts = _e_step(vocab, logp, max_piece_len)
+    counts = _e_step(vocab, logp, max_piece_len, count_fp)
     logp = _m_step(counts)
     return sorted(logp.items())
 

@@ -269,3 +269,48 @@ def test_stream_stream_join_views_purchases(spark, tmpdir):
     rows = spark.sql("SELECT * FROM ssj_t").collect()
     assert len(rows) == 1
     assert rows[0]["user_id"] == "u1" and rows[0]["product_id"] == "pA"
+
+
+def test_stream_bloom_decontamination_gate(spark, tmpdir):
+    """The Bloom membership predicate is stateless pure-Column, so the
+    batch decontamination gate runs UNCHANGED on a stream: docs whose
+    bigrams hit the benchmark filter are dropped before the sink (the
+    stream-side leak gate). File source + availableNow, append mode —
+    no stateful operator involved."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(0, "the secret eval answer")], "doc_id long, text string"
+    )
+    bloom = dedup.bloom_filter_build(
+        bench.select(F.explode(dedup.ngram_set("text", 2)).alias("gram"))
+    )
+    src, out, ck = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ck"
+    os.makedirs(src)
+    docs = [
+        (100, "prefix the secret eval answer suffix"),  # leaked -> drop
+        (101, "clean document with fresh text"),
+    ]
+    with open(f"{src}/docs.json", "w") as f:
+        for i, t in docs:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).json(src)
+    # doc-level gate with NO per-doc state: EXISTS over the gram array
+    # with the same pure-Column predicate the batch path filters on
+    leaked = F.exists(
+        dedup.ngram_set("text", 2), lambda g: dedup.bloom_hit(g, bloom)
+    )
+    clean = stream.filter(~leaked)
+    (
+        clean.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {101}
