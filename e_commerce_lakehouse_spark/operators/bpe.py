@@ -185,6 +185,8 @@ def train_bpe(
     are the cost, and batching divides them. The returned vocab pins
     its last checkpoint blocks — long-lived sessions should unpersist
     when done (the bench harness sweeps leftovers)."""
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
     spark = documents.sparkSession
     vocab = word_vocab(documents)
     merges: list[tuple[str, str]] = []

@@ -215,8 +215,9 @@ def bloom_filter_build(
     grams: DataFrame, gram_col: str = "gram", m_bits: int = 16384, k: int = 4
 ) -> list[int]:
     """Distributed Bloom-filter build over a gram frame: each gram sets
-    ``k`` bit positions (the repo's md5 hash family, seeds
-    'bloom0'..'bloom{k-1}', mod ``m_bits``); bits pack 64-per-word via
+    ``k`` bit positions, all derived from ONE md5 per gram
+    (:func:`_bloom_positions` — 7-hex slices of md5('bloom:'||gram),
+    mod ``m_bits``); bits pack 64-per-word via
     one (word_idx → bit_or) groupBy — m_bits/64 rows cross to the
     driver regardless of input size. Returns the dense int64 word list
     (the m_bits/8-byte artifact — e.g. 2 KB at the defaults). m_bits

@@ -1075,7 +1075,7 @@ def hamming_neardup_pairs(
     hashes: DataFrame,
     bands: int = 4,
     bits: int = 64,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     id_col: str = "media_id",
     hash_col: str = "dhash",
     hot_cap: int | None = None,
@@ -1103,6 +1103,14 @@ def hamming_neardup_pairs(
 
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming >= bands:
+        # d bit flips can corrupt up to d bands: only max_hamming <
+        # bands guarantees a surviving shared band. Beyond that the
+        # blocking silently drops in-threshold pairs — refuse instead.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}) for the banding guarantee"
+        )
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     banded = hashes.select(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from . import buckets
+
 
 def _hash60(s: Column) -> Column:
     """md5 of a string column, first 15 hex digits as a 60-bit BIGINT —
@@ -431,6 +433,7 @@ def dsir_select(
     from .search import with_fixed_log2_x64
 
     docb, _ids = dsir_doc_buckets(documents, n_buckets)
+    buckets.track_pinned(_ids)
     tgt = (
         docb.filter(F.col("doc_id") < target_max_doc_id)
         .groupBy("bucket")

@@ -231,7 +231,7 @@ def viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
                     continue
                 lp = floor
             v = best[j][0] + lp
-            if v >= b:  # >= : later (longer-last-piece) splits win ties
+            if v >= b:  # >= : later j (SHORTER last piece) wins ties
                 b, arg = v, j
         best[i] = (b, arg)
     out, i = [], n
@@ -254,7 +254,10 @@ def train_unigram(
 ) -> list[tuple[str, float]]:
     """Learn a unigram-LM piece vocabulary of (at most) ``vocab_size``
     pieces: seed → alternate (EM × ``em_iters``, loss-based prune to
-    ``max(vocab_size, ceil(|P|·shrink))``) until the target holds →
+    ``max(vocab_size, ceil(|P|·shrink))``) until the target holds (or
+    only single characters remain — the alphabet is the vocabulary
+    floor, so a corpus with more distinct characters than
+    ``vocab_size`` yields the full alphabet) →
     one final EM pass re-estimates the surviving pieces. Returns the
     sorted (piece, logp) table — driver state, the artifact encoders
     ship (see :func:`piece_table`). Deterministic and
@@ -291,6 +294,12 @@ def train_unigram(
         # keep the highest-loss pieces (dropping them would hurt most)
         losses.sort(key=lambda t: (-t[0], t[1]))
         keep = chars | {p for _, p in losses[: max(0, target - len(chars))]}
+        if len(keep) == n_now:
+            # nothing left to prune: every surviving piece is a
+            # single character (alphabet larger than vocab_size).
+            # The vocabulary IS the alphabet — stop instead of
+            # spinning EM rounds forever.
+            break
         logp = {p: lp for p, lp in logp.items() if p in keep}
     counts = _e_step(vocab, logp, max_piece_len, count_fp)
     logp = _m_step(counts)

@@ -135,3 +135,11 @@ def test_batched_training_equals_sequential(spark):
         single, _ = bpe.train_bpe(docs, num_merges=12, batch_merges=1)
         assert batched == ref, rows
         assert single == ref, rows
+
+
+def test_batch_merges_guard(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe.train_bpe(docs, batch_merges=0)

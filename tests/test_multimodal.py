@@ -767,3 +767,11 @@ def test_audio_fingerprint_neardup_pairs_planted(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs
+
+
+def test_hamming_pairs_guarantee_guard(spark):
+    """max_hamming >= bands would silently drop in-threshold pairs
+    (d flips can corrupt d bands) — the op refuses the combination."""
+    hashes = spark.createDataFrame([(1, 5), (2, 6)], "media_id long, dhash long")
+    with pytest.raises(ValueError, match="banding guarantee"):
+        mm.hamming_neardup_pairs(hashes, bands=4, max_hamming=6)

@@ -200,3 +200,16 @@ def test_em_iters_guard(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(5)
     with pytest.raises(ValueError, match="em_iters"):
         unigram.train_unigram(docs, em_iters=0)
+
+
+def test_alphabet_larger_than_vocab_terminates(spark):
+    """A corpus with more distinct characters than vocab_size must
+    terminate with the alphabet as the vocabulary floor (review fix:
+    the prune loop previously spun forever — single chars are never
+    dropped, so nothing could shrink)."""
+    text = " ".join("".join(chr(97 + (i + j) % 26) + str(j % 10) for j in range(3)) for i in range(20))
+    docs = spark.createDataFrame([(1, text), (2, text[::-1])], "doc_id long, text string")
+    pieces = unigram.train_unigram(docs, vocab_size=5, seed_size=10)
+    vocab = [p for p, _ in pieces]
+    assert len(vocab) >= 5  # alphabet floor, not an infinite loop
+    assert all(len(p) == 1 for p in vocab)
