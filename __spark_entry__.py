@@ -808,6 +808,23 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("long").alias("part_key"),
             F.lit(None).cast("long").alias("exact_cnt"),
             F.lit(None).cast("long").alias("cms_est"),
+            F.lit(None).cast("long").alias("hll_x1000"),
+        )
+    )
+    hll = (
+        sketch_ops.hll_estimate(li, "l_partkey", ["l_returnflag"])
+        .join(F.broadcast(exact_distinct), "l_returnflag")
+        .select(
+            F.lit("hll").alias("kind"),
+            "l_returnflag",
+            "exact_parts",
+            F.lit(None).cast("double").alias("price_p50"),
+            F.lit(None).cast("double").alias("price_p95"),
+            F.lit(None).cast("int").alias("sketch_ok"),
+            F.lit(None).cast("long").alias("part_key"),
+            F.lit(None).cast("long").alias("exact_cnt"),
+            F.lit(None).cast("long").alias("cms_est"),
+            "hll_x1000",
         )
     )
     cms_cells = sketch_ops.countmin_cells(li.select("l_partkey"), "l_partkey")
@@ -827,8 +844,9 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_partkey").alias("part_key"),
         "exact_cnt",
         "cms_est",
+        F.lit(None).cast("long").alias("hll_x1000"),
     )
-    return flags.unionByName(cms)
+    return flags.unionByName(cms).unionByName(hll)
 
 
 def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -2052,6 +2070,14 @@ def _pq_oracle_sql(
 
 _PQ_CTES, _PQ_CODE_SELECT, _PQ_TOPK_SELECT = _pq_oracle_sql()
 
+# HLL oracle constants/chain rendered from the one sketches-module spec
+_HLL_AM2 = sketch_ops.HLL_ALPHA_X1000 * sketch_ops.HLL_M * sketch_ops.HLL_M
+_HLL_LN2 = sketch_ops.LN2_X1E6
+_HLL_FL_SELECT = search.fixed_log2_sql_select(
+    "hm", "hv", "fl",
+    ["l_returnflag", "rm", "n", "v", "raw_x1000", "hm", "hv"],
+)
+
 
 def _dhash56_oracle_sql() -> str:
     """Render q50's predicted native-resolution dHash for the PNG
@@ -2639,7 +2665,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c FULL JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY 1, 2
         """,
-        "q33_approx_sketches": """
+        "q33_approx_sketches": f"""
             WITH cmsc AS (
                 SELECT i, CAST('0x'||substr(md5('cms' || CAST(i AS VARCHAR) || ':'
                                || CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT)
@@ -2651,6 +2677,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT l_partkey, count(*) AS exact_cnt
                 FROM lineitem GROUP BY 1
                 ORDER BY exact_cnt DESC, l_partkey ASC LIMIT 5
+            ), hranks AS (
+                SELECT l_returnflag,
+                       h % 64 AS idx,
+                       least(55 - length(format('{{:b}}', h // 64)), 40) AS rank
+                FROM (SELECT l_returnflag,
+                             CAST('0x'||substr(md5('hll:'||CAST(l_partkey AS VARCHAR)),
+                                               1,15) AS BIGINT) AS h
+                      FROM lineitem)
+            ), hgrid AS (
+                SELECT g.l_returnflag, i.idx, coalesce(hm.mj, 0) AS mj
+                FROM (SELECT DISTINCT l_returnflag FROM lineitem) g
+                CROSS JOIN (SELECT unnest(range(0, 64)) AS idx) i
+                LEFT JOIN (SELECT l_returnflag, idx, max(rank) AS mj
+                           FROM hranks GROUP BY 1, 2) hm
+                  ON hm.l_returnflag = g.l_returnflag AND hm.idx = i.idx
+            ), hagg AS (
+                SELECT g.l_returnflag, r.rm,
+                       CAST(sum(CAST(1 AS BIGINT) << (r.rm - g.mj)) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN g.mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+                FROM hgrid g
+                JOIN (SELECT l_returnflag, max(mj) AS rm
+                      FROM hgrid GROUP BY 1) r USING (l_returnflag)
+                GROUP BY 1, 2
+            ), hraw AS (
+                SELECT l_returnflag, rm, n, v,
+                       (CAST({_HLL_AM2} AS BIGINT)
+                        * (CAST(1 AS BIGINT) << CAST(rm AS INT))) // n AS raw_x1000,
+                       CAST(64 AS BIGINT) AS hm,
+                       CAST(greatest(v, 1) AS BIGINT) AS hv
+                FROM hagg
+            ), hfl AS (
+                {_HLL_FL_SELECT}
+                FROM hraw
+            ), hexact AS (
+                SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+                FROM lineitem GROUP BY 1
             )
             SELECT 'sketch' AS kind, l_returnflag,
                    count(DISTINCT l_partkey) AS exact_parts,
@@ -2661,14 +2723,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS sketch_ok,
                    CAST(NULL AS BIGINT) AS part_key,
                    CAST(NULL AS BIGINT) AS exact_cnt,
-                   CAST(NULL AS BIGINT) AS cms_est
+                   CAST(NULL AS BIGINT) AS cms_est,
+                   CAST(NULL AS BIGINT) AS hll_x1000
             FROM lineitem
             GROUP BY 2
             UNION ALL
             SELECT 'cms', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS INT),
-                   t.l_partkey, t.exact_cnt, min(coalesce(cm.c, 0))
+                   t.l_partkey, t.exact_cnt, min(coalesce(cm.c, 0)),
+                   CAST(NULL AS BIGINT)
             FROM topp t
             CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
             LEFT JOIN cmsc cm
@@ -2677,6 +2741,15 @@ def oracle_sql() -> dict[str, str]:
                               || ':' || CAST(t.l_partkey AS VARCHAR)),1,15)
                               AS BIGINT) % 1024
             GROUP BY t.l_partkey, t.exact_cnt
+            UNION ALL
+            SELECT 'hll', f.l_returnflag, e.exact_parts,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(CASE WHEN f.v > 0 AND f.raw_x1000 <= {2500 * 64}
+                        THEN (f.hm * f.fl * {_HLL_LN2}) // {64 * 1000}
+                        ELSE f.raw_x1000 END AS BIGINT) AS hll_x1000
+            FROM hfl f JOIN hexact e USING (l_returnflag)
         """,
         "q34_stratified_sample": """
             SELECT 'sample' AS kind, doc_id, lang, source,

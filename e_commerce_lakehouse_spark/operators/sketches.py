@@ -87,3 +87,94 @@ def countmin_estimate(
         joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog, from scratch and ENGINE-EXACT (Flajolet et al. 2007).
+# Spark's approx_count_distinct and DuckDB's approx estimator are
+# different implementations, so q33 gates the built-in sketch only by
+# an in-row tolerance flag. This HLL is a pure function of the md5
+# spec with an all-integer estimator ladder, so the ESTIMATE ITSELF
+# hash-gates exactly: m=64 registers (h mod m), register value =
+# leading-zero rank of the remaining 54 hash bits capped at
+# RANK_CAP=40 (the cap binds only beyond ~m*2^40 ~ 7e13 distinct
+# keys — documented bound, far past the 100 TB key space), raw
+# estimate alpha*m^2/sum(2^-M_j) computed as the integer
+# (709*m^2*2^Rm) div sum(2^(Rm-M_j)), and the small-range linear
+# counting m*ln(m/V) rendered through the repo's fixed-point log2
+# chain (operators/search.py) times an integer ln2 scale — no libm
+# log anywhere, so both engines produce the identical estimate.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6)
+HLL_ALPHA_X1000 = 709  # Flajolet alpha_64 * 1000
+HLL_RANK_CAP = 40
+LN2_X1E6 = 693147  # floor(ln 2 * 1e6) — shared integer spec
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct estimate: (group_cols..., hll_x1000,
+    hll_empty_regs). One register groupBy (m rows per group cross
+    the cluster), a tiny grid join to materialize empty registers,
+    and the integer estimator ladder — every step exact, so the
+    DuckDB oracle reproduces the estimate bit-for-bit."""
+    from .search import with_fixed_log2_x64
+
+    m = HLL_M
+    h = _md5_hash64(F.col(key_col).cast("string"), "hll")
+    keyed = df.select(*group_cols, h.alias("_h")).select(
+        *group_cols,
+        (F.col("_h") % m).alias("idx"),
+        F.least(
+            F.lit(55) - F.length(F.bin(F.expr(f"_h div {m}"))),
+            F.lit(HLL_RANK_CAP),
+        ).alias("rank"),
+    )
+    maxes = keyed.groupBy(*group_cols, "idx").agg(F.max("rank").alias("mj"))
+    groups = df.select(*group_cols).distinct()
+    grid = (
+        groups.crossJoin(
+            df.sparkSession.range(m).select(F.col("id").cast("int").alias("idx"))
+        )
+        .join(maxes, [*group_cols, "idx"], "left")
+        .withColumn("mj", F.coalesce("mj", F.lit(0)))
+    )
+    rm = grid.groupBy(*group_cols).agg(F.max("mj").alias("rm"))
+    agg = (
+        grid.join(rm, group_cols)
+        .withColumn(
+            "term",
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("rm") - F.col("mj")).cast("int"),
+            ),
+        )
+        .groupBy(*group_cols, "rm")
+        .agg(
+            F.sum("term").alias("n"),
+            F.sum((F.col("mj") == 0).cast("long")).alias("v"),
+        )
+        .withColumn(
+            "raw_x1000",
+            F.expr(
+                f"(CAST({HLL_ALPHA_X1000 * m * m} AS BIGINT)"
+                " * shiftleft(CAST(1 AS BIGINT), CAST(rm AS INT))) div n"
+            ),
+        )
+        .withColumn("hm", F.lit(m).cast("long"))
+        .withColumn("hv", F.greatest(F.col("v"), F.lit(1)).cast("long"))
+    )
+    agg = with_fixed_log2_x64(agg, "hm", "hv", "fl")
+    return agg.select(
+        *group_cols,
+        F.when(
+            (F.col("v") > 0) & (F.col("raw_x1000") <= F.lit(2500 * m)),
+            F.expr(f"(hm * fl * {LN2_X1E6}) div {64 * 1000}"),
+        )
+        .otherwise(F.col("raw_x1000"))
+        .alias("hll_x1000"),
+        F.col("v").alias("hll_empty_regs"),
+    )

@@ -65,3 +65,70 @@ def test_cms_absent_key_and_determinism(spark):
         map(tuple, sketches.countmin_cells(li.repartition(7), "l_partkey").collect())
     )
     assert a == b
+
+
+# -- HyperLogLog --------------------------------------------------------------
+
+
+def _ref_hll(values: list[str]) -> int:
+    """Independent reference of the full estimator ladder, incl. the
+    fixed-point-log2 linear-counting path (chain reference from
+    tests/test_search.py)."""
+    from tests.test_search import _fx64_ref
+
+    m, cap = sketches.HLL_M, sketches.HLL_RANK_CAP
+    M = [0] * m
+    for v in values:
+        h = int(hashlib.md5(f"hll:{v}".encode()).hexdigest()[:15], 16)
+        idx, h2 = h % m, h // m
+        blen = len(bin(h2)[2:]) if h2 > 0 else 1
+        M[idx] = max(M[idx], min(55 - blen, cap))
+    rm = max(M)
+    n = sum(1 << (rm - mj) for mj in M)
+    raw = (sketches.HLL_ALPHA_X1000 * m * m * (1 << rm)) // n
+    v0 = sum(1 for mj in M if mj == 0)
+    if v0 > 0 and raw <= 2500 * m:
+        fl = _fx64_ref(m, v0)
+        return (m * fl * sketches.LN2_X1E6) // (64 * 1000)
+    return raw
+
+
+def test_hll_matches_reference_both_ranges(spark):
+    """Raw-range (distinct >> m) and linear-counting range (distinct
+    ~ m/4) both match the pure-Python ladder exactly, and land within
+    the published ~1.04/sqrt(m) error of the truth."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    est = {
+        r.l_returnflag: r.hll_x1000
+        for r in sketches.hll_estimate(li, "l_partkey", ["l_returnflag"]).collect()
+    }
+    truth: dict[str, set] = {}
+    for r in li.select("l_returnflag", "l_partkey").collect():
+        truth.setdefault(r.l_returnflag, set()).add(str(r.l_partkey))
+    for g, vals in truth.items():
+        assert est[g] == _ref_hll(sorted(vals)), g
+        assert abs(est[g] / 1000 - len(vals)) <= 0.45 * len(vals), g
+
+    # linear-counting range: 12 distinct keys over 64 registers
+    small = spark.createDataFrame(
+        [("g", i % 12) for i in range(100)], "grp string, k long"
+    )
+    (row,) = sketches.hll_estimate(small, "k", ["grp"]).collect()
+    want = _ref_hll([str(i) for i in range(12)])
+    assert row.hll_x1000 == want
+    assert row.hll_empty_regs > 0  # genuinely exercised the lc branch
+    assert abs(row.hll_x1000 / 1000 - 12) <= 4
+
+
+def test_hll_deterministic(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    a = sorted(map(tuple, sketches.hll_estimate(li, "l_partkey", ["l_returnflag"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            sketches.hll_estimate(
+                li.repartition(17), "l_partkey", ["l_returnflag"]
+            ).collect(),
+        )
+    )
+    assert a == b
