@@ -26,20 +26,33 @@ from .dedup import _md5_hash64
 
 
 def countmin_cells(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    pre_aggregate: bool | None = None,
 ) -> DataFrame:
     """Build the sketch: (row_idx, col_idx, c) cell counts, one row
     per NON-EMPTY cell (at most depth*width). Each input row
     increments one cell per hash row.
 
-    Two-phase build: rows pre-aggregate to per-KEY weights first (a
-    partial-agg groupBy on the key), and only the distinct keys pay
-    the depth md5 hashes + explode — hashing work scales with
-    |distinct keys|, not |rows| (q33's lineitem branch: 80k md5 calls
-    instead of 9.6M at sf0.1). Identical cells by construction; when
-    the key cardinality itself is huge the key groupBy still
-    partial-aggs map-side and the cell groupBy stays bounded by
-    depth*width."""
+    Batch path (``pre_aggregate=True``): rows pre-aggregate to
+    per-KEY weights first (a partial-agg groupBy on the key), and
+    only the distinct keys pay the depth md5 hashes + explode —
+    hashing work scales with |distinct keys|, not |rows| (q33's
+    lineitem branch: 80k md5 calls instead of 9.6M at sf0.1).
+    Identical cells by construction; when the key cardinality itself
+    is huge the key groupBy still partial-aggs map-side and the cell
+    groupBy stays bounded by depth*width.
+
+    Streaming path (``pre_aggregate=False``): the direct one-level
+    cell groupBy — a SINGLE stateful aggregation with state bounded
+    by depth*width rows regardless of stream length (two chained
+    stateful aggs would trip Spark's streaming correctness check).
+    Default ``None`` picks by ``df.isStreaming``; cells are identical
+    either way."""
+    if pre_aggregate is None:
+        pre_aggregate = not df.isStreaming
     pos = F.array(
         *[
             F.struct(
@@ -51,7 +64,10 @@ def countmin_cells(
             for i in range(depth)
         ]
     )
-    keyed = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_w"))
+    if pre_aggregate:
+        keyed = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_w"))
+    else:
+        keyed = df.select(F.col(key_col), F.lit(1).cast("long").alias("_w"))
     return (
         keyed.select(F.explode(pos).alias("s"), "_w")
         .groupBy(F.col("s.row_idx").alias("row_idx"), F.col("s.col_idx").alias("col_idx"))

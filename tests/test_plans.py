@@ -245,3 +245,20 @@ def test_image_neardup_pairs_plan_shape(spark):
     plan = plan_of(mm.image_neardup_pairs(hashes, bands=4, bits=64, max_hamming=3))
     assert "EvalPython" not in plan  # banding + popcount all codegen
     assert "bit_count" in plan
+
+
+def test_hll_plan_shape(spark):
+    """HLL (q33 branch): register aggregation is a partial-agged
+    hash groupBy (no Expand rewrite, no sort-agg fallback), the whole
+    estimator ladder is expression-only (zero Python eval), and every
+    post-register join is on the tiny grid/group frames."""
+    from e_commerce_lakehouse_spark.operators import sketches
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    df = sketches.hll_estimate(
+        load_table(spark, SF_SMALL, "lineitem"), "l_partkey", ["l_returnflag"]
+    )
+    plan = plan_of(df)
+    assert "EvalPython" not in plan  # all-integer Column ladder
+    assert "HashAggregate" in plan
+    assert "Expand" not in plan  # no distinct-agg rewrite

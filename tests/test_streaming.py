@@ -314,3 +314,34 @@ def test_stream_bloom_decontamination_gate(spark, tmpdir):
     )
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {101}
+
+
+def test_stream_countmin_cells_update_mode(spark, tmpdir):
+    """The CMS build is a plain (cell -> count) groupBy, so it runs as
+    a streaming aggregation unchanged — the sketch-on-a-stream shape
+    (bounded state: at most depth*width rows regardless of stream
+    length). availableNow + update mode into a memory sink; the final
+    cells equal the batch build over the same rows."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators import sketches
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    with open(f"{src}/keys.json", "w") as f:
+        for i in range(200):
+            f.write(json.dumps({"k": i % 7}) + "\n")
+    stream = spark.readStream.schema("k long").json(src)
+    q = (
+        sketches.countmin_cells(stream, "k")
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cms_stream").collect()))
+    batch = spark.createDataFrame([(i % 7,) for i in range(200)], "k long")
+    want = sorted(map(tuple, sketches.countmin_cells(batch, "k").collect()))
+    assert got == want
