@@ -1092,6 +1092,12 @@ def hamming_neardup_pairs(
     of real decode: re-encoded / brightness-shifted / volume-shifted /
     lightly-edited crawl media collapse to the same cluster.
 
+    The default tightened from max_hamming=6 to 3 when the guard below
+    landed: the old default silently violated the banding guarantee
+    (a distance-4 pair can corrupt all 4 bands). Callers wanting a
+    wider radius must also widen ``bands`` (e.g. bands=8 for
+    max_hamming<=7, costing one more band row per hash).
+
     Scale: identical viral payloads make degenerate hot buckets, so
     pairing goes through ``buckets.bucket_mate_pairs`` (per-task
     memory bounded by ``hot_cap``; over-cap buckets star-paired, never

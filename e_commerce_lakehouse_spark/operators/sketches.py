@@ -149,7 +149,9 @@ def hll_estimate(
         ).alias("rank"),
     )
     maxes = keyed.groupBy(*group_cols, "idx").agg(F.max("rank").alias("mj"))
-    groups = df.select(*group_cols).distinct()
+    # groups derive from the TINY aggregated maxes frame (every group
+    # contributes >= 1 register row), not a second full input scan
+    groups = maxes.select(*group_cols).distinct()
     grid = (
         groups.crossJoin(
             df.sparkSession.range(m).select(F.col("id").cast("int").alias("idx"))

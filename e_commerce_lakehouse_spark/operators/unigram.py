@@ -265,6 +265,8 @@ def train_unigram(
     M-step, total-order (loss DESC, piece ASC) pruning."""
     if em_iters < 1:
         raise ValueError("em_iters must be >= 1 (pruning needs counts)")
+    if not 0.0 < shrink < 1.0:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
     vocab = word_vocab(documents).localCheckpoint()
     seed = seed_pieces(vocab, max_piece_len, seed_size, min_count)
     total = sum(c for _, c in seed)
@@ -276,7 +278,10 @@ def train_unigram(
         n_now = len(logp)
         if n_now <= vocab_size:
             break
-        target = max(vocab_size, math.ceil(n_now * shrink))
+        # clamp so every prune round strictly shrinks (ceil rounding
+        # could otherwise stall at target == n_now and trip the
+        # alphabet-floor break below with multi-char pieces alive)
+        target = min(max(vocab_size, math.ceil(n_now * shrink)), n_now - 1)
         # Kudo's pruning loss, driver-side over the piece table: the
         # likelihood cost of dropping x = count(x)·(logp(x) − logp of
         # x's best segmentation into OTHER pieces). Single characters

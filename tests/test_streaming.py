@@ -316,12 +316,14 @@ def test_stream_bloom_decontamination_gate(spark, tmpdir):
     assert got == {101}
 
 
-def test_stream_countmin_cells_update_mode(spark, tmpdir):
+def test_stream_countmin_cells_complete_mode(spark, tmpdir):
     """The CMS build is a plain (cell -> count) groupBy, so it runs as
     a streaming aggregation unchanged — the sketch-on-a-stream shape
     (bounded state: at most depth*width rows regardless of stream
-    length). availableNow + update mode into a memory sink; the final
-    cells equal the batch build over the same rows."""
+    length). availableNow + COMPLETE mode into a memory sink (the
+    memory sink shows full state; update mode would emit per-batch
+    deltas); the final cells equal the batch build over the same
+    rows."""
     import os
 
     from e_commerce_lakehouse_spark.operators import sketches
