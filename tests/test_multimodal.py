@@ -775,3 +775,48 @@ def test_hamming_pairs_guarantee_guard(spark):
     hashes = spark.createDataFrame([(1, 5), (2, 6)], "media_id long, dhash long")
     with pytest.raises(ValueError, match="banding guarantee"):
         mm.hamming_neardup_pairs(hashes, bands=4, max_hamming=6)
+
+
+def test_media_neardup_pipeline_end_to_end(spark):
+    """The full media-dedup chain COMPOSES across tiers: synthesize
+    real images → decode → perceptual dHash → Hamming-banded pairs →
+    star-contraction duplicate clusters → dedup keeps one canonical
+    copy per perceptual cluster. Planted: three re-encodes of the same
+    image (PNG twice with a brightness shift, JPEG once) plus two
+    unrelated images — one cluster, exactly its min-id survivor
+    dropped siblings; unrelated images untouched."""
+    from e_commerce_lakehouse_spark.operators import dedup
+
+    rng = np.random.default_rng(13)
+    y, x = np.mgrid[0:8, 0:9]
+    base = (20 * x + 5 * y).astype(np.uint8)  # smooth: survives JPEG
+    bright = np.clip(base.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+    other1 = (255 - 20 * x - 5 * y).astype(np.uint8)
+    other2 = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    from e_commerce_lakehouse_spark.operators.jpeg import encode_jpeg
+
+    rows = [
+        (1, "image", bytearray(mm.encode_png(base.tobytes(), 9, 8, 1))),
+        (2, "image", bytearray(mm.encode_png(bright.tobytes(), 9, 8, 1))),
+        (3, "image", bytearray(encode_jpeg(base.tobytes(), 9, 8, 1, quality=90))),
+        (4, "image", bytearray(mm.encode_png(other1.tobytes(), 9, 8, 1))),
+        (5, "image", bytearray(mm.encode_png(other2.tobytes(), 9, 8, 1))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    hashes = mm.image_dhash(mm.decode_images(media), grid=None)
+    pairs = mm.hamming_neardup_pairs(
+        hashes, bands=8, bits=64, max_hamming=4
+    ).select(F.col("a_id"), F.col("b_id"))
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert 4 not in clusters and 5 not in clusters
+    docs = media.select(F.col("media_id").alias("doc_id"))
+    kept = {
+        r.doc_id for r in dedup.dedup_by_clusters(docs, pairs).collect()
+    }
+    assert kept == {1, 4, 5}
