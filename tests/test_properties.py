@@ -66,3 +66,100 @@ def test_hamming_distance_metric(a, b):
     d = bin(a ^ b).count("1")
     assert d == bin(b ^ a).count("1")
     assert (d == 0) == (a == b)
+
+
+# -- round-5 exactness specs (Bloom / CMS / HLL / perceptual hashes) ---------
+
+
+def _bloom_pos_py(gram: str, i: int, m_bits: int = 16384) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"bloom:{gram}".encode()).hexdigest()
+    return int(h[7 * i : 7 * i + 7], 16) % m_bits
+
+
+@given(
+    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=12), min_size=1, max_size=40),
+    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=12), min_size=0, max_size=40),
+)
+@settings(max_examples=150)
+def test_bloom_never_false_negative(benchmark, extra):
+    """The defining Bloom property under the repo's single-md5 slice
+    spec: every member of the build set hits all k of its bits."""
+    bits = set()
+    for g in benchmark:
+        for i in range(4):
+            bits.add(_bloom_pos_py(g, i))
+    for g in benchmark:
+        assert all(_bloom_pos_py(g, i) in bits for i in range(4)), g
+    # and a hit for a non-member requires ALL its positions present
+    for g in extra - benchmark:
+        hit = all(_bloom_pos_py(g, i) in bits for i in range(4))
+        if not hit:
+            assert any(_bloom_pos_py(g, i) not in bits for i in range(4))
+
+
+def _cms_pos_py(key: str, i: int, width: int = 64) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"cms{i}:{key}".encode()).hexdigest()[:15], 16) % width
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=150))
+@settings(max_examples=150)
+def test_cms_one_sided_overcount(values):
+    """CMS point estimates never undercount, under the repo's md5
+    position spec (narrow width=64 to force collisions)."""
+    from collections import Counter
+
+    depth, width = 4, 64
+    cells = [[0] * width for _ in range(depth)]
+    for v in values:
+        for i in range(depth):
+            cells[i][_cms_pos_py(str(v), i, width)] += 1
+    truth = Counter(str(v) for v in values)
+    for k, t in truth.items():
+        est = min(cells[i][_cms_pos_py(k, i, width)] for i in range(depth))
+        assert est >= t, k
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)  # first call imports the ladder
+def test_hll_is_a_set_estimator(keys):
+    """Duplicates never move an HLL estimate (register maxes are
+    idempotent) — the property that makes it a DISTINCT counter."""
+    from tests.test_sketches import _ref_hll
+
+    vals = [str(k) for k in keys]
+    assert _ref_hll(vals) == _ref_hll(vals + vals) == _ref_hll(sorted(vals) * 3)
+
+
+@given(st.integers(min_value=0, max_value=2**32))
+@settings(max_examples=150)
+def test_dhash_brightness_invariant_and_local(seed):
+    """dHash is invariant to uniform brightness shifts and a single
+    pixel edit flips at most its two adjacent comparisons."""
+    import numpy as np
+
+    from e_commerce_lakehouse_spark.operators.multimodal import dhash_bits
+
+    rng = np.random.default_rng(seed)
+    g = rng.integers(10, 200, size=(8, 9), dtype=np.int64)
+    assert dhash_bits(g) == dhash_bits(g + 40)
+    r, c = int(rng.integers(0, 8)), int(rng.integers(0, 9))
+    g2 = g.copy()
+    g2[r, c] = int(rng.integers(0, 256))
+    diff = (dhash_bits(g) ^ dhash_bits(g2)) & ((1 << 64) - 1)
+    assert bin(diff).count("1") <= 2
+
+
+@given(st.integers(min_value=0, max_value=2**32), st.integers(min_value=1, max_value=7))
+@settings(max_examples=100)
+def test_audio_envelope_gain_invariant(seed, gain):
+    import numpy as np
+
+    from e_commerce_lakehouse_spark.operators.multimodal import audio_envelope_bits
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-3000, 3000, size=65 * 8).astype(np.int64)
+    assert audio_envelope_bits(x * gain, 65) == audio_envelope_bits(x, 65)
