@@ -100,13 +100,12 @@ def zorder_key(cols: Sequence[str], bits: int = 21):
     return F.expr(terms)
 
 
-def zorder_write(
+def zorder_layout(
     df: DataFrame,
-    path: str,
     cluster_cols: Sequence[str],
     num_files: int = 8,
     bits: int = 21,
-) -> None:
+) -> DataFrame:
     """Z-ORDER clustered write (the Delta/Iceberg `OPTIMIZE ZORDER BY`
     capability): normalize each clustering column to a [0, 2^bits)
     rank by min/max (one tiny stats aggregate, broadcast back —
@@ -151,10 +150,24 @@ def zorder_write(
     keyed = ranked.withColumn(
         "__zkey", zorder_key([f"__z_{c}" for c in cluster_cols], bits=bits)
     )
-    (
+    return (
         keyed.repartitionByRange(num_files, "__zkey")
         .sortWithinPartitions("__zkey")
         .drop("__zkey", *[f"__z_{c}" for c in cluster_cols])
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int = 8,
+    bits: int = 21,
+) -> None:
+    """:func:`zorder_layout` + parquet write — see that docstring.
+    The layout (range partitioning + in-partition sort) survives the
+    write verbatim: each partition becomes one file whose footer
+    min/max bound a Morton hyper-rectangle."""
+    zorder_layout(df, cluster_cols, num_files=num_files, bits=bits).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -182,3 +182,31 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     for d in sorted(dead_dirs):
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return sorted(dead_dirs)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    root: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    bits: int = 21,
+) -> int:
+    """Delta/Iceberg ``OPTIMIZE ... ZORDER BY`` for the snapshot
+    table: rewrite the CURRENT snapshot's rows in Z-order
+    (operators/layout.zorder_layout — every output file bounds a
+    Morton hyper-rectangle, so footer stats prune on ANY clustered
+    column) and commit the rewrite as a new OVERWRITE snapshot.
+    Row-identical by construction (a layout change, not a data
+    change); every prior snapshot stays time-travel readable until
+    expired — an OPTIMIZE that goes wrong is one :func:`rollback`
+    away, the property that makes table maintenance safe to automate.
+    Returns the new snapshot id."""
+    from ..operators.layout import zorder_layout
+
+    return write_snapshot(
+        zorder_layout(
+            read_snapshot(spark, root), cluster_cols, num_files=num_files, bits=bits
+        ),
+        root,
+        mode="overwrite",
+    )

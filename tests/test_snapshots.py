@@ -77,3 +77,47 @@ def test_expire_keeps_reachable_dirs_only(spark, root):
     live = {d for s in S._load(root)["snapshots"] for d in s["dirs"]}
     for d in live:
         assert os.path.isdir(os.path.join(root, d))
+
+
+def test_optimize_zorder_rewrites_layout_not_data(spark, root):
+    """OPTIMIZE ZORDER commits a row-identical rewrite as a new
+    snapshot: files become multi-dimensional hyper-rectangles (footer
+    spans bounded in BOTH clustered columns), the pre-optimize
+    snapshot stays time-travel readable, and rollback undoes the
+    layout change with a pointer swap."""
+    import pyarrow.parquet as pq
+
+    rows = [(x, y) for x in range(40) for y in range(40)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+    s1 = S.write_snapshot(df, root)
+    s2 = S.optimize_zorder(spark, root, ["x", "y"], num_files=16)
+    assert s2 == s1 + 1
+    # row-identical
+    before = sorted(map(tuple, S.read_snapshot(spark, root, s1).collect()))
+    after = sorted(map(tuple, S.read_snapshot(spark, root).collect()))
+    assert before == after == sorted(rows)
+    # layout: every optimized file bounds BOTH dimensions
+    opt_dir = os.path.join(root, f"snap-{s2:08d}-overwrite")
+    spans = {"x": [], "y": []}
+    for f in os.listdir(opt_dir):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(opt_dir, f))
+        for col in ("x", "y"):
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans[col].append(max(maxs) - min(mins))
+    for col in ("x", "y"):
+        ss = sorted(spans[col])
+        assert ss[len(ss) // 2] <= 20, (col, ss)  # median file is narrow
+    # maintenance safety: rollback is a pointer swap to the old layout
+    s3 = S.rollback(root, s1)
+    assert sorted(map(tuple, S.read_snapshot(spark, root).collect())) == sorted(rows)
+    assert s3 == s2 + 1
