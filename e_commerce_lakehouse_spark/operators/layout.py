@@ -120,11 +120,28 @@ def zorder_layout(
     broadcast back as one row); the layout pass is the same
     repartitionByRange + local sort as `clustered_write` — one
     shuffle, no skew (Morton keys of real data spread uniformly at
-    this bit depth). Numeric (integral) columns only — the min/max
-    normalization is affine, so ordering within each dimension is
-    preserved exactly."""
+    this bit depth). INTEGRAL columns only (validated against the
+    schema — the min/max normalization is affine, so ordering within
+    each dimension is preserved exactly); a value span too wide for
+    the affine multiply's int64 headroom fails LOUDLY in-plan
+    (raise_error) instead of committing a wrapped, useless layout.
+    One clustering column degenerates to the plain range-clustered
+    layout (no interleaving needed — same as `clustered_write`)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    if not 1 <= len(cluster_cols) <= 3:
+        raise ValueError(
+            f"zorder_layout clusters 1-3 columns, got {len(cluster_cols)}"
+        )
+    for c in cluster_cols:
+        field = df.schema[c]
+        if not isinstance(field.dataType, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"zorder_layout needs integral clustering columns; "
+                f"{c!r} is {field.dataType.simpleString()} — map it to an "
+                "integral surrogate (epoch units, dictionary code) first"
+            )
     stats = df.agg(
         *[
             m(F.col(c)).cast("long").alias(f"__{nm}_{c}")
@@ -134,22 +151,30 @@ def zorder_layout(
     )
     ranked = df.crossJoin(F.broadcast(stats))
     rank_cols = []
+    # headroom: span * (2^bits - 1) must fit int64 — enforced in-plan
+    # so a too-wide key raises instead of wrapping into garbage ranks
+    max_span = ((1 << 63) - 1) // ((1 << bits) - 1)
     for c in cluster_cols:
         # exact integer affine map onto [0, 2^bits - 1] (integer div,
         # not double — a double round-off could misplace boundary
-        # ranks). Headroom: span · (2^bits - 1) must fit int64, i.e.
-        # value span < 2^42 at the default 21 bits — drop ``bits`` for
-        # wider-spanned keys.
+        # ranks)
         rank_cols.append(
             F.expr(
+                f"CASE WHEN __max_{c} - __min_{c} > {max_span} THEN "
+                f"CAST(raise_error('zorder_layout: span of {c} exceeds "
+                f"int64 headroom at bits={bits}; reduce bits') "
+                f"AS BIGINT) ELSE "
                 f"((CAST({c} AS BIGINT) - __min_{c}) * {(1 << bits) - 1}) div "
-                f"greatest(__max_{c} - __min_{c}, 1)"
+                f"greatest(__max_{c} - __min_{c}, 1) END"
             ).alias(f"__z_{c}")
         )
     ranked = ranked.select(*df.columns, *rank_cols)
-    keyed = ranked.withColumn(
-        "__zkey", zorder_key([f"__z_{c}" for c in cluster_cols], bits=bits)
+    zkey = (
+        F.col(f"__z_{cluster_cols[0]}")
+        if len(cluster_cols) == 1
+        else zorder_key([f"__z_{c}" for c in cluster_cols], bits=bits)
     )
+    keyed = ranked.withColumn("__zkey", zkey)
     return (
         keyed.repartitionByRange(num_files, "__zkey")
         .sortWithinPartitions("__zkey")

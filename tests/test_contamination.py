@@ -160,3 +160,21 @@ def test_bloom_deterministic_and_filter_shape(spark):
             bench.select(F.explode(dedup.ngram_set("text", 2)).alias("gram")),
             m_bits=1000,
         )
+
+
+def test_bloom_position_spec_sync(spark):
+    """The Spark-side position derivation (dedup._bloom_positions:
+    7-hex slices of one md5) matches the independent Python mirror for
+    real grams — the drift detector for the spec both the filter build
+    and the oracle SQL are rendered from."""
+    import hashlib
+
+    grams = ["the capital", "of france", "a", "multi word gram", "x y"]
+    df = spark.createDataFrame([(g,) for g in grams], "gram string")
+    rows = df.select(
+        "gram", *[p.alias(f"p{i}") for i, p in enumerate(dedup._bloom_positions(F.col("gram"), 16384, 4))]
+    ).collect()
+    for r in rows:
+        h = hashlib.md5(f"bloom:{r.gram}".encode()).hexdigest()
+        for i in range(4):
+            assert getattr(r, f"p{i}") == int(h[7 * i : 7 * i + 7], 16) % 16384, (r.gram, i)

@@ -416,25 +416,7 @@ def test_zorder_write_bounds_every_dimension(spark, tmpdir):
     layout.zorder_write(df, zpath, ["x", "y"], num_files=64)
     layout.clustered_write(df, lpath, ["x"], num_files=64)
 
-    def file_spans(path, col):
-        import pyarrow.parquet as pq
-        spans = []
-        for f in sorted(os.listdir(path)):
-            if not f.endswith(".parquet"):
-                continue
-            md = pq.read_metadata(os.path.join(path, f))
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                c = next(
-                    md.row_group(rg).column(i)
-                    for i in range(md.num_columns)
-                    if md.row_group(rg).column(i).path_in_schema == col
-                )
-                mins.append(c.statistics.min)
-                maxs.append(c.statistics.max)
-            if mins:
-                spans.append(max(maxs) - min(mins))
-        return spans
+    from tests.conftest import file_spans
 
     # linear layout: y is unclustered — files span (nearly) all of y
     assert min(file_spans(lpath, "y")) > 90
@@ -458,3 +440,30 @@ def test_zorder_write_bounds_every_dimension(spark, tmpdir):
     assert touched[zpath] < touched[lpath], touched
     # and the rewrite is lossless
     assert spark.read.parquet(zpath).count() == 10000
+
+
+def test_zorder_layout_guards(spark, tmpdir):
+    """Review-fix gates: non-integral clustering columns are rejected
+    up front (a silent NULL-rank layout would commit garbage); one
+    column degenerates to the plain range-clustered layout; a value
+    span past the affine multiply's int64 headroom raises IN-PLAN
+    instead of wrapping."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "x long, s string, y long"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        layout.zorder_layout(df, ["x", "s"])
+    with pytest.raises(ValueError, match="1-3"):
+        layout.zorder_layout(df, [])
+    # single column: valid layout, rows preserved
+    out = layout.zorder_layout(df.select("x", "y"), ["x"], num_files=2)
+    assert sorted((r.x, r.y) for r in out.collect()) == [(1, 10), (2, 20)]
+    # span overflow: two longs 2^50 apart at bits=21 exceed headroom
+    wide = spark.createDataFrame(
+        [(0, 0), (1 << 50, 1)], "x long, y long"
+    )
+    with pytest.raises(Exception, match="headroom"):
+        layout.zorder_layout(wide, ["x", "y"]).collect()
+    # and the same data lays out fine at a narrower bit depth
+    ok = layout.zorder_layout(wide, ["x", "y"], bits=12)
+    assert ok.count() == 2

@@ -71,34 +71,6 @@ def test_hamming_distance_metric(a, b):
 # -- round-5 exactness specs (Bloom / CMS / HLL / perceptual hashes) ---------
 
 
-def _bloom_pos_py(gram: str, i: int, m_bits: int = 16384) -> int:
-    import hashlib
-
-    h = hashlib.md5(f"bloom:{gram}".encode()).hexdigest()
-    return int(h[7 * i : 7 * i + 7], 16) % m_bits
-
-
-@given(
-    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=12), min_size=1, max_size=40),
-    st.sets(st.text(alphabet="abcdefgh ", min_size=1, max_size=12), min_size=0, max_size=40),
-)
-@settings(max_examples=150)
-def test_bloom_never_false_negative(benchmark, extra):
-    """The defining Bloom property under the repo's single-md5 slice
-    spec: every member of the build set hits all k of its bits."""
-    bits = set()
-    for g in benchmark:
-        for i in range(4):
-            bits.add(_bloom_pos_py(g, i))
-    for g in benchmark:
-        assert all(_bloom_pos_py(g, i) in bits for i in range(4)), g
-    # and a hit for a non-member requires ALL its positions present
-    for g in extra - benchmark:
-        hit = all(_bloom_pos_py(g, i) in bits for i in range(4))
-        if not hit:
-            assert any(_bloom_pos_py(g, i) not in bits for i in range(4))
-
-
 def _cms_pos_py(key: str, i: int, width: int = 64) -> int:
     import hashlib
 

@@ -98,22 +98,9 @@ def test_optimize_zorder_rewrites_layout_not_data(spark, root):
     assert before == after == sorted(rows)
     # layout: every optimized file bounds BOTH dimensions
     opt_dir = os.path.join(root, f"snap-{s2:08d}-overwrite")
-    spans = {"x": [], "y": []}
-    for f in os.listdir(opt_dir):
-        if not f.endswith(".parquet"):
-            continue
-        md = pq.read_metadata(os.path.join(opt_dir, f))
-        for col in ("x", "y"):
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                c = next(
-                    md.row_group(rg).column(i)
-                    for i in range(md.num_columns)
-                    if md.row_group(rg).column(i).path_in_schema == col
-                )
-                mins.append(c.statistics.min)
-                maxs.append(c.statistics.max)
-            spans[col].append(max(maxs) - min(mins))
+    from tests.conftest import file_spans
+
+    spans = {col: file_spans(opt_dir, col) for col in ("x", "y")}
     for col in ("x", "y"):
         ss = sorted(spans[col])
         assert ss[len(ss) // 2] <= 20, (col, ss)  # median file is narrow
