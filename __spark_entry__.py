@@ -1454,13 +1454,37 @@ def _q45_kmeans_cells(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
-    """OR-amplified multi-table LSH ANN (Indyk/Motwani L-table scheme)."""
-    return similarity.ann_topk_multi(
-        load_table(spark, sf, "embeddings"),
-        query_max_id=10,
-        k=5,
-        planes=8,
-        tables=3,
+    """ANN surface, kind-tagged union:
+      - kind='ann': OR-amplified multi-table LSH ANN (Indyk/Motwani
+        L-table scheme);
+      - kind='quality': the evaluation loop closed — per-query
+        recall@5 and MRR (x1e6, exact integer division) of that ANN
+        ranking against the exact cosine ranking
+        (similarity.ranking_quality). The oracle recomputes BOTH
+        rankings and the same metric arithmetic, so a recall
+        regression in the index flips rows red — approximate search
+        with its measurement built in."""
+    emb = load_table(spark, sf, "embeddings")
+    ann = similarity.ann_topk_multi(emb, query_max_id=10, k=5, planes=8, tables=3)
+    exact = similarity.cosine_topk(emb, query_max_id=10, k=5)
+    quality = similarity.ranking_quality(ann, exact, k=5)
+    ni = F.lit(None).cast("int")
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    return (
+        ann.select(
+            F.lit("ann").alias("kind"), "query_id", "neighbor_id",
+            "neighbor_label", "cosine", "rank",
+            ni.alias("recall_at_k"), nl.alias("mrr_x1e6"),
+        )
+        .unionByName(
+            quality.select(
+                F.lit("quality").alias("kind"), "query_id",
+                nl.alias("neighbor_id"), ni.alias("neighbor_label"),
+                nd.alias("cosine"), ni.alias("rank"),
+                "recall_at_k", "mrr_x1e6",
+            )
+        )
     )
 
 
@@ -1754,9 +1778,10 @@ def _ann_multi_oracle_sql(
     tables: int = 3,
     base_seed: int = 7,
 ) -> str:
-    """Generated mirror of similarity.ann_topk_multi: per-table sign
-    sketches, OR of per-table collisions, exact quantized cosine +
-    per-query rank."""
+    """Generated mirror of similarity.ann_topk_multi (kind='ann') plus
+    the ranking_quality branch (kind='quality'): the oracle recomputes
+    the exact cosine ranking AND the ANN ranking, joins them, and
+    reproduces recall@k / MRR with the identical integer arithmetic."""
     sketch_cols = []
     for t in range(tables):
         planes_arr = similarity.hyperplanes(planes, 64, seed=base_seed + t)
@@ -1785,10 +1810,38 @@ def _ann_multi_oracle_sql(
                 SELECT *, row_number() OVER (PARTITION BY query_id
                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
                 FROM scored
+            ), exactr AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_cos_sql('q.vec', 'c.vec')} DESC,
+                                    c.vec_id ASC) AS erk
+                FROM v q JOIN v c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < {query_max_id}
+            ), rel AS (
+                SELECT query_id, neighbor_id FROM exactr WHERE erk <= {k}
+            ), hits AS (
+                SELECT r.query_id, r.rk
+                FROM ranked r JOIN rel USING (query_id, neighbor_id)
+                WHERE r.rk <= {k}
+            ), qm AS (
+                SELECT qq.query_id,
+                       CAST(coalesce(h.n, 0) AS INT) AS recall_at_k,
+                       CAST(coalesce(1000000 // h.minrk, 0) AS BIGINT)
+                           AS mrr_x1e6
+                FROM (SELECT DISTINCT query_id FROM rel) qq
+                LEFT JOIN (SELECT query_id, count(*) AS n, min(rk) AS minrk
+                           FROM hits GROUP BY 1) h USING (query_id)
             )
-            SELECT query_id, neighbor_id, neighbor_label, cosine,
-                   CAST(rk AS INT) AS rank
+            SELECT 'ann' AS kind, query_id, neighbor_id, neighbor_label,
+                   cosine, CAST(rk AS INT) AS rank,
+                   CAST(NULL AS INT) AS recall_at_k,
+                   CAST(NULL AS BIGINT) AS mrr_x1e6
             FROM ranked WHERE rk <= {k}
+            UNION ALL
+            SELECT 'quality', query_id, CAST(NULL AS BIGINT),
+                   CAST(NULL AS INT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS INT), recall_at_k, mrr_x1e6
+            FROM qm
         """
 
 

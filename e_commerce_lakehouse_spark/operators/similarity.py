@@ -1011,3 +1011,43 @@ def pq_index(
         .select("query_id", "neighbor_id", "adc_d2", "rank")
     )
     return coded, topk
+
+
+def ranking_quality(
+    approx: DataFrame, exact: DataFrame, k: int = 5
+) -> DataFrame:
+    """ANN quality evaluation — the measurement loop every approximate
+    index deployment runs against a ground-truth sample: per query,
+    recall@k (how many of the exact top-k the approximate ranking
+    surfaced in ITS top-k) and MRR scaled x1e6 (10^6 div the first
+    approximate rank that hits the exact set; 0 when none do — exact
+    integer division, no float reciprocals, so the metric hash-gates
+    against the oracle).
+
+    Inputs are two ranking frames with (query_id, neighbor_id, rank)
+    — e.g. ``ann_topk_multi`` / ``pq_index`` top-k vs ``cosine_topk``.
+    The query set is the exact frame's (every evaluated query has a
+    ground-truth top-k). Both frames are per-query-bounded (Q·k rows),
+    so every join here is broadcast-sized at any corpus scale — the
+    evaluation costs nothing next to the rankings themselves."""
+    rel = exact.select("query_id", "neighbor_id")
+    hits = (
+        approx.filter(F.col("rank") <= k)
+        .join(rel, ["query_id", "neighbor_id"])
+        .select("query_id", "rank")
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("rank").alias("_minrk")
+    )
+    return (
+        rel.select("query_id")
+        .distinct()
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("recall_at_k"),
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) div _minrk"), F.lit(0)
+            ).cast("long").alias("mrr_x1e6"),
+        )
+    )

@@ -523,3 +523,28 @@ def test_pq_dim_not_divisible_raises(spark):
 
     with _pytest.raises(Exception, match="divisible"):
         similarity.pq_index(emb, m=7).__getitem__(0).collect()
+
+
+def test_ranking_quality_metrics(spark):
+    """recall@k and MRR on hand-built rankings: perfect, partial (hit
+    at rank 3), and disjoint."""
+    exact = spark.createDataFrame(
+        [(q, n, r) for q in (0, 1, 2) for r, n in enumerate([10, 11, 12], 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        # q0: identical; q1: only exact-member is 12 at rank 3; q2: none
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 50, 1), (1, 51, 2), (1, 12, 3),
+         (2, 60, 1), (2, 61, 2), (2, 62, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r.query_id: (r.recall_at_k, r.mrr_x1e6)
+        for r in similarity.ranking_quality(approx, exact, k=3).collect()
+    }
+    assert got == {
+        0: (3, 1_000_000),
+        1: (1, 1_000_000 // 3),
+        2: (0, 0),
+    }
