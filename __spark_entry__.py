@@ -1476,13 +1476,14 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("ann").alias("kind"), "query_id", "neighbor_id",
             "neighbor_label", "cosine", "rank",
             ni.alias("recall_at_k"), nl.alias("mrr_x1e6"),
+            nl.alias("ndcg_x1e6"),
         )
         .unionByName(
             quality.select(
                 F.lit("quality").alias("kind"), "query_id",
                 nl.alias("neighbor_id"), ni.alias("neighbor_label"),
                 nd.alias("cosine"), ni.alias("rank"),
-                "recall_at_k", "mrr_x1e6",
+                "recall_at_k", "mrr_x1e6", "ndcg_x1e6",
             )
         )
     )
@@ -1793,6 +1794,9 @@ def _ann_multi_oracle_sql(
             )
         sketch_cols.append(f"CAST({' + '.join(terms)} AS BIGINT) AS sk{t}")
     or_cond = " OR ".join(f"q.sk{t} = c.sk{t}" for t in range(tables))
+    disc = [similarity.dcg_discount_x(r) for r in range(1, k + 1)]
+    disc_list = "[" + ", ".join(str(d) for d in disc) + "]"
+    idcg_x = sum(disc)
     return f"""
             WITH v AS (
                 SELECT vec_id, label, {_qv_sql('embedding')} AS vec FROM embeddings
@@ -1820,27 +1824,32 @@ def _ann_multi_oracle_sql(
             ), rel AS (
                 SELECT query_id, neighbor_id FROM exactr WHERE erk <= {k}
             ), hits AS (
-                SELECT r.query_id, r.rk
+                SELECT r.query_id, r.rk,
+                       ({disc_list})[r.rk] AS disc
                 FROM ranked r JOIN rel USING (query_id, neighbor_id)
                 WHERE r.rk <= {k}
             ), qm AS (
                 SELECT qq.query_id,
                        CAST(coalesce(h.n, 0) AS INT) AS recall_at_k,
                        CAST(coalesce(1000000 // h.minrk, 0) AS BIGINT)
-                           AS mrr_x1e6
+                           AS mrr_x1e6,
+                       CAST(coalesce((h.dcg_x * 1000000) // {idcg_x}, 0)
+                            AS BIGINT) AS ndcg_x1e6
                 FROM (SELECT DISTINCT query_id FROM rel) qq
-                LEFT JOIN (SELECT query_id, count(*) AS n, min(rk) AS minrk
+                LEFT JOIN (SELECT query_id, count(*) AS n, min(rk) AS minrk,
+                                  sum(disc) AS dcg_x
                            FROM hits GROUP BY 1) h USING (query_id)
             )
             SELECT 'ann' AS kind, query_id, neighbor_id, neighbor_label,
                    cosine, CAST(rk AS INT) AS rank,
                    CAST(NULL AS INT) AS recall_at_k,
-                   CAST(NULL AS BIGINT) AS mrr_x1e6
+                   CAST(NULL AS BIGINT) AS mrr_x1e6,
+                   CAST(NULL AS BIGINT) AS ndcg_x1e6
             FROM ranked WHERE rk <= {k}
             UNION ALL
             SELECT 'quality', query_id, CAST(NULL AS BIGINT),
                    CAST(NULL AS INT), CAST(NULL AS DOUBLE),
-                   CAST(NULL AS INT), recall_at_k, mrr_x1e6
+                   CAST(NULL AS INT), recall_at_k, mrr_x1e6, ndcg_x1e6
             FROM qm
         """
 

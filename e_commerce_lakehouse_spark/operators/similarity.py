@@ -1024,6 +1024,14 @@ def ranking_quality(
     integer division, no float reciprocals, so the metric hash-gates
     against the oracle).
 
+    Also NDCG@k ×1e6 (binary relevance): DCG = Σ_hits 1/log2(rank+1)
+    with the reciprocal discounts rendered as integer constants from
+    the repo's fixed-point log2 chain spec (:func:`dcg_discount_x` —
+    ranks are 1..k, a fixed set, so the chain evaluates once in the
+    renderer, not per row), normalized by the ideal DCG over ranks
+    1..k and floored to ×1e6. A perfect ranking scores exactly
+    1_000_000; every step is integer, so the metric hash-gates.
+
     Inputs are two ranking frames with (query_id, neighbor_id, rank)
     — e.g. ``ann_topk_multi`` / ``pq_index`` top-k vs ``cosine_topk``.
     The query set is the exact frame's (every evaluated query has a
@@ -1031,13 +1039,18 @@ def ranking_quality(
     so every join here is broadcast-sized at any corpus scale — the
     evaluation costs nothing next to the rankings themselves."""
     rel = exact.select("query_id", "neighbor_id")
+    disc = [dcg_discount_x(r) for r in range(1, k + 1)]
+    idcg_x = sum(disc)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
     hits = (
         approx.filter(F.col("rank") <= k)
         .join(rel, ["query_id", "neighbor_id"])
-        .select("query_id", "rank")
+        .select("query_id", "rank", F.element_at(disc_arr, F.col("rank")).alias("_d"))
     )
     agg = hits.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("rank").alias("_minrk")
+        F.count(F.lit(1)).alias("_n"),
+        F.min("rank").alias("_minrk"),
+        F.sum("_d").alias("_dcg_x"),
     )
     return (
         rel.select("query_id")
@@ -1049,5 +1062,30 @@ def ranking_quality(
             F.coalesce(
                 F.expr("CAST(1000000 AS BIGINT) div _minrk"), F.lit(0)
             ).cast("long").alias("mrr_x1e6"),
+            F.coalesce(
+                F.expr(f"(_dcg_x * CAST(1000000 AS BIGINT)) div {idcg_x}"),
+                F.lit(0),
+            ).cast("long").alias("ndcg_x1e6"),
         )
     )
+
+
+def dcg_discount_x(rank: int) -> int:
+    """Integer DCG discount for ``rank``: floor(2^26 / log2(rank+1))
+    computed through the repo's fixed-point log2 chain (64·log2 with 6
+    fractional bits — operators/search.py's spec, evaluated here in
+    its pure-Python mirror since ranks are small constants):
+    2^26 · 64 div fl(rank+1, 1). rank=1 → exactly 2^26 (log2(2)=1),
+    so a perfect ranking's NDCG normalizes to exactly 1_000_000."""
+    p = rank + 1
+    m = p.bit_length() - 1
+    x = (p << 20) // (1 << m)
+    frac = 0
+    for _ in range(6):
+        x = (x * x) >> 20
+        bit = 1 if x >= (1 << 21) else 0
+        if bit:
+            x >>= 1
+        frac = (frac << 1) | bit
+    fl = m * 64 + frac
+    return ((1 << 26) * 64) // fl

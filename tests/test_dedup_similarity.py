@@ -540,11 +540,19 @@ def test_ranking_quality_metrics(spark):
         "query_id long, neighbor_id long, rank int",
     )
     got = {
-        r.query_id: (r.recall_at_k, r.mrr_x1e6)
+        r.query_id: (r.recall_at_k, r.mrr_x1e6, r.ndcg_x1e6)
         for r in similarity.ranking_quality(approx, exact, k=3).collect()
     }
+    d = [similarity.dcg_discount_x(r) for r in (1, 2, 3)]
+    idcg = sum(d)
     assert got == {
-        0: (3, 1_000_000),
-        1: (1, 1_000_000 // 3),
-        2: (0, 0),
+        0: (3, 1_000_000, 1_000_000),          # perfect -> exactly 1.0
+        1: (1, 1_000_000 // 3, d[2] * 1_000_000 // idcg),
+        2: (0, 0, 0),
     }
+    # the discount constants come from the shared fixed-point log2
+    # chain spec — pin them against the independent chain mirror
+    from tests.test_search import _fx64_ref
+
+    for r in (1, 2, 3, 4, 5):
+        assert similarity.dcg_discount_x(r) == ((1 << 26) * 64) // _fx64_ref(r + 1, 1)
