@@ -347,3 +347,50 @@ def test_stream_countmin_cells_complete_mode(spark, tmpdir):
     batch = spark.createDataFrame([(i % 7,) for i in range(200)], "k long")
     want = sorted(map(tuple, sketches.countmin_cells(batch, "k").collect()))
     assert got == want
+
+
+def test_stream_neardup_admission_against_static_index(spark, tmpdir):
+    """The production ingest-dedup shape as a STREAM: new documents
+    flow through the MinHash signature kernel (Arrow pandas_udf — runs
+    on streaming frames unchanged), band-explode, and stream-static
+    join against the persisted banded index of the existing corpus.
+    A planted clone of an indexed doc is flagged with its source; an
+    unrelated doc passes unflagged. Band collision is the cheap
+    stream-side gate; the exact-Jaccard verify is the batch reconcile
+    step (q48's minhash_lsh_incremental semantics split at the
+    candidate boundary)."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators import dedup
+    from e_commerce_lakehouse_spark.sources import load_table
+    from tests.conftest import SF_SMALL
+
+    corpus = load_table(spark, SF_SMALL, "documents").filter("doc_id < 40")
+    index = dedup._minhash_banded(
+        dedup.minhash_signature(corpus), 16, 4
+    ).withColumnsRenamed({"doc_id": "old_id"}).localCheckpoint()
+
+    clone_src = corpus.filter("doc_id = 7").first().text
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    with open(f"{src}/new.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1000, "text": clone_src}) + "\n")
+        f.write(json.dumps({"doc_id": 1001, "text": "totally fresh unseen content never indexed qq zz"}) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    flagged = (
+        dedup._minhash_banded(dedup.minhash_signature(stream), 16, 4)
+        .join(index, ["band", "band_key"])
+        .select(F.col("doc_id").alias("new_id"), "old_id")
+    )
+    out, ck = f"{tmpdir}/out", f"{tmpdir}/ck"
+    (
+        flagged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {(r.new_id, r.old_id) for r in spark.read.parquet(out).collect()}
+    assert (1000, 7) in got          # the clone collides with its source
+    assert all(n != 1001 for n, _ in got)  # fresh doc admitted untouched
