@@ -1796,7 +1796,10 @@ def _ann_multi_oracle_sql(
     or_cond = " OR ".join(f"q.sk{t} = c.sk{t}" for t in range(tables))
     disc = [similarity.dcg_discount_x(r) for r in range(1, k + 1)]
     disc_list = "[" + ", ".join(str(d) for d in disc) + "]"
-    idcg_x = sum(disc)
+    # per-query IDCG prefix sums: normalize by min(n_rel, k) ranks,
+    # mirroring similarity.ranking_quality
+    prefix = [sum(disc[: i + 1]) for i in range(k)]
+    prefix_list = "[" + ", ".join(str(p) for p in prefix) + "]"
     return f"""
             WITH v AS (
                 SELECT vec_id, label, {_qv_sql('embedding')} AS vec FROM embeddings
@@ -1833,9 +1836,11 @@ def _ann_multi_oracle_sql(
                        CAST(coalesce(h.n, 0) AS INT) AS recall_at_k,
                        CAST(coalesce(1000000 // h.minrk, 0) AS BIGINT)
                            AS mrr_x1e6,
-                       CAST(coalesce((h.dcg_x * 1000000) // {idcg_x}, 0)
+                       CAST(coalesce((h.dcg_x * 1000000) // qq.idcg_x, 0)
                             AS BIGINT) AS ndcg_x1e6
-                FROM (SELECT DISTINCT query_id FROM rel) qq
+                FROM (SELECT query_id,
+                             ({prefix_list})[least(count(*), {k})] AS idcg_x
+                      FROM rel GROUP BY 1) qq
                 LEFT JOIN (SELECT query_id, count(*) AS n, min(rk) AS minrk,
                                   sum(disc) AS dcg_x
                            FROM hits GROUP BY 1) h USING (query_id)

@@ -136,6 +136,26 @@ def main() -> None:
     medians = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     corpus_cache.clear(spark)
+    # The per-query medians + raw samples go to stderr and a side file:
+    # the driver captures only the TAIL of stdout (2000 chars) and
+    # parses the final line as JSON — a line carrying both dicts
+    # (~3.2 KB) overflows the window and records "parsed": null (it did
+    # every round r03-r05). The final stdout line stays under the
+    # window with `queries` alone.
+    detail = {
+        "queries_median": medians,
+        "total_median": round(sum(medians.values()), 3),
+        "samples": samples,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -143,8 +163,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
-                "total_median": round(sum(medians.values()), 3),
+                "total_median": detail["total_median"],
                 "sf": sf,
                 "runs": n_runs,
             }

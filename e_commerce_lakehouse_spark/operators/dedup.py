@@ -917,20 +917,43 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     # REGRESSION (min 2.92 s vs 2.47 s at sf0.1); the distinct's hash
     # layout is already balanced (pair ids are near-uniform) and the
     # extra exchange + fatter checkpoint never paid for itself.
-    edges, e_ids = local_checkpoint_tracked(
+    # Self-pairs (a_id == b_id) — defensive input the generators never
+    # emit — must not enter the contraction: an hi == lo edge is
+    # silently dropped by large-star's v > u filter, and a node whose
+    # ONLY edge was a self-pair would vanish from the output instead
+    # of labelling itself (the behavior min-label propagation had).
+    # The initial witness counts them in the SAME one-job pass that
+    # materializes the checkpoint; only when some exist (the rare
+    # defensive path) do the initial blocks stay pinned so the
+    # singleton branch can read them at result time (registered with
+    # track_pinned so session sweeps reclaim them) — the common case
+    # keeps the r5 lifecycle exactly: every superseded round released,
+    # one surviving checkpoint.
+    canon, c_ids = local_checkpoint_tracked(
         pairs.select(
             F.greatest("a_id", "b_id").alias("hi"),
             F.least("a_id", "b_id").alias("lo"),
         ).distinct(),
         eager=False,
     )
+    edges, e_ids = canon.filter(F.col("hi") != F.col("lo")), c_ids
     _stats = [
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("hi").cast("decimal(38,0)")).alias("s_hi"),
         F.sum(F.col("lo").cast("decimal(38,0)")).alias("s_lo"),
     ]
     # eager=False + this agg: checkpoint-write and witness are ONE job.
-    prev = tuple(edges.agg(*_stats).first())
+    _is_edge = F.col("hi") != F.col("lo")
+    _first = canon.agg(
+        F.count(F.when(_is_edge, F.lit(1))).alias("cnt"),
+        F.sum(F.when(_is_edge, F.col("hi").cast("decimal(38,0)"))).alias("s_hi"),
+        F.sum(F.when(_is_edge, F.col("lo").cast("decimal(38,0)"))).alias("s_lo"),
+        F.count(F.when(~_is_edge, F.lit(1))).alias("n_loops"),
+    ).first()
+    prev = (_first.cnt, _first.s_hi, _first.s_lo)
+    loops = canon.filter(~_is_edge) if _first.n_loops else None
+    if loops is not None:
+        buckets.track_pinned(c_ids)
     for _ in range(max_iter):
         # large-star: double the edges, take the whole-partition window
         # min per node, re-point strictly-larger neighbors at it. Output
@@ -961,7 +984,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             # Endpoints only move downward, so equal (cnt, Σhi, Σlo)
             # almost always IS convergence; the exceptAll runs once.
             converged = new_edges.exceptAll(edges).isEmpty()
-            release_rdds(spark, e_ids)
+            if loops is None or e_ids is not c_ids:
+                # pinned initial blocks feed `loops` (defensive path)
+                release_rdds(spark, e_ids)
             edges, e_ids = new_edges, new_ids
             if converged:
                 break
@@ -971,21 +996,27 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             # reads the PREVIOUS iteration's blocks — release them only
             # after it returns. Without the release an N-round run pins
             # N copies of the edge list in storage memory.
-            release_rdds(spark, e_ids)
+            if loops is None or e_ids is not c_ids:
+                # pinned initial blocks feed `loops` (defensive path)
+                release_rdds(spark, e_ids)
             edges, e_ids = new_edges, new_ids
             prev = cur
     # At the fixed point the edge list IS the star forest (hi → its
     # component min); roots label themselves. The groupBy-min makes a
     # max_iter-truncated run degrade to best-known labels instead of
     # emitting conflicting rows.
-    return (
-        edges.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
-        .unionByName(
-            edges.select(F.col("lo").alias("doc_id"), F.col("lo").alias("cluster_id"))
-        )
-        .groupBy("doc_id")
-        .agg(F.min("cluster_id").alias("cluster_id"))
+    labels = edges.select(
+        F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id")
+    ).unionByName(
+        edges.select(F.col("lo").alias("doc_id"), F.col("lo").alias("cluster_id"))
     )
+    if loops is not None:
+        # self-pair-only nodes label themselves (the min below resolves
+        # nodes that ALSO had real edges to their true label).
+        labels = labels.unionByName(
+            loops.select(F.col("hi").alias("doc_id"), F.col("hi").alias("cluster_id"))
+        )
+    return labels.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
 
 
 def dedup_by_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:

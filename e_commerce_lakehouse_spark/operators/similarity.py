@@ -1029,7 +1029,9 @@ def ranking_quality(
     the repo's fixed-point log2 chain spec (:func:`dcg_discount_x` —
     ranks are 1..k, a fixed set, so the chain evaluates once in the
     renderer, not per row), normalized by the ideal DCG over ranks
-    1..k and floored to ×1e6. A perfect ranking scores exactly
+    1..min(n_rel, k) — per query, since the ideal ranking holds at
+    most as many relevant items as that query's ground truth — and
+    floored to ×1e6. A perfect ranking scores exactly
     1_000_000; every step is integer, so the metric hash-gates.
 
     Inputs are two ranking frames with (query_id, neighbor_id, rank)
@@ -1040,8 +1042,14 @@ def ranking_quality(
     evaluation costs nothing next to the rankings themselves."""
     rel = exact.select("query_id", "neighbor_id")
     disc = [dcg_discount_x(r) for r in range(1, k + 1)]
-    idcg_x = sum(disc)
+    # IDCG is PER QUERY: the ideal ranking can only place as many
+    # relevant items as the ground truth holds, so a query with
+    # n_rel < k exact neighbors (corpus ≤ k) normalizes by the prefix
+    # sum over min(n_rel, k) ranks — otherwise a perfect approximate
+    # ranking of a tiny corpus could never reach 1_000_000.
+    prefix = [sum(disc[: i + 1]) for i in range(k)]
     disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    prefix_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
     hits = (
         approx.filter(F.col("rank") <= k)
         .join(rel, ["query_id", "neighbor_id"])
@@ -1052,10 +1060,12 @@ def ranking_quality(
         F.min("rank").alias("_minrk"),
         F.sum("_d").alias("_dcg_x"),
     )
+    base = rel.groupBy("query_id").agg(
+        F.element_at(prefix_arr, F.least(F.count(F.lit(1)), F.lit(k)).cast("int"))
+        .alias("_idcg_x")
+    )
     return (
-        rel.select("query_id")
-        .distinct()
-        .join(agg, "query_id", "left")
+        base.join(agg, "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("recall_at_k"),
@@ -1063,7 +1073,7 @@ def ranking_quality(
                 F.expr("CAST(1000000 AS BIGINT) div _minrk"), F.lit(0)
             ).cast("long").alias("mrr_x1e6"),
             F.coalesce(
-                F.expr(f"(_dcg_x * CAST(1000000 AS BIGINT)) div {idcg_x}"),
+                F.expr("(_dcg_x * CAST(1000000 AS BIGINT)) div _idcg_x"),
                 F.lit(0),
             ).cast("long").alias("ndcg_x1e6"),
         )

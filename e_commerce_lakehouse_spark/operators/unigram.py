@@ -41,7 +41,7 @@ memo; the corpus pass is a pure map, no shuffle.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
+from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -200,14 +200,31 @@ def _e_step(
     return {r.piece: int(r.c_fp) for r in rows}
 
 
-def _m_step(counts_fp: dict[str, int]) -> dict[str, float]:
+def _m_step(
+    counts_fp: dict[str, int], prev_pieces: Iterable[str] = ()
+) -> dict[str, float]:
     """MLE update: logp(piece) = log(c / total) from the integer
     counts — computed once at the driver, so every executor sees the
-    identical float model next round."""
-    total = sum(counts_fp.values())
-    return {
-        p: math.log(c) - math.log(total) for p, c in counts_fp.items() if c > 0
-    }
+    identical float model next round.
+
+    Single characters are the segmentability floor and are EXEMPT from
+    the c > 0 drop: a char absorbed into multi-char pieces can have
+    per-occurrence posterior < 2^-COUNT_FP_BITS, round to 0 expected
+    count, and vanish — after which _forward_backward returns
+    ({}, -inf) for every word containing it and that word's mass is
+    silently dropped from all later EM rounds. Such chars (including
+    any single-char piece of the previous model that the E-step did
+    not emit at all) are kept with a floor count of one fixed-point
+    grain."""
+    adj = dict(counts_fp)
+    for p in prev_pieces:
+        if len(p) == 1 and adj.get(p, 0) <= 0:
+            adj[p] = 1
+    for p, c in counts_fp.items():
+        if len(p) == 1 and c <= 0:
+            adj[p] = 1
+    total = sum(c for c in adj.values() if c > 0)
+    return {p: math.log(c) - math.log(total) for p, c in adj.items() if c > 0}
 
 
 def viterbi(word: str, logp: dict[str, float], max_len: int) -> list[str]:
@@ -274,7 +291,7 @@ def train_unigram(
     while True:
         for _ in range(em_iters):
             counts = _e_step(vocab, logp, max_piece_len, count_fp)
-            logp = _m_step(counts)
+            logp = _m_step(counts, prev_pieces=logp)
         n_now = len(logp)
         if n_now <= vocab_size:
             break
@@ -288,13 +305,26 @@ def train_unigram(
         # are never dropped (segmentability invariant).
         chars = {p for p in logp if len(p) == 1}
         losses: list[tuple[float, str]] = []
+        # Out-of-model pieces in the alt segmentation must be scored
+        # with the SAME floor viterbi() itself used when it chose that
+        # segmentation — min(rest.values()) - 32 — or the loss value
+        # disagrees with the score of the path viterbi picked and the
+        # prune ordering skews. min over rest differs from min over
+        # logp only when the candidate IS the argmin, so precompute the
+        # two smallest values instead of an O(V) min per candidate.
+        two_smallest = sorted(logp.items(), key=lambda t: (t[1], t[0]))[:2]
         for p, lp in logp.items():
             if p in chars:
                 continue
             rest = dict(logp)
             del rest[p]
             alt = viterbi(p, rest, max_piece_len)
-            alt_lp = sum(rest.get(s, lp - 32.0) for s in alt)
+            floor = (
+                two_smallest[1][1]
+                if len(two_smallest) > 1 and p == two_smallest[0][0]
+                else two_smallest[0][1]
+            ) - 32.0
+            alt_lp = sum(rest.get(s, floor) for s in alt)
             losses.append((counts.get(p, 0) * (lp - alt_lp), p))
         # keep the highest-loss pieces (dropping them would hurt most)
         losses.sort(key=lambda t: (-t[0], t[1]))
@@ -307,7 +337,7 @@ def train_unigram(
             break
         logp = {p: lp for p, lp in logp.items() if p in keep}
     counts = _e_step(vocab, logp, max_piece_len, count_fp)
-    logp = _m_step(counts)
+    logp = _m_step(counts, prev_pieces=logp)
     return sorted(logp.items())
 
 

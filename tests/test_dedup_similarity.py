@@ -556,3 +556,31 @@ def test_ranking_quality_metrics(spark):
 
     for r in (1, 2, 3, 4, 5):
         assert similarity.dcg_discount_x(r) == ((1 << 26) * 64) // _fx64_ref(r + 1, 1)
+
+
+def test_duplicate_clusters_self_pairs(spark):
+    """Defensive input: self-pairs (a_id == b_id) must not make nodes
+    vanish from the contraction — a self-pair-only node labels itself
+    (the semantics min-label propagation had), and a self-pair on a
+    node that also has real edges is a no-op."""
+    pairs = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 3), (7, 7), (7, 8)], ["a_id", "b_id"]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 7: 7, 8: 7}
+
+
+def test_ranking_quality_small_corpus_idcg(spark):
+    """NDCG normalizes per query by the ideal DCG over min(n_rel, k)
+    ranks: a perfect approximate ranking of a 2-neighbor ground truth
+    reaches exactly 1_000_000 even with k=5."""
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    row = similarity.ranking_quality(approx, exact, k=5).first()
+    assert (row.recall_at_k, row.mrr_x1e6, row.ndcg_x1e6) == (2, 1_000_000, 1_000_000)

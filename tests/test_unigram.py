@@ -103,31 +103,41 @@ def _ref_train(word_freq: dict[str, int], **kw):
                 acc[p] = acc.get(p, 0) + round(c * unigram.COUNT_FP) * f
         return acc
 
-    def m_step(cfp):
-        t = sum(cfp.values())
-        return {p: math.log(c) - math.log(t) for p, c in cfp.items() if c > 0}
+    def m_step(cfp, prev_model):
+        # single chars never vanish: floor any char whose fixed-point
+        # expected count rounded to 0 (or that the E-step skipped
+        # entirely) at one grain — mirrors the segmentability invariant
+        adj = dict(cfp)
+        for p in list(prev_model) + list(cfp):
+            if len(p) == 1 and adj.get(p, 0) <= 0:
+                adj[p] = 1
+        t = sum(c for c in adj.values() if c > 0)
+        return {p: math.log(c) - math.log(t) for p, c in adj.items() if c > 0}
 
     while True:
         for _ in range(em_iters):
             cfp = e_step(logp)
-            logp = m_step(cfp)
+            logp = m_step(cfp, logp)
         if len(logp) <= vocab_size:
             break
         target = max(vocab_size, math.ceil(len(logp) * shrink))
         char_set = {p for p in logp if len(p) == 1}
         losses = []
+        # out-of-model floor = the same floor viterbi scores with:
+        # min over the model WITHOUT the candidate, minus 32
         for p, lp in logp.items():
             if p in char_set:
                 continue
             rest = dict(logp)
             del rest[p]
             alt = unigram.viterbi(p, rest, max_len)
-            alt_lp = sum(rest.get(s, lp - 32.0) for s in alt)
+            floor = min(rest.values()) - 32.0
+            alt_lp = sum(rest.get(s, floor) for s in alt)
             losses.append((cfp.get(p, 0) * (lp - alt_lp), p))
         losses.sort(key=lambda t: (-t[0], t[1]))
         keep = char_set | {p for _, p in losses[: max(0, target - len(char_set))]}
         logp = {p: lp for p, lp in logp.items() if p in keep}
-    logp = m_step(e_step(logp))
+    logp = m_step(e_step(logp), logp)
     return sorted(logp.items())
 
 
@@ -213,3 +223,16 @@ def test_alphabet_larger_than_vocab_terminates(spark):
     vocab = [p for p, _ in pieces]
     assert len(vocab) >= 5  # alphabet floor, not an infinite loop
     assert all(len(p) == 1 for p in vocab)
+
+
+def test_m_step_single_char_floor():
+    """A char whose fixed-point expected count rounds to 0 (or that the
+    E-step skipped entirely) survives the M-step with a one-grain
+    floor — dropping it would make every word containing it
+    unsegmentable (_forward_backward returns ({}, -inf)) and silently
+    drop that word's mass from all later EM rounds. Multi-char pieces
+    at 0 still drop."""
+    got = unigram._m_step({"a": 0, "ab": 100}, prev_pieces={"b", "cd"})
+    assert set(got) == {"a", "ab", "b"}
+    assert got["a"] == got["b"] == math.log(1) - math.log(102)
+    assert got["ab"] == math.log(100) - math.log(102)
