@@ -394,12 +394,19 @@ def _q15_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
       - kind='span_dedup': C4-style duplicate-span removal
         (dedup.span_dedup) — 10-token spans, corpus-wide first
         occurrence wins, docs reassembled from surviving spans; the
-        rebuilt text is value-pinned via its md5 in the fp column."""
+        rebuilt text is value-pinned via its md5 in the fp column;
+      - kind='substr_dup': EXACTSUBSTR coverage (Lee et al. 2022,
+        dedup.substring_dup_stats) — 20-char windows, corpus-wide
+        first occurrence wins, later occurrences' spans interval-
+        unioned per doc into duplicated-char counts + integer dup
+        percentage."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     exact = dedup.exact_dedup(docs).select(
         F.lit("exact").alias("kind"), "fp", "canonical_doc_id", "n_copies",
         nl.alias("n_spans"), nl.alias("n_spans_kept"),
+        nl.alias("total_chars"), nl.alias("n_dup_windows"),
+        nl.alias("dup_chars"), nl.alias("dup_pct_x100"),
     )
     spans = dedup.span_dedup(spread_for_cpu(docs), span_tokens=10).select(
         F.lit("span_dedup").alias("kind"),
@@ -408,8 +415,17 @@ def _q15_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("n_copies"),
         "n_spans",
         "n_spans_kept",
+        nl.alias("total_chars"), nl.alias("n_dup_windows"),
+        nl.alias("dup_chars"), nl.alias("dup_pct_x100"),
     )
-    return exact.unionByName(spans)
+    substr = dedup.substring_dup_stats(docs, win=20).select(
+        F.lit("substr_dup").alias("kind"),
+        F.lit(None).cast("string").alias("fp"),
+        F.col("doc_id").alias("canonical_doc_id"),
+        nl.alias("n_copies"), nl.alias("n_spans"), nl.alias("n_spans_kept"),
+        "total_chars", "n_dup_windows", "dup_chars", "dup_pct_x100",
+    )
+    return exact.unionByName(spans).unionByName(substr)
 
 
 def _q16_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -2379,19 +2395,75 @@ def oracle_sql() -> dict[str, str]:
                        string_agg(span, ' ' ORDER BY pos)
                            FILTER (WHERE keep) AS clean_text
                 FROM marked GROUP BY doc_id
+            ), occ AS (
+                SELECT doc_id, pos, md5(substring(text, pos, 20)) AS h
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(1, length(text) - 20 + 2)) AS pos
+                    FROM documents
+                    WHERE text IS NOT NULL AND length(text) >= 20
+                )
+            ), dup_occ AS (
+                SELECT doc_id, pos, pos + 20 AS e
+                FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY h
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM occ
+                ) WHERE rn > 1
+            ), isl AS (
+                SELECT doc_id, pos, e,
+                       CASE WHEN pos > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS nw
+                FROM dup_occ
+            ), isl2 AS (
+                SELECT doc_id, pos, e,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS island
+                FROM isl
+            ), per_isl AS (
+                SELECT doc_id, island, min(pos) AS s, max(e) AS mx,
+                       count(*) AS c
+                FROM isl2 GROUP BY 1, 2
+            ), sub_doc AS (
+                SELECT doc_id, CAST(sum(mx - s) AS BIGINT) AS dup_chars,
+                       CAST(sum(c) AS BIGINT) AS n_dup_windows
+                FROM per_isl GROUP BY 1
             )
             SELECT 'exact' AS kind,
                    md5(lower(trim(text))) AS fp,
                    min(doc_id) AS canonical_doc_id,
                    count(*) AS n_copies,
                    CAST(NULL AS BIGINT) AS n_spans,
-                   CAST(NULL AS BIGINT) AS n_spans_kept
+                   CAST(NULL AS BIGINT) AS n_spans_kept,
+                   CAST(NULL AS BIGINT) AS total_chars,
+                   CAST(NULL AS BIGINT) AS n_dup_windows,
+                   CAST(NULL AS BIGINT) AS dup_chars,
+                   CAST(NULL AS BIGINT) AS dup_pct_x100
             FROM documents
             GROUP BY 2
             UNION ALL
             SELECT 'span_dedup', md5(p.clean_text), d.doc_id,
-                   CAST(NULL AS BIGINT), p.n_spans, p.n_spans_kept
+                   CAST(NULL AS BIGINT), p.n_spans, p.n_spans_kept,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+            UNION ALL
+            SELECT 'substr_dup', CAST(NULL AS VARCHAR), d.doc_id,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(length(d.text) AS BIGINT),
+                   CASE WHEN d.text IS NOT NULL
+                        THEN coalesce(s.n_dup_windows, 0) END,
+                   CASE WHEN d.text IS NOT NULL
+                        THEN coalesce(s.dup_chars, 0) END,
+                   CASE WHEN length(d.text) > 0
+                        THEN (100 * coalesce(s.dup_chars, 0)) // length(d.text)
+                   END
+            FROM documents d LEFT JOIN sub_doc s ON s.doc_id = d.doc_id
         """,
         "q16_doc_profile": _doc_profile_oracle_sql(),
         "q17_lang_profile": f"""

@@ -1094,3 +1094,116 @@ def span_dedup(documents: DataFrame, span_tokens: int = 10) -> DataFrame:
         .join(clean, "doc_id", "left")
         .select("doc_id", "n_spans", "n_spans_kept", "clean_text")
     )
+
+
+def substring_dup_stats(documents: DataFrame, win: int = 20) -> DataFrame:
+    """Exact-substring duplicate coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    EXACTSUBSTR): every ``win``-char window of every document, corpus-
+    wide first occurrence wins (lexicographic min (doc_id, pos)), and
+    every LATER occurrence marks its [pos, pos+win) char span
+    duplicated. Overlapping duplicated spans are merged per document
+    (interval union), yielding the per-doc duplicated-character count —
+    the statistic the paper's removal step cuts and the drop-policy
+    fraction many pipelines filter on instead of performing surgery.
+
+    Output: (doc_id, total_chars, n_dup_windows, dup_chars,
+    dup_pct_x100) — dup_pct_x100 integer-exact (100·dup_chars div
+    total_chars). NULL-text docs carry NULL stats; docs shorter than
+    ``win`` carry 0 duplicated windows.
+
+    Plan shape at 100 TB: the window hashes are built map-side with
+    transform+substr over each doc (no text duplication across rows —
+    only (doc_id, pos, 32-char md5) ever shuffles); first-occurrence is
+    a partial-aggregated min-struct groupBy on the hash (uniform key —
+    a boilerplate window occurring 10M times map-side combines, same
+    discipline as span_dedup); duplicated occurrences join back on the
+    hash (uniform); the interval union runs per-doc windows bounded by
+    document length. Two uniform-key shuffles + one doc-key shuffle.
+
+    The suffix-array formulation (operators/suffix.py) finds ARBITRARY-
+    length maximal repeats; this fixed-window form is the detection
+    rule actually used for removal (a repeat of length >= win exists
+    iff some win-window repeats) and stays two-shuffle simple.
+    """
+    if win < 1:
+        raise ValueError(f"win must be >= 1, got {win}")
+    base = documents.filter(
+        F.col("text").isNotNull() & (F.length("text") >= win)
+    )
+    # all win-char window hashes, built before the explode so text
+    # never rides along exploded rows
+    occ = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - win + 1),
+                lambda p: F.md5(F.substr(F.col("text"), p, F.lit(win))),
+            )
+        ).alias("i", "h"),
+    ).select("doc_id", (F.col("i") + 1).alias("pos"), "h")
+    firsts = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    dup_occ = (
+        occ.join(firsts, "h")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos", (F.col("pos") + win).alias("end"))
+    )
+    # interval union per doc: gaps-and-islands — an island starts where
+    # pos clears every earlier interval's end (running max)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = dup_occ.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("end").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    per_doc = (
+        marked.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            F.max("end").alias("e"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s")).alias("dup_chars"),
+            F.sum("c").alias("n_dup_windows"),
+        )
+    )
+    return (
+        documents.select("doc_id", F.length("text").cast("long").alias("total_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_chars",
+            F.when(
+                F.col("total_chars").isNotNull(),
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)),
+            ).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.col("total_chars").isNotNull(),
+                F.coalesce(F.col("dup_chars"), F.lit(0)),
+            ).cast("long").alias("dup_chars"),
+        )
+        .withColumn(
+            "dup_pct_x100",
+            F.when(
+                F.col("total_chars") > 0,
+                F.expr("(100 * dup_chars) div total_chars"),
+            ).cast("long"),
+        )
+    )

@@ -584,3 +584,33 @@ def test_ranking_quality_small_corpus_idcg(spark):
     )
     row = similarity.ranking_quality(approx, exact, k=5).first()
     assert (row.recall_at_k, row.mrr_x1e6, row.ndcg_x1e6) == (2, 1_000_000, 1_000_000)
+
+
+def test_substring_dup_stats_hand_cases(spark):
+    """EXACTSUBSTR coverage on hand-built docs (win=4): full-copy doc
+    covers 100%, a single shared window covers exactly its span, a
+    within-doc repeat counts, overlapping spans union, NULL/short docs
+    degrade as documented."""
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),   # all first occurrences -> 0 dup
+            (2, "abcdefgh"),   # every window dup -> union covers all 8
+            (3, "xxabcdyy"),   # one shared window "abcd" -> 4 chars
+            (4, None),         # NULL text -> NULL stats
+            (5, "abc"),        # shorter than win -> 0 windows
+            (6, "qrstqrst"),   # within-doc repeat at pos 5 -> 4 chars
+            (7, "abcdabcd"),   # cross-doc "abcd" dups BOTH its copies
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.total_chars, r.n_dup_windows, r.dup_chars, r.dup_pct_x100)
+        for r in dedup.substring_dup_stats(docs, win=4).collect()
+    }
+    assert got[1] == (8, 0, 0, 0)
+    assert got[2] == (8, 5, 8, 100)
+    assert got[3] == (8, 1, 4, 50)
+    assert got[4] == (None, None, None, None)
+    assert got[5] == (3, 0, 0, 0)
+    assert got[6] == (8, 1, 4, 50)
+    assert got[7] == (8, 2, 8, 100)
