@@ -892,6 +892,11 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         (sampling.shuffle_positions, two-level bucket ranks — no
         single-partition sort; position carried as rk), verified
         against the oracle's single-window global rank;
+      - kind='priority': Efraimidis-Spirakis weighted sampling
+        WITHOUT replacement (sampling.priority_sample) — top-50 docs
+        by the exponential race -log2(u)/w over weight = n_chars,
+        exact-integer via the shared fixed-point log2 chain; race
+        cost carried as cost_x, winning order as rk;
       - kind='dsir': DSIR data selection (Xie et al. 2023,
         sampling.dsir_select) — hashed unigram+bigram importance
         weights of raw docs (id >= 25) against the target corpus
@@ -1024,6 +1029,27 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("weight_x64").alias("weight"),
         F.lit(None).cast("string").alias("chunk_fp"),
     )
+    prio = sampling.priority_sample(
+        docs.filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)),
+        key="doc_id",
+        weight="n_chars",
+        n=50,
+    ).select(
+        F.lit("priority").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        nl.alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        "rk",
+        nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        "weight",
+        F.lit(None).cast("string").alias("chunk_fp"),
+        "cost_x",
+    )
     return (
         samp.unionByName(pack)
         .unionByName(cap)
@@ -1032,6 +1058,8 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(chunk)
         .unionByName(shuf)
         .unionByName(dsir)
+        .withColumn("cost_x", nl)
+        .unionByName(prio)
     )
 
 
@@ -1112,6 +1140,44 @@ def _dsir_oracle_branch() -> str:
                 )
                 SELECT doc_id, lang, source, n_grams, weight_x64
                 FROM dscored ORDER BY weight_x64 DESC, doc_id LIMIT 50
+            )
+    """
+
+
+def _priority_oracle_branch() -> str:
+    """The 'priority' UNION branch of q34's oracle — mirrors
+    sampling.priority_sample exactly: 40-bit md5 draw over ('7', key),
+    the fixed-point log2 chain rendered from the SAME spec
+    (search.fixed_log2_sql_select), race cost
+    (2560 − fl)·PRIORITY_PREC div weight, top-50 by (cost, doc_id)."""
+    fl = search.fixed_log2_sql_select("_h + 1", "1", "_fl", ["doc_id", "weight"])
+    prec = sampling.PRIORITY_PREC
+    return f"""
+            UNION ALL
+            SELECT 'priority', doc_id, CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(row_number() OVER (ORDER BY cost_x ASC, doc_id ASC)
+                        AS BIGINT) AS rk,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), weight,
+                   CAST(NULL AS VARCHAR), cost_x
+            FROM (
+                SELECT doc_id, weight,
+                       ((2560 - _fl) * CAST({prec} AS BIGINT)) // weight
+                           AS cost_x
+                FROM (
+                    {fl}
+                    FROM (
+                        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                               CAST('0x' || substr(md5('7:' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 10)
+                                    AS BIGINT) AS _h
+                        FROM documents
+                        WHERE n_chars IS NOT NULL AND n_chars > 0
+                    )
+                )
+                ORDER BY cost_x ASC, doc_id ASC LIMIT 50
             )
     """
 
@@ -1251,21 +1317,32 @@ def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
         a 100 TB index stores);
       - kind='pq_topk': ADC ANN over the SAME training run — each
         query ranks the corpus by summed per-subspace codeword
-        distances (exact int64, oracle unrolls identical rounds).
+        distances (exact int64, oracle unrolls identical rounds);
+      - kind='sq8_code' / 'sq8_topk': scalar-quantization tier
+        (similarity.sq8_index, the Faiss SQ8+refine pipeline) — per-
+        dim linear byte codes (md5 value-pinned) and an exact top-k
+        rerank of the ADC survivors, encoder/decoder rendered from
+        one spec for both engines.
     One `pq_index` call shares training + a checkpointed code frame
-    between the two PQ branches."""
+    between the two PQ branches; sq8 shares the same session-cached
+    quantized prep frame."""
     emb = load_table(spark, sf, "embeddings")
     ivf = similarity.ivf_topk(emb)
     codes, ptk = similarity.pq_index(emb, prep=_shared_vec_prep(spark, sf))
+    sq_codes, sq_topk = similarity.sq8_index(
+        emb, prep=_shared_vec_prep(spark, sf)
+    )
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("int")  # label is int32 in the testdata schema
     ni = F.lit(None).cast("int")
+    nstr = F.lit(None).cast("string")
     return (
         ivf.select(
             F.lit("ivf").alias("kind"), "query_id", "neighbor_id",
             "neighbor_label", "cosine", "rank",
             nl.alias("pq_code"), nl.alias("adc_d2"),
+            nstr.alias("sq_code_hash"), nl.alias("sq_d2"),
         )
         .unionByName(
             codes.select(
@@ -1273,6 +1350,7 @@ def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("vec_id").alias("neighbor_id"),
                 ns.alias("neighbor_label"), nd.alias("cosine"),
                 ni.alias("rank"), "pq_code", nl.alias("adc_d2"),
+                nstr.alias("sq_code_hash"), nl.alias("sq_d2"),
             )
         )
         .unionByName(
@@ -1280,6 +1358,24 @@ def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit("pq_topk").alias("kind"), "query_id", "neighbor_id",
                 ns.alias("neighbor_label"), nd.alias("cosine"), "rank",
                 nl.alias("pq_code"), "adc_d2",
+                nstr.alias("sq_code_hash"), nl.alias("sq_d2"),
+            )
+        )
+        .unionByName(
+            sq_codes.select(
+                F.lit("sq8_code").alias("kind"), nl.alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                ns.alias("neighbor_label"), nd.alias("cosine"),
+                ni.alias("rank"), nl.alias("pq_code"), nl.alias("adc_d2"),
+                "sq_code_hash", nl.alias("sq_d2"),
+            )
+        )
+        .unionByName(
+            sq_topk.select(
+                F.lit("sq8_topk").alias("kind"), "query_id", "neighbor_id",
+                ns.alias("neighbor_label"), nd.alias("cosine"), "rank",
+                nl.alias("pq_code"), "adc_d2",
+                nstr.alias("sq_code_hash"), "sq_d2",
             )
         )
     )
@@ -2138,12 +2234,16 @@ def _pq_oracle_sql(
                    vec_id AS neighbor_id, CAST(NULL AS INT) AS neighbor_label,
                    CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS INT) AS rank,
                    CAST(sum(cell << ({bits} * sub)) AS BIGINT) AS pq_code,
-                   CAST(NULL AS BIGINT) AS adc_d2
+                   CAST(NULL AS BIGINT) AS adc_d2,
+                   CAST(NULL AS VARCHAR) AS sq_code_hash,
+                   CAST(NULL AS BIGINT) AS sq_d2
             FROM {fin} GROUP BY vec_id"""
     topk_select = f"""
             SELECT 'pq_topk', query_id, neighbor_id, CAST(NULL AS INT),
                    CAST(NULL AS DOUBLE), CAST(rank AS INT),
-                   CAST(NULL AS BIGINT), adc_d2
+                   CAST(NULL AS BIGINT), adc_d2,
+                   CAST(NULL AS VARCHAR) AS sq_code_hash,
+                   CAST(NULL AS BIGINT) AS sq_d2
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY query_id
                       ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
@@ -2152,6 +2252,84 @@ def _pq_oracle_sql(
 
 
 _PQ_CTES, _PQ_CODE_SELECT, _PQ_TOPK_SELECT = _pq_oracle_sql()
+
+
+def _sq8_oracle_sql(
+    dim: int = 64, q_max: int = 10, k: int = 5, rerank: int = 4
+) -> tuple[str, str, str]:
+    """Generated mirror of similarity.sq8_index: per-dim (min, max)
+    train state as one wide aggregate row, then the encode / dequant
+    expressions rendered from the SAME spec functions the Spark side
+    uses (similarity.sq8_code_sql / sq8_dequant_sql) — the two engines
+    share one renderer, so the quantizer cannot drift."""
+    mm_aggs = ", ".join(
+        f"min(vec[{d}]) AS mn{d}, max(vec[{d}]) AS mx{d}"
+        for d in range(1, dim + 1)
+    )
+    code_list = "[" + ", ".join(
+        similarity.sq8_code_sql(f"vec[{d}]", f"mm.mn{d}", f"mm.mx{d}", "duckdb")
+        for d in range(1, dim + 1)
+    ) + "]"
+    xhat_list = "[" + ", ".join(
+        similarity.sq8_dequant_sql(
+            f"sq_codes[{d}]", f"mm.mn{d}", f"mm.mx{d}", "duckdb"
+        )
+        for d in range(1, dim + 1)
+    ) + "]"
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+    ctes = f"""sqmm AS (
+                SELECT {mm_aggs} FROM v
+            ), sqc AS (
+                SELECT vec_id, {code_list} AS sq_codes
+                FROM v CROSS JOIN sqmm mm
+            ), sqx AS (
+                SELECT vec_id, {xhat_list} AS xhat
+                FROM sqc CROSS JOIN sqmm mm
+            ), sqadc AS (
+                SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                       {d2.format(a='q.vec', b='x.xhat')} AS adc_d2
+                FROM sqx x JOIN v q ON q.vec_id < {q_max}
+                                   AND x.vec_id != q.vec_id
+            ), sqcand AS (
+                SELECT query_id, neighbor_id, adc_d2 FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY adc_d2 ASC, neighbor_id ASC) AS rn
+                    FROM sqadc
+                ) WHERE rn <= {k * rerank}
+            ), sqexact AS (
+                SELECT c.query_id, c.neighbor_id, c.adc_d2,
+                       {d2.format(a='q.vec', b='n.vec')} AS sq_d2
+                FROM sqcand c
+                JOIN v n ON n.vec_id = c.neighbor_id
+                JOIN v q ON q.vec_id = c.query_id
+            )"""
+    code_select = """
+            SELECT 'sq8_code' AS kind, CAST(NULL AS BIGINT) AS query_id,
+                   vec_id AS neighbor_id, CAST(NULL AS INT) AS neighbor_label,
+                   CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS INT) AS rank,
+                   CAST(NULL AS BIGINT) AS pq_code,
+                   CAST(NULL AS BIGINT) AS adc_d2,
+                   md5(array_to_string(list_transform(sq_codes,
+                       x -> CAST(x AS VARCHAR)), '-')) AS sq_code_hash,
+                   CAST(NULL AS BIGINT) AS sq_d2
+            FROM sqc"""
+    topk_select = f"""
+            SELECT 'sq8_topk', query_id, neighbor_id, CAST(NULL AS INT),
+                   CAST(NULL AS DOUBLE), CAST(rank AS INT),
+                   CAST(NULL AS BIGINT), adc_d2,
+                   CAST(NULL AS VARCHAR), sq_d2
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY sq_d2 ASC, neighbor_id ASC) AS rank
+                  FROM sqexact) WHERE rank <= {k}"""
+    return ctes, code_select, topk_select
+
+
+_SQ8_CTES, _SQ8_CODE_SELECT, _SQ8_TOPK_SELECT = _sq8_oracle_sql()
 
 # HLL oracle constants/chain rendered from the one sketches-module spec
 _HLL_AM2 = sketch_ops.HLL_ALPHA_X1000 * sketch_ops.HLL_M * sketch_ops.HLL_M
@@ -2891,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hfl f JOIN hexact e USING (l_returnflag)
         """,
         "q34_stratified_sample": """
+            SELECT *, CAST(NULL AS BIGINT) AS cost_x FROM (
             SELECT 'sample' AS kind, doc_id, lang, source,
                    CAST(NULL AS BIGINT) AS n_tokens,
                    CAST(NULL AS BIGINT) AS bin_id,
@@ -3012,7 +3191,8 @@ def oracle_sql() -> dict[str, str]:
                                            1, 15) AS BIGINT) AS hv
                 FROM documents
             )
-        """ + _dsir_oracle_branch(),
+        """ + _dsir_oracle_branch() + """
+        ) """ + _priority_oracle_branch(),
         "q35_asof_last_order": """
             WITH orders_d AS (
                 SELECT o_orderkey, o_custkey AS user_id, o_orderdate, o_totalprice
@@ -3112,11 +3292,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM probes JOIN assigned USING (centroid_id)
                 WHERE query_id != neighbor_id
             ),
-            {_PQ_CTES}
+            {_PQ_CTES},
+            {_SQ8_CTES}
             SELECT 'ivf' AS kind, query_id, neighbor_id, neighbor_label,
                    cosine, CAST(rank AS INT) AS rank,
                    CAST(NULL AS BIGINT) AS pq_code,
-                   CAST(NULL AS BIGINT) AS adc_d2
+                   CAST(NULL AS BIGINT) AS adc_d2,
+                   CAST(NULL AS VARCHAR) AS sq_code_hash,
+                   CAST(NULL AS BIGINT) AS sq_d2
             FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
@@ -3125,6 +3308,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
             UNION ALL {_PQ_CODE_SELECT}
             UNION ALL {_PQ_TOPK_SELECT}
+            UNION ALL {_SQ8_CODE_SELECT}
+            UNION ALL {_SQ8_TOPK_SELECT}
         """,
         "q40_percentile_stats": """
             SELECT l_returnflag, l_linestatus,

@@ -473,3 +473,71 @@ def dsir_select(
     return top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("weight_x64"), "doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006)
+# ---------------------------------------------------------------------------
+
+PRIORITY_PREC = 1 << 26  # cost fixed-point: (2560 - fl) * PREC div w
+
+
+def priority_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    n: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis-Spirakis
+    exponential-race (A-ES): each row draws u = uniform(0, 1] and the
+    n rows with the largest u^(1/w) win, which realizes
+    weight-proportional inclusion. Deterministic and engine-portable:
+    u comes from a 40-bit md5 slice of (seed, key), and the log-domain
+    race cost −log2(u)/w is computed on the repo's fixed-point log2
+    chain (operators/search.py spec — the BM25/DSIR/HLL discipline),
+    so selection is EXACT integer arithmetic: the same n rows win on 1
+    executor or 1000, in Spark or in the DuckDB oracle.
+
+        cost_x = ((2560 − fl64(h + 1)) · PRIORITY_PREC) div w
+
+    (2560 = 40·64 is fl64 of the largest draw 2^40, so cost_x ≥ 0 and
+    DECREASES as u grows or w grows; smallest n costs win, ties to the
+    smaller key.) Weights must be positive integers — enforced IN-PLAN
+    (raise_error), not as a docstring caveat.
+
+    Scale shape: the race cost is a pure map over the scan; the winner
+    cut is a global top-n by (cost_x, key) — Spark's
+    TakeOrderedAndProject (per-partition heaps, no global sort, no
+    single-partition shuffle until n rows). Returns (key, weight,
+    cost_x, rk) with rk = 1..n in winning order."""
+    kc = F.col(key).cast("string")
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("long")
+    guarded = F.when(w > 0, w).otherwise(
+        F.expr(
+            "CAST(raise_error('priority_sample: weight must be > 0') AS BIGINT)"
+        )
+    )
+    base = df.select(
+        F.col(key),
+        guarded.alias("weight"),
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), kc)), 1, 10),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    from .search import with_fixed_log2_x64
+
+    scored = with_fixed_log2_x64(base, "_h + 1", "1", "_fl").select(
+        key,
+        "weight",
+        F.expr(f"((2560 - _fl) * CAST({PRIORITY_PREC} AS BIGINT)) div weight").alias(
+            "cost_x"
+        ),
+    )
+    top = scored.orderBy(F.col("cost_x").asc(), F.col(key).asc()).limit(n)
+    w_rk = Window.orderBy(F.col("cost_x").asc(), F.col(key).asc())
+    return top.withColumn("rk", F.row_number().over(w_rk).cast("long"))

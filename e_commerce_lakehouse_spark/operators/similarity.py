@@ -1099,3 +1099,153 @@ def dcg_discount_x(rank: int) -> int:
         frac = (frac << 1) | bit
     fl = m * 64 + frac
     return ((1 << 26) * 64) // fl
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) + refine — the third compression tier next
+# to IVF (coarse cells) and PQ (subspace codebooks).
+# ---------------------------------------------------------------------------
+
+
+def sq8_code_sql(x: str, mn: str, mx: str, dialect: str) -> str:
+    """ONE rendered spec for the per-dimension SQ8 encoder, emitted for
+    both engines so the oracle cannot drift (the search.py log2-chain
+    discipline): code_d = (255 · (x_d − mn_d)) div (mx_d − mn_d),
+    0 when the dimension is constant. x ∈ [mn, mx] makes the code land
+    in [0, 255] with no clamp (x = mx hits exactly 255). ``mn``/``mx``
+    are SQL expressions — integer literals on the Spark side (driver-
+    collected train state, CASE folded by Catalyst), aggregate column
+    refs on the oracle side."""
+    div = "div" if dialect == "spark" else "//"
+    return (
+        f"(CASE WHEN ({mx}) = ({mn}) THEN CAST(0 AS BIGINT)"
+        f" ELSE (255 * (({x}) - ({mn}))) {div} (({mx}) - ({mn})) END)"
+    )
+
+
+def sq8_dequant_sql(code: str, mn: str, mx: str, dialect: str) -> str:
+    """Decoder mirror: x̂_d = mn_d + (code_d · (mx_d − mn_d)) div 255,
+    exact integers in the shared micro-unit (QUANT) domain."""
+    div = "div" if dialect == "spark" else "//"
+    return (
+        f"(CASE WHEN ({mx}) = ({mn}) THEN CAST(({mn}) AS BIGINT)"
+        f" ELSE ({mn}) + ((({code}) * (({mx}) - ({mn}))) {div} 255) END)"
+    )
+
+
+def sq8_index(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    rerank: int = 4,
+    prep: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Scalar-quantization ANN with exact refine (the Faiss
+    SQ8+refine pipeline): per-dimension linear quantization of the
+    micro-unit corpus to one byte per dimension (8x compression over
+    int64 / float64 storage, 64 B/vector at dim 64), an asymmetric
+    scan ranking candidates by exact-query-vs-dequantized distance,
+    and an exact top-k rerank of the ``k·rerank`` ADC survivors.
+
+    Returns (codes, topk):
+      codes (vec_id, sq_codes array<long>, sq_code_hash) — the byte
+          codes plus an md5 value-pin of the full code vector;
+      topk  (query_id, neighbor_id, adc_d2, sq_d2, rank) — rank 1..k
+          by EXACT distance (sq_d2) over the ADC-survivor set, ties to
+          the smaller neighbor_id; adc_d2 carries the approximate
+          distance that admitted the candidate.
+
+    Every step is exact integer arithmetic on the shared QUANT
+    micro-units, and the encoder/decoder expressions are rendered from
+    one spec (:func:`sq8_code_sql` / :func:`sq8_dequant_sql`) for both
+    Spark and the DuckDB oracle. Train state is the per-dimension
+    (min, max) table — dim rows of driver state (the k·dim pattern),
+    baked into the plan as literals.
+
+    Scale shape: one posexplode pass computes the per-dim bounds
+    (uniform dim keys, partial-aggregated); encode is map-side over
+    the shared prep frame; queries broadcast onto the code frame and
+    the only shuffles are the two per-query top-k windows (ADC cut,
+    then exact rerank over Q·k·rerank rows). The refine join
+    broadcasts the candidate list onto the corpus scan — the corpus
+    never re-shuffles.
+    """
+    v = prep if prep is not None else _kmeans_prep(embeddings)
+    bounds = (
+        v.select(F.posexplode("vec").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mm = {int(r.d): (int(r.mn), int(r.mx)) for r in bounds}
+    dim = len(mm)
+    code_arr = "array(" + ", ".join(
+        sq8_code_sql(
+            f"element_at(vec, {d + 1})", str(mm[d][0]), str(mm[d][1]), "spark"
+        )
+        for d in range(dim)
+    ) + ")"
+    codes = v.select(
+        "vec_id",
+        F.expr(code_arr).alias("sq_codes"),
+    ).withColumn(
+        "sq_code_hash",
+        F.md5(
+            F.array_join(
+                F.transform("sq_codes", lambda x: x.cast("string")), "-"
+            )
+        ),
+    )
+    dequant_arr = "array(" + ", ".join(
+        sq8_dequant_sql(
+            f"element_at(sq_codes, {d + 1})", str(mm[d][0]), str(mm[d][1]), "spark"
+        )
+        for d in range(dim)
+    ) + ")"
+    xhat = codes.select("vec_id", F.expr(dequant_arr).alias("xhat"))
+    queries = v.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    adc = (
+        xhat.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(qvec, xhat, (a, b) -> (a-b)*(a-b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("adc_d2"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    cands = adc.withColumn("_r", F.row_number().over(w_adc)).filter(
+        F.col("_r") <= k * rerank
+    ).drop("_r")
+    # exact refine: candidate list is Q·k·rerank rows — broadcast it
+    # onto the corpus scan for the true vectors, then score against
+    # the (broadcast) query vectors
+    exact = (
+        v.join(F.broadcast(cands), v["vec_id"] == cands["neighbor_id"])
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            F.expr(
+                "aggregate(zip_with(qvec, vec, (a, b) -> (a-b)*(a-b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("sq_d2"),
+        )
+    )
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.col("sq_d2").asc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        exact.withColumn("rank", F.row_number().over(w_fin))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "sq_d2", "rank")
+    )
+    return codes, topk

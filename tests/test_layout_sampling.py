@@ -467,3 +467,54 @@ def test_zorder_layout_guards(spark, tmpdir):
     # and the same data lays out fine at a narrower bit depth
     ok = layout.zorder_layout(wide, ["x", "y"], bits=12)
     assert ok.count() == 2
+
+
+def _ref_priority_costs(keys_weights, seed=7):
+    """Single-node mirror of priority_sample's race arithmetic:
+    40-bit md5 draw, independent fixed-point log2 (pure-Python float
+    mantissa walk is NOT used — we recompute the documented chain:
+    integer part via bit_length, 6 bisection bits on a Q20 mantissa),
+    cost = (2560 - fl)*PREC // w."""
+    import hashlib
+
+    from e_commerce_lakehouse_spark.operators.sampling import PRIORITY_PREC
+
+    out = {}
+    for k, w in keys_weights:
+        h = int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:10], 16)
+        p = h + 1
+        m = p.bit_length() - 1
+        x = (p * (1 << 20)) // (1 << m)
+        fl = m * 64
+        add = 32
+        for _ in range(6):
+            x = (x * x) >> 20
+            if x >= (1 << 21):
+                fl += add
+                x >>= 1
+            add //= 2
+        out[k] = ((2560 - fl) * PRIORITY_PREC) // w
+    return out
+
+
+def test_priority_sample_matches_reference_and_guards(spark):
+    from e_commerce_lakehouse_spark.operators import sampling as smp
+
+    rows = [(i, 10 + (i * 37) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = smp.priority_sample(df, "doc_id", "w", n=20).collect()
+    ref_costs = _ref_priority_costs(rows)
+    want = sorted(rows, key=lambda t: (ref_costs[t[0]], t[0]))[:20]
+    assert [(r.doc_id, r.weight) for r in sorted(got, key=lambda r: r.rk)] == want
+    for r in got:
+        assert r.cost_x == ref_costs[r.doc_id]
+    # weight-proportional inclusion: winners are heavier on average
+    import statistics
+
+    assert statistics.mean(r.weight for r in got) > statistics.mean(
+        w for _, w in rows
+    )
+    # nonpositive weights fail loudly in-plan
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
+    with pytest.raises(Exception, match="weight must be > 0"):
+        smp.priority_sample(bad, "doc_id", "w", n=5).collect()
