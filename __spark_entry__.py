@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
+from e_commerce_lakehouse_spark.operators import suffix as suffix_ops
 from e_commerce_lakehouse_spark.functions import money
 from e_commerce_lakehouse_spark.operators import (
     asof,
@@ -461,9 +462,13 @@ def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-doc fingerprint battery in ONE projection: whole-doc md5,
-    32-bit SimHash (Arrow kernel), and the 4-seed MinHash columns the
-    DuckDB oracle mirrors hash-for-hash."""
+    """Per-doc fingerprint battery: whole-doc md5, 32-bit SimHash
+    (Arrow kernel), the 4-seed MinHash columns the DuckDB oracle
+    mirrors hash-for-hash, and sa_rep_len — the longest power-of-two
+    repeated-substring length from KMR fingerprint doubling
+    (operators/suffix.py, the rank-free sibling of the suffix-array
+    builder; the oracle counts actual substrings, an INDEPENDENT
+    formulation, so a doubling bug cannot hide)."""
     docs = spread_for_cpu(load_table(spark, sf, "documents"))
     toks = dedup.token_set("text")
 
@@ -471,6 +476,9 @@ def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         return lambda t: dedup._md5_hash64(t, seed)
 
     sh = dedup.simhash_udf(32)
+    rep = suffix_ops.repeated_prefix_lengths(
+        load_table(spark, sf, "documents"), rounds=5
+    )
     return docs.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
@@ -479,7 +487,7 @@ def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
             F.array_min(F.transform(toks, hash_with(s))).alias(f"h{s}")
             for s in range(4)
         ],
-    )
+    ).join(rep, "doc_id")
 
 
 def _q19_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -2706,6 +2714,54 @@ def oracle_sql() -> dict[str, str]:
                        list_transform(tset,
                            s -> CAST('0x'||substr(md5('0:'||s),1,15) AS BIGINT)) AS hs
                 FROM t
+            ), ppos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) + 1)) AS pos
+                FROM documents WHERE text IS NOT NULL
+            ), rep AS (
+                SELECT doc_id, CAST(max(l) AS BIGINT) AS sa_rep_len FROM (
+                    SELECT doc_id, 1 AS l FROM (
+                        SELECT doc_id,
+                               count(*) OVER (PARTITION BY
+                                   substring(text, pos, 1)) AS c
+                        FROM ppos WHERE pos + 0 <= length(text)
+                    ) WHERE c > 1
+                    UNION ALL
+                    SELECT doc_id, 2 AS l FROM (
+                        SELECT doc_id,
+                               count(*) OVER (PARTITION BY
+                                   substring(text, pos, 2)) AS c
+                        FROM ppos WHERE pos + 1 <= length(text)
+                    ) WHERE c > 1
+                    UNION ALL
+                    SELECT doc_id, 4 AS l FROM (
+                        SELECT doc_id,
+                               count(*) OVER (PARTITION BY
+                                   substring(text, pos, 4)) AS c
+                        FROM ppos WHERE pos + 3 <= length(text)
+                    ) WHERE c > 1
+                    UNION ALL
+                    SELECT doc_id, 8 AS l FROM (
+                        SELECT doc_id,
+                               count(*) OVER (PARTITION BY
+                                   substring(text, pos, 8)) AS c
+                        FROM ppos WHERE pos + 7 <= length(text)
+                    ) WHERE c > 1
+                    UNION ALL
+                    SELECT doc_id, 16 AS l FROM (
+                        SELECT doc_id,
+                               count(*) OVER (PARTITION BY
+                                   substring(text, pos, 16)) AS c
+                        FROM ppos WHERE pos + 15 <= length(text)
+                    ) WHERE c > 1
+                    UNION ALL
+                    SELECT doc_id, 32 AS l FROM (
+                        SELECT doc_id,
+                               count(*) OVER (PARTITION BY
+                                   substring(text, pos, 32)) AS c
+                        FROM ppos WHERE pos + 31 <= length(text)
+                    ) WHERE c > 1
+                ) GROUP BY doc_id
             )
             SELECT doc_id,
                    md5(lower(trim(text))) AS fp,
@@ -2720,8 +2776,10 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(tset,
                        s -> CAST('0x' || substr(md5('2:' || s), 1, 15) AS BIGINT))) AS h2,
                    list_min(list_transform(tset,
-                       s -> CAST('0x' || substr(md5('3:' || s), 1, 15) AS BIGINT))) AS h3
-            FROM h
+                       s -> CAST('0x' || substr(md5('3:' || s), 1, 15) AS BIGINT))) AS h3,
+                   CASE WHEN h.text IS NOT NULL
+                        THEN coalesce(rep.sa_rep_len, 0) END AS sa_rep_len
+            FROM h LEFT JOIN rep USING (doc_id)
         """,
         "q19_ngram_jaccard": """
             WITH t AS (
