@@ -2582,7 +2582,7 @@ def oracle_sql() -> dict[str, str]:
                            FILTER (WHERE keep) AS clean_text
                 FROM marked GROUP BY doc_id
             ), occ AS (
-                SELECT doc_id, pos, md5(substring(text, pos, 20)) AS h
+                SELECT doc_id, pos, substring(text, pos, 20) AS h
                 FROM (
                     SELECT doc_id, text,
                            unnest(range(1, length(text) - 20 + 2)) AS pos

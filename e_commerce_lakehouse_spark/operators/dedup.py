@@ -1112,14 +1112,18 @@ def substring_dup_stats(documents: DataFrame, win: int = 20) -> DataFrame:
     total_chars). NULL-text docs carry NULL stats; docs shorter than
     ``win`` carry 0 duplicated windows.
 
-    Plan shape at 100 TB: the window hashes are built map-side with
-    transform+substr over each doc (no text duplication across rows —
-    only (doc_id, pos, 32-char md5) ever shuffles); first-occurrence is
-    a partial-aggregated min-struct groupBy on the hash (uniform key —
-    a boilerplate window occurring 10M times map-side combines, same
-    discipline as span_dedup); duplicated occurrences join back on the
-    hash (uniform); the interval union runs per-doc windows bounded by
-    document length. Two uniform-key shuffles + one doc-key shuffle.
+    Plan shape at 100 TB: position explode + substring + md5 run in
+    ONE whole-stage-codegen map stage (the explode is pipelined — text
+    is duplicated only through the in-memory iterator, never shuffled;
+    only (doc_id, pos, md5) rows leave the stage). A transform-lambda
+    formulation hashing before the explode was the first shape here
+    and measured ~5x slower at sf0.1: higher-order-function lambdas
+    are CodegenFallback (interpreted per element), the round-5 DSIR
+    trap again. First-occurrence is ONE whole-partition window
+    min-struct over the uniform hash key (a groupBy + join-back shape
+    costs a second pass over the occurrence frame); the interval union
+    runs per-doc windows bounded by document length. One uniform-key
+    shuffle + one doc-key shuffle.
 
     The suffix-array formulation (operators/suffix.py) finds ARBITRARY-
     length maximal repeats; this fixed-window form is the detection
@@ -1131,22 +1135,18 @@ def substring_dup_stats(documents: DataFrame, win: int = 20) -> DataFrame:
     base = documents.filter(
         F.col("text").isNotNull() & (F.length("text") >= win)
     )
-    # all win-char window hashes, built before the explode so text
-    # never rides along exploded rows
     occ = base.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("text") - win + 1),
-                lambda p: F.md5(F.substr(F.col("text"), p, F.lit(win))),
-            )
-        ).alias("i", "h"),
-    ).select("doc_id", (F.col("i") + 1).alias("pos"), "h")
-    firsts = occ.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - win + 1)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.expr(f"substring(text, pos, {win})")).alias("h"),
     )
+    w_h = Window.partitionBy("h")
     dup_occ = (
-        occ.join(firsts, "h")
+        occ.withColumn("first", F.min(F.struct("doc_id", "pos")).over(w_h))
         .filter(
             (F.col("doc_id") != F.col("first.doc_id"))
             | (F.col("pos") != F.col("first.pos"))

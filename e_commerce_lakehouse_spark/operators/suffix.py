@@ -84,26 +84,25 @@ def _dense_rank_on(df: DataFrame, cols: list[str], out: str) -> tuple[DataFrame,
 
 def corpus_positions(documents: DataFrame) -> DataFrame:
     """(doc_id, pos, rem, ch): one row per character of every non-NULL
-    document; pos is 1-based, rem the suffix length. The single-char
-    array is built map-side (transform + substr) so text never rides
-    exploded rows."""
+    document; pos is 1-based, rem the suffix length. Position explode
+    + substring stay in one whole-stage-codegen map stage (a
+    transform-lambda char array was the first shape — higher-order
+    lambdas are CodegenFallback, interpreted per element, the round-5
+    DSIR trap; text is duplicated only through the pipelined iterator,
+    never shuffled)."""
     return (
         documents.filter(F.col("text").isNotNull())
         .select(
             "doc_id",
+            "text",
             F.length("text").alias("_n"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text")),
-                    lambda p: F.substr(F.col("text"), p, F.lit(1)),
-                )
-            ).alias("_i", "ch"),
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
         )
         .select(
             "doc_id",
-            (F.col("_i") + 1).alias("pos"),
-            (F.col("_n") - F.col("_i")).cast("long").alias("rem"),
-            "ch",
+            "pos",
+            (F.col("_n") - F.col("pos") + 1).cast("long").alias("rem"),
+            F.expr("substring(text, pos, 1)").alias("ch"),
         )
     )
 
@@ -156,36 +155,38 @@ def suffix_ranks(documents: DataFrame, rounds: int = 5) -> DataFrame:
     return state.select("doc_id", "pos", "rem", F.col("r").alias("rank"))
 
 
-_PAD = "-"  # 1 char — can never equal a 32-hex md5 label, so padded
-# (short-suffix) classes cannot collide with real ones
-
-
 def prefix_label_frame(documents: DataFrame, rounds: int) -> DataFrame:
     """KMR fingerprint doubling (Karp, Miller & Rosenberg 1972), the
-    rank-free sibling of :func:`suffix_ranks`: column h{k} is an
-    md5 EQUALITY label of the 2^k-char prefix of the suffix at
-    (doc_id, pos) — h{k} = md5(h{k-1}(pos) '|' h{k-1}(pos+2^{k-1})),
-    missing half → the 1-char pad. Labels give equality classes
-    without global order, which is all duplicate DETECTION needs — so
-    the whole ladder is ONE frame: every lead() shares the same
-    per-document window spec (one sort), every label is a map-side
-    hash, and no round shuffles, distincts, or checkpoints. Returns
-    (doc_id, pos, rem, h0..h{rounds})."""
+    rank-free sibling of :func:`suffix_ranks`: column h{k} is a 64-bit
+    EQUALITY label of the 2^k-char prefix of the suffix at
+    (doc_id, pos) — h{k} = xxhash64(h{k-1}(pos), h{k-1}(pos+2^{k-1})),
+    where a missing second half (suffix shorter than 2^{k-1}) is a
+    NULL that xxhash64 folds consistently: every short suffix of the
+    same content maps to the same label and chance-level to anything
+    else. Labels give equality classes without global order, which is
+    all duplicate DETECTION needs — so the whole ladder is ONE frame:
+    every lead() shares the same per-document window spec (one sort),
+    every label is native codegen hashing, and no round shuffles,
+    distincts, or checkpoints. Returns (doc_id, pos, rem,
+    h0..h{rounds}).
+
+    Native xxhash64 (not md5) is deliberate: labels never cross the
+    engine boundary — q18's oracle counts actual substrings, an
+    independent formulation — and the md5 form was measured 5x slower
+    (hex-string construction per level; ~7.5M md5 calls at sf0.1).
+    Collision odds stay chance-level (64-bit labels; detection-only —
+    the ordered :func:`suffix_ranks` path is exact)."""
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    frame = corpus_positions(documents).withColumn("h0", F.md5("ch")).drop("ch")
+    frame = corpus_positions(documents).withColumn(
+        "h0", F.xxhash64("ch")
+    ).drop("ch")
     for k in range(1, rounds + 1):
         d = 1 << (k - 1)
         frame = frame.withColumn(
             f"h{k}",
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col(f"h{k - 1}"),
-                    F.coalesce(F.lead(f"h{k - 1}", d).over(w_doc), F.lit(_PAD)),
-                )
-            ),
+            F.xxhash64(F.col(f"h{k - 1}"), F.lead(f"h{k - 1}", d).over(w_doc)),
         )
     return frame
 
@@ -199,31 +200,27 @@ def repeated_prefix_lengths(documents: DataFrame, rounds: int = 5) -> DataFrame:
     instead of fixed-window). 0 when even no single character
     repeats; NULL for NULL-text docs.
 
-    Built on the KMR label frame: per level one whole-partition
-    window count over the label (conditional on rem ≥ L, so padded
-    short suffixes never count), then ONE per-doc groupBy takes the
-    max satisfied level — rounds+1 uniform-key label shuffles and a
-    doc-key shuffle, no joins, no iterative checkpoints."""
+    Built on the KMR label frame, counted in LONG format: the level
+    ladder posexplodes to (doc_id, k, h) rows pre-filtered to rem ≥
+    2^k (short suffixes never count), then ONE whole-partition window
+    count over (k, h) flags duplicated labels and one per-doc groupBy
+    takes the max satisfied level. One uniform-key label shuffle + one
+    doc-key shuffle, no joins, no iterative checkpoints — measured
+    ~20% over the per-level-window shape (6 windows re-shuffled the
+    full wide frame each; the long frame moves ~⅓ the bytes once)."""
     frame = prefix_label_frame(documents, rounds)
-    for k in range(rounds + 1):
-        length = 1 << k
-        frame = frame.withColumn(
-            f"c{k}",
-            F.count(F.when(F.col("rem") >= length, F.lit(1))).over(
-                Window.partitionBy(f"h{k}")
-            ),
-        )
-    level = F.greatest(
-        *[
-            F.when(
-                (F.col("rem") >= (1 << k)) & (F.col(f"c{k}") > 1),
-                F.lit(1 << k).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for k in range(rounds + 1)
-        ]
+    arr = F.array(*[F.col(f"h{k}") for k in range(rounds + 1)])
+    length = F.call_function("shiftleft", F.lit(1).cast("long"), F.col("k"))
+    long = (
+        frame.select("doc_id", "rem", F.posexplode(arr).alias("k", "h"))
+        .filter(F.col("rem") >= length)
     )
-    per_doc = frame.select("doc_id", level.alias("_l")).groupBy("doc_id").agg(
-        F.max("_l").alias("sa_rep_len")
+    per_doc = (
+        long.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("k", "h")))
+        .filter(F.col("_c") > 1)
+        .select("doc_id", length.alias("_l"))
+        .groupBy("doc_id")
+        .agg(F.max("_l").alias("sa_rep_len"))
     )
     return (
         documents.select(
