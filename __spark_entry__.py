@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.operators import aggregates as agg
+from e_commerce_lakehouse_spark.operators import ranges
 from e_commerce_lakehouse_spark.operators import suffix as suffix_ops
 from e_commerce_lakehouse_spark.functions import money
 from e_commerce_lakehouse_spark.operators import (
@@ -1191,9 +1192,16 @@ def _priority_oracle_branch() -> str:
 
 
 def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join: each event picks the user's most recent order at or
-    before the event time (operators/asof.py; oracle = DuckDB's native
-    ASOF JOIN). Order side deduped to one row per (custkey, date)."""
+    """Temporal-join surface, kind-tagged union:
+      - kind='asof': each event picks the user's most recent order at
+        or before the event time (operators/asof.py; oracle = DuckDB's
+        native ASOF JOIN). Order side deduped per (custkey, date);
+      - kind='interval': PURE range join (no equi key) — events landing
+        inside data-derived promo windows ([d, d+3) over dates whose
+        order count exceeds 2x the per-date average), executed via
+        operators/ranges.interval_join_binned (bin bucketization, the
+        RANGE_JOIN-hint rewrite) instead of the nested-loop plan Spark
+        would otherwise pick; oracle = the plain theta join."""
     ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf, "orders")
     orders_d = cleaning.dedup_latest(
@@ -1202,14 +1210,51 @@ def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
         order_cols=[F.col("o_orderkey").desc()],
     ).withColumnRenamed("o_custkey", "user_id")
     ev_ntz = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return asof.asof_join_backward(
+    nl = F.lit(None).cast("long")
+    asof_rows = asof.asof_join_backward(
         ev_ntz,
         orders_d,
         key="user_id",
         left_ts="ts",
         right_ts="o_orderdate",
         right_payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+    ).select(
+        F.lit("asof").alias("kind"),
+        "event_id", "user_id", "ts",
+        "o_orderkey", "o_orderdate", "o_totalprice",
+        nl.alias("promo_start_day"), nl.alias("promo_end_day"),
+        nl.alias("promo_orders"),
     )
+    epoch = F.lit("1970-01-01")
+    per_date = orders.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("_c"))
+    tot = orders.agg(
+        F.count(F.lit(1)).alias("_n_orders"),
+        F.countDistinct("o_orderdate").alias("_n_dates"),
+    )
+    # hot date ⟺ c > 2·avg, cross-multiplied exact: c·n_dates > 2·n_orders
+    hot = per_date.crossJoin(F.broadcast(tot)).filter(
+        F.col("_c") * F.col("_n_dates") > 2 * F.col("_n_orders")
+    )
+    iv = hot.select(
+        F.datediff("o_orderdate", epoch).cast("long").alias("promo_start_day"),
+        (F.datediff("o_orderdate", epoch) + 3).cast("long").alias("promo_end_day"),
+        F.col("_c").cast("long").alias("promo_orders"),
+    )
+    pts = ev_ntz.select(
+        "event_id", "user_id", "ts",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("_day"),
+    )
+    interval_rows = ranges.interval_join_binned(
+        pts, iv, "_day", "promo_start_day", "promo_end_day", bin_width=4
+    ).select(
+        F.lit("interval").alias("kind"),
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("date").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "promo_start_day", "promo_end_day", "promo_orders",
+    )
+    return asof_rows.unionByName(interval_rows)
 
 
 def _q36_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
@@ -2152,7 +2197,35 @@ def _doc_profile_oracle_sql() -> str:
                        {NORM_TEXT_SQL} AS norm_text,
                        CAST(len(string_split({NORM_TEXT_SQL}, ' ')) AS INT)
                            AS n_norm_tokens,
-                       {', '.join(score_selects)}
+                       {', '.join(score_selects)},
+                       CASE WHEN text IS NOT NULL THEN CAST(
+                           (CASE WHEN len(string_split(text, ' ')) < 50
+                                   OR len(string_split(text, ' ')) > 100000
+                                 THEN 1 ELSE 0 END)
+                         + (CASE WHEN length(text) - (len(string_split(text, ' ')) - 1)
+                                      < 3 * len(string_split(text, ' '))
+                                   OR length(text) - (len(string_split(text, ' ')) - 1)
+                                      > 10 * len(string_split(text, ' '))
+                                 THEN 2 ELSE 0 END)
+                         + (CASE WHEN len(regexp_extract_all(text, '#|\\.\\.\\.')) * 10
+                                      > len(string_split(text, ' '))
+                                 THEN 4 ELSE 0 END)
+                         + (CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                        x -> regexp_matches(x, '^([-*\\x{{2022}}] )'))) * 10
+                                      > len(string_split(text, chr(10)))
+                                   OR len(list_filter(string_split(text, chr(10)),
+                                        x -> regexp_matches(x, '(\\.\\.\\.|\\x{{2026}})$'))) * 10
+                                      > len(string_split(text, chr(10))) * 3
+                                 THEN 8 ELSE 0 END)
+                         + (CASE WHEN len(list_filter(string_split(text, ' '),
+                                        w -> regexp_matches(w, '[A-Za-z]'))) * 5
+                                      < len(string_split(text, ' ')) * 4
+                                 THEN 16 ELSE 0 END)
+                         + (CASE WHEN len(list_filter(
+                                        ['the','be','to','of','and','that','have','with'],
+                                        sw -> list_contains(string_split(text, ' '), sw))) < 2
+                                 THEN 32 ELSE 0 END)
+                           AS INT) END AS gopher_fail_mask
                 FROM documents
             )
             SELECT doc_id, lang, source,
@@ -2169,6 +2242,8 @@ def _doc_profile_oracle_sql() -> str:
                                   // (n_tokens - 1) AS INT)
                         ELSE 0 END AS dup_bigram_pct,
                    n_bpe_tokens, norm_text, n_norm_tokens,
+                   gopher_fail_mask,
+                   (gopher_fail_mask = 0) AS gopher_pass,
                    {', '.join('score_' + lang for lang in langs)},
                    {pred} AS pred_lang
             FROM s
@@ -3258,12 +3333,38 @@ def oracle_sql() -> dict[str, str]:
                 QUALIFY row_number() OVER (
                     PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC
                 ) = 1
+            ), per_date AS (
+                SELECT o_orderdate AS d, count(*) AS c FROM orders GROUP BY 1
+            ), tot AS (
+                SELECT count(*) AS n_orders,
+                       count(DISTINCT o_orderdate) AS n_dates
+                FROM orders
+            ), iv AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT)
+                           AS promo_start_day,
+                       CAST(datediff('day', DATE '1970-01-01', d) + 3 AS BIGINT)
+                           AS promo_end_day,
+                       CAST(c AS BIGINT) AS promo_orders
+                FROM per_date, tot WHERE c * n_dates > 2 * n_orders
             )
-            SELECT e.event_id, e.user_id, e.ts,
-                   o.o_orderkey, o.o_orderdate, o.o_totalprice
+            SELECT 'asof' AS kind, e.event_id, e.user_id, e.ts,
+                   o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                   CAST(NULL AS BIGINT) AS promo_start_day,
+                   CAST(NULL AS BIGINT) AS promo_end_day,
+                   CAST(NULL AS BIGINT) AS promo_orders
             FROM (SELECT event_id, user_id, ts FROM events) e
             ASOF LEFT JOIN orders_d o
               ON e.user_id = o.user_id AND o.o_orderdate <= e.ts
+            UNION ALL
+            SELECT 'interval', e.event_id, e.user_id, e.ts,
+                   CAST(NULL AS BIGINT), CAST(NULL AS DATE),
+                   CAST(NULL AS DOUBLE),
+                   iv.promo_start_day, iv.promo_end_day, iv.promo_orders
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(datediff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) AS BIGINT) AS p
+                  FROM events) e
+            JOIN iv ON e.p >= iv.promo_start_day AND e.p < iv.promo_end_day
         """,
         "q36_clicks_before_purchase": """
             WITH p AS (

@@ -1207,3 +1207,54 @@ def substring_dup_stats(documents: DataFrame, win: int = 20) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+def optimal_lsh_params(
+    threshold_pct: int,
+    num_hashes: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick (bands, rows) for MinHash-LSH banding from a target Jaccard
+    threshold — the S-curve tuning of Leskovec/Rajaraman/Ullman (MMDS
+    ch. 3; the same integral-minimization datasketch ships): candidate
+    probability at similarity s is P(s) = 1 − (1 − s^rows)^bands, and
+    the chosen split minimizes
+
+        fp_weight · ∫₀ᵗ P(s) ds  +  fn_weight · ∫ₜ¹ (1 − P(s)) ds
+
+    over every (bands, rows) with bands·rows ≤ num_hashes. Driver-side
+    planning math (a few hundred trapezoid evaluations) — feed the
+    result straight to :func:`minhash_lsh_pairs`. Weights skew the
+    trade: raising fn_weight favors recall (more bands, shorter rows).
+    """
+    if not 0 < threshold_pct < 100:
+        raise ValueError(f"threshold_pct must be in (0, 100), got {threshold_pct}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    t = threshold_pct / 100.0
+    steps = 200
+
+    def integrals(b: int, r: int) -> tuple[float, float]:
+        def p(s: float) -> float:
+            return 1.0 - (1.0 - s**r) ** b
+
+        fp = fn = 0.0
+        dx_fp = t / steps
+        dx_fn = (1.0 - t) / steps
+        for i in range(steps):
+            fp += (p(i * dx_fp) + p((i + 1) * dx_fp)) / 2.0 * dx_fp
+            s0 = t + i * dx_fn
+            fn += ((1 - p(s0)) + (1 - p(s0 + dx_fn))) / 2.0 * dx_fn
+        return fp, fn
+
+    best, best_err = (1, num_hashes), float("inf")
+    for b in range(1, num_hashes + 1):
+        r = num_hashes // b
+        if r < 1:
+            break
+        fp, fn = integrals(b, r)
+        err = fp_weight * fp + fn_weight * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best

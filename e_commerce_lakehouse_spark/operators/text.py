@@ -51,6 +51,76 @@ def stopword_count(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) ->
     return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
 
 
+# Gopher / MassiveText document-quality rules (Rae et al. 2021,
+# appendix A1.1), integer-exact so the oracle hashes them: each
+# threshold comparison is cross-multiplied instead of computing a
+# float ratio.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+# fail-mask bit per rule (0 = document passes all six)
+GOPHER_RULES = (
+    "word_count",        # bit 0: 50 <= words <= 100000
+    "mean_word_len",     # bit 1: 3 <= mean word length <= 10
+    "symbol_ratio",      # bit 2: (# + ellipsis) <= 10% of words
+    "line_shape",        # bit 3: <=10% bullet-start AND <=30% ellipsis-end lines
+    "alpha_words",       # bit 4: >=80% of words contain a letter
+    "stopword_presence", # bit 5: >=2 distinct Gopher stop words present
+)
+
+
+def gopher_fail_mask(col: Column | str = "text") -> Column:
+    """Integer fail bitmask of the six Gopher rules (bit k set ⟺ rule
+    GOPHER_RULES[k] FAILS; 0 = keep). NULL text → NULL. Every
+    comparison is integer (cross-multiplied ratios), so the mask is
+    engine-exact. One pure-Column expression — composes into any
+    one-scan profile."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    n_words = F.size(toks)
+    letters_total = F.length(c) - (n_words - 1)
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), 0))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    # \x{hhhh} escapes: the one spelling java.regex and RE2/DuckDB share
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^([-*\x{2022}] )")))
+    n_ell = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|\x{2026})$")))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = sum(
+        (
+            F.when(F.array_contains(toks, F.lit(sw)), 1).otherwise(0)
+            for sw in GOPHER_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    fails = [
+        (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS),
+        (letters_total < GOPHER_MIN_MEAN_WORD_LEN * n_words)
+        | (letters_total > GOPHER_MAX_MEAN_WORD_LEN * n_words),
+        n_sym * 10 > n_words,
+        (n_bullet * 10 > n_lines) | (n_ell * 10 > n_lines * 3),
+        n_alpha * 5 < n_words * 4,
+        n_stop < 2,
+    ]
+    mask = F.lit(0)
+    for bit, cond in enumerate(fails):
+        mask = mask + F.when(cond, F.lit(1 << bit)).otherwise(F.lit(0))
+    return F.when(c.isNotNull(), mask.cast("int"))
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Per-doc Gopher rule verdict: (doc_id, gopher_fail_mask,
+    gopher_pass). Standalone form of the columns doc_profile carries."""
+    mask = gopher_fail_mask("text")
+    return documents.select(
+        "doc_id",
+        mask.alias("gopher_fail_mask"),
+        (mask == 0).alias("gopher_pass"),
+    )
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document feature vector: token/char/distinct counts, stopword
     count, and exact-ratio derived scores.
@@ -408,6 +478,7 @@ def doc_profile(
         ),
         norm.alias("norm_text"),
         F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+        gopher_fail_mask("text").alias("gopher_fail_mask"),
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         pred.alias("pred_lang"),
     )
@@ -449,6 +520,9 @@ def doc_profile(
         "n_bpe_tokens",
         "norm_text",
         "n_norm_tokens",
+        # Gopher/MassiveText A1.1 rule battery (fail bitmask; 0 = keep)
+        "gopher_fail_mask",
+        (F.col("gopher_fail_mask") == 0).alias("gopher_pass"),
         *[f"score_{lang}" for lang in langs],
         "pred_lang",
     )

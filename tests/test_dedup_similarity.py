@@ -645,3 +645,93 @@ def test_sq8_index_invariants(spark):
     # partitioning independence
     _, topk2 = similarity.sq8_index(emb.repartition(7), query_max_id=5, k=3)
     assert sorted(map(tuple, got)) == sorted(map(tuple, topk2.collect()))
+
+
+def test_optimal_lsh_params():
+    """S-curve banding planner: independent brute-force argmin at a
+    small size, budget respected, threshold monotonicity, recall skew,
+    guards."""
+    import pytest as _pytest
+
+    # independent argmin: re-integrate with a different rule (midpoint)
+    def mid_err(b, r, t, n=1000):
+        def p(s):
+            return 1.0 - (1.0 - s**r) ** b
+        fp = sum(p((i + 0.5) * t / n) for i in range(n)) * t / n
+        fn = sum(1 - p(t + (i + 0.5) * (1 - t) / n) for i in range(n)) * (1 - t) / n
+        return 0.5 * fp + 0.5 * fn
+
+    got = dedup.optimal_lsh_params(50, 16)
+    want = min(
+        ((b, 16 // b) for b in range(1, 17)), key=lambda br: mid_err(*br, 0.5)
+    )
+    assert got == want
+    prev_bands = 10**9
+    for t in (20, 40, 60, 80, 95):
+        b, r = dedup.optimal_lsh_params(t, 128)
+        assert b * r <= 128 and b >= 1 and r >= 1
+        assert b <= prev_bands  # higher threshold -> fewer bands
+        prev_bands = b
+    b_bal, _ = dedup.optimal_lsh_params(50, 128)
+    b_rec, _ = dedup.optimal_lsh_params(50, 128, fp_weight=0.1, fn_weight=0.9)
+    assert b_rec >= b_bal  # recall skew -> more bands
+    with _pytest.raises(ValueError, match="threshold"):
+        dedup.optimal_lsh_params(0, 128)
+    with _pytest.raises(ValueError, match="num_hashes"):
+        dedup.optimal_lsh_params(50, 1)
+
+
+def test_interval_join_binned_matches_naive_and_guards(spark):
+    from e_commerce_lakehouse_spark.operators import ranges
+
+    pts = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(60)], "pid long, p long"
+    )
+    ivs = spark.createDataFrame(
+        [(j, (j * 13) % 90, (j * 13) % 90 + 1 + (j % 9)) for j in range(25)]
+        + [(100, 50, 50)],  # empty interval matches nothing
+        "iid long, s long, e long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in ranges.interval_join_binned(pts, ivs, "p", "s", "e", 8).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .collect()
+    )
+    assert got == naive and got  # non-empty and exact (incl. no dup pairs)
+    # span guard fires in-plan
+    import pytest as _pytest
+
+    wide = spark.createDataFrame([(1, 0, 10_000)], "iid long, s long, e long")
+    with _pytest.raises(Exception, match="max_span_bins"):
+        ranges.interval_join_binned(pts, wide, "p", "s", "e", 8).collect()
+    with _pytest.raises(ValueError, match="overlap"):
+        ranges.interval_join_binned(pts, pts, "p", "p", "p", 8)
+
+
+def test_interval_join_binned_plan_is_equi_join(spark):
+    """The whole point: the binned rewrite must plan as a hash/SMJ
+    equi-join, never the nested-loop plan a pure range predicate
+    gets."""
+    import io
+    from contextlib import redirect_stdout
+
+    from e_commerce_lakehouse_spark.operators import ranges
+
+    pts = spark.range(1000).select(F.col("id").alias("pid"), (F.col("id") % 500).alias("p"))
+    ivs = spark.range(200).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 2).alias("s"),
+        (F.col("id") * 2 + 5).alias("e"),
+    )
+    df = ranges.interval_join_binned(pts, ivs, "p", "s", "e", 16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

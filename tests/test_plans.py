@@ -65,7 +65,9 @@ def test_q15_single_shuffle_dedup(spark):
     assert "CartesianProduct" not in plan
     # formatted plans mention each exchange ~2x (tree + detail); the
     # union is exact(1) + span winner agg/join/regroup/rejoin (~7)
-    assert plan.count("Exchange") <= 16
+    # + the round-6 substr_dup branch (window min over the substring
+    # key, the per-doc island windows, and the stats join — ~3 more)
+    assert plan.count("Exchange") <= 24
 
 
 def test_whole_stage_codegen_active(spark):

@@ -124,3 +124,37 @@ def test_mixture_rates_never_zero(spark):
     # huge floors to 100*1*1 // (1*9000) = 0 -> clamped to 1
     assert got["tiny"] == 100
     assert got["huge"] == 1
+
+
+def test_gopher_rules_hand_cases(spark):
+    """Each Gopher A1.1 rule trips on a purpose-built doc; a healthy
+    doc passes all six (mask 0)."""
+    from e_commerce_lakehouse_spark.operators import text as text_ops
+
+    good = "the quick brown fox and that dog have fun with " + " ".join(
+        f"word{i}" for i in range(45)
+    )
+    rows = [
+        (0, good),                                        # passes
+        (1, "the and of short"),                          # word count (bit 0)
+        (2, "a " * 60 + "the of"),                        # mean word len < 3 (bit 1)
+        (3, good + " " + "# " * 20),                      # symbol ratio (bit 2)
+        (4, "\n".join("- bullet line" for _ in range(5))),# bullet lines (bit 3)
+        (5, good.replace("word1 ", "###1 ").replace(
+            "the quick", "the 123 456 789 " + "12 " * 40 + "quick")),  # alpha (bit 4)
+        (6, " ".join(f"w{i}xyz" for i in range(60))),     # no stopwords (bit 5)
+        (7, None),                                        # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.gopher_fail_mask, r.gopher_pass)
+        for r in text_ops.gopher_quality(df).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[1][0] & 1, got[1]
+    assert got[2][0] & 2, got[2]
+    assert got[3][0] & 4, got[3]
+    assert got[4][0] & 8, got[4]
+    assert got[5][0] & 16, got[5]
+    assert got[6][0] & 32, got[6]
+    assert got[7] == (None, None)

@@ -37,4 +37,18 @@ def test_query_matches_oracle(name, spark, con):
         df = QUERIES[name](spark, SF_SMALL)
         assert df.count() >= 0  # rows-only check (non-SQL-expressible op)
         return
-    compare(QUERIES[name](spark, SF_SMALL), con, ORACLES[name])
+    try:
+        compare(QUERIES[name](spark, SF_SMALL), con, ORACLES[name])
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        # In a full-suite mega-process, DuckDB occasionally fails tiny
+        # allocations (address-space pressure next to the long-lived
+        # Spark JVM) — an environmental OOM, not a correctness signal:
+        # the same rows pass in isolation. Retry ONCE on a fresh
+        # connection; any real mismatch re-raises unchanged.
+        if "Out of Memory" not in str(exc):
+            raise
+        fresh = duckdb_connection(SF_SMALL)
+        try:
+            compare(QUERIES[name](spark, SF_SMALL), fresh, ORACLES[name])
+        finally:
+            fresh.close()
