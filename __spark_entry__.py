@@ -852,6 +852,34 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
             "hll_x1000",
         )
     )
+    # mergeability row: per-(returnflag, linestatus) sub-sketches,
+    # register-max merged down to returnflag — the value hash-gates
+    # against the oracle's DIRECT per-returnflag estimate, so a merge
+    # bug (losing registers, wrong identity) flips the row red
+    hll_merged = (
+        sketch_ops.hll_estimate_from_registers(
+            sketch_ops.hll_merge_registers(
+                sketch_ops.hll_registers(
+                    li, "l_partkey", ["l_returnflag", "l_linestatus"]
+                ),
+                ["l_returnflag"],
+            ),
+            ["l_returnflag"],
+        )
+        .join(F.broadcast(exact_distinct), "l_returnflag")
+        .select(
+            F.lit("hll_merge").alias("kind"),
+            "l_returnflag",
+            "exact_parts",
+            F.lit(None).cast("double").alias("price_p50"),
+            F.lit(None).cast("double").alias("price_p95"),
+            F.lit(None).cast("int").alias("sketch_ok"),
+            F.lit(None).cast("long").alias("part_key"),
+            F.lit(None).cast("long").alias("exact_cnt"),
+            F.lit(None).cast("long").alias("cms_est"),
+            "hll_x1000",
+        )
+    )
     cms_cells = sketch_ops.countmin_cells(li.select("l_partkey"), "l_partkey")
     top_parts = (
         li.groupBy("l_partkey")
@@ -871,7 +899,7 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         "cms_est",
         F.lit(None).cast("long").alias("hll_x1000"),
     )
-    return flags.unionByName(cms).unionByName(hll)
+    return flags.unionByName(cms).unionByName(hll).unionByName(hll_merged)
 
 
 def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -1080,7 +1108,9 @@ def _dsir_oracle_branch() -> str:
     hashed unigram+bigram buckets (B=256, md5-60bit), Laplace-smoothed
     target/raw models over docs split at id 25, signed fl chain over
     (greatest, least), per-doc c·w sum, top-50 by (weight desc, id)."""
-    fl = search.fixed_log2_sql_select("hi", "lo", "fl", ["bucket", "num", "den"])
+    fl = search.fixed_log2_sql_select(
+        "hi", "lo", "fl", ["bucket", "num", "den"], source="dwt2"
+    )
     return f"""
             UNION ALL
             SELECT 'dsir', doc_id, lang, source, n_grams,
@@ -1134,7 +1164,6 @@ def _dsir_oracle_branch() -> str:
                     FROM dwt
                 ), dfl AS (
                     {fl}
-                    FROM dwt2
                 ), dw AS (
                     SELECT bucket,
                            (CASE WHEN num >= den THEN 1 ELSE -1 END) * fl
@@ -1159,7 +1188,17 @@ def _priority_oracle_branch() -> str:
     the fixed-point log2 chain rendered from the SAME spec
     (search.fixed_log2_sql_select), race cost
     (2560 − fl)·PRIORITY_PREC div weight, top-50 by (cost, doc_id)."""
-    fl = search.fixed_log2_sql_select("_h + 1", "1", "_fl", ["doc_id", "weight"])
+    src = """(
+                        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                               CAST('0x' || substr(md5('7:' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 10)
+                                    AS BIGINT) AS _h
+                        FROM documents
+                        WHERE n_chars IS NOT NULL AND n_chars > 0
+                    )"""
+    fl = search.fixed_log2_sql_select(
+        "_h + 1", "1", "_fl", ["doc_id", "weight"], source=src
+    )
     prec = sampling.PRIORITY_PREC
     return f"""
             UNION ALL
@@ -1177,14 +1216,6 @@ def _priority_oracle_branch() -> str:
                            AS cost_x
                 FROM (
                     {fl}
-                    FROM (
-                        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-                               CAST('0x' || substr(md5('7:' ||
-                                    CAST(doc_id AS VARCHAR)), 1, 10)
-                                    AS BIGINT) AS _h
-                        FROM documents
-                        WHERE n_chars IS NOT NULL AND n_chars > 0
-                    )
                 )
                 ORDER BY cost_x ASC, doc_id ASC LIMIT 50
             )
@@ -2420,6 +2451,7 @@ _HLL_LN2 = sketch_ops.LN2_X1E6
 _HLL_FL_SELECT = search.fixed_log2_sql_select(
     "hm", "hv", "fl",
     ["l_returnflag", "rm", "n", "v", "raw_x1000", "hm", "hv"],
+    source="hraw",
 )
 
 
@@ -3159,7 +3191,6 @@ def oracle_sql() -> dict[str, str]:
                 FROM hagg
             ), hfl AS (
                 {_HLL_FL_SELECT}
-                FROM hraw
             ), hexact AS (
                 SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
                 FROM lineitem GROUP BY 1
@@ -3193,6 +3224,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t.l_partkey, t.exact_cnt
             UNION ALL
             SELECT 'hll', f.l_returnflag, e.exact_parts,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(CASE WHEN f.v > 0 AND f.raw_x1000 <= {2500 * 64}
+                        THEN (f.hm * f.fl * {_HLL_LN2}) // {64 * 1000}
+                        ELSE f.raw_x1000 END AS BIGINT) AS hll_x1000
+            FROM hfl f JOIN hexact e USING (l_returnflag)
+            UNION ALL
+            -- the merged-sub-sketch estimate must equal the direct one
+            -- (register max is the lossless HLL union)
+            SELECT 'hll_merge', f.l_returnflag, e.exact_parts,
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS INT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),

@@ -120,15 +120,28 @@ def with_fixed_log2_x64(df: DataFrame, p: str, q: str, out: str) -> DataFrame:
     return df.withColumn(out, F.col("fl_out")).drop(*names)
 
 
-def fixed_log2_sql_select(p: str, q: str, out: str, carry: list[str]) -> str:
-    """DuckDB SELECT list computing the SAME chain via lateral column
-    references, carrying ``carry`` columns through; generated from the
-    one chain spec so the oracle cannot drift from the Spark side."""
+def fixed_log2_sql_select(
+    p: str, q: str, out: str, carry: list[str], source: str
+) -> str:
+    """Complete DuckDB SELECT computing the SAME chain over ``source``
+    (a CTE name or parenthesized subquery), carrying ``carry`` columns
+    through; generated from the one chain spec so the oracle cannot
+    drift from the Spark side.
+
+    Each chain step sits in its OWN nested subquery level. The first
+    form emitted all steps as lateral column references in ONE flat
+    SELECT — DuckDB inlines every lateral reference, so the expression
+    tree grew EXPONENTIALLY in chain depth: compiling one ~20-step
+    chain transiently spiked tens of thousands of allocator mappings,
+    tripped vm.max_map_count (65530), and every later allocation in
+    the process failed with bad_alloc despite free RAM — the q33/q34
+    oracle OOM cascade. Nested levels reference each step once; the
+    tree is linear and the compile is cheap."""
     cols = ", ".join(carry)
-    steps = ", ".join(
-        f"{duck_tmpl} AS {name}" for name, _, duck_tmpl in _fl_chain(p, q)
-    )
-    return f"SELECT {cols}, {steps}, fl_out AS {out}"
+    sql = f"SELECT {cols}, ({p}) AS _flp, ({q}) AS _flq FROM {source}"
+    for name, _spark_tmpl, duck_tmpl in _fl_chain("_flp", "_flq"):
+        sql = f"SELECT *, {duck_tmpl} AS {name} FROM ({sql})"
+    return f"SELECT {cols}, fl_out AS {out} FROM ({sql})"
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +310,7 @@ def bm25_oracle_sql(
         "2 * df + 1",
         "idf_x64",
         ["doc_id", "dl", "term", "tf", "df", "n_docs", "t_tokens", "max_dl"],
+        source="withdf",
     )
     shift = ", ".join(
         f"{duck} AS {name}" for name, _, duck in _shift_chain(k1_x10, b_x100)
@@ -321,7 +335,6 @@ def bm25_oracle_sql(
             FROM cand c, stats s
         ), idf AS (
             {fl}
-            FROM withdf
         ), scored AS (
             SELECT doc_id, {shift},
                    {duck_score} AS score_x1000

@@ -128,16 +128,14 @@ HLL_RANK_CAP = 40
 LN2_X1E6 = 693147  # floor(ln 2 * 1e6) — shared integer spec
 
 
-def hll_estimate(
+def hll_registers(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
-    """Per-group HLL distinct estimate: (group_cols..., hll_x1000,
-    hll_empty_regs). One register groupBy (m rows per group cross
-    the cluster), a tiny grid join to materialize empty registers,
-    and the integer estimator ladder — every step exact, so the
-    DuckDB oracle reproduces the estimate bit-for-bit."""
-    from .search import with_fixed_log2_x64
-
+    """Per-group SPARSE register table (group_cols..., idx, mj) — THE
+    mergeable HLL sketch state (absent idx ⇒ register 0). This is what
+    a 100 TB deployment persists per partition/day: register max is
+    the lossless HLL union, so sketches built independently merge
+    without touching raw data (:func:`hll_merge_registers`)."""
     m = HLL_M
     h = _md5_hash64(F.col(key_col).cast("string"), "hll")
     keyed = df.select(*group_cols, h.alias("_h")).select(
@@ -148,13 +146,49 @@ def hll_estimate(
             F.lit(HLL_RANK_CAP),
         ).alias("rank"),
     )
-    maxes = keyed.groupBy(*group_cols, "idx").agg(F.max("rank").alias("mj"))
+    return keyed.groupBy(*group_cols, "idx").agg(F.max("rank").alias("mj"))
+
+
+def hll_merge_registers(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union sub-sketches by dropping their finer grouping columns:
+    max per surviving (group, idx) is exactly the register table the
+    direct build over the union would produce (max is associative and
+    absent registers are the identity), so the downstream estimate is
+    bit-identical — the property q33's 'hll_merge' row hash-gates."""
+    return registers.groupBy(*group_cols, "idx").agg(F.max("mj").alias("mj"))
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct estimate: (group_cols..., hll_x1000,
+    hll_empty_regs). One register groupBy (m rows per group cross
+    the cluster), a tiny grid join to materialize empty registers,
+    and the integer estimator ladder — every step exact, so the
+    DuckDB oracle reproduces the estimate bit-for-bit."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols), group_cols
+    )
+
+
+def hll_estimate_from_registers(
+    maxes: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """The integer estimator ladder over a (sparse) register table —
+    the second half of :func:`hll_estimate`, exposed so merged
+    sketches (:func:`hll_merge_registers`) estimate through the
+    identical arithmetic."""
+    from .search import with_fixed_log2_x64
+
+    m = HLL_M
     # groups derive from the TINY aggregated maxes frame (every group
     # contributes >= 1 register row), not a second full input scan
     groups = maxes.select(*group_cols).distinct()
     grid = (
         groups.crossJoin(
-            df.sparkSession.range(m).select(F.col("id").cast("int").alias("idx"))
+            maxes.sparkSession.range(m).select(F.col("id").cast("int").alias("idx"))
         )
         .join(maxes, [*group_cols, "idx"], "left")
         .withColumn("mj", F.coalesce("mj", F.lit(0)))

@@ -153,13 +153,14 @@ def test_bm25_overflow_shift_past_boundary(spark):
     fl = search.fixed_log2_sql_select(
         "2 * n_docs + 2", "2 * df + 1", "idf_x64",
         ["dl", "tf", "df", "n_docs", "t_tokens", "max_dl"],
+        source="r",
     )
     shift = ", ".join(f"{d} AS {n}" for n, _, d in search._shift_chain(12, 75))
     duck = duckdb.sql(
         f"""WITH r AS (SELECT CAST({dl} AS BIGINT) AS dl, CAST({tf} AS BIGINT) AS tf,
                 CAST({df_} AS BIGINT) AS df, CAST({N} AS BIGINT) AS n_docs,
                 CAST({T} AS BIGINT) AS t_tokens, CAST({max_dl} AS BIGINT) AS max_dl),
-            i AS ({fl} FROM r)
+            i AS ({fl})
             SELECT {shift}, {search._score_templates(12, 75)[1]} AS score FROM i"""
     ).fetchone()
     assert duck[-1] == exp_score

@@ -132,3 +132,26 @@ def test_hll_deterministic(spark):
         )
     )
     assert a == b
+
+
+def test_hll_merge_equals_direct(spark):
+    """Register-max merge is the lossless HLL union: sub-sketches built
+    over an ARBITRARY row split (orderkey parity — aligned to no
+    grouping column) merge to exactly the direct estimate."""
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_partkey", "l_orderkey"
+    )
+    direct = {
+        r.l_returnflag: r.hll_x1000
+        for r in sketches.hll_estimate(li, "l_partkey", ["l_returnflag"]).collect()
+    }
+    split = li.withColumn("_half", (F.col("l_orderkey") % 2).cast("int"))
+    merged = sketches.hll_estimate_from_registers(
+        sketches.hll_merge_registers(
+            sketches.hll_registers(split, "l_partkey", ["l_returnflag", "_half"]),
+            ["l_returnflag"],
+        ),
+        ["l_returnflag"],
+    )
+    got = {r.l_returnflag: r.hll_x1000 for r in merged.collect()}
+    assert got == direct and direct
