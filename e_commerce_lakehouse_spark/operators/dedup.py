@@ -244,6 +244,25 @@ def bloom_filter_build(
     return arr
 
 
+def bloom_merge(*blooms: list[int]) -> list[int]:
+    """Union Bloom filters built with identical (m_bits, k): bitwise OR
+    per word is the lossless Bloom union — membership of the merged
+    filter equals membership of the filter built over the combined
+    gram sets (OR is associative, 0-words the identity). Completes the
+    sketch-merge algebra next to countmin_merge (cell sum) and
+    hll_merge_registers (register max)."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one filter")
+    n = len(blooms[0])
+    if any(len(b) != n for b in blooms):
+        raise ValueError("bloom_merge: filters differ in m_bits")
+    out = list(blooms[0])
+    for b in blooms[1:]:
+        for i, w in enumerate(b):
+            out[i] |= w
+    return out
+
+
 def bloom_contaminated(
     documents: DataFrame,
     benchmark: DataFrame,

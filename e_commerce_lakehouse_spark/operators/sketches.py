@@ -75,6 +75,19 @@ def countmin_cells(
     )
 
 
+def countmin_merge(cells: DataFrame, *more: DataFrame) -> DataFrame:
+    """Union CMS sketches built over disjoint (or overlapping — counts
+    add) row sets: cell-wise SUM is the lossless CMS merge, exactly the
+    cell table the direct build over the unioned input produces (sums
+    are associative; absent cells are the identity). The per-partition/
+    per-day sketch algebra a 100 TB deployment runs: build small
+    sketches close to the data, merge depth·width-bounded tables."""
+    out = cells
+    for m in more:
+        out = out.unionByName(m)
+    return out.groupBy("row_idx", "col_idx").agg(F.sum("c").alias("c"))
+
+
 def countmin_estimate(
     cells: DataFrame,
     keys: DataFrame,

@@ -155,3 +155,43 @@ def test_hll_merge_equals_direct(spark):
     )
     got = {r.l_returnflag: r.hll_x1000 for r in merged.collect()}
     assert got == direct and direct
+
+
+def test_countmin_merge_equals_direct(spark):
+    """Cell-wise sum is the lossless CMS union: sketches over an
+    orderkey-parity split merge to exactly the direct cell table (and
+    therefore identical point estimates)."""
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_orderkey")
+    direct = {
+        (r.row_idx, r.col_idx): r.c
+        for r in sketches.countmin_cells(li, "l_partkey").collect()
+    }
+    a = sketches.countmin_cells(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey")
+    b = sketches.countmin_cells(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey")
+    merged = {
+        (r.row_idx, r.col_idx): r.c
+        for r in sketches.countmin_merge(a, b).collect()
+    }
+    assert merged == direct and direct
+
+
+def test_bloom_merge_equals_direct(spark):
+    from e_commerce_lakehouse_spark.operators import dedup as dd
+
+    grams = spark.createDataFrame(
+        [(f"g{i}",) for i in range(300)], "gram string"
+    )
+    direct = dd.bloom_filter_build(grams, m_bits=1024)
+    half_a = dd.bloom_filter_build(
+        grams.filter(F.col("gram").substr(2, 10).cast("long") % 2 == 0),
+        m_bits=1024,
+    )
+    half_b = dd.bloom_filter_build(
+        grams.filter(F.col("gram").substr(2, 10).cast("long") % 2 == 1),
+        m_bits=1024,
+    )
+    assert dd.bloom_merge(half_a, half_b) == direct
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m_bits"):
+        dd.bloom_merge(direct, dd.bloom_filter_build(grams, m_bits=512))

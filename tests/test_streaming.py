@@ -394,3 +394,65 @@ def test_stream_neardup_admission_against_static_index(spark, tmpdir):
     got = {(r.new_id, r.old_id) for r in spark.read.parquet(out).collect()}
     assert (1000, 7) in got          # the clone collides with its source
     assert all(n != 1001 for n, _ in got)  # fresh doc admitted untouched
+
+
+def test_stream_static_interval_join_binned(spark, tmpdir):
+    """The binned range-join rewrite works as a STREAM-static join: the
+    static interval side explodes to bins once, the stream side maps
+    each point to its bin, and the join is a supported stream-static
+    equi-join with the exact range as a residual filter — the same
+    operator shape batch uses (operators/ranges.interval_join_binned),
+    assembled from its pieces on the streaming side."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = f"{tmpdir}/ivsrc"
+    os.makedirs(src)
+    rows = [{"pid": i, "p": i * 7 % 50} for i in range(20)]
+    with open(f"{src}/part0.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = StructType(
+        [StructField("pid", LongType()), StructField("p", LongType())]
+    )
+    ivs = spark.createDataFrame(
+        [(1, 5, 12), (2, 30, 33), (3, 48, 49)], "iid long, s long, e long"
+    )
+    W = 8
+    ivs_binned = ivs.withColumn(
+        "_bin",
+        F.explode(
+            F.expr(f"sequence(CAST(s div {W} AS BIGINT), CAST((e - 1) div {W} AS BIGINT))")
+        ),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("_bin", F.expr(f"CAST(p div {W} AS BIGINT)"))
+    )
+    joined = (
+        stream.join(ivs_binned, "_bin")
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .drop("_bin")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("iv_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r.pid, r.iid) for r in spark.sql("SELECT * FROM iv_t").collect()
+    )
+    want = sorted(
+        (r["pid"], iid)
+        for r in rows
+        for iid, s, e in [(1, 5, 12), (2, 30, 33), (3, 48, 49)]
+        if s <= r["p"] < e
+    )
+    assert got == want and got
