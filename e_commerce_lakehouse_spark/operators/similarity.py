@@ -1170,6 +1170,8 @@ def sq8_index(
     broadcasts the candidate list onto the corpus scan — the corpus
     never re-shuffles.
     """
+    if rerank < 1:
+        raise ValueError(f"rerank must be >= 1, got {rerank}")
     v = prep if prep is not None else _kmeans_prep(embeddings)
     bounds = (
         v.select(F.posexplode("vec").alias("d", "x"))
@@ -1179,6 +1181,8 @@ def sq8_index(
     )
     mm = {int(r.d): (int(r.mn), int(r.mx)) for r in bounds}
     dim = len(mm)
+    if dim == 0:
+        raise ValueError("sq8_index: empty corpus — no per-dim bounds to train")
     code_arr = "array(" + ", ".join(
         sq8_code_sql(
             f"element_at(vec, {d + 1})", str(mm[d][0]), str(mm[d][1]), "spark"
