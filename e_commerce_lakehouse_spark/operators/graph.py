@@ -117,3 +117,87 @@ def pagerank(
             release_rdds(spark, r_ids)
             r_ids = new_ids
     return r.select("node", F.col("r").alias("rank_scaled"))
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Canonicalize directed (src, dst) edges into the undirected simple
+    graph: (lo, hi) with lo < hi, self-loops dropped, distinct. One
+    uniform-key shuffle (the distinct)."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the node-iterator++ / "compact-forward" algorithm of Latapy 2008,
+    the standard MapReduce formulation per Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer").
+
+    Orient every undirected edge from its (degree, node)-smaller
+    endpoint to its larger one; enumerate wedges only from each node's
+    ORIENTED out-neighborhood; a wedge (u→v, u→w) with (deg,v)<(deg,w)
+    closes iff the oriented edge v→w exists. Every triangle is counted
+    exactly once, at its smallest-order corner.
+
+    Why this survives 100 TB: oriented out-degree is bounded by
+    O(sqrt(m)) regardless of skew (a hub of degree d ranks above almost
+    all its neighbors, so its OUT-degree stays small) — the wedge
+    self-join explodes on out-degree squared, so orientation converts
+    the curse-of-the-last-reducer hot key into a uniformly bounded one.
+    Three shuffles total: degree agg, wedge self-join on src, closing
+    semi-join on (v, w). All-integer, so counts hash exactly.
+
+    Returns (node, tri_count) for EVERY node of the undirected graph,
+    zeros included.
+    """
+    und = undirect(edges).localCheckpoint()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select("hi"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by the total order (deg, node); carry the out-endpoint's
+    # order key so the wedge stage never re-joins degrees
+    e = (
+        und.join(deg.withColumnRenamed("node", "lo"), "lo")
+        .withColumnRenamed("deg", "deg_lo")
+        .join(
+            deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi")),
+            "hi",
+        )
+    )
+    fwd = F.col("deg_lo") < F.col("deg_hi")
+    tie = (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    oriented = e.select(
+        F.when(fwd | tie, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(fwd | tie, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(fwd | tie, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_dst"),
+    ).localCheckpoint()
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("deg_dst").alias("dv"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("deg_dst").alias("dw"))
+    wedges = e1.join(e2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "inner",
+    ).select(F.col("src").alias("a"), F.col("v").alias("b"), F.col("w").alias("c"))
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .union(tris.select("b"))
+        .union(tris.select("c"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    return deg.join(corners, "node", "left").select(
+        "node", F.coalesce("tri_count", F.lit(0).cast("long")).alias("tri_count")
+    )

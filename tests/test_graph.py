@@ -63,3 +63,65 @@ def test_pagerank_long_run_matches_python_model(spark):
         ).collect()
     }
     assert got == r
+
+
+def _brute_triangles(edge_list):
+    """Driver-side reference: count triangles by closed-neighborhood
+    intersection over the undirected simple graph."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    per_node = {v: 0 for v in adj}
+    for a in adj:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for v in (a, b, c):
+                        per_node[v] += 1
+    return per_node
+
+
+def test_triangle_counts_vs_bruteforce(spark):
+    """Degree-ordered orientation vs a brute-force intersection count —
+    includes a hub (node 0 connected to everything) to exercise the
+    skew path, a clique, a triangle-free star arm, and reverse/dup/self
+    edges that the canonicalization must absorb."""
+    edge_list = (
+        # K4 clique on 1..4
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        # hub 0 touches 1..8
+        + [(0, i) for i in range(1, 9)]
+        # path arm (triangle-free beyond the hub wedges)
+        + [(8, 9), (9, 10)]
+        # noise: duplicates, reversed duplicates, a self loop
+        + [(2, 1), (1, 2), (7, 7), (0, 3)]
+    )
+    expect = _brute_triangles(edge_list)
+    got = {
+        r.node: r.tri_count
+        for r in graph.triangle_counts(
+            spark.createDataFrame(edge_list, ["src", "dst"])
+        ).collect()
+    }
+    assert got == expect
+    # zeros are reported, not dropped
+    assert got[10] == 0
+
+
+def test_triangle_counts_on_click_graph(spark):
+    """On the real click graph: total triangle mass is divisible by 3
+    (each triangle contributes to exactly 3 corners) and every node of
+    the undirected graph appears exactly once."""
+    edges = graph.click_edges(load_table(spark, SF_SMALL, "events"))
+    tc = graph.triangle_counts(edges).collect()
+    und = graph.undirect(edges)
+    n_nodes = (
+        und.select(F.col("lo").alias("n")).union(und.select("hi")).distinct().count()
+    )
+    assert len(tc) == n_nodes
+    assert sum(r.tri_count for r in tc) % 3 == 0
