@@ -443,10 +443,15 @@ def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
       - kind='surprisal': per-doc character-bigram LM quality score
         (text.doc_surprisal) — the CCNet perplexity-bucket signal,
         quantized to exact integer bits (floor-log2 counts) so the
-        oracle hashes it value-exact."""
+        oracle hashes it value-exact;
+      - kind='pmi': token-bigram collocations scored by exact-integer
+        pointwise mutual information (text.pmi_collocations — the
+        shared 1/64-bit floor-log2 chain, decomposed so no T² product
+        can overflow int64)."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
     lang = text.lang_profile(docs).select(
         F.lit("lang").alias("kind"), "lang", "n_docs", "total_tokens",
         "stopword_ratio", "avg_ttr", nl.alias("doc_id"),
@@ -459,7 +464,16 @@ def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
         nd.alias("avg_ttr"), "doc_id", "n_bigrams", "surprisal_bits",
         "mean_bits_x100",
     )
-    return lang.unionByName(surp)
+    lang = lang.withColumns({"a": ns, "b": ns, "c_ab": nl, "pmi_x64": nl})
+    surp = surp.withColumns({"a": ns, "b": ns, "c_ab": nl, "pmi_x64": nl})
+    pmi = text.pmi_collocations(spread_for_cpu(docs), min_count=3).select(
+        F.lit("pmi").alias("kind"), ns.alias("lang"),
+        nl.alias("n_docs"), nl.alias("total_tokens"), nd.alias("stopword_ratio"),
+        nd.alias("avg_ttr"), nl.alias("doc_id"), nl.alias("n_bigrams"),
+        nl.alias("surprisal_bits"), nl.alias("mean_bits_x100"),
+        "a", "b", "c_ab", "pmi_x64",
+    )
+    return lang.unionByName(surp).unionByName(pmi)
 
 
 def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -1098,6 +1112,59 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("cost_x", nl)
         .unionByName(prio)
     )
+
+
+def _pmi_oracle_branch(min_count: int = 3) -> str:
+    """The 'pmi' UNION branch of q17's oracle — mirrors
+    text.pmi_collocations: whitespace token bigrams, c_ab >= min_count,
+    pmi_x64 = fl(t_uni, c_a) + fl(t_uni, c_b) - fl(t_bi, c_ab) with all
+    three chains rendered from the ONE fixed-point log2 spec
+    (search.fixed_log2_sql_select), one nested level per step so the
+    DuckDB expression tree stays linear."""
+    carry = ["a", "b", "c_ab", "c_a", "c_b", "t_uni", "t_bi"]
+    s1 = search.fixed_log2_sql_select("t_uni", "c_a", "fl_a", carry, source="pmij")
+    s2 = search.fixed_log2_sql_select(
+        "t_uni", "c_b", "fl_b", carry + ["fl_a"], source=f"({s1})"
+    )
+    s3 = search.fixed_log2_sql_select(
+        "t_bi", "c_ab", "fl_ab", carry + ["fl_a", "fl_b"], source=f"({s2})"
+    )
+    return f"""
+            UNION ALL
+            SELECT 'pmi', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   a, b, CAST(c_ab AS BIGINT) AS c_ab,
+                   CAST(fl_a + fl_b - fl_ab AS BIGINT) AS pmi_x64
+            FROM (
+                WITH ptk AS (
+                    SELECT string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL
+                ),
+                puni AS (
+                    SELECT t AS a, count(*) AS c_a
+                    FROM (SELECT unnest(toks) AS t FROM ptk) GROUP BY t
+                ),
+                ptu AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t_uni FROM ptk),
+                ptb AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT)
+                            AS t_bi FROM ptk),
+                pbi AS (
+                    SELECT toks[i] AS a, toks[i + 1] AS b
+                    FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM ptk)
+                ),
+                pcab AS (SELECT a, b, count(*) AS c_ab FROM pbi GROUP BY a, b),
+                pmij AS (
+                    SELECT c.a, c.b, c.c_ab, ua.c_a, ub.c_a AS c_b,
+                           ptu.t_uni, ptb.t_bi
+                    FROM pcab c
+                    JOIN puni ua ON ua.a = c.a
+                    JOIN puni ub ON ub.a = c.b, ptu, ptb
+                    WHERE c.c_ab >= {min_count}
+                )
+                {s3}
+            )"""
 
 
 def _dsir_oracle_branch() -> str:
@@ -2866,7 +2933,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS doc_id,
                    CAST(NULL AS BIGINT) AS n_bigrams,
                    CAST(NULL AS BIGINT) AS surprisal_bits,
-                   CAST(NULL AS BIGINT) AS mean_bits_x100
+                   CAST(NULL AS BIGINT) AS mean_bits_x100,
+                   CAST(NULL AS VARCHAR) AS a,
+                   CAST(NULL AS VARCHAR) AS b,
+                   CAST(NULL AS BIGINT) AS c_ab,
+                   CAST(NULL AS BIGINT) AS pmi_x64
             FROM s
             GROUP BY lang
             UNION ALL
@@ -2874,8 +2945,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    d.doc_id, sc.n_bigrams, sc.surprisal_bits,
-                   CAST((sc.surprisal_bits * 100) // sc.n_bigrams AS BIGINT)
+                   CAST((sc.surprisal_bits * 100) // sc.n_bigrams AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+            {_pmi_oracle_branch()}
         """,
         "q18_doc_fingerprints": """
             WITH t AS (

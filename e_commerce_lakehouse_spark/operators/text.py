@@ -688,3 +688,85 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
         .filter(F.col("n_shared_fps") >= min_shared)
     )
+
+
+def pmi_collocations(documents: DataFrame, min_count: int = 3) -> DataFrame:
+    """Token-bigram collocations scored by pointwise mutual information
+    (Church & Hanks 1990), exact-integer:
+
+        PMI(a,b) = log2( p(a,b) / (p(a)·p(b)) )
+
+    rendered in 1/64-bit fixed point via the engine's shared floor-log2
+    chain (operators/search.py — the BM25/DSIR/HLL spec), decomposed as
+
+        pmi_x64 = fl(T_uni, c_a) + fl(T_uni, c_b) − fl(T_bi, c_ab)
+
+    where fl(p, q) = 64·log2(p/q). Each term is a ratio >= 1 (a count
+    never exceeds its total), so every chain input satisfies the
+    chain's p >= q >= 1 precondition, and no T² product is ever formed
+    — nothing overflows int64 at any corpus size whose token count
+    fits int64. The sum itself may be negative (anti-collocations);
+    integer addition keeps it hash-stable.
+
+    Distribution: two corpus scans (unigram explode, bigram explode),
+    each one partial-aggregated groupBy on uniform token keys; the
+    ``min_count`` filter prunes the singleton tail BEFORE the two
+    vocab joins (at web scale most bigrams are hapax — this is the
+    knob that keeps the join frames small); totals are broadcast
+    1-row frames. No window, no skew-prone key: the hottest bigram
+    key is pre-aggregated map-side.
+
+    Returns (a, b, c_ab, pmi_x64) for every bigram with
+    c_ab >= min_count.
+    """
+    from .search import with_fixed_log2_x64
+
+    t = documents.select(
+        F.when(F.col("text").isNotNull(), tokens("text"))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("toks")
+    )
+    uni = (
+        t.select(F.explode("toks").alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    t_uni = t.agg(F.sum(F.size("toks")).alias("t_uni"))
+    t_bi = t.agg(
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("t_bi")
+    )
+    bi = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + F.lit(1)).alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    j = (
+        bi.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .join(uni, "a")
+        .join(
+            uni.select(F.col("a").alias("b"), F.col("c_a").alias("c_b")), "b"
+        )
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+    )
+    j = with_fixed_log2_x64(j, "t_uni", "c_a", "fl_a")
+    j = with_fixed_log2_x64(j, "t_uni", "c_b", "fl_b")
+    j = with_fixed_log2_x64(j, "t_bi", "c_ab", "fl_ab")
+    return j.select(
+        "a",
+        "b",
+        "c_ab",
+        (F.col("fl_a") + F.col("fl_b") - F.col("fl_ab")).alias("pmi_x64"),
+    )

@@ -158,3 +158,57 @@ def test_gopher_rules_hand_cases(spark):
     assert got[5][0] & 16, got[5]
     assert got[6][0] & 32, got[6]
     assert got[7] == (None, None)
+
+
+def test_pmi_collocations_vs_float_reference(spark):
+    """pmi_x64 must sit within 2 units (~0.03 bits) below the exact
+    float 64·log2 PMI for every pair (three floor chains, each
+    under-approximating by < 1 unit), and a planted always-adjacent
+    pair must outrank every independent pair."""
+    import collections
+    import math
+
+    from e_commerce_lakehouse_spark.operators import text
+
+    corpus = [
+        (1, "new york is a big city"),
+        (2, "new york has new people"),
+        (3, "big city people like new york"),
+        (4, "people like the big new city"),
+        (5, None),
+        (6, ""),
+        (7, "one"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        (r.a, r.b): (r.c_ab, r.pmi_x64)
+        for r in text.pmi_collocations(docs, min_count=2).collect()
+    }
+
+    toks = [t.split(" ") for _i, t in corpus if t is not None]
+    uni = collections.Counter(t for d in toks for t in d)
+    bi = collections.Counter(
+        (d[i], d[i + 1]) for d in toks for i in range(len(d) - 1)
+    )
+    t_uni = sum(uni.values())
+    t_bi = sum(max(len(d) - 1, 0) for d in toks)
+    expect = {
+        (a, b): c for (a, b), c in bi.items() if c >= 2
+    }
+    assert set(got) == set(expect)
+    for (a, b), c in expect.items():
+        exact = 64 * math.log2(c * t_uni * t_uni / (t_bi * uni[a] * uni[b]))
+        c_got, pmi = got[(a, b)]
+        assert c_got == c
+        assert exact - 3 < pmi <= exact, (a, b, pmi, exact)
+    # the fixed-point ranking must agree with the exact float ranking
+    # (ties broken by pair for determinism)
+    def float_pmi(pair):
+        a, b = pair
+        return 64 * math.log2(
+            expect[pair] * t_uni * t_uni / (t_bi * uni[a] * uni[b])
+        )
+
+    ranked_fixed = sorted(got, key=lambda p: (-got[p][1], p))
+    ranked_float = sorted(expect, key=lambda p: (-float_pmi(p), p))
+    assert ranked_fixed == ranked_float
