@@ -259,14 +259,28 @@ def _q07_scd2_user_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q08_urgent_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join surface, kind-tagged union:
+      - kind='semi': plain left_semi of lineitem vs urgent orders;
+      - kind='bloom_semi': the SAME rows through joins.bloom_semi_join
+        — a deterministic runtime Bloom filter (distributed bit_or
+        build, pure-Column probe inside the scan's codegen span)
+        pre-prunes the probe side before its shuffle; false positives
+        die in the final exact join, so the oracle is simply the semi
+        join twice. The correctness gate here pins the IDENTITY
+        (bloom-pruned == exact) that makes the filter safe at 100 TB."""
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("l_orderkey")
     )
-    return joins.semi_join(li, urgent, "l_orderkey").select(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"]
+    semi = joins.semi_join(li, urgent, "l_orderkey").select(
+        F.lit("semi").alias("kind"), *cols
     )
+    bsemi = joins.bloom_semi_join(li, urgent, "l_orderkey").select(
+        F.lit("bloom_semi").alias("kind"), *cols
+    )
+    return semi.unionByName(bsemi)
 
 
 def _q09_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
@@ -2707,11 +2721,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q08_urgent_lineitems": """
-            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
-            FROM lineitem
-            WHERE l_orderkey IN (
-                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            WITH s AS (
+                SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                       l_extendedprice
+                FROM lineitem
+                WHERE l_orderkey IN (
+                    SELECT o_orderkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT'
+                )
             )
+            SELECT 'semi' AS kind, * FROM s
+            UNION ALL
+            SELECT 'bloom_semi' AS kind, * FROM s
         """,
         "q09_customer_segments": """
             WITH machinery AS (

@@ -44,6 +44,47 @@ def anti_join(df: DataFrame, keys: DataFrame, on) -> DataFrame:
     return df.join(keys, on, "left_anti")
 
 
+def bloom_semi_join(
+    df: DataFrame,
+    keys: DataFrame,
+    on: str,
+    m_bits: int = 16384,
+    k: int = 4,
+) -> DataFrame:
+    """Runtime-filtered semi-join: build a Bloom filter from the key
+    side (the engine's distributed bit_or build — an m_bits/8-byte
+    driver artifact regardless of key cardinality), pre-filter the
+    probe side with the pure-Column membership predicate BEFORE its
+    shuffle, then finish with the exact left_semi join.
+
+    The result is EXACTLY ``semi_join(df, keys, on)`` — Bloom false
+    positives survive the pre-filter but die in the final join; what
+    the filter buys is SHUFFLE VOLUME: only the ~selectivity fraction
+    of the probe ever crosses the wire. This is the DataFrame-level
+    analog of Spark's AQE runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), but explicit,
+    deterministic (md5 position spec), and usable on any frame pair —
+    e.g. when the key side is a subquery AQE won't inject a filter
+    for. The probe predicate is stateless Column bit math (the filter
+    rides the closure as a literal), so it runs inside the scan's
+    WholeStageCodegen span — plan-gated by
+    tests/test_plans.py::test_bloom_semi_join_filters_before_shuffle.
+
+    ``on`` must be a single column name; keys are matched on their
+    STRING form inside the filter (exact equality still decided by the
+    typed join). Eager: the build collects m_bits/64 words.
+    """
+    from .dedup import bloom_filter_build, bloom_hit
+
+    bloom = bloom_filter_build(
+        keys.select(F.col(on).cast("string").alias("gram")), m_bits=m_bits, k=k
+    )
+    pruned = df.filter(
+        bloom_hit(F.col(on).cast("string"), bloom, m_bits=m_bits, k=k)
+    )
+    return semi_join(pruned, keys, on)
+
+
 def supplier_geography(supplier: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
     """Dim-enrichment chain supplier ⟕ nation ⟕ region — the reference's
     products⟕categories pattern (silver_clean_transform.py:70-79) over

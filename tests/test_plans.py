@@ -264,3 +264,50 @@ def test_hll_plan_shape(spark):
     assert "EvalPython" not in plan  # all-integer Column ladder
     assert "HashAggregate" in plan
     assert "Expand" not in plan  # no distinct-agg rewrite
+
+
+def test_bloom_semi_join_filters_before_shuffle(spark):
+    """joins.bloom_semi_join: the Bloom probe predicate must run as a
+    plain Filter on the probe side's scan branch (JVM Column bit math,
+    no Python eval), with the exact left_semi join still present to
+    kill false positives."""
+    from e_commerce_lakehouse_spark.operators import joins
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    urgent = (
+        load_table(spark, SF_SMALL, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+    )
+    df = joins.bloom_semi_join(li, urgent, "l_orderkey")
+    plan = plan_of(df)
+    assert "LeftSemi" in plan, "exact semi join must remain"
+    assert "bloom:" in plan, "Bloom probe predicate missing from the plan"
+    assert "EvalPython" not in plan
+    # the probe filter is a Filter node (pre-join), not a join condition
+    assert any(
+        "bloom:" in line
+        for line in plan.splitlines()
+        if "Filter" in line or line.strip().startswith("Condition")
+    ) or "bloom:" in plan.split("LeftSemi")[0] + plan.split("LeftSemi")[-1]
+
+
+def test_bloom_semi_join_exact_under_forced_false_positives(spark):
+    """With a deliberately tiny filter (m_bits=64, k=1) false positives
+    are near-certain — the final exact join must still make the result
+    identical to the plain semi join."""
+    from e_commerce_lakehouse_spark.operators import joins
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 2000, 97).withColumnRenamed("id", "k")
+    got = sorted(r.k for r in joins.bloom_semi_join(df, keys, "k", m_bits=64, k=1).collect())
+    want = sorted(r.k for r in joins.semi_join(df, keys, "k").collect())
+    assert got == want
+    # sanity: the tiny filter really does pass extra rows pre-join
+    from e_commerce_lakehouse_spark.operators.dedup import bloom_filter_build, bloom_member
+    import pyspark.sql.functions as F
+    bloom = bloom_filter_build(keys.select(F.col("k").cast("string").alias("gram")), m_bits=64, k=1)
+    passed = bloom_member(df.select(F.col("k").cast("string").alias("gram")), "gram", bloom, m_bits=64, k=1).count()
+    assert passed > len(want), "test setup: expected false positives through the 64-bit filter"
