@@ -1128,6 +1128,69 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ddsketch_oracle_branch(s: int = 4) -> str:
+    """The 'ddsketch' UNION branch of q40's oracle — mirrors
+    sketches.ddsketch_cells + ddsketch_quantiles: bucket = fl_x64
+    (cents) div s via the ONE fixed-point log2 spec, nearest-rank pick
+    over the cumulative bucket counts, representative from the SAME
+    Q20 2^(r/64) table (sketch_ops.POW2_64TH_X20) the Spark expression
+    uses — the two sides share the constant list, so they cannot
+    drift."""
+    tbl = ", ".join(str(v) for v in sketch_ops.POW2_64TH_X20)
+    fl = search.fixed_log2_sql_select(
+        "cents", "1", "_fl", ["l_returnflag", "l_linestatus"], source="ddsrc"
+    )
+    e = f"(bucket * {s} + {s // 2})"
+    rep = (
+        f"((CAST(LIST_VALUE({tbl})[({e} % 64) + 1] AS BIGINT)"
+        f" << CAST({e} // 64 AS INT)) >> 20)"
+    )
+    return f"""
+            UNION ALL
+            SELECT 'ddsketch' AS kind, l_returnflag, l_linestatus,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS BIGINT),
+                   CAST(q_pct AS BIGINT) AS q_pct,
+                   CAST(bucket AS BIGINT) AS dd_bucket,
+                   CAST({rep} AS BIGINT) AS dd_rep_cents
+            FROM (
+                WITH ddsrc AS (
+                    SELECT l_returnflag, l_linestatus,
+                           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                               AS cents
+                    FROM lineitem
+                ),
+                ddfl AS ({fl}),
+                ddcell AS (
+                    SELECT l_returnflag, l_linestatus, _fl // {s} AS bucket,
+                           count(*) AS cnt
+                    FROM ddfl GROUP BY 1, 2, 3
+                ),
+                ddcum AS (
+                    SELECT *, sum(cnt) OVER (
+                        PARTITION BY l_returnflag, l_linestatus
+                        ORDER BY bucket) AS cum
+                    FROM ddcell
+                ),
+                ddtot AS (
+                    SELECT l_returnflag, l_linestatus, sum(cnt) AS n
+                    FROM ddcell GROUP BY 1, 2
+                ),
+                ddq AS (
+                    SELECT l_returnflag, l_linestatus, n,
+                           unnest([50, 95, 99]) AS q_pct
+                    FROM ddtot
+                )
+                SELECT c.l_returnflag, c.l_linestatus, q.q_pct,
+                       min(c.bucket) AS bucket
+                FROM ddcum c
+                JOIN ddq q USING (l_returnflag, l_linestatus)
+                WHERE c.cum >= (q.n * q.q_pct + 99) // 100
+                GROUP BY 1, 2, 3
+            )"""
+
+
 def _pmi_oracle_branch(min_count: int = 3) -> str:
     """The 'pmi' UNION branch of q17's oracle — mirrors
     text.pmi_collocations: whitespace token bigrams, c_ab >= min_count,
@@ -1547,12 +1610,22 @@ def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q40_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact interpolated median (percentile 0.5 over integer cents)
-    plus avg/min/max per returnflag+linestatus group."""
+    """Percentile surface, kind-tagged union:
+      - kind='exact': exact interpolated median (percentile 0.5 over
+        integer cents) plus avg/min/max per returnflag+linestatus;
+      - kind='ddsketch': p50/p95/p99 from the mergeable log-bucket
+        quantile sketch (sketches.ddsketch_cells/_quantiles — base-2
+        DDSketch, gamma = 2^(1/16)); bucket index and representative
+        are pure functions of the shared fixed-point log2 chain and a
+        Q20 2^(r/64) table rendered for both engines from one spec, so
+        the ESTIMATES hash-gate exactly (the same discipline as the
+        CMS/HLL branches of q33)."""
     li = load_table(spark, sf, "lineitem")
     cents = money.cents("l_extendedprice")
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
+    nl = F.lit(None).cast("long")
+    gc = ("l_returnflag", "l_linestatus")
+    exact = (
+        li.groupBy(*gc)
         .agg(
             (F.expr(f"percentile({money.CENTS_SQL.format(x='l_extendedprice')}, 0.5)") / 100.0).alias("median_price"),
             (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0).alias("avg_price"),
@@ -1560,7 +1633,24 @@ def _q40_percentile_stats(spark: SparkSession, sf: str) -> DataFrame:
             money.money_from_cents(F.max(cents)).alias("max_price"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .select(
+            F.lit("exact").alias("kind"), *gc,
+            "median_price", "avg_price", "min_price", "max_price", "n_items",
+            nl.alias("q_pct"), nl.alias("dd_bucket"), nl.alias("dd_rep_cents"),
+        )
     )
+    cells = sketch_ops.ddsketch_cells(
+        li.select(*gc, cents.alias("cents")), "cents", group_cols=gc
+    )
+    nd = F.lit(None).cast("double")
+    dd = sketch_ops.ddsketch_quantiles(cells, (50, 95, 99), group_cols=gc).select(
+        F.lit("ddsketch").alias("kind"), *gc,
+        nd.alias("median_price"), nd.alias("avg_price"),
+        nd.alias("min_price"), nd.alias("max_price"), nl.alias("n_items"),
+        "q_pct", F.col("bucket").alias("dd_bucket"),
+        F.col("rep").alias("dd_rep_cents"),
+    )
+    return exact.unionByName(dd)
 
 
 def _q41_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
@@ -3673,8 +3763,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL {_SQ8_CODE_SELECT}
             UNION ALL {_SQ8_TOPK_SELECT}
         """,
-        "q40_percentile_stats": """
-            SELECT l_returnflag, l_linestatus,
+        "q40_percentile_stats": f"""
+            SELECT 'exact' AS kind, l_returnflag, l_linestatus,
                    quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
                                  0.5) / 100.0 AS median_price,
                    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
@@ -3683,9 +3773,13 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 100.0 AS min_price,
                    CAST(max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
                         AS DOUBLE) / 100.0 AS max_price,
-                   count(*) AS n_items
+                   count(*) AS n_items,
+                   CAST(NULL AS BIGINT) AS q_pct,
+                   CAST(NULL AS BIGINT) AS dd_bucket,
+                   CAST(NULL AS BIGINT) AS dd_rep_cents
             FROM lineitem
-            GROUP BY 1, 2
+            GROUP BY 1, 2, 3
+            {_ddsketch_oracle_branch()}
         """,
         "q41_grouping_sets": """
             SELECT CAST(year(o_orderdate) AS INT) AS year,

@@ -19,7 +19,7 @@ cells onto the query keys. No driver-side counting anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _md5_hash64
@@ -242,4 +242,122 @@ def hll_estimate_from_registers(
         .otherwise(F.col("raw_x1000"))
         .alias("hll_x1000"),
         F.col("v").alias("hll_empty_regs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style log-bucket quantile sketch (Masson, Rim & Lee, VLDB
+# 2019, "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees") — base-2 variant: gamma = 2^(s/64), so
+# the bucket index is a pure function of the engine's shared
+# fixed-point floor-log2 chain and both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# 2^(r/64) in Q20 fixed point for r = 0..63 — the ONE table both the
+# Spark expression and the DuckDB oracle render their bucket
+# representatives from (same single-spec discipline as the NDCG
+# discount constants). Generated once at import from Python doubles;
+# determinism comes from both sides sharing THIS list, not from the
+# float math.
+POW2_64TH_X20 = [int(2 ** (r / 64) * (1 << 20)) for r in range(64)]
+
+
+def _dd_rep_expr(bucket, s: int):
+    """Integer representative (geometric mid) of bucket b: value units,
+    rep = (POW2_64TH_X20[e mod 64] << (e div 64)) >> 20 with
+    e = b*s + s div 2. Pure Column math; e div 64 <= bit_length(max
+    value), so the shifted Q20 product stays far inside int64 for any
+    int64 input value."""
+    e = bucket * s + s // 2
+    tbl = F.array(*[F.lit(v).cast("long") for v in POW2_64TH_X20])
+    word = F.element_at(tbl, (e % 64).cast("int") + 1)
+    # e is small (<= 64·bit_length(value)), so float division is exact
+    return F.shiftright(
+        F.call_function("shiftleft", word, F.floor(e / 64).cast("int")), 20
+    )
+
+
+def ddsketch_cells(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    s: int = 4,
+) -> DataFrame:
+    """Build the sketch: one (group..., bucket) -> cnt frame with
+    bucket = fl_x64(value) div s (fl_x64 = the shared 64·log2 chain).
+    s=4 means gamma = 2^(4/64) ~ 1.0443 — ~2.2% max relative error at
+    the geometric-mid representative, ~370 buckets across the whole
+    int64 range, so the sketch is a few-KB artifact per group at ANY
+    input size and the build is ONE partial-aggregated groupBy (the
+    same scale shape as the CMS build above).
+
+    Values must be >= 1 (integer cents, counts, latencies-in-micros…);
+    the guard raises IN-PLAN, inside the chain input the aggregation
+    consumes, so it cannot be pruned. DDSketch's separate zero/negative
+    stores are out of scope — quantize upstream.
+    """
+    from .search import with_fixed_log2_x64
+
+    guarded = F.when(F.col(value_col) >= 1, F.col(value_col).cast("long")).otherwise(
+        F.expr("CAST(raise_error('ddsketch: values must be >= 1') AS BIGINT)")
+    )
+    base = df.select(*group_cols, guarded.alias("_ddv"))
+    base = with_fixed_log2_x64(base, "_ddv", "1", "_fl")
+    return (
+        base.select(*group_cols, F.expr(f"_fl div {int(s)}").alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def ddsketch_merge(cells: DataFrame, *more: DataFrame) -> DataFrame:
+    """Lossless sketch union (same (group_cols, s) spec): bucket counts
+    add. merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY — the
+    mergeability DDSketch is built for (map-side partial sketches,
+    cross-shard rollups, snapshot compaction)."""
+    out = cells
+    for m in more:
+        out = out.unionByName(m)
+    group = [c for c in cells.columns if c not in ("cnt",)]
+    return out.groupBy(*group).agg(F.sum("cnt").alias("cnt"))
+
+
+def ddsketch_quantiles(
+    cells: DataFrame,
+    q_pcts: tuple[int, ...] = (50, 95, 99),
+    group_cols: tuple[str, ...] = (),
+    s: int = 4,
+) -> DataFrame:
+    """Quantile estimates from a cell frame: nearest-rank — the
+    smallest bucket whose cumulative count reaches
+    rank_q = ceil(N·q/100) = (N·q + 99) div 100 — then the exact
+    integer geometric-mid representative of that bucket.
+
+    Shape: the cell frame is tiny (<= ~370 rows per group), so the
+    cumulative window and the per-(group, q) argmin are sketch-side
+    work — the raw data was left behind at build time. Returns
+    (group..., q_pct, bucket, rep) with rep in the value's own units.
+    """
+    gc = list(group_cols)
+    w = (
+        Window.partitionBy(*gc).orderBy("bucket")
+        if gc
+        else Window.partitionBy(F.lit(1)).orderBy("bucket")
+    )
+    cum = cells.withColumn("cum", F.sum("cnt").over(w))
+    tot = cells.groupBy(*gc).agg(F.sum("cnt").alias("n"))
+    qf = tot.select(
+        *gc,
+        "n",
+        F.explode(F.array(*[F.lit(int(q)) for q in q_pcts])).alias("q_pct"),
+    )
+    pick = (
+        cum.join(qf, gc)
+        if gc
+        else cum.crossJoin(F.broadcast(qf))
+    )
+    hit = pick.filter(F.col("cum") >= F.expr("(n * q_pct + 99) div 100"))
+    agg = hit.groupBy(*gc, "q_pct").agg(F.min("bucket").alias("bucket"))
+    return agg.select(
+        *gc, "q_pct", "bucket", _dd_rep_expr(F.col("bucket"), int(s)).alias("rep")
     )

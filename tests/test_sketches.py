@@ -195,3 +195,53 @@ def test_bloom_merge_equals_direct(spark):
 
     with _pytest.raises(ValueError, match="m_bits"):
         dd.bloom_merge(direct, dd.bloom_filter_build(grams, m_bits=512))
+
+
+def test_ddsketch_accuracy_and_merge(spark):
+    """DDSketch (s=4, gamma=2^(1/16)): every nearest-rank quantile
+    representative sits within the published relative-error bound of
+    the exact nearest-rank value (gamma bound + Q20/floor-chain slack
+    => assert 3%), and merging disjoint-half sketches reproduces the
+    whole-corpus cell frame EXACTLY."""
+    import math
+    import random
+
+    from e_commerce_lakehouse_spark.operators import sketches as sk
+
+    random.seed(11)
+    vals = [int(math.exp(random.gauss(7, 2.5))) + 1 for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    cells = sk.ddsketch_cells(df, "v")
+    got = {r.q_pct: r.rep for r in sk.ddsketch_quantiles(cells, (50, 90, 95, 99)).collect()}
+    sv = sorted(vals)
+    for q, rep in got.items():
+        exact = sv[(len(sv) * q + 99) // 100 - 1]
+        assert abs(rep - exact) / exact <= 0.03, (q, rep, exact)
+
+    h1 = spark.createDataFrame([(v,) for v in vals[:2000]], ["v"])
+    h2 = spark.createDataFrame([(v,) for v in vals[2000:]], ["v"])
+    merged = sk.ddsketch_merge(sk.ddsketch_cells(h1, "v"), sk.ddsketch_cells(h2, "v"))
+    assert {r.bucket: r.cnt for r in merged.collect()} == {
+        r.bucket: r.cnt for r in cells.collect()
+    }
+
+
+def test_ddsketch_grouped_and_guard(spark):
+    """Grouped cells keep group columns; a value < 1 raises IN-PLAN
+    (the guard lives inside the chain input the aggregate consumes, so
+    Catalyst cannot prune it)."""
+    import pytest
+
+    from e_commerce_lakehouse_spark.operators import sketches as sk
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 1000), ("b", 7)], ["g", "v"]
+    )
+    cells = sk.ddsketch_cells(df, "v", group_cols=("g",))
+    rows = cells.collect()
+    assert {r.g for r in rows} == {"a", "b"}
+    assert sum(r.cnt for r in rows) == 3
+
+    bad = spark.createDataFrame([("a", 0)], ["g", "v"])
+    with pytest.raises(Exception, match="ddsketch"):
+        sk.ddsketch_cells(bad, "v", group_cols=("g",)).collect()
