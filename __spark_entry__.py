@@ -215,18 +215,26 @@ def _q03_brand_share(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q04_monthly_sales_mom(spark: SparkSession, sf: str) -> DataFrame:
-    """Monthly time series ⊕ month-over-month lag — the W2 surface in
-    one query (total_sales, num_items, prev/delta)."""
+    """Monthly time series ⊕ month-over-month lag ⊕ exact-integer
+    truncated EWMA (windows.ewma, alpha=1/4, k=8 — weights and
+    renormalizing partial sums generated by the ONE ewma_weights spec
+    the oracle also renders, head rows unbiased)."""
     monthly = agg.monthly_sales(
         load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
     )
-    return windows.month_over_month(monthly, "total_sales", ["year", "month"]).select(
+    mm = windows.month_over_month(monthly, "total_sales", ["year", "month"])
+    mm = mm.withColumn(
+        "_cents", F.expr(money.CENTS_SQL.format(x="total_sales"))
+    )
+    mm = windows.ewma(mm, "_cents", ["year", "month"], out_col="_ewma_cents")
+    return mm.select(
         "year",
         "month",
         "total_sales",
         "num_items",
         "prev_total_sales",
         "delta_total_sales",
+        (F.col("_ewma_cents") / 100.0).alias("ewma_sales"),
     )
 
 
@@ -1125,6 +1133,24 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(dsir)
         .withColumn("cost_x", nl)
         .unionByName(prio)
+    )
+
+
+def _ewma_oracle_expr() -> str:
+    """q04's EWMA column — weights and renormalizing partial sums
+    rendered from the SAME windows.ewma_weights spec the Spark side
+    uses (alpha=1/4, k=8); expects a monthly frame with total_cents."""
+    w, partial = windows.ewma_weights()
+    k = len(w)
+    over = "OVER (ORDER BY year, month)"
+    terms = " + ".join(
+        f"{wi} * coalesce(lag(total_cents, {i}) {over}, 0)"
+        for i, wi in enumerate(w)
+    )
+    psums = ", ".join(str(p) for p in partial)
+    return (
+        f"CAST((({terms}) // (([{psums}])"
+        f"[least(row_number() {over}, {k})])) AS DOUBLE) / 100.0"
     )
 
 
@@ -2777,12 +2803,18 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS num_items
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 GROUP BY 1, 2
+            ),
+            mc AS (
+                SELECT *, CAST(floor(total_sales * 100.0 + 0.5) AS BIGINT)
+                              AS total_cents
+                FROM monthly
             )
             SELECT year, month, total_sales, num_items,
                    lag(total_sales) OVER (ORDER BY year, month) AS prev_total_sales,
                    total_sales - lag(total_sales) OVER (ORDER BY year, month)
-                       AS delta_total_sales
-            FROM monthly
+                       AS delta_total_sales,
+                   {_ewma_oracle_expr()} AS ewma_sales
+            FROM mc
         """,
         "q05_event_summary": """
             SELECT CAST(year(ts) AS INT) AS year,

@@ -67,3 +67,71 @@ def month_over_month(
     return df.withColumn("prev_" + value_col, prev).withColumn(
         "delta_" + value_col, F.col(value_col) - prev
     )
+
+
+def ewma_weights(
+    alpha_num: int = 1, alpha_den: int = 4, k: int = 8
+) -> tuple[list[int], list[int]]:
+    """Integer weights of the k-term truncated EWMA with
+    alpha = alpha_num/alpha_den: w_i = num·(den−num)^i·den^(k−1−i)
+    (common denominator den^k), plus the partial sums W_j = Σ_{i<j} w_i
+    used to renormalize when fewer than k history rows exist. One spec
+    for both the Spark expression and the SQL oracle."""
+    num, den = alpha_num, alpha_den
+    w = [num * (den - num) ** i * den ** (k - 1 - i) for i in range(k)]
+    partial = [sum(w[: j + 1]) for j in range(k)]
+    return w, partial
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    k: int = 8,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact-integer truncated exponentially-weighted moving average —
+    the classic per-step recurrence s_t = α·x_t + (1−α)·s_{t−1} floors
+    at every step, which no non-recursive SQL can reproduce, so the
+    engine's spec is the k-term direct form instead:
+
+        ewma_t = ( Σ_{i<min(t,k)} w_i · x_{t−i} ) div W_{min(t,k)}
+
+    with the integer weights of :func:`ewma_weights` — exact, hash-
+    stable, and UNBIASED at the series head (the divisor renormalizes
+    over the weights actually available, rather than treating missing
+    history as zero). ``value_col`` must be an exact integer measure
+    (cents, counts). Output is integer, same units.
+
+    Int64 headroom: |value|·den^k must fit — at den=4, k=8 that is
+    |value| < 2^47, documented for cents-scale measures.
+
+    Scale: one window on ``partition_cols`` with k lags — a single
+    shuffle, codegen throughout. An empty partitioning is fine on
+    POST-AGGREGATION rollups (q04's monthly frame); partition real
+    per-entity series.
+    """
+    w, partial = ewma_weights(alpha_num, alpha_den, k)
+    win = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    x = F.col(value_col)
+    numer = None
+    for i, wi in enumerate(w):
+        term = F.coalesce(F.lag(x, i).over(win), F.lit(0)) * F.lit(wi)
+        numer = term if numer is None else numer + term
+    rn = F.row_number().over(win)
+    denom = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in partial]),
+        F.least(rn, F.lit(k)).cast("int"),
+    )
+    out = out_col or f"ewma_{value_col}"
+    return (
+        df.withColumn("_ewma_n", numer.cast("long"))
+        .withColumn("_ewma_d", denom.cast("long"))
+        .withColumn(out, F.expr("_ewma_n div _ewma_d"))
+        .drop("_ewma_n", "_ewma_d")
+    )

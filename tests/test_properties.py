@@ -135,3 +135,32 @@ def test_audio_envelope_gain_invariant(seed, gain):
     rng = np.random.default_rng(seed)
     x = rng.integers(-3000, 3000, size=65 * 8).astype(np.int64)
     assert audio_envelope_bits(x * gain, 65) == audio_envelope_bits(x, 65)
+
+
+def test_ewma_matches_python_model(spark):
+    """windows.ewma == the k-term truncated integer spec computed by a
+    driver-side model, including the renormalized series head and
+    per-partition independence."""
+    from e_commerce_lakehouse_spark.operators import windows as win
+
+    series = {
+        "a": [100, 200, 50, 400, 400, 400, 400, 400, 400, 1000, 0, 7],
+        "b": [5],
+        "c": [10, 10, 10],
+    }
+    rows = [
+        (g, t, v) for g, vals in series.items() for t, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["g", "t", "v"])
+    got = {
+        (r.g, r.t): r.ewma_v
+        for r in win.ewma(df, "v", ["t"], partition_cols=["g"]).collect()
+    }
+
+    w, partial = win.ewma_weights()
+    k = len(w)
+    for g, vals in series.items():
+        for t in range(len(vals)):
+            m = min(t + 1, k)
+            num = sum(w[i] * vals[t - i] for i in range(m))
+            assert got[(g, t)] == num // partial[m - 1], (g, t)
