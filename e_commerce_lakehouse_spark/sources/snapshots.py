@@ -71,7 +71,7 @@ def _entry(manifest: dict, snapshot_id: int) -> dict:
 
 
 def write_snapshot(
-    df: DataFrame, root: str, mode: str = "overwrite"
+    df: DataFrame, root: str, mode: str = "overwrite", meta: dict | None = None
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -79,7 +79,10 @@ def write_snapshot(
     ``mode="append"`` adds a delta dir on top of the current
     snapshot's dirs (the parent data is referenced, never rewritten).
     Either way every prior snapshot remains time-travel readable until
-    expired.
+    expired. ``meta`` (JSON-serializable) rides the manifest entry —
+    committed ATOMICALLY with the data at the manifest swap, which is
+    what lets sinks store their exactly-once watermark (e.g. a stream
+    batch id) in the same transaction as the rows it covers.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -99,6 +102,7 @@ def write_snapshot(
             "dirs": dirs,
             "parent": manifest["current"],
             "schema": df.schema.json(),
+            "meta": meta or {},
         }
     )
     manifest["current"] = snap_id
@@ -154,10 +158,11 @@ def rollback(root: str, snapshot_id: int) -> int:
 
 
 def history(root: str) -> list[dict]:
-    """Snapshot log (id, op, ts, parent) — Iceberg's ``.history``
-    metadata table, without the dir payload."""
+    """Snapshot log (id, op, ts, parent, meta) — Iceberg's ``.history``
+    metadata table, without the dir payload. ``meta`` is the commit's
+    sink metadata ({} for plain writes and pre-meta manifests)."""
     return [
-        {k: s[k] for k in ("id", "op", "ts", "parent")}
+        {k: s[k] for k in ("id", "op", "ts", "parent")} | {"meta": s.get("meta", {})}
         for s in _load(root)["snapshots"]
     ]
 

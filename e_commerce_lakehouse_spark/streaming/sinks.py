@@ -103,3 +103,63 @@ def kafka_payload(recs: DataFrame) -> DataFrame:
             )
         ).alias("value"),
     )
+
+
+def foreach_batch_merge_snapshot(
+    root: str, keys: list[str], order_col: str | None = None
+):
+    """Exactly-once streaming MERGE sink over the engine's snapshot
+    log: each micro-batch upserts (source wins) into the snapshot
+    table at ``root``, and the Structured Streaming ``batch_id`` is
+    committed ATOMICALLY with the rows it covers — it rides the
+    manifest entry, and the manifest swap IS the commit point. On
+    restart Spark replays the last in-flight batch with the SAME
+    batch_id; the sink finds it in a committed entry and no-ops. This
+    is the standard foreachBatch idempotence recipe (Structured
+    Streaming docs' "idempotent writes by batchId"), implemented over
+    the repo's own transaction log the way Delta does it with
+    txnAppId/txnVersion.
+
+    ``order_col``: when a batch can carry several rows per key, keep
+    the max-``order_col`` row per key (ties broken by the key tuple)
+    before merging; None asserts nothing and merges the batch as-is —
+    a multi-row key would then surface as a full_outer fanout, so
+    pre-dedup or pass order_col.
+
+    A crash BETWEEN the data write and the manifest swap leaves an
+    orphan snap dir invisible to every reader — replay rewrites the
+    batch under the next snapshot id; no torn state is readable.
+    """
+    from ..operators.upsert import merge_upsert
+    from ..sources import snapshots as snap
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = snap._load(root)
+        done = {
+            e.get("meta", {}).get("stream_batch_id")
+            for e in manifest["snapshots"]
+        }
+        if batch_id in done:
+            return
+        src = batch_df
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc(), *[F.col(k) for k in keys]
+            )
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if manifest["current"] is not None:
+            target = snap.read_snapshot(batch_df.sparkSession, root)
+            merged = merge_upsert(target, src.select(*target.columns), keys)
+        else:
+            merged = src
+        snap.write_snapshot(
+            merged, root, mode="overwrite", meta={"stream_batch_id": batch_id}
+        )
+
+    return fn

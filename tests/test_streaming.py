@@ -456,3 +456,56 @@ def test_stream_static_interval_join_binned(spark, tmpdir):
         if s <= r["p"] < e
     )
     assert got == want and got
+
+
+def test_foreach_batch_merge_snapshot_exactly_once(spark, tmpdir):
+    """Streaming MERGE sink: upserts land in the snapshot table, the
+    batch id is committed atomically with the data, and replaying a
+    committed batch (Spark's restart behavior) is a no-op — no new
+    snapshot, no changed rows."""
+    import os
+
+    from e_commerce_lakehouse_spark.sources import snapshots as snap
+
+    src = f"{tmpdir}/src"
+    root = f"{tmpdir}/tbl"
+    ckpt = f"{tmpdir}/ckpt"
+    os.makedirs(src)
+    rows = [
+        {"k": "a", "v": 1, "seq": 1},
+        {"k": "b", "v": 10, "seq": 2},
+        {"k": "a", "v": 5, "seq": 3},  # same key in one batch: max-seq wins
+    ]
+    with open(f"{src}/part1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "k string, v long, seq long"
+    stream = spark.readStream.schema(schema).json(src)
+    sink = sinks.foreach_batch_merge_snapshot(root, ["k"], order_col="seq")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    got = {r.k: r.v for r in snap.read_snapshot(spark, root).collect()}
+    assert got == {"a": 5, "b": 10}
+    hist1 = snap.history(root)
+    committed = [e["meta"]["stream_batch_id"] for e in hist1]
+    assert committed == [0]
+
+    # replay the committed batch id (what a post-crash restart does):
+    # must be a pure no-op
+    replay = spark.createDataFrame([("a", 999, 4)], schema)
+    sink(replay, 0)
+    assert len(snap.history(root)) == len(hist1)
+    assert {r.k: r.v for r in snap.read_snapshot(spark, root).collect()} == got
+
+    # a NEW batch id merges normally on top
+    sink(spark.createDataFrame([("c", 7, 5), ("a", 2, 6)], schema), 1)
+    got2 = {r.k: r.v for r in snap.read_snapshot(spark, root).collect()}
+    assert got2 == {"a": 2, "b": 10, "c": 7}
+    assert [e["meta"]["stream_batch_id"] for e in snap.history(root)] == [0, 1]
