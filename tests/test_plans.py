@@ -311,3 +311,33 @@ def test_bloom_semi_join_exact_under_forced_false_positives(spark):
     bloom = bloom_filter_build(keys.select(F.col("k").cast("string").alias("gram")), m_bits=64, k=1)
     passed = bloom_member(df.select(F.col("k").cast("string").alias("gram")), "gram", bloom, m_bits=64, k=1).count()
     assert passed > len(want), "test setup: expected false positives through the 64-bit filter"
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A join between a date-partitioned fact and a filtered dim must
+    plan a dynamicpruning subquery in the fact scan's PartitionFilters
+    — the mechanism that keeps a 100 TB partitioned table from being
+    fully scanned when the dim filter implies a handful of partitions.
+    Catalyst only injects DPP when the pruning side is selective; the
+    layout here (many partitions, tiny dim slice) makes that hold."""
+    import pyspark.sql.functions as F
+
+    fact_path = str(tmp_path / "fact")
+    (
+        spark.range(0, 50_000)
+        .withColumn("day", (F.col("id") % 64).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = (
+        spark.range(0, 64)
+        .withColumn("day", F.col("id").cast("int"))
+        .withColumn("flag", (F.col("id") % 32).cast("int"))
+        .drop("id")
+    )
+    joined = fact.join(dim.filter(F.col("flag") == 1), "day").select("day", "v")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

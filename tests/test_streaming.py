@@ -509,3 +509,38 @@ def test_foreach_batch_merge_snapshot_exactly_once(spark, tmpdir):
     got2 = {r.k: r.v for r in snap.read_snapshot(spark, root).collect()}
     assert got2 == {"a": 2, "b": 10, "c": 7}
     assert [e["meta"]["stream_batch_id"] for e in snap.history(root)] == [0, 1]
+
+
+def test_ddsketch_builds_as_a_stream(spark, tmpdir):
+    """ddsketch_cells is chain + ONE groupBy, so it runs unchanged as a
+    streaming aggregation (complete mode) — the micro-batch sketch must
+    equal the batch sketch over the same rows (mergeability means
+    incremental maintenance is exact)."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators import sketches as sk
+
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    vals = [3, 17, 17, 250, 90000, 1, 4096]
+    with open(f"{src}/v.json", "w") as f:
+        for v in vals:
+            f.write(json.dumps({"v": v}) + "\n")
+
+    stream = spark.readStream.schema("v long").json(src)
+    cells = sk.ddsketch_cells(stream, "v")
+    assert cells.isStreaming
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("dd_stream_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.bucket: r.cnt for r in spark.sql("SELECT * FROM dd_stream_cells").collect()
+    }
+    batch = spark.createDataFrame([(v,) for v in vals], ["v"])
+    want = {r.bucket: r.cnt for r in sk.ddsketch_cells(batch, "v").collect()}
+    assert got == want
