@@ -33,12 +33,14 @@ snapshots rides parquet ``mergeSchema`` on read, matching
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
@@ -70,8 +72,93 @@ def _entry(manifest: dict, snapshot_id: int) -> dict:
     raise KeyError(f"no snapshot {snapshot_id}")
 
 
+def _stat_value(v):
+    """JSON-encode a footer min/max so ordering survives the round
+    trip: ints/floats/bools/strs as-is, date/timestamp as ISO-8601
+    (lexicographic ISO order == temporal order), anything else (bytes,
+    decimal, nested) -> None meaning 'no usable bound'."""
+    if isinstance(v, bool) or v is None:
+        return v if not isinstance(v, bool) else bool(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    item = getattr(v, "item", None)  # numpy scalars
+    if item is not None:
+        try:
+            return _stat_value(item())
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _collect_dir_stats(root: str, data_dir: str, stats_cols=None) -> dict:
+    """Per-file column stats for one immutable data dir, read from
+    parquet FOOTERS only (pyarrow metadata — zero data pages touched,
+    the same place Iceberg's write path gets its manifest stats).
+    Returns {relative_file: {col: {"mn","mx","nulls","rows"}}} with
+    ``mn``/``mx`` absent when the footer carries no usable bound."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    dpath = os.path.join(root, data_dir)
+    for name in sorted(os.listdir(dpath)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dpath, name)).metadata
+        rows = md.num_rows
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                col = c.path_in_schema
+                if "." in col:  # nested leaf — no top-level bound
+                    continue
+                if stats_cols is not None and col not in stats_cols:
+                    continue
+                st = c.statistics
+                cur = cols.setdefault(col, {"nulls": 0, "rows": rows})
+                if st is None:
+                    cur.pop("mn", None)
+                    cur.pop("mx", None)
+                    cur["no_bounds"] = True
+                    cur["nulls"] = None
+                    continue
+                if cur["nulls"] is not None:
+                    cur["nulls"] = (
+                        None
+                        if st.null_count is None
+                        else cur["nulls"] + st.null_count
+                    )
+                if not st.has_min_max:
+                    cur.pop("mn", None)
+                    cur.pop("mx", None)
+                    cur["no_bounds"] = True
+                    continue
+                mn, mx = _stat_value(st.min), _stat_value(st.max)
+                if mn is None or mx is None or cur.get("no_bounds"):
+                    cur["no_bounds"] = True
+                    cur.pop("mn", None)
+                    cur.pop("mx", None)
+                    continue
+                if rg == 0 or "mn" not in cur:
+                    cur["mn"], cur["mx"] = mn, mx
+                else:
+                    cur["mn"] = min(cur["mn"], mn)
+                    cur["mx"] = max(cur["mx"], mx)
+        for c in cols.values():
+            c.pop("no_bounds", None)
+        out[name] = cols
+    return out
+
+
 def write_snapshot(
-    df: DataFrame, root: str, mode: str = "overwrite", meta: dict | None = None
+    df: DataFrame,
+    root: str,
+    mode: str = "overwrite",
+    meta: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -83,6 +170,17 @@ def write_snapshot(
     committed ATOMICALLY with the data at the manifest swap, which is
     what lets sinks store their exactly-once watermark (e.g. a stream
     batch id) in the same transaction as the rows it covers.
+
+    Every commit also records per-file column min/max/null stats read
+    from the freshly-written parquet FOOTERS (no data re-read) under
+    ``manifest["dir_stats"][data_dir]`` — the Iceberg manifest-stats
+    model that makes :func:`scan_snapshot` prune files before Spark
+    opens them. Data dirs are immutable, so append commits inherit the
+    parent dirs' stats for free. ``stats_cols`` restricts which
+    columns get bounds (default: every primitive leaf) — at 100 TB the
+    manifest grows O(#files x #stats_cols), so wide tables should pin
+    it to their cluster/filter columns just as Iceberg's
+    ``write.metadata.metrics`` properties do.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -90,10 +188,23 @@ def write_snapshot(
     manifest = _load(root)
     snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
     data_dir = f"snap-{snap_id:08d}-{mode}"
-    df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    # Spark's default INT96 timestamps carry NO footer statistics;
+    # snapshot tables pin TIMESTAMP_MICROS (the Iceberg/Delta physical
+    # type) so time columns are skippable like everything else.
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    finally:
+        conf.set(key, prev) if prev is not None else conf.unset(key)
     dirs = [data_dir]
     if mode == "append" and manifest["current"] is not None:
         dirs = _entry(manifest, manifest["current"])["dirs"] + dirs
+    manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
+        root, data_dir, stats_cols
+    )
     manifest["snapshots"].append(
         {
             "id": snap_id,
@@ -133,6 +244,34 @@ def read_snapshot(
     entry = _entry(manifest, snapshot_id)
     paths = [os.path.join(root, d) for d in entry["dirs"]]
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    keys: list[str],
+    from_id: int,
+    to_id: int,
+) -> DataFrame:
+    """Changelog scan between two committed snapshots (Delta CDF's
+    ``table_changes`` / Iceberg's ``create_changelog_view``): every row
+    inserted / deleted / updated going from ``from_id`` to ``to_id``,
+    classified in ``_change_type`` with ``_commit_version = to_id``.
+
+    The snapshot log stores full table states (not per-commit deltas),
+    so the feed is derived by :func:`~e_commerce_lakehouse_spark.
+    operators.upsert.cdc_diff` — one null-safe full-outer join on the
+    key. Unchanged rows are suppressed, so an append-only table's feed
+    is exactly its appended rows."""
+    from ..operators.upsert import cdc_diff
+
+    if from_id == to_id:
+        raise ValueError("from_id and to_id must differ")
+    old = read_snapshot(spark, root, snapshot_id=from_id)
+    new = read_snapshot(spark, root, snapshot_id=to_id)
+    return cdc_diff(old, new, keys).withColumn(
+        "_commit_version", F.lit(to_id).cast("long")
+    )
 
 
 def rollback(root: str, snapshot_id: int) -> int:
@@ -183,10 +322,171 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     live_dirs = {d for s in retained for d in s["dirs"]}
     dead_dirs = {d for s in snaps for d in s["dirs"]} - live_dirs
     manifest["snapshots"] = retained
+    for d in dead_dirs:
+        manifest.get("dir_stats", {}).pop(d, None)
     _commit(root, manifest)
     for d in sorted(dead_dirs):
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return sorted(dead_dirs)
+
+
+_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
+
+
+def _comparable(a, b) -> bool:
+    """Only order values the footer and the predicate agree on the
+    type of — numeric-with-numeric (bool is an int in Python; that
+    matches parquet's ordering for BOOLEAN) or str-with-str. Anything
+    else is 'can't say', which means KEEP the file."""
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
+    """True unless the footer bounds PROVE no row in the file can
+    satisfy ``col op val``. Missing stats, type mismatches, and
+    unusable bounds all return True — pruning is an optimization and
+    must stay conservative."""
+    s = stats.get(col)
+    if s is None:
+        return True
+    nulls, rows = s.get("nulls"), s.get("rows")
+    if op == "is_null":
+        return nulls is None or nulls > 0
+    if op == "not_null":
+        return nulls is None or rows is None or nulls < rows
+    # comparison predicates: an all-null file satisfies none of them
+    if nulls is not None and rows is not None and nulls == rows and rows > 0:
+        return False
+    mn, mx = s.get("mn"), s.get("mx")
+    if mn is None or mx is None:
+        return True
+    vals = [
+        v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+        for v in (list(val) if op == "in" else [val])
+    ]
+    if not all(_comparable(mn, v) for v in vals):
+        return True
+    if op == "in":
+        return any(mn <= v <= mx for v in vals)
+    val = vals[0]
+    if op == "=":
+        return mn <= val <= mx
+    if op == "<":
+        return mn < val
+    if op == "<=":
+        return mn <= val
+    if op == ">":
+        return mx > val
+    if op == ">=":
+        return mx >= val
+    raise ValueError(f"op must be one of {_OPS}, got {op!r}")
+
+
+def plan_scan(
+    root: str,
+    predicates: list[tuple],
+    snapshot_id: int | None = None,
+    as_of: float | None = None,
+) -> dict:
+    """File-pruning plan for a predicate scan: which data files the
+    manifest stats prove irrelevant, without opening ANY of them.
+
+    ``predicates`` is a conjunction of ``(col, op, value)`` triples,
+    ``op`` in ``= < <= > >= in is_null not_null``. Returns
+    ``{"files": [kept], "pruned": [skipped], "candidates": n}`` with
+    paths relative to ``root``. Files with no recorded stats are
+    always kept — stats skipping is sound-or-silent, never wrong.
+
+    This is the scan half of Iceberg/Delta data skipping: at 100 TB a
+    time-range or key-range query touches the manifest (KBs) and the
+    surviving files only; combined with :func:`optimize_zorder` the
+    bounds are tight on every clustered column.
+    """
+    for p in predicates:
+        if len(p) not in (2, 3) or p[1] not in _OPS:
+            raise ValueError(f"bad predicate {p!r}; ops: {_OPS}")
+    manifest = _load(root)
+    if snapshot_id is None and as_of is not None:
+        eligible = [s for s in manifest["snapshots"] if s["ts"] <= as_of]
+        if not eligible:
+            raise KeyError(f"no snapshot at or before {as_of}")
+        snapshot_id = eligible[-1]["id"]
+    if snapshot_id is None:
+        snapshot_id = manifest["current"]
+    if snapshot_id is None:
+        raise KeyError(f"table {root} has no snapshots")
+    entry = _entry(manifest, snapshot_id)
+    dir_stats = manifest.get("dir_stats", {})
+    kept, pruned, total = [], [], 0
+    for d in entry["dirs"]:
+        stats_by_file = dir_stats.get(d)
+        if stats_by_file is None:  # pre-stats commit: list, keep all
+            files = [
+                f
+                for f in sorted(os.listdir(os.path.join(root, d)))
+                if f.endswith(".parquet")
+            ]
+            stats_by_file = {f: {} for f in files}
+        for fname, stats in stats_by_file.items():
+            total += 1
+            rel = os.path.join(d, fname)
+            ok = all(
+                _file_may_match(stats, p[0], p[1], p[2] if len(p) == 3 else None)
+                for p in predicates
+            )
+            (kept if ok else pruned).append(rel)
+    return {
+        "files": kept,
+        "pruned": pruned,
+        "candidates": total,
+        "snapshot_id": snapshot_id,
+    }
+
+
+def _predicate_col(p: tuple) -> Column:
+    col, op = F.col(p[0]), p[1]
+    if op == "is_null":
+        return col.isNull()
+    if op == "not_null":
+        return col.isNotNull()
+    val = p[2]
+    if op == "in":
+        return col.isin(list(val))
+    return {"=": col == val, "<": col < val, "<=": col <= val,
+            ">": col > val, ">=": col >= val}[op]
+
+
+def scan_snapshot(
+    spark: SparkSession,
+    root: str,
+    predicates: list[tuple],
+    snapshot_id: int | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
+    """Predicate scan with manifest-stats file skipping: prune via
+    :func:`plan_scan`, read ONLY the surviving files, then apply the
+    same predicates as Spark filters (the stats prune is a superset
+    guarantee, the filter is the correctness boundary — exactly the
+    Iceberg split between manifest evaluation and residual filters).
+    An all-files-pruned scan returns an empty frame with the
+    snapshot's schema instead of touching storage."""
+    plan = plan_scan(root, predicates, snapshot_id=snapshot_id, as_of=as_of)
+    if not plan["files"]:
+        import pyspark.sql.types as T
+
+        manifest = _load(root)
+        entry = _entry(manifest, plan["snapshot_id"])
+        schema = T.StructType.fromJson(json.loads(entry["schema"]))
+        return spark.createDataFrame([], schema)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f) for f in plan["files"]]
+    )
+    for p in predicates:
+        df = df.filter(_predicate_col(p))
+    return df
 
 
 def optimize_zorder(

@@ -9,6 +9,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from e_commerce_lakehouse_spark.sources import snapshots as S
 
@@ -108,3 +109,90 @@ def test_optimize_zorder_rewrites_layout_not_data(spark, root):
     s3 = S.rollback(root, s1)
     assert sorted(map(tuple, S.read_snapshot(spark, root).collect())) == sorted(rows)
     assert s3 == s2 + 1
+
+
+def test_stats_skipping_prunes_files(spark, root):
+    """Manifest footer stats prune range-disjoint files without
+    opening them, and the scan result is exactly full-read + filter."""
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 7)
+    S.write_snapshot(df.repartitionByRange(8, "id"), root)
+
+    plan = S.plan_scan(root, [("id", "<=", 500)])
+    assert plan["candidates"] == len(plan["files"]) + len(plan["pruned"])
+    assert len(plan["pruned"]) >= 5, plan  # 8 range files, most excluded
+    got = S.scan_snapshot(spark, root, [("id", "<=", 500)])
+    assert sorted(r.id for r in got.collect()) == list(range(501))
+
+    # conjunction: second predicate can only prune further
+    plan2 = S.plan_scan(root, [("id", "<=", 500), ("id", ">", 9000)])
+    assert len(plan2["files"]) <= len(plan["files"])
+    assert S.scan_snapshot(spark, root, [("id", "<=", 500), ("id", ">", 9000)]).count() == 0
+
+    # '=' and 'in' hit exactly the owning file(s)
+    assert len(S.plan_scan(root, [("id", "=", 42)])["files"]) == 1
+    assert S.scan_snapshot(spark, root, [("id", "in", [3, 9999])]).count() == 2
+
+
+def test_stats_skipping_all_pruned_returns_schema(spark, root):
+    S.write_snapshot(spark.range(100).withColumn("v", F.lit("x")), root)
+    out = S.scan_snapshot(spark, root, [("id", ">", 10_000)])
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+
+
+def test_stats_skipping_nulls_and_strings(spark, root):
+    """All-null files are pruned for comparisons but kept for is_null;
+    string bounds order lexicographically."""
+    a = spark.createDataFrame([("apple", None), ("beta", None)], "w string, n long")
+    b = spark.createDataFrame([("zeta", 5)], "w string, n long")
+    S.write_snapshot(a.coalesce(1), root)
+    S.write_snapshot(b.coalesce(1), root, mode="append")
+
+    # n is all-null in dir A -> comparison prunes it, is_null keeps it
+    plan = S.plan_scan(root, [("n", ">=", 1)])
+    assert len(plan["files"]) == 1 and len(plan["pruned"]) == 1
+    assert S.scan_snapshot(spark, root, [("n", ">=", 1)]).count() == 1
+    assert S.scan_snapshot(spark, root, [("n", "is_null")]).count() == 2
+    assert len(S.plan_scan(root, [("n", "is_null")])["pruned"]) == 1
+
+    # string range: 'w' < 'c' excludes the zeta file
+    plan_s = S.plan_scan(root, [("w", "<", "c")])
+    assert len(plan_s["pruned"]) == 1
+    assert {r.w for r in S.scan_snapshot(spark, root, [("w", "<", "c")]).collect()} == {
+        "apple",
+        "beta",
+    }
+
+
+def test_stats_skipping_timestamps_and_legacy_manifest(spark, root):
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    S.write_snapshot(df.repartitionByRange(6, "ts"), root)
+    cut = dt.datetime(2024, 1, 10)
+    plan = S.plan_scan(root, [("ts", "<", cut)])
+    assert len(plan["pruned"]) >= 4, plan
+    assert S.scan_snapshot(spark, root, [("ts", "<", cut)]).count() == 9
+
+    # legacy manifest without dir_stats: everything kept, result exact
+    m = S._load(root)
+    del m["dir_stats"]
+    S._commit(root, m)
+    plan_legacy = S.plan_scan(root, [("ts", "<", cut)])
+    assert plan_legacy["pruned"] == []
+    assert S.scan_snapshot(spark, root, [("ts", "<", cut)]).count() == 9
+
+
+def test_stats_cols_restriction_and_expire_cleans_stats(spark, root):
+    S.write_snapshot(spark.range(10).withColumn("v", F.lit(1)), root, stats_cols=["id"])
+    stats = next(iter(S._load(root)["dir_stats"].values()))
+    for per_file in stats.values():
+        assert "v" not in per_file and "id" in per_file
+    # un-tracked column never prunes (conservative), still filters
+    assert S.plan_scan(root, [("v", "=", 99)])["pruned"] == []
+    assert S.scan_snapshot(spark, root, [("v", "=", 99)]).count() == 0
+
+    S.write_snapshot(spark.range(5), root)  # overwrite
+    S.expire_snapshots(root, keep_last=1)
+    assert len(S._load(root)["dir_stats"]) == 1  # dead dir's stats gone
