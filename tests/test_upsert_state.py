@@ -131,3 +131,95 @@ def test_stateful_running_totals_across_restarts(spark, tmpdir):
     _write_batch(src, "b2.json", [ev(3, "7", 0)])
     got2 = run_once("state_t2")
     assert got2[7] == (3, 450)  # state carried across the restart
+
+
+def test_cdc_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, v string, w long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, None, 30), (4, "D", 40), (5, "e", 50)],
+        "k long, v string, w long",
+    )
+    got = {
+        (r.k, r._change_type): (r.v, r.w)
+        for r in upsert.cdc_diff(old, new, ["k"]).collect()
+    }
+    # unchanged rows (2 and the null-valued 3) emit nothing
+    assert got == {
+        (1, "delete"): ("a", 10),
+        (4, "update_preimage"): ("d", 40),
+        (4, "update_postimage"): ("D", 40),
+        (5, "insert"): ("e", 50),
+    }
+
+
+def test_cdc_diff_null_transitions_and_null_keys(spark):
+    old = spark.createDataFrame([(1, "x"), (None, "n")], "k long, v string")
+    new = spark.createDataFrame([(1, None), (None, "n2")], "k long, v string")
+    rows = upsert.cdc_diff(old, new, ["k"]).collect()
+    by = {(r.k, r._change_type): r.v for r in rows}
+    # NULL value transition is an update; NULL keys join null-safely
+    assert by[(1, "update_preimage")] == "x"
+    assert by[(1, "update_postimage")] is None
+    assert by[(None, "update_preimage")] == "n"
+    assert by[(None, "update_postimage")] == "n2"
+    assert len(rows) == 4
+
+
+def test_cdc_diff_input_validation(spark):
+    a = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="identical columns"):
+        upsert.cdc_diff(a, a.select("k"), ["k"])
+    with pytest.raises(ValueError, match="not in columns"):
+        upsert.cdc_diff(a, a, ["missing"])
+
+
+def test_snapshot_changes_between_versions(spark, tmpdir):
+    from e_commerce_lakehouse_spark.sources import snapshots as S
+
+    root = f"{tmpdir}/snap_cdc"
+    v1 = S.write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), root
+    )
+    v2 = S.write_snapshot(
+        spark.createDataFrame([(2, 99), (3, 30)], "k long, v long"), root
+    )
+    feed = S.snapshot_changes(spark, root, ["k"], v1, v2)
+    got = {(r.k, r._change_type): (r.v, r._commit_version) for r in feed.collect()}
+    assert got == {
+        (1, "delete"): (10, v2),
+        (2, "update_preimage"): (20, v2),
+        (2, "update_postimage"): (99, v2),
+        (3, "insert"): (30, v2),
+    }
+    with pytest.raises(ValueError, match="must differ"):
+        S.snapshot_changes(spark, root, ["k"], v1, v1)
+    # append-only commit: the feed is exactly the appended rows
+    v3 = S.write_snapshot(
+        spark.createDataFrame([(4, 40)], "k long, v long"), root, mode="append"
+    )
+    feed2 = S.snapshot_changes(spark, root, ["k"], v2, v3).collect()
+    assert [(r.k, r._change_type) for r in feed2] == [(4, "insert")]
+
+
+def test_apply_changes_roundtrip_and_deletes(spark):
+    """apply_changes is cdc_diff's inverse: old + feed == new, exactly,
+    including deletes (which merge_upsert cannot express)."""
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (None, "n", 0)],
+        "k long, v string, w long",
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 20), (3, "c", 30), (4, "d", 40)], "k long, v string, w long"
+    )
+    feed = upsert.cdc_diff(old, new, ["k"])
+    applied = upsert.apply_changes(old, feed, ["k"])
+    key = lambda r: (r.k if r.k is not None else -1, r.v, r.w)
+    assert sorted(map(key, applied.collect())) == sorted(map(key, new.collect()))
+
+    with pytest.raises(ValueError, match="_change_type"):
+        upsert.apply_changes(old, new, ["k"])
+    with pytest.raises(ValueError, match="missing target columns"):
+        upsert.apply_changes(old, feed.drop("w"), ["k"])
