@@ -318,9 +318,11 @@ def _q09_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q10_incremental_load(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental-load surface (SURVEY §2.9) in one tagged union:
-    high-watermark delta rows (op='watermark_new') and MERGE-upsert
+    high-watermark delta rows (op='watermark_new'), MERGE-upsert
     output (op='merged' — source wins on conflict, both exclusives
-    kept)."""
+    kept), and a CDC changelog (op='cdc_*' — Delta-CDF row
+    classification between two table versions via upsert.cdc_diff;
+    unchanged rows suppressed)."""
     orders = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
@@ -336,7 +338,23 @@ def _q10_incremental_load(spark: SparkSession, sf: str) -> DataFrame:
     merged = upsert.merge_upsert(target, source, ["o_orderkey"]).withColumn(
         "op", F.lit("merged")
     )
-    return fresh.unionByName(merged)
+    cdc_old = orders.filter(F.col("o_orderkey") % 2 == 0)
+    cdc_new = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    feed = upsert.cdc_diff(cdc_old, cdc_new, ["o_orderkey"])
+    cdc = feed.withColumn(
+        "op", F.concat(F.lit("cdc_"), F.col("_change_type"))
+    ).drop("_change_type")
+    # round-trip gate: applying the feed onto the old state must
+    # reproduce the new state EXACTLY (oracle side is the new state)
+    applied = upsert.apply_changes(cdc_old, feed, ["o_orderkey"]).withColumn(
+        "op", F.lit("cdc_apply")
+    )
+    return fresh.unionByName(merged).unionByName(cdc).unionByName(applied)
 
 
 def _q11_grouping_surface(spark: SparkSession, sf: str) -> DataFrame:
@@ -970,6 +988,16 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         by the exponential race -log2(u)/w over weight = n_chars,
         exact-integer via the shared fixed-point log2 chain; race
         cost carried as cost_x, winning order as rk;
+      - kind='split': leakage-safe train/val/test assignment
+        (sampling.group_split) — the SOURCE's md5 bucket picks the
+        split so near-duplicates inside a domain can never straddle
+        train/eval; per-(source, split) doc counts, bucket in rk,
+        split name in chunk_fp;
+      - kind='budget': greedy token-budget curation
+        (sampling.token_budget_select) — best-first by n_chars, keep
+        docs while the running total stays within 60k tokens; banded
+        two-level cumsum (no single-partition sort), running total
+        carried as weight;
       - kind='dsir': DSIR data selection (Xie et al. 2023,
         sampling.dsir_select) — hashed unigram+bigram importance
         weights of raw docs (id >= 25) against the target corpus
@@ -1102,6 +1130,43 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("weight_x64").alias("weight"),
         F.lit(None).cast("string").alias("chunk_fp"),
     )
+    spl = (
+        sampling.group_split(docs, "source", {"train": 80, "val": 10, "test": 10})
+        .groupBy("source", "split", "split_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit("split").alias("kind"),
+            nl.alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"),
+            "source",
+            nl.alias("n_tokens"),
+            nl.alias("bin_id"),
+            nl.alias("bin_offset"),
+            nl.alias("n_bins_spanned"),
+            F.col("split_bucket").alias("rk"),
+            nl.alias("weight_pct"),
+            "n_docs",
+            nl.alias("weight"),
+            F.col("split").alias("chunk_fp"),
+        )
+    )
+    budget = sampling.token_budget_select(
+        docs, budget=60_000, score_col="n_chars", token_col="n_chars"
+    ).select(
+        F.lit("budget").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        nl.alias("rk"),
+        nl.alias("weight_pct"),
+        nl.alias("n_docs"),
+        F.col("cum_tokens").alias("weight"),
+        F.lit(None).cast("string").alias("chunk_fp"),
+    )
     prio = sampling.priority_sample(
         docs.filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)),
         key="doc_id",
@@ -1131,6 +1196,8 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(chunk)
         .unionByName(shuf)
         .unionByName(dsir)
+        .unionByName(spl)
+        .unionByName(budget)
         .withColumn("cost_x", nl)
         .unionByName(prio)
     )
@@ -2895,6 +2962,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
                 FROM orders WHERE o_orderkey % 3 = 0
             ) s ON t.o_orderkey = s.o_orderkey
+            UNION ALL
+            SELECT n.o_orderkey, n.o_custkey, n.o_totalprice, n.o_orderdate,
+                   'cdc_insert' AS op
+            FROM (SELECT o_orderkey, o_custkey,
+                         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                              ELSE o_totalprice END AS o_totalprice,
+                         o_orderdate
+                  FROM orders WHERE o_orderkey % 3 = 0) n
+            LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) o
+              ON n.o_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL
+            UNION ALL
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderdate,
+                   'cdc_delete' AS op
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                  FROM orders WHERE o_orderkey % 2 = 0) o
+            LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0) n
+              ON o.o_orderkey = n.o_orderkey
+            WHERE n.o_orderkey IS NULL
+            UNION ALL
+            SELECT o.o_orderkey, o.o_custkey,
+                   CASE WHEN img.side = 'pre' THEN o.o_totalprice
+                        ELSE n.o_totalprice END AS o_totalprice,
+                   o.o_orderdate,
+                   'cdc_update_' || img.side || 'image' AS op
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+                  FROM orders WHERE o_orderkey % 2 = 0) o
+            JOIN (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                              ELSE o_totalprice END AS o_totalprice
+                  FROM orders WHERE o_orderkey % 3 = 0) n
+              ON o.o_orderkey = n.o_orderkey
+            CROSS JOIN (SELECT 'pre' AS side UNION ALL SELECT 'post') img
+            WHERE o.o_totalprice IS DISTINCT FROM n.o_totalprice
+            UNION ALL
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, 'cdc_apply' AS op
+            FROM orders WHERE o_orderkey % 3 = 0
         """,
         "q11_grouping_surface": f"""
             SELECT 'rollup' AS kind,
@@ -3649,6 +3756,33 @@ def oracle_sql() -> dict[str, str]:
                                            1, 15) AS BIGINT) AS hv
                 FROM documents
             )
+            UNION ALL
+            SELECT 'split', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), source,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   b AS rk, CAST(NULL AS BIGINT),
+                   CAST(count(*) AS BIGINT) AS n_docs, CAST(NULL AS BIGINT),
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val' ELSE 'test' END AS chunk_fp
+            FROM (
+                SELECT source,
+                       CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 100
+                           AS b
+                FROM documents
+            ) GROUP BY source, b
+            UNION ALL
+            SELECT 'budget', doc_id, lang, source,
+                   CAST(n_chars AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), cum AS weight, CAST(NULL AS VARCHAR)
+            FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       sum(CAST(n_chars AS BIGINT)) OVER (
+                           ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents
+            ) WHERE cum <= 60000
         """ + _dsir_oracle_branch() + """
         ) """ + _priority_oracle_branch(),
         "q35_asof_last_order": """
