@@ -153,6 +153,31 @@ def _collect_dir_stats(root: str, data_dir: str, stats_cols=None) -> dict:
     return out
 
 
+def set_constraint(root: str, name: str, sql_condition: str) -> None:
+    """Store a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``):
+    a SQL boolean expression every FUTURE :func:`write_snapshot` row
+    must satisfy (NULL satisfies, only FALSE violates — ANSI CHECK).
+    Enforcement is in-plan at write time via
+    :func:`~e_commerce_lakehouse_spark.operators.constraints.
+    guard_constraints`; a violating write fails BEFORE the manifest
+    commit, so the table never exposes a bad snapshot."""
+    manifest = _load(root)
+    manifest.setdefault("constraints", {})[name] = sql_condition
+    _commit(root, manifest)
+
+
+def drop_constraint(root: str, name: str) -> None:
+    manifest = _load(root)
+    if name not in manifest.get("constraints", {}):
+        raise KeyError(f"no constraint {name!r} on table {root}")
+    del manifest["constraints"][name]
+    _commit(root, manifest)
+
+
+def table_constraints(root: str) -> dict[str, str]:
+    return dict(_load(root).get("constraints", {}))
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
@@ -186,6 +211,11 @@ def write_snapshot(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(root, exist_ok=True)
     manifest = _load(root)
+    stored = manifest.get("constraints", {})
+    if stored:
+        from ..operators.constraints import guard_constraints
+
+        df = guard_constraints(df, stored)
     snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
     data_dir = f"snap-{snap_id:08d}-{mode}"
     # Spark's default INT96 timestamps carry NO footer statistics;
@@ -197,6 +227,11 @@ def write_snapshot(
     conf.set(key, "TIMESTAMP_MICROS")
     try:
         df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    except Exception:
+        # a failed (e.g. constraint-violating) write never reaches the
+        # manifest commit; drop its partial, unreferenced data dir
+        shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
+        raise
     finally:
         conf.set(key, prev) if prev is not None else conf.unset(key)
     dirs = [data_dir]
@@ -328,6 +363,31 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     for d in sorted(dead_dirs):
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return sorted(dead_dirs)
+
+
+def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
+    """Delete data dirs referenced by NO snapshot in the log — debris
+    from writes that failed before their manifest commit (Iceberg's
+    ``remove_orphan_files``). ``older_than_s`` keeps dirs younger than
+    the cutoff (in production an in-flight writer's dir exists before
+    its commit; Iceberg defaults to 3 days — the 0 default here is for
+    tests where no writer is concurrent). Returns the removed dirs."""
+    manifest = _load(root)
+    live = {d for s in manifest["snapshots"] for d in s["dirs"]}
+    now = time.time()
+    removed = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if not name.startswith("snap-") or not os.path.isdir(p) or name in live:
+            continue
+        if now - os.path.getmtime(p) < older_than_s:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        manifest.get("dir_stats", {}).pop(name, None)
+        removed.append(name)
+    if removed:
+        _commit(root, manifest)
+    return removed
 
 
 _OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "not_null")

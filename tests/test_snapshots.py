@@ -196,3 +196,64 @@ def test_stats_cols_restriction_and_expire_cleans_stats(spark, root):
     S.write_snapshot(spark.range(5), root)  # overwrite
     S.expire_snapshots(root, keep_last=1)
     assert len(S._load(root)["dir_stats"]) == 1  # dead dir's stats gone
+
+
+def test_check_constraints_enforced_at_write(spark, root):
+    """Stored CHECK constraints gate every later write in-plan: a
+    violating write FAILS (DID-NOT-RAISE pin) and commits nothing."""
+    import pyspark.errors as PE
+
+    S.write_snapshot(spark.createDataFrame([(1, 5)], "k long, v long"), root)
+    S.set_constraint(root, "v_positive", "v > 0")
+    S.set_constraint(root, "k_not_null", "k IS NOT NULL")
+    assert set(S.table_constraints(root)) == {"v_positive", "k_not_null"}
+
+    ok = S.write_snapshot(spark.createDataFrame([(2, 7)], "k long, v long"), root)
+    with pytest.raises(PE.PySparkException, match="v_positive"):
+        S.write_snapshot(spark.createDataFrame([(3, -1)], "k long, v long"), root)
+    with pytest.raises(PE.PySparkException, match="k_not_null"):
+        S.write_snapshot(
+            spark.createDataFrame([(None, 1)], "k long, v long"), root
+        )
+    # failed writes committed nothing and left no data dirs behind
+    m = S._load(root)
+    assert m["current"] == ok
+    on_disk = {d for d in os.listdir(root) if d.startswith("snap-")}
+    assert on_disk == {d for s in m["snapshots"] for d in s["dirs"]}
+
+    # NULL satisfies (ANSI CHECK): a null v passes v > 0
+    S.write_snapshot(spark.createDataFrame([(4, None)], "k long, v long"), root)
+    S.drop_constraint(root, "v_positive")
+    S.write_snapshot(spark.createDataFrame([(5, -9)], "k long, v long"), root)
+    with pytest.raises(KeyError):
+        S.drop_constraint(root, "v_positive")
+
+
+def test_guard_constraints_survives_pruning(spark):
+    """The guard rides the FIRST projected column, so even a plan
+    that consumes only that column still evaluates it."""
+    from e_commerce_lakehouse_spark.operators.constraints import guard_constraints
+
+    import pyspark.errors as PE
+
+    df = spark.createDataFrame([(1, -1)], "a long, b long")
+    g = guard_constraints(df, {"b_pos": "b > 0"})
+    with pytest.raises(PE.PySparkException, match="b_pos"):
+        g.select("a").collect()  # b is pruned; guard must still fire
+
+
+def test_remove_orphans(spark, root):
+    S.write_snapshot(spark.range(5), root)
+    # simulate a failed write's debris: a data dir no snapshot references
+    orphan = os.path.join(root, "snap-99999999-overwrite")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+    removed = S.remove_orphans(root)
+    assert removed == ["snap-99999999-overwrite"]
+    assert not os.path.exists(orphan)
+    # live dirs and young dirs are never touched
+    assert S.read_snapshot(spark, root).count() == 5
+    os.makedirs(orphan)
+    assert S.remove_orphans(root, older_than_s=3600) == []
+    assert os.path.exists(orphan)
