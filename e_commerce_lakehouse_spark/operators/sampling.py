@@ -541,3 +541,88 @@ def priority_sample(
     top = scored.orderBy(F.col("cost_x").asc(), F.col(key).asc()).limit(n)
     w_rk = Window.orderBy(F.col("cost_x").asc(), F.col(key).asc())
     return top.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+
+
+def group_split(
+    df: DataFrame, group_col: str, splits: dict[str, int] | None = None
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the hash bucket of the
+    GROUP (source domain, author, url-host …), not the row, picks the
+    split — every document of a group lands in the same split, the
+    standard guard against near-duplicate train/eval contamination
+    (the row-keyed :func:`train_test_split` cannot give this).
+
+    ``splits`` maps name -> integer percent, summing to 100; cutoffs
+    are cumulative in dict order. Adds ``split`` (the name) and
+    ``split_bucket`` (the group's bucket in [0,100)). Pure map-side
+    column work over the module's engine-portable md5 bucket — no
+    shuffle, no state, reproducible across cluster sizes and appends.
+    """
+    splits = splits or {"train": 98, "val": 1, "test": 1}
+    if sum(splits.values()) != 100 or any(v <= 0 for v in splits.values()):
+        raise ValueError(f"split percents must be positive and sum to 100: {splits}")
+    b = hash_bucket(group_col, 100)
+    expr, lo = None, 0
+    for name, pct in splits.items():
+        lo += pct
+        expr = (
+            F.when(b < lo, F.lit(name))
+            if expr is None
+            else expr.when(b < lo, F.lit(name))
+        )
+    return df.withColumn("split", expr).withColumn("split_bucket", b)
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    key: str = "doc_id",
+    band_width: int = 256,
+) -> DataFrame:
+    """Greedy token-budget curation: rank the corpus best-first by
+    ``score_col`` (ties by ``key``) and keep the prefix whose running
+    ``token_col`` total stays within ``budget`` — "fill a 1T-token
+    training budget with the highest-quality documents first".
+
+    The running total is exact but computed WITHOUT a global
+    single-partition sort (same discipline as
+    :func:`shuffle_positions`): scores fall into fixed-width bands
+    (``band = -floor(score / band_width)``, so band ascending is score
+    descending), in-band cumulative sums run as per-band windows, and
+    each band's global offset is a running sum over the tiny
+    (band, total) frame broadcast back. At 100 TB no task ever holds
+    more than one band's rows; shrink ``band_width`` if a single score
+    band is hot. ``score_col`` must be non-null.
+
+    Adds ``cum_tokens`` (running total INCLUDING the row, in selection
+    order); rows whose inclusion would cross the budget are dropped,
+    so a later row never outranks a better one.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if band_width <= 0:
+        raise ValueError(f"band_width must be > 0, got {band_width}")
+    sc, tok = F.col(score_col).cast("long"), F.col(token_col).cast("long")
+    out = df.withColumn("_b", -F.floor(sc / F.lit(band_width)).cast("long"))
+    w = Window.partitionBy("_b").orderBy(sc.desc(), F.col(key).asc())
+    out = out.withColumn(
+        "_cum_in", F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = out.groupBy("_b").agg(F.sum(tok).alias("_t"))
+    offsets = totals.select(
+        "_b",
+        (
+            F.sum("_t").over(
+                Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("_t")
+        ).alias("_off"),
+    )
+    return (
+        out.join(F.broadcast(offsets), "_b")
+        .withColumn("cum_tokens", F.col("_off") + F.col("_cum_in"))
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_b", "_cum_in", "_off")
+    )

@@ -518,3 +518,65 @@ def test_priority_sample_matches_reference_and_guards(spark):
     bad = spark.createDataFrame([(1, 0)], "doc_id long, w long")
     with pytest.raises(Exception, match="weight must be > 0"):
         smp.priority_sample(bad, "doc_id", "w", n=5).collect()
+
+
+def test_group_split_purity_and_stability(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = sampling.group_split(docs, "source", {"train": 80, "val": 10, "test": 10})
+    assert out.count() == docs.count()  # pure assignment, no rows lost
+    # leakage safety: every group lives in exactly one split
+    per_group = out.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.filter(F.col("n_splits") != 1).count() == 0
+    # row-keyed split CAN split a group (what group_split exists to fix)
+    # membership is stable under appends/subsets: recompute on half the
+    # corpus, same groups get the same split
+    half = sampling.group_split(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "source",
+        {"train": 80, "val": 10, "test": 10},
+    )
+    a = {r.source: r.split for r in out.select("source", "split").distinct().collect()}
+    b = {r.source: r.split for r in half.select("source", "split").distinct().collect()}
+    assert all(a[s] == v for s, v in b.items())
+    with pytest.raises(ValueError, match="sum to 100"):
+        sampling.group_split(docs, "source", {"train": 90, "val": 5})
+
+
+def test_token_budget_select_matches_single_window(spark):
+    """Banded two-level cumsum == brute-force global window, and the
+    selection is the maximal best-first prefix within budget."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    budget = 60_000
+    got = sampling.token_budget_select(
+        docs, budget=budget, score_col="n_chars", token_col="n_chars"
+    )
+    rows = {r.doc_id: r.cum_tokens for r in got.collect()}
+    ordered = sorted(
+        docs.select("doc_id", "n_chars").collect(),
+        key=lambda r: (-r.n_chars, r.doc_id),
+    )
+    cum, expect = 0, {}
+    for r in ordered:
+        cum += r.n_chars
+        if cum > budget:
+            break
+        expect[r.doc_id] = cum
+    assert rows == expect
+    assert max(rows.values()) <= budget
+    with pytest.raises(ValueError, match="budget"):
+        sampling.token_budget_select(docs, 0, "n_chars", "n_chars")
+    with pytest.raises(ValueError, match="band_width"):
+        sampling.token_budget_select(docs, 1, "n_chars", "n_chars", band_width=0)
+
+
+def test_token_budget_no_corpus_single_partition(spark):
+    """Same discipline as shuffle_positions: the only SinglePartition
+    exchange feeds the tiny per-band totals frame; the corpus cumsum
+    window partitions by band."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = sampling.token_budget_select(docs, 60_000, "n_chars", "n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") == 1
+    assert "hashpartitioning(_b" in plan
