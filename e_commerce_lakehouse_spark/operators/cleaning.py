@@ -109,3 +109,107 @@ def fill_defaults(df: DataFrame, defaults: dict[str, object]) -> DataFrame:
     for c, v in defaults.items():
         df = df.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     return df
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tracked_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Incremental SCD2 maintenance: apply ONE batch of per-key change
+    rows to an existing type-2 dimension (built by :func:`scd2` or a
+    previous merge) — close the changed keys' current versions at the
+    update's ``ts_col`` and open new current versions, leave everything
+    else untouched. The standard Delta "merge into SCD2 dim" recipe,
+    expressed as one null-safe equi-join plus a map-side explode (the
+    same 0/1/2-rows-per-match trick as ``cdc_diff`` — no second scan,
+    no window).
+
+    Contract: ``updates`` has at most one row per key (a compacted CDC
+    batch) and carries every dim payload column; an update whose ts is
+    NOT strictly newer than the key's current ``valid_from`` fails the
+    job in-plan (raise_error) — silently reordering history is the one
+    thing an SCD2 table must never do. A matched update whose
+    ``tracked_cols`` all equal the current version is a no-op row.
+
+    Scale: one shuffle per side on the key; history rows (is_current =
+    false) pass through untouched — with the dim stored partitioned or
+    clustered by ``is_current`` the merge never rewrites closed
+    versions (on the snapshot log: write history once, merge the
+    current slice).
+    """
+    meta = ("valid_from", "valid_to", "is_current")
+    for m in meta:
+        if m not in dim.columns:
+            raise ValueError(f"dim lacks SCD2 column {m!r} (build with scd2())")
+    payload = [c for c in dim.columns if c not in meta]
+    missing = [c for c in payload if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing dim payload columns {missing}")
+    tracked = list(tracked_cols) if tracked_cols is not None else [
+        c for c in payload if c not in key_cols and c != ts_col
+    ]
+    hist = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current")).select(
+        F.lit(True).alias("_c_present"),
+        *[F.col(c).alias(f"_c_{c}") for c in payload],
+        F.col("valid_from").alias("_c_valid_from"),
+        F.col("valid_to").alias("_c_valid_to"),
+    )
+    u = updates.select(
+        F.lit(True).alias("_u_present"),
+        *[F.col(c).alias(f"_u_{c}") for c in payload],
+    )
+    import functools as _ft
+    import operator as _op
+
+    cond = _ft.reduce(
+        _op.and_,
+        [F.col(f"_c_{k}").eqNullSafe(F.col(f"_u_{k}")) for k in key_cols],
+    )
+    changed = (
+        _ft.reduce(
+            _op.or_,
+            [~F.col(f"_c_{c}").eqNullSafe(F.col(f"_u_{c}")) for c in tracked],
+        )
+        if tracked
+        else F.lit(False)
+    )
+    roles = (
+        F.when(F.col("_c_present").isNull(), F.array(F.lit("insert")))
+        .when(F.col("_u_present").isNull(), F.array(F.lit("keep")))
+        .when(changed, F.array(F.lit("close"), F.lit("insert")))
+        .otherwise(F.array(F.lit("keep")))
+    )
+    j = cur.join(u, cond, "full_outer").withColumn("_role", F.explode(roles))
+    from_cur = F.col("_role").isin("keep", "close")
+    u_ts = F.col(f"_u_{ts_col}")
+    # loud out-of-order guard, fused into valid_to (every row consumes
+    # it at the write): a matched update must advance the timeline
+    ordered_close_ts = F.when(
+        u_ts <= F.col("_c_valid_from"),
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_merge: out-of-order update for key at ts "),
+                u_ts.cast("string"),
+                F.lit(" <= current valid_from "),
+                F.col("_c_valid_from").cast("string"),
+            )
+        ).cast(dim.schema["valid_to"].dataType.simpleString()),
+    ).otherwise(u_ts.cast(dim.schema["valid_to"].dataType.simpleString()))
+    merged = j.select(
+        *[
+            F.when(from_cur, F.col(f"_c_{c}")).otherwise(F.col(f"_u_{c}")).alias(c)
+            for c in payload
+        ],
+        F.when(from_cur, F.col("_c_valid_from"))
+        .otherwise(u_ts.cast(dim.schema["valid_from"].dataType.simpleString()))
+        .alias("valid_from"),
+        F.when(F.col("_role") == "close", ordered_close_ts)
+        .otherwise(F.lit(None).cast(dim.schema["valid_to"].dataType.simpleString()))
+        .alias("valid_to"),
+        (F.col("_role") != "close").alias("is_current"),
+    )
+    return hist.unionByName(merged)

@@ -116,3 +116,77 @@ def test_incremental_dependent_pair(spark, tmpdir):
     assert nc1 + nc2 == lineitem.count()
     # child rows belong to their load's parent slice only (no dup/loss)
     assert spark.read.parquet(c_path).count() == lineitem.count()
+
+
+def test_scd2_merge_folds_to_full_history(spark):
+    """Folding scd2_merge over timestamp-ordered batches reproduces
+    cleaning.scd2 of the full change stream exactly — the incremental
+    path and the rebuild path cannot drift."""
+    from e_commerce_lakehouse_spark.operators import cleaning
+
+    rows = [
+        (u, t, f"v{u}@{t}")
+        for u in (1, 2, 3)
+        for t in (10, 20, 30)
+        if not (u == 3 and t > 10)  # user 3 never changes after t=10
+    ]
+    full = spark.createDataFrame(rows, "user_id long, ts long, v string")
+    expected = cleaning.scd2(full, ["user_id"], "ts").select(
+        "user_id", "ts", "v", "valid_from", "valid_to", "is_current"
+    )
+    batches = [
+        spark.createDataFrame(
+            [r for r in rows if r[1] == t], "user_id long, ts long, v string"
+        )
+        for t in (10, 20, 30)
+    ]
+    dim = cleaning.scd2(batches[0], ["user_id"], "ts")
+    for b in batches[1:]:
+        dim = cleaning.scd2_merge(dim, b, ["user_id"], "ts")
+    key = lambda r: tuple((x is None, x) for x in r)
+    assert sorted(map(key, dim.collect())) == sorted(
+        map(key, expected.collect())
+    )
+
+
+def test_scd2_merge_noop_insert_and_guards(spark):
+    from e_commerce_lakehouse_spark.operators import cleaning
+    import pyspark.errors as PE
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k long, ts long, v string"
+    )
+    dim = cleaning.scd2(base, ["k"], "ts")
+
+    # unchanged tracked value at a newer ts: no new version opens
+    noop = spark.createDataFrame([(1, 30, "b")], "k long, ts long, v string")
+    out = cleaning.scd2_merge(dim, noop, ["k"], "ts", tracked_cols=["v"])
+    assert out.count() == 2
+    cur = out.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0].v == "b" and cur[0].valid_from == 20
+
+    # brand-new key inserts an open version
+    ins = spark.createDataFrame([(2, 5, "z")], "k long, ts long, v string")
+    out2 = cleaning.scd2_merge(dim, ins, ["k"], "ts", tracked_cols=["v"])
+    r2 = out2.filter("k = 2").collect()
+    assert len(r2) == 1 and r2[0].is_current and r2[0].valid_from == 5
+
+    # a genuine change closes at the update ts and opens a new version
+    chg = spark.createDataFrame([(1, 30, "c")], "k long, ts long, v string")
+    out3 = cleaning.scd2_merge(dim, chg, ["k"], "ts", tracked_cols=["v"])
+    got = {(r.v, r.valid_from, r.valid_to, r.is_current) for r in out3.collect()}
+    assert got == {
+        ("a", 10, 20, False),
+        ("b", 20, 30, False),
+        ("c", 30, None, True),
+    }
+
+    # out-of-order update (ts <= current valid_from) fails IN-PLAN
+    stale = spark.createDataFrame([(1, 15, "x")], "k long, ts long, v string")
+    with pytest.raises(PE.PySparkException, match="out-of-order"):
+        cleaning.scd2_merge(dim, stale, ["k"], "ts", tracked_cols=["v"]).collect()
+
+    with pytest.raises(ValueError, match="payload"):
+        cleaning.scd2_merge(dim, stale.drop("v"), ["k"], "ts")
+    with pytest.raises(ValueError, match="SCD2 column"):
+        cleaning.scd2_merge(base, stale, ["k"], "ts")
