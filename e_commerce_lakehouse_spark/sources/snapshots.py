@@ -153,6 +153,25 @@ def _collect_dir_stats(root: str, data_dir: str, stats_cols=None) -> dict:
     return out
 
 
+def _write_data_dir(df: DataFrame, root: str, data_dir: str) -> None:
+    """Write one immutable data dir. Spark's default INT96 timestamps
+    carry NO footer statistics; snapshot tables pin TIMESTAMP_MICROS
+    (the Iceberg/Delta physical type) so time columns are skippable
+    like everything else. A failed (e.g. constraint-violating) write
+    never reaches the manifest commit and leaves no partial dir."""
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+    except Exception:
+        shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
+        raise
+    finally:
+        conf.set(key, prev) if prev is not None else conf.unset(key)
+
+
 def set_constraint(root: str, name: str, sql_condition: str) -> None:
     """Store a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``):
     a SQL boolean expression every FUTURE :func:`write_snapshot` row
@@ -218,22 +237,7 @@ def write_snapshot(
         df = guard_constraints(df, stored)
     snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
     data_dir = f"snap-{snap_id:08d}-{mode}"
-    # Spark's default INT96 timestamps carry NO footer statistics;
-    # snapshot tables pin TIMESTAMP_MICROS (the Iceberg/Delta physical
-    # type) so time columns are skippable like everything else.
-    conf = df.sparkSession.conf
-    key = "spark.sql.parquet.outputTimestampType"
-    prev = conf.get(key, None)
-    conf.set(key, "TIMESTAMP_MICROS")
-    try:
-        df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
-    except Exception:
-        # a failed (e.g. constraint-violating) write never reaches the
-        # manifest commit; drop its partial, unreferenced data dir
-        shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
-        raise
-    finally:
-        conf.set(key, prev) if prev is not None else conf.unset(key)
+    _write_data_dir(df, root, data_dir)
     dirs = [data_dir]
     if mode == "append" and manifest["current"] is not None:
         dirs = _entry(manifest, manifest["current"])["dirs"] + dirs
@@ -254,6 +258,33 @@ def write_snapshot(
     manifest["current"] = snap_id
     _commit(root, manifest)
     return snap_id
+
+
+def _dir_files(root: str, manifest: dict, d: str) -> list[str]:
+    """Parquet file names of one data dir — from recorded stats when
+    present (no listing), else a directory listing."""
+    stats = manifest.get("dir_stats", {}).get(d)
+    if stats is not None:
+        return sorted(stats)
+    return sorted(
+        f
+        for f in os.listdir(os.path.join(root, d))
+        if f.endswith(".parquet")
+    )
+
+
+def _entry_units(root: str, manifest: dict, entry: dict):
+    """Yield ``(dir, file)`` pairs composing a snapshot. Entries
+    written by :func:`replace_where` carry a per-dir kept-file list
+    under ``entry["files"]`` (Iceberg's manifest-file granularity);
+    plain entries own every file of their dirs."""
+    file_filter = entry.get("files", {})
+    for d in entry["dirs"]:
+        names = file_filter.get(d)
+        if names is None:
+            names = _dir_files(root, manifest, d)
+        for f in names:
+            yield d, f
 
 
 def read_snapshot(
@@ -277,7 +308,18 @@ def read_snapshot(
     if snapshot_id is None:
         raise KeyError(f"table {root} has no snapshots")
     entry = _entry(manifest, snapshot_id)
-    paths = [os.path.join(root, d) for d in entry["dirs"]]
+    if "files" in entry:
+        paths = [
+            os.path.join(root, d, f)
+            for d, f in _entry_units(root, manifest, entry)
+        ]
+        if not paths:  # e.g. replace_where deleted every row
+            import pyspark.sql.types as T
+
+            schema = T.StructType.fromJson(json.loads(entry["schema"]))
+            return spark.createDataFrame([], schema)
+    else:
+        paths = [os.path.join(root, d) for d in entry["dirs"]]
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
@@ -481,29 +523,63 @@ def plan_scan(
     entry = _entry(manifest, snapshot_id)
     dir_stats = manifest.get("dir_stats", {})
     kept, pruned, total = [], [], 0
-    for d in entry["dirs"]:
-        stats_by_file = dir_stats.get(d)
-        if stats_by_file is None:  # pre-stats commit: list, keep all
-            files = [
-                f
-                for f in sorted(os.listdir(os.path.join(root, d)))
-                if f.endswith(".parquet")
-            ]
-            stats_by_file = {f: {} for f in files}
-        for fname, stats in stats_by_file.items():
-            total += 1
-            rel = os.path.join(d, fname)
-            ok = all(
-                _file_may_match(stats, p[0], p[1], p[2] if len(p) == 3 else None)
-                for p in predicates
-            )
-            (kept if ok else pruned).append(rel)
+    for d, fname in _entry_units(root, manifest, entry):
+        stats = dir_stats.get(d, {}).get(fname, {})
+        total += 1
+        rel = os.path.join(d, fname)
+        ok = all(
+            _file_may_match(stats, p[0], p[1], p[2] if len(p) == 3 else None)
+            for p in predicates
+        )
+        (kept if ok else pruned).append(rel)
     return {
         "files": kept,
         "pruned": pruned,
         "candidates": total,
         "snapshot_id": snapshot_id,
     }
+
+
+def _file_all_match(stats: dict, col: str, op: str, val) -> bool:
+    """True only when the footer bounds PROVE every row satisfies
+    ``col op val`` — the dual of :func:`_file_may_match`, used by
+    :func:`replace_where` to DROP whole files without reading them.
+    Conservative the other way round: missing stats / nulls / type
+    mismatches return False (the file gets rewritten, never wrongly
+    dropped)."""
+    s = stats.get(col)
+    if s is None:
+        return False
+    nulls, rows = s.get("nulls"), s.get("rows")
+    if op == "not_null":
+        return nulls == 0
+    if op == "is_null":
+        return nulls is not None and nulls == rows
+    if nulls is None or nulls > 0:
+        return False  # a null row satisfies no comparison
+    mn, mx = s.get("mn"), s.get("mx")
+    if mn is None or mx is None:
+        return False
+    vals = [
+        v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+        for v in (list(val) if op == "in" else [val])
+    ]
+    if not all(_comparable(mn, v) for v in vals):
+        return False
+    if op == "in":
+        return any(v <= mn and mx <= v for v in vals)  # mn==mx==v
+    val = vals[0]
+    if op == "=":
+        return val <= mn and mx <= val
+    if op == "<":
+        return mx < val
+    if op == "<=":
+        return mx <= val
+    if op == ">":
+        return mn > val
+    if op == ">=":
+        return mn >= val
+    raise ValueError(f"op must be one of {_OPS}, got {op!r}")
 
 
 def _predicate_col(p: tuple) -> Column:
@@ -547,6 +623,98 @@ def scan_snapshot(
     for p in predicates:
         df = df.filter(_predicate_col(p))
     return df
+
+
+def replace_where(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    predicates: list[tuple],
+) -> int:
+    """Selective overwrite (Delta ``replaceWhere`` / Iceberg
+    ``overwrite(filter)``): atomically replace exactly the rows
+    matching ``predicates`` (the :func:`plan_scan` conjunction grammar)
+    with ``df``, leaving every other row's FILE untouched on disk.
+
+    File triage from manifest stats, no data read for the easy cases:
+      - bounds prove NO row matches  -> file carried over verbatim;
+      - bounds prove EVERY row matches -> file dropped, never read;
+      - straddling files only        -> read, keep ``NOT predicate``
+        rows, rewrite into the new commit's dir alongside ``df``.
+    The new snapshot references old dirs at FILE granularity
+    (``entry["files"]``, Iceberg's manifest-file model), so at 100 TB
+    a partition-shaped replace rewrites only boundary files.
+
+    ``df`` must itself satisfy the predicates — enforced in-plan
+    (raise_error) exactly like a CHECK constraint, so a mis-scoped
+    backfill fails before the commit instead of silently leaking rows
+    into ranges it claimed not to touch. An empty ``df`` makes this
+    ``DELETE WHERE``. Returns the new snapshot id.
+    """
+    import functools as _ft
+    import operator as _op
+
+    from ..operators.constraints import guard_constraints
+
+    plan = plan_scan(root, predicates)  # validates predicate grammar
+    manifest = _load(root)
+    entry = _entry(manifest, plan["snapshot_id"])
+    dir_stats = manifest.get("dir_stats", {})
+
+    keep_verbatim: dict[str, list[str]] = {}
+    rewrite_paths: list[str] = []
+    pruned = set(plan["pruned"])  # no row can match -> keep verbatim
+    for d, fname in _entry_units(root, manifest, entry):
+        rel = os.path.join(d, fname)
+        stats = dir_stats.get(d, {}).get(fname, {})
+        if rel in pruned:
+            keep_verbatim.setdefault(d, []).append(fname)
+        elif all(
+            _file_all_match(stats, p[0], p[1], p[2] if len(p) == 3 else None)
+            for p in predicates
+        ):
+            continue  # every row matches: drop whole file, never read
+        else:
+            rewrite_paths.append(os.path.join(root, rel))
+
+    conj = _ft.reduce(_op.and_, [_predicate_col(p) for p in predicates])
+    # NULL must VIOLATE here (a null doesn't satisfy the scope, so the
+    # row would leak outside it) — unlike ANSI CHECK's null-satisfies
+    new_rows = guard_constraints(
+        df, {"replace_where_scope": F.coalesce(conj, F.lit(False))}
+    )
+    if rewrite_paths:
+        retained = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*rewrite_paths)
+            .filter(~F.coalesce(conj, F.lit(False)))
+        )
+        new_rows = retained.unionByName(new_rows, allowMissingColumns=True)
+
+    snap_id = manifest["snapshots"][-1]["id"] + 1
+    data_dir = f"snap-{snap_id:08d}-replace"
+    _write_data_dir(new_rows, root, data_dir)
+
+    files = {d: sorted(names) for d, names in keep_verbatim.items()}
+    manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
+        root, data_dir
+    )
+    files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+    manifest["snapshots"].append(
+        {
+            "id": snap_id,
+            "op": "replace_where",
+            "ts": time.time(),
+            "dirs": sorted(files),
+            "files": files,
+            "parent": manifest["current"],
+            "schema": new_rows.schema.json(),
+            "meta": {"predicates": [list(p) for p in predicates]},
+        }
+    )
+    manifest["current"] = snap_id
+    _commit(root, manifest)
+    return snap_id
 
 
 def optimize_zorder(

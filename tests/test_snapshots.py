@@ -257,3 +257,67 @@ def test_remove_orphans(spark, root):
     os.makedirs(orphan)
     assert S.remove_orphans(root, older_than_s=3600) == []
     assert os.path.exists(orphan)
+
+
+def test_replace_where_rewrites_only_boundary_files(spark, root):
+    """Partition-shaped replace: out-of-scope files carry over
+    VERBATIM (same path, same bytes), all-in-scope files drop without
+    being read, only straddlers rewrite."""
+    df = spark.range(0, 8_000).withColumn("v", F.col("id") * 10)
+    S.write_snapshot(df.repartitionByRange(8, "id"), root)
+    before = {
+        os.path.join(d, f): os.path.getsize(os.path.join(root, d, f))
+        for d, f in S._entry_units(
+            S._load(root), S._load(root), S._entry(S._load(root), 1)
+        )
+    }
+
+    repl = spark.createDataFrame(
+        [(i, -1) for i in range(2_000, 3_000)], "id long, v long"
+    )
+    sid = S.replace_where(spark, root, repl, [("id", ">=", 2000), ("id", "<", 4000)])
+
+    out = S.read_snapshot(spark, root)
+    assert out.count() == 8_000 - 2_000 + 1_000
+    assert out.filter("id >= 2000 and id < 3000").agg(F.max("v")).first()[0] == -1
+    assert out.filter("id >= 3000 and id < 4000").count() == 0
+    assert out.filter("id < 2000 or id >= 4000").filter("v < 0").count() == 0
+
+    entry = S._entry(S._load(root), sid)
+    carried = [
+        (d, f) for d, f in S._entry_units(root, S._load(root), entry)
+        if not d.endswith("-replace")
+    ]
+    # most of the 8 range files are out of scope and carried verbatim
+    assert len(carried) >= 5
+    for d, f in carried:
+        rel = os.path.join(d, f)
+        assert os.path.getsize(os.path.join(root, rel)) == before[rel]
+    # old snapshot still time-travel readable, untouched
+    assert S.read_snapshot(spark, root, snapshot_id=1).count() == 8_000
+
+
+def test_replace_where_scope_guard_and_delete(spark, root):
+    import pyspark.errors as PE
+
+    S.write_snapshot(
+        spark.createDataFrame([(i, i) for i in range(100)], "id long, v long"),
+        root,
+    )
+    # new rows outside the claimed scope fail IN-PLAN, commit nothing
+    bad = spark.createDataFrame([(999, 0)], "id long, v long")
+    with pytest.raises(PE.PySparkException, match="replace_where_scope"):
+        S.replace_where(spark, root, bad, [("id", "<", 50)])
+    assert S._load(root)["current"] == 1
+    # NULL in a predicate column is OUTSIDE any comparison scope
+    nullrow = spark.createDataFrame([(None, 0)], "id long, v long")
+    with pytest.raises(PE.PySparkException, match="replace_where_scope"):
+        S.replace_where(spark, root, nullrow, [("id", "<", 50)])
+
+    # empty df == DELETE WHERE; deleting everything stays readable
+    empty = spark.createDataFrame([], "id long, v long")
+    S.replace_where(spark, root, empty, [("id", "<", 50)])
+    assert S.read_snapshot(spark, root).count() == 50
+    S.replace_where(spark, root, empty, [("id", ">=", 0)])
+    out = S.read_snapshot(spark, root)
+    assert out.count() == 0 and out.columns == ["id", "v"]
