@@ -163,3 +163,57 @@ def foreach_batch_merge_snapshot(
         )
 
     return fn
+
+
+def foreach_batch_apply_changes(
+    root: str, keys: list[str], order_col: str | None = None
+):
+    """Exactly-once streaming CDC consumer (DLT ``APPLY CHANGES INTO``
+    as a foreachBatch sink): each micro-batch is a change feed — rows
+    carry ``_change_type`` (see ``operators.upsert.cdc_diff``) — folded
+    onto the snapshot table at ``root`` via ``apply_changes``, which
+    unlike the MERGE sink can DELETE. Idempotence is the same
+    batch-id-in-the-manifest transaction as
+    :func:`foreach_batch_merge_snapshot`.
+
+    ``order_col`` is DLT's SEQUENCE BY: within a batch, a key's fate is
+    its max-``order_col`` change (preimages rank below their postimage
+    at the same sequence value, so a pre/post pair compacts to the
+    post). None asserts the batch is already compacted to one change
+    per key.
+    """
+    from ..operators.upsert import apply_changes
+    from ..sources import snapshots as snap
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = snap._load(root)
+        done = {
+            e.get("meta", {}).get("stream_batch_id")
+            for e in manifest["snapshots"]
+        }
+        if batch_id in done:
+            return
+        src = batch_df
+        if order_col is not None:
+            from pyspark.sql import Window
+
+            pre_last = (F.col("_change_type") == "update_preimage").cast("int")
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(order_col).desc(), pre_last.asc(), *[F.col(k) for k in keys]
+            )
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        data_cols = [c for c in src.columns if c != "_change_type"]
+        if manifest["current"] is not None:
+            target = snap.read_snapshot(batch_df.sparkSession, root)
+        else:
+            target = src.select(*data_cols).filter(F.lit(False))
+        applied = apply_changes(target, src, keys)
+        snap.write_snapshot(
+            applied, root, mode="overwrite", meta={"stream_batch_id": batch_id}
+        )
+
+    return fn

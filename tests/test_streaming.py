@@ -544,3 +544,54 @@ def test_ddsketch_builds_as_a_stream(spark, tmpdir):
     batch = spark.createDataFrame([(v,) for v in vals], ["v"])
     want = {r.bucket: r.cnt for r in sk.ddsketch_cells(batch, "v").collect()}
     assert got == want
+
+
+def test_foreach_batch_apply_changes_exactly_once(spark, tmpdir):
+    """Streaming CDC consumer: inserts/updates/deletes from the feed
+    land exactly-once in the snapshot table; pre/post pairs compact to
+    the post; replaying a committed batch is a no-op."""
+    import os
+
+    from e_commerce_lakehouse_spark.sources import snapshots as snap
+
+    src = f"{tmpdir}/cdc_src"
+    root = f"{tmpdir}/cdc_tbl"
+    ckpt = f"{tmpdir}/cdc_ckpt"
+    os.makedirs(src)
+    feed = [
+        {"k": "a", "v": 1, "seq": 1, "_change_type": "insert"},
+        {"k": "b", "v": 10, "seq": 1, "_change_type": "insert"},
+        {"k": "a", "v": 1, "seq": 2, "_change_type": "update_preimage"},
+        {"k": "a", "v": 5, "seq": 2, "_change_type": "update_postimage"},
+    ]
+    with open(f"{src}/part1.json", "w") as f:
+        for r in feed:
+            f.write(json.dumps(r) + "\n")
+    schema = "k string, v long, seq long, _change_type string"
+    stream = spark.readStream.schema(schema).json(src)
+    sink = sinks.foreach_batch_apply_changes(root, ["k"], order_col="seq")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r.k: r.v for r in snap.read_snapshot(spark, root).collect()}
+    assert got == {"a": 5, "b": 10}
+
+    # replay of a committed batch id: pure no-op
+    replay = spark.createDataFrame([("a", 999, 9, "insert")], schema)
+    sink(replay, 0)
+    assert {r.k: r.v for r in snap.read_snapshot(spark, root).collect()} == got
+
+    # a new batch can DELETE — the thing the merge sink cannot do
+    sink(
+        spark.createDataFrame(
+            [("b", 10, 3, "delete"), ("c", 7, 3, "insert")], schema
+        ),
+        1,
+    )
+    got2 = {r.k: r.v for r in snap.read_snapshot(spark, root).collect()}
+    assert got2 == {"a": 5, "c": 7}
+    assert [e["meta"]["stream_batch_id"] for e in snap.history(root)] == [0, 1]
