@@ -1923,11 +1923,17 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
         (similarity.ranking_quality). The oracle recomputes BOTH
         rankings and the same metric arithmetic, so a recall
         regression in the index flips rows red — approximate search
-        with its measurement built in."""
+        with its measurement built in;
+      - kind='hard_neg': hard-negative mining (similarity.
+        hard_negatives) — per anchor, the top-5 most-similar
+        WRONG-label vectors, the contrastive-training batch
+        construction step (DPR/SimCSE); label mismatch fused into the
+        broadcast join."""
     emb = load_table(spark, sf, "embeddings")
     ann = similarity.ann_topk_multi(emb, query_max_id=10, k=5, planes=8, tables=3)
     exact = similarity.cosine_topk(emb, query_max_id=10, k=5)
     quality = similarity.ranking_quality(ann, exact, k=5)
+    hneg = similarity.hard_negatives(emb, query_max_id=10, k=5)
     ni = F.lit(None).cast("int")
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -1944,6 +1950,14 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
                 nl.alias("neighbor_id"), ni.alias("neighbor_label"),
                 nd.alias("cosine"), ni.alias("rank"),
                 "recall_at_k", "mrr_x1e6", "ndcg_x1e6",
+            )
+        )
+        .unionByName(
+            hneg.select(
+                F.lit("hard_neg").alias("kind"), "query_id",
+                "neighbor_id", "neighbor_label", "cosine", "rank",
+                ni.alias("recall_at_k"), nl.alias("mrr_x1e6"),
+                nl.alias("ndcg_x1e6"),
             )
         )
     )
@@ -2333,6 +2347,22 @@ def _ann_multi_oracle_sql(
                    CAST(NULL AS INT), CAST(NULL AS DOUBLE),
                    CAST(NULL AS INT), recall_at_k, mrr_x1e6, ndcg_x1e6
             FROM qm
+            UNION ALL
+            SELECT 'hard_neg', query_id, neighbor_id, neighbor_label,
+                   cosine, CAST(hrk AS INT),
+                   CAST(NULL AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       c.label AS neighbor_label,
+                       {_cos_sql('q.vec', 'c.vec')} AS cosine,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_cos_sql('q.vec', 'c.vec')} DESC,
+                                    c.vec_id ASC) AS hrk
+                FROM v q JOIN v c
+                  ON q.vec_id <> c.vec_id AND q.label <> c.label
+                WHERE q.vec_id < {query_max_id}
+            ) WHERE hrk <= {k}
         """
 
 

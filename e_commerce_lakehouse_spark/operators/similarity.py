@@ -1253,3 +1253,56 @@ def sq8_index(
         .select("query_id", "neighbor_id", "adc_d2", "sq_d2", "rank")
     )
     return codes, topk
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR / SimCSE
+    batch construction): for each anchor (vec_id < query_max_id), the
+    k most-cosine-similar corpus vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss, vs. random
+    negatives that are trivially far.
+
+    Same plan as :func:`cosine_topk` — anchors broadcast, corpus
+    streams through once — with the label-mismatch predicate fused
+    into the broadcast join condition, so same-label pairs are
+    discarded at the join, never scored. Anchors or candidates with a
+    NULL label never pair (NULL != x is NULL): label your data or
+    filter upstream.
+    """
+    q = embeddings.filter(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        quantized("embedding").alias("q_vec"),
+    )
+    c = spread_for_cpu(embeddings).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        quantized("embedding").alias("c_vec"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine_q(
+            dot_q(F.col("q_vec"), F.col("c_vec")),
+            norm_sq_q(F.col("q_vec")),
+            norm_sq_q(F.col("c_vec")),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

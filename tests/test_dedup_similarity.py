@@ -735,3 +735,33 @@ def test_interval_join_binned_plan_is_equi_join(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_wrong_label_topk(spark):
+    """Every mined negative has a different label than its anchor, and
+    the ranking is exactly the label-filtered slice of the exact
+    cosine ranking (brute-force cross-check)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    k = 5
+    got = similarity.hard_negatives(emb, query_max_id=6, k=k)
+    rows = got.collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert rows, "no negatives mined"
+    for r in rows:
+        assert r.neighbor_label != labels[r.query_id]
+        assert r.query_label == labels[r.query_id]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    # contiguous ranks 1..k and exact agreement with the unfiltered
+    # ranking restricted to wrong labels
+    exact = similarity.cosine_topk(emb, query_max_id=6, k=10**9)
+    ex_rows = exact.collect()
+    for qid, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        want = [
+            e.neighbor_id
+            for e in sorted(ex_rows, key=lambda e: e.rank)
+            if e.query_id == qid and e.neighbor_label != labels[qid]
+        ][:k]
+        assert [r.neighbor_id for r in sorted(rs, key=lambda r: r.rank)] == want
