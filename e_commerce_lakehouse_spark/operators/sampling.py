@@ -626,3 +626,85 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_b", "_cum_in", "_off")
     )
+
+
+def pack_documents_ffd(
+    documents: DataFrame,
+    ctx_len: int = 512,
+    part_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Whole-document bin packing (SFT-style: documents are NEVER
+    split across context windows, unlike :func:`pack_sequences`):
+    first-fit-decreasing within each ``part_col`` stream — docs sorted
+    longest-first, each placed into the lowest-indexed bin with room,
+    new bin when none fits. FFD's classic guarantee (≤ 11/9·OPT + 1
+    bins) is why it's the standard offline packer.
+
+    A document longer than ``ctx_len`` fails the job loudly (it cannot
+    be packed whole).
+
+    Scale shape: FFD is inherently sequential PER STREAM, so the unit
+    of parallelism is the ``part_col`` group (Arrow ``applyInPandas``,
+    one pass, sort + linear scan with a per-bin fill array). Groups
+    are source domains — bounded in practice; a pathological mega
+    source should be pre-sharded into synthetic sub-streams (the same
+    knob every sequential packer exposes). Deterministic: ties by
+    ``key_col``, so reruns and repartitionings give identical bins.
+
+    Returns one row per doc: key, part, n_tokens, bin_id (dense per
+    stream, 0-based), bin_fill (the bin's total AFTER packing — every
+    row of a bin carries the same value, handy for padding stats).
+    """
+    import pandas as pd
+
+    from .text import tokens
+
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be > 0, got {ctx_len}")
+
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    slim = documents.select(
+        F.col(key_col).alias("k"),
+        F.col(part_col).alias("part"),
+        n_tok.alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "k"], ascending=[False, True]
+        ).reset_index(drop=True)
+        too_big = pdf[pdf["n_tokens"] > ctx_len]
+        if len(too_big):
+            k = too_big.iloc[0]
+            raise ValueError(
+                f"pack_documents_ffd: doc {k['k']} has {k['n_tokens']} "
+                f"tokens > ctx_len {ctx_len}; split or drop upstream"
+            )
+        fills: list[int] = []
+        bin_ids = []
+        for t in pdf["n_tokens"]:
+            placed = None
+            for i, f_ in enumerate(fills):
+                if f_ + t <= ctx_len:
+                    placed = i
+                    break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += t
+            bin_ids.append(placed)
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_fill"] = pdf["bin_id"].map(lambda b: fills[b]).astype("int64")
+        return pdf
+
+    out = slim.groupBy("part").applyInPandas(
+        pack, schema="k long, part string, n_tokens long, bin_id long, bin_fill long"
+    )
+    return out.select(
+        F.col("k").alias(key_col),
+        F.col("part").alias(part_col),
+        "n_tokens",
+        "bin_id",
+        "bin_fill",
+    )

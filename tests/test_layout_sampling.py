@@ -580,3 +580,43 @@ def test_token_budget_no_corpus_single_partition(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SinglePartition") == 1
     assert "hashpartitioning(_b" in plan
+
+
+def test_pack_documents_ffd_invariants(spark):
+    """No bin overflows, every doc appears once whole, bins are dense,
+    fills are consistent, and the hand example matches textbook FFD."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    ctx = 600
+    out = sampling.pack_documents_ffd(docs, ctx_len=ctx)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    per_bin = {}
+    for r in rows:
+        per_bin.setdefault((r.source, r.bin_id), []).append(r)
+    for (_, _), rs in per_bin.items():
+        total = sum(r.n_tokens for r in rs)
+        assert total <= ctx
+        assert all(r.bin_fill == total for r in rs)
+    for src in {r.source for r in rows}:
+        bins = sorted({r.bin_id for r in rows if r.source == src})
+        assert bins == list(range(len(bins)))  # dense, 0-based
+
+    # textbook FFD: sizes 7,6,3,2,2 into cap 10 -> [7,3] [6,2,2]
+    hand = spark.createDataFrame(
+        [(i, "s", "w " * n) for i, n in enumerate([7, 6, 3, 2, 2])],
+        "doc_id long, source string, text string",
+    ).withColumn("text", F.rtrim("text"))
+    got = {
+        r.doc_id: r.bin_id
+        for r in sampling.pack_documents_ffd(hand, ctx_len=10).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 1}
+
+    # an unpackable doc fails loudly
+    import pyspark.errors as PE
+
+    big = spark.createDataFrame(
+        [(1, "s", "w " * 50)], "doc_id long, source string, text string"
+    )
+    with pytest.raises(PE.PySparkException, match="ctx_len"):
+        sampling.pack_documents_ffd(big, ctx_len=10).collect()
