@@ -717,6 +717,73 @@ def replace_where(
     return snap_id
 
 
+def compact_files(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file binpack compaction (Iceberg ``rewrite_data_files``
+    binpack strategy): files already at/above ``target_bytes`` are
+    carried over VERBATIM (file-granular entry, zero I/O); the small
+    ones are read together and rewritten as ceil(total/target) files
+    in the new commit's dir. A no-op (returns the current id, no new
+    snapshot) when fewer than two small files exist — nothing to bin.
+
+    At 100 TB this is the steady-state maintenance job after streaming
+    appends: each run's cost is proportional to the SMALL-file bytes,
+    never the table, and the commit is the same atomic manifest swap
+    as every other write."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    manifest = _load(root)
+    if manifest["current"] is None:
+        raise KeyError(f"table {root} has no snapshots")
+    entry = _entry(manifest, manifest["current"])
+
+    keep: dict[str, list[str]] = {}
+    small: list[tuple[str, str, int]] = []
+    for d, f in _entry_units(root, manifest, entry):
+        size = os.path.getsize(os.path.join(root, d, f))
+        if size >= target_bytes:
+            keep.setdefault(d, []).append(f)
+        else:
+            small.append((d, f, size))
+    if len(small) < 2:
+        return manifest["current"]
+
+    total = sum(s for _, _, s in small)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(root, d, f) for d, f, _ in small])
+        .repartition(n_out)
+    )
+    snap_id = manifest["snapshots"][-1]["id"] + 1
+    data_dir = f"snap-{snap_id:08d}-compact"
+    _write_data_dir(merged, root, data_dir)
+
+    files = {d: sorted(names) for d, names in keep.items()}
+    manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
+        root, data_dir
+    )
+    files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+    manifest["snapshots"].append(
+        {
+            "id": snap_id,
+            "op": "compact",
+            "ts": time.time(),
+            "dirs": sorted(files),
+            "files": files,
+            "parent": manifest["current"],
+            "schema": merged.schema.json(),
+            "meta": {"compacted_files": len(small), "out_files": int(n_out)},
+        }
+    )
+    manifest["current"] = snap_id
+    _commit(root, manifest)
+    return snap_id
+
+
 def optimize_zorder(
     spark: SparkSession,
     root: str,

@@ -321,3 +321,44 @@ def test_replace_where_scope_guard_and_delete(spark, root):
     S.replace_where(spark, root, empty, [("id", ">=", 0)])
     out = S.read_snapshot(spark, root)
     assert out.count() == 0 and out.columns == ["id", "v"]
+
+
+def test_compact_files_binpack(spark, root):
+    """Small files merge into ~target-size outputs; files already at
+    target carry over verbatim; rows identical; history preserved."""
+    # one "big" file (relative to the tiny target) + many small ones
+    S.write_snapshot(spark.range(0, 50_000).coalesce(1), root)
+    for i in range(4):
+        S.write_snapshot(
+            spark.range(50_000 + i * 10, 50_000 + i * 10 + 10).coalesce(1),
+            root,
+            mode="append",
+        )
+    m = S._load(root)
+    entry = S._entry(m, m["current"])
+    sizes = {
+        os.path.join(d, f): os.path.getsize(os.path.join(root, d, f))
+        for d, f in S._entry_units(root, m, entry)
+    }
+    big = [p for p, s in sizes.items() if s >= 4096]
+    assert big, "expected the 50k-row file to exceed the test target"
+
+    sid = S.compact_files(spark, root, target_bytes=4096)
+    m2 = S._load(root)
+    e2 = S._entry(m2, sid)
+    units = list(S._entry_units(root, m2, e2))
+    # verbatim carry-over of the big file(s)
+    for p in big:
+        d, f = os.path.split(p)
+        assert (d, f) in units
+        assert os.path.getsize(os.path.join(root, p)) == sizes[p]
+    # small files no longer referenced; compacted dir present
+    assert sum(1 for d, _ in units if d.endswith("-compact")) >= 1
+    assert S.read_snapshot(spark, root).count() == 50_040
+    assert sorted(r.id for r in S.read_snapshot(spark, root).collect())[:3] == [0, 1, 2]
+    # pre-compact snapshot still readable (time travel)
+    assert S.read_snapshot(spark, root, snapshot_id=sid - 1).count() == 50_040
+
+    # idempotence-ish: a second run with nothing small enough is a no-op
+    sid2 = S.compact_files(spark, root, target_bytes=1)
+    assert sid2 == sid
