@@ -34,6 +34,7 @@ from e_commerce_lakehouse_spark.operators import (
     cleaning,
     corpus_cache,
     dedup,
+    dictionary,
     joins,
     multimodal,
     pii,
@@ -618,23 +619,68 @@ def _q22_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q23_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Event-time windowed aggregation surface as one tagged union:
-    tumbling 1 h (with exact value sums) ⊕ sliding 1 h / 30 min."""
+    tumbling 1 h (with exact value sums) ⊕ sliding 1 h / 30 min ⊕
+    OHLC bars (windows.ohlc_resample — open/high/low/close per type
+    per hour via associative struct min/max, one map-side-combinable
+    groupBy, no sort window) ⊕ 15-minute gap-filled LOCF series
+    (windows.gap_fill_locf — every bucket between each type's first
+    and last bar materialized via sequence+explode, close carried
+    forward across the ~50% empty buckets, counts zero-filled)."""
     ev = load_table(spark, sf, "events")
+    nd = F.lit(None).cast("double")
     t = stream_events.tumbling_counts(ev, width="1 hour").select(
         F.lit("tumbling").alias("kind"),
         "window_start",
         "event_type",
         "n_events",
         "total_value",
+        nd.alias("open_v"),
+        nd.alias("high_v"),
+        nd.alias("low_v"),
+        nd.alias("close_v"),
     )
     s = stream_events.sliding_counts(ev, width="1 hour", slide="30 minutes").select(
         F.lit("sliding").alias("kind"),
         "window_start",
         "event_type",
         "n_events",
-        F.lit(None).cast("double").alias("total_value"),
+        nd.alias("total_value"),
+        nd.alias("open_v"),
+        nd.alias("high_v"),
+        nd.alias("low_v"),
+        nd.alias("close_v"),
     )
-    return t.unionByName(s)
+    o = windows.ohlc_resample(ev).select(
+        F.lit("ohlc").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        nd.alias("total_value"),
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+    )
+    bars15 = windows.ohlc_resample(ev, width="15 minutes")
+    gf = windows.gap_fill_locf(
+        bars15,
+        "window_start",
+        ["event_type"],
+        fill_cols=["close_v"],
+        zero_cols=["n_events"],
+        step="15 minutes",
+    ).select(
+        F.lit("gapfill").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        nd.alias("total_value"),
+        nd.alias("open_v"),
+        nd.alias("high_v"),
+        nd.alias("low_v"),
+        "close_v",
+    )
+    return t.unionByName(s).unionByName(o).unionByName(gf)
 
 
 def _q24_session_windows(spark: SparkSession, sf: str) -> DataFrame:
@@ -774,14 +820,18 @@ def _q30_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q31_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Event funnel via conditional min-timestamps (one shuffle on
-    user_id)."""
+    user_id) ⊕ weekly cohort retention matrix
+    (aggregates.retention_cohorts — users bucketed by first-event
+    week, counted per whole-week activity offset; cohort emitted as
+    days-since-epoch for exact cross-engine hashing)."""
     ev = load_table(spark, sf, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
     )
-    return per_user.agg(
+    nl = F.lit(None).cast("long")
+    funnel = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("first_click").alias("clicked"),
         F.sum(
@@ -796,7 +846,25 @@ def _q31_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("purchased_after_view"),
+    ).select(
+        F.lit("funnel").alias("kind"),
+        "n_users",
+        "clicked",
+        "viewed_after_click",
+        "purchased_after_view",
+        nl.alias("cohort_day"),
+        nl.alias("week_offset"),
     )
+    retention = agg.retention_cohorts(ev).select(
+        F.lit("retention").alias("kind"),
+        "n_users",
+        nl.alias("clicked"),
+        nl.alias("viewed_after_click"),
+        nl.alias("purchased_after_view"),
+        "cohort_day",
+        "week_offset",
+    )
+    return funnel.unionByName(retention)
 
 
 def _q32_full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
@@ -1568,7 +1636,12 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
         (operators/pii.py) over documents — per detector class, total
         matches + clean-doc share, and the summed length of the
         redacted corpus (regexp_replace semantics value-pinned against
-        DuckDB's RE2, not just counted)."""
+        DuckDB's RE2, not just counted);
+      - kind='dictionary': Aho-Corasick blocklist tagging
+        (operators/dictionary.py) — per DICT_PHRASES entry, docs
+        containing it (n_rows), total occurrences (n_violations) and
+        clean-doc share, one automaton pass over the corpus vs the
+        oracle's per-phrase regex scans; zero-hit entries reported."""
     li = load_table(spark, sf, "lineitem")
     rules = quality.dq_report(
         li,
@@ -1617,7 +1690,24 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
-    return rules.unionByName(overflow).unionByName(pii_rows)
+    docs = load_table(spark, sf, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("_n"))
+    dict_rows = (
+        dictionary.dictionary_phrase_stats(docs, DICT_PHRASES)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("dictionary").alias("kind"),
+            F.concat(F.lit("dict_"), F.col("phrase")).alias("rule"),
+            F.col("docs_with").cast("long").alias("n_rows"),
+            F.col("n_occurrences").cast("long").alias("n_violations"),
+            (
+                (F.col("_n") - F.col("docs_with")).cast("double") / F.col("_n")
+            ).alias("pass_rate"),
+        )
+    )
+    return (
+        rules.unionByName(overflow).unionByName(pii_rows).unionByName(dict_rows)
+    )
 
 
 def _q38_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2160,6 +2250,39 @@ def _cos_sql(a: str, b: str) -> str:
         f"CAST({_dot_sql(a, b)} AS DOUBLE) / "
         f"(sqrt(CAST({_normsq_sql(a)} AS DOUBLE)) * sqrt(CAST({_normsq_sql(b)} AS DOUBLE)))"
     )
+
+
+# q37 dictionary-tagging branch: phrases chosen from the corpus vocab;
+# each is literal [a-z ]+ (regex == literal) and cannot overlap itself
+# (no proper border), so AC all-occurrence counts equal RE2's
+# non-overlapping regexp_extract_all counts — see
+# tests/test_quality.py for the overlap case where they differ.
+DICT_PHRASES = ["table", "hash value", "merge batch", "slow fast", "zzz absent"]
+
+
+def _dictionary_oracle_branch() -> str:
+    """Generated mirror of the q37 'dictionary' branch — rendered from
+    the SAME DICT_PHRASES list the Spark side tags with, so the two
+    sides cannot drift."""
+    import re as _re
+
+    parts = []
+    for p in DICT_PHRASES:
+        assert _re.fullmatch(r"[a-z ]+", p), f"unsafe dictionary phrase {p!r}"
+        n = f"len(regexp_extract_all(coalesce(text, ''), '{p}'))"
+        parts.append(
+            f"""
+            UNION ALL
+            SELECT 'dictionary' AS kind, 'dict_{p}' AS rule,
+                   CAST(sum(CASE WHEN {n} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rows,
+                   CAST(sum({n}) AS BIGINT) AS n_violations,
+                   CAST(count(*) - sum(CASE WHEN {n} > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS pass_rate
+            FROM documents
+            """
+        )
+    return "".join(parts)
 
 
 def _pii_oracle_sql() -> str:
@@ -3446,13 +3569,78 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(*) AS n_events,
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
-                       AS total_value
+                       AS total_value,
+                   CAST(NULL AS DOUBLE) AS open_v,
+                   CAST(NULL AS DOUBLE) AS high_v,
+                   CAST(NULL AS DOUBLE) AS low_v,
+                   CAST(NULL AS DOUBLE) AS close_v
             FROM events
             GROUP BY 2, 3
             UNION ALL
             SELECT 'sliding' AS kind, window_start, event_type,
-                   count(*) AS n_events, CAST(NULL AS DOUBLE) AS total_value
+                   count(*) AS n_events, CAST(NULL AS DOUBLE) AS total_value,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM b GROUP BY 2, 3
+            UNION ALL
+            SELECT 'ohlc' AS kind, window_start, event_type,
+                   count(*) AS n_events, CAST(NULL AS DOUBLE) AS total_value,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+                   max(value) AS high_v,
+                   min(value) AS low_v,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS close_v
+            FROM (
+                SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                       event_type, value,
+                       row_number() OVER (
+                           PARTITION BY event_type,
+                                        time_bucket(INTERVAL '1 hour', ts)
+                           ORDER BY ts ASC, event_id ASC) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY event_type,
+                                        time_bucket(INTERVAL '1 hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM events
+            ) GROUP BY 2, 3
+            UNION ALL
+            SELECT 'gapfill' AS kind, ws AS window_start, event_type,
+                   n_events, CAST(NULL AS DOUBLE) AS total_value,
+                   CAST(NULL AS DOUBLE) AS open_v,
+                   CAST(NULL AS DOUBLE) AS high_v,
+                   CAST(NULL AS DOUBLE) AS low_v,
+                   close_v
+            FROM (
+                SELECT cal.event_type, cal.ws,
+                       coalesce(b15.n_events, 0) AS n_events,
+                       last_value(b15.close_v IGNORE NULLS) OVER (
+                           PARTITION BY cal.event_type ORDER BY cal.ws
+                           ROWS UNBOUNDED PRECEDING) AS close_v
+                FROM (
+                    SELECT event_type,
+                           unnest(generate_series(mn, mx,
+                                                  INTERVAL '15 minutes')) AS ws
+                    FROM (SELECT event_type, min(ws) AS mn, max(ws) AS mx
+                          FROM (SELECT event_type,
+                                       time_bucket(INTERVAL '15 minutes', ts)
+                                           AS ws
+                                FROM events)
+                          GROUP BY event_type)
+                ) cal
+                LEFT JOIN (
+                    SELECT ws, event_type, count(*) AS n_events,
+                           max(CASE WHEN rn_d = 1 THEN value END) AS close_v
+                    FROM (
+                        SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws,
+                               event_type, value,
+                               row_number() OVER (
+                                   PARTITION BY event_type,
+                                       time_bucket(INTERVAL '15 minutes', ts)
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+                        FROM events
+                    ) GROUP BY 1, 2
+                ) b15
+                  ON cal.event_type = b15.event_type AND cal.ws = b15.ws
+            )
         """,
         "q24_session_windows": """
             WITH marked AS (
@@ -3549,14 +3737,34 @@ def oracle_sql() -> dict[str, str]:
                        min(ts) FILTER (event_type = 'purchase') AS first_purchase
                 FROM events GROUP BY user_id
             )
-            SELECT count(*) AS n_users,
+            SELECT 'funnel' AS kind,
+                   count(*) AS n_users,
                    count(first_click) AS clicked,
                    CAST(sum(CASE WHEN first_view > first_click THEN 1 ELSE 0 END) AS BIGINT)
                        AS viewed_after_click,
                    CAST(sum(CASE WHEN first_view > first_click
                                   AND first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
-                       AS purchased_after_view
+                       AS purchased_after_view,
+                   CAST(NULL AS BIGINT) AS cohort_day,
+                   CAST(NULL AS BIGINT) AS week_offset
             FROM per_user
+            UNION ALL
+            SELECT 'retention', CAST(count(*) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), cohort_day, week_offset
+            FROM (
+                SELECT DISTINCT e.user_id,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     date_trunc('week', f.first_ts)) AS BIGINT)
+                           AS cohort_day,
+                       CAST(datediff('day', date_trunc('week', f.first_ts),
+                                     date_trunc('week', e.ts)) // 7 AS BIGINT)
+                           AS week_offset
+                FROM events e
+                JOIN (SELECT user_id, min(ts) AS first_ts
+                      FROM events GROUP BY user_id) f
+                  ON e.user_id = f.user_id
+            ) GROUP BY cohort_day, week_offset
         """,
         "q32_full_outer_activity": """
             SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
@@ -3911,7 +4119,8 @@ def oracle_sql() -> dict[str, str]:
             )
             UNION ALL
         """
-        + _pii_oracle_sql(),
+        + _pii_oracle_sql()
+        + _dictionary_oracle_branch(),
         "q38_embedding_neardup": _neardup_oracle_sql(),
         "q39_ivf_ann": f"""
             WITH v AS (

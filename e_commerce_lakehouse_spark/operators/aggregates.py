@@ -162,3 +162,44 @@ def watermark_max(df: DataFrame, time_col: str):
     """Global scalar max — the incremental-load high-watermark
     (reference bronze_batch_load.py:66,112). One Spark job, one row."""
     return df.agg(F.max(time_col)).first()[0]
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    grouped by the week of their FIRST event (cohort), counted in
+    every later week they were active, keyed by whole-week offset.
+
+    Two shuffles on user_id (first-event min, then distinct
+    user-weeks) and one on the tiny cohort key; no window. Weeks are
+    Monday-anchored ``date_trunc`` so the bucket is engine-portable;
+    the cohort is emitted as days-since-epoch (BIGINT) for exact
+    cross-engine comparison.
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
+    active = (
+        events.select(
+            user_col, F.date_trunc("week", F.col(ts_col)).alias("_wk")
+        ).distinct()
+    )
+    j = active.join(first, user_col).select(
+        F.datediff(
+            F.to_date(F.date_trunc("week", F.col("_first_ts"))),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("cohort_day"),
+        (
+            F.datediff(
+                F.to_date(F.col("_wk")),
+                F.to_date(F.date_trunc("week", F.col("_first_ts"))),
+            )
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return j.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

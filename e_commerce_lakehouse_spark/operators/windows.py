@@ -135,3 +135,88 @@ def ewma(
         .withColumn(out, F.expr("_ewma_n div _ewma_d"))
         .drop("_ewma_n", "_ewma_d")
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Time-series downsampling to OHLC bars (open/high/low/close per
+    key per fixed bucket) — the timescale-style resample a metrics or
+    pricing pipeline runs constantly.
+
+    Open/close are picked by lexicographic struct min/max over
+    (ts, tiebreak, value) — an ASSOCIATIVE aggregate, so the whole
+    operator is ONE groupBy with full map-side partial aggregation: at
+    100 TB each bucket combines locally per partition and only the
+    per-(key, bucket) partials shuffle, vs. the row_number-window
+    formulation that sorts every row. ``tiebreak_col`` must be unique
+    within (key, bucket) for deterministic open/close under equal
+    timestamps.
+    """
+    w = F.window(F.col(ts_col), width).getField("start").alias("window_start")
+    first = F.min(
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+    ).getField(value_col)
+    last = F.max(
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+    ).getField(value_col)
+    return df.groupBy(w, *[F.col(k) for k in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        first.alias("open_v"),
+        F.max(value_col).alias("high_v"),
+        F.min(value_col).alias("low_v"),
+        last.alias("close_v"),
+    )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    fill_cols: Sequence[str],
+    zero_cols: Sequence[str] = (),
+    step: str = "15 minutes",
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (timescale ``time_bucket_gapfill`` + ``locf``): materialize every
+    ``step`` bucket between each key's first and last observed bucket,
+    carry ``fill_cols`` forward across the generated gaps, zero-fill
+    ``zero_cols`` (counts). Input must already be bucketed — one row
+    per (key, bucket), e.g. :func:`ohlc_resample` output.
+
+    Plan: per-key min/max (one tiny agg), calendar via
+    ``sequence``+``explode`` (map-side, no UDF), one left join back on
+    (key, bucket), and one per-key ordered window for the LOCF. At
+    100 TB the window partitions by key and the calendar is
+    span/step rows per key — bounded by time, not data. Leading gaps
+    (before a key's first observation) cannot exist by construction,
+    so LOCF is total.
+    """
+    cal = (
+        df.groupBy(*key_cols)
+        .agg(F.min(ts_col).alias("_mn"), F.max(ts_col).alias("_mx"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence("_mn", "_mx", F.expr(f"INTERVAL {step}"))
+            ).alias(ts_col),
+        )
+    )
+    full = cal.join(df, [*key_cols, ts_col], "left")
+    w = (
+        Window.partitionBy(*[F.col(k) for k in key_cols])
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gap = F.col(fill_cols[0]).isNull() if fill_cols else F.lit(False)
+    out = full.withColumn("_filled", gap)
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    for c in zero_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out

@@ -164,3 +164,72 @@ def test_ewma_matches_python_model(spark):
             m = min(t + 1, k)
             num = sum(w[i] * vals[t - i] for i in range(m))
             assert got[(g, t)] == num // partial[m - 1], (g, t)
+
+
+def test_ohlc_resample_semantics_and_plan(spark):
+    """OHLC bars: open/close picked by (ts, tiebreak) order including
+    equal-timestamp ties; the plan is ONE map-side-combinable groupBy,
+    no sort window."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_lakehouse_spark.operators import windows as W
+
+    rows = [
+        # (event_id, ts, type, value) — two buckets, ties at 10:00:00
+        (1, "2024-01-01 10:00:00", "a", 5.0),
+        (2, "2024-01-01 10:00:00", "a", 3.0),  # same ts: id 1 is open
+        (3, "2024-01-01 10:59:59", "a", 9.0),
+        (4, "2024-01-01 11:30:00", "a", 2.0),
+        (5, "2024-01-01 10:15:00", "b", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = W.ohlc_resample(df)
+    got = {
+        (r.window_start.hour, r.event_type): (
+            r.n_events, r.open_v, r.high_v, r.low_v, r.close_v
+        )
+        for r in out.collect()
+    }
+    assert got[(10, "a")] == (3, 5.0, 9.0, 3.0, 9.0)
+    assert got[(11, "a")] == (1, 2.0, 2.0, 2.0, 2.0)
+    assert got[(10, "b")] == (1, 7.0, 7.0, 7.0, 7.0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no sort-window formulation
+    assert "partial_min" in plan or "partial" in plan.lower()  # map-side combine
+
+
+def test_gap_fill_locf(spark):
+    from pyspark.sql import functions as F
+
+    from e_commerce_lakehouse_spark.operators import windows as W
+
+    bars = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 10:00:00", 2, 5.0),
+            ("a", "2024-01-01 11:00:00", 1, 7.0),  # 10:15..10:45 missing
+            ("b", "2024-01-01 10:30:00", 3, 1.0),
+        ],
+        "event_type string, window_start string, n_events long, close_v double",
+    ).withColumn("window_start", F.to_timestamp("window_start"))
+    out = W.gap_fill_locf(
+        bars, "window_start", ["event_type"], ["close_v"], ["n_events"],
+        step="15 minutes",
+    )
+    rows = {
+        (r.event_type, r.window_start.strftime("%H:%M")): (
+            r.n_events, r.close_v, r._filled
+        )
+        for r in out.collect()
+    }
+    # key a: 5 buckets 10:00..11:00; gaps carry 5.0 forward, counts 0
+    assert rows[("a", "10:00")] == (2, 5.0, False)
+    assert rows[("a", "10:15")] == (0, 5.0, True)
+    assert rows[("a", "10:30")] == (0, 5.0, True)
+    assert rows[("a", "10:45")] == (0, 5.0, True)
+    assert rows[("a", "11:00")] == (1, 7.0, False)
+    # key b: single bucket span, nothing generated
+    assert rows[("b", "10:30")] == (3, 1.0, False)
+    assert len(rows) == 6

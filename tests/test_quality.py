@@ -212,3 +212,64 @@ def test_pmi_collocations_vs_float_reference(spark):
     ranked_fixed = sorted(got, key=lambda p: (-got[p][1], p))
     ranked_float = sorted(expect, key=lambda p: (-float_pmi(p), p))
     assert ranked_fixed == ranked_float
+
+
+def test_aho_corasick_matches_brute_force(spark):
+    """AC finds exactly the occurrences a position-by-position scan
+    finds, including overlapping and nested patterns."""
+    import random
+
+    from e_commerce_lakehouse_spark.operators.dictionary import AhoCorasick
+
+    rng = random.Random(7)
+    for _ in range(200):
+        pats = list(
+            {
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 4)))
+                for _ in range(rng.randint(1, 6))
+            }
+        )
+        text = "".join(rng.choice("ab") for _ in range(60))
+        ac = AhoCorasick(pats)
+        got = sorted((e, ac.patterns[i]) for e, i in ac.matches(text))
+        want = sorted(
+            (i + len(p), p)
+            for p in ac.patterns
+            for i in range(len(text))
+            if text.startswith(p, i)
+        )
+        assert got == want
+
+
+def test_dictionary_tag_and_overlap_semantics(spark):
+    from e_commerce_lakehouse_spark.operators import dictionary as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table by the table"),
+            (2, "hash value hash"),
+            (3, None),
+            (4, "aaa"),  # self-overlapping pattern 'aa' -> AC counts 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.n_distinct, r.hits)
+        for r in D.dictionary_tag(docs, ["table", "hash value", "aa"]).collect()
+    }
+    assert out[1] == (2, 1, "table")
+    assert out[2] == (1, 1, "hash value")
+    assert out[3] == (0, 0, "")
+    # AC counts ALL occurrences: 'aa' twice in 'aaa' (regex would say 1)
+    assert out[4] == (2, 1, "aa")
+
+    stats = {
+        r.phrase: (r.docs_with, r.n_occurrences)
+        for r in D.dictionary_phrase_stats(docs, ["table", "aa", "nope"]).collect()
+    }
+    assert stats == {"table": (1, 2), "aa": (1, 2), "nope": (0, 0)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        D.AhoCorasick(["", ""])
