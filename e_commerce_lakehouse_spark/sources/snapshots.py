@@ -292,12 +292,18 @@ def read_snapshot(
     root: str,
     snapshot_id: int | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
-    """Read the table: latest by default, a pinned ``snapshot_id``, or
-    time travel to the newest snapshot committed at/before ``as_of``
-    (unix seconds). Schemas are merged across dirs so appends written
-    after a column was added read back with nulls in older rows."""
+    """Read the table: latest by default, a pinned ``snapshot_id``, a
+    named ``tag`` (see :func:`tag_snapshot`), or time travel to the
+    newest snapshot committed at/before ``as_of`` (unix seconds).
+    Schemas are merged across dirs so appends written after a column
+    was added read back with nulls in older rows."""
     manifest = _load(root)
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or tag, not both")
+        snapshot_id = resolve_tag(root, tag)
     if snapshot_id is None and as_of is not None:
         eligible = [s for s in manifest["snapshots"] if s["ts"] <= as_of]
         if not eligible:
@@ -384,17 +390,19 @@ def history(root: str) -> list[dict]:
 
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
-    """Retain the newest ``keep_last`` snapshots (the current one is
-    always retained) and delete data dirs referenced by NO retained
-    snapshot. Returns deleted dir names. The manifest commit happens
-    BEFORE dir deletion so a crash mid-expire leaves orphan dirs (safe,
-    re-expirable), never a manifest pointing at deleted data."""
+    """Retain the newest ``keep_last`` snapshots (the current one and
+    every TAGGED snapshot are always retained) and delete data dirs
+    referenced by NO retained snapshot. Returns deleted dir names. The
+    manifest commit happens BEFORE dir deletion so a crash mid-expire
+    leaves orphan dirs (safe, re-expirable), never a manifest pointing
+    at deleted data."""
     manifest = _load(root)
     snaps = manifest["snapshots"]
     if not snaps:
         return []
     keep = {s["id"] for s in snaps[-keep_last:]} if keep_last > 0 else set()
     keep.add(manifest["current"])
+    keep.update(manifest.get("tags", {}).values())
     retained = [s for s in snaps if s["id"] in keep]
     live_dirs = {d for s in retained for d in s["dirs"]}
     dead_dirs = {d for s in snaps for d in s["dirs"]} - live_dirs
@@ -405,6 +413,91 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     for d in sorted(dead_dirs):
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return sorted(dead_dirs)
+
+
+def tag_snapshot(root: str, name: str, snapshot_id: int | None = None) -> None:
+    """Name a snapshot (Iceberg tag): an immutable alias like
+    ``v1.2-training-cut`` that :func:`read_snapshot`'s ``tag=`` resolves
+    forever, surviving later writes — the reproducibility handle a
+    training run records instead of a raw id. Defaults to the current
+    snapshot. Tags pin their snapshot against expiry."""
+    manifest = _load(root)
+    sid = snapshot_id if snapshot_id is not None else manifest["current"]
+    if sid is None:
+        raise KeyError(f"table {root} has no snapshots")
+    _entry(manifest, sid)  # must exist
+    tags = manifest.setdefault("tags", {})
+    if name in tags:
+        raise ValueError(f"tag {name!r} already points at snapshot {tags[name]}")
+    tags[name] = sid
+    _commit(root, manifest)
+
+
+def drop_tag(root: str, name: str) -> None:
+    manifest = _load(root)
+    if name not in manifest.get("tags", {}):
+        raise KeyError(f"no tag {name!r} on table {root}")
+    del manifest["tags"][name]
+    _commit(root, manifest)
+
+
+def resolve_tag(root: str, name: str) -> int:
+    tags = _load(root).get("tags", {})
+    if name not in tags:
+        raise KeyError(f"no tag {name!r} on table {root}; tags: {sorted(tags)}")
+    return tags[name]
+
+
+def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
+    """Iceberg-style metadata tables as DataFrames — the inspection
+    surface (``SELECT * FROM tbl.files``) without a catalog:
+
+    - ``"snapshots"``: one row per snapshot (id, op, ts, parent,
+      n_dirs, meta JSON);
+    - ``"files"``: one row per data file of the CURRENT snapshot
+      (dir, file, bytes, plus per-column min/max/null stats as JSON);
+    - ``"tags"``: one row per tag.
+
+    Everything comes from the manifest (KBs) — no data file is opened,
+    so these stay O(metadata) at any table size."""
+    manifest = _load(root)
+    if kind == "snapshots":
+        rows = [
+            (
+                s["id"],
+                s["op"],
+                float(s["ts"]),
+                s["parent"],
+                len(s["dirs"]),
+                json.dumps(s.get("meta", {}), sort_keys=True),
+            )
+            for s in manifest["snapshots"]
+        ]
+        return spark.createDataFrame(
+            rows, "id long, op string, ts double, parent long, n_dirs long, meta string"
+        )
+    if kind == "files":
+        if manifest["current"] is None:
+            raise KeyError(f"table {root} has no snapshots")
+        entry = _entry(manifest, manifest["current"])
+        dir_stats = manifest.get("dir_stats", {})
+        rows = []
+        for d, f in _entry_units(root, manifest, entry):
+            rows.append(
+                (
+                    d,
+                    f,
+                    os.path.getsize(os.path.join(root, d, f)),
+                    json.dumps(dir_stats.get(d, {}).get(f, {}), sort_keys=True),
+                )
+            )
+        return spark.createDataFrame(
+            rows, "dir string, file string, bytes long, stats string"
+        )
+    if kind == "tags":
+        rows = sorted(manifest.get("tags", {}).items())
+        return spark.createDataFrame(rows, "tag string, snapshot_id long")
+    raise ValueError(f"kind must be snapshots|files|tags, got {kind!r}")
 
 
 def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:

@@ -362,3 +362,42 @@ def test_compact_files_binpack(spark, root):
     # idempotence-ish: a second run with nothing small enough is a no-op
     sid2 = S.compact_files(spark, root, target_bytes=1)
     assert sid2 == sid
+
+
+def test_tags_and_metadata_tables(spark, root):
+    v1 = S.write_snapshot(spark.range(3), root)
+    v2 = S.write_snapshot(spark.range(10), root)
+    S.tag_snapshot(root, "training-cut-v1", v1)
+
+    # tags resolve forever, regardless of later writes
+    assert S.read_snapshot(spark, root, tag="training-cut-v1").count() == 3
+    assert S.read_snapshot(spark, root).count() == 10
+    with pytest.raises(ValueError, match="already points"):
+        S.tag_snapshot(root, "training-cut-v1", v2)
+    with pytest.raises(KeyError, match="no tag"):
+        S.read_snapshot(spark, root, tag="nope")
+    with pytest.raises(ValueError, match="not both"):
+        S.read_snapshot(spark, root, snapshot_id=v1, tag="training-cut-v1")
+
+    # a tagged snapshot SURVIVES expiry; dropping the tag releases it
+    S.write_snapshot(spark.range(1), root)
+    S.expire_snapshots(root, keep_last=1)
+    assert S.read_snapshot(spark, root, tag="training-cut-v1").count() == 3
+    S.drop_tag(root, "training-cut-v1")
+    S.expire_snapshots(root, keep_last=1)
+    with pytest.raises(KeyError):
+        S.read_snapshot(spark, root, snapshot_id=v1)
+
+    # metadata tables come from the manifest only
+    snaps = S.metadata_table(spark, root, "snapshots")
+    assert snaps.count() == 1  # post-expiry
+    files = S.metadata_table(spark, root, "files")
+    r = files.collect()
+    assert all(x.bytes > 0 for x in r)
+    import json as _json
+
+    # column stats rode along (0-row part files legitimately have none)
+    assert any("id" in _json.loads(x.stats) for x in r)
+    assert S.metadata_table(spark, root, "tags").count() == 0
+    with pytest.raises(ValueError, match="kind"):
+        S.metadata_table(spark, root, "bogus")
