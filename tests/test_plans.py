@@ -341,3 +341,22 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined = fact.join(dim.filter(F.col("flag") == 1), "day").select("day", "v")
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_cdc_diff_plan_shape(spark):
+    """cdc_diff is ONE full-outer join: exactly two exchanges (one per
+    side, on the key) and one Generate (the explode that both
+    classifies and suppresses unchanged rows) — no second scan, no
+    extra shuffle after the join."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_lakehouse_spark.operators.upsert import cdc_diff
+
+    old = spark.range(1000).withColumn("v", F.col("id") * 2)
+    new = spark.range(500, 1500).withColumn("v", F.col("id") * 3)
+    plan = (
+        cdc_diff(old, new, ["id"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2
+    assert plan.count("Generate") == 1
+    assert "FullOuter" in plan
