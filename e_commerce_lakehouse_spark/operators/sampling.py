@@ -563,6 +563,7 @@ def group_split(
         raise ValueError(f"split percents must be positive and sum to 100: {splits}")
     b = hash_bucket(group_col, 100)
     expr, lo = None, 0
+    names = list(splits)
     for name, pct in splits.items():
         lo += pct
         expr = (
@@ -570,7 +571,12 @@ def group_split(
             if expr is None
             else expr.when(b < lo, F.lit(name))
         )
-    return df.withColumn("split", expr).withColumn("split_bucket", b)
+    # a NULL group hashes to a NULL bucket: all such rows land together
+    # in the LAST split (unknown provenance quarantines as one group,
+    # mirroring the oracle's CASE ... ELSE), never a silent NULL split
+    return df.withColumn(
+        "split", expr.otherwise(F.lit(names[-1]))
+    ).withColumn("split_bucket", b)
 
 
 def token_budget_select(

@@ -239,22 +239,32 @@ def write_snapshot(
     data_dir = f"snap-{snap_id:08d}-{mode}"
     _write_data_dir(df, root, data_dir)
     dirs = [data_dir]
+    files = None
     if mode == "append" and manifest["current"] is not None:
-        dirs = _entry(manifest, manifest["current"])["dirs"] + dirs
+        parent = _entry(manifest, manifest["current"])
+        dirs = parent["dirs"] + dirs
+        if "files" in parent:
+            # the parent references dirs at FILE granularity (a
+            # replace_where/compact commit): the append must carry the
+            # kept-file lists forward or dropped files would resurrect
+            files = dict(parent["files"])
     manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
         root, data_dir, stats_cols
     )
-    manifest["snapshots"].append(
-        {
-            "id": snap_id,
-            "op": mode,
-            "ts": time.time(),
-            "dirs": dirs,
-            "parent": manifest["current"],
-            "schema": df.schema.json(),
-            "meta": meta or {},
-        }
-    )
+    if files is not None:
+        files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+    entry = {
+        "id": snap_id,
+        "op": mode,
+        "ts": time.time(),
+        "dirs": dirs,
+        "parent": manifest["current"],
+        "schema": df.schema.json(),
+        "meta": meta or {},
+    }
+    if files is not None:
+        entry["files"] = files
+    manifest["snapshots"].append(entry)
     manifest["current"] = snap_id
     _commit(root, manifest)
     return snap_id
@@ -364,16 +374,19 @@ def rollback(root: str, snapshot_id: int) -> int:
     manifest = _load(root)
     target = _entry(manifest, snapshot_id)
     new_id = manifest["snapshots"][-1]["id"] + 1
-    manifest["snapshots"].append(
-        {
-            "id": new_id,
-            "op": f"rollback->{snapshot_id}",
-            "ts": time.time(),
-            "dirs": list(target["dirs"]),
-            "parent": manifest["current"],
-            "schema": target["schema"],
-        }
-    )
+    entry = {
+        "id": new_id,
+        "op": f"rollback->{snapshot_id}",
+        "ts": time.time(),
+        "dirs": list(target["dirs"]),
+        "parent": manifest["current"],
+        "schema": target["schema"],
+    }
+    if "files" in target:
+        # file-granular target (replace_where/compact): the rollback
+        # must be row-identical, so the kept-file lists come along
+        entry["files"] = {d: list(fs) for d, fs in target["files"].items()}
+    manifest["snapshots"].append(entry)
     manifest["current"] = new_id
     _commit(root, manifest)
     return new_id
@@ -406,13 +419,41 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     retained = [s for s in snaps if s["id"] in keep]
     live_dirs = {d for s in retained for d in s["dirs"]}
     dead_dirs = {d for s in snaps for d in s["dirs"]} - live_dirs
+    # FILE-granular GC within surviving dirs: a file referenced by no
+    # retained entry (dropped by replace_where/compact, kept on disk
+    # only for now-expired snapshots' time travel) is dead too —
+    # without this, steady-state replace/compact maintenance leaks
+    # unreferenced files forever. A retained entry WITHOUT a file list
+    # owns every file of its dirs, so those dirs are never trimmed.
+    whole_dirs = set()
+    live_files: dict[str, set] = {}
+    for s in retained:
+        file_filter = s.get("files")
+        for d in s["dirs"]:
+            if file_filter is None or d not in file_filter:
+                whole_dirs.add(d)
+            else:
+                live_files.setdefault(d, set()).update(file_filter[d])
+    dead_files = []
+    for d, owned in live_files.items():
+        if d in whole_dirs or d in dead_dirs:
+            continue
+        for f in _dir_files(root, manifest, d):
+            if f not in owned:
+                dead_files.append(os.path.join(d, f))
+                manifest.get("dir_stats", {}).get(d, {}).pop(f, None)
     manifest["snapshots"] = retained
     for d in dead_dirs:
         manifest.get("dir_stats", {}).pop(d, None)
     _commit(root, manifest)
     for d in sorted(dead_dirs):
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    return sorted(dead_dirs)
+    for rel in dead_files:
+        try:
+            os.remove(os.path.join(root, rel))
+        except OSError:
+            pass
+    return sorted(dead_dirs) + sorted(dead_files)
 
 
 def tag_snapshot(root: str, name: str, snapshot_id: int | None = None) -> None:
@@ -601,8 +642,13 @@ def plan_scan(
     bounds are tight on every clustered column.
     """
     for p in predicates:
-        if len(p) not in (2, 3) or p[1] not in _OPS:
+        if len(p) < 2 or p[1] not in _OPS:
             raise ValueError(f"bad predicate {p!r}; ops: {_OPS}")
+        need = 2 if p[1] in ("is_null", "not_null") else 3
+        if len(p) != need:
+            raise ValueError(
+                f"predicate {p!r}: op {p[1]!r} takes {need - 2} value(s)"
+            )
     manifest = _load(root)
     if snapshot_id is None and as_of is not None:
         eligible = [s for s in manifest["snapshots"] if s["ts"] <= as_of]
@@ -772,10 +818,12 @@ def replace_where(
 
     conj = _ft.reduce(_op.and_, [_predicate_col(p) for p in predicates])
     # NULL must VIOLATE here (a null doesn't satisfy the scope, so the
-    # row would leak outside it) — unlike ANSI CHECK's null-satisfies
-    new_rows = guard_constraints(
-        df, {"replace_where_scope": F.coalesce(conj, F.lit(False))}
-    )
+    # row would leak outside it) — unlike ANSI CHECK's null-satisfies.
+    # Stored table CHECK constraints apply to the incoming rows too
+    # (retained rows passed them at their own write).
+    guards: dict = dict(manifest.get("constraints", {}))
+    guards["replace_where_scope"] = F.coalesce(conj, F.lit(False))
+    new_rows = guard_constraints(df, guards)
     if rewrite_paths:
         retained = (
             spark.read.option("mergeSchema", "true")

@@ -198,8 +198,12 @@ def foreach_batch_apply_changes(
             from pyspark.sql import Window
 
             pre_last = (F.col("_change_type") == "update_preimage").cast("int")
+            # _change_type joins the sort so a delete-vs-insert tie at
+            # the same sequence value resolves the same way on every
+            # task/retry (keys are constant within the partition and
+            # cannot break this tie)
             w = Window.partitionBy(*keys).orderBy(
-                F.col(order_col).desc(), pre_last.asc(), *[F.col(k) for k in keys]
+                F.col(order_col).desc(), pre_last.asc(), F.col("_change_type").asc()
             )
             src = (
                 src.withColumn("_rn", F.row_number().over(w))

@@ -620,3 +620,19 @@ def test_pack_documents_ffd_invariants(spark):
     )
     with pytest.raises(PE.PySparkException, match="ctx_len"):
         sampling.pack_documents_ffd(big, ctx_len=10).collect()
+
+
+def test_group_split_null_group_goes_to_last_split(spark):
+    """Review fix: a NULL group quarantines in the LAST split (mirrors
+    the oracle's CASE ELSE), never a silent NULL assignment."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "s")], "doc_id long, source string"
+    )
+    out = {
+        r.doc_id: (r.split, r.split_bucket)
+        for r in sampling.group_split(
+            df, "source", {"train": 80, "val": 10, "test": 10}
+        ).collect()
+    }
+    assert out[1] == ("test", None) and out[2] == ("test", None)
+    assert out[3][0] in ("train", "val", "test") and out[3][1] is not None

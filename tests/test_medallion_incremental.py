@@ -190,3 +190,19 @@ def test_scd2_merge_noop_insert_and_guards(spark):
         cleaning.scd2_merge(dim, stale.drop("v"), ["k"], "ts")
     with pytest.raises(ValueError, match="SCD2 column"):
         cleaning.scd2_merge(base, stale, ["k"], "ts")
+
+
+def test_scd2_merge_guard_survives_pruning(spark):
+    """Review fix: the out-of-order guard rides the first payload
+    column, so even a plan that prunes valid_to still trips it."""
+    from e_commerce_lakehouse_spark.operators import cleaning
+    import pyspark.errors as PE
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k long, ts long, v string"
+    )
+    dim = cleaning.scd2(base, ["k"], "ts")
+    stale = spark.createDataFrame([(1, 15, "x")], "k long, ts long, v string")
+    out = cleaning.scd2_merge(dim, stale, ["k"], "ts", tracked_cols=["v"])
+    with pytest.raises(PE.PySparkException, match="out-of-order"):
+        out.filter("is_current").select("k", "v").collect()  # valid_to pruned

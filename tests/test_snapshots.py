@@ -267,9 +267,7 @@ def test_replace_where_rewrites_only_boundary_files(spark, root):
     S.write_snapshot(df.repartitionByRange(8, "id"), root)
     before = {
         os.path.join(d, f): os.path.getsize(os.path.join(root, d, f))
-        for d, f in S._entry_units(
-            S._load(root), S._load(root), S._entry(S._load(root), 1)
-        )
+        for d, f in S._entry_units(root, S._load(root), S._entry(S._load(root), 1))
     }
 
     repl = spark.createDataFrame(
@@ -401,3 +399,68 @@ def test_tags_and_metadata_tables(spark, root):
     assert S.metadata_table(spark, root, "tags").count() == 0
     with pytest.raises(ValueError, match="kind"):
         S.metadata_table(spark, root, "bogus")
+
+
+def test_file_granular_entries_survive_append_and_rollback(spark, root):
+    """Review fix: append and rollback must carry a file-granular
+    parent's kept-file lists — dropped rows may never resurrect."""
+    S.write_snapshot(spark.range(0, 1000).repartitionByRange(4, "id"), root)
+    rid = S.replace_where(
+        spark, root, spark.createDataFrame([], "id long"), [("id", ">=", 500)]
+    )  # DELETE ids >= 500
+    assert S.read_snapshot(spark, root).count() == 500
+
+    # append on top of the replace: deleted rows stay deleted
+    S.write_snapshot(spark.range(2000, 2010), root, mode="append")
+    got = sorted(r.id for r in S.read_snapshot(spark, root).collect())
+    assert got == list(range(500)) + list(range(2000, 2010))
+
+    # rollback TO the replace snapshot is row-identical to it
+    S.write_snapshot(spark.range(5), root)  # overwrite away
+    S.rollback(root, rid)
+    assert sorted(r.id for r in S.read_snapshot(spark, root).collect()) == list(
+        range(500)
+    )
+
+
+def test_replace_where_honors_stored_constraints(spark, root):
+    import pyspark.errors as PE
+
+    S.write_snapshot(spark.createDataFrame([(1, 5)], "id long, v long"), root)
+    S.set_constraint(root, "v_positive", "v > 0")
+    bad = spark.createDataFrame([(2, -3)], "id long, v long")
+    with pytest.raises(PE.PySparkException, match="v_positive"):
+        S.replace_where(spark, root, bad, [("id", ">=", 2)])
+    assert S._load(root)["current"] == 1
+
+
+def test_expire_collects_files_dropped_by_replace(spark, root):
+    """Review fix: once the pre-replace snapshot expires, files the
+    replace dropped are deleted from disk (file-level GC), while files
+    still referenced at file granularity survive."""
+    S.write_snapshot(spark.range(0, 1000).repartitionByRange(4, "id"), root)
+    S.replace_where(
+        spark, root, spark.createDataFrame([], "id long"), [("id", ">=", 750)]
+    )
+    m = S._load(root)
+    d1 = S._entry(m, 1)["dirs"][0]
+    all_files = set(S._dir_files(root, m, d1))
+    kept = set(S._entry(m, 2)["files"].get(d1, []))
+    dropped = all_files - kept
+    assert dropped, "expected the replace to drop at least one file"
+
+    removed = S.expire_snapshots(root, keep_last=1)
+    for f in dropped:
+        assert os.path.join(d1, f) in removed
+        assert not os.path.exists(os.path.join(root, d1, f))
+    for f in kept:
+        assert os.path.exists(os.path.join(root, d1, f))
+    assert S.read_snapshot(spark, root).count() == 750
+
+
+def test_plan_scan_rejects_malformed_predicates(spark, root):
+    S.write_snapshot(spark.range(5), root)
+    with pytest.raises(ValueError, match="value"):
+        S.plan_scan(root, [("id", "<")])
+    with pytest.raises(ValueError, match="value"):
+        S.plan_scan(root, [("id", "is_null", 3)])

@@ -595,3 +595,23 @@ def test_foreach_batch_apply_changes_exactly_once(spark, tmpdir):
     got2 = {r.k: r.v for r in snap.read_snapshot(spark, root).collect()}
     assert got2 == {"a": 5, "c": 7}
     assert [e["meta"]["stream_batch_id"] for e in snap.history(root)] == [0, 1]
+
+
+def test_apply_changes_sink_tie_is_deterministic(spark, tmpdir):
+    """Review fix: a delete and an insert for the same key at the SAME
+    sequence value resolve by _change_type order (delete < insert), so
+    every task/retry commits the same state."""
+    from e_commerce_lakehouse_spark.sources import snapshots as snap
+
+    root = f"{tmpdir}/tie_tbl"
+    schema = "k string, v long, seq long, _change_type string"
+    sink = sinks.foreach_batch_apply_changes(root, ["k"], order_col="seq")
+    sink(spark.createDataFrame([("a", 1, 1, "insert")], schema), 0)
+    for trial in range(3):
+        tie = spark.createDataFrame(
+            [("a", 9, 5, "insert"), ("a", 1, 5, "delete")], schema
+        ).repartition(4)
+        sink(tie, trial + 1)
+        assert snap.read_snapshot(spark, root).filter("k = 'a'").count() == 0
+        # re-insert so the next trial exercises the same tie again
+        sink(spark.createDataFrame([("a", 1, 1, "insert")], schema), 100 + trial)
