@@ -73,14 +73,23 @@ def bloom_semi_join(
     ``on`` must be a single column name; keys are matched on their
     STRING form inside the filter (exact equality still decided by the
     typed join). Eager: the build collects m_bits/64 words.
+
+    Hash spec: this join is IDENTITY-gated (false positives die in the
+    exact join), so it uses the native ``xxh64`` position spec — ~5x
+    faster per probed row than the md5 spec (conv dominates md5; same
+    class of measurement as the KMR xxhash64 label rewrite). The md5
+    spec stays the default elsewhere because the ORACLE renders it.
     """
     from .dedup import bloom_filter_build, bloom_hit
 
     bloom = bloom_filter_build(
-        keys.select(F.col(on).cast("string").alias("gram")), m_bits=m_bits, k=k
+        keys.select(F.col(on).cast("string").alias("gram")),
+        m_bits=m_bits,
+        k=k,
+        spec="xxh64",
     )
     pruned = df.filter(
-        bloom_hit(F.col(on).cast("string"), bloom, m_bits=m_bits, k=k)
+        bloom_hit(F.col(on).cast("string"), bloom, m_bits=m_bits, k=k, spec="xxh64")
     )
     return semi_join(pruned, keys, on)
 

@@ -284,14 +284,15 @@ def test_bloom_semi_join_filters_before_shuffle(spark):
     df = joins.bloom_semi_join(li, urgent, "l_orderkey")
     plan = plan_of(df)
     assert "LeftSemi" in plan, "exact semi join must remain"
-    assert "bloom:" in plan, "Bloom probe predicate missing from the plan"
+    # xxh64 spec: the probe predicate is the bloomA/bloomB xxhash64 pair
+    assert "bloomA" in plan, "Bloom probe predicate missing from the plan"
     assert "EvalPython" not in plan
     # the probe filter is a Filter node (pre-join), not a join condition
     assert any(
-        "bloom:" in line
+        "bloomA" in line
         for line in plan.splitlines()
         if "Filter" in line or line.strip().startswith("Condition")
-    ) or "bloom:" in plan.split("LeftSemi")[0] + plan.split("LeftSemi")[-1]
+    ) or "bloomA" in plan.split("LeftSemi")[0] + plan.split("LeftSemi")[-1]
 
 
 def test_bloom_semi_join_exact_under_forced_false_positives(spark):
