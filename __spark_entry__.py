@@ -1594,9 +1594,15 @@ def _q35_asof_last_order(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q36_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
-    """Range (interval) self-join: clicks by the same user within the
-    hour before each purchase — equality on user + time-range predicate
-    (SMJ with residual condition)."""
+    """Sequence-analytics surface, kind-tagged union:
+      - kind='pairs': range (interval) self-join — clicks by the same
+        user within the hour before each purchase (equality on user +
+        time-range predicate, SMJ with residual condition);
+      - kind='transition': first-order Markov transition matrix over
+        per-user timelines (windows.event_transitions) — the
+        flow/Sankey + next-event baseline; counts plus exact-integer
+        row probabilities (x1e6 div), the normalizing window on the
+        tiny |types|^2 counts frame."""
     ev = load_table(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -1613,9 +1619,33 @@ def _q36_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
         & (clicks.c_ts < purchases.p_ts),
         "left",
     )
-    return joined.groupBy("purchase_id", purchases.user_id, "p_ts").agg(
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    pairs_rows = joined.groupBy("purchase_id", purchases.user_id, "p_ts").agg(
         F.count("c_ts").alias("clicks_last_hour")
+    ).select(
+        F.lit("pairs").alias("kind"),
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        "clicks_last_hour",
+        ns.alias("from_type"),
+        ns.alias("to_type"),
+        nl.alias("n_transitions"),
+        nl.alias("prob_x1e6"),
     )
+    trans = windows.event_transitions(ev).select(
+        F.lit("transition").alias("kind"),
+        nl.alias("purchase_id"),
+        nl.alias("user_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        nl.alias("clicks_last_hour"),
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "prob_x1e6",
+    )
+    return pairs_rows.unionByName(trans)
 
 
 def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -4070,13 +4100,37 @@ def oracle_sql() -> dict[str, str]:
             ), c AS (
                 SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
             )
-            SELECT purchase_id, p.user_id, p_ts,
-                   count(c_ts) AS clicks_last_hour
+            SELECT 'pairs' AS kind, purchase_id, p.user_id, p_ts,
+                   count(c_ts) AS clicks_last_hour,
+                   CAST(NULL AS VARCHAR) AS from_type,
+                   CAST(NULL AS VARCHAR) AS to_type,
+                   CAST(NULL AS BIGINT) AS n_transitions,
+                   CAST(NULL AS BIGINT) AS prob_x1e6
             FROM p LEFT JOIN c
               ON p.user_id = c.user_id
              AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
              AND c.c_ts < p.p_ts
-            GROUP BY 1, 2, 3
+            GROUP BY 2, 3, 4
+            UNION ALL
+            SELECT 'transition', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+                   from_type, to_type,
+                   n_transitions,
+                   (n_transitions * CAST(1000000 AS BIGINT))
+                       // sum(n_transitions) OVER (PARTITION BY from_type)
+                       AS prob_x1e6
+            FROM (
+                SELECT from_type, to_type, count(*) AS n_transitions
+                FROM (
+                    SELECT event_type AS from_type,
+                           lead(event_type) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS to_type
+                    FROM events
+                )
+                WHERE to_type IS NOT NULL
+                GROUP BY 1, 2
+            )
         """,
         "q37_dq_report": """
             WITH base AS (

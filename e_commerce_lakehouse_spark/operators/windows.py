@@ -220,3 +220,43 @@ def gap_fill_locf(
     for c in zero_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
     return out
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams — the flow/Sankey input of product analytics and the
+    next-event baseline model: for every (from_type, to_type) adjacent
+    pair in a user's timeline, the count and the exact row probability
+    ``prob_x1e6 = 1e6 * c(from,to) div c(from,*)``.
+
+    One shuffle on the user for the lead() timeline (ties broken by
+    ``tiebreak_col`` so equal timestamps are deterministic), one
+    partial-aggregated groupBy on the (from, to) pair, and the
+    normalizing window runs on the TINY |types|² counts frame — never
+    on rows. Integer division keeps the probabilities hash-stable.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return pairs.withColumn(
+        "prob_x1e6",
+        F.expr(
+            "(n_transitions * CAST(1000000 AS BIGINT)) div "
+            "sum(n_transitions) OVER (PARTITION BY from_type)"
+        ),
+    )

@@ -233,3 +233,32 @@ def test_gap_fill_locf(spark):
     # key b: single bucket span, nothing generated
     assert rows[("b", "10:30")] == (3, 1.0, False)
     assert len(rows) == 6
+
+
+def test_event_transitions_markov(spark):
+    from pyspark.sql import functions as F
+
+    from e_commerce_lakehouse_spark.operators import windows as W
+
+    rows = [
+        # user 1: a -> b -> a -> c ; user 2: b -> b
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"), (4, 1, 40, "c"),
+        (5, 2, 10, "b"), (6, 2, 20, "b"),
+        (7, 3, 10, "z"),  # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.prob_x1e6)
+        for r in W.event_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 500000),
+        ("a", "c"): (1, 500000),
+        ("b", "a"): (1, 500000),
+        ("b", "b"): (1, 500000),
+    }
+    # per-from rows sum to <= 1e6 (integer div truncation)
+    sums = {}
+    for (f_, _), (_, p) in got.items():
+        sums[f_] = sums.get(f_, 0) + p
+    assert all(v <= 1_000_000 for v in sums.values())

@@ -615,3 +615,46 @@ def test_apply_changes_sink_tie_is_deterministic(spark, tmpdir):
         assert snap.read_snapshot(spark, root).filter("k = 'a'").count() == 0
         # re-insert so the next trial exercises the same tie again
         sink(spark.createDataFrame([("a", 1, 1, "insert")], schema), 100 + trial)
+
+
+def test_ohlc_builds_as_a_stream(spark, tmpdir):
+    """ohlc_resample is one associative groupBy (struct min/max), so it
+    runs unchanged as a streaming aggregation — the micro-batch bars
+    must equal the batch bars over the same rows."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators import windows as W
+
+    src = f"{tmpdir}/ohlc_src"
+    os.makedirs(src)
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "a", "value": 5.0},
+        {"event_id": 2, "ts": "2024-01-01 10:20:00", "event_type": "a", "value": 9.0},
+        {"event_id": 3, "ts": "2024-01-01 10:40:00", "event_type": "a", "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01 11:10:00", "event_type": "a", "value": 2.0},
+        {"event_id": 5, "ts": "2024-01-01 10:30:00", "event_type": "b", "value": 7.0},
+    ]
+    with open(f"{src}/e.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(src)
+    bars = W.ohlc_resample(stream)
+    assert bars.isStreaming
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    key = lambda r: (r.window_start, r.event_type)
+    val = lambda r: (r.n_events, r.open_v, r.high_v, r.low_v, r.close_v)
+    got = {key(r): val(r) for r in spark.sql("SELECT * FROM ohlc_stream").collect()}
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"], r["event_type"], r["value"]) for r in rows],
+        "event_id long, ts string, event_type string, value double",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    want = {key(r): val(r) for r in W.ohlc_resample(batch).collect()}
+    assert got == want and len(got) == 3
