@@ -757,7 +757,17 @@ def pmi_collocations(documents: DataFrame, min_count: int = 3) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b")
-    grouped = tagged.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    # the grouped vocab frame has FOUR consumers (uni twice, totals,
+    # bigram slice) — checkpoint it so the corpus explode runs ONCE
+    # (without this the union plan re-evaluates the explode per
+    # consumer: measured 4s -> 10s on q17 before this landed)
+    from .buckets import track_pinned
+    from .parallelize import local_checkpoint_tracked
+
+    grouped, _gids = local_checkpoint_tracked(
+        tagged.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    track_pinned(_gids)
     uni = grouped.filter(
         F.col("b").isNull() & F.col("a").isNotNull()
     ).select("a", F.col("c").alias("c_a"))
