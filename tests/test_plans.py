@@ -361,3 +361,36 @@ def test_cdc_diff_plan_shape(spark):
     assert plan.count("Exchange") == 2
     assert plan.count("Generate") == 1
     assert "FullOuter" in plan
+
+
+def test_dictionary_branch_single_arrow_pass(spark):
+    """The Aho-Corasick corpus pass is exactly ONE MapInPandas node in
+    q37's plan (the automaton rides the closure; no per-phrase scans,
+    no row-at-a-time Python), and the totals frame broadcasts."""
+    plan = (
+        Q["q37_dq_report"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row totals crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    """hard_negatives streams the corpus once against broadcast
+    anchors — label mismatch lives in the join condition, so no
+    shuffle of the corpus and no cartesian."""
+    from e_commerce_lakehouse_spark.operators import similarity
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    df = similarity.hard_negatives(
+        load_table(spark, SF_SMALL, "embeddings"), query_max_id=6, k=5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # broadcast exchange + spread_for_cpu repartition + top-k window
+    # shuffle — and nothing else (no corpus re-shuffle)
+    assert plan.count("Exchange") <= 3
