@@ -177,54 +177,49 @@ def scd2_merge(
         if tracked
         else F.lit(False)
     )
+    u_ts = F.col(f"_u_{ts_col}")
+    # loud out-of-order guard: a matched update must advance the
+    # timeline. The alarm lives INSIDE the roles array the explode
+    # consumes — row multiplicity depends on it, so EVERY consumer
+    # evaluates it, including a bare count() that prunes all columns
+    # (the DID-NOT-RAISE pruning lesson, twice over; pinned in
+    # tests/test_medallion_incremental.py). Unmatched inserts have
+    # NULL _c_valid_from and never trip it; a stale NO-OP update
+    # (unchanged values) is harmless and stays a keep.
+    stale = u_ts <= F.col("_c_valid_from")
+    alarm_roles = F.raise_error(
+        F.concat(
+            F.lit("scd2_merge: out-of-order update for key at ts "),
+            u_ts.cast("string"),
+            F.lit(" <= current valid_from "),
+            F.col("_c_valid_from").cast("string"),
+        )
+    ).cast("array<string>")
     roles = (
         F.when(F.col("_c_present").isNull(), F.array(F.lit("insert")))
         .when(F.col("_u_present").isNull(), F.array(F.lit("keep")))
-        .when(changed, F.array(F.lit("close"), F.lit("insert")))
+        .when(
+            changed,
+            F.when(stale, alarm_roles).otherwise(
+                F.array(F.lit("close"), F.lit("insert"))
+            ),
+        )
         .otherwise(F.array(F.lit("keep")))
     )
     j = cur.join(u, cond, "full_outer").withColumn("_role", F.explode(roles))
     from_cur = F.col("_role").isin("keep", "close")
-    u_ts = F.col(f"_u_{ts_col}")
-    # loud out-of-order guard: a matched update must advance the
-    # timeline. Fused into the FIRST payload column (which every role
-    # emits), not only valid_to — a consumer that prunes valid_to must
-    # still trip it (the DID-NOT-RAISE pruning lesson; pinned in
-    # tests/test_medallion_incremental.py).
-    # any exploded row of a stale MATCHED change alarms (close AND its
-    # insert twin), so the guard survives an is_current filter that
-    # drops the close row; unmatched inserts have NULL _c_valid_from
-    # and never trip it
-    out_of_order = (F.col("_role") != "keep") & (
-        u_ts <= F.col("_c_valid_from")
-    )
-
-    def _alarm(c: str) -> Column:
-        return F.raise_error(
-            F.concat(
-                F.lit("scd2_merge: out-of-order update for key at ts "),
-                u_ts.cast("string"),
-                F.lit(" <= current valid_from "),
-                F.col("_c_valid_from").cast("string"),
-            )
-        ).cast(dim.schema[c].dataType.simpleString())
-
-    ordered_close_ts = F.when(
-        u_ts <= F.col("_c_valid_from"), _alarm("valid_to")
-    ).otherwise(u_ts.cast(dim.schema["valid_to"].dataType.simpleString()))
-
-    def _payload(c: str) -> Column:
-        base = F.when(from_cur, F.col(f"_c_{c}")).otherwise(F.col(f"_u_{c}"))
-        if c == payload[0]:
-            return F.when(out_of_order, _alarm(c)).otherwise(base)
-        return base
-
     merged = j.select(
-        *[_payload(c).alias(c) for c in payload],
+        *[
+            F.when(from_cur, F.col(f"_c_{c}")).otherwise(F.col(f"_u_{c}")).alias(c)
+            for c in payload
+        ],
         F.when(from_cur, F.col("_c_valid_from"))
         .otherwise(u_ts.cast(dim.schema["valid_from"].dataType.simpleString()))
         .alias("valid_from"),
-        F.when(F.col("_role") == "close", ordered_close_ts)
+        F.when(
+            F.col("_role") == "close",
+            u_ts.cast(dim.schema["valid_to"].dataType.simpleString()),
+        )
         .otherwise(F.lit(None).cast(dim.schema["valid_to"].dataType.simpleString()))
         .alias("valid_to"),
         (F.col("_role") != "close").alias("is_current"),

@@ -219,12 +219,20 @@ def _bloom_positions(
       (bloom_semi_join), the spec is free to be fast.
     """
     if spec == "md5":
+        if not 1 <= k <= 4:
+            raise ValueError(
+                f"k must be in [1, 4] (positions are 7-hex slices of one md5), got {k}"
+            )
         h = F.md5(F.concat(F.lit("bloom:"), gram))
         return [
             F.conv(F.substring(h, 1 + 7 * i, 7), 16, 10).cast("long") % m_bits
             for i in range(k)
         ]
     if spec == "xxh64":
+        if not 1 <= k <= 63:
+            # k=0 builds an empty predicate; k>63 wraps Java's shift
+            # amount and silently duplicates positions
+            raise ValueError(f"k must be in [1, 63] for the xxh64 spec, got {k}")
         h1 = F.xxhash64(F.lit("bloomA"), gram)
         h2 = F.xxhash64(F.lit("bloomB"), gram)
         return [
@@ -253,8 +261,6 @@ def bloom_filter_build(
     must be a power of two (positions split as pos>>6 / pos&63)."""
     if m_bits & (m_bits - 1) or m_bits < 64:
         raise ValueError(f"m_bits must be a power of two >= 64, got {m_bits}")
-    if spec == "md5" and not 1 <= k <= 4:
-        raise ValueError(f"k must be in [1, 4] (positions are 7-hex slices of one md5), got {k}")
     pos = grams.select(
         F.explode(
             F.array(*_bloom_positions(F.col(gram_col), m_bits, k, spec))

@@ -404,11 +404,15 @@ def history(root: str) -> list[dict]:
 
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     """Retain the newest ``keep_last`` snapshots (the current one and
-    every TAGGED snapshot are always retained) and delete data dirs
-    referenced by NO retained snapshot. Returns deleted dir names. The
-    manifest commit happens BEFORE dir deletion so a crash mid-expire
-    leaves orphan dirs (safe, re-expirable), never a manifest pointing
-    at deleted data."""
+    every TAGGED snapshot are always retained) and delete data dirs —
+    plus, within surviving dirs, individual files no retained entry
+    references (replace_where/compact leftovers). Returns the deleted
+    dir names and file paths. The manifest commit happens BEFORE dir
+    deletion so a crash mid-expire leaves orphan dirs (safe —
+    remove_orphans collects them), never a manifest pointing at
+    deleted data; file-level deletions happen BEFORE the commit so a
+    failed unlink keeps its stats entry and is retried by the next
+    expire."""
     manifest = _load(root)
     snaps = manifest["snapshots"]
     if not snaps:
@@ -434,25 +438,32 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
                 whole_dirs.add(d)
             else:
                 live_files.setdefault(d, set()).update(file_filter[d])
+    # dead files are deleted BEFORE the manifest commit (the reverse of
+    # the dir order): once a file's dir_stats entry is dropped, nothing
+    # would ever re-collect it, so a crash or failed unlink must leave
+    # the stats entry in place for the next expire run. No retained
+    # entry references these files, so early deletion is safe under the
+    # module's single-writer contract. Dirs keep commit-then-delete:
+    # an orphaned whole dir is still caught by remove_orphans.
     dead_files = []
     for d, owned in live_files.items():
         if d in whole_dirs or d in dead_dirs:
             continue
         for f in _dir_files(root, manifest, d):
-            if f not in owned:
-                dead_files.append(os.path.join(d, f))
-                manifest.get("dir_stats", {}).get(d, {}).pop(f, None)
+            if f in owned:
+                continue
+            try:
+                os.remove(os.path.join(root, d, f))
+            except OSError:
+                continue  # stats entry stays; the next expire retries
+            dead_files.append(os.path.join(d, f))
+            manifest.get("dir_stats", {}).get(d, {}).pop(f, None)
     manifest["snapshots"] = retained
     for d in dead_dirs:
         manifest.get("dir_stats", {}).pop(d, None)
     _commit(root, manifest)
     for d in sorted(dead_dirs):
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    for rel in dead_files:
-        try:
-            os.remove(os.path.join(root, rel))
-        except OSError:
-            pass
     return sorted(dead_dirs) + sorted(dead_files)
 
 

@@ -178,3 +178,22 @@ def test_bloom_position_spec_sync(spark):
         h = hashlib.md5(f"bloom:{r.gram}".encode()).hexdigest()
         for i in range(4):
             assert getattr(r, f"p{i}") == int(h[7 * i : 7 * i + 7], 16) % 16384, (r.gram, i)
+
+
+def test_bloom_position_spec_validation(spark):
+    """k bounds are enforced per spec at expression-build time for BOTH
+    the build and the probe (second review pass: the xxh64 spec
+    accepted k=0/k>63, silently degrading the filter)."""
+    import pytest as _pt
+
+    from e_commerce_lakehouse_spark.operators import dedup
+
+    g = spark.createDataFrame([("a",)], "gram string")
+    for spec, bad_k in (("md5", 0), ("md5", 5), ("xxh64", 0), ("xxh64", 64)):
+        with _pt.raises(ValueError, match="k must be in"):
+            dedup.bloom_filter_build(g, m_bits=256, k=bad_k, spec=spec)
+        with _pt.raises(ValueError, match="k must be in"):
+            dedup.bloom_hit(F.col("gram"), [0] * 4, m_bits=256, k=bad_k, spec=spec)
+    # valid xxh64 k up to 63 builds fine
+    b = dedup.bloom_filter_build(g, m_bits=256, k=63, spec="xxh64")
+    assert g.filter(dedup.bloom_hit(F.col("gram"), b, m_bits=256, k=63, spec="xxh64")).count() == 1

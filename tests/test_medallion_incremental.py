@@ -206,3 +206,21 @@ def test_scd2_merge_guard_survives_pruning(spark):
     out = cleaning.scd2_merge(dim, stale, ["k"], "ts", tracked_cols=["v"])
     with pytest.raises(PE.PySparkException, match="out-of-order"):
         out.filter("is_current").select("k", "v").collect()  # valid_to pruned
+
+
+def test_scd2_merge_guard_survives_single_column_and_count(spark):
+    """Second review pass: the alarm rides EVERY payload column, so a
+    single-column select or a bare count() still trips it."""
+    from e_commerce_lakehouse_spark.operators import cleaning
+    import pyspark.errors as PE
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b")], "k long, ts long, v string"
+    )
+    dim = cleaning.scd2(base, ["k"], "ts")
+    stale = spark.createDataFrame([(1, 15, "x")], "k long, ts long, v string")
+    out = cleaning.scd2_merge(dim, stale, ["k"], "ts", tracked_cols=["v"])
+    with pytest.raises(PE.PySparkException, match="out-of-order"):
+        out.select("v").collect()
+    with pytest.raises(PE.PySparkException, match="out-of-order"):
+        out.count()

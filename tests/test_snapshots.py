@@ -464,3 +464,43 @@ def test_plan_scan_rejects_malformed_predicates(spark, root):
         S.plan_scan(root, [("id", "<")])
     with pytest.raises(ValueError, match="value"):
         S.plan_scan(root, [("id", "is_null", 3)])
+
+
+def test_expire_file_gc_retries_after_failed_unlink(spark, root, monkeypatch):
+    """Second review pass: a dead file that cannot be unlinked keeps
+    its stats entry and is re-collected by the NEXT expire — never
+    silently orphaned. (Fault injected via os.remove — chmod is a
+    no-op for root.)"""
+    S.write_snapshot(spark.range(0, 1000).repartitionByRange(4, "id"), root)
+    S.replace_where(
+        spark, root, spark.createDataFrame([], "id long"), [("id", ">=", 750)]
+    )
+    m = S._load(root)
+    d1 = S._entry(m, 1)["dirs"][0]
+    dropped = sorted(
+        set(S._dir_files(root, m, d1)) - set(S._entry(m, 2)["files"].get(d1, []))
+    )
+    assert dropped
+
+    real_remove = os.remove
+
+    def failing_remove(path):
+        if any(path.endswith(f) for f in dropped):
+            raise OSError("injected unlink failure")
+        real_remove(path)
+
+    monkeypatch.setattr(S.os, "remove", failing_remove)
+    removed = S.expire_snapshots(root, keep_last=1)
+    assert not any(f in r for r in removed for f in dropped)
+    # stats entries survive, so the files stay collectible
+    m2 = S._load(root)
+    for f in dropped:
+        assert f in m2["dir_stats"][d1]
+        assert os.path.exists(os.path.join(root, d1, f))
+
+    # next expire succeeds once unlinks work again
+    monkeypatch.setattr(S.os, "remove", real_remove)
+    removed2 = S.expire_snapshots(root, keep_last=1)
+    for f in dropped:
+        assert os.path.join(d1, f) in removed2
+        assert not os.path.exists(os.path.join(root, d1, f))
