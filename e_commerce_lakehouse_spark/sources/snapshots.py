@@ -549,7 +549,12 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     if kind == "tags":
         rows = sorted(manifest.get("tags", {}).items())
         return spark.createDataFrame(rows, "tag string, snapshot_id long")
-    raise ValueError(f"kind must be snapshots|files|tags, got {kind!r}")
+    if kind == "constraints":
+        rows = sorted(manifest.get("constraints", {}).items())
+        return spark.createDataFrame(rows, "name string, condition string")
+    raise ValueError(
+        f"kind must be snapshots|files|tags|constraints, got {kind!r}"
+    )
 
 
 def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
@@ -637,6 +642,7 @@ def plan_scan(
     predicates: list[tuple],
     snapshot_id: int | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
 ) -> dict:
     """File-pruning plan for a predicate scan: which data files the
     manifest stats prove irrelevant, without opening ANY of them.
@@ -660,6 +666,10 @@ def plan_scan(
             raise ValueError(
                 f"predicate {p!r}: op {p[1]!r} takes {need - 2} value(s)"
             )
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or tag, not both")
+        snapshot_id = resolve_tag(root, tag)
     manifest = _load(root)
     if snapshot_id is None and as_of is not None:
         eligible = [s for s in manifest["snapshots"] if s["ts"] <= as_of]
@@ -751,6 +761,7 @@ def scan_snapshot(
     predicates: list[tuple],
     snapshot_id: int | None = None,
     as_of: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Predicate scan with manifest-stats file skipping: prune via
     :func:`plan_scan`, read ONLY the surviving files, then apply the
@@ -759,7 +770,9 @@ def scan_snapshot(
     Iceberg split between manifest evaluation and residual filters).
     An all-files-pruned scan returns an empty frame with the
     snapshot's schema instead of touching storage."""
-    plan = plan_scan(root, predicates, snapshot_id=snapshot_id, as_of=as_of)
+    plan = plan_scan(
+        root, predicates, snapshot_id=snapshot_id, as_of=as_of, tag=tag
+    )
     if not plan["files"]:
         import pyspark.sql.types as T
 

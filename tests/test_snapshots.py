@@ -504,3 +504,18 @@ def test_expire_file_gc_retries_after_failed_unlink(spark, root, monkeypatch):
     for f in dropped:
         assert os.path.join(d1, f) in removed2
         assert not os.path.exists(os.path.join(root, d1, f))
+
+
+def test_tagged_scan_and_constraints_metadata(spark, root):
+    S.write_snapshot(spark.range(100), root)
+    S.tag_snapshot(root, "cut")
+    S.set_constraint(root, "id_nn", "id IS NOT NULL")
+    S.write_snapshot(spark.range(5), root)
+    # scans resolve tags like reads do
+    assert S.scan_snapshot(spark, root, [("id", "<", 10)], tag="cut").count() == 10
+    assert S.plan_scan(root, [("id", "<", 10)], tag="cut")["snapshot_id"] == 1
+    with pytest.raises(ValueError, match="not both"):
+        S.plan_scan(root, [("id", "<", 10)], snapshot_id=1, tag="cut")
+    # constraints metadata table
+    rows = S.metadata_table(spark, root, "constraints").collect()
+    assert [(r.name, r.condition) for r in rows] == [("id_nn", "id IS NOT NULL")]
