@@ -882,6 +882,33 @@ def replace_where(
     return snap_id
 
 
+def delete_keys(
+    spark: SparkSession, root: str, key_col: str, keys: list
+) -> int:
+    """Key-targeted deletion (the GDPR right-to-be-forgotten request):
+    remove every row whose ``key_col`` is in ``keys``, as a
+    :func:`replace_where` DELETE — so only files whose stats bounds
+    admit one of the keys are even read, and of those, only files
+    actually containing matching rows change bytes... files provably
+    outside every key's range carry over verbatim. On a table
+    clustered by the key (:func:`optimize_zorder`), a handful of keys
+    touches a handful of files regardless of table size.
+
+    ``keys`` is an in-memory list (deletion requests are small by
+    nature); batch large backlogs into chunks."""
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    manifest = _load(root)
+    if manifest["current"] is None:
+        raise KeyError(f"table {root} has no snapshots")
+    import pyspark.sql.types as T
+
+    entry = _entry(manifest, manifest["current"])
+    schema = T.StructType.fromJson(json.loads(entry["schema"]))
+    empty = spark.createDataFrame([], schema)
+    return replace_where(spark, root, empty, [(key_col, "in", list(keys))])
+
+
 def compact_files(
     spark: SparkSession,
     root: str,

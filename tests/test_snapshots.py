@@ -519,3 +519,27 @@ def test_tagged_scan_and_constraints_metadata(spark, root):
     # constraints metadata table
     rows = S.metadata_table(spark, root, "constraints").collect()
     assert [(r.name, r.condition) for r in rows] == [("id_nn", "id IS NOT NULL")]
+
+
+def test_delete_keys_touches_only_owning_files(spark, root):
+    """GDPR deletion: only files whose bounds admit a requested key are
+    rewritten; everything else carries over verbatim."""
+    S.write_snapshot(spark.range(0, 8_000).repartitionByRange(8, "id"), root)
+    m = S._load(root)
+    d1 = S._entry(m, 1)["dirs"][0]
+    before = {
+        f: os.path.getsize(os.path.join(root, d1, f))
+        for f in S._dir_files(root, m, d1)
+    }
+    sid = S.delete_keys(spark, root, "id", [42, 43, 7777])
+    out = S.read_snapshot(spark, root)
+    assert out.count() == 8_000 - 3
+    assert out.filter(F.col("id").isin(42, 43, 7777)).count() == 0
+    entry = S._entry(S._load(root), sid)
+    carried = [f for d, f in S._entry_units(root, S._load(root), entry) if d == d1]
+    # two keys live in one range file, one in another: >= 6 of 8 carry over
+    assert len(carried) >= 6
+    for f in carried:
+        assert os.path.getsize(os.path.join(root, d1, f)) == before[f]
+    with pytest.raises(ValueError, match="non-empty"):
+        S.delete_keys(spark, root, "id", [])
