@@ -15,7 +15,9 @@ shuffle-order-independent and engine-portable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, money_from_cents, revenue_cents
@@ -202,4 +204,70 @@ def retention_cohorts(
     )
     return j.groupBy("cohort_day", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def merge_partial_aggregates(
+    target: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental view maintenance for DISTRIBUTIVE aggregates: fold a
+    delta's per-key partials into an existing aggregate table without
+    rescanning the base — agg(base ∪ delta) == merge(agg(base),
+    agg(delta)) for sums/counts (sum_cols), mins and maxes. This is
+    the batch analog of a streaming aggregation's state update, and
+    the maintenance step of a materialized view: at 100 TB the nightly
+    refresh costs O(delta), never O(base).
+
+    NOT valid for non-distributive measures (avg must be maintained as
+    sum+count and divided at read; distinct counts need the HLL
+    register merge in operators/sketches.py). One null-safe full-outer
+    join on the key — the merged key space — with measure-wise
+    coalesced combination.
+    """
+    import functools as _ft
+    import operator as _op
+
+    measures = [*sum_cols, *min_cols, *max_cols]
+    for frame, name in ((target, "target"), (delta, "delta")):
+        missing = [c for c in [*keys, *measures] if c not in frame.columns]
+        if missing:
+            raise ValueError(f"{name} missing columns {missing}")
+    t = target.select(
+        *[F.col(k).alias(f"_t_{k}") for k in keys],
+        *[F.col(c).alias(f"_t_{c}") for c in measures],
+    )
+    d = delta.select(
+        *[F.col(k).alias(f"_d_{k}") for k in keys],
+        *[F.col(c).alias(f"_d_{c}") for c in measures],
+    )
+    cond = _ft.reduce(
+        _op.and_,
+        [F.col(f"_t_{k}").eqNullSafe(F.col(f"_d_{k}")) for k in keys],
+    )
+    j = t.join(d, cond, "full_outer")
+
+    def combine(c: str, how: str) -> Column:
+        a, b = F.col(f"_t_{c}"), F.col(f"_d_{c}")
+        if how == "sum":
+            merged = F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        elif how == "min":
+            merged = F.least(a, b)  # least/greatest skip NULLs
+        else:
+            merged = F.greatest(a, b)
+        # a key present on one side only keeps its own value/type
+        return F.when(a.isNull(), b).when(b.isNull(), a).otherwise(merged)
+
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_t_{k}"), F.col(f"_d_{k}")).alias(k)
+            for k in keys
+        ],
+        *[combine(c, "sum").alias(c) for c in sum_cols],
+        *[combine(c, "min").alias(c) for c in min_cols],
+        *[combine(c, "max").alias(c) for c in max_cols],
     )

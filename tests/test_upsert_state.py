@@ -223,3 +223,47 @@ def test_apply_changes_roundtrip_and_deletes(spark):
         upsert.apply_changes(old, new, ["k"])
     with pytest.raises(ValueError, match="missing target columns"):
         upsert.apply_changes(old, feed.drop("w"), ["k"])
+
+
+def test_merge_partial_aggregates_equals_full_rebuild(spark):
+    """IVM correctness: merging the delta's partials into the base
+    aggregate equals re-aggregating base ∪ delta — for sum, count,
+    min, and max, including delta-only and base-only keys and a NULL
+    key."""
+    from e_commerce_lakehouse_spark.operators import aggregates as agg
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), (None, 7.0)],
+        "k string, v double",
+    )
+    delta = spark.createDataFrame(
+        [("a", 10.0), ("c", 3.0), (None, 1.0)], "k string, v double"
+    )
+
+    def aggregate(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merged = agg.merge_partial_aggregates(
+        aggregate(base),
+        aggregate(delta),
+        ["k"],
+        sum_cols=["n", "s"],
+        min_cols=["mn"],
+        max_cols=["mx"],
+    )
+    key = lambda r: ("" if r.k is None else r.k, r.n, r.s, r.mn, r.mx)
+    want = sorted(map(key, aggregate(base.unionByName(delta)).collect()))
+    got = sorted(map(key, merged.collect()))
+    assert got == want
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="missing columns"):
+        agg.merge_partial_aggregates(
+            aggregate(base).drop("s"), aggregate(delta), ["k"], sum_cols=["s"]
+        )
