@@ -1316,9 +1316,13 @@ def _ddsketch_oracle_branch(s: int = 4) -> str:
         "cents", "1", "_fl", ["l_returnflag", "l_linestatus"], source="ddsrc"
     )
     e = f"(bucket * {s} + {s // 2})"
+    # Same split-shift form as sketches._dd_rep_expr: word << (k-20)
+    # when k >= 20 (exact, never wraps int64), word >> (20-k) below.
+    word = f"CAST(LIST_VALUE({tbl})[({e} % 64) + 1] AS BIGINT)"
+    k = f"CAST({e} // 64 AS INT)"
     rep = (
-        f"((CAST(LIST_VALUE({tbl})[({e} % 64) + 1] AS BIGINT)"
-        f" << CAST({e} // 64 AS INT)) >> 20)"
+        f"(CASE WHEN {k} >= 20 THEN ({word} << ({k} - 20))"
+        f" ELSE ({word} >> (20 - {k})) END)"
     )
     return f"""
             UNION ALL

@@ -264,17 +264,20 @@ POW2_64TH_X20 = [int(2 ** (r / 64) * (1 << 20)) for r in range(64)]
 
 def _dd_rep_expr(bucket, s: int):
     """Integer representative (geometric mid) of bucket b: value units,
-    rep = (POW2_64TH_X20[e mod 64] << (e div 64)) >> 20 with
-    e = b*s + s div 2. Pure Column math; e div 64 <= bit_length(max
-    value), so the shifted Q20 product stays far inside int64 for any
-    int64 input value."""
+    rep = (POW2_64TH_X20[e mod 64] * 2^(e div 64)) >> 20 with
+    e = b*s + s div 2. Pure Column math. The shift is split around the
+    Q20 point so it never wraps: for k = e div 64 >= 20 the rep is
+    word << (k-20) — exact, and < 2^63 for every int64 input (word <
+    2^21, k <= 62) — while the naive (word << k) >> 20 form wraps at
+    values >= ~2^43. For k < 20 both forms truncate identically."""
     e = bucket * s + s // 2
     tbl = F.array(*[F.lit(v).cast("long") for v in POW2_64TH_X20])
     word = F.element_at(tbl, (e % 64).cast("int") + 1)
     # e is small (<= 64·bit_length(value)), so float division is exact
-    return F.shiftright(
-        F.call_function("shiftleft", word, F.floor(e / 64).cast("int")), 20
-    )
+    k = F.floor(e / 64).cast("int")
+    return F.when(
+        k >= 20, F.call_function("shiftleft", word, k - F.lit(20))
+    ).otherwise(F.call_function("shiftright", word, F.lit(20) - k))
 
 
 def ddsketch_cells(
@@ -291,15 +294,25 @@ def ddsketch_cells(
     input size and the build is ONE partial-aggregated groupBy (the
     same scale shape as the CMS build above).
 
-    Values must be >= 1 (integer cents, counts, latencies-in-micros…);
-    the guard raises IN-PLAN, inside the chain input the aggregation
-    consumes, so it cannot be pruned. DDSketch's separate zero/negative
+    Values must be in [1, 2^42] (integer cents, counts,
+    latencies-in-micros…): the shared Q20 fixed-point log2 chain
+    multiplies the value by 2^20, so anything above ~2^43 would
+    overflow int64 mid-chain — the guard raises IN-PLAN, inside the
+    chain input the aggregation consumes, so it cannot be pruned.
+    2^42 cents is ~$44B per single value; re-scale units upstream if
+    the domain is genuinely larger. DDSketch's separate zero/negative
     stores are out of scope — quantize upstream.
     """
     from .search import with_fixed_log2_x64
 
-    guarded = F.when(F.col(value_col) >= 1, F.col(value_col).cast("long")).otherwise(
-        F.expr("CAST(raise_error('ddsketch: values must be >= 1') AS BIGINT)")
+    guarded = F.when(
+        (F.col(value_col) >= 1) & (F.col(value_col) <= F.lit(2**42)),
+        F.col(value_col).cast("long"),
+    ).otherwise(
+        F.expr(
+            "CAST(raise_error('ddsketch: values must be in [1, 2^42]"
+            " (Q20 log2 chain int64 domain)') AS BIGINT)"
+        )
     )
     base = df.select(*group_cols, guarded.alias("_ddv"))
     base = with_fixed_log2_x64(base, "_ddv", "1", "_fl")

@@ -36,6 +36,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re
 import shutil
 import time
 
@@ -407,12 +408,13 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     every TAGGED snapshot are always retained) and delete data dirs —
     plus, within surviving dirs, individual files no retained entry
     references (replace_where/compact leftovers). Returns the deleted
-    dir names and file paths. The manifest commit happens BEFORE dir
-    deletion so a crash mid-expire leaves orphan dirs (safe —
-    remove_orphans collects them), never a manifest pointing at
-    deleted data; file-level deletions happen BEFORE the commit so a
-    failed unlink keeps its stats entry and is retried by the next
-    expire."""
+    dir names and file paths. ALL manifest trimming commits BEFORE any
+    deletion (two-phase): the trimmed manifest carries the file-level
+    dead list as ``pending_delete``, then files are unlinked and a
+    second commit clears the list. A crash at any point leaves either
+    orphan dirs (remove_orphans collects them) or a pending_delete
+    list the next expire retries — never a manifest entry pointing at
+    deleted data."""
     manifest = _load(root)
     snaps = manifest["snapshots"]
     if not snaps:
@@ -438,33 +440,46 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
                 whole_dirs.add(d)
             else:
                 live_files.setdefault(d, set()).update(file_filter[d])
-    # dead files are deleted BEFORE the manifest commit (the reverse of
-    # the dir order): once a file's dir_stats entry is dropped, nothing
-    # would ever re-collect it, so a crash or failed unlink must leave
-    # the stats entry in place for the next expire run. No retained
-    # entry references these files, so early deletion is safe under the
-    # module's single-writer contract. Dirs keep commit-then-delete:
-    # an orphaned whole dir is still caught by remove_orphans.
-    dead_files = []
+    # Two-phase file-level GC: commit the TRIMMED manifest first with
+    # the dead-file list recorded as pending_delete, THEN unlink, then
+    # commit again with the list cleared. A crash between unlink and
+    # commit can therefore never leave a manifest entry referencing a
+    # deleted file (no retained entry references pending_delete files
+    # by construction); a crash before the unlinks leaves the list for
+    # the NEXT expire run to drain. Stats entries are dropped only
+    # after a successful (or already-done) unlink so a failed unlink
+    # keeps its stats and is retried. Dirs keep commit-then-delete: an
+    # orphaned whole dir is still caught by remove_orphans.
+    dead_files = set(manifest.get("pending_delete", []))  # prior crash
     for d, owned in live_files.items():
         if d in whole_dirs or d in dead_dirs:
             continue
         for f in _dir_files(root, manifest, d):
-            if f in owned:
-                continue
-            try:
-                os.remove(os.path.join(root, d, f))
-            except OSError:
-                continue  # stats entry stays; the next expire retries
-            dead_files.append(os.path.join(d, f))
-            manifest.get("dir_stats", {}).get(d, {}).pop(f, None)
+            if f not in owned:
+                dead_files.add(os.path.join(d, f))
     manifest["snapshots"] = retained
     for d in dead_dirs:
         manifest.get("dir_stats", {}).pop(d, None)
+    dead_files = sorted(f for f in dead_files if f.split(os.sep, 1)[0] not in dead_dirs)
+    manifest["pending_delete"] = dead_files
+    _commit(root, manifest)
+    removed_files, remaining = [], []
+    for rel in dead_files:
+        try:
+            os.remove(os.path.join(root, rel))
+        except FileNotFoundError:
+            pass  # a prior crashed expire already unlinked it
+        except OSError:
+            remaining.append(rel)  # stats stay; next expire retries
+            continue
+        d, f = os.path.split(rel)
+        manifest.get("dir_stats", {}).get(d, {}).pop(f, None)
+        removed_files.append(rel)
+    manifest["pending_delete"] = remaining
     _commit(root, manifest)
     for d in sorted(dead_dirs):
         shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    return sorted(dead_dirs) + sorted(dead_files)
+    return sorted(dead_dirs) + sorted(removed_files)
 
 
 def tag_snapshot(root: str, name: str, snapshot_id: int | None = None) -> None:
@@ -585,15 +600,103 @@ def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
 _OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
 
 
-def _comparable(a, b) -> bool:
-    """Only order values the footer and the predicate agree on the
-    type of — numeric-with-numeric (bool is an int in Python; that
-    matches parquet's ordering for BOOLEAN) or str-with-str. Anything
-    else is 'can't say', which means KEEP the file."""
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_ISO_DT_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+_ISO_TZ_RE = re.compile(r"(Z|[+-]\d{2}:?\d{2})$")
+
+
+def _temporal_shape(s: str):
+    """Classify an ISO-ish string: 'date' (date-only), 'datetime' /
+    'datetime+tz', or None (not temporal). Lexicographic order on two
+    ISO strings only agrees with temporal order when BOTH have the
+    same shape — '2024-03-01' < '2024-03-01T00:00:00' lexically even
+    though they denote the same instant, and naive-vs-aware strings
+    aren't comparable at all."""
+    if _ISO_DATE_RE.match(s):
+        return "date"
+    if _ISO_DT_RE.match(s):
+        return "datetime+tz" if _ISO_TZ_RE.search(s) else "datetime"
+    return None
+
+
+def _session_tzinfo():
+    """tzinfo of the active Spark session (``spark.sql.session.timeZone``)
+    — the zone Spark uses to interpret a NAIVE datetime literal against
+    a TIMESTAMP column, so it is the only sound zone for localizing a
+    naive predicate value before comparing it with the footer's
+    UTC-adjusted bounds. None when no session / unparseable zone."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return None
+        return ZoneInfo(s.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return None
+
+
+def _canon_dt(s: str, naive_tz) -> str:
+    """ISO datetime string -> canonical naive-UTC ISO string. Aware
+    inputs convert via their own offset (two '+00:00' and '+05:30'
+    strings are NOT lexicographically comparable with each other);
+    naive inputs localize in ``naive_tz``. Raises on unparseable."""
+    t = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if t.tzinfo is None:
+        if naive_tz is None:
+            raise ValueError("naive datetime without a session timezone")
+        t = t.replace(tzinfo=naive_tz)
+    return t.astimezone(_dt.timezone.utc).replace(tzinfo=None).isoformat()
+
+
+def _align_bounds(mn, mx, vals):
+    """Normalize footer bounds + predicate values into ONE soundly
+    orderable domain, or return None ('can't say' — KEEP the file in
+    may-match, REWRITE in all-match). Numeric-with-numeric passes
+    through (bool is an int in Python; matches parquet's BOOLEAN
+    order). Strings compare lexicographically only when that agrees
+    with their semantics:
+
+    - plain strings, date-with-date, naive-with-naive (TIMESTAMP_NTZ
+      wall-clock): as-is;
+    - tz-aware bounds (parquet TIMESTAMP — pyarrow yields UTC-adjusted
+      datetimes): every side is canonicalized to naive-UTC; naive
+      predicate values localize in the SESSION timezone, exactly how
+      Spark's residual filter will interpret them — no session, no
+      pruning;
+    - date-vs-datetime, naive-NTZ-bounds-vs-aware-value, or any other
+      mixed shape: None ('2024-03-01' < '2024-03-01T00:00:00'
+      lexically even though the instants coincide)."""
     num = (int, float)
-    return (isinstance(a, num) and isinstance(b, num)) or (
-        isinstance(a, str) and isinstance(b, str)
-    )
+    if (
+        isinstance(mn, num)
+        and isinstance(mx, num)
+        and all(isinstance(v, num) for v in vals)
+    ):
+        return mn, mx, vals
+    if not (
+        isinstance(mn, str)
+        and isinstance(mx, str)
+        and all(isinstance(v, str) for v in vals)
+    ):
+        return None
+    bshape = _temporal_shape(mn)
+    if _temporal_shape(mx) != bshape:
+        return None
+    vshapes = {_temporal_shape(v) for v in vals}
+    if bshape in (None, "date", "datetime") and vshapes <= {bshape}:
+        return mn, mx, vals
+    if bshape == "datetime+tz" and vshapes <= {"datetime", "datetime+tz"}:
+        tz = _session_tzinfo() if "datetime" in vshapes else None
+        if "datetime" in vshapes and tz is None:
+            return None
+        try:
+            cmn, cmx = _canon_dt(mn, None), _canon_dt(mx, None)
+            cvals = [_canon_dt(v, tz) for v in vals]
+        except ValueError:
+            return None
+        return cmn, cmx, cvals
+    return None
 
 
 def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
@@ -619,8 +722,10 @@ def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
         v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
         for v in (list(val) if op == "in" else [val])
     ]
-    if not all(_comparable(mn, v) for v in vals):
+    aligned = _align_bounds(mn, mx, vals)
+    if aligned is None:
         return True
+    mn, mx, vals = aligned
     if op == "in":
         return any(mn <= v <= mx for v in vals)
     val = vals[0]
@@ -724,8 +829,10 @@ def _file_all_match(stats: dict, col: str, op: str, val) -> bool:
         v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
         for v in (list(val) if op == "in" else [val])
     ]
-    if not all(_comparable(mn, v) for v in vals):
+    aligned = _align_bounds(mn, mx, vals)
+    if aligned is None:
         return False
+    mn, mx, vals = aligned
     if op == "in":
         return any(v <= mn and mx <= v for v in vals)  # mn==mx==v
     val = vals[0]
@@ -819,6 +926,17 @@ def replace_where(
 
     from ..operators.constraints import guard_constraints
 
+    if not predicates:
+        # An empty conjunction is vacuously true for every file ("all
+        # rows match -> drop"), i.e. TRUNCATE-then-insert semantics —
+        # almost never what a replaceWhere caller meant. Demand an
+        # explicit scope; use write_snapshot(op="overwrite") for a
+        # deliberate full replacement.
+        raise ValueError(
+            "replace_where: predicates must be non-empty (an empty "
+            "conjunction would replace the whole table; use "
+            "write_snapshot(op='overwrite') for that)"
+        )
     plan = plan_scan(root, predicates)  # validates predicate grammar
     manifest = _load(root)
     entry = _entry(manifest, plan["snapshot_id"])

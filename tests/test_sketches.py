@@ -245,3 +245,27 @@ def test_ddsketch_grouped_and_guard(spark):
     bad = spark.createDataFrame([("a", 0)], ["g", "v"])
     with pytest.raises(Exception, match="ddsketch"):
         sk.ddsketch_cells(bad, "v", group_cols=("g",)).collect()
+
+
+def test_ddsketch_value_domain_guard_and_top_of_domain(spark):
+    """Round-7 advice fix: the Q20 log2 chain overflows int64 above
+    ~2^43, so (a) the whole supported domain [1, 2^42] produces
+    positive, relative-error-bounded representatives (the split-shift
+    rep form — the naive (word << k) >> 20 wrapped near the top), and
+    (b) values beyond the domain raise IN-PLAN with a clear message
+    instead of a silent wrap or an opaque ANSI overflow."""
+    import pytest
+
+    from e_commerce_lakehouse_spark.operators import sketches as sk
+
+    vals = [1, 2**20 + 3, 2**41 - 12345, 2**42 - 1, 2**42]
+    for v in vals:
+        one = sk.ddsketch_quantiles(
+            sk.ddsketch_cells(spark.createDataFrame([(v,)], "v long"), "v"), (50,)
+        ).collect()[0].rep
+        assert one > 0
+        assert abs(one - v) / v <= 0.05, (v, one)
+
+    bad = spark.createDataFrame([(2**43,)], "v long")
+    with pytest.raises(Exception, match="ddsketch"):
+        sk.ddsketch_cells(bad, "v").collect()

@@ -543,3 +543,99 @@ def test_delete_keys_touches_only_owning_files(spark, root):
         assert os.path.getsize(os.path.join(root, d1, f)) == before[f]
     with pytest.raises(ValueError, match="non-empty"):
         S.delete_keys(spark, root, "id", [])
+
+
+def test_temporal_shape_pruning_is_conservative(spark, root):
+    """Round-7 advice fix: a datetime predicate against DATE-shaped
+    footer bounds (or any shape mismatch — date vs datetime, naive vs
+    tz-aware) is NOT lexicographically orderable; the file must be
+    KEPT by may-match and REWRITTEN by all-match, never pruned."""
+    import datetime as dt
+
+    date_stats = {"d": {"mn": "2024-03-01", "mx": "2024-03-05", "nulls": 0, "rows": 10}}
+    # '2024-03-05' < '2024-03-05T00:00:00' lexically, but the instants
+    # are equal — the old code wrongly proved no-match here.
+    midnight = dt.datetime(2024, 3, 5, 0, 0)
+    assert S._file_may_match(date_stats["d"] and date_stats, "d", ">=", midnight)
+    assert S._file_may_match(date_stats, "d", "=", midnight)
+    assert not S._file_all_match(date_stats, "d", "<=", dt.datetime(2024, 3, 6))
+    # naive NTZ bounds vs a tz-aware predicate: incomparable -> keep
+    ntz_stats = {"t": {"mn": "2024-03-01T00:00:00", "mx": "2024-03-05T12:00:00",
+                       "nulls": 0, "rows": 10}}
+    aware = dt.datetime(2024, 3, 6, tzinfo=dt.timezone.utc)
+    assert S._file_may_match(ntz_stats, "t", "=", aware)
+    # aware bounds with NON-UTC-offset predicate: canonicalized to UTC
+    # before comparing (lexical order across different offsets lies)
+    tz_stats = {"t": {"mn": "2024-03-01T00:00:00+00:00",
+                      "mx": "2024-03-05T12:00:00+00:00", "nulls": 0, "rows": 10}}
+    plus5 = dt.timezone(dt.timedelta(hours=5))
+    # 2024-03-05T16:00+05:00 == 11:00Z < mx even though '16:00' > '12:00'
+    assert S._file_may_match(tz_stats, "t", ">=", dt.datetime(2024, 3, 5, 16, 0, tzinfo=plus5))
+    assert not S._file_may_match(tz_stats, "t", ">", dt.datetime(2024, 3, 5, 18, 0, tzinfo=plus5))
+    # same-shape strings still prune decisively
+    assert not S._file_may_match(date_stats, "d", ">", dt.date(2024, 3, 6))
+    assert S._file_all_match(date_stats, "d", "<=", dt.date(2024, 3, 6))
+    # and plain (non-temporal) strings keep ordering
+    s_stats = {"s": {"mn": "apple", "mx": "mango", "nulls": 0, "rows": 5}}
+    assert not S._file_may_match(s_stats, "s", ">", "zebra")
+
+
+def test_replace_where_rejects_empty_predicates(spark, root):
+    """Round-7 advice fix: an empty conjunction is vacuously all-match
+    (near-miss TRUNCATE) — refused up front with a clear error instead
+    of a TypeError from reduce()."""
+    S.write_snapshot(spark.range(10), root)
+    with pytest.raises(ValueError, match="non-empty"):
+        S.replace_where(spark, root, spark.createDataFrame([], "id long"), [])
+    assert S.read_snapshot(spark, root).count() == 10
+
+
+def test_expire_commits_trimmed_manifest_before_unlink(spark, root, monkeypatch):
+    """Round-7 advice fix: expire is two-phase — the trimmed manifest
+    (with the dead-file list as pending_delete) commits BEFORE any
+    unlink, so a crash between unlink and the clearing commit leaves
+    every retained snapshot readable and the next expire drains the
+    list."""
+    S.write_snapshot(spark.range(0, 1000).repartitionByRange(4, "id"), root)
+    S.replace_where(
+        spark, root, spark.createDataFrame([], "id long"), [("id", ">=", 750)]
+    )
+    m = S._load(root)
+    d1 = S._entry(m, 1)["dirs"][0]
+    dropped = sorted(
+        set(S._dir_files(root, m, d1)) - set(S._entry(m, 2)["files"].get(d1, []))
+    )
+    assert dropped
+
+    # crash-sim: the SECOND commit (clearing pending_delete) dies after
+    # the unlinks already happened
+    real_commit = S._commit
+    calls = {"n": 0}
+
+    def crashing_commit(r, manifest):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before clearing commit")
+        real_commit(r, manifest)
+
+    monkeypatch.setattr(S, "_commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.expire_snapshots(root, keep_last=1)
+    monkeypatch.setattr(S, "_commit", real_commit)
+
+    # on-disk manifest is the TRIMMED one with pending_delete recorded;
+    # every retained snapshot is fully readable (no dangling reference)
+    m2 = S._load(root)
+    assert [s["id"] for s in m2["snapshots"]] == [2]
+    assert sorted(m2["pending_delete"]) == [os.path.join(d1, f) for f in dropped]
+    assert S.read_snapshot(spark, root).count() == 750
+
+    # next expire drains the list (files already unlinked -> cleanup only)
+    removed = S.expire_snapshots(root, keep_last=1)
+    for f in dropped:
+        assert os.path.join(d1, f) in removed
+    m3 = S._load(root)
+    assert m3["pending_delete"] == []
+    for f in dropped:
+        assert f not in m3["dir_stats"].get(d1, {})
+    assert S.read_snapshot(spark, root).count() == 750
