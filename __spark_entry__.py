@@ -150,12 +150,72 @@ def _shared_media(spark: SparkSession, sf: str, kind: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_Q01_IVM_SPEC = {
+    "group": {"year": "year", "month": "month", "product_id": "product_id"},
+    "sums": {"total_quantity": "l_quantity", "cents": "rev_cents"},
+    "count_col": "num_purchases",
+}
+
+
 def _q01_sales_summary(spark: SparkSession, sf: str) -> DataFrame:
-    return agg.sales_summary(
-        load_table(spark, sf, "lineitem"),
-        load_table(spark, sf, "orders"),
-        load_table(spark, sf, "part"),
+    """Gold sales rollup, two kinds:
+
+    - 'full': the reference gold_transfrom.py:59-75 aggregate;
+    - 'ivm': the SAME rollup over the l_orderkey%3 ∈ {1,2} slice,
+      computed as incremental view maintenance — state = aggregate of
+      the %3 ∈ {0,1} slice, then a cdc_diff feed (deletes of the %3=0
+      rows, inserts of the %3=2 rows) folded through
+      plans/ivm.signed_delta_aggregate + fold_signed_delta
+      (merge_partial_aggregates). The oracle computes the slice's
+      aggregate directly, so a hash match proves fold(agg(old),
+      signed_agg(feed)) == agg(new) value-exactly, deletes included.
+      The O(delta) file-granular production path is pytest-gated in
+      tests/test_ivm_gold.py (the driver only hands us parquet dirs,
+      not snapshot logs).
+    """
+    from e_commerce_lakehouse_spark.plans import ivm
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    part = load_table(spark, sf, "part")
+    full = agg.sales_summary(li, orders, part).select(
+        F.lit("full").alias("kind"), "*"
     )
+
+    enriched = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_quantity").cast("long").alias("l_quantity"),
+        money.revenue_cents().alias("rev_cents"),
+    )
+    old = enriched.filter(F.col("l_orderkey") % 3 != 2)
+    new = enriched.filter(F.col("l_orderkey") % 3 != 0)
+    state = ivm.full_state_aggregate(old, _Q01_IVM_SPEC)
+    feed = upsert.cdc_diff(old, new, ["l_orderkey", "l_linenumber"])
+    folded = ivm.fold_signed_delta(
+        state, ivm.signed_delta_aggregate(feed, _Q01_IVM_SPEC), _Q01_IVM_SPEC
+    )
+    ivm_branch = folded.join(
+        F.broadcast(part.select("p_partkey", "p_name", "p_brand")),
+        folded.product_id == F.col("p_partkey"),
+    ).select(
+        F.lit("ivm").alias("kind"),
+        "year",
+        "month",
+        "product_id",
+        F.col("p_name").alias("product_name"),
+        F.col("p_brand").alias("brand"),
+        F.col("total_quantity").cast("double").alias("total_quantity"),
+        money.money_from_cents("cents").alias("total_sales"),
+        "num_purchases",
+    )
+    return full.unionByName(ivm_branch)
 
 
 def _q02_topk_products(spark: SparkSession, sf: str) -> DataFrame:
@@ -3013,7 +3073,8 @@ def _dhash56_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_sales_summary": f"""
-            SELECT CAST(year(o_orderdate) AS INT) AS year,
+            SELECT 'full' AS kind,
+                   CAST(year(o_orderdate) AS INT) AS year,
                    CAST(month(o_orderdate) AS INT) AS month,
                    l_partkey AS product_id,
                    p_name AS product_name,
@@ -3024,7 +3085,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN part ON l_partkey = p_partkey
-            GROUP BY 1, 2, 3, 4, 5
+            GROUP BY 1, 2, 3, 4, 5, 6
+            UNION ALL
+            -- 'ivm' proves fold(agg(%3 in (0,1)), signed feed) ==
+            -- agg(%3 in (1,2)) by computing the right side directly
+            SELECT 'ivm' AS kind,
+                   CAST(year(o_orderdate) AS INT) AS year,
+                   CAST(month(o_orderdate) AS INT) AS month,
+                   l_partkey AS product_id,
+                   p_name AS product_name,
+                   p_brand AS brand,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS total_quantity,
+                   {TOTAL_SALES_SQL} AS total_sales,
+                   count(*) AS num_purchases
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_orderkey % 3 <> 0
+            GROUP BY 1, 2, 3, 4, 5, 6
         """,
         "q02_topk_products": f"""
             WITH per_part AS (

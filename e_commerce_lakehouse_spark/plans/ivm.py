@@ -1,0 +1,275 @@
+"""Incremental gold refresh — IVM × CDC, end-to-end.
+
+The reference recomputes its gold tables from the full silver fact on
+every run (gold_transfrom.py:59-94, createOrReplace); so did this
+repo's ``plans/medallion.py`` until round 7. This module wires the
+existing parts into an O(delta) maintenance loop over the snapshot
+log:
+
+  1. the silver fact lives in a snapshot-log table
+     (``sources/snapshots.py``) — every batch is a commit;
+  2. the gold STATE is itself a snapshot table holding per-key
+     distributive partials (sums + a signed row count), with the fact
+     snapshot id it reflects recorded in the commit ``meta`` — state
+     and watermark move ATOMICALLY, so a crashed refresh can only be
+     retried, never double-applied;
+  3. a refresh reads ONLY the files that changed between the
+     watermark and the fact's current snapshot
+     (:func:`~e_commerce_lakehouse_spark.sources.snapshots.
+     snapshot_file_changes` — manifest set-difference, no diff join,
+     no scan of shared files), turns them into SIGNED partial
+     aggregates (+1 insert, −1 delete), and folds them with
+     :func:`~e_commerce_lakehouse_spark.operators.aggregates.
+     merge_partial_aggregates`;
+  4. groups whose signed count reaches zero vanish, exactly as a
+     rebuild would drop them.
+
+At 100 TB the nightly refresh therefore costs O(new + rewritten
+files) + one gold-sized merge join — never O(base fact). Descriptive
+columns functionally dependent on the group key (product_name etc.)
+are NOT stored in the state; they are broadcast-attached from the
+CURRENT dim at read time, which also keeps dim renames from
+invalidating fact-side state (the reference's gold stores them
+denormalized and would re-derive them in its full recompute).
+
+Measure algebra: only DISTRIBUTIVE measures are maintained (sum /
+count; avg as sum+count divided at read — the same decomposition
+``review_summary`` already uses). Signed folding makes deletes and
+replace_where rewrites exact: a row carried verbatim through a
+rewritten file contributes an offsetting −1/+1 pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import merge_partial_aggregates
+from ..sources import snapshots
+
+# ---------------------------------------------------------------------------
+# Gold specs: SQL-string expressions over the silver fact row, rendered
+# with F.expr — serializable, session-independent, and readable in one
+# place. ``group`` maps state key -> expr, ``sums`` maps measure ->
+# per-row expr (summed signed), ``count_col`` is the signed row count.
+# ---------------------------------------------------------------------------
+
+SALES_SPEC: dict = {
+    # fact_purchase_event rows (plans/medallion.py:69): order_id,
+    # user_id, event_time, product_id, quantity, price
+    "group": {
+        "year": "year(event_time)",
+        "month": "month(event_time)",
+        "product_id": "product_id",
+    },
+    # exact cents per functions/money.py — identical op order to the
+    # full-rebuild path so fold == rebuild bit-for-bit
+    "sums": {
+        "total_quantity": "quantity",
+        "cents": "quantity * CAST(floor(price * 100.0 + 0.5) AS BIGINT)",
+    },
+    "count_col": "num_purchases",
+}
+
+REVIEW_SPEC: dict = {
+    # fact_reviews rows (plans/medallion.py:86): review_id, user_id,
+    # product_id, rating, review_text, event_time
+    "group": {
+        "year": "year(event_time)",
+        "month": "month(event_time)",
+        "product_id": "product_id",
+    },
+    "sums": {"rating_sum": "rating"},
+    "count_col": "num_reviews",
+}
+
+
+def full_state_aggregate(fact: DataFrame, spec: dict) -> DataFrame:
+    """The bootstrap / rebuild aggregate: one partial-agg'd groupBy of
+    the fact into the state schema (keys + sums + count)."""
+    rows = fact.select(
+        *[F.expr(e).alias(k) for k, e in spec["group"].items()],
+        *[F.expr(e).cast("long").alias(c) for c, e in spec["sums"].items()],
+    )
+    return rows.groupBy(*spec["group"]).agg(
+        *[F.sum(c).alias(c) for c in spec["sums"]],
+        F.count(F.lit(1)).alias(spec["count_col"]),
+    )
+
+
+def signed_delta_aggregate(changes: DataFrame, spec: dict) -> DataFrame:
+    """Per-key SIGNED partials of a CDC feed: weight +1 for
+    insert/update_postimage rows, −1 for delete/update_preimage rows
+    (exactly the counting algebra of incremental view maintenance).
+    One map-side-combinable groupBy of the delta — the feed's text or
+    payload columns never ride past the first select. An unknown
+    ``_change_type`` raises in-plan, inside the weight every measure
+    consumes, so it cannot be pruned."""
+    w = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(
+            F.expr("CAST(raise_error('ivm: unknown _change_type') AS INT)")
+        )
+        .cast("long")
+    )
+    rows = changes.select(
+        *[F.expr(e).alias(k) for k, e in spec["group"].items()],
+        *[
+            (w * F.expr(e).cast("long")).alias(c)
+            for c, e in spec["sums"].items()
+        ],
+        w.alias("_w"),
+    )
+    return rows.groupBy(*spec["group"]).agg(
+        *[F.sum(c).alias(c) for c in spec["sums"]],
+        F.sum("_w").alias(spec["count_col"]),
+    )
+
+
+def fold_signed_delta(state: DataFrame, delta: DataFrame, spec: dict) -> DataFrame:
+    """merge(state, signed delta) with vanished groups dropped: one
+    null-safe full-outer join on the gold key (gold-sized, never
+    fact-sized), then ``count > 0``. fold(agg(base), signed_agg(feed))
+    == agg(base ∪ feed-applied) for distributive measures."""
+    merged = merge_partial_aggregates(
+        state,
+        delta,
+        keys=list(spec["group"]),
+        sum_cols=[*spec["sums"], spec["count_col"]],
+    )
+    return merged.filter(F.col(spec["count_col"]) > 0)
+
+
+def refresh_gold_incremental(
+    spark: SparkSession,
+    fact_root: str,
+    state_root: str,
+    spec: dict,
+) -> dict:
+    """One maintenance step: bring the gold state table at
+    ``state_root`` up to the CURRENT snapshot of the silver fact table
+    at ``fact_root``.
+
+    - no state yet  -> bootstrap: full aggregate of the current fact
+      snapshot (the only time the base is ever scanned);
+    - watermark == current -> no-op, nothing read;
+    - otherwise -> fold the file-granular feed between watermark and
+      current. ``info["files_read"]`` lists exactly the delta files
+      the refresh touched (the no-base-scan plan gate asserts on it
+      AND on ``feed.inputFiles()``).
+
+    The new state commits with ``meta={"fact_snapshot_id": K}`` —
+    watermark and rows in one atomic manifest swap (same exactly-once
+    shape as streaming/sinks.py's MERGE sink batch ids).
+    """
+    fact_manifest = snapshots._load(fact_root)
+    k = fact_manifest["current"]
+    if k is None:
+        raise KeyError(f"fact table {fact_root} has no snapshots")
+    state_manifest = snapshots._load(state_root)
+    if state_manifest["current"] is None:
+        base = snapshots.read_snapshot(spark, fact_root, snapshot_id=k)
+        sid = snapshots.write_snapshot(
+            full_state_aggregate(base, spec),
+            state_root,
+            meta={"fact_snapshot_id": k},
+        )
+        return {
+            "mode": "bootstrap",
+            "fact_snapshot_id": k,
+            "state_snapshot_id": sid,
+            "files_read": None,
+        }
+    entry = snapshots._entry(state_manifest, state_manifest["current"])
+    j = entry["meta"].get("fact_snapshot_id")
+    if j is None:
+        raise ValueError(
+            f"state table {state_root} has no fact_snapshot_id watermark; "
+            "was it written by refresh_gold_incremental?"
+        )
+    if j == k:
+        return {
+            "mode": "noop",
+            "fact_snapshot_id": k,
+            "state_snapshot_id": state_manifest["current"],
+            "files_read": [],
+        }
+    feed, info = snapshots.snapshot_file_changes(spark, fact_root, j, k)
+    delta = signed_delta_aggregate(feed, spec)
+    state = snapshots.read_snapshot(spark, state_root)
+    sid = snapshots.write_snapshot(
+        fold_signed_delta(state, delta, spec),
+        state_root,
+        meta={"fact_snapshot_id": k},
+    )
+    return {
+        "mode": "incremental",
+        "fact_snapshot_id": k,
+        "state_snapshot_id": sid,
+        "files_read": info["added"] + info["removed"],
+        "feed_files": info,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Read-side views: state ⟕ broadcast(current dim) -> the reference gold
+# schema. Descriptors are functionally dependent on product_id in the
+# dedup'd dim, so attaching them at read time is equivalent to the
+# reference's denormalized groupBy — and a dim rename needs no
+# fact-side maintenance at all.
+# ---------------------------------------------------------------------------
+
+
+def read_sales_summary(
+    spark: SparkSession, state_root: str, dim_products_df: DataFrame
+) -> DataFrame:
+    """Reference gold ``sales_summary`` schema (plans/medallion.py:107)
+    from the incremental state."""
+    from ..functions.money import money_from_cents
+
+    state = snapshots.read_snapshot(spark, state_root)
+    return state.join(
+        F.broadcast(
+            dim_products_df.select(
+                "product_id", "product_name", "category_id", "category_name"
+            )
+        ),
+        "product_id",
+        "left",
+    ).select(
+        "year",
+        "month",
+        "product_id",
+        "product_name",
+        "category_id",
+        "category_name",
+        "total_quantity",
+        money_from_cents("cents").alias("total_sales"),
+        "num_purchases",
+    )
+
+
+def read_review_summary(
+    spark: SparkSession, state_root: str, dim_products_df: DataFrame
+) -> DataFrame:
+    """Reference gold ``review_summary`` schema (plans/medallion.py:153):
+    avg_rating derived from the maintained sum+count decomposition."""
+    state = snapshots.read_snapshot(spark, state_root)
+    return state.join(
+        F.broadcast(
+            dim_products_df.select("product_id", "product_name", "category_name")
+        ),
+        "product_id",
+        "left",
+    ).select(
+        "year",
+        "month",
+        "product_id",
+        "product_name",
+        "category_name",
+        "num_reviews",
+        (F.col("rating_sum").cast("double") / F.col("num_reviews")).alias(
+            "avg_rating"
+        ),
+    )

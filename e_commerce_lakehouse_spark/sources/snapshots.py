@@ -368,6 +368,64 @@ def snapshot_changes(
     )
 
 
+def snapshot_file_changes(
+    spark: SparkSession,
+    root: str,
+    from_id: int,
+    to_id: int,
+) -> tuple[DataFrame, dict]:
+    """O(changed-files) changelog between two snapshots, derived from
+    the MANIFEST alone: rows in files referenced by ``to_id`` but not
+    ``from_id`` come back as ``_change_type='insert'``, rows in files
+    only ``from_id`` references as ``'delete'``. No join, no scan of
+    any file both snapshots share — an append commit's feed reads
+    exactly the appended dirs, a replace_where commit's feed reads the
+    boundary files it rewrote. This is what makes downstream
+    incremental maintenance O(delta) at 100 TB (see plans/ivm.py),
+    where :func:`snapshot_changes`'s full-outer diff is O(table).
+
+    Contract difference vs :func:`snapshot_changes`: rows carried
+    verbatim THROUGH a rewritten file appear as an offsetting
+    delete+insert pair, and updates are not paired into
+    pre/post-images. Exact for signed-aggregation consumers (every
+    pair nets to zero); use :func:`snapshot_changes` when a minimal
+    row-level feed matters more than delta-sized I/O.
+
+    Returns ``(feed, info)`` with ``info = {"added": [...],
+    "removed": [...]}`` (paths relative to ``root``) so callers and
+    plan gates can assert exactly which files the feed touches."""
+    if from_id == to_id:
+        raise ValueError("from_id and to_id must differ")
+    manifest = _load(root)
+    old = set(_entry_units(root, manifest, _entry(manifest, from_id)))
+    new = set(_entry_units(root, manifest, _entry(manifest, to_id)))
+    added = sorted(os.path.join(d, f) for d, f in new - old)
+    removed = sorted(os.path.join(d, f) for d, f in old - new)
+
+    def _read(paths, change_type):
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, p) for p in paths]
+        )
+        return df.withColumn("_change_type", F.lit(change_type))
+
+    if added and removed:
+        feed = _read(added, "insert").unionByName(
+            _read(removed, "delete"), allowMissingColumns=True
+        )
+    elif added or removed:
+        feed = _read(added or removed, "insert" if added else "delete")
+    else:
+        entry = _entry(manifest, to_id)
+        schema = json.loads(entry["schema"])
+        import pyspark.sql.types as T
+
+        feed = spark.createDataFrame([], T.StructType.fromJson(schema)).withColumn(
+            "_change_type", F.lit("insert")
+        )
+    feed = feed.withColumn("_commit_version", F.lit(to_id).cast("long"))
+    return feed, {"added": added, "removed": removed}
+
+
 def rollback(root: str, snapshot_id: int) -> int:
     """Roll the table back: a NEW snapshot whose dir list is the
     target's (Iceberg ``rollback_to_snapshot`` — history is preserved,
@@ -849,6 +907,20 @@ def _file_all_match(stats: dict, col: str, op: str, val) -> bool:
     raise ValueError(f"op must be one of {_OPS}, got {op!r}")
 
 
+def _json_safe_predicate(p: tuple) -> list:
+    """Predicate triple -> JSON-serializable list for manifest meta:
+    date/datetime values become ISO strings, 'in' lists element-wise."""
+
+    def enc(v):
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        if isinstance(v, (list, tuple, set)):
+            return [enc(x) for x in v]
+        return v
+
+    return [p[0], p[1], *([enc(p[2])] if len(p) == 3 else [])]
+
+
 def _predicate_col(p: tuple) -> Column:
     col, op = F.col(p[0]), p[1]
     if op == "is_null":
@@ -992,7 +1064,10 @@ def replace_where(
             "files": files,
             "parent": manifest["current"],
             "schema": new_rows.schema.json(),
-            "meta": {"predicates": [list(p) for p in predicates]},
+            # temporal predicate values ISO-encode (raw datetimes are
+            # not JSON-serializable and would crash the commit AFTER
+            # the data dir was written)
+            "meta": {"predicates": [_json_safe_predicate(p) for p in predicates]},
         }
     )
     manifest["current"] = snap_id
