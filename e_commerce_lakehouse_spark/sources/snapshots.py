@@ -1075,6 +1075,103 @@ def replace_where(
     return snap_id
 
 
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicates: list[tuple],
+    set_exprs: dict[str, str],
+) -> int:
+    """``UPDATE ... SET ... WHERE ...`` at file granularity: files whose
+    stats PROVE no row matches carry over verbatim (never read); every
+    other file is read once and rewritten with ``set_exprs`` applied to
+    matching rows only (non-matching rows pass through byte-identical
+    values). Unlike :func:`replace_where` there is no scope guard —
+    an update may move a row OUT of the predicate's range (``SET
+    price = 0 WHERE price > 100``); stored CHECK constraints still
+    gate the rewritten rows in-plan.
+
+    ``set_exprs`` maps column -> SQL expression evaluated against the
+    pre-update row (standard UPDATE semantics: all assignments see the
+    OLD values). Returns the new snapshot id. At 100 TB a
+    stats-selective update rewrites only the files its predicate
+    range touches — the same triage as replace_where's boundary
+    rewrite."""
+    import functools as _ft
+    import operator as _op
+
+    from ..operators.constraints import guard_constraints
+
+    if not predicates:
+        raise ValueError("update_where: predicates must be non-empty")
+    unknown = [c for c in set_exprs if not c.isidentifier()]
+    if not set_exprs or unknown:
+        raise ValueError(f"set_exprs must be non-empty column->expr ({unknown=})")
+    plan = plan_scan(root, predicates)
+    manifest = _load(root)
+    entry = _entry(manifest, plan["snapshot_id"])
+
+    keep_verbatim: dict[str, list[str]] = {}
+    rewrite_paths: list[str] = []
+    pruned = set(plan["pruned"])
+    for d, fname in _entry_units(root, manifest, entry):
+        rel = os.path.join(d, fname)
+        if rel in pruned:
+            keep_verbatim.setdefault(d, []).append(fname)
+        else:
+            rewrite_paths.append(os.path.join(root, rel))
+
+    files = {d: sorted(names) for d, names in keep_verbatim.items()}
+    snap_id = manifest["snapshots"][-1]["id"] + 1
+    data_dir = f"snap-{snap_id:08d}-update"
+    if rewrite_paths:
+        conj = _ft.reduce(_op.and_, [_predicate_col(p) for p in predicates])
+        cond = F.coalesce(conj, F.lit(False))
+        rows = spark.read.option("mergeSchema", "true").parquet(*rewrite_paths)
+        bad = [c for c in set_exprs if c not in rows.columns]
+        if bad:
+            raise ValueError(f"update_where: unknown columns {bad}")
+        # all assignments evaluate against the OLD row (one select)
+        updated = rows.select(
+            *[
+                (
+                    F.when(cond, F.expr(set_exprs[c]).cast(rows.schema[c].dataType))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in rows.columns
+            ]
+        )
+        updated = guard_constraints(updated, manifest.get("constraints", {}))
+        _write_data_dir(updated, root, data_dir)
+        manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
+            root, data_dir
+        )
+        files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+        schema = updated.schema.json()
+    else:
+        schema = entry["schema"]
+    manifest["snapshots"].append(
+        {
+            "id": snap_id,
+            "op": "update_where",
+            "ts": time.time(),
+            "dirs": sorted(files),
+            "files": files,
+            "parent": manifest["current"],
+            "schema": schema,
+            "meta": {
+                "predicates": [_json_safe_predicate(p) for p in predicates],
+                "set": dict(set_exprs),
+            },
+        }
+    )
+    manifest["current"] = snap_id
+    _commit(root, manifest)
+    return snap_id
+
+
 def delete_keys(
     spark: SparkSession, root: str, key_col: str, keys: list
 ) -> int:

@@ -1,0 +1,283 @@
+"""SQL write-path strings over snapshot tables.
+
+The reference exposes its tables to SQL users through Dremio/Superset
+(scripts/utils.py:15-115 provisions them); its write path, however, is
+code-only. This module gives the snapshot-log tables
+(:mod:`~e_commerce_lakehouse_spark.sources.snapshots`) the SQL DML
+surface such a user expects — each statement ROUTES onto the existing
+transactional operators rather than re-implementing them:
+
+=====================================  ================================
+statement                              routed to
+=====================================  ================================
+``DELETE FROM t WHERE ...``            :func:`snapshots.replace_where`
+                                       (empty replacement — file-
+                                       granular, stats-pruned)
+``UPDATE t SET ... WHERE ...``         :func:`snapshots.update_where`
+                                       (only may-match files rewritten)
+``MERGE INTO t USING s ON ... WHEN``   :func:`upsert.merge_upsert` /
+                                       ``apply_changes`` + one
+                                       overwrite commit
+=====================================  ================================
+
+Deliberately small grammar, loudly rejected when exceeded (a clear
+error beats a silently mis-parsed write): WHERE clauses are
+conjunctions of ``col op literal`` (the exact predicate grammar
+``plan_scan`` prunes with — so every SQL DELETE/UPDATE gets file
+skipping for free), MERGE supports the three canonical clauses
+(UPDATE SET * / DELETE / INSERT *) on equi-key ON conditions. No OR,
+no subqueries, no expressions on the predicate column — users needing
+those drop to the DataFrame API the statements route to anyway.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import upsert
+from . import snapshots
+
+_LITERAL = re.compile(
+    r"""^\s*(?:
+        DATE\s*'(?P<date>[^']+)'
+      | TIMESTAMP\s*'(?P<ts>[^']+)'
+      | '(?P<str>[^']*)'
+      | (?P<num>-?\d+(?:\.\d+)?)
+      | (?P<bool>TRUE|FALSE)
+      | (?P<null>NULL)
+    )\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _parse_literal(text: str):
+    m = _LITERAL.match(text)
+    if not m:
+        raise ValueError(f"unsupported literal {text!r}")
+    if m.group("date") is not None:
+        return _dt.date.fromisoformat(m.group("date"))
+    if m.group("ts") is not None:
+        return _dt.datetime.fromisoformat(m.group("ts"))
+    if m.group("str") is not None:
+        return m.group("str")
+    if m.group("bool") is not None:
+        return m.group("bool").upper() == "TRUE"
+    if m.group("null") is not None:
+        raise ValueError("use IS NULL / IS NOT NULL, not = NULL")
+    n = m.group("num")
+    return float(n) if "." in n else int(n)
+
+
+_CMP = re.compile(r"^\s*(\w+)\s*(=|<=|>=|<|>)\s*(.+?)\s*$")
+_ISNULL = re.compile(r"^\s*(\w+)\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE)
+_IN = re.compile(r"^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
+
+
+def parse_where(clause: str) -> list[tuple]:
+    """WHERE conjunction -> the ``plan_scan`` predicate triples. Raises
+    on anything outside the supported grammar (OR, parens, functions,
+    column-vs-column) so a statement is never silently narrowed."""
+    if re.search(r"\bOR\b", clause, re.IGNORECASE):
+        raise ValueError("only AND conjunctions are supported in WHERE")
+    preds: list[tuple] = []
+    for part in re.split(r"\bAND\b", clause, flags=re.IGNORECASE):
+        part = part.strip()
+        if (m := _ISNULL.match(part)) is not None:
+            preds.append((m.group(1), "not_null" if m.group(2) else "is_null"))
+        elif (m := _IN.match(part)) is not None:
+            vals = [_parse_literal(v) for v in m.group(2).split(",")]
+            preds.append((m.group(1), "in", vals))
+        elif (m := _CMP.match(part)) is not None:
+            preds.append((m.group(1), m.group(2), _parse_literal(m.group(3))))
+        else:
+            raise ValueError(f"unsupported WHERE term {part!r}")
+    if not preds:
+        raise ValueError("empty WHERE clause")
+    return preds
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    out, depth, cur, quoted = [], 0, [], False
+    for ch in text:
+        if ch == "'":
+            quoted = not quoted
+        elif not quoted:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def parse_set(clause: str) -> dict[str, str]:
+    """SET list -> {column: sql_expr}; expressions pass through to
+    ``F.expr`` against the pre-update row (standard UPDATE scoping)."""
+    sets: dict[str, str] = {}
+    for part in _split_top_level_commas(clause):
+        col, eq, expr = part.partition("=")
+        col, expr = col.strip(), expr.strip()
+        if not eq or not col.isidentifier() or not expr:
+            raise ValueError(f"unsupported SET term {part!r}")
+        if col in sets:
+            raise ValueError(f"column {col} assigned twice")
+        sets[col] = expr
+    return sets
+
+
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CLAUSE = re.compile(
+    r"WHEN\s+(MATCHED|NOT\s+MATCHED)\s+THEN\s+"
+    r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
+    re.IGNORECASE,
+)
+
+
+def _parse_merge_on(on: str, t_alias: str, s_alias: str) -> list[str]:
+    keys = []
+    for part in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = re.match(
+            rf"^\s*(?:{t_alias}|{s_alias})\.(\w+)\s*=\s*(?:{t_alias}|{s_alias})\.(\w+)\s*$",
+            part.strip(),
+            re.IGNORECASE,
+        )
+        if not m or m.group(1) != m.group(2):
+            raise ValueError(
+                f"MERGE ON must be equi-joins on the same column name "
+                f"({t_alias}.k = {s_alias}.k); got {part.strip()!r}"
+            )
+        keys.append(m.group(1))
+    return keys
+
+
+def execute_dml(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, str],
+    sources: dict[str, DataFrame] | None = None,
+) -> dict:
+    """Run one DML statement against registered snapshot tables.
+
+    ``tables`` maps table name -> snapshot-table root directory;
+    ``sources`` maps MERGE source names -> DataFrames (a registered
+    temp view of the same name works too). Returns ``{"op", "table",
+    "snapshot_id"}``. Every route commits through the snapshot
+    manifest, so SQL writes get the same atomicity / time travel /
+    CDC feed as the API they route to."""
+    sources = sources or {}
+
+    if (m := _DELETE.match(sql)) is not None:
+        name, where = m.groups()
+        root = _resolve(tables, name)
+        empty = _empty_like(spark, root)
+        sid = snapshots.replace_where(spark, root, empty, parse_where(where))
+        return {"op": "delete", "table": name, "snapshot_id": sid}
+
+    if (m := _UPDATE.match(sql)) is not None:
+        name, set_clause, where = m.groups()
+        root = _resolve(tables, name)
+        sid = snapshots.update_where(
+            spark, root, parse_where(where), parse_set(set_clause)
+        )
+        return {"op": "update", "table": name, "snapshot_id": sid}
+
+    if (m := _MERGE.match(sql)) is not None:
+        name, t_alias, src_name, s_alias, on, clauses_text = m.groups()
+        root = _resolve(tables, name)
+        t_alias, s_alias = t_alias or name, s_alias or src_name
+        keys = _parse_merge_on(on, t_alias, s_alias)
+        clauses = {
+            " ".join(mm.group(1).upper().split()): " ".join(
+                mm.group(2).upper().split()
+            )
+            for mm in _MERGE_CLAUSE.finditer(clauses_text)
+        }
+        leftover = _MERGE_CLAUSE.sub("", clauses_text).strip()
+        if not clauses or leftover:
+            raise ValueError(
+                f"unsupported MERGE clauses {leftover or clauses_text!r}; "
+                "supported: WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED "
+                "THEN DELETE | WHEN NOT MATCHED THEN INSERT *"
+            )
+        if src_name in sources:
+            source = sources[src_name]
+        else:
+            try:
+                source = spark.table(src_name)
+            except Exception as exc:
+                raise KeyError(
+                    f"MERGE source {src_name!r} is neither in sources nor a view"
+                ) from exc
+        target = snapshots.read_snapshot(spark, root)
+        matched = clauses.get("MATCHED")
+        if matched == "DELETE":
+            # WHEN MATCHED DELETE (± INSERT *): route through the CDC
+            # applier — delete rows carry the feed's delete type
+            changes = source.select(*target.columns).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            new_state = upsert.apply_changes(target, changes, keys)
+            if "NOT MATCHED" in clauses:
+                new_anti = source.select(*target.columns).join(
+                    target.select(*keys), keys, "left_anti"
+                )
+                new_state = new_state.unionByName(new_anti)
+        elif matched == "UPDATE SET *" and "NOT MATCHED" in clauses:
+            new_state = upsert.merge_upsert(target, source.select(*target.columns), keys)
+        elif matched == "UPDATE SET *":
+            # update only: keep target keyspace, take source values on match
+            updated = upsert.merge_upsert(target, source.select(*target.columns), keys)
+            new_state = updated.join(target.select(*keys).distinct(), keys, "left_semi")
+        else:  # insert-only
+            new_state = target.unionByName(
+                source.select(*target.columns).join(
+                    target.select(*keys), keys, "left_anti"
+                )
+            )
+        sid = snapshots.write_snapshot(new_state, root, mode="overwrite")
+        return {"op": "merge", "table": name, "snapshot_id": sid}
+
+    raise ValueError(
+        "unsupported statement (supported: DELETE FROM..WHERE, "
+        f"UPDATE..SET..WHERE, MERGE INTO..USING..ON..WHEN): {sql[:120]!r}"
+    )
+
+
+def _resolve(tables: dict[str, str], name: str) -> str:
+    if name not in tables:
+        raise KeyError(f"unknown snapshot table {name!r}; registered: {sorted(tables)}")
+    return tables[name]
+
+
+def _empty_like(spark: SparkSession, root: str) -> DataFrame:
+    import json
+
+    import pyspark.sql.types as T
+
+    manifest = snapshots._load(root)
+    if manifest["current"] is None:
+        raise KeyError(f"table {root} has no snapshots")
+    entry = snapshots._entry(manifest, manifest["current"])
+    return spark.createDataFrame([], T.StructType.fromJson(json.loads(entry["schema"])))

@@ -1,0 +1,205 @@
+"""SQL DML strings over snapshot tables (sources/sql_dml.py): each
+statement must equal the API it routes to on the same inputs, keep
+file-granular behavior (verbatim carry-over of provably-untouched
+files), and reject out-of-grammar SQL loudly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.sources import snapshots as S
+from e_commerce_lakehouse_spark.sources import sql_dml
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _orders(spark):
+    return (
+        spark.range(0, 1000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("user_id"),
+            (F.col("id") % 50 + 1).cast("double").alias("price"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 90).cast("int")).alias("d"),
+        )
+        .repartitionByRange(8, "id")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_delete_equals_replace_where_api(spark, root, tmp_path):
+    df = _orders(spark)
+    S.write_snapshot(df, root)
+    api_root = str(tmp_path / "api")
+    S.write_snapshot(df, api_root)
+
+    out = sql_dml.execute_dml(
+        spark, "DELETE FROM orders WHERE id >= 750", {"orders": root}
+    )
+    assert out["op"] == "delete"
+    S.replace_where(
+        spark, api_root, spark.createDataFrame([], df.schema), [("id", ">=", 750)]
+    )
+    assert _rows(S.read_snapshot(spark, root)) == _rows(
+        S.read_snapshot(spark, api_root)
+    )
+    assert S.read_snapshot(spark, root).count() == 750
+
+
+def test_update_where_file_granular_and_old_row_scoping(spark, root):
+    df = _orders(spark)
+    S.write_snapshot(df, root)
+    m = S._load(root)
+    d1 = S._entry(m, 1)["dirs"][0]
+    sizes_before = {
+        f: os.path.getsize(os.path.join(root, d1, f))
+        for f in S._dir_files(root, m, d1)
+    }
+
+    out = sql_dml.execute_dml(
+        spark,
+        "UPDATE orders SET price = price * 2, user_id = user_id + 1 WHERE id >= 900",
+        {"orders": root},
+    )
+    assert out["op"] == "update"
+    got = S.read_snapshot(spark, root)
+    want = df.select(
+        "id",
+        F.when(F.col("id") >= 900, F.col("user_id") + 1).otherwise(F.col("user_id")).alias("user_id"),
+        F.when(F.col("id") >= 900, F.col("price") * 2).otherwise(F.col("price")).alias("price"),
+        "d",
+    )
+    assert _rows(got) == _rows(want)
+    # file granularity: range files provably below 900 carried verbatim
+    entry = S._entry(S._load(root), out["snapshot_id"])
+    carried = [f for d, f in S._entry_units(root, S._load(root), entry) if d == d1]
+    assert carried, "expected untouched range files to carry over"
+    for f in carried:
+        assert os.path.getsize(os.path.join(root, d1, f)) == sizes_before[f]
+    # an update may move rows OUT of the WHERE range (no scope guard):
+    sql_dml.execute_dml(
+        spark, "UPDATE orders SET price = 0 WHERE price > 40", {"orders": root}
+    )
+    assert S.read_snapshot(spark, root).filter("price > 40").count() == 0
+
+
+def test_update_all_assignments_see_old_values(spark, root):
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10, 100)], "id long, a long, b long"), root
+    )
+    sql_dml.execute_dml(
+        spark, "UPDATE t SET a = b, b = a WHERE id = 1", {"t": root}
+    )
+    r = S.read_snapshot(spark, root).first()
+    assert (r.a, r.b) == (100, 10)  # swap, not b,b
+
+
+def test_merge_upsert_and_delete_routes(spark, root, tmp_path):
+    from e_commerce_lakehouse_spark.operators import upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, v string, x double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "id long, v string, x double"
+    )
+    S.write_snapshot(target, root)
+    out = sql_dml.execute_dml(
+        spark,
+        """MERGE INTO tbl AS t USING src AS s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"tbl": root},
+        sources={"src": source},
+    )
+    assert out["op"] == "merge"
+    got = S.read_snapshot(spark, root)
+    want = upsert.merge_upsert(target, source, ["id"])
+    assert _rows(got) == _rows(want)
+
+    # WHEN MATCHED THEN DELETE
+    root2 = str(tmp_path / "t2")
+    S.write_snapshot(target, root2)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl USING src ON tbl.id = src.id WHEN MATCHED THEN DELETE",
+        {"tbl": root2},
+        sources={"src": source},
+    )
+    assert _rows(S.read_snapshot(spark, root2)) == _rows(
+        target.filter(~F.col("id").isin(2, 4))
+    )
+
+
+def test_merge_update_only_and_insert_only(spark, root, tmp_path):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    S.write_snapshot(target, root)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN UPDATE SET *",
+        {"t": root},
+        sources={"s": source},
+    )
+    assert _rows(S.read_snapshot(spark, root)) == [(1, "a"), (2, "B")]
+
+    root2 = str(tmp_path / "ins")
+    S.write_snapshot(target, root2)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.id = s.id WHEN NOT MATCHED THEN INSERT *",
+        {"t": root2},
+        sources={"s": source},
+    )
+    assert _rows(S.read_snapshot(spark, root2)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_temporal_literals_parse_and_prune(spark, root):
+    df = _orders(spark).repartitionByRange(6, "d")
+    S.write_snapshot(df, root)
+    n_before = S.read_snapshot(spark, root).count()
+    out = sql_dml.execute_dml(
+        spark, "DELETE FROM t WHERE d >= DATE '2024-03-01'", {"t": root}
+    )
+    got = S.read_snapshot(spark, root)
+    assert got.count() == df.filter(F.col("d") < F.lit("2024-03-01")).count() < n_before
+    # the delete pruned: some pre-cut range files carried over verbatim
+    entry = S._entry(S._load(root), out["snapshot_id"])
+    assert any(d.startswith("snap-00000001") for d in entry["dirs"])
+
+
+def test_grammar_rejections(spark, root):
+    S.write_snapshot(spark.range(5), root)
+    with pytest.raises(ValueError, match="AND"):
+        sql_dml.execute_dml(spark, "DELETE FROM t WHERE id = 1 OR id = 2", {"t": root})
+    with pytest.raises(ValueError, match="unsupported WHERE"):
+        sql_dml.execute_dml(spark, "DELETE FROM t WHERE abs(id) = 1", {"t": root})
+    with pytest.raises(KeyError, match="unknown snapshot table"):
+        sql_dml.execute_dml(spark, "DELETE FROM nope WHERE id = 1", {"t": root})
+    with pytest.raises(ValueError, match="MERGE ON"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.id = s.other WHEN MATCHED THEN DELETE",
+            {"t": root},
+            sources={"s": spark.range(1)},
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 1",
+            {"t": root},
+            sources={"s": spark.range(1)},
+        )
+    with pytest.raises(ValueError, match="unsupported statement"):
+        sql_dml.execute_dml(spark, "TRUNCATE TABLE t", {"t": root})
+    with pytest.raises(ValueError, match="IS NULL"):
+        sql_dml.parse_where("x = NULL")
