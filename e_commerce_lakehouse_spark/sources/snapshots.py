@@ -159,7 +159,30 @@ def _write_data_dir(df: DataFrame, root: str, data_dir: str) -> None:
     carry NO footer statistics; snapshot tables pin TIMESTAMP_MICROS
     (the Iceberg/Delta physical type) so time columns are skippable
     like everything else. A failed (e.g. constraint-violating) write
-    never reaches the manifest commit and leaves no partial dir."""
+    never reaches the manifest commit and leaves no partial dir.
+
+    When the table declares a partition spec, the transform values are
+    (re)computed as hidden ``_p_*`` columns and the rows are
+    range-clustered on them before the write — each file then covers a
+    tight transform range and the footer stats make it prunable by the
+    derived predicates. Pre-existing hidden columns (rows read back
+    from older files during a rewrite) are dropped first so a rewrite
+    under an evolved spec re-derives, never stales."""
+    df = _strip_hidden(df)
+    spec = [
+        t
+        for t in _load(root).get("partition_spec", [])
+        if t["col"] in df.columns
+    ]
+    if spec:
+        dtypes = dict(df.dtypes)
+        df = df.select(
+            "*",
+            *[
+                _transform_column(t, dtypes[t["col"]]).alias(_hidden_name(t))
+                for t in spec
+            ],
+        ).repartitionByRange(*[_hidden_name(t) for t in spec])
     conf = df.sparkSession.conf
     key = "spark.sql.parquet.outputTimestampType"
     prev = conf.get(key, None)
@@ -196,6 +219,145 @@ def drop_constraint(root: str, name: str) -> None:
 
 def table_constraints(root: str) -> dict[str, str]:
     return dict(_load(root).get("constraints", {}))
+
+
+# ---------------------------------------------------------------------------
+# Hidden partition transforms (Iceberg partition specs): the table
+# declares ``days(ts)`` / ``bucket(n, col)`` / ``truncate(w, col)``
+# once; every later write derives the transform value as a hidden
+# ``_p_*`` column, range-clusters files on it, and lets the ordinary
+# footer-stats machinery record tight per-file bounds. Queries keep
+# filtering on the SOURCE column — plan_scan derives the implied
+# transform predicate itself (that is what makes the partitioning
+# "hidden"). Hidden columns never surface on any read path.
+# ---------------------------------------------------------------------------
+
+
+def set_partition_spec(root: str, spec: list[tuple]) -> None:
+    """Declare the table's partition transforms, e.g.
+    ``[("days", "ts"), ("bucket", 16, "user_id"), ("truncate", 4,
+    "code")]``. Applies to every SUBSEQUENT write (existing files keep
+    their layout and simply have no transform stats — pruning stays
+    sound either way, exactly like evolving an Iceberg spec)."""
+    norm = []
+    for t in spec:
+        if t and t[0] == "days" and len(t) == 2:
+            norm.append({"transform": "days", "col": t[1]})
+        elif t and t[0] in ("bucket", "truncate") and len(t) == 3:
+            if not isinstance(t[1], int) or t[1] <= 0:
+                raise ValueError(f"{t[0]} parameter must be a positive int: {t!r}")
+            norm.append({"transform": t[0], "param": t[1], "col": t[2]})
+        else:
+            raise ValueError(
+                f"unsupported transform {t!r}; use ('days', col), "
+                "('bucket', n, col), ('truncate', w, col)"
+            )
+    os.makedirs(root, exist_ok=True)  # spec may precede the first write
+    manifest = _load(root)
+    manifest["partition_spec"] = norm
+    _commit(root, manifest)
+
+
+def partition_spec(root: str) -> list[dict]:
+    return [dict(t) for t in _load(root).get("partition_spec", [])]
+
+
+def _hidden_name(t: dict) -> str:
+    return f"_p_{t['transform']}_{t['col']}"
+
+
+def _transform_column(t: dict, dtype: str) -> Column:
+    """The write-side transform expression. ``bucket`` hashes the
+    value's STRING rendering with crc32 so the Python literal
+    derivation in :func:`_transform_value` can reproduce it exactly."""
+    c = F.col(t["col"])
+    kind = t["transform"]
+    if kind == "days":
+        return F.datediff(
+            F.to_date(c), F.lit("1970-01-01").cast("date")
+        ).cast("int")
+    if kind == "bucket":
+        return F.pmod(F.crc32(c.cast("string").cast("binary")), F.lit(t["param"])).cast(
+            "int"
+        )
+    if kind == "truncate":
+        if dtype == "string":
+            return F.substring(c, 1, t["param"])
+        return (c - F.pmod(c, F.lit(t["param"]))).cast("long")
+    raise ValueError(f"unknown transform {kind!r}")
+
+
+def _transform_value(t: dict, v):
+    """Python-side transform of a predicate literal — must agree with
+    :func:`_transform_column` bit-for-bit, so only value types with an
+    unambiguous cross-engine rendering participate; anything else
+    returns None and the derived predicate is simply not added
+    (pruning stays sound, just less sharp)."""
+    kind = t["transform"]
+    if kind == "days":
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                tz = _session_tzinfo()
+                if tz is None:
+                    return None
+                v = v.astimezone(tz)
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return None
+    if kind == "bucket":
+        import zlib
+
+        if isinstance(v, bool) or not isinstance(v, (int, str, _dt.date)):
+            return None  # bool/float/… render differently across engines
+        if isinstance(v, _dt.datetime):
+            return None
+        return zlib.crc32(str(v).encode("utf-8")) % t["param"]
+    if kind == "truncate":
+        if isinstance(v, str):
+            return v[: t["param"]]
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v - (v % t["param"])  # Python % floors like pmod
+        return None
+    return None
+
+
+def _derived_predicates(spec: list[dict], predicates: list[tuple]) -> list[tuple]:
+    """Implied hidden-column predicates for pruning ONLY (never applied
+    as residual filters). Monotone transforms (days, truncate) weaken
+    strict bounds to inclusive ones — row satisfies (col < v) implies
+    transform(col) <= transform(v); bucket derives equality/IN."""
+    out: list[tuple] = []
+    for p in predicates:
+        col, op = p[0], p[1]
+        if op in ("is_null", "not_null"):
+            continue
+        for t in spec:
+            if t["col"] != col:
+                continue
+            h = _hidden_name(t)
+            if op == "in":
+                tvs = [_transform_value(t, v) for v in p[2]]
+                if all(tv is not None for tv in tvs):
+                    out.append((h, "in", tvs))
+                continue
+            if t["transform"] == "bucket" and op != "=":
+                continue  # hash is not monotone
+            tv = _transform_value(t, p[2])
+            if tv is None:
+                continue
+            if op == "=":
+                out.append((h, "=", tv))
+            elif op in ("<", "<="):
+                out.append((h, "<=", tv))
+            elif op in (">", ">="):
+                out.append((h, ">=", tv))
+    return out
+
+
+def _strip_hidden(df: DataFrame) -> DataFrame:
+    hid = [c for c in df.columns if c.startswith("_p_")]
+    return df.drop(*hid) if hid else df
 
 
 def write_snapshot(
@@ -238,6 +400,12 @@ def write_snapshot(
         df = guard_constraints(df, stored)
     snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
     data_dir = f"snap-{snap_id:08d}-{mode}"
+    if stats_cols is not None and manifest.get("partition_spec"):
+        # a stats_cols restriction must not blind the hidden transform
+        # columns or the spec would stop pruning
+        stats_cols = list(stats_cols) + [
+            _hidden_name(t) for t in manifest["partition_spec"]
+        ]
     _write_data_dir(df, root, data_dir)
     dirs = [data_dir]
     files = None
@@ -337,7 +505,9 @@ def read_snapshot(
             return spark.createDataFrame([], schema)
     else:
         paths = [os.path.join(root, d) for d in entry["dirs"]]
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _strip_hidden(
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+    )
 
 
 def snapshot_changes(
@@ -403,8 +573,10 @@ def snapshot_file_changes(
     removed = sorted(os.path.join(d, f) for d, f in old - new)
 
     def _read(paths, change_type):
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, p) for p in paths]
+        df = _strip_hidden(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, p) for p in paths]
+            )
         )
         return df.withColumn("_change_type", F.lit(change_type))
 
@@ -845,6 +1017,12 @@ def plan_scan(
         raise KeyError(f"table {root} has no snapshots")
     entry = _entry(manifest, snapshot_id)
     dir_stats = manifest.get("dir_stats", {})
+    # hidden-partition pruning: predicates on a transformed source
+    # column imply predicates on the hidden transform column, whose
+    # per-file bounds are tight because writes range-cluster on it
+    augmented = list(predicates) + _derived_predicates(
+        manifest.get("partition_spec", []), predicates
+    )
     kept, pruned, total = [], [], 0
     for d, fname in _entry_units(root, manifest, entry):
         stats = dir_stats.get(d, {}).get(fname, {})
@@ -852,7 +1030,7 @@ def plan_scan(
         rel = os.path.join(d, fname)
         ok = all(
             _file_may_match(stats, p[0], p[1], p[2] if len(p) == 3 else None)
-            for p in predicates
+            for p in augmented
         )
         (kept if ok else pruned).append(rel)
     return {
@@ -959,8 +1137,10 @@ def scan_snapshot(
         entry = _entry(manifest, plan["snapshot_id"])
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         return spark.createDataFrame([], schema)
-    df = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, f) for f in plan["files"]]
+    df = _strip_hidden(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, f) for f in plan["files"]]
+        )
     )
     for p in predicates:
         df = df.filter(_predicate_col(p))
@@ -1039,11 +1219,9 @@ def replace_where(
     guards["replace_where_scope"] = F.coalesce(conj, F.lit(False))
     new_rows = guard_constraints(df, guards)
     if rewrite_paths:
-        retained = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*rewrite_paths)
-            .filter(~F.coalesce(conj, F.lit(False)))
-        )
+        retained = _strip_hidden(
+            spark.read.option("mergeSchema", "true").parquet(*rewrite_paths)
+        ).filter(~F.coalesce(conj, F.lit(False)))
         new_rows = retained.unionByName(new_rows, allowMissingColumns=True)
 
     snap_id = manifest["snapshots"][-1]["id"] + 1
@@ -1126,7 +1304,9 @@ def update_where(
     if rewrite_paths:
         conj = _ft.reduce(_op.and_, [_predicate_col(p) for p in predicates])
         cond = F.coalesce(conj, F.lit(False))
-        rows = spark.read.option("mergeSchema", "true").parquet(*rewrite_paths)
+        rows = _strip_hidden(
+            spark.read.option("mergeSchema", "true").parquet(*rewrite_paths)
+        )
         bad = [c for c in set_exprs if c not in rows.columns]
         if bad:
             raise ValueError(f"update_where: unknown columns {bad}")
@@ -1235,11 +1415,11 @@ def compact_files(
 
     total = sum(s for _, _, s in small)
     n_out = max(1, -(-total // target_bytes))  # ceil
-    merged = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(root, d, f) for d, f, _ in small])
-        .repartition(n_out)
-    )
+    merged = _strip_hidden(
+        spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, d, f) for d, f, _ in small]
+        )
+    ).repartition(n_out)
     snap_id = manifest["snapshots"][-1]["id"] + 1
     data_dir = f"snap-{snap_id:08d}-compact"
     _write_data_dir(merged, root, data_dir)

@@ -639,3 +639,126 @@ def test_expire_commits_trimmed_manifest_before_unlink(spark, root, monkeypatch)
     for f in dropped:
         assert f not in m3["dir_stats"].get(d1, {})
     assert S.read_snapshot(spark, root).count() == 750
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _no_aqe_coalesce(spark):
+    """Partition-transform writes range-cluster via shuffle; AQE
+    coalesces a toy-sized shuffle to ONE file (bytes-targeted — right
+    at scale, useless for pruning assertions). Pin it off locally."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_partition_transform_days_prunes_files(spark, root):
+    """Hidden days(ts) partitioning: a plain ts-range predicate prunes
+    most files via the derived _p_days_ts predicate, the read result
+    is exact, and hidden columns never surface."""
+    import datetime as dt
+
+    S.set_partition_spec(root, [("days", "ts")])
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i)) for i in range(360)]
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(spark.createDataFrame(rows, "id long, ts timestamp"), root)
+
+    cut = dt.datetime(2024, 1, 10)
+    plan = S.plan_scan(root, [("ts", "<", cut)])
+    assert plan["pruned"], plan
+    assert len(plan["files"]) < plan["candidates"]
+    got = S.scan_snapshot(spark, root, [("ts", "<", cut)])
+    assert "_p_days_ts" not in got.columns
+    assert got.count() == 9 * 4  # 9 full days, 4 rows/day
+    assert set(S.read_snapshot(spark, root).columns) == {"id", "ts"}
+
+
+def test_partition_transform_bucket_prunes_equality(spark, root):
+    """bucket(8, user_id): an equality predicate keeps only the files
+    of one bucket; range predicates on the bucketed column derive
+    nothing (hash is not monotone) and stay sound."""
+    S.set_partition_spec(root, [("bucket", 8, "user_id")])
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 97).alias("user_id")
+    )
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(df, root)
+    plan = S.plan_scan(root, [("user_id", "=", 42)])
+    assert plan["pruned"], plan
+    got = S.scan_snapshot(spark, root, [("user_id", "=", 42)])
+    assert got.count() == df.filter("user_id = 42").count() > 0
+    # non-equality on the bucket column: no derived predicate, full keep
+    plan2 = S.plan_scan(root, [("user_id", ">", 90)])
+    assert S.scan_snapshot(spark, root, [("user_id", ">", 90)]).count() == (
+        df.filter("user_id > 90").count()
+    )
+    assert plan2["candidates"] == len(plan2["files"]) + len(plan2["pruned"])
+
+
+def test_partition_transform_truncate_int_and_string(spark, root, tmp_path):
+    S.set_partition_spec(root, [("truncate", 100, "id")])
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(spark.range(0, 5000).select("id"), root)
+    plan = S.plan_scan(root, [("id", ">=", 4900)])
+    assert plan["pruned"], plan
+    assert S.scan_snapshot(spark, root, [("id", ">=", 4900)]).count() == 100
+
+    sroot = str(tmp_path / "s")
+    S.set_partition_spec(sroot, [("truncate", 2, "code")])
+    codes = spark.range(0, 2600).select(
+        F.concat(
+            F.chr(F.lit(65) + (F.col("id") % 26)),
+            F.chr(F.lit(65) + (F.floor(F.col("id") / 26) % 10)),
+            F.lpad(F.col("id").cast("string"), 5, "0"),
+        ).alias("code")
+    )
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(codes, sroot)
+    plan = S.plan_scan(sroot, [("code", "=", "MA00012")])
+    assert plan["pruned"], plan
+    assert S.scan_snapshot(spark, sroot, [("code", "=", "MA00012")]).count() == (
+        codes.filter("code = 'MA00012'").count()
+    )
+
+
+def test_replace_where_honors_partition_transforms(spark, root):
+    """replace_where on a days-partitioned table: files whose day range
+    is provably outside the predicate carry over VERBATIM (derived
+    pruning), and rewritten rows re-derive their hidden columns."""
+    import datetime as dt
+
+    S.set_partition_spec(root, [("days", "ts")])
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i)) for i in range(360)]
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(spark.createDataFrame(rows, "id long, ts timestamp"), root)
+    m = S._load(root)
+    d1 = S._entry(m, 1)["dirs"][0]
+    sizes = {
+        f: os.path.getsize(os.path.join(root, d1, f))
+        for f in S._dir_files(root, m, d1)
+    }
+
+    cut = dt.datetime(2024, 3, 1)
+    sid = S.replace_where(
+        spark, root, spark.createDataFrame([], "id long, ts timestamp"),
+        [("ts", ">=", cut)],
+    )
+    entry = S._entry(S._load(root), sid)
+    carried = [f for d, f in S._entry_units(root, S._load(root), entry) if d == d1]
+    assert carried, "expected pre-cut files to carry over verbatim"
+    for f in carried:
+        assert os.path.getsize(os.path.join(root, d1, f)) == sizes[f]
+    got = S.read_snapshot(spark, root)
+    assert got.count() == sum(1 for _, ts in rows if ts < cut)
+    assert set(got.columns) == {"id", "ts"}
+    # rewritten dir re-derived hidden stats for future pruning
+    new_dir = [d for d in entry["dirs"] if d != d1]
+    if new_dir:
+        stats = S._load(root)["dir_stats"][new_dir[0]]
+        assert any("_p_days_ts" in per_file for per_file in stats.values())
