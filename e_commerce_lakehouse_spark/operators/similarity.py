@@ -636,6 +636,14 @@ def _kmeans_train(v: DataFrame, k: int, iters: int):
     Mean update is floor(sum_double / count) — the same double-division
     floor the SQL oracle computes (sums < 2^53, so the double is exact;
     the floor of the quotient is engine-portable).
+
+    Driver-state ceiling: above :data:`KMEANS_DRIVER_STATE_MAX` k·dim
+    components, the per-round collect + closure-broadcast pattern is
+    swapped for :func:`kmeans_train_distributed` (DataFrame-resident
+    rounds, equivalence-tested), and only the FINAL state is collected
+    into the list shape this function returns. Callers that can
+    consume a centroid DataFrame directly (e.g. ``ivf_topk``) should
+    call ``kmeans_train_distributed`` and skip even that collect.
     """
     import math
 
@@ -644,6 +652,13 @@ def _kmeans_train(v: DataFrame, k: int, iters: int):
     )
     cells = [int(r.vec_id) for r in seed]
     cent = [list(map(int, r.vec)) for r in seed]
+    dim = len(cent[0]) if cent else 0
+    if k * dim > KMEANS_DRIVER_STATE_MAX:
+        final = kmeans_train_distributed(v, k, iters).orderBy("centroid_id")
+        rows = final.collect()  # one k·dim transfer instead of per-round
+        return [int(r.centroid_id) for r in rows], [
+            list(map(int, r.c_vec)) for r in rows
+        ]
     for _ in range(iters):
         a = _assign_to_matrix_udf(cells, cent)
         sums = (
@@ -665,6 +680,75 @@ def _kmeans_train(v: DataFrame, k: int, iters: int):
             for c in cells
         ]
     return cells, cent
+
+
+# Above this many k·dim centroid components the driver-resident Lloyd
+# loop (collect k·dim aggregate rows per round + re-broadcast the
+# matrix in a UDF closure) becomes the bottleneck: at 1e5 cells × 768
+# dims × 8 B that is ~0.6 GB of driver state PER ROUND. Beyond it,
+# _kmeans_train iterates with DataFrame-resident centroids
+# (kmeans_train_distributed) and collects nothing until the final
+# state — and callers that never need driver lists should use
+# kmeans_train_distributed directly.
+KMEANS_DRIVER_STATE_MAX = 1 << 22  # 4M components ≈ 32 MB per round
+
+
+def kmeans_train_distributed(
+    v: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """Lloyd rounds with the centroids living in a DATAFRAME between
+    rounds — the path past :data:`KMEANS_DRIVER_STATE_MAX`: per round
+    the corpus broadcast-joins the centroid frame (exact int64 L2 via
+    zip_with/aggregate — identical arithmetic to the driver path's
+    numpy kernel), takes the argmin with (d2 ASC, cell ASC)
+    tie-breaking (same smaller-cell-id rule), and re-derives centroids
+    as floor(sum/count) per component with one posexplode + groupBy —
+    no k·dim state ever crosses to the driver. Returns (centroid_id,
+    c_vec), the shape ``ivf_topk(centroids=...)`` consumes.
+
+    Bit-for-bit equivalent to :func:`_kmeans_train` (equivalence-tested
+    at small k): same vec_id<k seeding, same empty-cell drop, same
+    exact integer distances, same floor(double-divide) mean (sums <
+    2^53, so the double is exact)."""
+    from .buckets import local_checkpoint_tracked, track_pinned
+
+    cent = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("vec").alias("c_vec")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(vec, c_vec, (a, b) -> (a-b)*(a-b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_d2").asc(), F.col("cell").asc()
+    )
+    for _ in range(iters):
+        assigned = (
+            v.crossJoin(F.broadcast(cent))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+        )
+        cent = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell",
+                "pos",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("m"),
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x.getField("m"),
+                ).alias("c_vec")
+            )
+        )
+        cent, _ids = local_checkpoint_tracked(cent, eager=False)
+        track_pinned(_ids)
+    return cent.select(F.col("cell").alias("centroid_id"), "c_vec")
 
 
 def kmeans_centroids(embeddings: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
