@@ -113,6 +113,33 @@ def main() -> None:
         "q50_multimodal_features",
     }
     heavy_runs = max(n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5")))
+
+    # Build each corpus_cache family ONCE, timed as its own line,
+    # BEFORE any query runs: the shared frames model persisted
+    # cross-query indexes, and charging their (one-off) build to
+    # whichever of q19/q21/q43/q48 happened to touch the cache first
+    # made those queries' round-over-round spreads unattributable
+    # (q19 measured 1.97 s vs 3.64 s on identical code in r6). The
+    # queries are then all measured WARM against the shared frames.
+    cache_specs = [
+        ("pairs", lambda: entrymod._shared_jaccard_pairs(spark, sf_dir)),
+        ("sigs", lambda: entrymod._shared_minhash_sigs(spark, sf_dir)),
+        ("banded", lambda: entrymod._shared_banded(spark, sf_dir)),
+        ("simhash", lambda: entrymod._shared_simhash(spark, sf_dir)),
+        ("vec", lambda: entrymod._shared_vec_prep(spark, sf_dir)),
+        ("media_img", lambda: entrymod._shared_media(spark, sf_dir, "image")),
+        ("media_aud", lambda: entrymod._shared_media(spark, sf_dir, "audio")),
+        ("media_vid", lambda: entrymod._shared_media(spark, sf_dir, "video")),
+    ]
+    cache_build: dict[str, float] = {}
+    for cname, build in cache_specs:
+        try:
+            t0 = time.perf_counter()
+            build()  # shared_df materializes eagerly (localCheckpoint)
+            cache_build[cname] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            cache_build[cname] = -1.0
+
     for name in sorted(heavy & set(qs)):
         try:
             force(qs[name](spark, sf_dir))
@@ -145,6 +172,7 @@ def main() -> None:
     detail = {
         "queries_median": medians,
         "total_median": round(sum(medians.values()), 3),
+        "cache_build": cache_build,
         "samples": samples,
     }
     print(json.dumps(detail), file=sys.stderr)
@@ -164,6 +192,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "total_median": detail["total_median"],
+                "cache_build": cache_build,
                 "sf": sf,
                 "runs": n_runs,
             }
