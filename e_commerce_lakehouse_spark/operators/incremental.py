@@ -61,12 +61,16 @@ def incremental_append(
 ) -> int:
     """Append source rows newer than the target's watermark; full load
     when the target doesn't exist. Returns rows appended. Idempotent:
-    re-running with an unchanged source appends nothing.
+    re-running with an unchanged source appends nothing AND writes
+    nothing — an hourly run against an idle source must not accumulate
+    empty part files on the target.
 
-    The row count rides the write itself as an ``observe`` metric —
-    ONE action, ONE source scan. The earlier isEmpty()+count()+write
-    sequence scanned the filtered source up to three times, i.e. three
-    remote reads per table per run on a JDBC source at scale."""
+    Two actions worst case, down from three full scans: isEmpty() is
+    the cheap no-op short-circuit (early-exits at the first row — a
+    LIMIT 1 pushdown on a JDBC source — and is only a full scan in the
+    genuinely-idle case, where no write follows), then the row count
+    rides the write itself as an ``observe`` metric instead of a
+    separate count() scan."""
     if target_exists(spark, path):
         wm = high_watermark(spark, path, time_col)
         new_rows = source.filter(F.col(time_col) > F.lit(wm)) if wm is not None else source
@@ -74,6 +78,8 @@ def incremental_append(
         new_rows = source
     if partition_by_date:
         new_rows = with_date_partitions(new_rows, time_col)
+    if new_rows.isEmpty():
+        return 0
     obs = Observation()
     new_rows = new_rows.observe(obs, F.count(F.lit(1)).alias("n"))
     writer = new_rows.write.mode("append")
@@ -109,6 +115,8 @@ def incremental_append_dependent(
     n_parent = incremental_append(
         spark, new_parent, parent_path, parent_time_col, partition_by_date=True
     )
+    if new_child.isEmpty():
+        return n_parent, 0
     obs = Observation()
     new_child = new_child.observe(obs, F.count(F.lit(1)).alias("n"))
     new_child.write.mode("append").parquet(child_path)

@@ -154,7 +154,9 @@ def _collect_dir_stats(root: str, data_dir: str, stats_cols=None) -> dict:
     return out
 
 
-def _write_data_dir(df: DataFrame, root: str, data_dir: str) -> None:
+def _write_data_dir(
+    df: DataFrame, root: str, data_dir: str, manifest: dict | None = None
+) -> None:
     """Write one immutable data dir. Spark's default INT96 timestamps
     carry NO footer statistics; snapshot tables pin TIMESTAMP_MICROS
     (the Iceberg/Delta physical type) so time columns are skippable
@@ -163,26 +165,55 @@ def _write_data_dir(df: DataFrame, root: str, data_dir: str) -> None:
 
     When the table declares a partition spec, the transform values are
     (re)computed as hidden ``_p_*`` columns and the rows are
-    range-clustered on them before the write — each file then covers a
-    tight transform range and the footer stats make it prunable by the
-    derived predicates. Pre-existing hidden columns (rows read back
-    from older files during a rewrite) are dropped first so a rewrite
-    under an evolved spec re-derives, never stales."""
-    df = _strip_hidden(df)
+    range-clustered on them — keeping the CALLER's partition count, so
+    a compaction's ceil(total/target) layout or an append's incoming
+    parallelism is clustered, never re-fragmented — and the footer
+    stats make every file prunable by the derived predicates.
+    Recorded hidden columns read back from older files during a
+    rewrite are dropped first so a rewrite under an evolved spec
+    re-derives, never stales; any OTHER ``_p_``-prefixed column is a
+    reserved-prefix violation and the write fails loudly instead of
+    silently dropping user data.
+
+    ``manifest`` is the caller's loaded (soon-to-be-committed) copy:
+    applied spec entries are stamped with the source column's dtype
+    (the soundness gate for bucket-literal derivation) and the hidden
+    names are recorded in ``manifest["hidden_cols"]`` — both persist
+    in the caller's commit, atomically with the data."""
+    if manifest is None:
+        manifest = _load(root)
+    recorded = set(manifest.get("hidden_cols", []))
+    bad = [
+        c for c in df.columns if c.startswith("_p_") and c not in recorded
+    ]
+    if bad:
+        raise ValueError(
+            f"column names starting with '_p_' are reserved for hidden "
+            f"partition transforms: {bad}"
+        )
+    df = _strip_hidden(df, recorded)
     spec = [
         t
-        for t in _load(root).get("partition_spec", [])
+        for t in manifest.get("partition_spec", [])
         if t["col"] in df.columns
     ]
     if spec:
         dtypes = dict(df.dtypes)
+        hidden_names = []
+        for t in spec:
+            t["dtype"] = dtypes[t["col"]]
+            name = _hidden_name(t)
+            hidden_names.append(name)
+            if name not in recorded:
+                manifest.setdefault("hidden_cols", []).append(name)
+        n_parts = max(1, df.rdd.getNumPartitions())
         df = df.select(
             "*",
             *[
                 _transform_column(t, dtypes[t["col"]]).alias(_hidden_name(t))
                 for t in spec
             ],
-        ).repartitionByRange(*[_hidden_name(t) for t in spec])
+        ).repartitionByRange(n_parts, *hidden_names)
     conf = df.sparkSession.conf
     key = "spark.sql.parquet.outputTimestampType"
     prev = conf.get(key, None)
@@ -262,6 +293,9 @@ def partition_spec(root: str) -> list[dict]:
     return [dict(t) for t in _load(root).get("partition_spec", [])]
 
 
+_INT_DTYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+
+
 def _hidden_name(t: dict) -> str:
     return f"_p_{t['transform']}_{t['col']}"
 
@@ -308,9 +342,25 @@ def _transform_value(t: dict, v):
     if kind == "bucket":
         import zlib
 
-        if isinstance(v, bool) or not isinstance(v, (int, str, _dt.date)):
-            return None  # bool/float/… render differently across engines
-        if isinstance(v, _dt.datetime):
+        # bucket hashes Spark's CAST(col AS STRING) rendering, so the
+        # literal's Python rendering must provably match it — which
+        # requires knowing the COLUMN dtype (stamped into the spec at
+        # write time): an int literal against a DOUBLE column renders
+        # "42" vs "42.0", and a numeric literal against a padded
+        # STRING column ("042") equals under Spark's comparison cast
+        # but hashes differently. No stamped dtype, or a literal type
+        # that doesn't exactly match it -> no derived predicate.
+        dtype = t.get("dtype")
+        ok = (
+            (dtype in _INT_DTYPES and isinstance(v, int) and not isinstance(v, bool))
+            or (dtype == "string" and isinstance(v, str))
+            or (
+                dtype == "date"
+                and isinstance(v, _dt.date)
+                and not isinstance(v, _dt.datetime)
+            )
+        )
+        if not ok:
             return None
         return zlib.crc32(str(v).encode("utf-8")) % t["param"]
     if kind == "truncate":
@@ -355,9 +405,17 @@ def _derived_predicates(spec: list[dict], predicates: list[tuple]) -> list[tuple
     return out
 
 
-def _strip_hidden(df: DataFrame) -> DataFrame:
-    hid = [c for c in df.columns if c.startswith("_p_")]
+def _strip_hidden(df: DataFrame, hidden: set[str]) -> DataFrame:
+    """Drop RECORDED hidden transform columns only — a user column
+    that merely starts with ``_p_`` on a legacy table is data, not
+    metadata, and must never be silently removed (new writes reject
+    the prefix instead)."""
+    hid = [c for c in df.columns if c in hidden]
     return df.drop(*hid) if hid else df
+
+
+def _hidden_set(manifest: dict) -> set[str]:
+    return set(manifest.get("hidden_cols", []))
 
 
 def write_snapshot(
@@ -406,7 +464,7 @@ def write_snapshot(
         stats_cols = list(stats_cols) + [
             _hidden_name(t) for t in manifest["partition_spec"]
         ]
-    _write_data_dir(df, root, data_dir)
+    _write_data_dir(df, root, data_dir, manifest)
     dirs = [data_dir]
     files = None
     if mode == "append" and manifest["current"] is not None:
@@ -506,7 +564,8 @@ def read_snapshot(
     else:
         paths = [os.path.join(root, d) for d in entry["dirs"]]
     return _strip_hidden(
-        spark.read.option("mergeSchema", "true").parquet(*paths)
+        spark.read.option("mergeSchema", "true").parquet(*paths),
+        _hidden_set(manifest),
     )
 
 
@@ -576,7 +635,8 @@ def snapshot_file_changes(
         df = _strip_hidden(
             spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(root, p) for p in paths]
-            )
+            ),
+            _hidden_set(manifest),
         )
         return df.withColumn("_change_type", F.lit(change_type))
 
@@ -1140,7 +1200,8 @@ def scan_snapshot(
     df = _strip_hidden(
         spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(root, f) for f in plan["files"]]
-        )
+        ),
+        _hidden_set(_load(root)),
     )
     for p in predicates:
         df = df.filter(_predicate_col(p))
@@ -1220,13 +1281,14 @@ def replace_where(
     new_rows = guard_constraints(df, guards)
     if rewrite_paths:
         retained = _strip_hidden(
-            spark.read.option("mergeSchema", "true").parquet(*rewrite_paths)
+            spark.read.option("mergeSchema", "true").parquet(*rewrite_paths),
+            _hidden_set(manifest),
         ).filter(~F.coalesce(conj, F.lit(False)))
         new_rows = retained.unionByName(new_rows, allowMissingColumns=True)
 
     snap_id = manifest["snapshots"][-1]["id"] + 1
     data_dir = f"snap-{snap_id:08d}-replace"
-    _write_data_dir(new_rows, root, data_dir)
+    _write_data_dir(new_rows, root, data_dir, manifest)
 
     files = {d: sorted(names) for d, names in keep_verbatim.items()}
     manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
@@ -1287,6 +1349,15 @@ def update_where(
     plan = plan_scan(root, predicates)
     manifest = _load(root)
     entry = _entry(manifest, plan["snapshot_id"])
+    # validate SET columns against the snapshot's LOGICAL schema up
+    # front — an all-files-pruned predicate must not let a typo'd
+    # column name commit a silent no-op snapshot
+    logical_cols = {
+        f["name"] for f in json.loads(entry["schema"]).get("fields", [])
+    }
+    bad = [c for c in set_exprs if c not in logical_cols]
+    if bad:
+        raise ValueError(f"update_where: unknown columns {bad}")
 
     keep_verbatim: dict[str, list[str]] = {}
     rewrite_paths: list[str] = []
@@ -1305,11 +1376,9 @@ def update_where(
         conj = _ft.reduce(_op.and_, [_predicate_col(p) for p in predicates])
         cond = F.coalesce(conj, F.lit(False))
         rows = _strip_hidden(
-            spark.read.option("mergeSchema", "true").parquet(*rewrite_paths)
+            spark.read.option("mergeSchema", "true").parquet(*rewrite_paths),
+            _hidden_set(manifest),
         )
-        bad = [c for c in set_exprs if c not in rows.columns]
-        if bad:
-            raise ValueError(f"update_where: unknown columns {bad}")
         # all assignments evaluate against the OLD row (one select)
         updated = rows.select(
             *[
@@ -1324,7 +1393,7 @@ def update_where(
             ]
         )
         updated = guard_constraints(updated, manifest.get("constraints", {}))
-        _write_data_dir(updated, root, data_dir)
+        _write_data_dir(updated, root, data_dir, manifest)
         manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
             root, data_dir
         )
@@ -1418,11 +1487,12 @@ def compact_files(
     merged = _strip_hidden(
         spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(root, d, f) for d, f, _ in small]
-        )
+        ),
+        _hidden_set(manifest),
     ).repartition(n_out)
     snap_id = manifest["snapshots"][-1]["id"] + 1
     data_dir = f"snap-{snap_id:08d}-compact"
-    _write_data_dir(merged, root, data_dir)
+    _write_data_dir(merged, root, data_dir, manifest)
 
     files = {d: sorted(names) for d, names in keep.items()}
     manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(

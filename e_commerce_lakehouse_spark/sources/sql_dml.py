@@ -80,12 +80,24 @@ _IN = re.compile(r"^\s*(\w+)\s+IN\s*\(([^()]*)\)\s*$", re.IGNORECASE)
 def parse_where(clause: str) -> list[tuple]:
     """WHERE conjunction -> the ``plan_scan`` predicate triples. Raises
     on anything outside the supported grammar (OR, parens, functions,
-    column-vs-column) so a statement is never silently narrowed."""
-    if re.search(r"\bOR\b", clause, re.IGNORECASE):
+    column-vs-column) so a statement is never silently narrowed.
+    Keyword detection masks quoted literals first — ``name = 'BLACK
+    AND DECKER'`` is one term, not a malformed conjunction."""
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    def _unmask(text: str) -> str:
+        return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], text)
+
+    masked = re.sub(r"'[^']*'", _mask, clause)
+    if re.search(r"\bOR\b", masked, re.IGNORECASE):
         raise ValueError("only AND conjunctions are supported in WHERE")
     preds: list[tuple] = []
-    for part in re.split(r"\bAND\b", clause, flags=re.IGNORECASE):
-        part = part.strip()
+    for part in re.split(r"\bAND\b", masked, flags=re.IGNORECASE):
+        part = _unmask(part).strip()
         if (m := _ISNULL.match(part)) is not None:
             preds.append((m.group(1), "not_null" if m.group(2) else "is_null"))
         elif (m := _IN.match(part)) is not None:
@@ -208,18 +220,27 @@ def execute_dml(
         root = _resolve(tables, name)
         t_alias, s_alias = t_alias or name, s_alias or src_name
         keys = _parse_merge_on(on, t_alias, s_alias)
-        clauses = {
-            " ".join(mm.group(1).upper().split()): " ".join(
-                mm.group(2).upper().split()
+        found = [
+            (
+                " ".join(mm.group(1).upper().split()),
+                " ".join(mm.group(2).upper().split()),
             )
             for mm in _MERGE_CLAUSE.finditer(clauses_text)
-        }
+        ]
+        clauses = dict(found)
         leftover = _MERGE_CLAUSE.sub("", clauses_text).strip()
         if not clauses or leftover:
             raise ValueError(
                 f"unsupported MERGE clauses {leftover or clauses_text!r}; "
                 "supported: WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED "
                 "THEN DELETE | WHEN NOT MATCHED THEN INSERT *"
+            )
+        if len(found) != len(clauses):
+            # two WHEN MATCHED clauses would silently collapse to the
+            # last — reject instead (conditional multi-clause MERGE is
+            # out of grammar)
+            raise ValueError(
+                "duplicate WHEN MATCHED / WHEN NOT MATCHED clauses in MERGE"
             )
         if src_name in sources:
             source = sources[src_name]
@@ -232,29 +253,31 @@ def execute_dml(
                 ) from exc
         target = snapshots.read_snapshot(spark, root)
         matched = clauses.get("MATCHED")
+        src = source.select(*target.columns)
         if matched == "DELETE":
             # WHEN MATCHED DELETE (± INSERT *): route through the CDC
             # applier — delete rows carry the feed's delete type
-            changes = source.select(*target.columns).withColumn(
-                "_change_type", F.lit("delete")
-            )
+            changes = src.withColumn("_change_type", F.lit("delete"))
             new_state = upsert.apply_changes(target, changes, keys)
             if "NOT MATCHED" in clauses:
-                new_anti = source.select(*target.columns).join(
-                    target.select(*keys), keys, "left_anti"
-                )
+                new_anti = src.join(target.select(*keys), keys, "left_anti")
                 new_state = new_state.unionByName(new_anti)
-        elif matched == "UPDATE SET *" and "NOT MATCHED" in clauses:
-            new_state = upsert.merge_upsert(target, source.select(*target.columns), keys)
         elif matched == "UPDATE SET *":
-            # update only: keep target keyspace, take source values on match
-            updated = upsert.merge_upsert(target, source.select(*target.columns), keys)
-            new_state = updated.join(target.select(*keys).distinct(), keys, "left_semi")
+            # UPDATE SET * replaces EVERY column with the source value,
+            # NULLs included (SQL MERGE semantics) — NOT merge_upsert's
+            # coalesce, which would keep stale target values wherever
+            # the source is NULL (e.g. a MERGE-driven PII null-out)
+            target_keys = target.select(*keys).distinct()
+            updated = src.join(target_keys, keys, "left_semi")
+            untouched = target.join(src.select(*keys), keys, "left_anti")
+            new_state = untouched.unionByName(updated)
+            if "NOT MATCHED" in clauses:
+                new_state = new_state.unionByName(
+                    src.join(target.select(*keys), keys, "left_anti")
+                )
         else:  # insert-only
             new_state = target.unionByName(
-                source.select(*target.columns).join(
-                    target.select(*keys), keys, "left_anti"
-                )
+                src.join(target.select(*keys), keys, "left_anti")
             )
         sid = snapshots.write_snapshot(new_state, root, mode="overwrite")
         return {"op": "merge", "table": name, "snapshot_id": sid}

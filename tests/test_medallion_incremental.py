@@ -228,10 +228,12 @@ def test_scd2_merge_guard_survives_single_column_and_count(spark):
 
 def test_incremental_append_single_action(spark, tmpdir, monkeypatch):
     """Round-7 verdict fix: the appended-row count rides the write as
-    an observe metric — no isEmpty()/count() pre-actions, so the
-    filtered source is scanned exactly once per run (one remote read
-    per table on a JDBC source). Pinned by making any count/isEmpty
-    call during the append an immediate failure."""
+    an observe metric — no count() scan (pinned by making any count
+    call during the append an immediate failure; isEmpty stays as the
+    cheap LIMIT-1 no-op short-circuit), and a no-op run writes NOTHING
+    so idle hourly runs never accumulate empty part files."""
+    import os
+
     import pyspark.sql
 
     from e_commerce_lakehouse_spark.operators import incremental
@@ -240,12 +242,22 @@ def test_incremental_append_single_action(spark, tmpdir, monkeypatch):
     path = f"{tmpdir}/orders_single_action"
 
     def forbidden(self, *a, **k):
-        raise AssertionError("extra action during incremental_append")
+        raise AssertionError("count() during incremental_append")
 
     monkeypatch.setattr(pyspark.sql.DataFrame, "count", forbidden)
-    monkeypatch.setattr(pyspark.sql.DataFrame, "isEmpty", forbidden)
     n1 = incremental.incremental_append(spark, orders, path, "o_orderdate")
+    files_after_load = sorted(
+        os.path.join(d, f) for d, _, fs in os.walk(path) for f in fs
+    )
     n2 = incremental.incremental_append(spark, orders, path, "o_orderdate")
     monkeypatch.undo()
     assert n1 == orders.count() and n2 == 0
+    # the no-op run left the target byte-identical — no empty parts
+    assert files_after_load == sorted(
+        os.path.join(d, f) for d, _, fs in os.walk(path) for f in fs
+    )
     assert spark.read.parquet(path).count() == n1
+    # an empty source against a missing target must not create it
+    empty = orders.filter("o_orderkey < 0")
+    assert incremental.incremental_append(spark, empty, f"{tmpdir}/nope", "o_orderdate") == 0
+    assert not os.path.isdir(f"{tmpdir}/nope")

@@ -762,3 +762,97 @@ def test_replace_where_honors_partition_transforms(spark, root):
     if new_dir:
         stats = S._load(root)["dir_stats"][new_dir[0]]
         assert any("_p_days_ts" in per_file for per_file in stats.values())
+
+
+def test_reserved_hidden_prefix_and_legacy_p_columns(spark, root, tmp_path):
+    """Review fixes: a user column named like a hidden transform column
+    is rejected at write (reserved prefix) instead of silently
+    dropped; and reads only strip RECORDED hidden columns — a legacy
+    table that genuinely stores a _p_-prefixed column keeps it."""
+    with pytest.raises(ValueError, match="reserved"):
+        S.write_snapshot(
+            spark.createDataFrame([(1, 2)], "id long, _p_value long"), root
+        )
+    assert S._load(root)["current"] is None  # nothing committed
+
+    # legacy table: simulate by writing the parquet dir directly and
+    # hand-building a manifest entry with no hidden_cols record
+    legacy = str(tmp_path / "legacy")
+    import json as _json
+    import time as _time
+
+    df = spark.createDataFrame([(1, 42)], "id long, _p_value long")
+    df.write.parquet(f"{legacy}/snap-00000001-overwrite")
+    S._commit(
+        legacy,
+        {
+            "current": 1,
+            "snapshots": [
+                {
+                    "id": 1,
+                    "op": "overwrite",
+                    "ts": _time.time(),
+                    "dirs": ["snap-00000001-overwrite"],
+                    "parent": None,
+                    "schema": df.schema.json(),
+                    "meta": {},
+                }
+            ],
+        },
+    )
+    back = S.read_snapshot(spark, legacy)
+    assert "_p_value" in back.columns
+    assert back.first()._p_value == 42
+
+
+def test_bucket_derivation_requires_matching_dtype(spark, root, tmp_path):
+    """Review fix: bucket(n, col) on a DOUBLE column must NOT derive a
+    predicate from an int literal (crc32('42') != crc32('42.0')) — the
+    file holding price=42.0 stays un-pruned and the scan finds it."""
+    S.set_partition_spec(root, [("bucket", 8, "price")])
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 100).cast("double").alias("price")
+    )
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(df, root)
+    # dtype stamped at write
+    spec = S.partition_spec(root)
+    assert spec[0]["dtype"] == "double"
+    # int literal on a double column: no derived predicate, no pruning
+    # by the hidden column — and the matching rows come back
+    got = S.scan_snapshot(spark, root, [("price", "=", 42)])
+    assert got.count() == df.filter("price = 42.0").count() == 4
+    # the string case: zero-padded literal on a LONG column
+    root2 = str(tmp_path / "b2")
+    S.set_partition_spec(root2, [("bucket", 8, "id")])
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(spark.range(0, 400).select("id"), root2)
+    assert S.scan_snapshot(spark, root2, [("id", "=", "042")]).count() == (
+        spark.range(0, 400).filter(F.col("id") == "042").count()
+    )
+
+
+def test_update_where_rejects_unknown_column_even_when_all_pruned(spark, root):
+    S.write_snapshot(spark.range(10).select("id"), root)
+    before = S._load(root)["current"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        S.update_where(spark, root, [("id", ">", 10**12)], {"nope": "1"})
+    assert S._load(root)["current"] == before  # nothing committed
+
+
+def test_compact_keeps_target_layout_under_partition_spec(spark, root):
+    """Review fix: compaction's ceil(total/target) file count survives
+    the spec's range-clustering (clustered within, not re-fragmented
+    into shuffle.partitions files)."""
+    import datetime as dt
+
+    S.set_partition_spec(root, [("days", "ts")])
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=6 * i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    with _no_aqe_coalesce(spark):
+        S.write_snapshot(df.repartition(10), root)
+    sid = S.compact_files(spark, root, target_bytes=1 << 30)  # merge all
+    entry = S._entry(S._load(root), sid)
+    n_files = sum(1 for _ in S._entry_units(root, S._load(root), entry))
+    assert n_files == 1, n_files
+    assert S.read_snapshot(spark, root).count() == 200

@@ -203,3 +203,46 @@ def test_grammar_rejections(spark, root):
         sql_dml.execute_dml(spark, "TRUNCATE TABLE t", {"t": root})
     with pytest.raises(ValueError, match="IS NULL"):
         sql_dml.parse_where("x = NULL")
+
+
+def test_merge_update_star_writes_source_nulls(spark, root):
+    """Review fix: UPDATE SET * replaces every column with the source
+    value, NULLs included — not coalesce-keep-old."""
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    source = spark.createDataFrame([(1, None)], "id long, v string")
+    S.write_snapshot(target, root)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN UPDATE SET *",
+        {"t": root},
+        sources={"s": source},
+    )
+    rows = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert rows == {1: None, 2: "b"}
+
+
+def test_merge_rejects_duplicate_matched_clauses(spark, root):
+    S.write_snapshot(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    with pytest.raises(ValueError, match="duplicate"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET *",
+            {"t": root},
+            sources={"s": spark.createDataFrame([(1, "x")], "id long, v string")},
+        )
+
+
+def test_where_keywords_inside_string_literals(spark, root):
+    """Review fix: AND/OR inside a quoted literal are data, not
+    conjunction syntax."""
+    df = spark.createDataFrame(
+        [(1, "BLACK AND DECKER"), (2, "x OR y"), (3, "plain")], "id long, name string"
+    )
+    S.write_snapshot(df, root)
+    sql_dml.execute_dml(
+        spark, "DELETE FROM t WHERE name = 'BLACK AND DECKER'", {"t": root}
+    )
+    assert {r.name for r in S.read_snapshot(spark, root).collect()} == {"x OR y", "plain"}
+    preds = sql_dml.parse_where("name = 'x OR y' AND id >= 2")
+    assert preds == [("name", "=", "x OR y"), ("id", ">=", 2)]
