@@ -194,6 +194,9 @@ def _q01_sales_summary(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("l_quantity"),
         money.revenue_cents().alias("rev_cents"),
     )
+    # the state aggregate and BOTH cdc_diff sides scan this join; a
+    # localCheckpoint cut was measured SLOWER (2.1 s vs 1.0 s warm at
+    # sf0.01) — materializing the join costs more than re-running it
     old = enriched.filter(F.col("l_orderkey") % 3 != 2)
     new = enriched.filter(F.col("l_orderkey") % 3 != 0)
     state = ivm.full_state_aggregate(old, _Q01_IVM_SPEC)

@@ -250,6 +250,99 @@ def read_sales_summary(
     )
 
 
+def commit_fact_increment(
+    spark: SparkSession, fact: DataFrame, root: str, time_col: str
+) -> dict:
+    """High-watermark commit of a silver fact into its snapshot table:
+    first run writes the full fact; later runs APPEND only rows
+    strictly newer than the stored watermark (the reference's
+    bronze_batch_load.py:66-67 policy, landing in the snapshot log so
+    downstream gold refreshes get an O(new-files) feed). The watermark
+    rides the commit ``meta`` — rows and watermark move atomically,
+    and a re-run with an unchanged source appends nothing (no empty
+    commit)."""
+    manifest = snapshots._load(root)
+    if manifest["current"] is None:
+        wm = fact.agg(F.max(time_col)).first()[0]
+        sid = snapshots.write_snapshot(
+            fact, root, meta={"watermark": _iso(wm)}
+        )
+        return {"mode": "full", "snapshot_id": sid, "rows": None}
+    entry = snapshots._entry(manifest, manifest["current"])
+    wm = entry["meta"].get("watermark")
+    new_rows = fact.filter(F.col(time_col) > F.lit(wm)) if wm else fact
+    if new_rows.isEmpty():
+        return {"mode": "noop", "snapshot_id": manifest["current"], "rows": 0}
+    new_wm = new_rows.agg(F.max(time_col)).first()[0]
+    sid = snapshots.write_snapshot(
+        new_rows, root, mode="append", meta={"watermark": _iso(new_wm)}
+    )
+    return {"mode": "incremental", "snapshot_id": sid, "rows": None}
+
+
+def _iso(v):
+    import datetime as _dt
+
+    return v.isoformat() if isinstance(v, (_dt.datetime, _dt.date)) else v
+
+
+def run_incremental_pipeline(
+    spark: SparkSession, csv_dir: str, warehouse: str
+) -> dict:
+    """The end-to-end incremental medallion: CSV bronze -> silver
+    snapshot commits (dims overwritten — they are small and
+    functionally attached at gold read time; facts high-watermark
+    APPENDED) -> O(delta) gold refresh via the file-granular feed.
+    Re-running against an unchanged source is a complete no-op at
+    every layer. This replaces :func:`medallion.run_batch_pipeline`'s
+    full gold recompute (the reference's createOrReplace,
+    gold_transfrom.py:59-94) with maintenance proportional to the new
+    data."""
+    import os
+
+    from .. import schemas
+    from ..sources.csv import read_csv
+    from . import medallion
+
+    bronze = {
+        name: read_csv(spark, os.path.join(csv_dir, f"{name}.csv"), schema)
+        for name, schema in schemas.ECOM_TABLES.items()
+    }
+    dims = {
+        "dim_products": medallion.dim_products(
+            bronze["products"], bronze["categories"]
+        ),
+        "dim_users": medallion.dim_users(bronze["users"]),
+    }
+    for name, df in dims.items():
+        snapshots.write_snapshot(df, os.path.join(warehouse, "silver", name))
+
+    out: dict = {}
+    fact_specs = [
+        (
+            "fact_purchase_event",
+            medallion.fact_purchase_event(bronze["orders"], bronze["order_items"]),
+            "event_time",
+            SALES_SPEC,
+            "sales_summary",
+        ),
+        (
+            "fact_reviews",
+            medallion.fact_reviews(bronze["reviews"]),
+            "event_time",
+            REVIEW_SPEC,
+            "review_summary",
+        ),
+    ]
+    for fname, fact, tcol, spec, gold in fact_specs:
+        froot = os.path.join(warehouse, "silver", fname)
+        out[fname] = commit_fact_increment(spark, fact, froot, tcol)
+        out[gold] = refresh_gold_incremental(
+            spark, froot, os.path.join(warehouse, "gold", gold), spec
+        )
+    return out
+
+
 def read_review_summary(
     spark: SparkSession, state_root: str, dim_products_df: DataFrame
 ) -> DataFrame:

@@ -221,3 +221,41 @@ def foreach_batch_apply_changes(
         )
 
     return fn
+
+
+def foreach_batch_gold_refresh(fact_root: str, state_root: str, spec: dict):
+    """Streaming materialized view: each micro-batch APPENDS its rows
+    to the silver fact snapshot table and folds the gold aggregate
+    forward at O(batch) via the incremental-gold machinery
+    (plans/ivm.refresh_gold_incremental — file-granular feed + signed
+    partial merge). Exactly-once rides the same batch-id-in-manifest
+    transaction as the sinks above, on the FACT table: a replayed
+    batch finds its id committed and no-ops, and the gold refresh is
+    idempotent by watermark (state already at the fact's head ->
+    no-op), so the pair needs no cross-table transaction.
+
+    This is the streaming form of a Delta Live Tables materialized
+    view over an append stream: the base table and its rollup stay
+    consistent without ever recomputing the rollup from the base.
+    """
+    from ..plans.ivm import refresh_gold_incremental
+    from ..sources import snapshots as snap
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = snap._load(fact_root)
+        done = {
+            e.get("meta", {}).get("stream_batch_id")
+            for e in manifest["snapshots"]
+        }
+        if batch_id not in done:
+            snap.write_snapshot(
+                batch_df,
+                fact_root,
+                mode="append" if manifest["current"] is not None else "overwrite",
+                meta={"stream_batch_id": batch_id},
+            )
+        refresh_gold_incremental(
+            batch_df.sparkSession, fact_root, state_root, spec
+        )
+
+    return fn

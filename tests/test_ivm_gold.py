@@ -175,3 +175,121 @@ def test_signed_delta_rejects_unknown_change_type(spark):
     ).withColumn("event_time", F.lit("2024-01-05").cast("timestamp"))
     with pytest.raises(Exception, match="ivm"):
         ivm.signed_delta_aggregate(feed, ivm.SALES_SPEC).collect()
+
+
+def test_run_incremental_pipeline_end_to_end(spark, tmpdir):
+    """The full medallion wired incrementally: batch 1 = pre-cut CSVs
+    (bootstrap), batch 2 = complete CSVs (high-watermark fact APPEND +
+    O(delta) gold refresh), batch 3 = re-run (no-op at every layer).
+    After every batch the gold views equal the full-recompute pipeline
+    over the same inputs."""
+    import csv as _csv
+    import shutil as _sh
+
+    cut = "2023-01-01"
+    early = os.path.join(tmpdir, "csv_early")
+    os.makedirs(early)
+    for name in ("categories", "products", "users"):
+        _sh.copy(os.path.join(REF_CSV, f"{name}.csv"), early)
+
+    def _filter_csv(name, keep):
+        with open(os.path.join(REF_CSV, f"{name}.csv")) as fh:
+            rows = list(_csv.DictReader(fh))
+        kept = [r for r in rows if keep(r)]
+        with open(os.path.join(early, f"{name}.csv"), "w", newline="") as fh:
+            w = _csv.DictWriter(fh, fieldnames=rows[0].keys())
+            w.writeheader()
+            w.writerows(kept)
+        return kept
+
+    kept_orders = _filter_csv("orders", lambda r: r["order_date"] < cut)
+    order_ids = {r["order_id"] for r in kept_orders}
+    _filter_csv("order_items", lambda r: r["order_id"] in order_ids)
+    _filter_csv("reviews", lambda r: r["review_date"] < cut)
+    assert 0 < len(kept_orders) < 10_000
+
+    wh = os.path.join(tmpdir, "wh")
+    out1 = ivm.run_incremental_pipeline(spark, early, wh)
+    assert out1["sales_summary"]["mode"] == "bootstrap"
+
+    def _gold_equals_full(csv_dir):
+        bronze = {
+            name: read_csv(spark, os.path.join(csv_dir, f"{name}.csv"), schema)
+            for name, schema in schemas.ECOM_TABLES.items()
+        }
+        dim = medallion.dim_products(bronze["products"], bronze["categories"])
+        got_s = ivm.read_sales_summary(spark, f"{wh}/gold/sales_summary", dim)
+        want_s = medallion.sales_summary(
+            medallion.fact_purchase_event(bronze["orders"], bronze["order_items"]),
+            dim,
+        )
+        assert _rows(got_s) == _rows(want_s)
+        got_r = ivm.read_review_summary(spark, f"{wh}/gold/review_summary", dim)
+        want_r = medallion.review_summary(
+            medallion.fact_reviews(bronze["reviews"]), dim
+        )
+        assert _rows(got_r) == _rows(want_r)
+
+    _gold_equals_full(early)
+
+    out2 = ivm.run_incremental_pipeline(spark, REF_CSV, wh)
+    assert out2["fact_purchase_event"]["mode"] == "incremental"
+    assert out2["sales_summary"]["mode"] == "incremental"
+    # the refresh read ONLY the appended files
+    assert out2["sales_summary"]["files_read"], "expected a delta feed"
+    m = S._load(f"{wh}/silver/fact_purchase_event")
+    first_entry = S._entry(m, 1)
+    batch1_files = {
+        os.path.join(d, f) for d, f in S._entry_units(
+            f"{wh}/silver/fact_purchase_event", m, first_entry
+        )
+    }
+    assert set(out2["sales_summary"]["files_read"]).isdisjoint(batch1_files)
+    _gold_equals_full(REF_CSV)
+
+    out3 = ivm.run_incremental_pipeline(spark, REF_CSV, wh)
+    assert out3["fact_purchase_event"]["mode"] == "noop"
+    assert out3["sales_summary"]["mode"] == "noop"
+    _gold_equals_full(REF_CSV)
+
+
+def test_streaming_gold_refresh_exactly_once(spark, tmpdir):
+    """foreach_batch_gold_refresh: an availableNow file stream appends
+    fact batches and folds gold forward; the result equals the full
+    rebuild, and replaying a committed batch (same batch_id) changes
+    nothing at either layer."""
+    from e_commerce_lakehouse_spark.streaming.sinks import (
+        foreach_batch_gold_refresh,
+    )
+
+    fact, dim, _ = _silver(spark)
+    src_dir = f"{tmpdir}/stream_src"
+    fact.filter(F.col("order_id") % 2 == 0).write.parquet(f"{src_dir}/b0")
+    fact.filter(F.col("order_id") % 2 == 1).write.parquet(f"{src_dir}/b1")
+
+    fact_root = f"{tmpdir}/fact_stream"
+    state_root = f"{tmpdir}/gold_stream"
+    sink = foreach_batch_gold_refresh(fact_root, state_root, ivm.SALES_SPEC)
+
+    stream = (
+        spark.readStream.schema(fact.schema).parquet(f"{src_dir}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = ivm.read_sales_summary(spark, state_root, dim)
+    want = medallion.sales_summary(fact, dim)
+    assert _rows(got) == _rows(want)
+
+    # replay a committed batch id -> no-op at both layers
+    fact_head = S._load(fact_root)["current"]
+    state_head = S._load(state_root)["current"]
+    sink(fact.limit(50), 0)  # batch_id 0 already committed
+    assert S._load(fact_root)["current"] == fact_head
+    assert S._load(state_root)["current"] == state_head
+    assert _rows(ivm.read_sales_summary(spark, state_root, dim)) == _rows(want)
