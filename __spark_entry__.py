@@ -536,8 +536,25 @@ def _q15_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 def _q16_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
     """One-scan per-doc profile: stats ⊕ quality flag ⊕ BPE-ish token
-    count ⊕ normalization ⊕ trigram lang-ID (text.doc_profile)."""
-    return text.doc_profile(load_table(spark, sf, "documents"))
+    count ⊕ normalization ⊕ trigram lang-ID (text.doc_profile), plus
+    the round-7 linear-classifier scoring surface: ql_margin_q is the
+    Q16 hashed-bigram dot product under classifier.SPEC_WEIGHT_SQL
+    (dim 512) and ql_keep its sign — the oracle recomputes tokenize →
+    md5-hash → tf-quantize → dot product, hash-gating the scoring
+    machinery of operators/classifier.py (training is pytest-gated,
+    the BPE precedent)."""
+    from e_commerce_lakehouse_spark.operators import classifier as classifier_ops
+
+    docs = load_table(spark, sf, "documents")
+    prof = text.doc_profile(docs)
+    ql = classifier_ops.spec_margins(
+        classifier_ops.hashed_features(docs, dim=512)
+    )
+    return prof.join(ql, "doc_id", "left").select(
+        *prof.columns,
+        F.coalesce("ql_margin_q", F.lit(0)).alias("ql_margin_q"),
+        (F.coalesce("ql_margin_q", F.lit(0)) >= 0).alias("ql_keep"),
+    )
 
 
 def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -2853,7 +2870,39 @@ def _doc_profile_oracle_sql() -> str:
                            AS INT) END AS gopher_fail_mask
                 FROM documents
             )
-            SELECT doc_id, lang, source,
+            , qlg AS (
+                SELECT doc_id,
+                       list_concat(toks, list_transform(
+                           range(1, len(toks)),
+                           i -> toks[i] || '_' || toks[i+1])) AS grams
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(
+                                 lower(coalesce(text, '')), '\\s+'),
+                                 t -> t != '') AS toks
+                      FROM documents)
+            ),
+            qlc AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 512 AS idx,
+                       count(*) AS cnt
+                FROM (SELECT doc_id, unnest(grams) AS g FROM qlg)
+                GROUP BY 1, 2
+            ),
+            qlx AS (
+                SELECT doc_id, idx,
+                       (cnt * 65536) // (sum(cnt) OVER (PARTITION BY doc_id))
+                           AS x_q
+                FROM qlc
+            ),
+            ql AS (
+                -- classifier.SPEC_WEIGHT_SQL dot product, Q16; both
+                -- // here and Spark's div truncate toward zero
+                SELECT doc_id,
+                       SUM(((((idx * 2654435761) % 4096) - 2048) * x_q)
+                           // 65536) AS ql_margin_q
+                FROM qlx GROUP BY 1
+            )
+            SELECT s.doc_id, lang, source,
                    n_tokens, n_distinct_tokens, n_chars_measured, n_stopwords,
                    CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS ttr,
                    CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
@@ -2870,8 +2919,10 @@ def _doc_profile_oracle_sql() -> str:
                    gopher_fail_mask,
                    (gopher_fail_mask = 0) AS gopher_pass,
                    {', '.join('score_' + lang for lang in langs)},
-                   {pred} AS pred_lang
-            FROM s
+                   {pred} AS pred_lang,
+                   COALESCE(ql.ql_margin_q, 0) AS ql_margin_q,
+                   (COALESCE(ql.ql_margin_q, 0) >= 0) AS ql_keep
+            FROM s LEFT JOIN ql ON s.doc_id = ql.doc_id
         """
 
 

@@ -772,6 +772,18 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     return sorted(dead_dirs) + sorted(removed_files)
 
 
+def vacuum(
+    root: str, keep_last: int = 2, older_than_s: float = 0.0
+) -> list[str]:
+    """Delta ``VACUUM`` / Iceberg maintenance in one call:
+    :func:`expire_snapshots` (retain the newest ``keep_last`` + every
+    tagged snapshot, two-phase file GC) followed by
+    :func:`remove_orphans` (never-committed dirs past the cutoff).
+    Returns everything deleted."""
+    removed = expire_snapshots(root, keep_last=keep_last)
+    return removed + remove_orphans(root, older_than_s=older_than_s)
+
+
 def tag_snapshot(root: str, name: str, snapshot_id: int | None = None) -> None:
     """Name a snapshot (Iceberg tag): an immutable alias like
     ``v1.2-training-cut`` that :func:`read_snapshot`'s ``tag=`` resolves

@@ -18,6 +18,10 @@ statement                              routed to
 ``MERGE INTO t USING s ON ... WHEN``   :func:`upsert.merge_upsert` /
                                        ``apply_changes`` + one
                                        overwrite commit
+``SELECT * FROM t [VERSION AS OF n |   :func:`snapshots.read_snapshot`
+TIMESTAMP AS OF 'iso' | TAG 'name']    / ``scan_snapshot`` (WHERE gets
+[WHERE ...]``                          stats file-skipping; returns
+                                       the DataFrame in ``"df"``)
 =====================================  ================================
 
 Deliberately small grammar, loudly rejected when exceeded (a clear
@@ -146,6 +150,14 @@ def parse_set(clause: str) -> dict[str, str]:
     return sets
 
 
+_SELECT = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(\w+)"
+    r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)"
+    r"|\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'"
+    r"|\s+(?:FOR\s+)?TAG\s+'([^']+)')?"
+    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -199,6 +211,25 @@ def execute_dml(
     manifest, so SQL writes get the same atomicity / time travel /
     CDC feed as the API they route to."""
     sources = sources or {}
+
+    if (m := _SELECT.match(sql)) is not None:
+        name, version, as_of, tag, where = m.groups()
+        root = _resolve(tables, name)
+        kwargs: dict = {}
+        if version is not None:
+            kwargs["snapshot_id"] = int(version)
+        elif as_of is not None:
+            t = _dt.datetime.fromisoformat(as_of)
+            kwargs["as_of"] = t.timestamp()
+        elif tag is not None:
+            kwargs["tag"] = tag
+        if where:
+            df = snapshots.scan_snapshot(
+                spark, root, parse_where(where), **kwargs
+            )
+        else:
+            df = snapshots.read_snapshot(spark, root, **kwargs)
+        return {"op": "select", "table": name, "df": df}
 
     if (m := _DELETE.match(sql)) is not None:
         name, where = m.groups()

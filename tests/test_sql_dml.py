@@ -246,3 +246,48 @@ def test_where_keywords_inside_string_literals(spark, root):
     assert {r.name for r in S.read_snapshot(spark, root).collect()} == {"x OR y", "plain"}
     preds = sql_dml.parse_where("name = 'x OR y' AND id >= 2")
     assert preds == [("name", "=", "x OR y"), ("id", ">=", 2)]
+
+
+def test_select_time_travel_and_where(spark, root):
+    """SELECT surface: latest, VERSION AS OF, TIMESTAMP AS OF, TAG,
+    and WHERE (scan_snapshot file-skipping) all route correctly."""
+    S.write_snapshot(spark.range(0, 100).select("id"), root)
+    S.tag_snapshot(root, "v1cut")
+    ts_after_v1 = S.history(root)[-1]["ts"]
+    S.write_snapshot(spark.range(0, 250).select("id"), root)  # overwrite
+    t = {"t": root}
+
+    assert sql_dml.execute_dml(spark, "SELECT * FROM t", t)["df"].count() == 250
+    assert (
+        sql_dml.execute_dml(spark, "SELECT * FROM t VERSION AS OF 1", t)["df"].count()
+        == 100
+    )
+    assert (
+        sql_dml.execute_dml(spark, "SELECT * FROM t FOR TAG 'v1cut'", t)["df"].count()
+        == 100
+    )
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(ts_after_v1).isoformat()
+    assert (
+        sql_dml.execute_dml(
+            spark, f"SELECT * FROM t TIMESTAMP AS OF '{iso}'", t
+        )["df"].count()
+        == 100
+    )
+    got = sql_dml.execute_dml(
+        spark, "SELECT * FROM t WHERE id >= 200 AND id < 210", t
+    )["df"]
+    assert sorted(r.id for r in got.collect()) == list(range(200, 210))
+
+
+def test_vacuum_combines_expire_and_orphans(spark, root):
+    import os
+
+    S.write_snapshot(spark.range(10), root)
+    S.write_snapshot(spark.range(20), root)  # overwrite; snap1 now dead
+    os.makedirs(os.path.join(root, "snap-99999999-orphan"))
+    removed = S.vacuum(root, keep_last=1)
+    assert any(d.startswith("snap-00000001") for d in removed)
+    assert "snap-99999999-orphan" in removed
+    assert S.read_snapshot(spark, root).count() == 20
