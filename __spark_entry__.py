@@ -2146,12 +2146,21 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
         hard_negatives) — per anchor, the top-5 most-similar
         WRONG-label vectors, the contrastive-training batch
         construction step (DPR/SimCSE); label mismatch fused into the
-        broadcast join."""
+        broadcast join;
+      - kind='rrf': hybrid retrieval by reciprocal-rank fusion
+        (similarity.hybrid_rrf_topk, Cormack 2009) — exact semantic
+        cosine ranking ⊕ exact lexical token-Jaccard ranking over the
+        same ids (vec_id ↔ doc_id), fused all-integer as
+        Σ 1e6 div (60 + rank) over each system's top-20 pool; the
+        oracle recomputes both rankings and the fusion arithmetic."""
     emb = load_table(spark, sf, "embeddings")
     ann = similarity.ann_topk_multi(emb, query_max_id=10, k=5, planes=8, tables=3)
     exact = similarity.cosine_topk(emb, query_max_id=10, k=5)
     quality = similarity.ranking_quality(ann, exact, k=5)
     hneg = similarity.hard_negatives(emb, query_max_id=10, k=5)
+    rrf = similarity.hybrid_rrf_topk(
+        load_table(spark, sf, "documents"), emb, query_max_id=10, k=5, pool=20
+    )
     ni = F.lit(None).cast("int")
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -2161,6 +2170,7 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
             "neighbor_label", "cosine", "rank",
             ni.alias("recall_at_k"), nl.alias("mrr_x1e6"),
             nl.alias("ndcg_x1e6"),
+            ni.alias("sem_rank"), ni.alias("lex_rank"), nl.alias("rrf_x1e6"),
         )
         .unionByName(
             quality.select(
@@ -2168,6 +2178,7 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
                 nl.alias("neighbor_id"), ni.alias("neighbor_label"),
                 nd.alias("cosine"), ni.alias("rank"),
                 "recall_at_k", "mrr_x1e6", "ndcg_x1e6",
+                ni.alias("sem_rank"), ni.alias("lex_rank"), nl.alias("rrf_x1e6"),
             )
         )
         .unionByName(
@@ -2176,6 +2187,17 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
                 "neighbor_id", "neighbor_label", "cosine", "rank",
                 ni.alias("recall_at_k"), nl.alias("mrr_x1e6"),
                 nl.alias("ndcg_x1e6"),
+                ni.alias("sem_rank"), ni.alias("lex_rank"), nl.alias("rrf_x1e6"),
+            )
+        )
+        .unionByName(
+            rrf.select(
+                F.lit("rrf").alias("kind"), "query_id",
+                F.col("cand_id").alias("neighbor_id"),
+                ni.alias("neighbor_label"), nd.alias("cosine"), "rank",
+                ni.alias("recall_at_k"), nl.alias("mrr_x1e6"),
+                nl.alias("ndcg_x1e6"),
+                "sem_rank", "lex_rank", "rrf_x1e6",
             )
         )
     )
@@ -2520,11 +2542,17 @@ def _ann_multi_oracle_sql(
     query_max_id: int = 10,
     tables: int = 3,
     base_seed: int = 7,
+    pool: int = 20,
+    rrf_k: int = 60,
 ) -> str:
     """Generated mirror of similarity.ann_topk_multi (kind='ann') plus
     the ranking_quality branch (kind='quality'): the oracle recomputes
     the exact cosine ranking AND the ANN ranking, joins them, and
-    reproduces recall@k / MRR with the identical integer arithmetic."""
+    reproduces recall@k / MRR with the identical integer arithmetic.
+    The kind='rrf' branch recomputes BOTH hybrid input rankings
+    (exact cosine pool reused from exactr; lexical token-Jaccard pool
+    from documents) and the all-integer reciprocal-rank-fusion score
+    of similarity.hybrid_rrf_topk."""
     sketch_cols = []
     for t in range(tables):
         planes_arr = similarity.hyperplanes(planes, 64, seed=base_seed + t)
@@ -2587,21 +2615,59 @@ def _ann_multi_oracle_sql(
                                   sum(disc) AS dcg_x
                            FROM hits GROUP BY 1) h USING (query_id)
             )
+            , lexsets AS (
+                SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+                FROM documents
+            ), lexr AS (
+                SELECT * FROM (
+                    SELECT query_id, cand_id,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY jx DESC, cand_id ASC) AS lrk
+                    FROM (
+                        SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                               (CAST(len(list_intersect(q.tset, c.tset))
+                                     AS BIGINT) * 1000000)
+                               // (len(q.tset) + len(c.tset)
+                                   - len(list_intersect(q.tset, c.tset))) AS jx
+                        FROM lexsets q JOIN lexsets c
+                          ON q.doc_id <> c.doc_id
+                        WHERE q.doc_id < {query_max_id}
+                    )
+                ) WHERE lrk <= {pool}
+            ), semr AS (
+                SELECT query_id, neighbor_id AS cand_id, erk AS srk
+                FROM exactr WHERE erk <= {pool}
+            ), fused AS (
+                SELECT coalesce(s.query_id, l.query_id) AS query_id,
+                       coalesce(s.cand_id, l.cand_id) AS cand_id,
+                       s.srk, l.lrk,
+                       coalesce(1000000 // ({rrf_k} + s.srk), 0)
+                       + coalesce(1000000 // ({rrf_k} + l.lrk), 0) AS rrf
+                FROM semr s FULL JOIN lexr l
+                  ON s.query_id = l.query_id AND s.cand_id = l.cand_id
+            )
             SELECT 'ann' AS kind, query_id, neighbor_id, neighbor_label,
                    cosine, CAST(rk AS INT) AS rank,
                    CAST(NULL AS INT) AS recall_at_k,
                    CAST(NULL AS BIGINT) AS mrr_x1e6,
-                   CAST(NULL AS BIGINT) AS ndcg_x1e6
+                   CAST(NULL AS BIGINT) AS ndcg_x1e6,
+                   CAST(NULL AS INT) AS sem_rank,
+                   CAST(NULL AS INT) AS lex_rank,
+                   CAST(NULL AS BIGINT) AS rrf_x1e6
             FROM ranked WHERE rk <= {k}
             UNION ALL
             SELECT 'quality', query_id, CAST(NULL AS BIGINT),
                    CAST(NULL AS INT), CAST(NULL AS DOUBLE),
-                   CAST(NULL AS INT), recall_at_k, mrr_x1e6, ndcg_x1e6
+                   CAST(NULL AS INT), recall_at_k, mrr_x1e6, ndcg_x1e6,
+                   CAST(NULL AS INT), CAST(NULL AS INT),
+                   CAST(NULL AS BIGINT)
             FROM qm
             UNION ALL
             SELECT 'hard_neg', query_id, neighbor_id, neighbor_label,
                    cosine, CAST(hrk AS INT),
                    CAST(NULL AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(NULL AS INT), CAST(NULL AS INT),
                    CAST(NULL AS BIGINT)
             FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2614,6 +2680,18 @@ def _ann_multi_oracle_sql(
                   ON q.vec_id <> c.vec_id AND q.label <> c.label
                 WHERE q.vec_id < {query_max_id}
             ) WHERE hrk <= {k}
+            UNION ALL
+            SELECT 'rrf', query_id, cand_id, CAST(NULL AS INT),
+                   CAST(NULL AS DOUBLE), CAST(frk AS INT),
+                   CAST(NULL AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(srk AS INT), CAST(lrk AS INT),
+                   CAST(rrf AS BIGINT)
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf DESC, cand_id ASC) AS frk
+                FROM fused
+            ) WHERE frk <= {k}
         """
 
 

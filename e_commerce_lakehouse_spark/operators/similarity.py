@@ -1390,3 +1390,112 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lexical_jaccard_topk(
+    documents: DataFrame,
+    query_max_id: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """Exact lexical ranking: for each probe doc (doc_id <
+    query_max_id), top-k candidate docs by distinct-token-set Jaccard.
+
+    The score is kept as an exact integer — jx_x1e6 = (|∩| * 1e6) div
+    |∪| — so the ordering (jx desc, cand_id asc) is engine-portable
+    with no float comparison. Same 100 TB shape as :func:`cosine_topk`:
+    the bounded probe set is broadcast, the corpus streams through
+    once, and the per-query ranking window runs over ≤ corpus rows per
+    probe. At scale the candidate side would be an LSH bucket
+    (dedup.minhash_lsh_pairs); the exact ranking here is the fusion
+    baseline.
+    """
+    from .text import tokens
+
+    tset = F.array_distinct(tokens("text"))
+    q = documents.filter(F.col("doc_id") < query_max_id).select(
+        F.col("doc_id").alias("query_id"), tset.alias("q_set")
+    )
+    c = spread_for_cpu(documents).select(
+        F.col("doc_id").alias("cand_id"), tset.alias("c_set")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+    inter = F.size(F.array_intersect("q_set", "c_set"))
+    union = F.size("q_set") + F.size("c_set") - inter
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        ((inter.cast("long") * F.lit(1_000_000)).cast("long")).alias("inter_sc"),
+        union.cast("long").alias("union_c"),
+    ).select(
+        "query_id",
+        "cand_id",
+        F.expr("inter_sc div union_c").alias("jx_x1e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jx_x1e6").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "jx_x1e6", "rank")
+    )
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    pool: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse the exact semantic cosine ranking
+    (:func:`cosine_topk` over the embedding column) with the exact
+    lexical token-Jaccard ranking (:func:`lexical_jaccard_topk`) of
+    the same ids (vec_id ↔ doc_id), by
+
+        rrf_x1e6 = Σ_sys 1e6 div (rrf_k + rank_sys)
+
+    over the systems that returned the candidate in their top-``pool``
+    (a missing system contributes 0 — standard RRF over truncated
+    runs). All-integer scoring; final order (rrf_x1e6 desc, id asc) is
+    exact. This is the Elasticsearch/Vespa/Azure-AI-Search hybrid
+    default, here with its measurement exactly reproducible.
+
+    100 TB shape: both input rankings broadcast their bounded probe
+    sets and stream the corpus once; the fusion itself joins two
+    ≤ queries×pool frames — driver-trivial, broadcastable.
+    """
+    sem = cosine_topk(embeddings, query_max_id=query_max_id, k=pool).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    lex = lexical_jaccard_topk(documents, query_max_id=query_max_id, k=pool).select(
+        "query_id", "cand_id", F.col("rank").alias("lex_rank")
+    )
+    fused = sem.join(lex, ["query_id", "cand_id"], "full_outer").select(
+        "query_id",
+        "cand_id",
+        "sem_rank",
+        "lex_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({rrf_k} + sem_rank)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({rrf_k} + lex_rank)"), F.lit(0).cast("long")
+            )
+        ).alias("rrf_x1e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_x1e6").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "sem_rank", "lex_rank", "rrf_x1e6", "rank"
+        )
+    )

@@ -765,3 +765,65 @@ def test_hard_negatives_wrong_label_topk(spark):
             if e.query_id == qid and e.neighbor_label != labels[qid]
         ][:k]
         assert [r.neighbor_id for r in sorted(rs, key=lambda r: r.rank)] == want
+
+
+def test_rrf_fusion_arithmetic_planted(spark):
+    """RRF on a planted corpus: doc 1 is the lexical twin of query 0
+    (same token set, rank 1 lexically) and doc 2 the semantic twin
+    (identical embedding, rank 1 semantically); both must fuse above
+    doc 3 (mediocre in both), and the fused score must equal the
+    hand-computed sum of 1e6 // (60 + rank) terms."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),        # lexical twin
+            (2, "zz yy xx ww"),                   # lexically unrelated
+            (3, "alpha beta qq rr"),              # partial lexical match
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0], 1),              # semantically unrelated
+            (2, [1.0, 0.0, 0.0], 0),              # semantic twin
+            (3, [0.7, 0.7, 0.0], 1),              # partial semantic match
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.cand_id: r
+        for r in similarity.hybrid_rrf_topk(
+            docs, emb, query_max_id=1, k=3, pool=3
+        ).collect()
+    }
+    # lexical ranking for q0: 1 (jacc 1.0), 3 (jacc 2/6), 2 (jacc 0)
+    # semantic ranking for q0: 2 (cos 1.0), 3 (cos ~.707), 1 (cos 0)
+    assert out[1].lex_rank == 1 and out[1].sem_rank == 3
+    assert out[2].sem_rank == 1 and out[2].lex_rank == 3
+    assert out[3].lex_rank == 2 and out[3].sem_rank == 2
+    # both twins fuse identically (rank-1 + rank-3) and above doc 3
+    assert (
+        out[1].rrf_x1e6
+        == out[2].rrf_x1e6
+        == 1_000_000 // 61 + 1_000_000 // 63
+    )
+    assert out[3].rrf_x1e6 == 2 * (1_000_000 // 62)
+    assert out[1].rank == 1 and out[2].rank == 2  # tie -> id asc
+    assert out[3].rank == 3
+
+
+def test_rrf_plan_broadcasts_probes_and_fusion(spark):
+    """Plan gate: both input rankings broadcast their bounded probe
+    sides (the corpus streams once per system); no corpus-sized
+    exchange appears after the ranking windows."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = (
+        similarity.hybrid_rrf_topk(docs, emb, query_max_id=5, k=5, pool=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the probe joins are non-equi (query_id != cand_id), so the
+    # broadcast shape is a nested-loop with the bounded probe broadcast
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # sem + lex probe
+    assert plan.count("BroadcastExchange") >= 2
