@@ -1017,6 +1017,17 @@ def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
     # comparison predicates: an all-null file satisfies none of them
     if nulls is not None and rows is not None and nulls == rows and rows > 0:
         return False
+    if op in ("=", "in"):
+        bl = s.get("bloom")
+        if bl is not None:
+            vals0 = list(val) if op == "in" else [val]
+            if all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                for v in vals0
+            ) and not any(
+                _bloom_file_member(bl, str(v)) for v in vals0
+            ):
+                return False  # k misses in every value: provably absent
     mn, mx = s.get("mn"), s.get("mx")
     if mn is None or mx is None:
         return True
@@ -1554,3 +1565,166 @@ def optimize_zorder(
         root,
         mode="overwrite",
     )
+
+
+# ---------------------------------------------------------------------------
+# File-level Bloom-filter index (Delta bloom-filter-index / Iceberg puffin
+# analog): equality pruning on high-cardinality columns whose values are
+# scattered across files, where min/max bounds prune nothing. Reference
+# parity note: the reference has no data-skipping tier at all (its scans are
+# full-table parquet reads, e.g. gold_transfrom.py); this extends the
+# manifest-stats model the way Delta's bloom index extends footer stats.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SEED = "bfidx:"
+_BLOOM_DTYPES = _INT_DTYPES | {"string"}
+
+
+def _bloom_positions_py(s: str, m: int, k: int) -> list[int]:
+    """k bit positions from ONE md5, 7-hex-digit slices
+    (Kirsch-Mitzenmacher single-hash derivation — the same spec the
+    Spark build side renders as conv(substring(md5(..)))). k <= 4."""
+    import hashlib
+
+    h = hashlib.md5((_BLOOM_SEED + s).encode()).hexdigest()
+    return [int(h[7 * i : 7 * i + 7], 16) % m for i in range(k)]
+
+
+def _bloom_file_member(bl: dict, s: str) -> bool:
+    """May ``s`` be present given a file's stored bloom words? False
+    positives possible (pruning stays sound); false negatives never."""
+    m, k, words = bl["m"], bl["k"], bl["w"]
+    for pos in _bloom_positions_py(s, m, k):
+        if not (words[pos // 64] >> (pos % 64)) & 1:
+            return False
+    return True
+
+
+def set_bloom_index(
+    root: str, cols: list[str], m: int = 8192, k: int = 3
+) -> None:
+    """Declare a Bloom-filter file index on ``cols`` (int/string
+    columns; the probe compares str(value) against the column cast to
+    string, so other dtypes are rejected at build). ``m`` bits and
+    ``k`` hashes per file per column — 1 KB per file per column at the
+    default, carried in the manifest like Iceberg puffin blobs.
+    Declaring only records the spec; :func:`build_bloom_index`
+    materializes it. Files without a built bloom are simply kept by
+    the scan planner (sound-or-silent, like every stats path here)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if m % 64 or m <= 0 or not (1 <= k <= 4):
+        raise ValueError("m must be a positive multiple of 64, 1 <= k <= 4")
+    manifest = _load(root)
+    manifest["bloom_spec"] = {"cols": list(cols), "m": int(m), "k": int(k)}
+    _commit(root, manifest)
+
+
+def build_bloom_index(spark: SparkSession, root: str) -> int:
+    """Build per-file Bloom filters for every (file, column) of the
+    CURRENT snapshot still missing one, and commit the updated
+    manifest. Returns the number of files indexed.
+
+    Data dirs are immutable, so a built bloom never goes stale — new
+    appends add unindexed files that the planner keeps until the next
+    build (run it like OPTIMIZE, after ingest batches).
+
+    100 TB shape: each dir is scanned ONCE for all indexed columns
+    (stacked melt -> distinct -> k md5-slice positions -> per-word
+    bit_or), shuffling only (file, col, value) distincts and then
+    (file, col, word) rows — the collected artifact is
+    #files x #cols x m/64 longs, KBs per thousand files."""
+    manifest = _load(root)
+    spec = manifest.get("bloom_spec")
+    if spec is None:
+        raise ValueError("no bloom_spec; call set_bloom_index first")
+    cols, m, k = spec["cols"], spec["m"], spec["k"]
+    if manifest["current"] is None:
+        return 0
+    entry = _entry(manifest, manifest["current"])
+    dir_stats = manifest.setdefault("dir_stats", {})
+    # dirs with at least one (file, col) missing its bloom
+    todo: dict[str, set[str]] = {}
+    for d, fname in _entry_units(root, manifest, entry):
+        fstats = dir_stats.setdefault(d, {}).setdefault(fname, {})
+        if any("bloom" not in fstats.get(c, {}) for c in cols):
+            todo.setdefault(d, set()).add(fname)
+    n_indexed = 0
+    for d, fnames in sorted(todo.items()):
+        df = spark.read.parquet(os.path.join(root, d))
+        dtypes = dict(df.dtypes)
+        present = [c for c in cols if c in dtypes]
+        bad = [c for c in present if dtypes[c] not in _BLOOM_DTYPES]
+        if bad:
+            raise ValueError(
+                f"bloom index supports int/string columns only, got "
+                f"{[(c, dtypes[c]) for c in bad]}"
+            )
+        if not present:
+            continue
+        stacked = (
+            df.select(
+                F.input_file_name().alias("f"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("c"),
+                                F.col(c).cast("string").alias("v"),
+                            )
+                            for c in present
+                        ]
+                    )
+                ).alias("s"),
+            )
+            .select("f", "s.c", "s.v")
+            .where(F.col("v").isNotNull())
+            .distinct()  # one md5 per distinct (file, col, value)
+        )
+        h = F.md5(F.concat(F.lit(_BLOOM_SEED), F.col("v")))
+        pos = F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring(h, 1 + 7 * i, 7), 16, 10).cast(
+                            "long"
+                        )
+                        % m
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+        words = (
+            stacked.select("f", "c", pos)
+            .groupBy("f", "c", F.expr("pos div 64").alias("w"))
+            .agg(
+                F.bit_or(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        (F.col("pos") % 64).cast("int"),
+                    )
+                ).alias("word")
+            )
+            .collect()
+        )
+        built: dict[str, dict[str, list[int]]] = {}
+        for r in words:
+            fname = os.path.basename(r.f)
+            built.setdefault(fname, {}).setdefault(
+                r.c, [0] * (m // 64)
+            )[r.w] = r.word
+        for fname in fnames:
+            fstats = dir_stats[d].setdefault(fname, {})
+            for c in present:
+                arr = built.get(fname, {}).get(c, [0] * (m // 64))
+                fstats.setdefault(c, {})["bloom"] = {
+                    "m": m,
+                    "k": k,
+                    "w": arr,
+                }
+            n_indexed += 1
+    if todo:
+        _commit(root, manifest)
+    return n_indexed

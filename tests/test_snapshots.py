@@ -856,3 +856,115 @@ def test_compact_keeps_target_layout_under_partition_spec(spark, root):
     n_files = sum(1 for _ in S._entry_units(root, S._load(root), entry))
     assert n_files == 1, n_files
     assert S.read_snapshot(spark, root).count() == 200
+
+
+# --- Bloom-filter file index ------------------------------------------------
+
+
+def _bloom_table(spark, root, n=400, files=8):
+    """High-cardinality 'key' scattered so every file spans the whole
+    range: min/max bounds prune NOTHING for equality probes."""
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % files).alias("spread"),
+            F.concat(F.lit("user-"), F.col("id")).alias("key"),
+            F.col("id").alias("num_key"),
+        )
+        .repartition(files, "spread")
+        .drop("spread")
+    )
+    S.write_snapshot(df, root)
+    return df
+
+
+def test_bloom_index_prunes_equality_where_bounds_cannot(spark, root):
+    _bloom_table(spark, root)
+    # without the index: bounds on 'key' (strings 'user-0'..'user-99')
+    # overlap across files -> nothing pruned
+    before = S.plan_scan(root, [("key", "=", "user-123")])
+    S.set_bloom_index(root, ["key", "num_key"], m=8192, k=3)
+    n = S.build_bloom_index(spark, root)
+    assert n == len(before["files"]) + len(before["pruned"])
+    after = S.plan_scan(root, [("key", "=", "user-123")])
+    # the value lives in exactly one file; k=3/m=8192 over <=50 distinct
+    # keys per file makes a cross-file false positive vanishingly rare,
+    # and the test corpus is deterministic - demand real pruning
+    assert len(after["files"]) < len(before["files"])
+    assert len(after["files"]) >= 1
+    got = S.scan_snapshot(spark, root, [("key", "=", "user-123")])
+    assert [r.num_key for r in got.collect()] == [123]
+    # integer column probes stringify identically on both sides
+    after_i = S.plan_scan(root, [("num_key", "=", 123)])
+    assert len(after_i["files"]) < 8
+    assert S.scan_snapshot(spark, root, [("num_key", "=", 123)]).count() == 1
+
+
+def test_bloom_absent_value_prunes_everything_soundly(spark, root):
+    _bloom_table(spark, root)
+    S.set_bloom_index(root, ["key"])
+    S.build_bloom_index(spark, root)
+    plan = S.plan_scan(root, [("key", "=", "no-such-key")])
+    assert plan["files"] == []  # provably absent everywhere
+    assert S.scan_snapshot(spark, root, [("key", "=", "no-such-key")]).count() == 0
+    # IN probes prune only when EVERY value misses
+    plan_in = S.plan_scan(root, [("key", "in", ["no-such", "user-123"])])
+    assert len(plan_in["files"]) >= 1
+    got = S.scan_snapshot(
+        spark, root, [("key", "in", ["no-such", "user-123"])]
+    )
+    assert [r.key for r in got.collect()] == ["user-123"]
+
+
+def test_bloom_unindexed_append_stays_sound(spark, root):
+    _bloom_table(spark, root)
+    S.set_bloom_index(root, ["key"])
+    S.build_bloom_index(spark, root)
+    extra = spark.createDataFrame(
+        [(999, "user-new", 999)], "spread long, key string, num_key long"
+    ).drop("spread").repartition(1)
+    S.write_snapshot(extra, root, mode="append")
+    # the appended file has no bloom yet -> kept, result correct
+    got = S.scan_snapshot(spark, root, [("key", "=", "user-new")])
+    assert got.count() == 1
+    # a second build indexes ONLY the missing file
+    assert S.build_bloom_index(spark, root) == 1
+    assert S.build_bloom_index(spark, root) == 0  # idempotent
+    assert S.scan_snapshot(spark, root, [("key", "=", "user-new")]).count() == 1
+
+
+def test_bloom_positions_spark_python_parity(spark, root):
+    """The Spark build side (conv/substring/md5) and the Python probe
+    side (hashlib slices) must derive identical positions, or pruning
+    would silently drop rows."""
+    from pyspark.sql import functions as F2
+
+    m, k = 8192, 3
+    vals = ["user-0", "42", "", "ünïcode", "a b c"]
+    h = F2.md5(F2.concat(F2.lit("bfidx:"), F2.col("v")))
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v string")
+        .select(
+            "v",
+            F2.array(
+                *[
+                    (F2.conv(F2.substring(h, 1 + 7 * i, 7), 16, 10).cast("long") % m)
+                    for i in range(k)
+                ]
+            ).alias("pos"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert list(r.pos) == S._bloom_positions_py(r.v, m, k), r.v
+
+
+def test_bloom_rejects_unsupported_dtypes(spark, root):
+    S.write_snapshot(
+        spark.createDataFrame([(1.5, "x")], "d double, s string"), root
+    )
+    S.set_bloom_index(root, ["d"])
+    with pytest.raises(ValueError, match="int/string"):
+        S.build_bloom_index(spark, root)
+    with pytest.raises(ValueError, match="non-empty"):
+        S.set_bloom_index(root, [])

@@ -268,7 +268,9 @@ def test_select_time_travel_and_where(spark, root):
     )
     import datetime as dt
 
-    iso = dt.datetime.fromtimestamp(ts_after_v1).isoformat()
+    # nudge past the commit ts: isoformat truncates to microseconds,
+    # which can round BELOW the float commit time
+    iso = dt.datetime.fromtimestamp(ts_after_v1 + 0.001).isoformat()
     assert (
         sql_dml.execute_dml(
             spark, f"SELECT * FROM t TIMESTAMP AS OF '{iso}'", t
