@@ -22,6 +22,16 @@ statement                              routed to
 TIMESTAMP AS OF 'iso' | TAG 'name']    / ``scan_snapshot`` (WHERE gets
 [WHERE ...]``                          stats file-skipping; returns
                                        the DataFrame in ``"df"``)
+``OPTIMIZE t [ZORDER BY (c, ...)]``    :func:`snapshots.compact_files`
+                                       / ``optimize_zorder``
+``VACUUM t [RETAIN n SNAPSHOTS]``      :func:`snapshots.vacuum`
+``DESCRIBE HISTORY t``                 :func:`snapshots.history` as a
+                                       DataFrame in ``"df"``
+``SELECT * FROM TABLE_CHANGES(t, a,    :func:`snapshots.
+b) KEYS (k, ...)``                     snapshot_changes` (the KEYS
+                                       clause names the row identity —
+                                       the snapshot log stores states,
+                                       so the feed is key-diffed)
 =====================================  ================================
 
 Deliberately small grammar, loudly rejected when exceeded (a clear
@@ -158,6 +168,22 @@ _SELECT = re.compile(
     r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CHANGES = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*(\w+)\s*,\s*(\d+)\s*,"
+    r"\s*(\d+)\s*\)\s+KEYS\s*\(([^)]*)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -211,6 +237,58 @@ def execute_dml(
     manifest, so SQL writes get the same atomicity / time travel /
     CDC feed as the API they route to."""
     sources = sources or {}
+
+    if (m := _CHANGES.match(sql)) is not None:
+        name, from_id, to_id, keys_text = m.groups()
+        root = _resolve(tables, name)
+        keys = [k.strip() for k in keys_text.split(",") if k.strip()]
+        if not keys:
+            raise ValueError("TABLE_CHANGES needs a non-empty KEYS (...) list")
+        df = snapshots.snapshot_changes(
+            spark, root, keys, int(from_id), int(to_id)
+        )
+        return {"op": "table_changes", "table": name, "df": df}
+
+    if (m := _OPTIMIZE.match(sql)) is not None:
+        name, zorder_cols = m.groups()
+        root = _resolve(tables, name)
+        if zorder_cols is not None:
+            cols = [c.strip() for c in zorder_cols.split(",") if c.strip()]
+            if not cols:
+                raise ValueError("ZORDER BY needs a non-empty column list")
+            sid = snapshots.optimize_zorder(spark, root, cols)
+        else:
+            sid = snapshots.compact_files(spark, root)
+        return {"op": "optimize", "table": name, "snapshot_id": sid}
+
+    if (m := _VACUUM.match(sql)) is not None:
+        name, retain = m.groups()
+        root = _resolve(tables, name)
+        removed = snapshots.vacuum(
+            root, keep_last=int(retain) if retain else 2
+        )
+        return {"op": "vacuum", "table": name, "removed": removed}
+
+    if (m := _HISTORY.match(sql)) is not None:
+        name = m.group(1)
+        root = _resolve(tables, name)
+        import json as _json
+
+        rows = [
+            (
+                h["id"],
+                h["op"],
+                float(h["ts"]),
+                h.get("parent"),
+                _json.dumps(h.get("meta") or {}, sort_keys=True),
+            )
+            for h in snapshots.history(root)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "version long, operation string, ts double, parent long, meta string",
+        )
+        return {"op": "history", "table": name, "df": df}
 
     if (m := _SELECT.match(sql)) is not None:
         name, version, as_of, tag, where = m.groups()

@@ -293,3 +293,45 @@ def test_vacuum_combines_expire_and_orphans(spark, root):
     assert any(d.startswith("snap-00000001") for d in removed)
     assert "snap-99999999-orphan" in removed
     assert S.read_snapshot(spark, root).count() == 20
+
+
+def test_maintenance_sql_surface(spark, root):
+    """OPTIMIZE / OPTIMIZE ZORDER BY / VACUUM / DESCRIBE HISTORY /
+    TABLE_CHANGES all route onto the snapshot maintenance ops."""
+    S.write_snapshot(spark.range(0, 50).select("id").repartition(6), root)
+    S.write_snapshot(
+        spark.range(50, 60).select("id").repartition(1), root, mode="append"
+    )
+    t = {"t": root}
+
+    changes = sql_dml.execute_dml(
+        spark, "SELECT * FROM TABLE_CHANGES(t, 1, 2) KEYS (id)", t
+    )["df"]
+    by_type = {
+        r._change_type: r.n
+        for r in changes.groupBy("_change_type").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_type == {"insert": 10}  # 50..59 new, 40..49 unchanged
+
+    r = sql_dml.execute_dml(spark, "OPTIMIZE t", t)
+    assert r["op"] == "optimize"
+    assert S.read_snapshot(spark, root).count() == 60
+
+    r = sql_dml.execute_dml(spark, "OPTIMIZE t ZORDER BY (id)", t)
+    assert r["snapshot_id"] > 2
+    assert S.read_snapshot(spark, root).count() == 60
+
+    hist = sql_dml.execute_dml(spark, "DESCRIBE HISTORY t", t)["df"]
+    versions = [row.version for row in hist.orderBy("version").collect()]
+    assert versions[0] == 1 and versions[-1] == r["snapshot_id"]
+
+    removed = sql_dml.execute_dml(spark, "VACUUM t RETAIN 1 SNAPSHOTS", t)
+    assert removed["op"] == "vacuum" and removed["removed"]
+    assert S.read_snapshot(spark, root).count() == 60
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="KEYS"):
+        sql_dml.execute_dml(spark, "SELECT * FROM TABLE_CHANGES(t, 1, 2) KEYS ()", t)
+    with _pytest.raises(ValueError, match="ZORDER"):
+        sql_dml.execute_dml(spark, "OPTIMIZE t ZORDER BY ()", t)
