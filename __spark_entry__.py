@@ -1115,7 +1115,62 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         "cms_est",
         F.lit(None).cast("long").alias("hll_x1000"),
     )
-    return flags.unionByName(cms).unionByName(hll).unionByName(hll_merged)
+    # kind='theta': KMV/theta set algebra (sketches.theta_sketch /
+    # theta_pair_ops) over the "engaged audience" segments — distinct
+    # high-value (value > 180) users per event type, k=32. Per-segment
+    # estimator rows (set_op='est') plus all-pairs union / intersect /
+    # a_not_b estimates; like CMS the whole construction is a pure
+    # function of the md5 spec, so the oracle replays it exactly.
+    ev = load_table(spark, sf, "events").filter(F.col("value") > 180)
+    tsk = sketch_ops.theta_sketch(ev, "user_id", "event_type", k=32)
+    ns = F.lit(None).cast("string")
+    theta_cols = {
+        "l_returnflag": ns,
+        "exact_parts": F.lit(None).cast("long"),
+        "price_p50": F.lit(None).cast("double"),
+        "price_p95": F.lit(None).cast("double"),
+        "sketch_ok": F.lit(None).cast("int"),
+        "part_key": F.lit(None).cast("long"),
+        "exact_cnt": F.lit(None).cast("long"),
+        "cms_est": F.lit(None).cast("long"),
+        "hll_x1000": F.lit(None).cast("long"),
+    }
+    theta_seg = tsk.select(
+        F.lit("theta").alias("kind"),
+        *[c.alias(n) for n, c in theta_cols.items()],
+        F.col("segment").alias("seg_a"),
+        ns.alias("seg_b"),
+        F.lit("est").alias("set_op"),
+        F.col("n_below").alias("n_retained"),
+        "theta",
+        F.col("est").alias("theta_est"),
+    )
+    theta_pairs = sketch_ops.theta_pair_ops(tsk).select(
+        F.lit("theta").alias("kind"),
+        *[c.alias(n) for n, c in theta_cols.items()],
+        "seg_a",
+        "seg_b",
+        "set_op",
+        "n_retained",
+        "theta",
+        F.col("est").alias("theta_est"),
+    )
+    base_null = [
+        ns.alias("seg_a"),
+        ns.alias("seg_b"),
+        ns.alias("set_op"),
+        F.lit(None).cast("long").alias("n_retained"),
+        F.lit(None).cast("long").alias("theta"),
+        F.lit(None).cast("double").alias("theta_est"),
+    ]
+    return (
+        flags.select("*", *base_null)
+        .unionByName(cms.select("*", *base_null))
+        .unionByName(hll.select("*", *base_null))
+        .unionByName(hll_merged.select("*", *base_null))
+        .unionByName(theta_seg)
+        .unionByName(theta_pairs)
+    )
 
 
 def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -4080,6 +4135,53 @@ def oracle_sql() -> dict[str, str]:
             ), hexact AS (
                 SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
                 FROM lineitem GROUP BY 1
+            ), th AS (
+                -- theta/KMV spec: shared md5 hash over distinct
+                -- high-value users per event-type segment, k = 32
+                SELECT segment, h,
+                       row_number() OVER (PARTITION BY segment
+                                          ORDER BY h) AS rn
+                FROM (SELECT DISTINCT event_type AS segment,
+                             CAST('0x'||substr(md5('theta:'
+                                  ||CAST(user_id AS VARCHAR)),1,15)
+                                  AS BIGINT) AS h
+                      FROM events
+                      WHERE value > 180 AND user_id IS NOT NULL)
+            ), tsk AS (
+                SELECT segment, max(rn) AS n,
+                       list_sort(list(h) FILTER (WHERE rn <= 32)) AS below,
+                       max(CASE WHEN rn = 33 THEN h END) AS kp1
+                FROM th WHERE rn <= 33 GROUP BY 1
+            ), tfin AS (
+                SELECT segment, below,
+                       coalesce(kp1, 1152921504606846976) AS theta,
+                       CAST(len(below) AS BIGINT) AS n_below,
+                       CASE WHEN kp1 IS NULL THEN CAST(n AS DOUBLE)
+                            ELSE 32.0 * (1152921504606846976.0
+                                         / CAST(kp1 AS DOUBLE)) END AS est
+                FROM tsk
+            ), tpair AS (
+                SELECT a.segment AS seg_a, b.segment AS seg_b,
+                       least(a.theta, b.theta) AS tm,
+                       list_filter(a.below,
+                           x -> x < least(a.theta, b.theta)) AS fa,
+                       list_filter(b.below,
+                           x -> x < least(a.theta, b.theta)) AS fb
+                FROM tfin a JOIN tfin b ON a.segment < b.segment
+            ), tops AS (
+                SELECT seg_a, seg_b, 'union' AS set_op,
+                       CAST(len(list_distinct(list_concat(fa, fb)))
+                            AS BIGINT) AS cnt, tm
+                FROM tpair
+                UNION ALL
+                SELECT seg_a, seg_b, 'intersect',
+                       CAST(len(list_intersect(fa, fb)) AS BIGINT), tm
+                FROM tpair
+                UNION ALL
+                SELECT seg_a, seg_b, 'a_not_b',
+                       CAST(len(list_filter(fa,
+                            x -> NOT list_contains(fb, x))) AS BIGINT), tm
+                FROM tpair
             )
             SELECT 'sketch' AS kind, l_returnflag,
                    count(DISTINCT l_partkey) AS exact_parts,
@@ -4091,7 +4193,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS part_key,
                    CAST(NULL AS BIGINT) AS exact_cnt,
                    CAST(NULL AS BIGINT) AS cms_est,
-                   CAST(NULL AS BIGINT) AS hll_x1000
+                   CAST(NULL AS BIGINT) AS hll_x1000,
+                   CAST(NULL AS VARCHAR) AS seg_a,
+                   CAST(NULL AS VARCHAR) AS seg_b,
+                   CAST(NULL AS VARCHAR) AS set_op,
+                   CAST(NULL AS BIGINT) AS n_retained,
+                   CAST(NULL AS BIGINT) AS theta,
+                   CAST(NULL AS DOUBLE) AS theta_est
             FROM lineitem
             GROUP BY 2
             UNION ALL
@@ -4099,7 +4207,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
                    CAST(NULL AS INT),
                    t.l_partkey, t.exact_cnt, min(coalesce(cm.c, 0)),
-                   CAST(NULL AS BIGINT)
+                   CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
             FROM topp t
             CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
             LEFT JOIN cmsc cm
@@ -4115,7 +4226,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(CASE WHEN f.v > 0 AND f.raw_x1000 <= {2500 * 64}
                         THEN (f.hm * f.fl * {_HLL_LN2}) // {64 * 1000}
-                        ELSE f.raw_x1000 END AS BIGINT) AS hll_x1000
+                        ELSE f.raw_x1000 END AS BIGINT) AS hll_x1000,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
             FROM hfl f JOIN hexact e USING (l_returnflag)
             UNION ALL
             -- the merged-sub-sketch estimate must equal the direct one
@@ -4126,8 +4240,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(CASE WHEN f.v > 0 AND f.raw_x1000 <= {2500 * 64}
                         THEN (f.hm * f.fl * {_HLL_LN2}) // {64 * 1000}
-                        ELSE f.raw_x1000 END AS BIGINT) AS hll_x1000
+                        ELSE f.raw_x1000 END AS BIGINT) AS hll_x1000,
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
             FROM hfl f JOIN hexact e USING (l_returnflag)
+            UNION ALL
+            SELECT 'theta', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   segment, CAST(NULL AS VARCHAR), 'est',
+                   n_below, theta, est
+            FROM tfin
+            UNION ALL
+            SELECT 'theta', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS INT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   seg_a, seg_b, set_op, cnt, tm,
+                   CASE WHEN tm = 1152921504606846976
+                        THEN CAST(cnt AS DOUBLE)
+                        ELSE CAST(cnt AS DOUBLE)
+                             * (1152921504606846976.0 / CAST(tm AS DOUBLE))
+                        END
+            FROM tops
         """,
         "q34_stratified_sample": """
             SELECT *, CAST(NULL AS BIGINT) AS cost_x FROM (

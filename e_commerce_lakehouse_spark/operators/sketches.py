@@ -374,3 +374,133 @@ def ddsketch_quantiles(
     return agg.select(
         *gc, "q_pct", "bucket", _dd_rep_expr(F.col("bucket"), int(s)).alias("rep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV sketches (Beyer et al. 2007 "On Synopses for Distinct-Value
+# Estimation"; the Apache DataSketches theta family): per-segment k-minimum-
+# value sketches over a key column, with UNION / INTERSECTION / A-NOT-B
+# estimates across segments — the audience-overlap algebra ("how many users
+# both clicked and purchased?") that plain distinct-counting cannot answer
+# from merged aggregates. Like the CMS/HLL/Bloom family here, the sketch is
+# a pure function of the md5 hash spec, so every estimate (errors included)
+# hash-gates EXACTLY against an oracle that replays the same construction.
+# ---------------------------------------------------------------------------
+
+#: _md5_hash64 takes the first 15 hex digits: domain [0, 16^15) = [0, 2^60).
+THETA_DOMAIN = 1 << 60
+
+
+def theta_sketch(
+    df: DataFrame,
+    key_col: str,
+    segment_col: str,
+    k: int = 64,
+    salts: int = 16,
+) -> DataFrame:
+    """Per-segment KMV sketch: ``(segment, below, theta, n_below,
+    est)`` where ``below`` is the sorted retained hash set strictly
+    under ``theta``.
+
+    Spec (deterministic, engine-portable): hash every distinct
+    (segment, key) with the shared md5 spec; keep the k+1 smallest
+    per segment. With at most k distinct keys the sketch is EXACT
+    (theta = DOMAIN, below = all hashes, est = count). Otherwise
+    theta = the (k+1)-th smallest hash and est = k * DOMAIN / theta
+    (the (k+1)-th-order-statistic estimator), computed as one
+    fixed-order double expression from exact integers.
+
+    100 TB shape: the only corpus-wide shuffle is the distinct on
+    (segment, hash) — uniform keys, map-side combinable. The k+1
+    selection never sorts a whole segment: a first window inside
+    (segment, hash % salts) salt buckets cuts each segment to at most
+    salts*(k+1) candidates, and only those reach the per-segment
+    window. The result is <= k+1 longs per segment — a mergeable,
+    few-KB artifact."""
+    h = _md5_hash64(F.col(key_col).cast("string"), "theta")
+    d = (
+        df.select(F.col(segment_col).alias("segment"), h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
+    w1 = Window.partitionBy("segment", F.col("h") % salts).orderBy("h")
+    cand = (
+        d.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k + 1)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("segment").orderBy("h")
+    sk = cand.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k + 1
+    )
+    agg = sk.groupBy("segment").agg(
+        F.max("rn").alias("_n"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= k, F.col("h")))
+        ).alias("below"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("h"))).alias("_kp1"),
+    )
+    theta = F.coalesce(F.col("_kp1"), F.lit(THETA_DOMAIN)).alias("theta")
+    est = (
+        F.when(
+            F.col("_kp1").isNull(), F.col("_n").cast("double")
+        ).otherwise(
+            F.lit(float(k))
+            * (F.lit(float(THETA_DOMAIN)) / F.col("_kp1").cast("double"))
+        )
+    ).alias("est")
+    return agg.select(
+        "segment",
+        "below",
+        theta,
+        F.size("below").cast("long").alias("n_below"),
+        est,
+    )
+
+
+def theta_pair_ops(sketches: DataFrame) -> DataFrame:
+    """All-pairs set-operation estimates between segment sketches:
+    one row per (seg_a < seg_b, op) with op in union / intersect /
+    a_not_b. Working under theta_m = min(theta_a, theta_b), the
+    retained sets are re-filtered to hashes < theta_m and the
+    estimate is |result set| * DOMAIN / theta_m — the standard theta
+    set-algebra estimators. Results are ESTIMATES, not re-compactable
+    sketches (no truncation back to k — document before chaining).
+    The sketch frame is segments x (k+1) longs — the pair join is
+    driver-trivial and broadcastable at any corpus size."""
+    a = sketches.select(
+        F.col("segment").alias("seg_a"),
+        F.col("below").alias("ba"),
+        F.col("theta").alias("ta"),
+    )
+    b = sketches.select(
+        F.col("segment").alias("seg_b"),
+        F.col("below").alias("bb"),
+        F.col("theta").alias("tb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+    tm = F.least("ta", "tb")
+    fa = F.filter("ba", lambda x: x < tm)
+    fb = F.filter("bb", lambda x: x < tm)
+    ops = [
+        ("union", F.size(F.array_distinct(F.concat(fa, fb)))),
+        ("intersect", F.size(F.array_intersect(fa, fb))),
+        ("a_not_b", F.size(F.array_except(fa, fb))),
+    ]
+    out = None
+    for name, cnt in ops:
+        est = F.when(
+            tm == THETA_DOMAIN, cnt.cast("double")
+        ).otherwise(
+            cnt.cast("double") * (F.lit(float(THETA_DOMAIN)) / tm.cast("double"))
+        )
+        row = pairs.select(
+            "seg_a",
+            "seg_b",
+            F.lit(name).alias("set_op"),
+            cnt.cast("long").alias("n_retained"),
+            tm.alias("theta"),
+            est.alias("est"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -269,3 +269,73 @@ def test_ddsketch_value_domain_guard_and_top_of_domain(spark):
     bad = spark.createDataFrame([(2**43,)], "v long")
     with pytest.raises(Exception, match="ddsketch"):
         sk.ddsketch_cells(bad, "v").collect()
+
+
+# --- theta / KMV ------------------------------------------------------------
+
+
+def _seg_df(spark, segs: dict[str, range]):
+    rows = [(s, k) for s, r in segs.items() for k in r]
+    return spark.createDataFrame(rows, "seg string, key long")
+
+
+def test_theta_exact_mode_below_k(spark):
+    """<= k distinct keys: the sketch IS the exact distinct count and
+    set ops are exact too (theta = DOMAIN, nothing truncated)."""
+    df = _seg_df(spark, {"a": range(0, 40), "b": range(20, 70)})
+    sk = sketches.theta_sketch(df, "key", "seg", k=64)
+    got = {r.segment: r for r in sk.collect()}
+    assert got["a"].est == 40.0 and got["a"].theta == sketches.THETA_DOMAIN
+    assert got["b"].est == 50.0
+    ops = {
+        (r.seg_a, r.seg_b, r.set_op): r.est
+        for r in sketches.theta_pair_ops(sk).collect()
+    }
+    assert ops[("a", "b", "intersect")] == 20.0
+    assert ops[("a", "b", "union")] == 70.0
+    assert ops[("a", "b", "a_not_b")] == 20.0
+
+
+def test_theta_estimates_within_bounds_and_salt_independent(spark):
+    """Estimation mode: KMV relative error is ~1/sqrt(k-2); at k=256
+    over planted 3000/2000-key segments with 1000 shared, demand 15%
+    on every op. The salt count must not change ANY output (it is a
+    selection-plan knob, not a spec parameter)."""
+    df = _seg_df(spark, {"a": range(0, 3000), "b": range(2000, 4000)})
+    sk = sketches.theta_sketch(df, "key", "seg", k=256, salts=16)
+    got = {r.segment: r for r in sk.collect()}
+    assert abs(got["a"].est - 3000) <= 450
+    assert abs(got["b"].est - 2000) <= 300
+    ops = {
+        (r.seg_a, r.seg_b, r.set_op): r.est
+        for r in sketches.theta_pair_ops(sk).collect()
+    }
+    assert abs(ops[("a", "b", "union")] - 4000) <= 600
+    assert abs(ops[("a", "b", "intersect")] - 1000) <= 300
+    assert abs(ops[("a", "b", "a_not_b")] - 2000) <= 450
+    sk2 = sketches.theta_sketch(
+        df.repartition(13), "key", "seg", k=256, salts=5
+    )
+    a = sorted(tuple(r) for r in sk.collect())
+    b = sorted(tuple(r) for r in sk2.collect())
+    assert a == b
+
+
+def test_theta_python_reference_parity(spark):
+    """The Spark sketch equals a direct single-node KMV over the same
+    md5 spec (hash set, theta, estimate)."""
+    import hashlib as _h
+
+    df = _seg_df(spark, {"a": range(0, 500)})
+    k = 32
+    hashes = sorted(
+        int(_h.md5(f"theta:{v}".encode()).hexdigest()[:15], 16)
+        for v in range(0, 500)
+    )
+    want_below = hashes[:k]
+    want_theta = hashes[k]
+    want_est = float(k) * (float(sketches.THETA_DOMAIN) / float(want_theta))
+    r = sketches.theta_sketch(df, "key", "seg", k=k).collect()[0]
+    assert list(r.below) == want_below
+    assert r.theta == want_theta
+    assert r.est == want_est
