@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,8 +60,15 @@ _HASH_SQL = (
 )
 
 
+# Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+# splits on ANY Unicode whitespace (U+00A0, U+2028, ...) — the reference
+# side must use the SAME class as the Spark split or the bit-for-bit
+# parity contract breaks on the first non-breaking space.
+_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
 def tokenize_py(text: str) -> list[str]:
-    return [t for t in (text or "").lower().split() if t]
+    return [t for t in _WS.split((text or "").lower()) if t]
 
 
 def hashed_features(
@@ -142,6 +150,18 @@ def spec_margins(features: DataFrame) -> DataFrame:
     )
 
 
+def _check_weight_dim(weights, dim: int) -> None:
+    """A weights list shorter than the feature dim would INNER-JOIN
+    away every idx >= len(weights) in :func:`margins` — silently wrong
+    scores. Fail loudly on the mismatch (a model trained at a
+    different dim)."""
+    if len(weights) != dim:
+        raise ValueError(
+            f"weights has {len(weights)} entries but dim={dim}; "
+            "score with the dim the model was trained at"
+        )
+
+
 def margins(features: DataFrame, weights: list[int]) -> DataFrame:
     """(doc_id, margin_q): m = Σ_j w_j·x_j >> 16, exact int64. The
     dim-sized weight table broadcasts; the only shuffle is the per-doc
@@ -183,6 +203,7 @@ def train_quality_classifier(
         raise ValueError("train_quality_classifier: no labeled docs")
     lr_num, lr_den = int(lr[0]), int(lr[1])
     weights = [0] * dim
+    _check_weight_dim(weights, dim)
     for _ in range(iters):
         m = margins(feats, weights)
         err = (
@@ -219,6 +240,7 @@ def score_documents(
     corpus-wide — probability from the shared sigmoid table, ``keep``
     = prob >= 1/2. Pure relational (hash, join, groupBy); a docs row
     with empty text scores margin 0 / prob 0.5."""
+    _check_weight_dim(weights, dim)
     feats = hashed_features(docs, text_col, id_col, dim, bigrams)
     m = margins(feats, weights)
     base = docs.select(F.col(id_col).alias("doc_id")).join(m, "doc_id", "left")

@@ -20,13 +20,14 @@ word-frequency vocab (the only corpus-wide shuffle); each round is one
 job over the vocab — adjacent-pair counts and per-symbol counts
 (both freq-weighted, partial-agg groupBys), a broadcast join of the
 tiny symbol-count frame onto the pair frame, and a 1-row top-score
-collect. Scores are doubles, but computed from EXACT integer counts in
-one fixed expression — so the learned sequence is deterministic and
-partitioning-independent, and the distributed trainer equals the
-single-node reference exactly (pytest-pinned; the published WordPiece
-scoring rule is a ratio, so unlike BPE's pure-count ordering an
-all-integer scalar sort key does not exist — cross-multiplying would
-need per-comparison arithmetic, not a column).
+collect. The score spec is ``c / double(cnt_a * cnt_b)`` with the
+product computed as the EXACT int64 (domain-guarded in-plan at 2^31
+per count) and rounded ONCE by the double cast — deterministic,
+partitioning-independent, and pinned equal to the single-node
+reference (which computes the identical expression). The published
+WordPiece scoring rule is a ratio, so unlike BPE's pure-count ordering
+an all-integer scalar sort key does not exist — cross-multiplying
+would need per-comparison arithmetic, not a column.
 
 Encoding is the standard greedy longest-match-first against the final
 token set (NOT merge ranks — WordPiece encoders only need the vocab),
@@ -145,9 +146,24 @@ def _scored_pairs(vocab: DataFrame) -> DataFrame:
             "a",
             "b",
             "c",
+            # denominator as the EXACT int64 product, cast once — the
+            # single-node reference divides by the exact integer
+            # product, and double(a)*double(b) would round TWICE,
+            # diverging by ULPs (and flipping near-tie argmaxes) once
+            # the product passes 2^53. Domain-guarded in-plan: counts
+            # above 2^31 would overflow the int64 product.
             (
                 F.col("c").cast("double")
-                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double"))
+                / F.when(
+                    (F.col("cnt_a") > 1 << 31) | (F.col("cnt_b") > 1 << 31),
+                    F.expr(
+                        "CAST(raise_error('wordpiece: symbol counts must"
+                        " be <= 2^31 (int64 score-denominator domain)')"
+                        " AS BIGINT)"
+                    ),
+                )
+                .otherwise(F.col("cnt_a") * F.col("cnt_b"))
+                .cast("double")
             ).alias("score"),
         )
     )

@@ -268,9 +268,22 @@ def commit_fact_increment(
             fact, root, meta={"watermark": _iso(wm)}
         )
         return {"mode": "full", "snapshot_id": sid, "rows": None}
-    entry = snapshots._entry(manifest, manifest["current"])
-    wm = entry["meta"].get("watermark")
-    new_rows = fact.filter(F.col(time_col) > F.lit(wm)) if wm else fact
+    # the newest commit carrying a watermark — maintenance commits
+    # (OPTIMIZE / ZORDER / replace_where) do not carry one, and
+    # falling back to "append everything" would silently duplicate
+    # the whole fact (doubling every gold aggregate)
+    wm = None
+    for s in reversed(manifest["snapshots"]):
+        if s["id"] <= manifest["current"] and "watermark" in s.get("meta", {}):
+            wm = s["meta"]["watermark"]
+            break
+    if wm is None:
+        raise ValueError(
+            f"fact table {root} has snapshots but no watermark in any "
+            "commit meta — not a commit_fact_increment table; refusing "
+            "to append the full fact on top of existing rows"
+        )
+    new_rows = fact.filter(F.col(time_col) > F.lit(wm))
     if new_rows.isEmpty():
         return {"mode": "noop", "snapshot_id": manifest["current"], "rows": 0}
     new_wm = new_rows.agg(F.max(time_col)).first()[0]
@@ -315,7 +328,16 @@ def run_incremental_pipeline(
         "dim_users": medallion.dim_users(bronze["users"]),
     }
     for name, df in dims.items():
-        snapshots.write_snapshot(df, os.path.join(warehouse, "silver", name))
+        droot = os.path.join(warehouse, "silver", name)
+        # overwrite only when the content actually changed — dims are
+        # small, so the symmetric-difference probe is two tiny scans,
+        # and an unchanged re-run stays a no-op at EVERY layer (no
+        # spurious snapshot/dir growth between vacuums)
+        if snapshots._load(droot)["current"] is not None:
+            cur = snapshots.read_snapshot(spark, droot)
+            if cur.exceptAll(df).isEmpty() and df.exceptAll(cur).isEmpty():
+                continue
+        snapshots.write_snapshot(df, droot)
 
     out: dict = {}
     fact_specs = [

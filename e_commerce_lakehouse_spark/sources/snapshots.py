@@ -773,13 +773,20 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
 
 
 def vacuum(
-    root: str, keep_last: int = 2, older_than_s: float = 0.0
+    root: str, keep_last: int = 2, older_than_s: float = 3 * 86400.0
 ) -> list[str]:
     """Delta ``VACUUM`` / Iceberg maintenance in one call:
     :func:`expire_snapshots` (retain the newest ``keep_last`` + every
     tagged snapshot, two-phase file GC) followed by
     :func:`remove_orphans` (never-committed dirs past the cutoff).
-    Returns everything deleted."""
+    Returns everything deleted.
+
+    ``older_than_s`` defaults to 3 days (Iceberg's orphan cutoff):
+    a write in flight has already created its data dir but not yet
+    committed the manifest, so a zero cutoff on a live table would
+    delete the dir out from under the writer and the subsequent
+    commit would reference missing files. Pass 0 only in tests with
+    no concurrent writer."""
     removed = expire_snapshots(root, keep_last=keep_last)
     return removed + remove_orphans(root, older_than_s=older_than_s)
 
@@ -1021,8 +1028,16 @@ def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
         bl = s.get("bloom")
         if bl is not None:
             vals0 = list(val) if op == "in" else [val]
+            # only consult the bloom when every probe value's Python
+            # type matches the indexed column's recorded class ("i"
+            # int / "s" string): a numeric literal against a string
+            # column coerces in the residual Spark filter ("0123" =
+            # 123 matches) but str(123) would bloom-miss the stored
+            # "0123" — the same padded-literal hazard the bucket
+            # transform guards with its stamped dtype
+            want = int if bl.get("t") == "i" else str
             if all(
-                isinstance(v, (int, str)) and not isinstance(v, bool)
+                isinstance(v, want) and not isinstance(v, bool)
                 for v in vals0
             ) and not any(
                 _bloom_file_member(bl, str(v)) for v in vals0
@@ -1723,6 +1738,10 @@ def build_bloom_index(spark: SparkSession, root: str) -> int:
                     "m": m,
                     "k": k,
                     "w": arr,
+                    # type class gates the probe: "i" columns only
+                    # accept int literals, "s" only str — a cross-typed
+                    # probe falls back to bounds (sound)
+                    "t": "s" if dtypes[c] == "string" else "i",
                 }
             n_indexed += 1
     if todo:

@@ -293,3 +293,33 @@ def test_streaming_gold_refresh_exactly_once(spark, tmpdir):
     assert S._load(fact_root)["current"] == fact_head
     assert S._load(state_root)["current"] == state_head
     assert _rows(ivm.read_sales_summary(spark, state_root, dim)) == _rows(want)
+
+
+def test_fact_increment_survives_maintenance_commit(spark, tmp_path):
+    """A maintenance commit (OPTIMIZE) carries no watermark in its
+    meta; the next incremental commit must recover the newest stored
+    watermark from history instead of silently re-appending the whole
+    fact (which would double every gold aggregate)."""
+    import datetime as dt
+
+    from e_commerce_lakehouse_spark.plans import ivm
+    from e_commerce_lakehouse_spark.sources import snapshots as S
+
+    root = str(tmp_path / "fact")
+    t0 = dt.datetime(2024, 1, 1)
+    fact = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=i)) for i in range(10)],
+        "id long, event_time timestamp",
+    )
+    assert ivm.commit_fact_increment(spark, fact, root, "event_time")["mode"] == "full"
+    S.compact_files(spark, root, target_bytes=1 << 30)  # meta has no watermark
+    out = ivm.commit_fact_increment(spark, fact, root, "event_time")
+    assert out["mode"] == "noop"
+    assert S.read_snapshot(spark, root).count() == 10  # not doubled
+    # a genuinely foreign table (snapshots but never a watermark) raises
+    root2 = str(tmp_path / "foreign")
+    S.write_snapshot(fact, root2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no watermark"):
+        ivm.commit_fact_increment(spark, fact, root2, "event_time")

@@ -968,3 +968,24 @@ def test_bloom_rejects_unsupported_dtypes(spark, root):
         S.build_bloom_index(spark, root)
     with pytest.raises(ValueError, match="non-empty"):
         S.set_bloom_index(root, [])
+
+
+def test_bloom_cross_typed_probe_falls_back_to_bounds(spark, root):
+    """A numeric literal probed against a STRING column must NOT use
+    the bloom (Spark's residual filter coerces '0123' = 123 to a
+    match, but str(123) would bloom-miss the stored '0123') — the
+    probe only fires when the literal's type matches the indexed
+    column's recorded class."""
+    df = spark.createDataFrame(
+        [("0123", 1), ("7", 2), ("9", 3)], "key string, v long"
+    ).repartition(1)
+    S.write_snapshot(df, root)
+    S.set_bloom_index(root, ["key"])
+    S.build_bloom_index(spark, root)
+    # int literal vs string column: bloom must be bypassed -> file kept
+    plan = S.plan_scan(root, [("key", "=", 123)])
+    assert len(plan["files"]) == 1
+    got = S.scan_snapshot(spark, root, [("key", "=", 123)])
+    assert [r.v for r in got.collect()] == [1]  # '0123' coerces to 123
+    # matching-type probe still prunes
+    assert S.plan_scan(root, [("key", "=", "nope")])["files"] == []

@@ -289,7 +289,7 @@ def test_vacuum_combines_expire_and_orphans(spark, root):
     S.write_snapshot(spark.range(10), root)
     S.write_snapshot(spark.range(20), root)  # overwrite; snap1 now dead
     os.makedirs(os.path.join(root, "snap-99999999-orphan"))
-    removed = S.vacuum(root, keep_last=1)
+    removed = S.vacuum(root, keep_last=1, older_than_s=0.0)
     assert any(d.startswith("snap-00000001") for d in removed)
     assert "snap-99999999-orphan" in removed
     assert S.read_snapshot(spark, root).count() == 20

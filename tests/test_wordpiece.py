@@ -28,8 +28,11 @@ def _ref_train(word_freq: dict[str, int], num_merges: int, min_count: int = 2):
                 sym_c[s] += f
             for pair in zip(syms, syms[1:]):
                 pair_c[pair] += f
+        # spec: score = c / double(cnt_a * cnt_b) — the product is the
+        # EXACT integer, rounded once by the double conversion (what
+        # the Spark side's long-product-then-cast computes)
         cands = [
-            (c / (sym_c[a] * sym_c[b]), a, b)
+            (c / float(sym_c[a] * sym_c[b]), a, b)
             for (a, b), c in pair_c.items()
             if c >= min_count
         ]
