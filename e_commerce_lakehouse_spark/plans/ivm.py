@@ -388,3 +388,109 @@ def read_review_summary(
             "avg_rating"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-JOIN view maintenance: the classic delta-join algebra (Blakeley,
+# Larson & Tompa 1986; the counting algorithm of Gupta-Mumick). The
+# aggregate IVM above attaches dims FUNCTIONALLY at read time and so
+# never has to maintain a join; this tier maintains a materialized
+# A ⋈ B itself, under CHANGES TO EITHER SIDE — the piece a pipeline
+# needs when the joined view (not an aggregate of it) is the product,
+# e.g. an enriched fact handed to a training-data exporter.
+# ---------------------------------------------------------------------------
+
+
+def _signed(df: DataFrame) -> DataFrame:
+    """CDC frame -> payload + ``_w`` (+1 insert/postimage, -1
+    delete/preimage), the same in-plan-guarded weighting as
+    :func:`signed_delta_aggregate`."""
+    w = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), F.lit(1))
+        .when(F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(
+            F.expr("CAST(raise_error('ivm: unknown _change_type') AS INT)")
+        )
+        .cast("long")
+    )
+    cols = [c for c in df.columns if not c.startswith("_")]
+    return df.select(*cols, w.alias("_w"))
+
+
+def _check_disjoint(a: DataFrame, b: DataFrame, keys: list[str]) -> None:
+    clash = (set(a.columns) & set(b.columns)) - set(keys) - {"_w", "_cnt"}
+    if clash:
+        raise ValueError(
+            f"join view payload columns must be disjoint outside the "
+            f"keys; rename {sorted(clash)}"
+        )
+
+
+def join_view_full(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Bootstrap/rebuild state of the materialized equi-join: the BAG
+    A ⋈ B stored as distinct rows + ``_cnt`` multiplicity (the
+    counting representation deletes need)."""
+    _check_disjoint(a, b, keys)
+    j = a.join(b, keys)
+    return j.groupBy(*j.columns).agg(F.count(F.lit(1)).alias("_cnt"))
+
+
+def join_view_delta(
+    a_new: DataFrame,
+    b_new: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Signed feed of the join view given both tables' NEW states and
+    their CDC feeds (updates as preimage/postimage pairs):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  +  A_new ⋈ ΔB  −  ΔA ⋈ ΔB
+
+    (expand A_new·B_new − (A_new−ΔA)(B_new−ΔB) per key — exact over
+    signed multiplicities, bag semantics included). Joined weights
+    multiply; the third term re-enters with a flipped sign.
+
+    100 TB shape: each term joins a DELTA against at most one full
+    side — AQE broadcasts the (small) delta, so the base table
+    shuffles zero rows for typical batch sizes; the base ⋈ base join
+    never runs. An empty delta frame on one side is fine (that term
+    vanishes), covering the common fact-moves/dims-still case."""
+    _check_disjoint(a_new, b_new, keys)
+    da, db = _signed(delta_a), _signed(delta_b)
+    a1 = a_new.select(*a_new.columns, F.lit(1).cast("long").alias("_w"))
+    b1 = b_new.select(*b_new.columns, F.lit(1).cast("long").alias("_w"))
+
+    def term(x: DataFrame, y: DataFrame, flip: bool) -> DataFrame:
+        xa = x.withColumnRenamed("_w", "_wa")
+        yb = y.withColumnRenamed("_w", "_wb")
+        sign = -1 if flip else 1
+        j = xa.join(yb, keys)
+        payload = [c for c in j.columns if c not in ("_wa", "_wb")]
+        return j.select(
+            *payload,
+            (F.col("_wa") * F.col("_wb") * sign).alias("_w"),
+        )
+
+    return (
+        term(da, b1, flip=False)
+        .unionByName(term(a1, db, flip=False))
+        .unionByName(term(da, db, flip=True))
+    )
+
+
+def fold_join_view(state: DataFrame, feed: DataFrame) -> DataFrame:
+    """Fold a signed feed into the counting state: group on the full
+    payload, sum multiplicities, drop rows reaching zero. fold(
+    join_view_full(A_old, B_old), join_view_delta(...)) equals
+    join_view_full(A_new, B_new) exactly (pytest-pinned across
+    random insert/delete/update batches on both sides)."""
+    payload = [c for c in state.columns if c != "_cnt"]
+    both = state.select(*payload, F.col("_cnt").alias("_w")).unionByName(
+        feed.select(*payload, "_w")
+    )
+    return (
+        both.groupBy(*payload)
+        .agg(F.sum("_w").alias("_cnt"))
+        .filter(F.col("_cnt") > 0)
+    )

@@ -323,3 +323,75 @@ def test_fact_increment_survives_maintenance_commit(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no watermark"):
         ivm.commit_fact_increment(spark, fact, root2, "event_time")
+
+
+def test_join_view_maintenance_matches_rebuild(spark):
+    """Delta-join algebra: fold(full(A0 x B0), delta(...)) must equal
+    full(A1 x B1) exactly, across inserts, deletes, bag duplicates,
+    and a dim UPDATE (preimage/postimage pair) — changes on BOTH
+    sides in the same batch."""
+    import random
+
+    from e_commerce_lakehouse_spark.plans import ivm
+
+    rnd = random.Random(7)
+    a0 = [(rnd.randrange(6), i, rnd.randrange(100)) for i in range(40)]
+    a0 += a0[:5]  # bag duplicates
+    b0 = [(k, f"name-{k}", rnd.randrange(10)) for k in range(6)]
+    b0 += [(0, "name-0", b0[0][2])]  # duplicate dim row (bag semantics)
+
+    def adf(rows):
+        return spark.createDataFrame(rows, "k long, aid long, x long")
+
+    def bdf(rows):
+        return spark.createDataFrame(rows, "k long, name string, y long")
+
+    # batch: delete some A rows, insert new ones; update one dim name
+    a_del = a0[3:10]
+    a_ins = [(rnd.randrange(6), 100 + i, rnd.randrange(100)) for i in range(12)]
+    # bag-minus: drop ONE copy per delete row (list.remove semantics)
+    a1 = list(a0)
+    for r in a_del:
+        a1.remove(r)
+    a1 += a_ins
+    b_pre = b0[2]
+    b_post = (b_pre[0], "renamed", b_pre[2])
+    b1 = [r for r in b0 if r != b_pre] + [b_post]
+
+    da = spark.createDataFrame(
+        [r + ("delete",) for r in a_del] + [r + ("insert",) for r in a_ins],
+        "k long, aid long, x long, _change_type string",
+    )
+    db = spark.createDataFrame(
+        [b_pre + ("update_preimage",), b_post + ("update_postimage",)],
+        "k long, name string, y long, _change_type string",
+    )
+
+    state0 = ivm.join_view_full(adf(a0), bdf(b0), ["k"])
+    feed = ivm.join_view_delta(adf(a1), bdf(b1), da, db, ["k"])
+    folded = ivm.fold_join_view(state0, feed)
+    rebuilt = ivm.join_view_full(adf(a1), bdf(b1), ["k"])
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+    # one-sided change: empty dim delta
+    empty_db = spark.createDataFrame(
+        [], "k long, name string, y long, _change_type string"
+    )
+    feed2 = ivm.join_view_delta(adf(a1), bdf(b1), da, empty_db, ["k"])
+    # folding the A-only feed onto full(a0, b1) must equal full(a1, b1)
+    folded2 = ivm.fold_join_view(ivm.join_view_full(adf(a0), bdf(b1), ["k"]), feed2)
+    assert sorted(map(tuple, folded2.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+
+def test_join_view_rejects_payload_collision(spark):
+    from e_commerce_lakehouse_spark.plans import ivm
+
+    a = spark.createDataFrame([(1, 2)], "k long, v long")
+    b = spark.createDataFrame([(1, 3)], "k long, v long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        ivm.join_view_full(a, b, ["k"])
