@@ -494,3 +494,84 @@ def fold_join_view(state: DataFrame, feed: DataFrame) -> DataFrame:
         .agg(F.sum("_w").alias("_cnt"))
         .filter(F.col("_cnt") > 0)
     )
+
+
+def refresh_join_view(
+    spark: SparkSession,
+    a_root: str,
+    b_root: str,
+    state_root: str,
+    join_keys: list[str],
+    a_row_keys: list[str],
+    b_row_keys: list[str],
+) -> dict:
+    """Bring a PERSISTED materialized equi-join view up to the current
+    snapshots of its two source snapshot tables — the delta-join
+    algebra above made operational with the same exactly-once shape as
+    :func:`refresh_gold_incremental`:
+
+    - no state yet -> bootstrap join_view_full over both current
+      snapshots (the only time base ⋈ base ever runs);
+    - both watermarks current -> no-op, nothing read;
+    - otherwise -> derive each changed side's CDC feed with
+      :func:`~e_commerce_lakehouse_spark.sources.snapshots.
+      snapshot_changes` (row identity = ``a_row_keys``/``b_row_keys``,
+      one row per key), build the signed join feed, fold, and commit
+      the new state with BOTH source snapshot ids in the meta — state
+      and watermarks move in one atomic manifest swap, so a crashed
+      refresh can only be retried, never double-applied.
+
+    Each feed term joins a delta against at most one full side; AQE
+    broadcasts the (small) delta so the unchanged base shuffles
+    nothing. A further refinement at 100 TB — collecting the delta's
+    join keys and file-skipping the base read via the manifest
+    stats/bloom index — drops the base SCAN too; the current form
+    reads it and lets the broadcast join discard non-matches."""
+    a_cur = snapshots._load(a_root)["current"]
+    b_cur = snapshots._load(b_root)["current"]
+    if a_cur is None or b_cur is None:
+        raise KeyError("both source tables need at least one snapshot")
+    state_manifest = snapshots._load(state_root)
+    if state_manifest["current"] is None:
+        a = snapshots.read_snapshot(spark, a_root, snapshot_id=a_cur)
+        b = snapshots.read_snapshot(spark, b_root, snapshot_id=b_cur)
+        sid = snapshots.write_snapshot(
+            join_view_full(a, b, join_keys),
+            state_root,
+            meta={"a_snapshot_id": a_cur, "b_snapshot_id": b_cur},
+        )
+        return {"mode": "bootstrap", "state_snapshot_id": sid}
+    meta = snapshots._entry(state_manifest, state_manifest["current"])["meta"]
+    a_wm, b_wm = meta.get("a_snapshot_id"), meta.get("b_snapshot_id")
+    if a_wm is None or b_wm is None:
+        raise ValueError(
+            f"state table {state_root} lacks a_snapshot_id/b_snapshot_id "
+            "watermarks; was it written by refresh_join_view?"
+        )
+    if a_wm == a_cur and b_wm == b_cur:
+        return {
+            "mode": "noop",
+            "state_snapshot_id": state_manifest["current"],
+        }
+    a_new = snapshots.read_snapshot(spark, a_root, snapshot_id=a_cur)
+    b_new = snapshots.read_snapshot(spark, b_root, snapshot_id=b_cur)
+
+    def feed_for(root, row_keys, wm, cur, template):
+        if wm == cur:
+            return template.limit(0).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        return snapshots.snapshot_changes(spark, root, row_keys, wm, cur).drop(
+            "_commit_version"
+        )
+
+    da = feed_for(a_root, a_row_keys, a_wm, a_cur, a_new)
+    db = feed_for(b_root, b_row_keys, b_wm, b_cur, b_new)
+    feed = join_view_delta(a_new, b_new, da, db, join_keys)
+    state = snapshots.read_snapshot(spark, state_root)
+    sid = snapshots.write_snapshot(
+        fold_join_view(state, feed),
+        state_root,
+        meta={"a_snapshot_id": a_cur, "b_snapshot_id": b_cur},
+    )
+    return {"mode": "incremental", "state_snapshot_id": sid}

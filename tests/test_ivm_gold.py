@@ -395,3 +395,85 @@ def test_join_view_rejects_payload_collision(spark):
 
     with _pytest.raises(ValueError, match="disjoint"):
         ivm.join_view_full(a, b, ["k"])
+
+
+def test_refresh_join_view_end_to_end(spark, tmp_path):
+    """Persisted join-view maintenance over two snapshot tables:
+    bootstrap, fact-side append, dim-side update, simultaneous
+    changes, and no-op — after every refresh the state equals the
+    rebuilt join of the CURRENT snapshots, and watermarks make
+    re-refresh a no-op."""
+    from e_commerce_lakehouse_spark.plans import ivm
+    from e_commerce_lakehouse_spark.sources import snapshots as S
+
+    a_root, b_root, v_root = (
+        str(tmp_path / n) for n in ("fact", "dim", "view")
+    )
+
+    def rebuild():
+        return sorted(
+            map(
+                tuple,
+                ivm.join_view_full(
+                    S.read_snapshot(spark, a_root),
+                    S.read_snapshot(spark, b_root),
+                    ["k"],
+                ).collect(),
+            )
+        )
+
+    def state():
+        return sorted(
+            map(tuple, S.read_snapshot(spark, v_root).collect())
+        )
+
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 3, i * 10) for i in range(9)], "aid long, k long, x long"
+        ),
+        a_root,
+    )
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(0, "u"), (1, "v"), (2, "w")], "k long, name string"
+        ),
+        b_root,
+    )
+    out = ivm.refresh_join_view(
+        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+    )
+    assert out["mode"] == "bootstrap" and state() == rebuild()
+
+    # fact append only
+    S.write_snapshot(
+        spark.createDataFrame([(100, 1, 999)], "aid long, k long, x long"),
+        a_root,
+        mode="append",
+    )
+    out = ivm.refresh_join_view(
+        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+    )
+    assert out["mode"] == "incremental" and state() == rebuild()
+
+    # dim update + fact delete in the same refresh
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(0, "u"), (1, "V2"), (2, "w")], "k long, name string"
+        ),
+        b_root,
+    )
+    S.replace_where(
+        spark,
+        a_root,
+        spark.createDataFrame([], "aid long, k long, x long"),
+        [("aid", ">=", 7)],
+    )
+    out = ivm.refresh_join_view(
+        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+    )
+    assert out["mode"] == "incremental" and state() == rebuild()
+
+    # no-op
+    assert ivm.refresh_join_view(
+        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+    )["mode"] == "noop"
