@@ -523,14 +523,20 @@ def refresh_join_view(
 
     Each feed term joins a delta against at most one full side; AQE
     broadcasts the (small) delta so the unchanged base shuffles
-    nothing. A further refinement at 100 TB — collecting the delta's
-    join keys and file-skipping the base read via the manifest
-    stats/bloom index — drops the base SCAN too; the current form
-    reads it and lets the broadcast join discard non-matches."""
+    nothing. The base SCAN is pruned too: when the delta's distinct
+    join-key set is small (``max_keyscan_keys``, single join key), the
+    opposite base is read through :func:`~e_commerce_lakehouse_spark.
+    sources.snapshots.scan_snapshot` with an ``IN`` predicate — the
+    manifest min/max stats and (if built) the Bloom file index skip
+    every file holding none of the touched keys, so a narrow dim
+    change against a 100 TB fact opens only the matching fact files.
+    The IN filter is semantically free: rows with other keys cannot
+    join the delta anyway."""
     a_cur = snapshots._load(a_root)["current"]
     b_cur = snapshots._load(b_root)["current"]
     if a_cur is None or b_cur is None:
         raise KeyError("both source tables need at least one snapshot")
+    max_keyscan_keys = 1000
     state_manifest = snapshots._load(state_root)
     if state_manifest["current"] is None:
         a = snapshots.read_snapshot(spark, a_root, snapshot_id=a_cur)
@@ -553,8 +559,6 @@ def refresh_join_view(
             "mode": "noop",
             "state_snapshot_id": state_manifest["current"],
         }
-    a_new = snapshots.read_snapshot(spark, a_root, snapshot_id=a_cur)
-    b_new = snapshots.read_snapshot(spark, b_root, snapshot_id=b_cur)
 
     def feed_for(root, row_keys, wm, cur, template):
         if wm == cur:
@@ -565,8 +569,36 @@ def refresh_join_view(
             "_commit_version"
         )
 
-    da = feed_for(a_root, a_row_keys, a_wm, a_cur, a_new)
-    db = feed_for(b_root, b_row_keys, b_wm, b_cur, b_new)
+    def base_for(root, cur, delta, self_changed):
+        """The NEW base snapshot, file-skipped to the delta's touched
+        join keys when possible. A side that itself changed must be
+        read in full (its own delta term joins the OTHER side's
+        delta's keys, but the third term needs its full delta only —
+        base reads stay key-prunable ONLY for the unchanged side)."""
+        if not self_changed and delta is not None and len(join_keys) == 1:
+            keys = [
+                r[0]
+                for r in delta.select(join_keys[0]).distinct().limit(
+                    max_keyscan_keys + 1
+                ).collect()
+            ]
+            if len(keys) <= max_keyscan_keys and keys:
+                return (
+                    snapshots.scan_snapshot(
+                        spark, root, [(join_keys[0], "in", keys)],
+                        snapshot_id=cur,
+                    ),
+                    True,
+                )
+        return snapshots.read_snapshot(spark, root, snapshot_id=cur), False
+
+    a_changed, b_changed = a_wm != a_cur, b_wm != b_cur
+    a_tmpl = snapshots.read_snapshot(spark, a_root, snapshot_id=a_cur)
+    b_tmpl = snapshots.read_snapshot(spark, b_root, snapshot_id=b_cur)
+    da = feed_for(a_root, a_row_keys, a_wm, a_cur, a_tmpl)
+    db = feed_for(b_root, b_row_keys, b_wm, b_cur, b_tmpl)
+    a_new, a_pruned = base_for(a_root, a_cur, db if b_changed else None, a_changed)
+    b_new, b_pruned = base_for(b_root, b_cur, da if a_changed else None, b_changed)
     feed = join_view_delta(a_new, b_new, da, db, join_keys)
     state = snapshots.read_snapshot(spark, state_root)
     sid = snapshots.write_snapshot(
@@ -574,4 +606,9 @@ def refresh_join_view(
         state_root,
         meta={"a_snapshot_id": a_cur, "b_snapshot_id": b_cur},
     )
-    return {"mode": "incremental", "state_snapshot_id": sid}
+    return {
+        "mode": "incremental",
+        "state_snapshot_id": sid,
+        "a_base_keyscan": a_pruned,
+        "b_base_keyscan": b_pruned,
+    }
