@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -414,3 +415,67 @@ def unigram_encode(
             )
 
     return documents.mapInPandas(run, UNIGRAM_ENCODED_SCHEMA)
+
+
+def word_logp(word: str, logp: dict[str, float], max_len: int) -> float:
+    """Viterbi log-probability of a word: the summed logp of its best
+    segmentation (unknown single chars at the same floor
+    :func:`viterbi` uses, so every input scores)."""
+    floor = (min(logp.values()) if logp else 0.0) - 32.0
+    return sum(logp.get(p, floor) for p in viterbi(word, logp, max_len))
+
+
+def doc_perplexity(
+    documents: DataFrame,
+    pieces: list[tuple[str, float]],
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Per-document LM perplexity under the trained unigram model —
+    the CCNet/RedPajama quality signal (Wenzek et al. 2020 filter
+    their Common Crawl buckets on exactly this statistic, with KenLM
+    in place of the unigram LM): (doc_id, n_pieces, total_logp, ppl)
+    with ppl = exp(−total_logp / n_pieces). Low-perplexity documents
+    look like the training corpus; gibberish scores high.
+
+    Same execution shape as :func:`unigram_encode`: Arrow-batched pure
+    map, the piece table in the closure, per-batch word memo — no
+    shuffle at any scale, deterministic under any partitioning (every
+    per-word score is an independent pure function). NULL/empty text
+    scores NULL."""
+    logp = dict(pieces)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_pieces", IntegerType()),
+            StructField("total_logp", DoubleType()),
+            StructField("ppl", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, tuple[int, float]] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                if not words:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                n, lp = 0, 0.0
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        segs = viterbi(w, logp, max_piece_len)
+                        floor = (min(logp.values()) if logp else 0.0) - 32.0
+                        got = memo[w] = (
+                            len(segs),
+                            sum(logp.get(p, floor) for p in segs),
+                        )
+                    n += got[0]
+                    lp += got[1]
+                rows.append((doc_id, n, lp, math.exp(-lp / n)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pieces", "total_logp", "ppl"]
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(run, schema)

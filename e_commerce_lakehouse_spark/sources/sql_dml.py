@@ -32,6 +32,12 @@ b) KEYS (k, ...)``                     snapshot_changes` (the KEYS
                                        clause names the row identity —
                                        the snapshot log stores states,
                                        so the feed is key-diffed)
+``CREATE [OR REPLACE] TABLE t AS       :func:`snapshots.write_snapshot`
+SELECT * FROM s [WHERE ...]``          overwrite (dest must be a
+                                       registered root; source = table,
+                                       provided DataFrame, or view)
+``INSERT INTO t SELECT * FROM s        ``write_snapshot`` append
+[WHERE ...]``
 =====================================  ================================
 
 Deliberately small grammar, loudly rejected when exceeded (a clear
@@ -168,6 +174,16 @@ _SELECT = re.compile(
     r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS = re.compile(
+    r"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+(\w+)\s+AS\s+"
+    r"SELECT\s+\*\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+"
+    r"SELECT\s+\*\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CHANGES = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*(\w+)\s*,\s*(\d+)\s*,"
     r"\s*(\d+)\s*\)\s+KEYS\s*\(([^)]*)\)\s*;?\s*$",
@@ -237,6 +253,46 @@ def execute_dml(
     manifest, so SQL writes get the same atomicity / time travel /
     CDC feed as the API they route to."""
     sources = sources or {}
+
+    def _source_df(name: str) -> DataFrame:
+        """A statement's read side: a registered snapshot table, a
+        provided DataFrame, or a temp view — in that priority."""
+        if name in tables:
+            return snapshots.read_snapshot(spark, tables[name])
+        if name in sources:
+            return sources[name]
+        try:
+            return spark.table(name)
+        except Exception as exc:
+            raise KeyError(
+                f"source {name!r} is neither a registered snapshot "
+                "table, a provided DataFrame, nor a view"
+            ) from exc
+
+    if (m := _CTAS.match(sql)) is not None:
+        or_replace, name, src, where = m.groups()
+        root = _resolve(tables, name)
+        if snapshots._load(root)["current"] is not None and not or_replace:
+            raise ValueError(
+                f"table {name!r} already has snapshots; use CREATE OR "
+                "REPLACE TABLE to overwrite"
+            )
+        df = _source_df(src)
+        if where:
+            for p in parse_where(where):
+                df = df.filter(snapshots._predicate_col(p))
+        sid = snapshots.write_snapshot(df, root, mode="overwrite")
+        return {"op": "ctas", "table": name, "snapshot_id": sid}
+
+    if (m := _INSERT.match(sql)) is not None:
+        name, src, where = m.groups()
+        root = _resolve(tables, name)
+        df = _source_df(src)
+        if where:
+            for p in parse_where(where):
+                df = df.filter(snapshots._predicate_col(p))
+        sid = snapshots.write_snapshot(df, root, mode="append")
+        return {"op": "insert", "table": name, "snapshot_id": sid}
 
     if (m := _CHANGES.match(sql)) is not None:
         name, from_id, to_id, keys_text = m.groups()

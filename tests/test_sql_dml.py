@@ -335,3 +335,40 @@ def test_maintenance_sql_surface(spark, root):
         sql_dml.execute_dml(spark, "SELECT * FROM TABLE_CHANGES(t, 1, 2) KEYS ()", t)
     with _pytest.raises(ValueError, match="ZORDER"):
         sql_dml.execute_dml(spark, "OPTIMIZE t ZORDER BY ()", t)
+
+
+def test_ctas_and_insert_into(spark, root, tmp_path):
+    """CREATE [OR REPLACE] TABLE AS / INSERT INTO SELECT route onto
+    write_snapshot; WHERE filters apply; re-CREATE without OR REPLACE
+    is rejected."""
+    src_root = str(tmp_path / "src")
+    S.write_snapshot(spark.range(0, 100).select("id"), src_root)
+    t = {"dst": root, "src": src_root}
+
+    out = sql_dml.execute_dml(
+        spark, "CREATE TABLE dst AS SELECT * FROM src WHERE id < 40", t
+    )
+    assert out["op"] == "ctas"
+    assert S.read_snapshot(spark, root).count() == 40
+    with pytest.raises(ValueError, match="OR REPLACE"):
+        sql_dml.execute_dml(spark, "CREATE TABLE dst AS SELECT * FROM src", t)
+    sql_dml.execute_dml(
+        spark, "CREATE OR REPLACE TABLE dst AS SELECT * FROM src WHERE id < 10", t
+    )
+    assert S.read_snapshot(spark, root).count() == 10
+    out = sql_dml.execute_dml(
+        spark, "INSERT INTO dst SELECT * FROM src WHERE id >= 90", t
+    )
+    assert out["op"] == "insert"
+    got = sorted(r.id for r in S.read_snapshot(spark, root).collect())
+    assert got == list(range(10)) + list(range(90, 100))
+    # a provided DataFrame works as the source too
+    sql_dml.execute_dml(
+        spark,
+        "INSERT INTO dst SELECT * FROM extra",
+        t,
+        sources={"extra": spark.createDataFrame([(555,)], "id long")},
+    )
+    assert S.read_snapshot(spark, root).count() == 21
+    with pytest.raises(KeyError, match="neither"):
+        sql_dml.execute_dml(spark, "INSERT INTO dst SELECT * FROM nope", t)

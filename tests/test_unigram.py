@@ -236,3 +236,42 @@ def test_m_step_single_char_floor():
     assert set(got) == {"a", "ab", "b"}
     assert got["a"] == got["b"] == math.log(1) - math.log(102)
     assert got["ab"] == math.log(100) - math.log(102)
+
+
+def test_doc_perplexity_separates_gibberish(spark):
+    """CCNet-style filter signal: under a model trained on the clean
+    corpus, in-distribution docs score LOWER perplexity than
+    character gibberish; values equal the direct single-node
+    computation exactly (pure map), and NULL/empty text scores
+    NULL."""
+    import math as _math
+
+    from e_commerce_lakehouse_spark.operators import unigram as U
+
+    corpus = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    pieces = U.train_unigram(docs, vocab_size=40, em_iters=2)
+
+    probe = spark.createDataFrame(
+        [
+            (0, "the quick fox"),
+            (1, "zq xv qq zzk vxw"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in U.doc_perplexity(probe, pieces).collect()}
+    assert got[0].ppl < got[1].ppl  # clean beats gibberish
+    assert got[2].ppl is None and got[3].ppl is None
+    # exact single-node parity
+    logp = dict(pieces)
+    for doc_id, text in [(0, "the quick fox"), (1, "zq xv qq zzk vxw")]:
+        lp, n = 0.0, 0
+        for w in text.split(" "):
+            segs = U.viterbi(w, logp, 8)
+            n += len(segs)
+            lp += U.word_logp(w, logp, 8)
+        assert got[doc_id].n_pieces == n
+        assert got[doc_id].total_logp == lp
+        assert got[doc_id].ppl == _math.exp(-lp / n)
