@@ -259,3 +259,49 @@ def foreach_batch_gold_refresh(fact_root: str, state_root: str, spec: dict):
         )
 
     return fn
+
+
+def foreach_batch_join_view_refresh(
+    fact_root: str,
+    dim_root: str,
+    state_root: str,
+    join_keys: list[str],
+    fact_row_keys: list[str],
+    dim_row_keys: list[str],
+):
+    """Streaming materialized JOIN view: each micro-batch appends its
+    rows to the fact snapshot table (exactly-once by
+    batch-id-in-manifest, as above) and brings the persisted A ⋈ B
+    view forward with plans/ivm.refresh_join_view — the delta-join
+    feed covers the batch's fact rows AND any dim commits that landed
+    since the last refresh, so out-of-band dim updates flow into the
+    view on the next micro-batch without any extra wiring. Idempotent
+    end-to-end: a replayed batch finds its id committed and the
+    refresh no-ops on matching watermarks."""
+    from ..plans.ivm import refresh_join_view
+    from ..sources import snapshots as snap
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        manifest = snap._load(fact_root)
+        done = {
+            e.get("meta", {}).get("stream_batch_id")
+            for e in manifest["snapshots"]
+        }
+        if batch_id not in done:
+            snap.write_snapshot(
+                batch_df,
+                fact_root,
+                mode="append" if manifest["current"] is not None else "overwrite",
+                meta={"stream_batch_id": batch_id},
+            )
+        refresh_join_view(
+            batch_df.sparkSession,
+            fact_root,
+            dim_root,
+            state_root,
+            join_keys,
+            fact_row_keys,
+            dim_row_keys,
+        )
+
+    return fn

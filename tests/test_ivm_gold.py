@@ -531,3 +531,81 @@ def test_refresh_join_view_keyscans_unchanged_base(spark, tmp_path):
     # and the manifest math confirms files were actually skippable
     plan = S.plan_scan(a_root, [("k", "in", [3])])
     assert len(plan["pruned"]) >= 5
+
+
+def test_streaming_join_view_refresh(spark, tmp_path):
+    """foreach_batch_join_view_refresh: the streamed fact batches AND
+    an out-of-band dim update both flow into the persisted join view;
+    the final state equals the rebuilt join, and replaying a
+    committed batch changes nothing."""
+    from e_commerce_lakehouse_spark.plans import ivm
+    from e_commerce_lakehouse_spark.sources import snapshots as S
+    from e_commerce_lakehouse_spark.streaming.sinks import (
+        foreach_batch_join_view_refresh,
+    )
+
+    td = str(tmp_path)
+    fact = spark.createDataFrame(
+        [(i, i % 4, i * 10) for i in range(40)], "aid long, k long, x long"
+    )
+    src = f"{td}/src"
+    fact.filter(F.col("aid") < 20).write.parquet(f"{src}/b0")
+    fact.filter(F.col("aid") >= 20).write.parquet(f"{src}/b1")
+
+    dim_root = f"{td}/dim"
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(k, f"n{k}") for k in range(4)], "k long, name string"
+        ),
+        dim_root,
+    )
+    fact_root, view_root = f"{td}/fact", f"{td}/view"
+    sink = foreach_batch_join_view_refresh(
+        fact_root, dim_root, view_root, ["k"], ["aid"], ["k"]
+    )
+    q = (
+        spark.readStream.schema(fact.schema)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{td}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def rebuild():
+        return sorted(
+            map(
+                tuple,
+                ivm.join_view_full(
+                    S.read_snapshot(spark, fact_root),
+                    S.read_snapshot(spark, dim_root),
+                    ["k"],
+                ).collect(),
+            )
+        )
+
+    got = sorted(map(tuple, S.read_snapshot(spark, view_root).collect()))
+    assert got == rebuild()
+
+    # out-of-band dim rename lands on the NEXT micro-batch
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(k, "renamed" if k == 2 else f"n{k}") for k in range(4)],
+            "k long, name string",
+        ),
+        dim_root,
+    )
+    sink(
+        spark.createDataFrame([(999, 0, 1)], "aid long, k long, x long"), 99
+    )
+    got = sorted(map(tuple, S.read_snapshot(spark, view_root).collect()))
+    assert got == rebuild()
+    assert any("renamed" in str(r) for r in got)
+
+    # replaying a committed batch id -> no-op at both layers
+    f_head = S._load(fact_root)["current"]
+    v_head = S._load(view_root)["current"]
+    sink(fact.limit(3), 99)
+    assert S._load(fact_root)["current"] == f_head
+    assert S._load(view_root)["current"] == v_head
