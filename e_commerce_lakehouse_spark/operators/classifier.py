@@ -203,7 +203,6 @@ def train_quality_classifier(
         raise ValueError("train_quality_classifier: no labeled docs")
     lr_num, lr_den = int(lr[0]), int(lr[1])
     weights = [0] * dim
-    _check_weight_dim(weights, dim)
     for _ in range(iters):
         m = margins(feats, weights)
         err = (

@@ -417,12 +417,23 @@ def unigram_encode(
     return documents.mapInPandas(run, UNIGRAM_ENCODED_SCHEMA)
 
 
+def _word_score(
+    word: str, logp: dict[str, float], max_len: int, floor: float
+) -> tuple[int, float]:
+    """(n_pieces, summed logp) of a word's Viterbi segmentation —
+    unknown single chars at ``floor`` (viterbi's UNK fallback), so
+    every input scores. ``floor`` is a constant of the piece table
+    (min logp − 32); callers hoist it out of per-word loops."""
+    segs = viterbi(word, logp, max_len)
+    return len(segs), sum(logp.get(p, floor) for p in segs)
+
+
 def word_logp(word: str, logp: dict[str, float], max_len: int) -> float:
-    """Viterbi log-probability of a word: the summed logp of its best
-    segmentation (unknown single chars at the same floor
-    :func:`viterbi` uses, so every input scores)."""
+    """Viterbi log-probability of one word (see :func:`_word_score`;
+    for corpus-sized scoring use :func:`doc_perplexity`, which hoists
+    the floor instead of recomputing the O(vocab) min per call)."""
     floor = (min(logp.values()) if logp else 0.0) - 32.0
-    return sum(logp.get(p, floor) for p in viterbi(word, logp, max_len))
+    return _word_score(word, logp, max_len, floor)[1]
 
 
 def doc_perplexity(
@@ -443,6 +454,7 @@ def doc_perplexity(
     per-word score is an independent pure function). NULL/empty text
     scores NULL."""
     logp = dict(pieces)
+    floor = (min(logp.values()) if logp else 0.0) - 32.0  # hoisted once
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -465,11 +477,8 @@ def doc_perplexity(
                 for w in words:
                     got = memo.get(w)
                     if got is None:
-                        segs = viterbi(w, logp, max_piece_len)
-                        floor = (min(logp.values()) if logp else 0.0) - 32.0
-                        got = memo[w] = (
-                            len(segs),
-                            sum(logp.get(p, floor) for p in segs),
+                        got = memo[w] = _word_score(
+                            w, logp, max_piece_len, floor
                         )
                     n += got[0]
                     lp += got[1]

@@ -268,29 +268,47 @@ def commit_fact_increment(
             fact, root, meta={"watermark": _iso(wm)}
         )
         return {"mode": "full", "snapshot_id": sid, "rows": None}
-    # the newest commit carrying a watermark — maintenance commits
+    # the newest commit CARRYING a watermark key — maintenance commits
     # (OPTIMIZE / ZORDER / replace_where) do not carry one, and
     # falling back to "append everything" would silently duplicate
-    # the whole fact (doubling every gold aggregate)
-    wm = None
+    # the whole fact (doubling every gold aggregate). A PRESENT key
+    # holding None is ours too: it means "bootstrapped empty, nothing
+    # loaded yet", not "foreign table" — treated as append-all below.
+    wm, found, mode = None, False, "incremental"
     for s in reversed(manifest["snapshots"]):
         if s["id"] <= manifest["current"] and "watermark" in s.get("meta", {}):
-            wm = s["meta"]["watermark"]
+            wm, found = s["meta"]["watermark"], True
             break
-    if wm is None:
-        raise ValueError(
-            f"fact table {root} has snapshots but no watermark in any "
-            "commit meta — not a commit_fact_increment table; refusing "
-            "to append the full fact on top of existing rows"
+    if not found:
+        # expire_snapshots can trim every watermark-bearing entry
+        # (maintenance commits survive, loads don't). Recover from the
+        # DATA: the stored watermark always equals max(time_col) of
+        # the table contents at its commit under the append-only
+        # high-watermark policy (the reference's bronze_batch_load
+        # model). Caveat, documented: if rows at the high end were
+        # replace_where-deleted since, the recovered mark is lower and
+        # still-present source rows in that gap re-append.
+        wm = (
+            snapshots.read_snapshot(spark, root).agg(F.max(time_col)).first()[0]
         )
-    new_rows = fact.filter(F.col(time_col) > F.lit(wm))
+        mode = "recovered"
+        if wm is None:
+            raise ValueError(
+                f"fact table {root} has snapshots but no watermark in "
+                "any commit meta and no rows to recover one from — not "
+                "a commit_fact_increment table; refusing to append the "
+                "full fact on top of existing rows"
+            )
+    new_rows = (
+        fact.filter(F.col(time_col) > F.lit(wm)) if wm is not None else fact
+    )
     if new_rows.isEmpty():
         return {"mode": "noop", "snapshot_id": manifest["current"], "rows": 0}
     new_wm = new_rows.agg(F.max(time_col)).first()[0]
     sid = snapshots.write_snapshot(
         new_rows, root, mode="append", meta={"watermark": _iso(new_wm)}
     )
-    return {"mode": "incremental", "snapshot_id": sid, "rows": None}
+    return {"mode": mode, "snapshot_id": sid, "rows": None}
 
 
 def _iso(v):
@@ -418,7 +436,23 @@ def _signed(df: DataFrame) -> DataFrame:
 
 
 def _check_disjoint(a: DataFrame, b: DataFrame, keys: list[str]) -> None:
-    clash = (set(a.columns) & set(b.columns)) - set(keys) - {"_w", "_cnt"}
+    # underscore-prefixed payload is reserved: _signed strips it from
+    # CDC feeds (CDC metadata) and _w/_cnt are the weight/count
+    # sentinels — such a column would bootstrap fine, then break (or
+    # silently collide) on the first incremental refresh
+    reserved = [
+        c
+        for c in set(a.columns) | set(b.columns)
+        if c.startswith("_") and c not in ("_w", "_cnt")
+    ]
+    bad = [c for c in (set(a.columns) | set(b.columns)) if c in ("_w", "_cnt")]
+    if reserved or bad:
+        raise ValueError(
+            f"join view payload columns may not start with '_' "
+            f"(reserved for CDC metadata / the _w/_cnt sentinels); "
+            f"rename {sorted(reserved + bad)}"
+        )
+    clash = (set(a.columns) & set(b.columns)) - set(keys)
     if clash:
         raise ValueError(
             f"join view payload columns must be disjoint outside the "
@@ -502,8 +536,6 @@ def refresh_join_view(
     b_root: str,
     state_root: str,
     join_keys: list[str],
-    a_row_keys: list[str],
-    b_row_keys: list[str],
 ) -> dict:
     """Bring a PERSISTED materialized equi-join view up to the current
     snapshots of its two source snapshot tables — the delta-join
@@ -513,13 +545,19 @@ def refresh_join_view(
     - no state yet -> bootstrap join_view_full over both current
       snapshots (the only time base ⋈ base ever runs);
     - both watermarks current -> no-op, nothing read;
-    - otherwise -> derive each changed side's CDC feed with
+    - otherwise -> derive each changed side's signed feed with
       :func:`~e_commerce_lakehouse_spark.sources.snapshots.
-      snapshot_changes` (row identity = ``a_row_keys``/``b_row_keys``,
-      one row per key), build the signed join feed, fold, and commit
-      the new state with BOTH source snapshot ids in the meta — state
-      and watermarks move in one atomic manifest swap, so a crashed
-      refresh can only be retried, never double-applied.
+      snapshot_file_changes` — the O(changed-files) manifest
+      set-difference, NOT snapshot_changes' O(table) full-outer diff;
+      rows carried verbatim through a rewritten file arrive as
+      offsetting delete+insert pairs, which the linear signed algebra
+      nets to zero — build the signed join feed, fold, and commit the
+      new state with BOTH source snapshot ids in the meta: state and
+      watermarks move in one atomic manifest swap, so a crashed
+      refresh can only be retried, never double-applied. Each delta is
+      localCheckpointed before use — it feeds up to three join terms
+      plus the key-prune collect, and must not re-read its files per
+      consumer.
 
     Each feed term joins a delta against at most one full side; AQE
     broadcasts the (small) delta so the unchanged base shuffles
@@ -560,14 +598,16 @@ def refresh_join_view(
             "state_snapshot_id": state_manifest["current"],
         }
 
-    def feed_for(root, row_keys, wm, cur, template):
+    def feed_for(root, wm, cur, template):
         if wm == cur:
             return template.limit(0).withColumn(
                 "_change_type", F.lit("insert")
             )
-        return snapshots.snapshot_changes(spark, root, row_keys, wm, cur).drop(
-            "_commit_version"
-        )
+        feed, _info = snapshots.snapshot_file_changes(spark, root, wm, cur)
+        # consumed by up to 3 join terms + the key-prune collect —
+        # materialize once instead of re-reading the delta files per
+        # consumer
+        return feed.localCheckpoint(eager=False)
 
     def base_for(root, cur, delta, self_changed):
         """The NEW base snapshot, file-skipped to the delta's touched
@@ -595,8 +635,8 @@ def refresh_join_view(
     a_changed, b_changed = a_wm != a_cur, b_wm != b_cur
     a_tmpl = snapshots.read_snapshot(spark, a_root, snapshot_id=a_cur)
     b_tmpl = snapshots.read_snapshot(spark, b_root, snapshot_id=b_cur)
-    da = feed_for(a_root, a_row_keys, a_wm, a_cur, a_tmpl)
-    db = feed_for(b_root, b_row_keys, b_wm, b_cur, b_tmpl)
+    da = feed_for(a_root, a_wm, a_cur, a_tmpl)
+    db = feed_for(b_root, b_wm, b_cur, b_tmpl)
     a_new, a_pruned = base_for(a_root, a_cur, db if b_changed else None, a_changed)
     b_new, b_pruned = base_for(b_root, b_cur, da if a_changed else None, b_changed)
     feed = join_view_delta(a_new, b_new, da, db, join_keys)

@@ -1035,14 +1035,19 @@ def _file_may_match(stats: dict, col: str, op: str, val) -> bool:
             # 123 matches) but str(123) would bloom-miss the stored
             # "0123" — the same padded-literal hazard the bucket
             # transform guards with its stamped dtype
-            want = int if bl.get("t") == "i" else str
-            if all(
-                isinstance(v, want) and not isinstance(v, bool)
-                for v in vals0
-            ) and not any(
-                _bloom_file_member(bl, str(v)) for v in vals0
-            ):
-                return False  # k misses in every value: provably absent
+            tcls = bl.get("t")
+            # a bloom persisted without the type stamp cannot be
+            # probed soundly in either direction — bypass it (bounds
+            # still apply); rebuilds stamp it
+            if tcls in ("i", "s"):
+                want = int if tcls == "i" else str
+                if all(
+                    isinstance(v, want) and not isinstance(v, bool)
+                    for v in vals0
+                ) and not any(
+                    _bloom_file_member(bl, str(v)) for v in vals0
+                ):
+                    return False  # k misses everywhere: provably absent
     mn, mx = s.get("mn"), s.get("mx")
     if mn is None or mx is None:
         return True

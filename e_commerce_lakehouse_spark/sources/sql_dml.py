@@ -254,20 +254,32 @@ def execute_dml(
     CDC feed as the API they route to."""
     sources = sources or {}
 
-    def _source_df(name: str) -> DataFrame:
-        """A statement's read side: a registered snapshot table, a
-        provided DataFrame, or a temp view — in that priority."""
+    def _source_df(name: str, where: str | None) -> DataFrame:
+        """A statement's read side: a registered snapshot table (WHERE
+        routed through ``scan_snapshot`` so the manifest stats/bloom
+        index file-skip, keeping the module's 'every SQL statement
+        gets file skipping for free' promise), a provided DataFrame,
+        or a temp view — in that priority."""
         if name in tables:
+            if where:
+                return snapshots.scan_snapshot(
+                    spark, tables[name], parse_where(where)
+                )
             return snapshots.read_snapshot(spark, tables[name])
         if name in sources:
-            return sources[name]
-        try:
-            return spark.table(name)
-        except Exception as exc:
-            raise KeyError(
-                f"source {name!r} is neither a registered snapshot "
-                "table, a provided DataFrame, nor a view"
-            ) from exc
+            df = sources[name]
+        else:
+            try:
+                df = spark.table(name)
+            except Exception as exc:
+                raise KeyError(
+                    f"source {name!r} is neither a registered snapshot "
+                    "table, a provided DataFrame, nor a view"
+                ) from exc
+        if where:
+            for p in parse_where(where):
+                df = df.filter(snapshots._predicate_col(p))
+        return df
 
     if (m := _CTAS.match(sql)) is not None:
         or_replace, name, src, where = m.groups()
@@ -277,20 +289,33 @@ def execute_dml(
                 f"table {name!r} already has snapshots; use CREATE OR "
                 "REPLACE TABLE to overwrite"
             )
-        df = _source_df(src)
-        if where:
-            for p in parse_where(where):
-                df = df.filter(snapshots._predicate_col(p))
+        df = _source_df(src, where)
         sid = snapshots.write_snapshot(df, root, mode="overwrite")
         return {"op": "ctas", "table": name, "snapshot_id": sid}
 
     if (m := _INSERT.match(sql)) is not None:
         name, src, where = m.groups()
         root = _resolve(tables, name)
-        df = _source_df(src)
-        if where:
-            for p in parse_where(where):
-                df = df.filter(snapshots._predicate_col(p))
+        df = _source_df(src, where)
+        manifest = snapshots._load(root)
+        if manifest["current"] is not None:
+            # loud schema gate: a mismatched source would otherwise
+            # append silently AND flip the recorded snapshot schema
+            import json as _json
+
+            target_cols = [
+                f["name"]
+                for f in _json.loads(
+                    snapshots._entry(manifest, manifest["current"])["schema"]
+                ).get("fields", [])
+            ]
+            if set(df.columns) != set(target_cols):
+                raise ValueError(
+                    f"INSERT INTO {name}: source columns "
+                    f"{sorted(df.columns)} != target columns "
+                    f"{sorted(target_cols)}"
+                )
+            df = df.select(*target_cols)
         sid = snapshots.write_snapshot(df, root, mode="append")
         return {"op": "insert", "table": name, "snapshot_id": sid}
 

@@ -223,6 +223,27 @@ def foreach_batch_apply_changes(
     return fn
 
 
+def _commit_batch_once(fact_root: str, batch_df: DataFrame, batch_id: int) -> None:
+    """The exactly-once micro-batch commit both materialized-view
+    sinks share: append the batch to the fact snapshot table with its
+    stream batch id in the commit meta; a replayed batch finds its id
+    already committed and writes nothing."""
+    from ..sources import snapshots as snap
+
+    manifest = snap._load(fact_root)
+    done = {
+        e.get("meta", {}).get("stream_batch_id")
+        for e in manifest["snapshots"]
+    }
+    if batch_id not in done:
+        snap.write_snapshot(
+            batch_df,
+            fact_root,
+            mode="append" if manifest["current"] is not None else "overwrite",
+            meta={"stream_batch_id": batch_id},
+        )
+
+
 def foreach_batch_gold_refresh(fact_root: str, state_root: str, spec: dict):
     """Streaming materialized view: each micro-batch APPENDS its rows
     to the silver fact snapshot table and folds the gold aggregate
@@ -239,21 +260,9 @@ def foreach_batch_gold_refresh(fact_root: str, state_root: str, spec: dict):
     consistent without ever recomputing the rollup from the base.
     """
     from ..plans.ivm import refresh_gold_incremental
-    from ..sources import snapshots as snap
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        manifest = snap._load(fact_root)
-        done = {
-            e.get("meta", {}).get("stream_batch_id")
-            for e in manifest["snapshots"]
-        }
-        if batch_id not in done:
-            snap.write_snapshot(
-                batch_df,
-                fact_root,
-                mode="append" if manifest["current"] is not None else "overwrite",
-                meta={"stream_batch_id": batch_id},
-            )
+        _commit_batch_once(fact_root, batch_df, batch_id)
         refresh_gold_incremental(
             batch_df.sparkSession, fact_root, state_root, spec
         )
@@ -266,8 +275,6 @@ def foreach_batch_join_view_refresh(
     dim_root: str,
     state_root: str,
     join_keys: list[str],
-    fact_row_keys: list[str],
-    dim_row_keys: list[str],
 ):
     """Streaming materialized JOIN view: each micro-batch appends its
     rows to the fact snapshot table (exactly-once by
@@ -279,29 +286,15 @@ def foreach_batch_join_view_refresh(
     end-to-end: a replayed batch finds its id committed and the
     refresh no-ops on matching watermarks."""
     from ..plans.ivm import refresh_join_view
-    from ..sources import snapshots as snap
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        manifest = snap._load(fact_root)
-        done = {
-            e.get("meta", {}).get("stream_batch_id")
-            for e in manifest["snapshots"]
-        }
-        if batch_id not in done:
-            snap.write_snapshot(
-                batch_df,
-                fact_root,
-                mode="append" if manifest["current"] is not None else "overwrite",
-                meta={"stream_batch_id": batch_id},
-            )
+        _commit_batch_once(fact_root, batch_df, batch_id)
         refresh_join_view(
             batch_df.sparkSession,
             fact_root,
             dim_root,
             state_root,
             join_keys,
-            fact_row_keys,
-            dim_row_keys,
         )
 
     return fn

@@ -316,13 +316,30 @@ def test_fact_increment_survives_maintenance_commit(spark, tmp_path):
     out = ivm.commit_fact_increment(spark, fact, root, "event_time")
     assert out["mode"] == "noop"
     assert S.read_snapshot(spark, root).count() == 10  # not doubled
-    # a genuinely foreign table (snapshots but never a watermark) raises
-    root2 = str(tmp_path / "foreign")
+    # a table with rows but no surviving watermark entry (e.g. expire
+    # trimmed every load commit) RECOVERS the mark from the data: the
+    # unchanged source then no-ops instead of re-appending everything
+    root2 = str(tmp_path / "trimmed")
     S.write_snapshot(fact, root2)
+    out2 = ivm.commit_fact_increment(spark, fact, root2, "event_time")
+    assert out2["mode"] == "noop"
+    assert S.read_snapshot(spark, root2).count() == 10
+    # an EMPTY no-watermark table is unrecoverable -> loud
+    root3 = str(tmp_path / "empty_foreign")
+    S.write_snapshot(fact.limit(0), root3)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="no watermark"):
-        ivm.commit_fact_increment(spark, fact, root2, "event_time")
+        ivm.commit_fact_increment(spark, fact, root3, "event_time")
+    # and a table bootstrapped EMPTY by this function is NOT bricked:
+    # the None watermark means "append everything that arrives"
+    root4 = str(tmp_path / "cold_start")
+    assert ivm.commit_fact_increment(
+        spark, fact.limit(0), root4, "event_time"
+    )["mode"] == "full"
+    out4 = ivm.commit_fact_increment(spark, fact, root4, "event_time")
+    assert out4["mode"] == "incremental"
+    assert S.read_snapshot(spark, root4).count() == 10
 
 
 def test_join_view_maintenance_matches_rebuild(spark):
@@ -440,7 +457,7 @@ def test_refresh_join_view_end_to_end(spark, tmp_path):
         b_root,
     )
     out = ivm.refresh_join_view(
-        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+        spark, a_root, b_root, v_root, ["k"]
     )
     assert out["mode"] == "bootstrap" and state() == rebuild()
 
@@ -451,7 +468,7 @@ def test_refresh_join_view_end_to_end(spark, tmp_path):
         mode="append",
     )
     out = ivm.refresh_join_view(
-        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+        spark, a_root, b_root, v_root, ["k"]
     )
     assert out["mode"] == "incremental" and state() == rebuild()
 
@@ -469,13 +486,13 @@ def test_refresh_join_view_end_to_end(spark, tmp_path):
         [("aid", ">=", 7)],
     )
     out = ivm.refresh_join_view(
-        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+        spark, a_root, b_root, v_root, ["k"]
     )
     assert out["mode"] == "incremental" and state() == rebuild()
 
     # no-op
     assert ivm.refresh_join_view(
-        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+        spark, a_root, b_root, v_root, ["k"]
     )["mode"] == "noop"
 
 
@@ -501,7 +518,7 @@ def test_refresh_join_view_keyscans_unchanged_base(spark, tmp_path):
         ),
         b_root,
     )
-    ivm.refresh_join_view(spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"])
+    ivm.refresh_join_view(spark, a_root, b_root, v_root, ["k"])
     # dim-only change touching ONE key
     S.write_snapshot(
         spark.createDataFrame(
@@ -511,7 +528,7 @@ def test_refresh_join_view_keyscans_unchanged_base(spark, tmp_path):
         b_root,
     )
     out = ivm.refresh_join_view(
-        spark, a_root, b_root, v_root, ["k"], ["aid"], ["k"]
+        spark, a_root, b_root, v_root, ["k"]
     )
     assert out["mode"] == "incremental"
     assert out["a_base_keyscan"] is True  # fact read was key-pruned
@@ -561,7 +578,7 @@ def test_streaming_join_view_refresh(spark, tmp_path):
     )
     fact_root, view_root = f"{td}/fact", f"{td}/view"
     sink = foreach_batch_join_view_refresh(
-        fact_root, dim_root, view_root, ["k"], ["aid"], ["k"]
+        fact_root, dim_root, view_root, ["k"]
     )
     q = (
         spark.readStream.schema(fact.schema)
