@@ -1888,8 +1888,27 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("pass_rate"),
         )
     )
+    # kind='profile': ANALYZE-style exact column profile
+    # (quality.profile_columns, one stacked-melt shuffle for all
+    # columns) over customer — rule='col_<name>', n_rows=total,
+    # n_violations=null count, pass_rate=NDV/rows (cardinality ratio)
+    prof = quality.profile_columns(
+        load_table(spark, sf, "customer"),
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+    ).select(
+        F.lit("profile").alias("kind"),
+        F.concat(F.lit("col_"), F.col("column")).alias("rule"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_violations"),
+        (F.col("n_distinct").cast("double") / F.col("n_rows")).alias(
+            "pass_rate"
+        ),
+    )
     return (
-        rules.unionByName(overflow).unionByName(pii_rows).unionByName(dict_rows)
+        rules.unionByName(overflow)
+        .unionByName(pii_rows)
+        .unionByName(dict_rows)
+        .unionByName(prof)
     )
 
 
@@ -4541,7 +4560,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
         """
         + _pii_oracle_sql()
-        + _dictionary_oracle_branch(),
+        + _dictionary_oracle_branch()
+        + """
+            UNION ALL
+            -- profile: ANALYZE-style exact column stats over customer
+            SELECT 'profile' AS kind, 'col_' || col AS rule,
+                   n_rows, n_nulls AS n_violations,
+                   CAST(n_distinct AS DOUBLE) / n_rows AS pass_rate
+            FROM (
+                SELECT 'c_custkey' AS col, count(*) AS n_rows,
+                       count(*) - count(c_custkey) AS n_nulls,
+                       count(DISTINCT c_custkey) AS n_distinct
+                FROM customer
+                UNION ALL
+                SELECT 'c_name', count(*), count(*) - count(c_name),
+                       count(DISTINCT c_name) FROM customer
+                UNION ALL
+                SELECT 'c_nationkey', count(*),
+                       count(*) - count(c_nationkey),
+                       count(DISTINCT c_nationkey) FROM customer
+                UNION ALL
+                SELECT 'c_mktsegment', count(*),
+                       count(*) - count(c_mktsegment),
+                       count(DISTINCT c_mktsegment) FROM customer
+            )
+        """,
         "q38_embedding_neardup": _neardup_oracle_sql(),
         "q39_ivf_ann": f"""
             WITH v AS (

@@ -85,3 +85,46 @@ def quarantine(df: DataFrame, rules: Sequence[Rule]) -> tuple[DataFrame, DataFra
     good = tagged.filter(F.size("dq_reasons") == 0).drop("dq_reasons")
     bad = tagged.filter(F.size("dq_reasons") > 0)
     return good, bad
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """ANALYZE-style column profile: (column, n_rows, n_nulls,
+    n_distinct) per requested column, EXACT counts.
+
+    Built as one stacked melt — (column, value-as-string) pairs — so
+    ALL columns profile in a single uniform-key shuffle (distinct on
+    (column, v), map-side combinable) instead of Spark's
+    count(DISTINCT a), count(DISTINCT b), ... Expand rewrite, which
+    duplicates every input row once per distinct aggregate. The
+    string cast is injective for the supported types (ints, strings,
+    dates), so distinct strings == distinct values; profile doubles
+    only if you accept formatting as identity."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.column", "s.v")
+    base = stacked.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+    )
+    nd = (
+        stacked.where(F.col("v").isNotNull())
+        .distinct()
+        .groupBy("column")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+    return base.join(nd, "column", "left").select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+    )

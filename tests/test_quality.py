@@ -273,3 +273,25 @@ def test_dictionary_tag_and_overlap_semantics(spark):
 
     with _pt.raises(ValueError, match="non-empty"):
         D.AhoCorasick(["", ""])
+
+
+def test_profile_columns_exact_and_single_shuffle_shape(spark):
+    """profile_columns: exact totals/nulls/NDV per column from one
+    stacked melt; NDV of an all-null column is 0."""
+    from e_commerce_lakehouse_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", None), (2, None, None), (3, "b", None)],
+        "k long, s string, z string",
+    )
+    got = {r.column: r for r in Q.profile_columns(df, ["k", "s", "z"]).collect()}
+    assert (got["k"].n_rows, got["k"].n_nulls, got["k"].n_distinct) == (4, 0, 3)
+    assert (got["s"].n_rows, got["s"].n_nulls, got["s"].n_distinct) == (4, 1, 2)
+    assert (got["z"].n_rows, got["z"].n_nulls, got["z"].n_distinct) == (4, 4, 0)
+    # plan shape: ONE Expand-free pass — no Spark distinct-aggregate
+    # Expand node (the melt replaces it)
+    plan = (
+        Q.profile_columns(df, ["k", "s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
