@@ -37,8 +37,16 @@ SELECT * FROM s [WHERE ...]``          overwrite (dest must be a
                                        registered root; source = table,
                                        provided DataFrame, or view)
 ``INSERT INTO t SELECT * FROM s        ``write_snapshot`` append
-[WHERE ...]``
+[WHERE ...]``                          (schema-gated vs the target)
+``DESCRIBE [TABLE] t``                 committed snapshot schema as a
+                                       DataFrame in ``"df"``
+``SHOW TABLES``                        the registered name->root map
 =====================================  ================================
+
+For arbitrary read-side SQL (joins, windows, subqueries — the whole
+Spark SQL surface), :func:`register_snapshot_views` binds each table's
+CURRENT snapshot as a temp view for ``spark.sql`` (snapshot-isolated;
+re-register to advance).
 
 Deliberately small grammar, loudly rejected when exceeded (a clear
 error beats a silently mis-parsed write): WHERE clauses are
@@ -319,6 +327,39 @@ def execute_dml(
         sid = snapshots.write_snapshot(df, root, mode="append")
         return {"op": "insert", "table": name, "snapshot_id": sid}
 
+    if _SHOW_TABLES.match(sql) is not None:
+        df = spark.createDataFrame(
+            [(n, r) for n, r in sorted(tables.items())],
+            "table string, root string",
+        )
+        return {"op": "show_tables", "df": df}
+
+    if (m := _DESCRIBE.match(sql)) is not None and not re.match(
+        r"^\s*DESCRIBE\s+HISTORY\b", sql, re.IGNORECASE
+    ):
+        name = m.group(1)
+        root = _resolve(tables, name)
+        import json as _json
+
+        manifest = snapshots._load(root)
+        if manifest["current"] is None:
+            raise KeyError(f"table {name!r} has no snapshots")
+        fields = _json.loads(
+            snapshots._entry(manifest, manifest["current"])["schema"]
+        ).get("fields", [])
+        df = spark.createDataFrame(
+            [
+                (
+                    f["name"],
+                    f["type"] if isinstance(f["type"], str) else str(f["type"]),
+                    bool(f.get("nullable", True)),
+                )
+                for f in fields
+            ],
+            "col_name string, data_type string, nullable boolean",
+        )
+        return {"op": "describe", "table": name, "df": df}
+
     if (m := _CHANGES.match(sql)) is not None:
         name, from_id, to_id, keys_text = m.groups()
         root = _resolve(tables, name)
@@ -494,3 +535,24 @@ def _empty_like(spark: SparkSession, root: str) -> DataFrame:
         raise KeyError(f"table {root} has no snapshots")
     entry = snapshots._entry(manifest, manifest["current"])
     return spark.createDataFrame([], T.StructType.fromJson(json.loads(entry["schema"])))
+
+
+def register_snapshot_views(
+    spark: SparkSession, tables: dict[str, str]
+) -> None:
+    """Expose snapshot tables to FULL Spark SQL as temp views: after
+    this, ``spark.sql("SELECT ... arbitrary joins/windows ... FROM
+    t")`` works with the whole SQL surface — the Dremio-shaped read
+    path the reference provisions (scripts/utils.py), minus the BI
+    server. Views bind the CURRENT snapshot at registration; re-call
+    after writes to advance (a temp view over read_snapshot's
+    DataFrame pins the file list at creation — snapshot isolation for
+    free, refresh is explicit)."""
+    for name, root in tables.items():
+        snapshots.read_snapshot(spark, root).createOrReplaceTempView(name)
+
+
+_DESCRIBE = re.compile(
+    r"^\s*DESCRIBE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)

@@ -372,3 +372,39 @@ def test_ctas_and_insert_into(spark, root, tmp_path):
     assert S.read_snapshot(spark, root).count() == 21
     with pytest.raises(KeyError, match="neither"):
         sql_dml.execute_dml(spark, "INSERT INTO dst SELECT * FROM nope", t)
+
+
+def test_views_describe_show_tables(spark, root, tmp_path):
+    """register_snapshot_views exposes tables to FULL Spark SQL;
+    DESCRIBE TABLE lists the committed schema; SHOW TABLES lists the
+    registry; DESCRIBE HISTORY still routes to history."""
+    other = str(tmp_path / "o")
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a", 2.5)], "id long, v string, x double"),
+        root,
+    )
+    S.write_snapshot(spark.range(3).selectExpr("id AS id2"), other)
+    t = {"t": root, "o": other}
+
+    sql_dml.register_snapshot_views(spark, t)
+    got = spark.sql(
+        "SELECT t.id, v, id2 FROM t JOIN o ON t.id = o.id2 + 1"
+    ).collect()
+    assert [(r.id, r.v, r.id2) for r in got] == [(1, "a", 0)]
+
+    desc = sql_dml.execute_dml(spark, "DESCRIBE TABLE t", t)["df"]
+    assert [(r.col_name, r.data_type) for r in desc.collect()] == [
+        ("id", "long"), ("v", "string"), ("x", "double"),
+    ]
+    st = sql_dml.execute_dml(spark, "SHOW TABLES", t)["df"]
+    assert {r.table for r in st.collect()} == {"t", "o"}
+    hist = sql_dml.execute_dml(spark, "DESCRIBE HISTORY t", t)["df"]
+    assert hist.count() == 1  # still the history route, not DESCRIBE
+
+    # snapshot isolation: the view pins the registration-time snapshot
+    S.write_snapshot(spark.createDataFrame(
+        [(9, "z", 0.0)], "id long, v string, x double"), root)
+    assert spark.sql("SELECT count(*) AS n FROM t").first().n == 1
+    sql_dml.register_snapshot_views(spark, t)  # explicit refresh
+    assert spark.sql("SELECT count(*) AS n FROM t").first().n == 1
+    assert spark.sql("SELECT v FROM t").first().v == "z"
