@@ -394,3 +394,31 @@ def test_hard_negatives_broadcasts_anchors(spark):
     # broadcast exchange + spread_for_cpu repartition + top-k window
     # shuffle — and nothing else (no corpus re-shuffle)
     assert plan.count("Exchange") <= 3
+
+
+def test_theta_sketch_bounded_selection_and_broadcast_pairs(spark):
+    """The theta/KMV build's per-segment window runs AFTER the salted
+    level-1 cut (at most salts*(k+1) candidate rows per segment reach
+    it — never a whole-segment sort), and the pair-ops join broadcasts
+    the tiny sketch frame instead of shuffling or going cartesian."""
+    from e_commerce_lakehouse_spark.operators import sketches
+    from e_commerce_lakehouse_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    sk = sketches.theta_sketch(ev, "user_id", "event_type", k=16, salts=4)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # two window nodes (salted level-1, per-segment level-2), each
+    # with a PARTIAL WindowGroupLimit — the rank<=k+1 cut happens
+    # map-side BEFORE the shuffle, so at most k+1 rows per (segment,
+    # salt) ever ride an exchange; no cartesian anywhere
+    assert plan.count("Window [") == 2
+    assert plan.count("row_number(), 17, Partial") == 2  # k+1 = 17
+    assert "CartesianProduct" not in plan
+    pplan = (
+        sketches.theta_pair_ops(sk)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in pplan  # seg_a < seg_b condition
+    assert "CartesianProduct" not in pplan
