@@ -240,6 +240,18 @@ def score_documents(
     = prob >= 1/2. Pure relational (hash, join, groupBy); a docs row
     with empty text scores margin 0 / prob 0.5."""
     _check_weight_dim(weights, dim)
+    if docs.isStreaming:
+        # the relational path's per-doc groupBy is a streaming
+        # aggregation (append mode unsupported without a watermark);
+        # the Arrow kernel computes the identical margin as a pure
+        # row map — batch == stream pinned in tests
+        m = _margins_stream(docs, weights, text_col, id_col, dim, bigrams)
+        return m.select(
+            "doc_id",
+            F.coalesce("margin_q", F.lit(0)).alias("margin_q"),
+            _sigmoid_expr("coalesce(margin_q, 0)").alias("prob_x16"),
+            (_sigmoid_expr("coalesce(margin_q, 0)") >= ONE // 2).alias("keep"),
+        )
     feats = hashed_features(docs, text_col, id_col, dim, bigrams)
     m = margins(feats, weights)
     base = docs.select(F.col(id_col).alias("doc_id")).join(m, "doc_id", "left")
@@ -249,3 +261,87 @@ def score_documents(
         _sigmoid_expr("coalesce(margin_q, 0)").alias("prob_x16"),
         (_sigmoid_expr("coalesce(margin_q, 0)") >= ONE // 2).alias("keep"),
     )
+
+
+def weight_table(spark, weights: list[int]) -> DataFrame:
+    """The persistable (idx, w) artifact of
+    :func:`train_quality_classifier` — dim rows, the merge-table
+    pattern (operators/bpe.py:228)."""
+    return spark.createDataFrame(
+        list(enumerate(int(x) for x in weights)), "idx long, w long"
+    )
+
+
+def save_weights(spark, weights: list[int], path: str) -> None:
+    weight_table(spark, weights).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def load_weights(spark, path: str) -> list[int]:
+    """Weights back as the dense list scoring expects; missing indexes
+    (a sparse artifact) load as 0, matching the untrained prior."""
+    rows = spark.read.parquet(path).collect()
+    dim = max(int(r.idx) for r in rows) + 1
+    out = [0] * dim
+    for r in rows:
+        out[int(r.idx)] = int(r.w)
+    return out
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark's ``div`` (and
+    DuckDB's ``//``); Python's ``//`` floors, which differs on
+    negative numerators (weights go negative)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _margins_stream(
+    docs: DataFrame,
+    weights: list[int],
+    text_col: str,
+    id_col: str,
+    dim: int,
+    bigrams: bool,
+) -> DataFrame:
+    """Streaming-safe margins: ONE Arrow kernel computes tokenize ->
+    md5-hash -> Q16 tf -> dot product per document (weights in the
+    closure) — a pure row map, no shuffle, so it runs under append
+    mode with no watermark. Arithmetic mirrors the relational path
+    EXACTLY: same hash (hashlib == Spark md5 by construction), same
+    Q16 quantization, same truncating division (the batch==stream
+    equality is pytest-pinned)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("margin_q", LongType())]
+    )
+
+    def run(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text)
+                grams = list(toks)
+                if bigrams:
+                    grams += [a + "_" + b for a, b in zip(toks, toks[1:])]
+                counts: dict[int, int] = {}
+                for g in grams:
+                    idx = memo.get(g)
+                    if idx is None:
+                        idx = memo[g] = _hash_py(g, dim)
+                    counts[idx] = counts.get(idx, 0) + 1
+                total = sum(counts.values())
+                m = 0
+                for idx, cnt in counts.items():
+                    x_q = _tdiv(cnt * ONE, total)
+                    m += _tdiv(weights[idx] * x_q, ONE)
+                rows.append((doc_id, m if total else None))
+            yield pd.DataFrame(rows, columns=["doc_id", "margin_q"])
+
+    return docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).mapInPandas(run, schema)

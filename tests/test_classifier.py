@@ -137,3 +137,48 @@ def test_empty_label_frame_raises(spark):
             spark.createDataFrame([], "doc_id long, label int"),
             dim=8,
         )
+
+
+def test_weights_round_trip_and_streaming_scoring(spark, tmp_path):
+    """Train once, persist, reload, score a STREAM: scoring is a pure
+    map + broadcast join, so the same score_documents call works under
+    Structured Streaming (availableNow) and equals the batch scores."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators import classifier as C
+
+    docs = spark.createDataFrame(
+        [(i, "good clean text here" if i % 2 == 0 else "spam spam buy now")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    labels = docs.selectExpr("doc_id", "CAST(doc_id % 2 = 0 AS INT) AS label")
+    feats = C.hashed_features(docs, dim=256)
+    w = C.train_quality_classifier(feats, labels, dim=256, iters=4)
+    p = str(tmp_path / "weights")
+    C.save_weights(spark, w, p)
+    w2 = C.load_weights(spark, p)
+    assert w2 == w
+
+    batch = {r.doc_id: r for r in C.score_documents(docs, w2, dim=256).collect()}
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        C.score_documents(
+            spark.readStream.schema(docs.schema).parquet(src), w2, dim=256
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(streamed) == set(batch)
+    for d in batch:
+        assert (streamed[d].margin_q, streamed[d].keep) == (
+            batch[d].margin_q,
+            batch[d].keep,
+        )
