@@ -167,9 +167,7 @@ def margins(features: DataFrame, weights: list[int]) -> DataFrame:
     dim-sized weight table broadcasts; the only shuffle is the per-doc
     sum."""
     spark = features.sparkSession
-    w = spark.createDataFrame(
-        list(enumerate(int(x) for x in weights)), "idx long, w long"
-    )
+    w = weight_table(spark, weights)
     return (
         features.join(F.broadcast(w), "idx")
         .groupBy("doc_id")
@@ -278,12 +276,18 @@ def save_weights(spark, weights: list[int], path: str) -> None:
     )
 
 
-def load_weights(spark, path: str) -> list[int]:
-    """Weights back as the dense list scoring expects; missing indexes
-    (a sparse artifact) load as 0, matching the untrained prior."""
+def load_weights(spark, path: str, dim: int | None = None) -> list[int]:
+    """Weights back as the dense list scoring expects.
+    :func:`save_weights` artifacts are DENSE (one row per index), so
+    the inferred dim (max idx + 1) is exact for them; for an
+    externally-produced sparse table pass ``dim`` explicitly — missing
+    indexes load as 0 (the untrained prior) and an unpadded sparse
+    load would fail scoring's dim check."""
     rows = spark.read.parquet(path).collect()
-    dim = max(int(r.idx) for r in rows) + 1
-    out = [0] * dim
+    if not rows and dim is None:
+        raise ValueError(f"empty weight table at {path}; pass dim to pad")
+    n = dim if dim is not None else max(int(r.idx) for r in rows) + 1
+    out = [0] * n
     for r in rows:
         out[int(r.idx)] = int(r.w)
     return out
@@ -315,8 +319,11 @@ def _margins_stream(
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
+    # carry the id column's ACTUAL dtype: the batch path joins on any
+    # id type, so the stream path must not hardcode long
+    id_type = docs.schema[id_col].dataType
     schema = StructType(
-        [StructField("doc_id", LongType()), StructField("margin_q", LongType())]
+        [StructField("doc_id", id_type), StructField("margin_q", LongType())]
     )
 
     def run(batches):

@@ -91,11 +91,12 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """ANALYZE-style column profile: (column, n_rows, n_nulls,
     n_distinct) per requested column, EXACT counts.
 
-    Built as one stacked melt — (column, value-as-string) pairs — so
-    ALL columns profile in a single uniform-key shuffle (distinct on
-    (column, v), map-side combinable) instead of Spark's
-    count(DISTINCT a), count(DISTINCT b), ... Expand rewrite, which
-    duplicates every input row once per distinct aggregate. The
+    Built as one stacked melt — (column, value-as-string) pairs —
+    aggregated in ONE pass: groupBy (column, v) counts (uniform keys,
+    map-side combinable), then a tiny per-column rollup derives rows /
+    nulls / NDV from the value-count frame. One source scan, no Spark
+    count(DISTINCT a), count(DISTINCT b), ... Expand rewrite (which
+    duplicates every input row once per distinct aggregate). The
     string cast is injective for the supported types (ints, strings,
     dates), so distinct strings == distinct values; profile doubles
     only if you accept formatting as identity."""
@@ -112,19 +113,15 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             )
         ).alias("s")
     ).select("s.column", "s.v")
-    base = stacked.groupBy("column").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("v").isNull().cast("long")).alias("n_nulls"),
+    vcounts = stacked.groupBy("column", "v").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    nd = (
-        stacked.where(F.col("v").isNotNull())
-        .distinct()
-        .groupBy("column")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
-    return base.join(nd, "column", "left").select(
-        "column",
-        "n_rows",
-        "n_nulls",
-        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+    return vcounts.groupBy("column").agg(
+        F.sum("c").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("c"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("v").isNotNull(), F.lit(1))).alias(
+            "n_distinct"
+        ),
     )

@@ -19,8 +19,6 @@ any byte is read. :func:`read_media_dir` adapts that row shape to the
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,11 +56,14 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as exc:
-        raise RuntimeError(
-            "Avro needs the external spark-avro module on the "
-            "classpath (--packages org.apache.spark:spark-avro_2.13); "
-            "it is not bundled with pyspark"
-        ) from exc
+        msg = str(exc)
+        if "Failed to find data source" in msg or "DATA_SOURCE_NOT_FOUND" in msg:
+            raise RuntimeError(
+                "Avro needs the external spark-avro module on the "
+                "classpath (--packages org.apache.spark:spark-avro_2.13); "
+                "it is not bundled with pyspark"
+            ) from exc
+        raise  # module present: surface the real error (path, decode, ...)
 
 
 def read_binary_files(

@@ -335,7 +335,10 @@ def execute_dml(
         return {"op": "show_tables", "df": df}
 
     if (m := _DESCRIBE.match(sql)) is not None and not re.match(
-        r"^\s*DESCRIBE\s+HISTORY\b", sql, re.IGNORECASE
+        # only yield to the history route when a table name FOLLOWS
+        # "HISTORY" — a table literally named history stays
+        # describable as "DESCRIBE history"
+        r"^\s*DESCRIBE\s+HISTORY\s+\w+", sql, re.IGNORECASE
     ):
         name = m.group(1)
         root = _resolve(tables, name)
