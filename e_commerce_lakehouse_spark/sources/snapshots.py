@@ -1752,3 +1752,49 @@ def build_bloom_index(spark: SparkSession, root: str) -> int:
     if todo:
         _commit(root, manifest)
     return n_indexed
+
+
+def table_stats(root: str, snapshot_id: int | None = None) -> dict:
+    """Zero-scan table statistics from the manifest alone: total rows,
+    file count, on-disk bytes, and per-column null counts summed over
+    the snapshot's files (None when any file lacks the stat). The
+    ANALYZE TABLE answer without reading a single data page — footer
+    stats were collected at write time."""
+    manifest = _load(root)
+    sid = snapshot_id if snapshot_id is not None else manifest["current"]
+    if sid is None:
+        raise KeyError(f"table {root} has no snapshots")
+    entry = _entry(manifest, sid)
+    dir_stats = manifest.get("dir_stats", {})
+    n_rows, n_files, n_bytes = 0, 0, 0
+    rows_known = True
+    nulls: dict = {}
+    for d, fname in _entry_units(root, manifest, entry):
+        n_files += 1
+        p = os.path.join(root, d, fname)
+        if os.path.exists(p):
+            n_bytes += os.path.getsize(p)
+        fstats = dir_stats.get(d, {}).get(fname)
+        if not fstats:
+            rows_known = False
+            continue
+        first = next(iter(fstats.values()), None)
+        if first is None or first.get("rows") is None:
+            rows_known = False
+        else:
+            n_rows += first["rows"]
+        for col, s in fstats.items():
+            if col.startswith("_p_") or not isinstance(s, dict):
+                continue
+            cur = nulls.setdefault(col, 0)
+            if cur is None or s.get("nulls") is None:
+                nulls[col] = None
+            else:
+                nulls[col] = cur + s["nulls"]
+    return {
+        "snapshot_id": sid,
+        "n_rows": n_rows if rows_known else None,
+        "n_files": n_files,
+        "n_bytes": n_bytes,
+        "null_counts": nulls,
+    }

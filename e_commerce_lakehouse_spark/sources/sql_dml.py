@@ -327,6 +327,23 @@ def execute_dml(
         sid = snapshots.write_snapshot(df, root, mode="append")
         return {"op": "insert", "table": name, "snapshot_id": sid}
 
+    if (m := _SHOW_STATS.match(sql)) is not None:
+        name = m.group(1)
+        root = _resolve(tables, name)
+        stats = snapshots.table_stats(root)
+        rows = [
+            ("n_rows", None, stats["n_rows"]),
+            ("n_files", None, stats["n_files"]),
+            ("n_bytes", None, stats["n_bytes"]),
+        ] + [
+            ("null_count", c, v)
+            for c, v in sorted(stats["null_counts"].items())
+        ]
+        df = spark.createDataFrame(
+            rows, "stat string, column string, value long"
+        )
+        return {"op": "show_stats", "table": name, "df": df, "stats": stats}
+
     if _SHOW_TABLES.match(sql) is not None:
         df = spark.createDataFrame(
             [(n, r) for n, r in sorted(tables.items())],
@@ -559,3 +576,6 @@ _DESCRIBE = re.compile(
     r"^\s*DESCRIBE\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
 )
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_SHOW_STATS = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)

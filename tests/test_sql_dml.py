@@ -408,3 +408,29 @@ def test_views_describe_show_tables(spark, root, tmp_path):
     sql_dml.register_snapshot_views(spark, t)  # explicit refresh
     assert spark.sql("SELECT count(*) AS n FROM t").first().n == 1
     assert spark.sql("SELECT v FROM t").first().v == "z"
+
+
+def test_show_stats_zero_scan(spark, root):
+    """SHOW STATS FOR t answers ANALYZE-style totals from the manifest
+    alone — rows/files/bytes/null counts with no data read (values
+    equal a real scan)."""
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else f"v{i}") for i in range(100)],
+        "id long, v string",
+    ).repartition(4)
+    S.write_snapshot(df, root)
+    S.write_snapshot(
+        spark.createDataFrame([(100, None)], "id long, v string").repartition(1),
+        root,
+        mode="append",
+    )
+    out = sql_dml.execute_dml(spark, "SHOW STATS FOR t", {"t": root})
+    stats = out["stats"]
+    assert stats["n_rows"] == 101
+    assert stats["n_files"] >= 5
+    assert stats["n_bytes"] > 0
+    assert stats["null_counts"]["v"] == 21  # 20 + the appended row
+    assert stats["null_counts"]["id"] == 0
+    got = {(r.stat, r.column): r.value for r in out["df"].collect()}
+    assert got[("n_rows", None)] == 101
+    assert got[("null_count", "v")] == 21
