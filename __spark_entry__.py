@@ -1193,6 +1193,10 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         realize a target token mixture by downsampling (weight-richest
         source keeps 100%), rates floored from fixed-order IEEE
         ratios so the oracle hashes them exactly;
+      - kind='mixture_temp': temperature alpha-sampling rates
+        (sampling.temperature_rates, alpha=0.5 — sqrt is correctly
+        rounded in every IEEE engine, so the oracle hashes exactly;
+        the smallest source keeps 100%, kept shares ∝ tokens^0.5);
       - kind='chunk': RAG sliding-window chunking
         (sampling.chunk_documents, 32-token windows / 8-token
         overlap) — chunk content value-pinned via md5 in chunk_fp;
@@ -1298,6 +1302,24 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rate_pct").alias("weight_pct"),
         "n_docs",
         "weight",
+        F.lit(None).cast("string").alias("chunk_fp"),
+    )
+    # kind='mixture_temp': temperature alpha-sampling rates
+    # (sampling.temperature_rates, alpha=0.5 — sqrt is the one
+    # correctly-rounded IEEE power, so the oracle hashes exactly)
+    mix_t = sampling.temperature_rates(docs).select(
+        F.lit("mixture_temp").alias("kind"),
+        nl.alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        "source",
+        F.col("total_tokens").alias("n_tokens"),
+        nl.alias("bin_id"),
+        nl.alias("bin_offset"),
+        nl.alias("n_bins_spanned"),
+        nl.alias("rk"),
+        F.col("rate_pct").alias("weight_pct"),
+        "n_docs",
+        nl.alias("weight"),
         F.lit(None).cast("string").alias("chunk_fp"),
     )
     chunk = sampling.chunk_documents(docs, chunk_tokens=32, overlap=8).select(
@@ -1410,6 +1432,7 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(cap)
         .unionByName(imp)
         .unionByName(mix)
+        .unionByName(mix_t)
         .unionByName(chunk)
         .unionByName(shuf)
         .unionByName(dsir)
@@ -4342,6 +4365,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
                   < greatest(10, least(90, n_chars // 10))
+            UNION ALL
+            SELECT 'mixture_temp', CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), source,
+                   total_tokens, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   greatest(CAST(1 AS BIGINT),
+                            CAST(floor(100.0 *
+                                 (sqrt(CAST(t_min AS DOUBLE))
+                                  / sqrt(CAST(total_tokens AS DOUBLE))))
+                                 AS BIGINT)),
+                   n_docs, CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR)
+            FROM (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                           AS total_tokens,
+                       min(CAST(sum(len(string_split(text, ' '))) AS BIGINT))
+                           OVER () AS t_min
+                FROM documents GROUP BY source
+            )
             UNION ALL
             SELECT 'mixture', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), source,
                    total_tokens, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),

@@ -714,3 +714,48 @@ def pack_documents_ffd(
         "bin_id",
         "bin_fill",
     )
+
+
+def temperature_rates(df: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual-BERT/T5/XLM-R
+    alpha-sampling rule): resample so post-sampling source shares are
+    proportional to tokens^alpha — low-resource sources UP-weighted
+    relative to their raw share. Downsampling-only realization:
+    rate_pct(s) = floor(100 · sqrt(t_min) / sqrt(t_s)) (the smallest
+    source keeps 100%), since kept-tokens ∝ t_s·t_s^(alpha-1) =
+    t_s^alpha at alpha = 1/2.
+
+    ``alpha`` is fixed at 0.5 — the exactness discipline: sqrt is
+    correctly rounded by IEEE 754 in every engine, so the oracle
+    hashes the rates exactly, while a general pow(t, alpha-1) is
+    exp/log-based and may differ in the last ulp across libms. (0.5
+    is also the most common published setting.) Same shape as
+    :func:`mixture_rates`: one partial-agg groupBy, driver-trivial
+    min broadcast. Returns (source, n_docs, total_tokens, rate_pct).
+    """
+    if alpha != 0.5:
+        raise ValueError(
+            "temperature_rates supports alpha=0.5 only (sqrt is the "
+            "one correctly-rounded IEEE power; general pow is not "
+            "engine-portable) — use mixture_rates for explicit weights"
+        )
+    tc = F.size(F.split("text", " ")).cast("long")
+    per = df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(tc).alias("total_tokens")
+    )
+    tmin = per.agg(F.min("total_tokens").alias("t_min"))
+    return per.crossJoin(F.broadcast(tmin)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                F.lit(100.0)
+                * (
+                    F.sqrt(F.col("t_min").cast("double"))
+                    / F.sqrt(F.col("total_tokens").cast("double"))
+                )
+            ).cast("long"),
+        ).alias("rate_pct"),
+    )

@@ -636,3 +636,27 @@ def test_group_split_null_group_goes_to_last_split(spark):
     }
     assert out[1] == ("test", None) and out[2] == ("test", None)
     assert out[3][0] in ("train", "val", "test") and out[3][1] is not None
+
+
+def test_temperature_rates_alpha_half(spark):
+    """alpha=0.5 sampling: the smallest source keeps 100%, kept-token
+    shares tend to sqrt(t); alpha != 0.5 rejected loudly."""
+    import pytest as _pytest
+
+    from e_commerce_lakehouse_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "s_big", "w " * 99) for i in range(100)]
+        + [(1000 + i, "s_small", "w " * 99) for i in range(4)],
+        "doc_id long, source string, text string",
+    ).selectExpr("doc_id", "source", "trim(text) AS text")
+    got = {r.source: r for r in sampling.temperature_rates(docs).collect()}
+    assert got["s_small"].rate_pct == 100
+    # t_big = 25*t_small -> rate = floor(100/sqrt(25)) = 20
+    assert got["s_big"].rate_pct == 20
+    # realized token shares ∝ sqrt(t): big/small = sqrt(25) = 5
+    kept_big = got["s_big"].total_tokens * got["s_big"].rate_pct
+    kept_small = got["s_small"].total_tokens * got["s_small"].rate_pct
+    assert round(kept_big / kept_small) == 5
+    with _pytest.raises(ValueError, match="alpha=0.5"):
+        sampling.temperature_rates(docs, alpha=0.3)
