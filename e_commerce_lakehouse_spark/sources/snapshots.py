@@ -424,6 +424,7 @@ def write_snapshot(
     mode: str = "overwrite",
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -451,6 +452,20 @@ def write_snapshot(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     os.makedirs(root, exist_ok=True)
     manifest = _load(root)
+    # Iceberg-style branch write (the Write-Audit-Publish staging
+    # half): commits build on the BRANCH head and advance only the
+    # branch pointer — ``current`` (main) is untouched until
+    # :func:`fast_forward` publishes. Snapshot ids stay globally
+    # monotonic across refs.
+    if branch is not None and branch not in manifest.get("branches", {}):
+        raise KeyError(
+            f"unknown branch {branch!r}; create_branch first "
+            f"(existing: {sorted(manifest.get('branches', {}))})"
+        )
+    base_id = (
+        manifest["branches"][branch] if branch is not None
+        else manifest["current"]
+    )
     stored = manifest.get("constraints", {})
     if stored:
         from ..operators.constraints import guard_constraints
@@ -467,8 +482,8 @@ def write_snapshot(
     _write_data_dir(df, root, data_dir, manifest)
     dirs = [data_dir]
     files = None
-    if mode == "append" and manifest["current"] is not None:
-        parent = _entry(manifest, manifest["current"])
+    if mode == "append" and base_id is not None:
+        parent = _entry(manifest, base_id)
         dirs = parent["dirs"] + dirs
         if "files" in parent:
             # the parent references dirs at FILE granularity (a
@@ -482,17 +497,20 @@ def write_snapshot(
         files[data_dir] = sorted(manifest["dir_stats"][data_dir])
     entry = {
         "id": snap_id,
-        "op": mode,
+        "op": mode if branch is None else f"{mode}@{branch}",
         "ts": time.time(),
         "dirs": dirs,
-        "parent": manifest["current"],
+        "parent": base_id,
         "schema": df.schema.json(),
         "meta": meta or {},
     }
     if files is not None:
         entry["files"] = files
     manifest["snapshots"].append(entry)
-    manifest["current"] = snap_id
+    if branch is None:
+        manifest["current"] = snap_id
+    else:
+        manifest["branches"][branch] = snap_id
     _commit(root, manifest)
     return snap_id
 
@@ -530,16 +548,20 @@ def read_snapshot(
     snapshot_id: int | None = None,
     as_of: float | None = None,
     tag: str | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read the table: latest by default, a pinned ``snapshot_id``, a
-    named ``tag`` (see :func:`tag_snapshot`), or time travel to the
-    newest snapshot committed at/before ``as_of`` (unix seconds).
-    Schemas are merged across dirs so appends written after a column
-    was added read back with nulls in older rows."""
+    named ``tag`` (see :func:`tag_snapshot`), a ``branch`` head (the
+    WAP audit read), or time travel to the newest snapshot committed
+    at/before ``as_of`` (unix seconds). Schemas are merged across dirs
+    so appends written after a column was added read back with nulls
+    in older rows."""
     manifest = _load(root)
+    if sum(x is not None for x in (snapshot_id, tag, branch)) > 1:
+        raise ValueError("pass at most one of snapshot_id / tag / branch")
+    if branch is not None:
+        snapshot_id = resolve_branch(root, branch)
     if tag is not None:
-        if snapshot_id is not None:
-            raise ValueError("pass snapshot_id or tag, not both")
         snapshot_id = resolve_tag(root, tag)
     if snapshot_id is None and as_of is not None:
         eligible = [s for s in manifest["snapshots"] if s["ts"] <= as_of]
@@ -712,6 +734,8 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     keep = {s["id"] for s in snaps[-keep_last:]} if keep_last > 0 else set()
     keep.add(manifest["current"])
     keep.update(manifest.get("tags", {}).values())
+    # branch heads are live refs: their dirs must survive like tags'
+    keep.update(manifest.get("branches", {}).values())
     retained = [s for s in snaps if s["id"] in keep]
     live_dirs = {d for s in retained for d in s["dirs"]}
     dead_dirs = {d for s in snaps for d in s["dirs"]} - live_dirs
@@ -1106,7 +1130,7 @@ def plan_scan(
             )
     if tag is not None:
         if snapshot_id is not None:
-            raise ValueError("pass snapshot_id or tag, not both")
+            raise ValueError("pass at most one of snapshot_id / tag")
         snapshot_id = resolve_tag(root, tag)
     manifest = _load(root)
     if snapshot_id is None and as_of is not None:
@@ -1798,3 +1822,65 @@ def table_stats(root: str, snapshot_id: int | None = None) -> dict:
         "n_bytes": n_bytes,
         "null_counts": nulls,
     }
+
+
+# ---------------------------------------------------------------------------
+# Branches (Iceberg refs): named MUTABLE pointers next to the immutable
+# tags — the Write-Audit-Publish staging workflow. Stage commits on a
+# branch (main readers never see them), audit the branch head (read it,
+# run the DQ gates), then fast_forward publishes with one pointer swap.
+# ---------------------------------------------------------------------------
+
+
+def create_branch(
+    root: str, name: str, snapshot_id: int | None = None
+) -> None:
+    """Branch off ``snapshot_id`` (default: current main). Rejects
+    collisions with existing branches and tags — refs share one
+    namespace so read_snapshot(tag=...) vs branch=... can never
+    ambiguously resolve."""
+    manifest = _load(root)
+    if name in manifest.get("branches", {}) or name in manifest.get("tags", {}):
+        raise ValueError(f"ref {name!r} already exists")
+    sid = snapshot_id if snapshot_id is not None else manifest["current"]
+    if sid is None:
+        raise KeyError(f"table {root} has no snapshots to branch from")
+    _entry(manifest, sid)  # validates
+    manifest.setdefault("branches", {})[name] = sid
+    _commit(root, manifest)
+
+
+def drop_branch(root: str, name: str) -> None:
+    manifest = _load(root)
+    if name not in manifest.get("branches", {}):
+        raise KeyError(f"unknown branch {name!r}")
+    del manifest["branches"][name]
+    _commit(root, manifest)
+
+
+def resolve_branch(root: str, name: str) -> int:
+    manifest = _load(root)
+    try:
+        return manifest["branches"][name]
+    except KeyError:
+        raise KeyError(
+            f"unknown branch {name!r}; existing: "
+            f"{sorted(manifest.get('branches', {}))}"
+        ) from None
+
+
+def fast_forward(root: str, branch: str, drop: bool = False) -> int:
+    """PUBLISH: point main at the branch head (one manifest pointer
+    swap — the audited data was already written by the branch
+    commits; nothing is copied or rewritten). ``drop=True`` removes
+    the branch after publishing (the one-shot WAP pattern); keep it
+    for a long-lived staging ref. Returns the published snapshot id."""
+    manifest = _load(root)
+    if branch not in manifest.get("branches", {}):
+        raise KeyError(f"unknown branch {branch!r}")
+    sid = manifest["branches"][branch]
+    manifest["current"] = sid
+    if drop:
+        del manifest["branches"][branch]
+    _commit(root, manifest)
+    return sid

@@ -374,7 +374,7 @@ def test_tags_and_metadata_tables(spark, root):
         S.tag_snapshot(root, "training-cut-v1", v2)
     with pytest.raises(KeyError, match="no tag"):
         S.read_snapshot(spark, root, tag="nope")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         S.read_snapshot(spark, root, snapshot_id=v1, tag="training-cut-v1")
 
     # a tagged snapshot SURVIVES expiry; dropping the tag releases it
@@ -514,7 +514,7 @@ def test_tagged_scan_and_constraints_metadata(spark, root):
     # scans resolve tags like reads do
     assert S.scan_snapshot(spark, root, [("id", "<", 10)], tag="cut").count() == 10
     assert S.plan_scan(root, [("id", "<", 10)], tag="cut")["snapshot_id"] == 1
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         S.plan_scan(root, [("id", "<", 10)], snapshot_id=1, tag="cut")
     # constraints metadata table
     rows = S.metadata_table(spark, root, "constraints").collect()
@@ -989,3 +989,63 @@ def test_bloom_cross_typed_probe_falls_back_to_bounds(spark, root):
     assert [r.v for r in got.collect()] == [1]  # '0123' coerces to 123
     # matching-type probe still prunes
     assert S.plan_scan(root, [("key", "=", "nope")])["files"] == []
+
+
+# --- Branches / Write-Audit-Publish ------------------------------------------
+
+
+def test_wap_branch_write_audit_publish(spark, root):
+    """Stage commits on a branch (main readers blind to them), audit
+    the branch head, publish with one pointer swap; snapshot ids stay
+    globally monotonic and time travel still works afterwards."""
+    S.write_snapshot(spark.range(0, 100).select("id"), root)
+    S.create_branch(root, "staging")
+    S.write_snapshot(
+        spark.range(100, 130).select("id"), root, mode="append",
+        branch="staging",
+    )
+    # main unchanged; branch sees the staged append
+    assert S.read_snapshot(spark, root).count() == 100
+    assert S.read_snapshot(spark, root, branch="staging").count() == 130
+    # audit: suppose the staged batch passes -> publish
+    sid = S.fast_forward(root, "staging", drop=True)
+    assert S.read_snapshot(spark, root).count() == 130
+    assert S._load(root)["current"] == sid
+    assert "staging" not in S._load(root).get("branches", {})
+    # pre-publish main is still time-travel readable
+    assert S.read_snapshot(spark, root, snapshot_id=1).count() == 100
+
+
+def test_branch_isolation_and_guards(spark, root):
+    S.write_snapshot(spark.range(10), root)
+    S.create_branch(root, "b")
+    # branch overwrite replaces BRANCH contents only
+    S.write_snapshot(spark.range(3), root, branch="b")
+    assert S.read_snapshot(spark, root).count() == 10
+    assert S.read_snapshot(spark, root, branch="b").count() == 3
+    # main writes do not move the branch
+    S.write_snapshot(spark.range(7), root)
+    assert S.read_snapshot(spark, root, branch="b").count() == 3
+    with pytest.raises(KeyError, match="unknown branch"):
+        S.write_snapshot(spark.range(1), root, branch="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        S.create_branch(root, "b")
+    S.tag_snapshot(root, "v1", 1)
+    with pytest.raises(ValueError, match="already exists"):
+        S.create_branch(root, "v1")  # refs share a namespace
+    with pytest.raises(ValueError, match="at most one"):
+        S.read_snapshot(spark, root, tag="v1", branch="b")
+    S.drop_branch(root, "b")
+    with pytest.raises(KeyError):
+        S.resolve_branch(root, "b")
+
+
+def test_expire_keeps_branch_heads(spark, root):
+    S.write_snapshot(spark.range(5), root)
+    S.create_branch(root, "keepme")
+    S.write_snapshot(spark.range(50, 60), root, branch="keepme")  # branch head
+    for i in range(3):
+        S.write_snapshot(spark.range(i), root)  # main churn
+    S.expire_snapshots(root, keep_last=1)
+    # the branch head survived expiry and still reads
+    assert S.read_snapshot(spark, root, branch="keepme").count() == 10
