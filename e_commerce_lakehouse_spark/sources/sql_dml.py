@@ -178,7 +178,8 @@ _SELECT = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+(\w+)"
     r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)"
     r"|\s+(?:FOR\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'"
-    r"|\s+(?:FOR\s+)?TAG\s+'([^']+)')?"
+    r"|\s+(?:FOR\s+)?TAG\s+'([^']+)'"
+    r"|\s+(?:FOR\s+)?BRANCH\s+'([^']+)')?"
     r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -433,7 +434,7 @@ def execute_dml(
         return {"op": "history", "table": name, "df": df}
 
     if (m := _SELECT.match(sql)) is not None:
-        name, version, as_of, tag, where = m.groups()
+        name, version, as_of, tag, br, where = m.groups()
         root = _resolve(tables, name)
         kwargs: dict = {}
         if version is not None:
@@ -443,6 +444,8 @@ def execute_dml(
             kwargs["as_of"] = t.timestamp()
         elif tag is not None:
             kwargs["tag"] = tag
+        elif br is not None:
+            kwargs["snapshot_id"] = snapshots.resolve_branch(root, br)
         if where:
             df = snapshots.scan_snapshot(
                 spark, root, parse_where(where), **kwargs

@@ -434,3 +434,19 @@ def test_show_stats_zero_scan(spark, root):
     got = {(r.stat, r.column): r.value for r in out["df"].collect()}
     assert got[("n_rows", None)] == 101
     assert got[("null_count", "v")] == 21
+
+
+def test_select_branch(spark, root):
+    S.write_snapshot(spark.range(10), root)
+    S.create_branch(root, "stage")
+    S.write_snapshot(spark.range(25), root, branch="stage")
+    t = {"t": root}
+    assert sql_dml.execute_dml(spark, "SELECT * FROM t", t)["df"].count() == 10
+    assert (
+        sql_dml.execute_dml(spark, "SELECT * FROM t BRANCH 'stage'", t)["df"].count()
+        == 25
+    )
+    got = sql_dml.execute_dml(
+        spark, "SELECT * FROM t FOR BRANCH 'stage' WHERE id >= 20", t
+    )["df"]
+    assert got.count() == 5
