@@ -54,7 +54,10 @@ def corpus_quality_gate(
         if c not in profiled.columns:
             profiled = profiled.withColumn(c, F.lit(None).cast("string"))
     out = text.doc_profile(profiled).select("doc_id", "gopher_pass")
-    gates = [("gopher", F.col("gopher_pass"))]
+    # NULL text yields a NULL gopher_pass — coalesce to False or
+    # failed-extraction rows would slip through with keep=true and an
+    # empty reasons array (NULL conditions vanish from the filter)
+    gates = [("gopher", F.coalesce(F.col("gopher_pass"), F.lit(False)))]
     if weights is not None:
         from . import classifier
 

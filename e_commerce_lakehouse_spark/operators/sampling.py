@@ -204,13 +204,10 @@ def mixture_rates(
     compares one IEEE division per source (identical in any engine);
     every rate is then integer. Returns (source, n_docs, total_tokens,
     weight, rate_pct)."""
-    tc = F.size(F.split("text", " ")).cast("long")
     w: Column = F.lit(default_weight)
     for src, wt in sorted(target.items()):
         w = F.when(F.col("source") == src, F.lit(wt)).otherwise(w)
-    per = df.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(tc).alias("total_tokens")
-    ).withColumn("weight", w.cast("long"))
+    per = _per_source_tokens(df).withColumn("weight", w.cast("long"))
     ratio = F.col("weight").cast("double") / F.col("total_tokens").cast("double")
     top = (
         per.select(
@@ -716,6 +713,16 @@ def pack_documents_ffd(
     )
 
 
+def _per_source_tokens(df: DataFrame) -> DataFrame:
+    """(source, n_docs, total_tokens): the shared per-source token
+    aggregation both mixture-rate kinds hash-gate against — ONE
+    definition so the tokenization rule cannot drift between them."""
+    tc = F.size(F.split("text", " ")).cast("long")
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(tc).alias("total_tokens")
+    )
+
+
 def temperature_rates(df: DataFrame, alpha: float = 0.5) -> DataFrame:
     """Temperature-scaled mixture rates (the multilingual-BERT/T5/XLM-R
     alpha-sampling rule): resample so post-sampling source shares are
@@ -739,10 +746,7 @@ def temperature_rates(df: DataFrame, alpha: float = 0.5) -> DataFrame:
             "one correctly-rounded IEEE power; general pow is not "
             "engine-portable) — use mixture_rates for explicit weights"
         )
-    tc = F.size(F.split("text", " ")).cast("long")
-    per = df.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(tc).alias("total_tokens")
-    )
+    per = _per_source_tokens(df)
     tmin = per.agg(F.min("total_tokens").alias("t_min"))
     return per.crossJoin(F.broadcast(tmin)).select(
         "source",

@@ -66,6 +66,20 @@ def _commit(root: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(root))
 
 
+def _main_ancestors(manifest: dict) -> set:
+    """Snapshot ids reachable from ``current`` via parent pointers —
+    the PUBLISHED history. as_of time travel resolves over this set
+    only: staged branch commits are not ancestors of main until
+    fast_forward publishes them (at which point the whole branch
+    lineage becomes main history, exactly Iceberg's model)."""
+    by_id = {s["id"]: s for s in manifest["snapshots"]}
+    out, cur = set(), manifest["current"]
+    while cur is not None and cur in by_id and cur not in out:
+        out.add(cur)
+        cur = by_id[cur].get("parent")
+    return out
+
+
 def _entry(manifest: dict, snapshot_id: int) -> dict:
     for s in manifest["snapshots"]:
         if s["id"] == snapshot_id:
@@ -564,7 +578,11 @@ def read_snapshot(
     if tag is not None:
         snapshot_id = resolve_tag(root, tag)
     if snapshot_id is None and as_of is not None:
-        eligible = [s for s in manifest["snapshots"] if s["ts"] <= as_of]
+        anc = _main_ancestors(manifest)
+        eligible = [
+            s for s in manifest["snapshots"]
+            if s["ts"] <= as_of and s["id"] in anc
+        ]
         if not eligible:
             raise KeyError(f"no snapshot at or before {as_of}")
         snapshot_id = eligible[-1]["id"]
@@ -829,6 +847,11 @@ def tag_snapshot(root: str, name: str, snapshot_id: int | None = None) -> None:
     tags = manifest.setdefault("tags", {})
     if name in tags:
         raise ValueError(f"tag {name!r} already points at snapshot {tags[name]}")
+    if name in manifest.get("branches", {}):
+        # refs share one namespace (create_branch enforces the other
+        # direction) — a tag and branch with one name would resolve
+        # the same ref ambiguously
+        raise ValueError(f"ref {name!r} already exists as a branch")
     tags[name] = sid
     _commit(root, manifest)
 
@@ -897,11 +920,14 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     if kind == "tags":
         rows = sorted(manifest.get("tags", {}).items())
         return spark.createDataFrame(rows, "tag string, snapshot_id long")
+    if kind == "branches":
+        rows = sorted(manifest.get("branches", {}).items())
+        return spark.createDataFrame(rows, "branch string, snapshot_id long")
     if kind == "constraints":
         rows = sorted(manifest.get("constraints", {}).items())
         return spark.createDataFrame(rows, "name string, condition string")
     raise ValueError(
-        f"kind must be snapshots|files|tags|constraints, got {kind!r}"
+        f"kind must be snapshots|files|tags|branches|constraints, got {kind!r}"
     )
 
 
@@ -1134,7 +1160,11 @@ def plan_scan(
         snapshot_id = resolve_tag(root, tag)
     manifest = _load(root)
     if snapshot_id is None and as_of is not None:
-        eligible = [s for s in manifest["snapshots"] if s["ts"] <= as_of]
+        anc = _main_ancestors(manifest)
+        eligible = [
+            s for s in manifest["snapshots"]
+            if s["ts"] <= as_of and s["id"] in anc
+        ]
         if not eligible:
             raise KeyError(f"no snapshot at or before {as_of}")
         snapshot_id = eligible[-1]["id"]
@@ -1790,31 +1820,39 @@ def table_stats(root: str, snapshot_id: int | None = None) -> dict:
         raise KeyError(f"table {root} has no snapshots")
     entry = _entry(manifest, sid)
     dir_stats = manifest.get("dir_stats", {})
+    units = list(_entry_units(root, manifest, entry))
+    # a null count is exact only when EVERY file contributes the stat;
+    # a file with no stats at all, or stats pinned to other columns
+    # (stats_cols), makes that column's total unknowable -> None
+    universe: set = set()
+    per_file: list = []
     n_rows, n_files, n_bytes = 0, 0, 0
     rows_known = True
-    nulls: dict = {}
-    for d, fname in _entry_units(root, manifest, entry):
+    for d, fname in units:
         n_files += 1
         p = os.path.join(root, d, fname)
         if os.path.exists(p):
             n_bytes += os.path.getsize(p)
-        fstats = dir_stats.get(d, {}).get(fname)
-        if not fstats:
-            rows_known = False
-            continue
+        fstats = dir_stats.get(d, {}).get(fname) or {}
+        per_file.append(fstats)
+        for col, s in fstats.items():
+            if not col.startswith("_p_") and isinstance(s, dict):
+                universe.add(col)
         first = next(iter(fstats.values()), None)
         if first is None or first.get("rows") is None:
             rows_known = False
         else:
             n_rows += first["rows"]
-        for col, s in fstats.items():
-            if col.startswith("_p_") or not isinstance(s, dict):
+    nulls: dict = {c: 0 for c in universe}
+    for fstats in per_file:
+        for col in universe:
+            s = fstats.get(col)
+            if nulls[col] is None:
                 continue
-            cur = nulls.setdefault(col, 0)
-            if cur is None or s.get("nulls") is None:
+            if not isinstance(s, dict) or s.get("nulls") is None:
                 nulls[col] = None
             else:
-                nulls[col] = cur + s["nulls"]
+                nulls[col] += s["nulls"]
     return {
         "snapshot_id": sid,
         "n_rows": n_rows if rows_known else None,
@@ -1879,6 +1917,26 @@ def fast_forward(root: str, branch: str, drop: bool = False) -> int:
     if branch not in manifest.get("branches", {}):
         raise KeyError(f"unknown branch {branch!r}")
     sid = manifest["branches"][branch]
+    # a true FAST-forward: main's head must be an ancestor of the
+    # branch head, or the swap would silently discard newer main
+    # commits (and a later expire would GC their data) — Iceberg's
+    # fastForward refuses the same way
+    by_id = {s["id"]: s for s in manifest["snapshots"]}
+    cur, seen = sid, set()
+    while cur is not None and cur in by_id and cur not in seen:
+        if cur == manifest["current"]:
+            break
+        seen.add(cur)
+        cur = by_id[cur].get("parent")
+    else:
+        cur = None
+    if manifest["current"] is not None and cur != manifest["current"]:
+        raise ValueError(
+            f"cannot fast-forward: main head {manifest['current']} is "
+            f"not an ancestor of branch {branch!r} head {sid} — main "
+            "advanced since the branch was cut; rebase (re-stage) or "
+            "rollback main explicitly first"
+        )
     manifest["current"] = sid
     if drop:
         del manifest["branches"][branch]

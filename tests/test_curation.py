@@ -83,3 +83,12 @@ def test_quality_gate_classifier_rejects_spam(spark):
         # must be present when its own verdict is reject
         if got[1].clf_keep is False:
             assert "classifier" in got[1].reject_reasons
+
+
+def test_quality_gate_rejects_null_text(spark):
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog " * 3), (1, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curation.corpus_quality_gate(docs).collect()}
+    assert not got[1].keep and "gopher" in got[1].reject_reasons

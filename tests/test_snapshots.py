@@ -1049,3 +1049,50 @@ def test_expire_keeps_branch_heads(spark, root):
     S.expire_snapshots(root, keep_last=1)
     # the branch head survived expiry and still reads
     assert S.read_snapshot(spark, root, branch="keepme").count() == 10
+
+
+def test_wap_as_of_isolation_and_fast_forward_guard(spark, root):
+    """Staged branch commits are invisible to as_of time travel until
+    published (main ancestry only), and fast_forward refuses when main
+    advanced past the branch point (the swap would discard commits)."""
+    import time as _time
+
+    S.write_snapshot(spark.range(100), root)
+    S.create_branch(root, "stage")
+    S.write_snapshot(spark.range(100, 130), root, mode="append", branch="stage")
+    # as_of 'now' resolves to MAIN's head, not the newer staged commit
+    assert S.read_snapshot(spark, root, as_of=_time.time()).count() == 100
+    assert (
+        S.plan_scan(root, [("id", ">=", 0)], as_of=_time.time())["snapshot_id"]
+        == 1
+    )
+    # publish, then the branch lineage IS main history for as_of
+    S.fast_forward(root, "stage")
+    assert S.read_snapshot(spark, root, as_of=_time.time()).count() == 130
+    # main advances past a second branch -> publish refuses
+    S.create_branch(root, "late")
+    S.write_snapshot(spark.range(5), root)  # main moves on
+    with pytest.raises(ValueError, match="not an ancestor"):
+        S.fast_forward(root, "late")
+    # branches metadata table lists the ref
+    rows = {r.branch: r.snapshot_id for r in S.metadata_table(spark, root, "branches").collect()}
+    assert "late" in rows
+
+
+def test_table_stats_partial_coverage_is_none(spark, root):
+    """A column missing from any file's recorded stats reports
+    null_count None (unknown), never a silent undercount."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1),
+        root,
+        stats_cols=["id"],  # 'v' gets no stats in this file
+    )
+    S.write_snapshot(
+        spark.createDataFrame([(2, None)], "id long, v string").coalesce(1),
+        root,
+        mode="append",
+    )
+    stats = S.table_stats(root)
+    assert stats["null_counts"]["id"] == 0       # covered everywhere
+    assert stats["null_counts"]["v"] is None     # first file blind
+    assert stats["n_rows"] == 2
