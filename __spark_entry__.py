@@ -1778,7 +1778,12 @@ def _q36_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
         per-user timelines (windows.event_transitions) — the
         flow/Sankey + next-event baseline; counts plus exact-integer
         row probabilities (x1e6 div), the normalizing window on the
-        tiny |types|^2 counts frame."""
+        tiny |types|^2 counts frame;
+      - kind='attribution': first/last-touch attribution per purchase
+        (windows.touch_attribution) — the item of the same user's
+        first and last click/view in the 2-hour lookback, min/max
+        over (ts, event_id, item) structs (event_id totalizes the
+        order, so the oracle's row_number mirror agrees exactly)."""
     ev = load_table(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -1821,7 +1826,30 @@ def _q36_clicks_before_purchase(spark: SparkSession, sf: str) -> DataFrame:
         "n_transitions",
         "prob_x1e6",
     )
-    return pairs_rows.unionByName(trans)
+    attr = windows.touch_attribution(ev).select(
+        F.lit("attribution").alias("kind"),
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        nl.alias("clicks_last_hour"),
+        ns.alias("from_type"),
+        ns.alias("to_type"),
+        nl.alias("n_transitions"),
+        nl.alias("prob_x1e6"),
+        "first_item",
+        "last_item",
+        "n_touches",
+    )
+    nulls_attr = [
+        nl.alias("first_item"),
+        nl.alias("last_item"),
+        nl.alias("n_touches"),
+    ]
+    return (
+        pairs_rows.select("*", *nulls_attr)
+        .unionByName(trans.select("*", *nulls_attr))
+        .unionByName(attr)
+    )
 
 
 def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -4534,7 +4562,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS from_type,
                    CAST(NULL AS VARCHAR) AS to_type,
                    CAST(NULL AS BIGINT) AS n_transitions,
-                   CAST(NULL AS BIGINT) AS prob_x1e6
+                   CAST(NULL AS BIGINT) AS prob_x1e6,
+                   CAST(NULL AS BIGINT) AS first_item,
+                   CAST(NULL AS BIGINT) AS last_item,
+                   CAST(NULL AS BIGINT) AS n_touches
             FROM p LEFT JOIN c
               ON p.user_id = c.user_id
              AND c.c_ts >= p.p_ts - INTERVAL '1 hour'
@@ -4547,7 +4578,9 @@ def oracle_sql() -> dict[str, str]:
                    n_transitions,
                    (n_transitions * CAST(1000000 AS BIGINT))
                        // sum(n_transitions) OVER (PARTITION BY from_type)
-                       AS prob_x1e6
+                       AS prob_x1e6,
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT)
             FROM (
                 SELECT from_type, to_type, count(*) AS n_transitions
                 FROM (
@@ -4560,6 +4593,41 @@ def oracle_sql() -> dict[str, str]:
                 WHERE to_type IS NOT NULL
                 GROUP BY 1, 2
             )
+            UNION ALL
+            -- attribution: first/last touch by (t_ts, t_id) total
+            -- order — row_number mirror of the Spark struct min/max
+            SELECT 'attribution', purchase_id, user_id, p_ts,
+                   CAST(NULL AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   max(CASE WHEN rn_first = 1 THEN item END) AS first_item,
+                   max(CASE WHEN rn_last = 1 THEN item END) AS last_item,
+                   count(t_id) AS n_touches
+            FROM (
+                SELECT p.purchase_id, p.user_id, p.p_ts, t.item, t.t_id,
+                       row_number() OVER (
+                           PARTITION BY p.purchase_id
+                           ORDER BY t.t_ts ASC NULLS LAST,
+                                    t.t_id ASC NULLS LAST) AS rn_first,
+                       row_number() OVER (
+                           PARTITION BY p.purchase_id
+                           ORDER BY t.t_ts DESC NULLS LAST,
+                                    t.t_id DESC NULLS LAST) AS rn_last
+                FROM (
+                    SELECT event_id AS purchase_id, user_id, ts AS p_ts
+                    FROM events WHERE event_type = 'purchase'
+                ) p
+                LEFT JOIN (
+                    SELECT user_id AS t_user, ts AS t_ts,
+                           event_id AS t_id,
+                           CAST(props->>'$.k' AS BIGINT) AS item
+                    FROM events WHERE event_type IN ('click', 'view')
+                ) t
+                  ON p.user_id = t.t_user
+                 AND t.t_ts < p.p_ts
+                 AND t.t_ts >= p.p_ts - INTERVAL '2 hours'
+            )
+            GROUP BY 2, 3, 4
         """,
         "q37_dq_report": """
             WITH base AS (

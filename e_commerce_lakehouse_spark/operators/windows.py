@@ -260,3 +260,52 @@ def event_transitions(
             "sum(n_transitions) OVER (PARTITION BY from_type)"
         ),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    touch_types: tuple = ("click", "view"),
+    lookback_hours: int = 2,
+) -> DataFrame:
+    """Marketing attribution per purchase: the FIRST-touch and
+    LAST-touch item among the same user's click/view events in the
+    ``lookback_hours`` window strictly before each purchase, plus the
+    touch count — the two canonical single-touch attribution models
+    over one candidate join.
+
+    Plan: user-equality join with a time-range residual (the same SMJ
+    shape as the clicks-before-purchase pair query — user_id bounds
+    the match set, so no interval binning needed), then ONE partial-agg
+    groupBy taking min/max over (ts, event_id, item) structs —
+    event_id makes the order total, so first/last are deterministic in
+    any engine. Purchases with no touches keep NULL items and
+    n_touches = 0 (a left join, not a drop)."""
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin(*touch_types)
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    j = purchases.join(
+        touches,
+        (purchases.user_id == touches.t_user)
+        & (touches.t_ts < purchases.p_ts)
+        & (
+            touches.t_ts
+            >= purchases.p_ts - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+        ),
+        "left",
+    )
+    touch = F.struct("t_ts", "t_id", "item")
+    return j.groupBy("purchase_id", "user_id", "p_ts").agg(
+        F.min(touch).getField("item").alias("first_item"),
+        F.max(touch).getField("item").alias("last_item"),
+        F.count("t_id").alias("n_touches"),
+    )

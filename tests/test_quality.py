@@ -295,3 +295,35 @@ def test_profile_columns_exact_and_single_shuffle_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" not in plan
+
+
+def test_touch_attribution_hand_case(spark):
+    """First/last-touch on a hand-built timeline, incl. a purchase
+    with no touches in the lookback (NULL items, 0 touches) and a
+    same-timestamp tie broken by event_id."""
+    import datetime as dt
+
+    from e_commerce_lakehouse_spark.operators import windows as W
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def row(eid, user, typ, minutes, item=None):
+        props = '{"k": %d}' % item if item is not None else None
+        return (eid, user, typ, t0 + dt.timedelta(minutes=minutes), props)
+
+    ev = spark.createDataFrame(
+        [
+            row(1, 1, "view", -90, item=7),
+            row(2, 1, "click", -30, item=8),
+            row(3, 1, "click", -30, item=9),   # tie with eid 2 -> later id wins last
+            row(4, 1, "purchase", 0),
+            row(5, 2, "purchase", 0),          # no touches at all
+            row(6, 3, "click", -200, item=5),  # outside the 2h lookback
+            row(7, 3, "purchase", 0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, props string",
+    )
+    got = {r.purchase_id: r for r in W.touch_attribution(ev).collect()}
+    assert (got[4].first_item, got[4].last_item, got[4].n_touches) == (7, 9, 3)
+    assert (got[5].first_item, got[5].last_item, got[5].n_touches) == (None, None, 0)
+    assert (got[7].first_item, got[7].last_item, got[7].n_touches) == (None, None, 0)
