@@ -917,7 +917,9 @@ def _q31_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
     user_id) ⊕ weekly cohort retention matrix
     (aggregates.retention_cohorts — users bucketed by first-event
     week, counted per whole-week activity offset; cohort emitted as
-    days-since-epoch for exact cross-engine hashing)."""
+    days-since-epoch for exact cross-engine hashing) ⊕ kind='ttc'
+    time-to-convert percentiles (exact interpolated p50/p90 of the
+    click->purchase delta in integer microseconds)."""
     ev = load_table(spark, sf, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
@@ -958,7 +960,40 @@ def _q31_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
         "cohort_day",
         "week_offset",
     )
-    return funnel.unionByName(retention)
+    # kind='ttc': time-to-convert percentiles — exact interpolated
+    # p50/p90 of first_click -> first_purchase deltas in integer
+    # MICROSECONDS (q40's exact-percentile technique; DuckDB's
+    # quantile_cont over the identical longs)
+    ttc = (
+        per_user.filter(F.col("first_purchase") > F.col("first_click"))
+        .select(
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_click")
+            ).alias("d_us")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.expr("percentile(d_us, array(0.5, 0.9))").alias("_p"),
+        )
+        .select(
+            F.lit("ttc").alias("kind"),
+            "n_users",
+            nl.alias("clicked"),
+            nl.alias("viewed_after_click"),
+            nl.alias("purchased_after_view"),
+            nl.alias("cohort_day"),
+            nl.alias("week_offset"),
+            F.element_at("_p", 1).alias("p50_ttc_us"),
+            F.element_at("_p", 2).alias("p90_ttc_us"),
+        )
+    )
+    nd = F.lit(None).cast("double")
+    pad = [nd.alias("p50_ttc_us"), nd.alias("p90_ttc_us")]
+    return (
+        funnel.select("*", *pad)
+        .unionByName(retention.select("*", *pad))
+        .unionByName(ttc)
+    )
 
 
 def _q32_full_outer_activity(spark: SparkSession, sf: str) -> DataFrame:
@@ -4129,12 +4164,15 @@ def oracle_sql() -> dict[str, str]:
                                   AND first_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
                        AS purchased_after_view,
                    CAST(NULL AS BIGINT) AS cohort_day,
-                   CAST(NULL AS BIGINT) AS week_offset
+                   CAST(NULL AS BIGINT) AS week_offset,
+                   CAST(NULL AS DOUBLE) AS p50_ttc_us,
+                   CAST(NULL AS DOUBLE) AS p90_ttc_us
             FROM per_user
             UNION ALL
             SELECT 'retention', CAST(count(*) AS BIGINT),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-                   CAST(NULL AS BIGINT), cohort_day, week_offset
+                   CAST(NULL AS BIGINT), cohort_day, week_offset,
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
             FROM (
                 SELECT DISTINCT e.user_id,
                        CAST(datediff('day', DATE '1970-01-01',
@@ -4148,6 +4186,18 @@ def oracle_sql() -> dict[str, str]:
                       FROM events GROUP BY user_id) f
                   ON e.user_id = f.user_id
             ) GROUP BY cohort_day, week_offset
+            UNION ALL
+            SELECT 'ttc', CAST(count(*) AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   quantile_cont(d_us, 0.5), quantile_cont(d_us, 0.9)
+            FROM (
+                SELECT epoch_us(first_purchase) - epoch_us(first_click)
+                           AS d_us
+                FROM per_user
+                WHERE first_purchase > first_click
+            )
         """,
         "q32_full_outer_activity": """
             SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
