@@ -3136,8 +3136,8 @@ def _doc_profile_oracle_sql() -> str:
                 -- classifier.SPEC_WEIGHT_SQL dot product, Q16; both
                 -- // here and Spark's div truncate toward zero
                 SELECT doc_id,
-                       SUM(((((idx * 2654435761) % 4096) - 2048) * x_q)
-                           // 65536) AS ql_margin_q
+                       CAST(SUM(((((idx * 2654435761) % 4096) - 2048) * x_q)
+                                // 65536) AS BIGINT) AS ql_margin_q
                 FROM qlx GROUP BY 1
             )
             SELECT s.doc_id, lang, source,

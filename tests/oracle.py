@@ -31,6 +31,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_class(dtype) -> str:
+    """Coarse dtype class used for parity: the driver's value hash is
+    type-sensitive (int64 123 != float64 123.0), so the local gate must
+    reject class drift (e.g. DuckDB HUGEINT -> pandas float64) even when
+    values match numerically.  Bit width within a class is tolerated
+    (Spark int32 vs DuckDB int64 hash identically after numeric coercion)."""
+    s = str(dtype)
+    if s.startswith("datetime64"):
+        return "datetime"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s in ("bool", "boolean"):
+        return "bool"
+    return "object"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     got = normalize(spark_df.toPandas())
     want = normalize(con.execute(sql).fetchdf())
@@ -38,4 +56,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         f"columns differ:\n spark={list(got.columns)}\n oracle={list(want.columns)}"
     )
     assert len(got) == len(want), f"row count differs: spark={len(got)} oracle={len(want)}"
+    mismatched = [
+        (c, str(got[c].dtype), str(want[c].dtype))
+        for c in got.columns
+        if _dtype_class(got[c].dtype) != _dtype_class(want[c].dtype)
+    ]
+    assert not mismatched, (
+        "dtype class differs (spark vs oracle) — the driver's hash is "
+        f"type-sensitive and would go RED: {mismatched}"
+    )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)

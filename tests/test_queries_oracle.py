@@ -52,3 +52,24 @@ def test_query_matches_oracle(name, spark, con):
             compare(QUERIES[name](spark, SF_SMALL), fresh, ORACLES[name])
         finally:
             fresh.close()
+
+
+def test_dtype_class_drift_fails_gate(spark, con):
+    """The round-7 q16 bug class must be unrepresentable: an oracle whose
+    uncast SUM(BIGINT) surfaces as HUGEINT (-> pandas float64) while Spark
+    emits int64 has identical VALUES but must still fail the local gate,
+    because the driver's value hash is type-sensitive."""
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(3).agg(F.sum("id").cast("long").alias("s"))
+    # DuckDB SUM over BIGINT returns HUGEINT; fetchdf() gives float64.
+    assert str(con.execute(
+        "SELECT SUM(x) AS s FROM (SELECT CAST(range AS BIGINT) x FROM range(3))"
+    ).fetchdf()["s"].dtype) == "float64", "DuckDB HUGEINT premise changed"
+    with pytest.raises(AssertionError, match="dtype class differs"):
+        compare(sdf, con,
+                "SELECT SUM(x) AS s FROM (SELECT CAST(range AS BIGINT) x FROM range(3))")
+    # and the CAST convention passes:
+    compare(sdf, con,
+            "SELECT CAST(SUM(x) AS BIGINT) AS s "
+            "FROM (SELECT CAST(range AS BIGINT) x FROM range(3))")
