@@ -754,6 +754,18 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     keep.update(manifest.get("tags", {}).values())
     # branch heads are live refs: their dirs must survive like tags'
     keep.update(manifest.get("branches", {}).values())
+    # ...and each branch head's PARENT CHAIN must survive down to the
+    # first otherwise-retained snapshot: fast_forward's publish guard
+    # walks head->parent->... to prove main's head is an ancestor, so
+    # trimming an intermediate branch commit would leave a gap that
+    # permanently refuses a legitimate WAP publish ("main advanced")
+    # even though nothing advanced. Bounded by branch length.
+    by_id = {s["id"]: s for s in snaps}
+    for head in list(manifest.get("branches", {}).values()):
+        cur = by_id.get(head, {}).get("parent")
+        while cur is not None and cur in by_id and cur not in keep:
+            keep.add(cur)
+            cur = by_id[cur].get("parent")
     retained = [s for s in snaps if s["id"] in keep]
     live_dirs = {d for s in retained for d in s["dirs"]}
     dead_dirs = {d for s in snaps for d in s["dirs"]} - live_dirs

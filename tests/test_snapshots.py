@@ -1096,3 +1096,27 @@ def test_table_stats_partial_coverage_is_none(spark, root):
     assert stats["null_counts"]["id"] == 0       # covered everywhere
     assert stats["null_counts"]["v"] is None     # first file blind
     assert stats["n_rows"] == 2
+
+
+def test_expire_preserves_branch_ancestry_for_publish(spark, root):
+    """Round-7 advice: expire must retain a branch head's PARENT CHAIN,
+    not just the head — otherwise fast_forward's ancestor walk hits the
+    gap and permanently refuses a legitimate WAP publish after routine
+    maintenance."""
+    S.write_snapshot(spark.range(10), root)  # main head, branch base
+    S.create_branch(root, "stage")
+    # several staged commits -> intermediate branch snapshots
+    S.write_snapshot(spark.range(10, 20), root, mode="append", branch="stage")
+    S.write_snapshot(spark.range(20, 30), root, mode="append", branch="stage")
+    S.write_snapshot(spark.range(30, 40), root, mode="append", branch="stage")
+    # aggressive maintenance: without chain retention this trims the
+    # intermediate branch commits (only head + main current retained)
+    S.expire_snapshots(root, keep_last=1)
+    ids = {s["id"] for s in S._load(root)["snapshots"]}
+    head = S.resolve_branch(root, "stage")
+    assert head in ids and 1 in ids  # head + main current
+    assert {2, 3} <= ids  # the intermediate chain survived
+    # the publish the advice said gets bricked:
+    sid = S.fast_forward(root, "stage", drop=True)
+    assert S.read_snapshot(spark, root).count() == 40
+    assert S._load(root)["current"] == sid
