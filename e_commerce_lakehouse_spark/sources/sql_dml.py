@@ -189,9 +189,23 @@ _CTAS = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+"
+    r"^\s*INSERT\s+INTO\s+(\w+)(?:\s+BRANCH\s+'([^']+)')?\s+"
     r"SELECT\s+\*\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_CREATE_BRANCH = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+CREATE\s+BRANCH\s+'([^']+)'"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_BRANCH = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+BRANCH\s+'([^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_FAST_FORWARD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+FAST\s+FORWARD\s+TO\s+BRANCH\s+'([^']+)'"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
 )
 _CHANGES = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+TABLE_CHANGES\s*\(\s*(\w+)\s*,\s*(\d+)\s*,"
@@ -302,30 +316,83 @@ def execute_dml(
         sid = snapshots.write_snapshot(df, root, mode="overwrite")
         return {"op": "ctas", "table": name, "snapshot_id": sid}
 
+    if (m := _CREATE_BRANCH.match(sql)) is not None:
+        name, branch, version = m.groups()
+        root = _resolve(tables, name)
+        snapshots.create_branch(
+            root, branch, int(version) if version is not None else None
+        )
+        return {
+            "op": "create_branch",
+            "table": name,
+            "branch": branch,
+            "snapshot_id": snapshots.resolve_branch(root, branch),
+        }
+
+    if (m := _DROP_BRANCH.match(sql)) is not None:
+        name, branch = m.groups()
+        root = _resolve(tables, name)
+        snapshots.drop_branch(root, branch)
+        return {"op": "drop_branch", "table": name, "branch": branch}
+
+    if (m := _FAST_FORWARD.match(sql)) is not None:
+        name, branch = m.groups()
+        root = _resolve(tables, name)
+        sid = snapshots.fast_forward(root, branch)
+        return {
+            "op": "fast_forward",
+            "table": name,
+            "branch": branch,
+            "snapshot_id": sid,
+        }
+
     if (m := _INSERT.match(sql)) is not None:
-        name, src, where = m.groups()
+        name, branch, src, where = m.groups()
         root = _resolve(tables, name)
         df = _source_df(src, where)
         manifest = snapshots._load(root)
-        if manifest["current"] is not None:
+        # a branch insert appends onto the BRANCH head, so the schema
+        # gate must compare against that head, not main's current
+        gate_id = (
+            snapshots.resolve_branch(root, branch)
+            if branch is not None
+            else manifest["current"]
+        )
+        if gate_id is not None:
             # loud schema gate: a mismatched source would otherwise
             # append silently AND flip the recorded snapshot schema
             import json as _json
 
-            target_cols = [
-                f["name"]
-                for f in _json.loads(
-                    snapshots._entry(manifest, manifest["current"])["schema"]
-                ).get("fields", [])
-            ]
+            target_fields = _json.loads(
+                snapshots._entry(manifest, gate_id)["schema"]
+            ).get("fields", [])
+            target_cols = [f["name"] for f in target_fields]
             if set(df.columns) != set(target_cols):
                 raise ValueError(
                     f"INSERT INTO {name}: source columns "
                     f"{sorted(df.columns)} != target columns "
                     f"{sorted(target_cols)}"
                 )
+            # ...and TYPES: same-named columns with drifted types would
+            # append silently and flip the committed entry's schema to
+            # the source's — later mergeSchema reads across old+new dirs
+            # then fail or widen unexpectedly. Loud means types too.
+            src_types = {f.name: f.dataType.jsonValue() for f in df.schema.fields}
+            drift = [
+                (f["name"], src_types[f["name"]], f["type"])
+                for f in target_fields
+                if src_types[f["name"]] != f["type"]
+            ]
+            if drift:
+                raise ValueError(
+                    f"INSERT INTO {name}: source column types differ from "
+                    "target (col, source_type, target_type): "
+                    + ", ".join(map(str, drift))
+                )
             df = df.select(*target_cols)
-        sid = snapshots.write_snapshot(df, root, mode="append")
+        sid = snapshots.write_snapshot(
+            df, root, mode="append", **({"branch": branch} if branch else {})
+        )
         return {"op": "insert", "table": name, "snapshot_id": sid}
 
     if (m := _SHOW_STATS.match(sql)) is not None:
@@ -440,7 +507,21 @@ def execute_dml(
         if version is not None:
             kwargs["snapshot_id"] = int(version)
         elif as_of is not None:
-            t = _dt.datetime.fromisoformat(as_of)
+            # Naive ISO literals must resolve in the SESSION timezone
+            # (spark.sql.session.timeZone), not the driver OS zone —
+            # .timestamp() on a naive datetime uses the OS zone, which
+            # silently shifts the instant and can pick the wrong
+            # snapshot when the two differ. Mirrors _canon_dt.
+            t = _dt.datetime.fromisoformat(as_of.replace("Z", "+00:00"))
+            if t.tzinfo is None:
+                tz = snapshots._session_tzinfo()
+                if tz is None:
+                    raise ValueError(
+                        "naive TIMESTAMP AS OF literal without an active "
+                        "Spark session timezone — pass an offset-qualified "
+                        f"ISO string instead: {as_of!r}"
+                    )
+                t = t.replace(tzinfo=tz)
             kwargs["as_of"] = t.timestamp()
         elif tag is not None:
             kwargs["tag"] = tag

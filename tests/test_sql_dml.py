@@ -450,3 +450,118 @@ def test_select_branch(spark, root):
         spark, "SELECT * FROM t FOR BRANCH 'stage' WHERE id >= 20", t
     )["df"]
     assert got.count() == 5
+
+
+def test_timestamp_as_of_naive_literal_uses_session_tz(spark, root):
+    """Round-7 advice: a NAIVE TIMESTAMP AS OF literal must resolve in
+    the SESSION timezone, not the driver OS zone. With the session on
+    Asia/Kolkata (+05:30) and the OS on UTC, the old .timestamp() path
+    shifts the instant 5h30m forward and silently picks the newer
+    snapshot."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    S.write_snapshot(spark.range(0, 100).select("id"), root)
+    ts1 = S.history(root)[-1]["ts"]
+    S.write_snapshot(spark.range(0, 250).select("id"), root)
+    t = {"t": root}
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        # wall clock of (just after snap 1) in the SESSION zone, naive
+        iso = dt.datetime.fromtimestamp(
+            ts1 + 0.001, tz=ZoneInfo("Asia/Kolkata")
+        ).replace(tzinfo=None).isoformat()
+        got = sql_dml.execute_dml(
+            spark, f"SELECT * FROM t TIMESTAMP AS OF '{iso}'", t
+        )["df"]
+        assert got.count() == 100  # snap 1, not the newer 250-row snap
+        # offset-qualified literals resolve by their own offset
+        iso_z = dt.datetime.fromtimestamp(
+            ts1 + 0.001, tz=dt.timezone.utc
+        ).isoformat().replace("+00:00", "Z")
+        got = sql_dml.execute_dml(
+            spark, f"SELECT * FROM t TIMESTAMP AS OF '{iso_z}'", t
+        )["df"]
+        assert got.count() == 100
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_insert_into_rejects_type_drift(spark, root):
+    """Round-7 advice: INSERT INTO's schema gate must compare TYPES,
+    not just names — a same-named string column appended into a bigint
+    target would silently flip the committed schema."""
+    S.write_snapshot(spark.range(0, 10).select("id"), root)  # id: bigint
+    t = {"dst": root}
+    bad = spark.createDataFrame([("7",)], "id string")
+    with pytest.raises(ValueError, match="types differ"):
+        sql_dml.execute_dml(
+            spark, "INSERT INTO dst SELECT * FROM s", t, sources={"s": bad}
+        )
+    # same-typed source still appends
+    ok = spark.createDataFrame([(7,)], "id long")
+    sql_dml.execute_dml(
+        spark, "INSERT INTO dst SELECT * FROM s", t, sources={"s": ok}
+    )
+    assert S.read_snapshot(spark, root).count() == 11
+
+
+def test_wap_cycle_pure_sql(spark, root, tmp_path):
+    """A full Write-Audit-Publish cycle driven ONLY by SQL strings:
+    CREATE BRANCH -> INSERT INTO ... BRANCH (staged, main blind) ->
+    SELECT FOR BRANCH (audit) -> FAST FORWARD (publish) -> DROP
+    BRANCH. Round-7 verdict item 7."""
+    src_root = str(tmp_path / "src")
+    S.write_snapshot(spark.range(100, 130).select("id"), src_root)
+    S.write_snapshot(spark.range(0, 100).select("id"), root)
+    t = {"t": root, "src": src_root}
+
+    out = sql_dml.execute_dml(spark, "ALTER TABLE t CREATE BRANCH 'stage'", t)
+    assert out["op"] == "create_branch" and out["snapshot_id"] == 1
+
+    out = sql_dml.execute_dml(
+        spark, "INSERT INTO t BRANCH 'stage' SELECT * FROM src", t
+    )
+    assert out["op"] == "insert"
+    # main readers blind to the staged append; branch readers see it
+    assert sql_dml.execute_dml(spark, "SELECT * FROM t", t)["df"].count() == 100
+    audit = sql_dml.execute_dml(
+        spark, "SELECT * FROM t FOR BRANCH 'stage'", t
+    )["df"]
+    assert audit.count() == 130  # the audit read
+
+    out = sql_dml.execute_dml(
+        spark, "ALTER TABLE t FAST FORWARD TO BRANCH 'stage'", t
+    )
+    assert out["op"] == "fast_forward"
+    assert sql_dml.execute_dml(spark, "SELECT * FROM t", t)["df"].count() == 130
+    sql_dml.execute_dml(spark, "ALTER TABLE t DROP BRANCH 'stage'", t)
+    assert "stage" not in S._load(root).get("branches", {})
+
+    # guards: branch insert onto a missing ref; ff of a missing ref;
+    # type-drifted staged insert hits the same loud schema gate
+    with pytest.raises(KeyError, match="unknown branch"):
+        sql_dml.execute_dml(
+            spark, "INSERT INTO t BRANCH 'nope' SELECT * FROM src", t
+        )
+    with pytest.raises(KeyError, match="unknown branch"):
+        sql_dml.execute_dml(spark, "ALTER TABLE t FAST FORWARD TO BRANCH 'x'", t)
+    sql_dml.execute_dml(spark, "ALTER TABLE t CREATE BRANCH 'b2'", t)
+    bad = spark.createDataFrame([("7",)], "id string")
+    with pytest.raises(ValueError, match="types differ"):
+        sql_dml.execute_dml(
+            spark, "INSERT INTO t BRANCH 'b2' SELECT * FROM s", t,
+            sources={"s": bad},
+        )
+    # CREATE BRANCH AS OF VERSION pins the ref at a historic snapshot
+    out = sql_dml.execute_dml(
+        spark, "ALTER TABLE t CREATE BRANCH 'old' AS OF VERSION 1", t
+    )
+    assert out["snapshot_id"] == 1
+    assert (
+        sql_dml.execute_dml(spark, "SELECT * FROM t FOR BRANCH 'old'", t)[
+            "df"
+        ].count()
+        == 100
+    )
