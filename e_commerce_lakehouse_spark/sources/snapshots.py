@@ -45,6 +45,17 @@ from pyspark.sql import functions as F
 
 _MANIFEST = "_manifest.json"
 
+#: bounded rebase/re-run attempts on commit conflict (Iceberg's
+#: commit.retry.num-retries idea; generous because retries are cheap —
+#: metadata-only — and contention in tests is deliberately high)
+COMMIT_RETRIES = 20
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's manifest read and
+    its commit attempt (optimistic-concurrency check failed). Retryable:
+    re-read the manifest, re-apply the change, commit again."""
+
 
 def _manifest_path(root: str) -> str:
     return os.path.join(root, _MANIFEST)
@@ -53,17 +64,101 @@ def _manifest_path(root: str) -> str:
 def _load(root: str) -> dict:
     path = _manifest_path(root)
     if not os.path.exists(path):
-        return {"current": None, "snapshots": []}
+        return {"current": None, "snapshots": [], "version": 0}
     with open(path) as fh:
-        return json.load(fh)
+        manifest = json.load(fh)
+    manifest.setdefault("version", 0)  # legacy manifests
+    return manifest
 
 
 def _commit(root: str, manifest: dict) -> None:
-    """Atomic manifest swap — the transaction commit point."""
-    tmp = _manifest_path(root) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.replace(tmp, _manifest_path(root))
+    """Atomic manifest swap — the transaction commit point, with
+    optimistic concurrency (Iceberg's CAS commit model): the swap
+    succeeds only if the on-disk manifest version still equals the
+    version this writer LOADED; otherwise :class:`CommitConflict` is
+    raised and nothing is replaced. The version check + replace run
+    under an exclusive flock on a sidecar lock file so two concurrent
+    committers serialize at the check — without it, the second
+    ``os.replace`` would silently discard the first commit (the repo
+    now has four independent writer surfaces: batch, streaming sinks,
+    SQL DML, WAP branches). Readers never lock."""
+    import fcntl
+
+    os.makedirs(root, exist_ok=True)
+    expected = manifest.get("version", 0)
+    lock_fd = os.open(
+        os.path.join(root, "_manifest.lock"), os.O_CREAT | os.O_RDWR, 0o644
+    )
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        path = _manifest_path(root)
+        on_disk = 0
+        if os.path.exists(path):
+            with open(path) as fh:
+                on_disk = json.load(fh).get("version", 0)
+        if on_disk != expected:
+            raise CommitConflict(
+                f"{root}: manifest advanced v{expected} -> v{on_disk} "
+                "since this writer loaded it; reload and retry"
+            )
+        manifest["version"] = on_disk + 1
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, path)
+    finally:
+        os.close(lock_fd)  # releases the flock
+
+
+def _retry_conflicts(fn):
+    """Re-run a whole table operation on :class:`CommitConflict` (up to
+    :data:`COMMIT_RETRIES`). Correct for every decorated op because each
+    re-executes from a FRESH ``_load`` — the retry recomputes against
+    the winning writer's state rather than blindly replaying a stale
+    plan. A data dir written by a failed attempt is an orphan that
+    :func:`remove_orphans` collects. ``write_snapshot`` is NOT decorated:
+    it rebases manually so the (expensive) data write happens once."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        for attempt in range(COMMIT_RETRIES):
+            try:
+                return fn(*args, **kwargs)
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                time.sleep(0.005 * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    return wrapper
+
+
+def _claim_data_dir(root: str, snap_id: int, op: str) -> str:
+    """Claim a unique, empty data directory for one write attempt.
+    The deterministic ``snap-NNNNNNNN-op`` name is kept when free
+    (single-writer fast path); under contention — two writers planning
+    from the same manifest version would pick the SAME name and
+    interleave files — the claim fails (``mkdir`` is atomic) and a
+    pid-suffixed name is taken instead. Dir names are cosmetic: every
+    reader resolves dirs through the committed manifest entry."""
+    base = f"snap-{snap_id:08d}-{op}"
+    name, n = base, 0
+    while True:
+        try:
+            os.makedirs(os.path.join(root, name))
+            return name
+        except FileExistsError:
+            n += 1
+            name = f"{base}-w{os.getpid()}-{n}"
+
+
+def _spec_shape(spec):
+    """Partition spec minus the per-write ``dtype`` stamps — the shape
+    two writers must agree on for an append rebase to be sound."""
+    if not spec:
+        return None
+    return [{k: v for k, v in t.items() if k != "dtype"} for t in spec]
 
 
 def _main_ancestors(manifest: dict) -> set:
@@ -241,6 +336,7 @@ def _write_data_dir(
         conf.set(key, prev) if prev is not None else conf.unset(key)
 
 
+@_retry_conflicts
 def set_constraint(root: str, name: str, sql_condition: str) -> None:
     """Store a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``):
     a SQL boolean expression every FUTURE :func:`write_snapshot` row
@@ -254,6 +350,7 @@ def set_constraint(root: str, name: str, sql_condition: str) -> None:
     _commit(root, manifest)
 
 
+@_retry_conflicts
 def drop_constraint(root: str, name: str) -> None:
     manifest = _load(root)
     if name not in manifest.get("constraints", {}):
@@ -278,6 +375,7 @@ def table_constraints(root: str) -> dict[str, str]:
 # ---------------------------------------------------------------------------
 
 
+@_retry_conflicts
 def set_partition_spec(root: str, spec: list[tuple]) -> None:
     """Declare the table's partition transforms, e.g.
     ``[("days", "ts"), ("bucket", 16, "user_id"), ("truncate", 4,
@@ -485,8 +583,8 @@ def write_snapshot(
         from ..operators.constraints import guard_constraints
 
         df = guard_constraints(df, stored)
-    snap_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
-    data_dir = f"snap-{snap_id:08d}-{mode}"
+    next_id = (manifest["snapshots"][-1]["id"] + 1) if manifest["snapshots"] else 1
+    data_dir = _claim_data_dir(root, next_id, mode)
     if stats_cols is not None and manifest.get("partition_spec"):
         # a stats_cols restriction must not blind the hidden transform
         # columns or the spec would stop pruning
@@ -494,39 +592,85 @@ def write_snapshot(
             _hidden_name(t) for t in manifest["partition_spec"]
         ]
     _write_data_dir(df, root, data_dir, manifest)
-    dirs = [data_dir]
-    files = None
-    if mode == "append" and base_id is not None:
-        parent = _entry(manifest, base_id)
-        dirs = parent["dirs"] + dirs
-        if "files" in parent:
-            # the parent references dirs at FILE granularity (a
-            # replace_where/compact commit): the append must carry the
-            # kept-file lists forward or dropped files would resurrect
-            files = dict(parent["files"])
-    manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
-        root, data_dir, stats_cols
-    )
-    if files is not None:
-        files[data_dir] = sorted(manifest["dir_stats"][data_dir])
-    entry = {
-        "id": snap_id,
-        "op": mode if branch is None else f"{mode}@{branch}",
-        "ts": time.time(),
-        "dirs": dirs,
-        "parent": base_id,
-        "schema": df.schema.json(),
-        "meta": meta or {},
-    }
-    if files is not None:
-        entry["files"] = files
-    manifest["snapshots"].append(entry)
-    if branch is None:
-        manifest["current"] = snap_id
-    else:
-        manifest["branches"][branch] = snap_id
-    _commit(root, manifest)
-    return snap_id
+    dir_stats = _collect_dir_stats(root, data_dir, stats_cols)
+    schema_json = df.schema.json()
+
+    def _attach(m: dict, base: int | None) -> int:
+        """Build this write's manifest entry against ``m``'s state and
+        advance the ref — called once, and again per conflict REBASE
+        (data dir + stats reused; only metadata recomputes)."""
+        snap_id = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
+        dirs, files = [data_dir], None
+        if mode == "append" and base is not None:
+            parent = _entry(m, base)
+            dirs = parent["dirs"] + [data_dir]
+            if "files" in parent:
+                # the parent references dirs at FILE granularity (a
+                # replace_where/compact commit): the append must carry
+                # the kept-file lists forward or dropped files resurrect
+                files = dict(parent["files"])
+        m.setdefault("dir_stats", {})[data_dir] = dir_stats
+        if files is not None:
+            files[data_dir] = sorted(dir_stats)
+        entry = {
+            "id": snap_id,
+            "op": mode if branch is None else f"{mode}@{branch}",
+            "ts": time.time(),
+            "dirs": dirs,
+            "parent": base,
+            "schema": schema_json,
+            "meta": meta or {},
+        }
+        if files is not None:
+            entry["files"] = files
+        m["snapshots"].append(entry)
+        if branch is None:
+            m["current"] = snap_id
+        else:
+            m["branches"][branch] = snap_id
+        return snap_id
+
+    # Optimistic-concurrency commit loop (Iceberg's retryable fast
+    # append): the parquet write above happened ONCE; a conflicting
+    # concurrent commit only forces re-deriving ids/parent/dir lists
+    # against the winner's manifest. Drift this writer validated or
+    # derived from — constraints (df was guarded under them) and the
+    # partition spec (the data was clustered under it) — cannot be
+    # rebased and re-raises the conflict instead.
+    for attempt in range(COMMIT_RETRIES):
+        snap_id = _attach(manifest, base_id)
+        try:
+            _commit(root, manifest)
+            return snap_id
+        except CommitConflict:
+            if attempt == COMMIT_RETRIES - 1:
+                raise
+            fresh = _load(root)
+            if fresh.get("constraints", {}) != stored:
+                raise
+            if _spec_shape(fresh.get("partition_spec")) != _spec_shape(
+                manifest.get("partition_spec")
+            ):
+                raise
+            # carry this write's dtype stamps + hidden-col registrations
+            if manifest.get("partition_spec"):
+                fresh["partition_spec"] = manifest["partition_spec"]
+            hidden = set(fresh.get("hidden_cols", [])) | set(
+                manifest.get("hidden_cols", [])
+            )
+            if hidden:
+                fresh["hidden_cols"] = sorted(hidden)
+            if branch is not None:
+                if branch not in fresh.get("branches", {}):
+                    raise KeyError(
+                        f"branch {branch!r} was dropped concurrently"
+                    ) from None
+                base_id = fresh["branches"][branch]
+            else:
+                base_id = fresh["current"]
+            manifest = fresh
+            time.sleep(0.005 * (attempt + 1))
+    raise AssertionError("unreachable")
 
 
 def _dir_files(root: str, manifest: dict, d: str) -> list[str]:
@@ -698,6 +842,7 @@ def snapshot_file_changes(
     return feed, {"added": added, "removed": removed}
 
 
+@_retry_conflicts
 def rollback(root: str, snapshot_id: int) -> int:
     """Roll the table back: a NEW snapshot whose dir list is the
     target's (Iceberg ``rollback_to_snapshot`` — history is preserved,
@@ -733,6 +878,7 @@ def history(root: str) -> list[dict]:
     ]
 
 
+@_retry_conflicts
 def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     """Retain the newest ``keep_last`` snapshots (the current one and
     every TAGGED snapshot are always retained) and delete data dirs —
@@ -845,6 +991,7 @@ def vacuum(
     return removed + remove_orphans(root, older_than_s=older_than_s)
 
 
+@_retry_conflicts
 def tag_snapshot(root: str, name: str, snapshot_id: int | None = None) -> None:
     """Name a snapshot (Iceberg tag): an immutable alias like
     ``v1.2-training-cut`` that :func:`read_snapshot`'s ``tag=`` resolves
@@ -868,6 +1015,7 @@ def tag_snapshot(root: str, name: str, snapshot_id: int | None = None) -> None:
     _commit(root, manifest)
 
 
+@_retry_conflicts
 def drop_tag(root: str, name: str) -> None:
     manifest = _load(root)
     if name not in manifest.get("tags", {}):
@@ -943,6 +1091,7 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     )
 
 
+@_retry_conflicts
 def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
     """Delete data dirs referenced by NO snapshot in the log — debris
     from writes that failed before their manifest commit (Iceberg's
@@ -1317,6 +1466,7 @@ def scan_snapshot(
     return df
 
 
+@_retry_conflicts
 def replace_where(
     spark: SparkSession,
     root: str,
@@ -1396,7 +1546,7 @@ def replace_where(
         new_rows = retained.unionByName(new_rows, allowMissingColumns=True)
 
     snap_id = manifest["snapshots"][-1]["id"] + 1
-    data_dir = f"snap-{snap_id:08d}-replace"
+    data_dir = _claim_data_dir(root, snap_id, "replace")
     _write_data_dir(new_rows, root, data_dir, manifest)
 
     files = {d: sorted(names) for d, names in keep_verbatim.items()}
@@ -1424,6 +1574,7 @@ def replace_where(
     return snap_id
 
 
+@_retry_conflicts
 def update_where(
     spark: SparkSession,
     root: str,
@@ -1480,7 +1631,7 @@ def update_where(
 
     files = {d: sorted(names) for d, names in keep_verbatim.items()}
     snap_id = manifest["snapshots"][-1]["id"] + 1
-    data_dir = f"snap-{snap_id:08d}-update"
+    data_dir = _claim_data_dir(root, snap_id, "update")
     if rewrite_paths:
         conj = _ft.reduce(_op.and_, [_predicate_col(p) for p in predicates])
         cond = F.coalesce(conj, F.lit(False))
@@ -1557,6 +1708,7 @@ def delete_keys(
     return replace_where(spark, root, empty, [(key_col, "in", list(keys))])
 
 
+@_retry_conflicts
 def compact_files(
     spark: SparkSession,
     root: str,
@@ -1600,7 +1752,7 @@ def compact_files(
         _hidden_set(manifest),
     ).repartition(n_out)
     snap_id = manifest["snapshots"][-1]["id"] + 1
-    data_dir = f"snap-{snap_id:08d}-compact"
+    data_dir = _claim_data_dir(root, snap_id, "compact")
     _write_data_dir(merged, root, data_dir, manifest)
 
     files = {d: sorted(names) for d, names in keep.items()}
@@ -1686,6 +1838,7 @@ def _bloom_file_member(bl: dict, s: str) -> bool:
     return True
 
 
+@_retry_conflicts
 def set_bloom_index(
     root: str, cols: list[str], m: int = 8192, k: int = 3
 ) -> None:
@@ -1706,6 +1859,7 @@ def set_bloom_index(
     _commit(root, manifest)
 
 
+@_retry_conflicts
 def build_bloom_index(spark: SparkSession, root: str) -> int:
     """Build per-file Bloom filters for every (file, column) of the
     CURRENT snapshot still missing one, and commit the updated
@@ -1882,6 +2036,7 @@ def table_stats(root: str, snapshot_id: int | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 
+@_retry_conflicts
 def create_branch(
     root: str, name: str, snapshot_id: int | None = None
 ) -> None:
@@ -1900,6 +2055,7 @@ def create_branch(
     _commit(root, manifest)
 
 
+@_retry_conflicts
 def drop_branch(root: str, name: str) -> None:
     manifest = _load(root)
     if name not in manifest.get("branches", {}):
@@ -1919,6 +2075,7 @@ def resolve_branch(root: str, name: str) -> int:
         ) from None
 
 
+@_retry_conflicts
 def fast_forward(root: str, branch: str, drop: bool = False) -> int:
     """PUBLISH: point main at the branch head (one manifest pointer
     swap — the audited data was already written by the branch
