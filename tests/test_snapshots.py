@@ -1247,3 +1247,33 @@ def test_claim_data_dir_never_collides(root):
     b = S._claim_data_dir(root, 2, "append")
     assert a == "snap-00000002-append" and a != b
     assert os.path.isdir(os.path.join(root, b))
+
+
+def test_bloom_index_file_open_reduction(spark, root):
+    """Round-7 verdict item 6: the Bloom file index must measurably cut
+    file OPENS on an equality probe where min/max stats prune nothing.
+    Hash-distributed doc_ids make every file's [min,max] span the whole
+    domain -> stats keep all 32 files; the bloom keeps ~1 (+FPs). The
+    plan's kept list IS the open count: scan_snapshot reads kept files
+    only."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "lang")
+        .repartition(32)  # hash-scatter: min/max bounds are useless
+    )
+    S.write_snapshot(docs, root)
+    probe = [("doc_id", "=", 42)]
+    before = S.plan_scan(root, probe)
+    # hash-scatter leaves min/max nearly useless (a few of the 32 tiny
+    # files may exclude 42 by luck at sf0.01)
+    assert len(before["files"]) >= 24
+
+    S.set_bloom_index(root, ["doc_id"])
+    n = S.build_bloom_index(spark, root)
+    assert n == 32
+    after = S.plan_scan(root, probe)
+    assert len(after["files"]) <= 4  # bloom eliminates >=20 more opens
+    assert len(before["files"]) - len(after["files"]) >= 20
+    # soundness: the surviving files still contain the row
+    got = S.scan_snapshot(spark, root, probe)
+    assert [r.doc_id for r in got.collect()] == [42]
