@@ -301,6 +301,40 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
+def _margin_py(
+    text: str | None,
+    weights: list[int],
+    dim: int,
+    bigrams: bool,
+    idx_memo: dict,
+) -> int | None:
+    """One document's Q16 margin, pure Python — the SINGLE source of
+    truth for every Arrow kernel (streaming scoring here, the fused
+    streaming curation gate): same tokenizer, md5 hash, Q16 tf
+    quantization and truncating division as the relational path, so
+    batch == stream stays pinned by construction rather than by two
+    hand-synchronized copies. ``idx_memo`` caches gram->index across a
+    batch. Returns None for empty/NULL text (no features)."""
+    toks = tokenize_py(text)
+    grams = list(toks)
+    if bigrams:
+        grams += [a + "_" + b for a, b in zip(toks, toks[1:])]
+    counts: dict[int, int] = {}
+    for g in grams:
+        idx = idx_memo.get(g)
+        if idx is None:
+            idx = idx_memo[g] = _hash_py(g, dim)
+        counts[idx] = counts.get(idx, 0) + 1
+    total = sum(counts.values())
+    if not total:
+        return None
+    m = 0
+    for idx, cnt in counts.items():
+        x_q = _tdiv(cnt * ONE, total)
+        m += _tdiv(weights[idx] * x_q, ONE)
+    return m
+
+
 def _margins_stream(
     docs: DataFrame,
     weights: list[int],
@@ -329,24 +363,10 @@ def _margins_stream(
     def run(batches):
         memo: dict[str, int] = {}
         for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = tokenize_py(text)
-                grams = list(toks)
-                if bigrams:
-                    grams += [a + "_" + b for a, b in zip(toks, toks[1:])]
-                counts: dict[int, int] = {}
-                for g in grams:
-                    idx = memo.get(g)
-                    if idx is None:
-                        idx = memo[g] = _hash_py(g, dim)
-                    counts[idx] = counts.get(idx, 0) + 1
-                total = sum(counts.values())
-                m = 0
-                for idx, cnt in counts.items():
-                    x_q = _tdiv(cnt * ONE, total)
-                    m += _tdiv(weights[idx] * x_q, ONE)
-                rows.append((doc_id, m if total else None))
+            rows = [
+                (doc_id, _margin_py(text, weights, dim, bigrams, memo))
+                for doc_id, text in zip(pdf[id_col], pdf[text_col])
+            ]
             yield pd.DataFrame(rows, columns=["doc_id", "margin_q"])
 
     return docs.select(

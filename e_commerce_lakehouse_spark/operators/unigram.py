@@ -467,24 +467,37 @@ def doc_perplexity(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, tuple[int, float]] = {}
         for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in (text or "").split(" ") if w]
-                if not words:
-                    rows.append((doc_id, None, None, None))
-                    continue
-                n, lp = 0, 0.0
-                for w in words:
-                    got = memo.get(w)
-                    if got is None:
-                        got = memo[w] = _word_score(
-                            w, logp, max_piece_len, floor
-                        )
-                    n += got[0]
-                    lp += got[1]
-                rows.append((doc_id, n, lp, math.exp(-lp / n)))
+            rows = [
+                (doc_id,) + _doc_ppl(text, logp, max_piece_len, floor, memo)
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_pieces", "total_logp", "ppl"]
             )
 
     return documents.select("doc_id", "text").mapInPandas(run, schema)
+
+
+def _doc_ppl(
+    text: str | None,
+    logp: dict[str, float],
+    max_piece_len: int,
+    floor: float,
+    memo: dict,
+) -> tuple:
+    """One document's (n_pieces, total_logp, ppl), pure Python — the
+    SINGLE source of truth shared by :func:`doc_perplexity` and the
+    streaming curation gate's fused kernel, so the two can never
+    desynchronize. ``memo`` caches word->(n, logp) across a batch.
+    (None, None, None) for empty/NULL text."""
+    words = [w for w in (text or "").split(" ") if w]
+    if not words:
+        return (None, None, None)
+    n, lp = 0, 0.0
+    for w in words:
+        got = memo.get(w)
+        if got is None:
+            got = memo[w] = _word_score(w, logp, max_piece_len, floor)
+        n += got[0]
+        lp += got[1]
+    return (n, lp, math.exp(-lp / n))

@@ -328,7 +328,14 @@ def _write_data_dir(
     prev = conf.get(key, None)
     conf.set(key, "TIMESTAMP_MICROS")
     try:
-        df.write.mode("overwrite").parquet(os.path.join(root, data_dir))
+        # append, NOT overwrite: every caller writes into a directory
+        # _claim_data_dir just created atomically (empty -> identical
+        # result), and overwrite semantics would DELETE+recreate the
+        # claimed dir, reopening the same-name interleaving window the
+        # claim exists to close (a concurrent writer's mkdir landing in
+        # the delete window would "claim" the same name)
+        os.makedirs(os.path.join(root, data_dir), exist_ok=True)
+        df.write.mode("append").parquet(os.path.join(root, data_dir))
     except Exception:
         shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
         raise
@@ -900,17 +907,26 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     keep.update(manifest.get("tags", {}).values())
     # branch heads are live refs: their dirs must survive like tags'
     keep.update(manifest.get("branches", {}).values())
-    # ...and each branch head's PARENT CHAIN must survive down to the
-    # first otherwise-retained snapshot: fast_forward's publish guard
-    # walks head->parent->... to prove main's head is an ancestor, so
-    # trimming an intermediate branch commit would leave a gap that
-    # permanently refuses a legitimate WAP publish ("main advanced")
-    # even though nothing advanced. Bounded by branch length.
+    # ...and each branch head's PARENT CHAIN down to main's head must
+    # survive: fast_forward's publish guard walks head->parent->... to
+    # prove main's head is an ancestor, so trimming ANY intermediate
+    # of that chain leaves a gap that permanently refuses a legitimate
+    # WAP publish ("main advanced") even though nothing advanced. The
+    # walk must NOT stop at an already-kept intermediate (a
+    # kept-by-recency node can hide unkept ancestors below it); it
+    # stops only at main's head — nodes below it are irrelevant to the
+    # guard, and when main is not an ancestor the publish is refused
+    # with or without retention. Bounded by branch length.
     by_id = {s["id"]: s for s in snaps}
     for head in list(manifest.get("branches", {}).values()):
-        cur = by_id.get(head, {}).get("parent")
-        while cur is not None and cur in by_id and cur not in keep:
-            keep.add(cur)
+        chain: list = []
+        cur, seen = by_id.get(head, {}).get("parent"), set()
+        while cur is not None and cur in by_id and cur not in seen:
+            if cur == manifest["current"]:
+                keep.update(chain)
+                break
+            seen.add(cur)
+            chain.append(cur)
             cur = by_id[cur].get("parent")
     retained = [s for s in snaps if s["id"] in keep]
     live_dirs = {d for s in retained for d in s["dirs"]}
@@ -1091,7 +1107,6 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     )
 
 
-@_retry_conflicts
 def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
     """Delete data dirs referenced by NO snapshot in the log — debris
     from writes that failed before their manifest commit (Iceberg's
@@ -1110,10 +1125,23 @@ def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
         if now - os.path.getmtime(p) < older_than_s:
             continue
         shutil.rmtree(p, ignore_errors=True)
-        manifest.get("dir_stats", {}).pop(name, None)
         removed.append(name)
     if removed:
-        _commit(root, manifest)
+        # The deletions are done; the stats-prune commit retries with a
+        # FRESH load on conflict (a whole-function re-run would find the
+        # dirs already gone, skip the commit, and leak their dir_stats
+        # entries forever while reporting removed=[]).
+        for attempt in range(COMMIT_RETRIES):
+            for name in removed:
+                manifest.get("dir_stats", {}).pop(name, None)
+            try:
+                _commit(root, manifest)
+                break
+            except CommitConflict:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+                manifest = _load(root)
+                time.sleep(0.005 * (attempt + 1))
     return removed
 
 
@@ -1146,14 +1174,38 @@ def _session_tzinfo():
     naive predicate value before comparing it with the footer's
     UTC-adjusted bounds. None when no session / unparseable zone."""
     try:
-        from zoneinfo import ZoneInfo
-
         s = SparkSession.getActiveSession()
         if s is None:
             return None
-        return ZoneInfo(s.conf.get("spark.sql.session.timeZone"))
+        return _parse_tz(s.conf.get("spark.sql.session.timeZone"))
     except Exception:
         return None
+
+
+def _parse_tz(zone: str):
+    """Spark accepts region IDs ('Asia/Kolkata') AND zone-offset forms
+    ('+08:00', 'UTC+8', 'GMT+05:30') for spark.sql.session.timeZone —
+    ZoneInfo only knows the former, so offset forms must parse to a
+    fixed-offset tzinfo or a legitimately configured session would be
+    treated as 'no timezone'. None when unparseable."""
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(zone)
+    except Exception:
+        pass
+    m = re.match(
+        r"^(?:UTC|GMT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?$", zone
+    )
+    if m is None:
+        return None
+    sign = 1 if m.group(1) == "+" else -1
+    hh, mm, ss = int(m.group(2)), int(m.group(3) or 0), int(m.group(4) or 0)
+    if hh > 18 or mm > 59 or ss > 59:
+        return None
+    return _dt.timezone(
+        sign * _dt.timedelta(hours=hh, minutes=mm, seconds=ss)
+    )
 
 
 def _canon_dt(s: str, naive_tz) -> str:
@@ -1631,8 +1683,10 @@ def update_where(
 
     files = {d: sorted(names) for d, names in keep_verbatim.items()}
     snap_id = manifest["snapshots"][-1]["id"] + 1
-    data_dir = _claim_data_dir(root, snap_id, "update")
     if rewrite_paths:
+        # claim only when something rewrites: a fully-pruned no-op
+        # UPDATE must not leave an empty orphan dir per call/retry
+        data_dir = _claim_data_dir(root, snap_id, "update")
         conj = _ft.reduce(_op.and_, [_predicate_col(p) for p in predicates])
         cond = F.coalesce(conj, F.lit(False))
         rows = _strip_hidden(

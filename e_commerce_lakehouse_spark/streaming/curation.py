@@ -31,7 +31,6 @@ sink's shuffle (the MERGE sink's upsert)."""
 
 from __future__ import annotations
 
-import math
 from typing import Iterator
 
 import pandas as pd
@@ -43,12 +42,10 @@ from ..operators import text as _text
 from ..operators.classifier import (
     ONE,
     _check_weight_dim,
-    _hash_py,
+    _margin_py,
     _sigmoid_expr,
-    _tdiv,
-    tokenize_py,
 )
-from ..operators.unigram import _word_score
+from ..operators.unigram import _doc_ppl
 
 
 def _score_kernel(
@@ -79,42 +76,16 @@ def _score_kernel(
         for pdf in batches:
             margins, ppls = [], []
             for text in pdf["text"]:
-                if weights is None:
-                    margins.append(None)
-                else:
-                    toks = tokenize_py(text)
-                    grams = list(toks)
-                    if bigrams:
-                        grams += [a + "_" + b for a, b in zip(toks, toks[1:])]
-                    counts: dict[int, int] = {}
-                    for g in grams:
-                        idx = idx_memo.get(g)
-                        if idx is None:
-                            idx = idx_memo[g] = _hash_py(g, dim)
-                        counts[idx] = counts.get(idx, 0) + 1
-                    total = sum(counts.values())
-                    m = 0
-                    for idx, cnt in counts.items():
-                        x_q = _tdiv(cnt * ONE, total)
-                        m += _tdiv(weights[idx] * x_q, ONE)
-                    margins.append(m if total else None)
-                if logp is None:
-                    ppls.append(None)
-                else:
-                    words = [w for w in (text or "").split(" ") if w]
-                    if not words:
-                        ppls.append(None)
-                    else:
-                        n, lp = 0, 0.0
-                        for w in words:
-                            got = word_memo.get(w)
-                            if got is None:
-                                got = word_memo[w] = _word_score(
-                                    w, logp, 8, floor
-                                )
-                            n += got[0]
-                            lp += got[1]
-                        ppls.append(math.exp(-lp / n))
+                margins.append(
+                    None
+                    if weights is None
+                    else _margin_py(text, weights, dim, bigrams, idx_memo)
+                )
+                ppls.append(
+                    None
+                    if logp is None
+                    else _doc_ppl(text, logp, 8, floor, word_memo)[2]
+                )
             out = pdf[cols].copy()
             # object dtype keeps None as NULL (float64 would coerce to
             # NaN, which Arrow ships as NaN, not NULL)
@@ -140,8 +111,15 @@ def streaming_quality_gate(
     plain DataFrame transform)."""
     if weights is not None:
         _check_weight_dim(weights, dim)
+    # the batch gate computes ppl only when BOTH pieces and max_ppl are
+    # given; mirror that or the output ppl column diverges (and the
+    # kernel would pay per-row Viterbi work for a gate that can never
+    # reject)
     scored = _score_kernel(
-        docs.select("doc_id", "text"), weights, dim, pieces
+        docs.select("doc_id", "text"),
+        weights,
+        dim,
+        pieces if max_ppl is not None else None,
     )
     mask = _text.gopher_fail_mask("text")
     out = scored.select(

@@ -1277,3 +1277,89 @@ def test_bloom_index_file_open_reduction(spark, root):
     # soundness: the surviving files still contain the row
     got = S.scan_snapshot(spark, root, probe)
     assert [r.doc_id for r in got.collect()] == [42]
+
+
+def test_expire_branch_chain_behind_kept_intermediate(spark, root):
+    """Review fix: the ancestry walk must pass THROUGH kept-by-recency
+    intermediates. keep_last=2 retains {3,4}; snapshot 2 hides below
+    kept 3 and must still be retained for the publish walk."""
+    S.write_snapshot(spark.range(10), root)  # 1 = main head
+    S.create_branch(root, "stage")
+    S.write_snapshot(spark.range(10, 20), root, mode="append", branch="stage")  # 2
+    S.write_snapshot(spark.range(20, 30), root, mode="append", branch="stage")  # 3
+    S.write_snapshot(spark.range(30, 40), root, mode="append", branch="stage")  # 4
+    S.expire_snapshots(root, keep_last=2)
+    assert 2 in {s["id"] for s in S._load(root)["snapshots"]}
+    sid = S.fast_forward(root, "stage", drop=True)
+    assert S.read_snapshot(spark, root).count() == 40
+    assert S._load(root)["current"] == sid
+
+
+def test_write_data_dir_preserves_claimed_dir_inode(spark, root):
+    """Review fix: the data write must APPEND into the claimed dir, not
+    delete+recreate it (overwrite semantics would reopen the same-name
+    claim race). Same inode before and after the write proves no
+    delete happened."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    d = S._claim_data_dir(root, 1, "overwrite")
+    ino_before = os.stat(os.path.join(root, d)).st_ino
+    S._write_data_dir(spark.range(5), root, d)
+    assert os.stat(os.path.join(root, d)).st_ino == ino_before
+    assert spark.read.parquet(os.path.join(root, d)).count() == 5
+
+
+def test_remove_orphans_commit_conflict_retries_stats_prune(spark, root, monkeypatch):
+    """Review fix: a conflicting commit during remove_orphans must not
+    leak the deleted dirs' dir_stats (a whole-function re-run would
+    find nothing to remove and skip the commit)."""
+    import os
+
+    S.write_snapshot(spark.range(5).withColumn("v", F.lit(1)), root)
+    # fabricate an orphan WITH a stats entry (as a crashed writer's
+    # failed commit would leave after a partial flow)
+    spark.range(3).write.parquet(os.path.join(root, "snap-00000099-append"))
+    m = S._load(root)
+    m.setdefault("dir_stats", {})["snap-00000099-append"] = {"f": {}}
+    S._commit(root, m)
+
+    orig, raced = S._commit, {"done": False}
+
+    def racing(r, mm):
+        if not raced["done"]:
+            raced["done"] = True
+            S.tag_snapshot(root, "contender", 1)  # a concurrent commit
+        orig(r, mm)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    removed = S.remove_orphans(root)
+    monkeypatch.setattr(S, "_commit", orig)
+    assert removed == ["snap-00000099-append"]
+    final = S._load(root)
+    assert "snap-00000099-append" not in final.get("dir_stats", {})
+    assert final.get("tags", {}).get("contender") == 1  # both survived
+
+
+def test_update_where_noop_leaves_no_orphan_dir(spark, root):
+    """Review fix: a fully-pruned UPDATE must not claim (and abandon)
+    an empty data dir per call."""
+    import os
+
+    S.write_snapshot(spark.range(100).withColumn("k", F.lit(1)), root)
+    dirs_before = {d for d in os.listdir(root) if d.startswith("snap-")}
+    S.update_where(spark, root, [("id", ">", 10_000)], {"k": "2"})
+    dirs_after = {d for d in os.listdir(root) if d.startswith("snap-")}
+    assert dirs_after == dirs_before
+    assert S.remove_orphans(root) == []
+
+
+def test_parse_tz_offset_forms():
+    import datetime as dt
+
+    assert S._parse_tz("UTC").utcoffset(None) == dt.timedelta(0)
+    for z in ("+08:00", "UTC+8", "GMT+08:00", "+0800"):
+        assert S._parse_tz(z).utcoffset(None) == dt.timedelta(hours=8), z
+    assert S._parse_tz("-05:30").utcoffset(None) == -dt.timedelta(hours=5, minutes=30)
+    assert S._parse_tz("not-a-zone") is None
+    assert S._parse_tz("+99:00") is None

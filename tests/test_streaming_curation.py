@@ -103,6 +103,10 @@ def test_stream_gate_partial_gates_equal_batch(spark):
         {},
         {"weights": WEIGHTS, "dim": DIM},
         {"pieces": PIECES, "max_ppl": MAX_PPL},
+        # pieces WITHOUT max_ppl: the batch gate emits NULL ppl and no
+        # perplexity gate — the stream side must match (review fix)
+        {"pieces": PIECES},
+        {"weights": WEIGHTS, "dim": DIM, "max_ppl": MAX_PPL},
     ):
         want = _canon(batch_cur.corpus_quality_gate(docs, **kw))
         got = _canon(stream_cur.streaming_quality_gate(docs, **kw))
