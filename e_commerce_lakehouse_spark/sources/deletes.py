@@ -1,0 +1,203 @@
+"""Deletion vectors — merge-on-read row-level DELETE for the snapshot
+tables (Delta's deletion-vector / Iceberg's positional-delete model;
+engine extension — the reference pins Iceberg format-version 1 with no
+row-level delete story at all, silver_clean_transform.py:77-79).
+
+Why copy-on-write DELETE is wrong at 100 TB: ``replace_where`` deleting
+7 rows that straddle a 1 GB file rewrites the whole gigabyte. A
+deletion vector instead records the doomed rows' POSITIONS — a KB-scale
+sidecar parquet of ``(file, pos)`` — and commits a manifest entry whose
+data dirs are byte-identical to the parent's. Write amplification drops
+from O(file bytes) to O(deleted rows); the read side pays one
+broadcast anti-join (``snapshots._apply_dvs``), map-side, no shuffle.
+
+Contract with the rest of the lakehouse tier:
+
+- positions come from the parquet scanner's own ``_metadata.row_index``
+  (stable for immutable files) keyed by ``dir/file`` so a relocated
+  table root keeps its DVs valid;
+- appends/rollbacks CARRY active DVs (write_snapshot/_attach,
+  rollback), expire/remove_orphans GC sidecar dirs exactly like data
+  dirs, time travel reads each snapshot with ITS dvs;
+- ops that read data files raw (replace_where, update_where,
+  compact_files, snapshot_file_changes) REFUSE while DVs are active
+  (``_guard_no_dvs``) — :func:`rewrite_deletes` materializes the
+  deletes copy-on-write and clears the state, after which they work
+  again. ``optimize_zorder`` and ``snapshot_changes`` read through
+  ``read_snapshot`` and are DV-correct as-is;
+- ``table_stats``/SHOW STATS subtract DV row counts (footer-only).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import snapshots as S
+
+
+def delete_where_dv(
+    spark: SparkSession, root: str, predicates: list[tuple]
+) -> int:
+    """Row-level DELETE as a deletion vector: mark every row matching
+    ``predicates`` (the :func:`snapshots.plan_scan` conjunction
+    grammar) deleted WITHOUT rewriting any data file. Only files the
+    manifest stats cannot prune are even scanned, and only their
+    matching positions are written. Returns the new snapshot id (the
+    unchanged current id when nothing matched — a no-op commits
+    nothing)."""
+    return _delete_where_dv(spark, root, predicates)
+
+
+@S._retry_conflicts
+def _delete_where_dv(
+    spark: SparkSession, root: str, predicates: list[tuple]
+) -> int:
+    import functools as _ft
+    import operator as _op
+
+    if not predicates:
+        raise ValueError("delete_where_dv: predicates must be non-empty")
+    plan = S.plan_scan(root, predicates)
+    manifest = S._load(root)
+    entry = S._entry(manifest, plan["snapshot_id"])
+    if not plan["files"]:
+        return entry["id"]  # stats prove nothing matches
+
+    conj = _ft.reduce(
+        _op.and_, [S._predicate_col(p) for p in predicates]
+    )
+    # project straight off the raw scan: parquet ``_metadata`` is only
+    # resolvable on the scan relation, and only (file, pos) leave this
+    # plan — the whole mark phase is a map-side scan of the unpruned
+    # files, shuffled once by the repartition(1) sidecar write
+    doomed = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(root, f) for f in plan["files"]])
+        .select(
+            S._rel_file_col().alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+            F.coalesce(conj, F.lit(False)).alias("_hit"),
+        )
+        .filter("_hit")
+        .drop("_hit")
+    )
+    snap_id = manifest["snapshots"][-1]["id"] + 1
+    dv_dir = S._claim_data_dir(root, snap_id, "dv")
+    # sorted (file, pos) delta-encode tightly in parquet; one file per
+    # commit keeps the sidecar a single footer read
+    doomed.repartition(1).sortWithinPartitions("file", "pos").write.mode(
+        "append"
+    ).parquet(os.path.join(root, dv_dir))
+
+    import pyarrow.parquet as pq
+
+    n_marked = sum(
+        pq.read_metadata(os.path.join(root, dv_dir, f)).num_rows
+        for f in os.listdir(os.path.join(root, dv_dir))
+        if f.endswith(".parquet")
+    )
+    if n_marked == 0:
+        shutil.rmtree(os.path.join(root, dv_dir), ignore_errors=True)
+        return entry["id"]
+
+    new_entry = {
+        "id": snap_id,
+        "op": "delete_dv",
+        "ts": time.time(),
+        "dirs": list(entry["dirs"]),
+        "parent": manifest["current"],
+        "schema": entry["schema"],
+        "dvs": entry.get("dvs", []) + [dv_dir],
+        "meta": {
+            "predicates": [S._json_safe_predicate(p) for p in predicates],
+            "n_deleted": n_marked,
+        },
+    }
+    if "files" in entry:
+        new_entry["files"] = {
+            d: list(fs) for d, fs in entry["files"].items()
+        }
+    manifest["snapshots"].append(new_entry)
+    manifest["current"] = snap_id
+    S._commit(root, manifest)
+    return snap_id
+
+
+@S._retry_conflicts
+def rewrite_deletes(spark: SparkSession, root: str) -> int:
+    """Materialize the current snapshot's deletion vectors copy-on-write
+    (Delta ``REORG TABLE ... APPLY (PURGE)``): files with NO deleted
+    positions carry over VERBATIM (file-granular entry, zero I/O);
+    files with deletes are read once, their surviving rows rewritten
+    into one new dir, and the committed entry carries no ``dvs`` — the
+    raw-reading ops (replace_where & co.) work again. Returns the new
+    snapshot id (unchanged current when no DVs are active)."""
+    manifest = S._load(root)
+    if manifest["current"] is None:
+        raise KeyError(f"table {root} has no snapshots")
+    entry = S._entry(manifest, manifest["current"])
+    dvs = entry.get("dvs")
+    if not dvs:
+        return entry["id"]
+
+    dv = spark.read.parquet(*[os.path.join(root, d) for d in dvs]).select(
+        "file", "pos"
+    )
+    # the set of files with >=1 delete is manifest-scale, not
+    # data-scale: one distinct over the KB sidecars
+    dv_files = {r.file for r in dv.select("file").distinct().collect()}
+
+    keep: dict[str, list[str]] = {}
+    rewrite: list[str] = []
+    for d, f in S._entry_units(root, manifest, entry):
+        rel = os.path.join(d, f)
+        if rel in dv_files:
+            rewrite.append(rel)
+        else:
+            keep.setdefault(d, []).append(f)
+
+    snap_id = manifest["snapshots"][-1]["id"] + 1
+    files = {d: sorted(names) for d, names in keep.items()}
+    if rewrite:
+        tagged = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, p) for p in rewrite]
+        ).select(
+            "*",
+            S._rel_file_col().alias("_dv_file"),
+            F.col("_metadata.row_index").alias("_dv_pos"),
+        )
+        survivors = S._strip_hidden(
+            tagged.join(
+                F.broadcast(dv),
+                (tagged._dv_file == dv.file) & (tagged._dv_pos == dv.pos),
+                "left_anti",
+            ).drop("_dv_file", "_dv_pos"),
+            S._hidden_set(manifest),
+        )
+        data_dir = S._claim_data_dir(root, snap_id, "purge")
+        S._write_data_dir(survivors, root, data_dir, manifest)
+        manifest.setdefault("dir_stats", {})[data_dir] = S._collect_dir_stats(
+            root, data_dir
+        )
+        files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+
+    manifest["snapshots"].append(
+        {
+            "id": snap_id,
+            "op": "rewrite_deletes",
+            "ts": time.time(),
+            "dirs": sorted(files),
+            "files": files,
+            "parent": manifest["current"],
+            "schema": entry["schema"],
+            "meta": {"purged_dvs": list(dvs), "rewritten": sorted(rewrite)},
+        }
+    )
+    manifest["current"] = snap_id
+    S._commit(root, manifest)
+    return snap_id

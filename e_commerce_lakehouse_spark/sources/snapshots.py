@@ -607,7 +607,7 @@ def write_snapshot(
         advance the ref — called once, and again per conflict REBASE
         (data dir + stats reused; only metadata recomputes)."""
         snap_id = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
-        dirs, files = [data_dir], None
+        dirs, files, dvs = [data_dir], None, None
         if mode == "append" and base is not None:
             parent = _entry(m, base)
             dirs = parent["dirs"] + [data_dir]
@@ -616,6 +616,10 @@ def write_snapshot(
                 # replace_where/compact commit): the append must carry
                 # the kept-file lists forward or dropped files resurrect
                 files = dict(parent["files"])
+            if parent.get("dvs"):
+                # active deletion vectors likewise carry forward, or
+                # DV-deleted rows of parent files resurrect
+                dvs = list(parent["dvs"])
         m.setdefault("dir_stats", {})[data_dir] = dir_stats
         if files is not None:
             files[data_dir] = sorted(dir_stats)
@@ -630,6 +634,8 @@ def write_snapshot(
         }
         if files is not None:
             entry["files"] = files
+        if dvs is not None:
+            entry["dvs"] = dvs
         m["snapshots"].append(entry)
         if branch is None:
             m["current"] = snap_id
@@ -707,6 +713,59 @@ def _entry_units(root: str, manifest: dict, entry: dict):
             yield d, f
 
 
+def _rel_file_col() -> Column:
+    """'dir/name' of the source file of each row, from the hidden
+    parquet ``_metadata`` struct — the join key deletion vectors use.
+    Last two path components, so the reference survives a table-root
+    move (a full-path key would not)."""
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws(
+        "/", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+
+
+def _apply_dvs(spark: SparkSession, root: str, entry: dict, df: DataFrame) -> DataFrame:
+    """Merge-on-read: anti-join the snapshot's active deletion vectors
+    (Delta DV / Iceberg positional-delete model). The DV sidecars are
+    KB-scale (file, pos) parquet — broadcast, so the read plan gains
+    one map-side anti-join and no shuffle. Rows of files not covered
+    by any DV pass through untouched; a DV row whose file was dropped
+    by a later commit simply matches nothing (sound)."""
+    dvs = entry.get("dvs")
+    if not dvs:
+        return df
+    dv = spark.read.parquet(*[os.path.join(root, d) for d in dvs]).select(
+        "file", "pos"
+    )
+    tagged = df.select(
+        "*",
+        _rel_file_col().alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    return (
+        tagged.join(
+            F.broadcast(dv),
+            (tagged._dv_file == dv.file) & (tagged._dv_pos == dv.pos),
+            "left_anti",
+        )
+        .drop("_dv_file", "_dv_pos")
+    )
+
+
+def _guard_no_dvs(entry: dict, op: str) -> None:
+    """Ops that read data FILES raw (rewrites, changelog diffs) would
+    resurrect DV-deleted rows; refuse loudly instead of silently
+    returning them. rewrite_deletes materializes the DVs and clears
+    the state."""
+    if entry.get("dvs"):
+        raise ValueError(
+            f"{op}: snapshot {entry['id']} has active deletion vectors "
+            f"({len(entry['dvs'])}); run deletes.rewrite_deletes() "
+            "first — this operation reads data files raw and would "
+            "resurrect deleted rows"
+        )
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
@@ -755,7 +814,12 @@ def read_snapshot(
     else:
         paths = [os.path.join(root, d) for d in entry["dirs"]]
     return _strip_hidden(
-        spark.read.option("mergeSchema", "true").parquet(*paths),
+        _apply_dvs(
+            spark,
+            root,
+            entry,
+            spark.read.option("mergeSchema", "true").parquet(*paths),
+        ),
         _hidden_set(manifest),
     )
 
@@ -817,6 +881,12 @@ def snapshot_file_changes(
     if from_id == to_id:
         raise ValueError("from_id and to_id must differ")
     manifest = _load(root)
+    # a DV delete changes ROWS without changing the file set, so the
+    # file-granular feed cannot see it (and raw reads would resurrect
+    # earlier DV deletes) — refuse; snapshot_changes (read_snapshot
+    # based) is DV-correct, or rewrite_deletes first
+    _guard_no_dvs(_entry(manifest, from_id), "snapshot_file_changes")
+    _guard_no_dvs(_entry(manifest, to_id), "snapshot_file_changes")
     old = set(_entry_units(root, manifest, _entry(manifest, from_id)))
     new = set(_entry_units(root, manifest, _entry(manifest, to_id)))
     added = sorted(os.path.join(d, f) for d, f in new - old)
@@ -869,6 +939,9 @@ def rollback(root: str, snapshot_id: int) -> int:
         # file-granular target (replace_where/compact): the rollback
         # must be row-identical, so the kept-file lists come along
         entry["files"] = {d: list(fs) for d, fs in target["files"].items()}
+    if target.get("dvs"):
+        # row-identical includes the target's deletion vectors
+        entry["dvs"] = list(target["dvs"])
     manifest["snapshots"].append(entry)
     manifest["current"] = new_id
     _commit(root, manifest)
@@ -929,8 +1002,14 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
             chain.append(cur)
             cur = by_id[cur].get("parent")
     retained = [s for s in snaps if s["id"] in keep]
-    live_dirs = {d for s in retained for d in s["dirs"]}
-    dead_dirs = {d for s in snaps for d in s["dirs"]} - live_dirs
+    # deletion-vector sidecar dirs GC exactly like data dirs: dead
+    # when no retained entry lists them under "dvs"
+    live_dirs = {
+        d for s in retained for d in (s["dirs"] + s.get("dvs", []))
+    }
+    dead_dirs = {
+        d for s in snaps for d in (s["dirs"] + s.get("dvs", []))
+    } - live_dirs
     # FILE-granular GC within surviving dirs: a file referenced by no
     # retained entry (dropped by replace_where/compact, kept on disk
     # only for now-expired snapshots' time travel) is dead too —
@@ -1115,7 +1194,11 @@ def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
     its commit; Iceberg defaults to 3 days — the 0 default here is for
     tests where no writer is concurrent). Returns the removed dirs."""
     manifest = _load(root)
-    live = {d for s in manifest["snapshots"] for d in s["dirs"]}
+    live = {
+        d
+        for s in manifest["snapshots"]
+        for d in (s["dirs"] + s.get("dvs", []))
+    }
     now = time.time()
     removed = []
     for name in sorted(os.listdir(root)):
@@ -1507,11 +1590,17 @@ def scan_snapshot(
         entry = _entry(manifest, plan["snapshot_id"])
         schema = T.StructType.fromJson(json.loads(entry["schema"]))
         return spark.createDataFrame([], schema)
+    manifest = _load(root)
     df = _strip_hidden(
-        spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, f) for f in plan["files"]]
+        _apply_dvs(
+            spark,
+            root,
+            _entry(manifest, plan["snapshot_id"]),
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, f) for f in plan["files"]]
+            ),
         ),
-        _hidden_set(_load(root)),
+        _hidden_set(manifest),
     )
     for p in predicates:
         df = df.filter(_predicate_col(p))
@@ -1564,6 +1653,7 @@ def replace_where(
     plan = plan_scan(root, predicates)  # validates predicate grammar
     manifest = _load(root)
     entry = _entry(manifest, plan["snapshot_id"])
+    _guard_no_dvs(entry, "replace_where")
     dir_stats = manifest.get("dir_stats", {})
 
     keep_verbatim: dict[str, list[str]] = {}
@@ -1661,6 +1751,7 @@ def update_where(
     plan = plan_scan(root, predicates)
     manifest = _load(root)
     entry = _entry(manifest, plan["snapshot_id"])
+    _guard_no_dvs(entry, "update_where")
     # validate SET columns against the snapshot's LOGICAL schema up
     # front — an all-files-pruned predicate must not let a typo'd
     # column name commit a silent no-op snapshot
@@ -1785,6 +1876,7 @@ def compact_files(
     if manifest["current"] is None:
         raise KeyError(f"table {root} has no snapshots")
     entry = _entry(manifest, manifest["current"])
+    _guard_no_dvs(entry, "compact_files")
 
     keep: dict[str, list[str]] = {}
     small: list[tuple[str, str, int]] = []
@@ -2073,12 +2165,28 @@ def table_stats(root: str, snapshot_id: int | None = None) -> dict:
                 nulls[col] = None
             else:
                 nulls[col] += s["nulls"]
+    n_deleted = 0
+    if entry.get("dvs"):
+        # DV sidecar row counts from parquet FOOTERS only (zero data
+        # read): each sidecar row is one deleted position, so the
+        # visible row count is footer rows minus DV rows. Per-column
+        # null counts become unknowable without reading the deleted
+        # rows — report None rather than an overcount.
+        import pyarrow.parquet as pq
+
+        for d in entry["dvs"]:
+            dp = os.path.join(root, d)
+            for f in os.listdir(dp):
+                if f.endswith(".parquet"):
+                    n_deleted += pq.read_metadata(os.path.join(dp, f)).num_rows
+        nulls = {c: None for c in nulls}
     return {
         "snapshot_id": sid,
-        "n_rows": n_rows if rows_known else None,
+        "n_rows": (n_rows - n_deleted) if rows_known else None,
         "n_files": n_files,
         "n_bytes": n_bytes,
         "null_counts": nulls,
+        "n_deleted": n_deleted,
     }
 
 

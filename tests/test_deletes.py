@@ -1,0 +1,194 @@
+"""Deletion vectors (sources/deletes.py): merge-on-read row deletes —
+zero data-file rewrites on DELETE, read-side anti-join correctness,
+carry-on-append/rollback, raw-reader guards, copy-on-write purge, GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.sources import deletes as D
+from e_commerce_lakehouse_spark.sources import snapshots as S
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _table(spark, root, n=1000, parts=8):
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 10).alias("k")
+    ).repartitionByRange(parts, "id")
+    S.write_snapshot(df, root)
+    return df
+
+
+def _data_files(root):
+    out = {}
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("snap-") and os.path.isdir(p):
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(p, f))
+                    out[os.path.join(d, f)] = (st.st_ino, st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_dv_delete_no_rewrite_and_read_correct(spark, root):
+    _table(spark, root)
+    before = _data_files(root)
+    sid = D.delete_where_dv(spark, root, [("k", "=", 3)])
+    assert sid == 2
+    got = S.read_snapshot(spark, root)
+    assert got.filter("k = 3").count() == 0
+    assert got.count() == 900
+    # NOT copy-on-write: every pre-existing data file is byte-identical
+    after = _data_files(root)
+    for rel, stat in before.items():
+        assert after[rel] == stat, rel
+    # the only new bytes are the KB-scale sidecar
+    entry = S._entry(S._load(root), sid)
+    assert entry["dirs"] == S._entry(S._load(root), 1)["dirs"]
+    assert len(entry["dvs"]) == 1
+    dv_bytes = sum(
+        os.path.getsize(os.path.join(root, entry["dvs"][0], f))
+        for f in os.listdir(os.path.join(root, entry["dvs"][0]))
+    )
+    assert dv_bytes < min(s[2] for s in before.values()) * 2
+    assert entry["meta"]["n_deleted"] == 100
+
+
+def test_dv_time_travel_rollback_and_append_carry(spark, root):
+    _table(spark, root)
+    D.delete_where_dv(spark, root, [("id", "<", 100)])
+    # pre-delete snapshot unaffected; post-delete applies its dvs
+    assert S.read_snapshot(spark, root, snapshot_id=1).count() == 1000
+    assert S.read_snapshot(spark, root).count() == 900
+    # append on top: deletes stay deleted, new rows visible
+    S.write_snapshot(
+        spark.range(5000, 5010).select(
+            "id", (F.col("id") % 10).alias("k")
+        ),
+        root,
+        mode="append",
+    )
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 910
+    assert got.filter("id < 100").count() == 0
+    # rollback to the DV snapshot is row-identical (dvs carried)
+    S.rollback(root, 2)
+    assert S.read_snapshot(spark, root).count() == 900
+    # rollback to pre-delete resurrects
+    S.rollback(root, 1)
+    assert S.read_snapshot(spark, root).count() == 1000
+
+
+def test_dv_stacking_and_scan_snapshot(spark, root):
+    _table(spark, root)
+    D.delete_where_dv(spark, root, [("k", "=", 1)])
+    sid = D.delete_where_dv(spark, root, [("id", "<", 50)])
+    entry = S._entry(S._load(root), sid)
+    assert len(entry["dvs"]) == 2  # accumulate, each commit its own sidecar
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 1000 - 100 - 45  # k=1 has 100 rows; id<50 has 50, 5 overlap
+    # pruned scan still applies dvs on surviving files
+    scanned = S.scan_snapshot(spark, root, [("id", "<", 200)])
+    assert scanned.count() == 200 - 50 - 15  # id<50 gone; k=1 in [50,200) = 15
+    assert scanned.filter("k = 1").count() == 0
+
+
+def test_dv_noop_commits_nothing(spark, root):
+    _table(spark, root)
+    sid = D.delete_where_dv(spark, root, [("id", ">", 10_000)])
+    assert sid == 1  # stats-pruned: current unchanged
+    sid = D.delete_where_dv(spark, root, [("k", "=", 3), ("id", ">", 998)])
+    assert sid == 1  # scanned but matched nothing; sidecar cleaned up
+    assert len(S._load(root)["snapshots"]) == 1
+    assert S.remove_orphans(root) == []  # the aborted claim was removed
+
+
+def test_dv_guards_raw_readers(spark, root):
+    _table(spark, root)
+    D.delete_where_dv(spark, root, [("k", "=", 3)])
+    empty = spark.createDataFrame([], "id long, k long")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        S.replace_where(spark, root, empty, [("k", "=", 4)])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        S.update_where(spark, root, [("k", "=", 4)], {"k": "5"})
+    with pytest.raises(ValueError, match="deletion vectors"):
+        S.compact_files(spark, root, target_bytes=1)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        S.snapshot_file_changes(spark, root, 1, 2)
+    # read_snapshot-based changelog IS dv-correct: the feed sees the
+    # dv-deleted rows as deletes
+    feed = S.snapshot_changes(spark, root, ["id"], 1, 2)
+    kinds = {r["_change_type"] for r in feed.select("_change_type").distinct().collect()}
+    assert kinds == {"delete"}
+    assert feed.count() == 100
+
+
+def test_rewrite_deletes_purges_and_lifts_guards(spark, root):
+    _table(spark, root, n=1000, parts=8)
+    D.delete_where_dv(spark, root, [("id", "<", 50)])  # hits 1 range file
+    before = _data_files(root)
+    sid = D.rewrite_deletes(spark, root)
+    entry = S._entry(S._load(root), sid)
+    assert "dvs" not in entry
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 950 and got.filter("id < 50").count() == 0
+    # copy-on-write touched ONLY the dv'd file: untouched files carried
+    # verbatim into the file-granular entry, byte-identical on disk
+    rewritten = set(entry["meta"]["rewritten"])
+    assert len(rewritten) == 1
+    after = _data_files(root)
+    for rel, stat in before.items():
+        if rel not in rewritten:
+            assert after.get(rel) == stat, rel
+    # raw readers work again
+    S.update_where(spark, root, [("k", "=", 4)], {"k": "44"})
+    assert S.read_snapshot(spark, root).filter("k = 44").count() == 95
+    # expire GCs the purged sidecar dirs with the old snapshots
+    deleted = S.expire_snapshots(root, keep_last=1)
+    assert any("-dv" in d for d in deleted)
+    assert S.read_snapshot(spark, root).count() == 950
+
+
+def test_dv_table_stats_subtract(spark, root):
+    _table(spark, root)
+    D.delete_where_dv(spark, root, [("k", "=", 3)])
+    stats = S.table_stats(root)
+    assert stats["n_rows"] == 900
+    assert stats["n_deleted"] == 100
+    assert all(v is None for v in stats["null_counts"].values())
+
+
+def test_dv_idempotent_under_commit_conflict(spark, root, monkeypatch):
+    """A conflicting append between the DV mark and its commit: the
+    retry re-plans against the fresh state; both the delete and the
+    append survive."""
+    _table(spark, root)
+    orig, raced = S._commit, {"done": False}
+
+    def racing(r, m):
+        if not raced["done"]:
+            raced["done"] = True
+            S.write_snapshot(
+                spark.range(5000, 5100).select(
+                    "id", (F.col("id") % 10).alias("k")
+                ),
+                root,
+                mode="append",
+            )
+        orig(r, m)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    D.delete_where_dv(spark, root, [("id", "<", 100)])
+    monkeypatch.setattr(S, "_commit", orig)
+    got = S.read_snapshot(spark, root)
+    assert got.filter("id < 100").count() == 0
+    assert got.filter("id >= 5000").count() == 100
+    assert got.count() == 1000
