@@ -201,3 +201,22 @@ def rewrite_deletes(spark: SparkSession, root: str) -> int:
     manifest["current"] = snap_id
     S._commit(root, manifest)
     return snap_id
+
+
+@S._retry_conflicts
+def set_delete_mode(root: str, mode: str) -> None:
+    """Table property choosing how DELETE executes (Iceberg's
+    ``write.delete.mode``): ``copy-on-write`` (default — replace_where
+    rewrites straddling files) or ``merge-on-read`` (deletion
+    vectors). Read by the SQL DELETE route; the APIs stay explicit."""
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"delete mode must be copy-on-write|merge-on-read, got {mode!r}"
+        )
+    manifest = S._load(root)
+    manifest["delete_mode"] = mode
+    S._commit(root, manifest)
+
+
+def delete_mode(root: str) -> str:
+    return S._load(root).get("delete_mode", "copy-on-write")

@@ -227,6 +227,15 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_SET_TBLPROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
+    r"'([^']+)'\s*=\s*'([^']+)'\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REORG = re.compile(
+    r"^\s*REORG\s+TABLE\s+(\w+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -535,11 +544,42 @@ def execute_dml(
             df = snapshots.read_snapshot(spark, root, **kwargs)
         return {"op": "select", "table": name, "df": df}
 
+    if (m := _SET_TBLPROP.match(sql)) is not None:
+        name, key, value = m.groups()
+        root = _resolve(tables, name)
+        if key != "write.delete.mode":
+            raise ValueError(
+                f"unsupported table property {key!r} "
+                "(supported: write.delete.mode)"
+            )
+        from . import deletes
+
+        deletes.set_delete_mode(root, value)
+        return {"op": "set_tblproperties", "table": name, key: value}
+
+    if (m := _REORG.match(sql)) is not None:
+        name = m.group(1)
+        root = _resolve(tables, name)
+        from . import deletes
+
+        sid = deletes.rewrite_deletes(spark, root)
+        return {"op": "reorg_purge", "table": name, "snapshot_id": sid}
+
     if (m := _DELETE.match(sql)) is not None:
         name, where = m.groups()
         root = _resolve(tables, name)
-        empty = _empty_like(spark, root)
-        sid = snapshots.replace_where(spark, root, empty, parse_where(where))
+        from . import deletes
+
+        # Iceberg's write.delete.mode: merge-on-read marks positions in
+        # a deletion vector (no file rewrites); copy-on-write (default)
+        # routes through replace_where
+        if deletes.delete_mode(root) == "merge-on-read":
+            sid = deletes.delete_where_dv(spark, root, parse_where(where))
+        else:
+            empty = _empty_like(spark, root)
+            sid = snapshots.replace_where(
+                spark, root, empty, parse_where(where)
+            )
         return {"op": "delete", "table": name, "snapshot_id": sid}
 
     if (m := _UPDATE.match(sql)) is not None:

@@ -565,3 +565,43 @@ def test_wap_cycle_pure_sql(spark, root, tmp_path):
         ].count()
         == 100
     )
+
+
+def test_delete_mode_routes_dv_and_reorg_purge(spark, root):
+    """write.delete.mode='merge-on-read' routes SQL DELETE through a
+    deletion vector (no data-file rewrites); REORG TABLE ... APPLY
+    (PURGE) materializes and clears it; copy-on-write stays default."""
+    import os
+
+    S.write_snapshot(
+        spark.range(1000).select("id", (F.col("id") % 10).alias("k"))
+        .repartitionByRange(4, "id"),
+        root,
+    )
+    t = {"t": root}
+    out = sql_dml.execute_dml(
+        spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')",
+        t,
+    )
+    assert out["op"] == "set_tblproperties"
+    files_before = {
+        d: sorted(os.listdir(os.path.join(root, d)))
+        for d in os.listdir(root)
+        if d.startswith("snap-") and os.path.isdir(os.path.join(root, d))
+    }
+    out = sql_dml.execute_dml(spark, "DELETE FROM t WHERE k = 3", t)
+    entry = S._entry(S._load(root), out["snapshot_id"])
+    assert entry["op"] == "delete_dv" and len(entry["dvs"]) == 1
+    assert sql_dml.execute_dml(spark, "SELECT * FROM t", t)["df"].count() == 900
+    for d, fs in files_before.items():  # no data file rewritten
+        assert sorted(os.listdir(os.path.join(root, d))) == fs
+    out = sql_dml.execute_dml(spark, "REORG TABLE t APPLY (PURGE)", t)
+    assert out["op"] == "reorg_purge"
+    assert "dvs" not in S._entry(S._load(root), out["snapshot_id"])
+    assert sql_dml.execute_dml(spark, "SELECT * FROM t", t)["df"].count() == 900
+    # unsupported property stays loud
+    with pytest.raises(ValueError, match="unsupported table property"):
+        sql_dml.execute_dml(
+            spark, "ALTER TABLE t SET TBLPROPERTIES ('x'='y')", t
+        )
