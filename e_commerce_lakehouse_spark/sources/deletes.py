@@ -30,6 +30,7 @@ Contract with the rest of the lakehouse tier:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -220,3 +221,135 @@ def set_delete_mode(root: str, mode: str) -> None:
 
 def delete_mode(root: str) -> str:
     return S._load(root).get("delete_mode", "copy-on-write")
+
+
+def merge_upsert_dv(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    meta: dict | None = None,
+) -> int:
+    """MERGE (WHEN MATCHED UPDATE source-wins-per-column / WHEN NOT
+    MATCHED INSERT) as ONE merge-on-read commit: matched target rows
+    are DV-deleted by position, their merged replacements plus the new
+    keys append as one delta dir, and a single manifest entry carries
+    both — atomic, exactly like ``operators.upsert.merge_upsert``'s
+    values (per-column ``coalesce(source, target)``, pytest-pinned)
+    but O(batch) instead of O(table):
+
+    the copy-on-write merge path rewrites the WHOLE table every call
+    (mode='overwrite'), which at 100 TB is a full-table shuffle+write
+    per micro-batch; here the table is scanned once (map-side, source
+    broadcast), only matched positions and batch-sized rows are
+    written, and unmatched files stay byte-identical. ``meta`` rides
+    the commit (the streaming sink's exactly-once batch id).
+
+    Source must carry every table column and at most one row per key
+    (pre-dedup by sequence column upstream, as the MERGE sink does)."""
+    return _merge_upsert_dv(spark, root, source, keys, meta)
+
+
+@S._retry_conflicts
+def _merge_upsert_dv(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    meta: dict | None,
+) -> int:
+    manifest = S._load(root)
+    if manifest["current"] is None:
+        raise KeyError(f"table {root} has no snapshots; write_snapshot first")
+    entry = S._entry(manifest, manifest["current"])
+    cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
+    src = source.select(*cols)
+
+    paths = [
+        os.path.join(root, d, f)
+        for d, f in S._entry_units(root, manifest, entry)
+    ]
+    snap_id = manifest["snapshots"][-1]["id"] + 1
+    dv_dir = None
+    if paths:
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # _metadata resolves on the scan relation only: derive file/pos
+        # HERE, then anti-join prior DVs on the derived columns (what
+        # _apply_dvs does, minus a second _metadata access through a
+        # Project)
+        tagged = raw.select(
+            "*",
+            S._rel_file_col().alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        if entry.get("dvs"):
+            olddv = spark.read.parquet(
+                *[os.path.join(root, d) for d in entry["dvs"]]
+            ).select("file", "pos")
+            tagged = tagged.join(
+                F.broadcast(olddv),
+                (tagged._file == olddv.file) & (tagged._pos == olddv.pos),
+                "left_anti",
+            )
+        # matched = target rows whose key appears in the (broadcast)
+        # batch — the only rows whose positions and values we need
+        matched = tagged.join(F.broadcast(src.select(*keys)), keys, "inner")
+        dv_dir = S._claim_data_dir(root, snap_id, "dv")
+        matched.select(
+            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        ).repartition(1).sortWithinPartitions("file", "pos").write.mode(
+            "append"
+        ).parquet(os.path.join(root, dv_dir))
+
+        t = matched.select(*cols).alias("t")
+        s = src.alias("s")
+        cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+        # merged values == merge_upsert's coalesce(source, target);
+        # keys missing from the target insert as-is via the right join
+        appended = t.join(F.broadcast(s), cond, "right_outer").select(
+            *[
+                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                for c in cols
+            ]
+        )
+    else:
+        appended = src
+
+    data_dir = S._claim_data_dir(root, snap_id, "merge")
+    S._write_data_dir(appended, root, data_dir, manifest)
+    manifest.setdefault("dir_stats", {})[data_dir] = S._collect_dir_stats(
+        root, data_dir
+    )
+    import pyarrow.parquet as pq
+
+    dvs = list(entry.get("dvs", []))
+    if dv_dir is not None:
+        n_marked = sum(
+            pq.read_metadata(os.path.join(root, dv_dir, f)).num_rows
+            for f in os.listdir(os.path.join(root, dv_dir))
+            if f.endswith(".parquet")
+        )
+        if n_marked:
+            dvs.append(dv_dir)
+        else:  # insert-only batch: no positions to delete
+            shutil.rmtree(os.path.join(root, dv_dir), ignore_errors=True)
+
+    new_entry = {
+        "id": snap_id,
+        "op": "merge_dv",
+        "ts": time.time(),
+        "dirs": entry["dirs"] + [data_dir],
+        "parent": manifest["current"],
+        "schema": entry["schema"],
+        "meta": meta or {},
+    }
+    if dvs:
+        new_entry["dvs"] = dvs
+    if "files" in entry:
+        files = {d: list(fs) for d, fs in entry["files"].items()}
+        files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+        new_entry["files"] = files
+    manifest["snapshots"].append(new_entry)
+    manifest["current"] = snap_id
+    S._commit(root, manifest)
+    return snap_id

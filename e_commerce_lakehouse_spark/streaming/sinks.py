@@ -154,6 +154,22 @@ def foreach_batch_merge_snapshot(
                 .drop("_rn")
             )
         if manifest["current"] is not None:
+            from ..sources import deletes
+
+            if deletes.delete_mode(root) == "merge-on-read":
+                # O(batch) path: matched positions DV-deleted + merged
+                # rows appended in ONE commit (batch id rides it, same
+                # exactly-once transaction) — the copy-on-write branch
+                # below rewrites the WHOLE table per micro-batch, which
+                # at 100 TB is a full-table shuffle+write every trigger
+                deletes.merge_upsert_dv(
+                    batch_df.sparkSession,
+                    root,
+                    src,
+                    list(keys),
+                    meta={"stream_batch_id": batch_id},
+                )
+                return
             target = snap.read_snapshot(batch_df.sparkSession, root)
             merged = merge_upsert(target, src.select(*target.columns), keys)
         else:

@@ -192,3 +192,113 @@ def test_dv_idempotent_under_commit_conflict(spark, root, monkeypatch):
     assert got.filter("id < 100").count() == 0
     assert got.filter("id >= 5000").count() == 100
     assert got.count() == 1000
+
+
+def test_merge_upsert_dv_values_equal_copy_on_write(spark, root):
+    """merge_upsert_dv == operators.upsert.merge_upsert values on the
+    same inputs (per-column coalesce: source NULL keeps the target
+    value), in ONE commit, with pre-existing data files untouched."""
+    from e_commerce_lakehouse_spark.operators.upsert import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, n long"
+    )
+    S.write_snapshot(base.repartition(3), root)
+    src = spark.createDataFrame(
+        [(2, None, 200), (4, "d", 40)], "id long, v string, n long"
+    )
+    before = _data_files(root)
+    sid = D.merge_upsert_dv(spark, root, src, ["id"], meta={"x": 1})
+    got = sorted(tuple(r) for r in S.read_snapshot(spark, root).collect())
+    want = sorted(
+        tuple(r) for r in merge_upsert(base, src, ["id"]).collect()
+    )
+    assert got == want
+    assert got[1] == (2, "b", 200)  # source NULL kept target's v
+    entry = S._entry(S._load(root), sid)
+    assert entry["op"] == "merge_dv" and entry["meta"] == {"x": 1}
+    assert len(entry["dvs"]) == 1  # one matched key -> one DV commit
+    after = _data_files(root)
+    for rel, stat in before.items():  # O(batch): old files byte-identical
+        assert after[rel] == stat, rel
+
+
+def test_merge_upsert_dv_insert_only_and_repeat(spark, root):
+    base = spark.range(10).select("id", F.lit("x").alias("v"))
+    S.write_snapshot(base, root)
+    sid = D.merge_upsert_dv(
+        spark,
+        root,
+        spark.createDataFrame([(100, "y")], "id long, v string"),
+        ["id"],
+    )
+    entry = S._entry(S._load(root), sid)
+    assert "dvs" not in entry  # insert-only: no positions marked
+    assert S.read_snapshot(spark, root).count() == 11
+    # repeated merges stack DVs and stay correct (incl. re-updating a
+    # row that lives in the APPENDED dir of a prior merge)
+    D.merge_upsert_dv(
+        spark, root,
+        spark.createDataFrame([(100, "z"), (0, "w")], "id long, v string"),
+        ["id"],
+    )
+    got = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert got[100] == "z" and got[0] == "w" and len(got) == 11
+
+
+def test_streaming_merge_sink_routes_merge_on_read(spark, root, tmpdir):
+    """The MERGE sink becomes O(batch) on a merge-on-read table: batch
+    ids stay exactly-once across restart, values match, and base data
+    files are never rewritten."""
+    import json as _json
+    import os
+
+    from e_commerce_lakehouse_spark.sources import deletes as _D
+    from e_commerce_lakehouse_spark.streaming.sinks import (
+        foreach_batch_merge_snapshot,
+    )
+
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "id long, v string, seq long"
+        ),
+        root,
+    )
+    _D.set_delete_mode(root, "merge-on-read")
+    src_dir = str(tmpdir / "src")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "b0.json"), "w") as fh:
+        fh.write(_json.dumps({"id": 2, "v": "B", "seq": 1}) + "\n")
+        fh.write(_json.dumps({"id": 3, "v": "c", "seq": 1}) + "\n")
+    before = _data_files(root)
+    stream = spark.readStream.schema("id long, v string, seq long").json(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_merge_snapshot(root, ["id"], order_col="seq")
+        )
+        .option("checkpointLocation", str(tmpdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    entry = S._entry(S._load(root), S._load(root)["current"])
+    assert entry["op"] == "merge_dv"
+    assert "stream_batch_id" in entry["meta"]
+    after = _data_files(root)
+    for rel, stat in before.items():
+        assert after[rel] == stat, rel  # base files untouched
+    # restart with no new data: replayed/no batch -> no new commit
+    n = len(S._load(root)["snapshots"])
+    stream = spark.readStream.schema("id long, v string, seq long").json(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_merge_snapshot(root, ["id"], order_col="seq")
+        )
+        .option("checkpointLocation", str(tmpdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(S._load(root)["snapshots"]) == n
