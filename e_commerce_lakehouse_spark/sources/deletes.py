@@ -353,3 +353,133 @@ def _merge_upsert_dv(
     manifest["current"] = snap_id
     S._commit(root, manifest)
     return snap_id
+
+
+def apply_changes_dv(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    keys: list[str],
+    meta: dict | None = None,
+) -> int:
+    """``operators.upsert.apply_changes`` (DLT APPLY CHANGES INTO —
+    the CDC consumer that can DELETE) as one merge-on-read commit:
+    every changed key's current row is DV-deleted by position, the
+    feed's post-state rows (insert / update_postimage) append as one
+    delta dir, and a single manifest entry carries both. O(feed)
+    writes instead of the copy-on-write path's O(table) rewrite per
+    batch. Feed contract unchanged: table columns + ``_change_type``,
+    at most one post-state per key."""
+    return _apply_changes_dv(spark, root, changes, keys, meta)
+
+
+@S._retry_conflicts
+def _apply_changes_dv(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    keys: list[str],
+    meta: dict | None,
+) -> int:
+    if "_change_type" not in changes.columns:
+        raise ValueError("changes must carry _change_type (see cdc_diff)")
+    manifest = S._load(root)
+    if manifest["current"] is None:
+        raise KeyError(f"table {root} has no snapshots; write_snapshot first")
+    entry = S._entry(manifest, manifest["current"])
+    cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
+    missing = [c for c in cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing target columns {missing}")
+    changed_keys = changes.select(*keys).distinct()
+    post = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(*cols)
+
+    paths = [
+        os.path.join(root, d, f)
+        for d, f in S._entry_units(root, manifest, entry)
+    ]
+    snap_id = manifest["snapshots"][-1]["id"] + 1
+    dvs = list(entry.get("dvs", []))
+    if paths:
+        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+        tagged = raw.select(
+            *keys,
+            S._rel_file_col().alias("_file"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        if dvs:
+            olddv = spark.read.parquet(
+                *[os.path.join(root, d) for d in dvs]
+            ).select("file", "pos")
+            tagged = tagged.join(
+                F.broadcast(olddv),
+                (tagged._file == olddv.file) & (tagged._pos == olddv.pos),
+                "left_anti",
+            )
+        # null-safe key match, exactly apply_changes' anti-join contract
+        import functools as _ft
+        import operator as _op
+
+        ck = F.broadcast(changed_keys)
+        cond = _ft.reduce(
+            _op.and_, [tagged[k].eqNullSafe(ck[k]) for k in keys]
+        )
+        doomed = tagged.join(ck, cond, "left_semi").select(
+            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        )
+        dv_dir = S._claim_data_dir(root, snap_id, "dv")
+        doomed.repartition(1).sortWithinPartitions("file", "pos").write.mode(
+            "append"
+        ).parquet(os.path.join(root, dv_dir))
+        import pyarrow.parquet as pq
+
+        n_marked = sum(
+            pq.read_metadata(os.path.join(root, dv_dir, f)).num_rows
+            for f in os.listdir(os.path.join(root, dv_dir))
+            if f.endswith(".parquet")
+        )
+        if n_marked:
+            dvs.append(dv_dir)
+        else:
+            shutil.rmtree(os.path.join(root, dv_dir), ignore_errors=True)
+
+    data_dir = S._claim_data_dir(root, snap_id, "applych")
+    S._write_data_dir(post, root, data_dir, manifest)
+    new_stats = S._collect_dir_stats(root, data_dir)
+    import pyarrow.parquet as pq
+
+    n_appended = sum(
+        pq.read_metadata(os.path.join(root, data_dir, f)).num_rows
+        for f in os.listdir(os.path.join(root, data_dir))
+        if f.endswith(".parquet")
+    )
+    if n_appended:
+        manifest.setdefault("dir_stats", {})[data_dir] = new_stats
+    else:
+        # delete-only feed: nothing appended — don't reference (or
+        # leave behind) an empty dir
+        shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
+        data_dir = None
+    new_dirs = entry["dirs"] + ([data_dir] if data_dir else [])
+    new_entry = {
+        "id": snap_id,
+        "op": "apply_changes_dv",
+        "ts": time.time(),
+        "dirs": new_dirs,
+        "parent": manifest["current"],
+        "schema": entry["schema"],
+        "meta": meta or {},
+    }
+    if dvs:
+        new_entry["dvs"] = dvs
+    if "files" in entry:
+        files = {d: list(fs) for d, fs in entry["files"].items()}
+        if data_dir:
+            files[data_dir] = sorted(new_stats)
+        new_entry["files"] = files
+    manifest["snapshots"].append(new_entry)
+    manifest["current"] = snap_id
+    S._commit(root, manifest)
+    return snap_id

@@ -228,6 +228,20 @@ def foreach_batch_apply_changes(
             )
         data_cols = [c for c in src.columns if c != "_change_type"]
         if manifest["current"] is not None:
+            from ..sources import deletes
+
+            if deletes.delete_mode(root) == "merge-on-read":
+                # O(feed) commit: changed keys DV-deleted by position,
+                # post-state rows appended, batch id in the same
+                # transaction (vs the O(table) overwrite below)
+                deletes.apply_changes_dv(
+                    batch_df.sparkSession,
+                    root,
+                    src,
+                    list(keys),
+                    meta={"stream_batch_id": batch_id},
+                )
+                return
             target = snap.read_snapshot(batch_df.sparkSession, root)
         else:
             target = src.select(*data_cols).filter(F.lit(False))

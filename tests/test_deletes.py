@@ -302,3 +302,86 @@ def test_streaming_merge_sink_routes_merge_on_read(spark, root, tmpdir):
     )
     q.awaitTermination(120)
     assert len(S._load(root)["snapshots"]) == n
+
+
+def test_apply_changes_dv_equals_copy_on_write(spark, root):
+    """apply_changes_dv == operators.upsert.apply_changes on the same
+    feed (insert + update + delete), one commit, base files untouched;
+    a delete-only feed appends nothing."""
+    from e_commerce_lakehouse_spark.operators.upsert import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    S.write_snapshot(base.repartition(2), root)
+    feed = spark.createDataFrame(
+        [
+            (2, "B", "update_postimage"),
+            (3, "c", "delete"),
+            (4, "d", "insert"),
+        ],
+        "id long, v string, _change_type string",
+    )
+    before = _data_files(root)
+    sid = D.apply_changes_dv(spark, root, feed, ["id"])
+    got = sorted(tuple(r) for r in S.read_snapshot(spark, root).collect())
+    want = sorted(
+        tuple(r) for r in apply_changes(base, feed, ["id"]).collect()
+    )
+    assert got == want == [(1, "a"), (2, "B"), (4, "d")]
+    entry = S._entry(S._load(root), sid)
+    assert entry["op"] == "apply_changes_dv" and len(entry["dvs"]) == 1
+    after = _data_files(root)
+    for rel, stat in before.items():
+        assert after[rel] == stat, rel
+    # delete-only feed: DV only, no appended dir
+    sid2 = D.apply_changes_dv(
+        spark,
+        root,
+        spark.createDataFrame([(4, "d", "delete")], "id long, v string, _change_type string"),
+        ["id"],
+    )
+    entry2 = S._entry(S._load(root), sid2)
+    assert entry2["dirs"] == entry["dirs"]  # nothing appended
+    assert len(entry2["dvs"]) == 2
+    assert sorted(r.id for r in S.read_snapshot(spark, root).collect()) == [1, 2]
+
+
+def test_streaming_apply_changes_sink_routes_merge_on_read(spark, root, tmpdir):
+    import json as _json
+    import os
+
+    from e_commerce_lakehouse_spark.streaming.sinks import (
+        foreach_batch_apply_changes,
+    )
+
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a", 0), (2, "b", 0)], "id long, v string, seq long"),
+        root,
+    )
+    D.set_delete_mode(root, "merge-on-read")
+    src_dir = str(tmpdir / "src")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "b0.json"), "w") as fh:
+        fh.write(_json.dumps({"id": 1, "v": None, "seq": 1, "_change_type": "delete"}) + "\n")
+        fh.write(_json.dumps({"id": 2, "v": "B", "seq": 1, "_change_type": "update_postimage"}) + "\n")
+    before = _data_files(root)
+    schema = "id long, v string, seq long, _change_type string"
+    stream = spark.readStream.schema(schema).json(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_apply_changes(root, ["id"], order_col="seq")
+        )
+        .option("checkpointLocation", str(tmpdir / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert got == {2: "B"}
+    entry = S._entry(S._load(root), S._load(root)["current"])
+    assert entry["op"] == "apply_changes_dv"
+    assert "stream_batch_id" in entry["meta"]
+    after = _data_files(root)
+    for rel, stat in before.items():
+        assert after[rel] == stat, rel
