@@ -1,7 +1,8 @@
-"""Deletion vectors — merge-on-read row-level DELETE for the snapshot
-tables (Delta's deletion-vector / Iceberg's positional-delete model;
-engine extension — the reference pins Iceberg format-version 1 with no
-row-level delete story at all, silver_clean_transform.py:77-79).
+"""Deletion vectors — merge-on-read row-level DELETE / MERGE / CDC
+apply for the snapshot tables (Delta's deletion-vector / Iceberg's
+positional-delete model; engine extension — the reference pins Iceberg
+format-version 1 with no row-level delete story at all,
+silver_clean_transform.py:77-79).
 
 Why copy-on-write DELETE is wrong at 100 TB: ``replace_where`` deleting
 7 rows that straddle a 1 GB file rewrites the whole gigabyte. A
@@ -16,6 +17,13 @@ Contract with the rest of the lakehouse tier:
 - positions come from the parquet scanner's own ``_metadata.row_index``
   (stable for immutable files) keyed by ``dir/file`` so a relocated
   table root keeps its DVs valid;
+- every DV writer anti-joins the snapshot's PRIOR DVs before marking,
+  so a position is deleted at most once across sidecars — which is
+  what lets ``table_stats`` subtract footer row counts exactly;
+- stored CHECK constraints guard the rows these writers APPEND
+  (merged replacements, CDC post-states) exactly as write_snapshot
+  guards its rows — the merge-on-read route is not a constraint
+  bypass;
 - appends/rollbacks CARRY active DVs (write_snapshot/_attach,
   rollback), expire/remove_orphans GC sidecar dirs exactly like data
   dirs, time travel reads each snapshot with ITS dvs;
@@ -26,11 +34,18 @@ Contract with the rest of the lakehouse tier:
   again. ``optimize_zorder`` and ``snapshot_changes`` read through
   ``read_snapshot`` and are DV-correct as-is;
 - ``table_stats``/SHOW STATS subtract DV row counts (footer-only).
+
+Sizing note: a delete that dooms most of a file's rows is cheaper
+copy-on-write (``replace_where`` DROPS all-match files without reading
+them); DVs win when deletes are sparse relative to file size — the
+CDC/MERGE/GDPR shape.
 """
 
 from __future__ import annotations
 
+import functools
 import json
+import operator
 import os
 import shutil
 import time
@@ -41,6 +56,80 @@ from pyspark.sql import functions as F
 from . import snapshots as S
 
 
+def _tag_positions(df: DataFrame, *extra_cols) -> DataFrame:
+    """(input columns or ``extra_cols``...) + (_file, _pos) off the RAW
+    scan — parquet ``_metadata`` only resolves on the scan relation."""
+    cols = list(extra_cols) if extra_cols else ["*"]
+    return df.select(
+        *cols,
+        S._rel_file_col().alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+
+
+def _minus_prior_dvs(
+    spark: SparkSession, root: str, entry: dict, tagged: DataFrame
+) -> DataFrame:
+    """Drop rows already DV-deleted at ``entry`` — keeps every writer's
+    marks disjoint across sidecars (so footer-count arithmetic stays
+    exact) and keeps already-deleted rows out of merge/apply values."""
+    dvs = entry.get("dvs")
+    if not dvs:
+        return tagged
+    olddv = spark.read.parquet(
+        *[os.path.join(root, d) for d in dvs]
+    ).select("file", "pos")
+    return tagged.join(
+        F.broadcast(olddv),
+        (tagged._file == olddv.file) & (tagged._pos == olddv.pos),
+        "left_anti",
+    )
+
+
+def _write_dv_sidecar(
+    root: str, snap_id: int, positions: DataFrame
+) -> tuple[str | None, int]:
+    """Write one commit's (file, pos) sidecar; sorted so the positions
+    delta-encode tightly, one parquet file so counting is a single
+    footer read. Returns (dv_dir, n_marked); an empty mark set removes
+    the claimed dir and returns (None, 0)."""
+    dv_dir = S._claim_data_dir(root, snap_id, "dv")
+    positions.select(
+        F.col("_file").alias("file"), F.col("_pos").alias("pos")
+    ).repartition(1).sortWithinPartitions("file", "pos").write.mode(
+        "append"
+    ).parquet(os.path.join(root, dv_dir))
+    n = S._parquet_dir_rows(root, dv_dir)
+    if n == 0:
+        shutil.rmtree(os.path.join(root, dv_dir), ignore_errors=True)
+        return None, 0
+    return dv_dir, n
+
+
+def _fresh_current(manifest: dict, planned_id: int, op: str) -> None:
+    """TOCTOU gate: this op planned against ``planned_id`` but commits
+    against ``manifest`` — if another commit landed between the two
+    loads, _commit's CAS (checked against THIS load) would pass and the
+    stale plan would silently erase the concurrent commit. Replay."""
+    if planned_id != manifest["current"]:
+        raise S.CommitConflict(
+            f"{op}: planned against snapshot {planned_id} but current "
+            f"is {manifest['current']}; retrying"
+        )
+
+
+def _guarded(df: DataFrame, manifest: dict) -> DataFrame:
+    """Stored CHECK constraints apply to every row a DV writer APPENDS
+    (same gate write_snapshot uses) — merge-on-read must not be the
+    route that sneaks a violating row past them."""
+    stored = manifest.get("constraints", {})
+    if not stored:
+        return df
+    from ..operators.constraints import guard_constraints
+
+    return guard_constraints(df, stored)
+
+
 def delete_where_dv(
     spark: SparkSession, root: str, predicates: list[tuple]
 ) -> int:
@@ -48,9 +137,9 @@ def delete_where_dv(
     ``predicates`` (the :func:`snapshots.plan_scan` conjunction
     grammar) deleted WITHOUT rewriting any data file. Only files the
     manifest stats cannot prune are even scanned, and only their
-    matching positions are written. Returns the new snapshot id (the
-    unchanged current id when nothing matched — a no-op commits
-    nothing)."""
+    matching positions are written. Already-deleted positions are
+    never re-marked. Returns the new snapshot id (the unchanged
+    current id when nothing matched — a no-op commits nothing)."""
     return _delete_where_dv(spark, root, predicates)
 
 
@@ -58,52 +147,27 @@ def delete_where_dv(
 def _delete_where_dv(
     spark: SparkSession, root: str, predicates: list[tuple]
 ) -> int:
-    import functools as _ft
-    import operator as _op
-
     if not predicates:
         raise ValueError("delete_where_dv: predicates must be non-empty")
     plan = S.plan_scan(root, predicates)
     manifest = S._load(root)
+    _fresh_current(manifest, plan["snapshot_id"], "delete_where_dv")
     entry = S._entry(manifest, plan["snapshot_id"])
     if not plan["files"]:
         return entry["id"]  # stats prove nothing matches
 
-    conj = _ft.reduce(
-        _op.and_, [S._predicate_col(p) for p in predicates]
+    conj = functools.reduce(
+        operator.and_, [S._predicate_col(p) for p in predicates]
     )
-    # project straight off the raw scan: parquet ``_metadata`` is only
-    # resolvable on the scan relation, and only (file, pos) leave this
-    # plan — the whole mark phase is a map-side scan of the unpruned
-    # files, shuffled once by the repartition(1) sidecar write
-    doomed = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(root, f) for f in plan["files"]])
-        .select(
-            S._rel_file_col().alias("file"),
-            F.col("_metadata.row_index").alias("pos"),
-            F.coalesce(conj, F.lit(False)).alias("_hit"),
-        )
-        .filter("_hit")
-        .drop("_hit")
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, f) for f in plan["files"]]
+    )
+    doomed = _minus_prior_dvs(spark, root, entry, _tag_positions(raw)).filter(
+        F.coalesce(conj, F.lit(False))
     )
     snap_id = manifest["snapshots"][-1]["id"] + 1
-    dv_dir = S._claim_data_dir(root, snap_id, "dv")
-    # sorted (file, pos) delta-encode tightly in parquet; one file per
-    # commit keeps the sidecar a single footer read
-    doomed.repartition(1).sortWithinPartitions("file", "pos").write.mode(
-        "append"
-    ).parquet(os.path.join(root, dv_dir))
-
-    import pyarrow.parquet as pq
-
-    n_marked = sum(
-        pq.read_metadata(os.path.join(root, dv_dir, f)).num_rows
-        for f in os.listdir(os.path.join(root, dv_dir))
-        if f.endswith(".parquet")
-    )
-    if n_marked == 0:
-        shutil.rmtree(os.path.join(root, dv_dir), ignore_errors=True)
+    dv_dir, n_marked = _write_dv_sidecar(root, snap_id, doomed)
+    if dv_dir is None:
         return entry["id"]
 
     new_entry = {
@@ -165,19 +229,17 @@ def rewrite_deletes(spark: SparkSession, root: str) -> int:
     snap_id = manifest["snapshots"][-1]["id"] + 1
     files = {d: sorted(names) for d, names in keep.items()}
     if rewrite:
-        tagged = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(root, p) for p in rewrite]
-        ).select(
-            "*",
-            S._rel_file_col().alias("_dv_file"),
-            F.col("_metadata.row_index").alias("_dv_pos"),
+        tagged = _tag_positions(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, p) for p in rewrite]
+            )
         )
         survivors = S._strip_hidden(
             tagged.join(
                 F.broadcast(dv),
-                (tagged._dv_file == dv.file) & (tagged._dv_pos == dv.pos),
+                (tagged._file == dv.file) & (tagged._pos == dv.pos),
                 "left_anti",
-            ).drop("_dv_file", "_dv_pos"),
+            ).drop("_file", "_pos"),
             S._hidden_set(manifest),
         )
         data_dir = S._claim_data_dir(root, snap_id, "purge")
@@ -206,10 +268,11 @@ def rewrite_deletes(spark: SparkSession, root: str) -> int:
 
 @S._retry_conflicts
 def set_delete_mode(root: str, mode: str) -> None:
-    """Table property choosing how DELETE executes (Iceberg's
-    ``write.delete.mode``): ``copy-on-write`` (default — replace_where
-    rewrites straddling files) or ``merge-on-read`` (deletion
-    vectors). Read by the SQL DELETE route; the APIs stay explicit."""
+    """Table property choosing how row-level writes execute (Iceberg's
+    ``write.delete.mode``): ``copy-on-write`` (default — rewrite
+    straddling files) or ``merge-on-read`` (deletion vectors). Read by
+    the SQL DELETE and MERGE routes and by the streaming MERGE /
+    APPLY CHANGES sinks; the Python APIs stay explicit."""
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(
             f"delete mode must be copy-on-write|merge-on-read, got {mode!r}"
@@ -241,7 +304,9 @@ def merge_upsert_dv(
     the copy-on-write merge path rewrites the WHOLE table every call
     (mode='overwrite'), which at 100 TB is a full-table shuffle+write
     per micro-batch; here the table is scanned once (map-side, source
-    broadcast), only matched positions and batch-sized rows are
+    broadcast; the batch-sized ``matched`` frame is persisted across
+    the sidecar and data writes so the second action reads the cache,
+    not the table), only matched positions and batch-sized rows are
     written, and unmatched files stay byte-identical. ``meta`` rides
     the commit (the streaming sink's exactly-once batch id).
 
@@ -270,70 +335,50 @@ def _merge_upsert_dv(
         for d, f in S._entry_units(root, manifest, entry)
     ]
     snap_id = manifest["snapshots"][-1]["id"] + 1
-    dv_dir = None
-    if paths:
-        raw = spark.read.option("mergeSchema", "true").parquet(*paths)
-        # _metadata resolves on the scan relation only: derive file/pos
-        # HERE, then anti-join prior DVs on the derived columns (what
-        # _apply_dvs does, minus a second _metadata access through a
-        # Project)
-        tagged = raw.select(
-            "*",
-            S._rel_file_col().alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
-        )
-        if entry.get("dvs"):
-            olddv = spark.read.parquet(
-                *[os.path.join(root, d) for d in entry["dvs"]]
-            ).select("file", "pos")
-            tagged = tagged.join(
-                F.broadcast(olddv),
-                (tagged._file == olddv.file) & (tagged._pos == olddv.pos),
-                "left_anti",
+    dvs = list(entry.get("dvs", []))
+    matched = None
+    try:
+        if paths:
+            raw = spark.read.option("mergeSchema", "true").parquet(*paths)
+            tagged = _minus_prior_dvs(
+                spark, root, entry, _tag_positions(raw)
             )
-        # matched = target rows whose key appears in the (broadcast)
-        # batch — the only rows whose positions and values we need
-        matched = tagged.join(F.broadcast(src.select(*keys)), keys, "inner")
-        dv_dir = S._claim_data_dir(root, snap_id, "dv")
-        matched.select(
-            F.col("_file").alias("file"), F.col("_pos").alias("pos")
-        ).repartition(1).sortWithinPartitions("file", "pos").write.mode(
-            "append"
-        ).parquet(os.path.join(root, dv_dir))
+            # matched = target rows whose key appears in the
+            # (broadcast) batch — batch-bounded, so persist() makes the
+            # data-dir write below read the cache instead of paying a
+            # second full table scan
+            matched = tagged.join(
+                F.broadcast(src.select(*keys)), keys, "inner"
+            ).persist()
+            dv_dir, n_marked = _write_dv_sidecar(
+                root, snap_id, matched.select("_file", "_pos")
+            )
+            if dv_dir is not None:
+                dvs.append(dv_dir)
 
-        t = matched.select(*cols).alias("t")
-        s = src.alias("s")
-        cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
-        # merged values == merge_upsert's coalesce(source, target);
-        # keys missing from the target insert as-is via the right join
-        appended = t.join(F.broadcast(s), cond, "right_outer").select(
-            *[
-                F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
-                for c in cols
-            ]
-        )
-    else:
-        appended = src
+            t = matched.select(*cols).alias("t")
+            s = src.alias("s")
+            cond = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+            # merged values == merge_upsert's coalesce(source, target);
+            # keys missing from the target insert as-is via the right
+            # join
+            appended = t.join(F.broadcast(s), cond, "right_outer").select(
+                *[
+                    F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c)
+                    for c in cols
+                ]
+            )
+        else:
+            appended = src
 
-    data_dir = S._claim_data_dir(root, snap_id, "merge")
-    S._write_data_dir(appended, root, data_dir, manifest)
+        data_dir = S._claim_data_dir(root, snap_id, "merge")
+        S._write_data_dir(_guarded(appended, manifest), root, data_dir, manifest)
+    finally:
+        if matched is not None:
+            matched.unpersist()
     manifest.setdefault("dir_stats", {})[data_dir] = S._collect_dir_stats(
         root, data_dir
     )
-    import pyarrow.parquet as pq
-
-    dvs = list(entry.get("dvs", []))
-    if dv_dir is not None:
-        n_marked = sum(
-            pq.read_metadata(os.path.join(root, dv_dir, f)).num_rows
-            for f in os.listdir(os.path.join(root, dv_dir))
-            if f.endswith(".parquet")
-        )
-        if n_marked:
-            dvs.append(dv_dir)
-        else:  # insert-only batch: no positions to delete
-            shutil.rmtree(os.path.join(root, dv_dir), ignore_errors=True)
-
     new_entry = {
         "id": snap_id,
         "op": "merge_dv",
@@ -404,58 +449,25 @@ def _apply_changes_dv(
     dvs = list(entry.get("dvs", []))
     if paths:
         raw = spark.read.option("mergeSchema", "true").parquet(*paths)
-        tagged = raw.select(
-            *keys,
-            S._rel_file_col().alias("_file"),
-            F.col("_metadata.row_index").alias("_pos"),
+        tagged = _minus_prior_dvs(
+            spark, root, entry, _tag_positions(raw, *keys)
         )
-        if dvs:
-            olddv = spark.read.parquet(
-                *[os.path.join(root, d) for d in dvs]
-            ).select("file", "pos")
-            tagged = tagged.join(
-                F.broadcast(olddv),
-                (tagged._file == olddv.file) & (tagged._pos == olddv.pos),
-                "left_anti",
-            )
         # null-safe key match, exactly apply_changes' anti-join contract
-        import functools as _ft
-        import operator as _op
-
         ck = F.broadcast(changed_keys)
-        cond = _ft.reduce(
-            _op.and_, [tagged[k].eqNullSafe(ck[k]) for k in keys]
+        cond = functools.reduce(
+            operator.and_, [tagged[k].eqNullSafe(ck[k]) for k in keys]
         )
-        doomed = tagged.join(ck, cond, "left_semi").select(
-            F.col("_file").alias("file"), F.col("_pos").alias("pos")
+        doomed = tagged.join(ck, cond, "left_semi")
+        dv_dir, n_marked = _write_dv_sidecar(
+            root, snap_id, doomed.select("_file", "_pos")
         )
-        dv_dir = S._claim_data_dir(root, snap_id, "dv")
-        doomed.repartition(1).sortWithinPartitions("file", "pos").write.mode(
-            "append"
-        ).parquet(os.path.join(root, dv_dir))
-        import pyarrow.parquet as pq
-
-        n_marked = sum(
-            pq.read_metadata(os.path.join(root, dv_dir, f)).num_rows
-            for f in os.listdir(os.path.join(root, dv_dir))
-            if f.endswith(".parquet")
-        )
-        if n_marked:
+        if dv_dir is not None:
             dvs.append(dv_dir)
-        else:
-            shutil.rmtree(os.path.join(root, dv_dir), ignore_errors=True)
 
     data_dir = S._claim_data_dir(root, snap_id, "applych")
-    S._write_data_dir(post, root, data_dir, manifest)
+    S._write_data_dir(_guarded(post, manifest), root, data_dir, manifest)
     new_stats = S._collect_dir_stats(root, data_dir)
-    import pyarrow.parquet as pq
-
-    n_appended = sum(
-        pq.read_metadata(os.path.join(root, data_dir, f)).num_rows
-        for f in os.listdir(os.path.join(root, data_dir))
-        if f.endswith(".parquet")
-    )
-    if n_appended:
+    if S._parquet_dir_rows(root, data_dir):
         manifest.setdefault("dir_stats", {})[data_dir] = new_stats
     else:
         # delete-only feed: nothing appended — don't reference (or

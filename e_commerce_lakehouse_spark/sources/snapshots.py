@@ -686,6 +686,20 @@ def write_snapshot(
     raise AssertionError("unreachable")
 
 
+def _parquet_dir_rows(root: str, d: str) -> int:
+    """Total rows of one dir's parquet files from FOOTERS only (no
+    data read) — the single counting helper for DV sidecars and
+    table_stats' deleted-row adjustment."""
+    import pyarrow.parquet as pq
+
+    dp = os.path.join(root, d)
+    return sum(
+        pq.read_metadata(os.path.join(dp, f)).num_rows
+        for f in os.listdir(dp)
+        if f.endswith(".parquet")
+    )
+
+
 def _dir_files(root: str, manifest: dict, d: str) -> list[str]:
     """Parquet file names of one data dir — from recorded stats when
     present (no listing), else a directory listing."""
@@ -1653,6 +1667,15 @@ def replace_where(
     plan = plan_scan(root, predicates)  # validates predicate grammar
     manifest = _load(root)
     entry = _entry(manifest, plan["snapshot_id"])
+    if plan["snapshot_id"] != manifest["current"]:
+        # TOCTOU: plan_scan loaded an older manifest; a commit landed
+        # between the two loads and _commit's CAS (checked against THIS
+        # load) would not see it — the stale plan would silently drop
+        # the concurrent commit's dirs. Replay from fresh state.
+        raise CommitConflict(
+            f"replace_where: planned against snapshot {plan['snapshot_id']} but "
+            f"current is {manifest['current']}; retrying"
+        )
     _guard_no_dvs(entry, "replace_where")
     dir_stats = manifest.get("dir_stats", {})
 
@@ -1751,6 +1774,15 @@ def update_where(
     plan = plan_scan(root, predicates)
     manifest = _load(root)
     entry = _entry(manifest, plan["snapshot_id"])
+    if plan["snapshot_id"] != manifest["current"]:
+        # TOCTOU: plan_scan loaded an older manifest; a commit landed
+        # between the two loads and _commit's CAS (checked against THIS
+        # load) would not see it — the stale plan would silently drop
+        # the concurrent commit's dirs. Replay from fresh state.
+        raise CommitConflict(
+            f"update_where: planned against snapshot {plan['snapshot_id']} but "
+            f"current is {manifest['current']}; retrying"
+        )
     _guard_no_dvs(entry, "update_where")
     # validate SET columns against the snapshot's LOGICAL schema up
     # front — an all-files-pruned predicate must not let a typo'd
@@ -2168,17 +2200,14 @@ def table_stats(root: str, snapshot_id: int | None = None) -> dict:
     n_deleted = 0
     if entry.get("dvs"):
         # DV sidecar row counts from parquet FOOTERS only (zero data
-        # read): each sidecar row is one deleted position, so the
-        # visible row count is footer rows minus DV rows. Per-column
-        # null counts become unknowable without reading the deleted
-        # rows — report None rather than an overcount.
-        import pyarrow.parquet as pq
-
+        # read): each sidecar row is one deleted position (the writers
+        # anti-join prior DVs, so positions never repeat across
+        # sidecars), and the visible row count is footer rows minus DV
+        # rows. Per-column null counts become unknowable without
+        # reading the deleted rows — report None rather than an
+        # overcount.
         for d in entry["dvs"]:
-            dp = os.path.join(root, d)
-            for f in os.listdir(dp):
-                if f.endswith(".parquet"):
-                    n_deleted += pq.read_metadata(os.path.join(dp, f)).num_rows
+            n_deleted += _parquet_dir_rows(root, d)
         nulls = {c: None for c in nulls}
     return {
         "snapshot_id": sid,

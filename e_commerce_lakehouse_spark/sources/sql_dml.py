@@ -629,6 +629,39 @@ def execute_dml(
         target = snapshots.read_snapshot(spark, root)
         matched = clauses.get("MATCHED")
         src = source.select(*target.columns)
+        from . import deletes
+
+        if deletes.delete_mode(root) == "merge-on-read":
+            # honor write.delete.mode here too — otherwise the SQL
+            # entry point silently does the O(table) overwrite the
+            # property was set to avoid. All three clause shapes are
+            # whole-row-replace semantics, i.e. exactly a CDC feed:
+            # matched keys resolve by DV position, post-states append.
+            tkeys = target.select(*keys).distinct()
+            parts = []
+            if matched == "DELETE":
+                parts.append(
+                    src.join(tkeys, keys, "left_semi").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+            elif matched == "UPDATE SET *":
+                parts.append(
+                    src.join(tkeys, keys, "left_semi").withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            if "NOT MATCHED" in clauses:
+                parts.append(
+                    src.join(tkeys, keys, "left_anti").withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            feed = parts[0]
+            for p in parts[1:]:
+                feed = feed.unionByName(p)
+            sid = deletes.apply_changes_dv(spark, root, feed, keys)
+            return {"op": "merge", "table": name, "snapshot_id": sid}
         if matched == "DELETE":
             # WHEN MATCHED DELETE (± INSERT *): route through the CDC
             # applier — delete rows carry the feed's delete type

@@ -385,3 +385,122 @@ def test_streaming_apply_changes_sink_routes_merge_on_read(spark, root, tmpdir):
     after = _data_files(root)
     for rel, stat in before.items():
         assert after[rel] == stat, rel
+
+
+def test_dv_writers_enforce_check_constraints(spark, root):
+    """Review fix: merge-on-read appends pass the same CHECK gate as
+    write_snapshot — flipping delete_mode must not become a constraint
+    bypass."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, 5)], "id long, n long"), root
+    )
+    S.set_constraint(root, "n_pos", "n >= 0")
+    bad = spark.createDataFrame([(1, -1)], "id long, n long")
+    with pytest.raises(Exception, match="n_pos|constraint"):
+        D.merge_upsert_dv(spark, root, bad, ["id"])
+    with pytest.raises(Exception, match="n_pos|constraint"):
+        D.apply_changes_dv(
+            spark, root,
+            bad.withColumn("_change_type", F.lit("update_postimage")),
+            ["id"],
+        )
+    # table unchanged; a valid merge still lands
+    assert [tuple(r) for r in S.read_snapshot(spark, root).collect()] == [(1, 5)]
+    D.merge_upsert_dv(
+        spark, root, spark.createDataFrame([(1, 7)], "id long, n long"), ["id"]
+    )
+    assert [tuple(r) for r in S.read_snapshot(spark, root).collect()] == [(1, 7)]
+
+
+def test_dv_overlapping_deletes_count_exact(spark, root):
+    """Review fix: a second delete must not re-mark already-deleted
+    positions — sidecar rows stay disjoint so table_stats' footer
+    subtraction is exact."""
+    _table(spark, root)
+    D.delete_where_dv(spark, root, [("k", "=", 1)])      # 100 rows
+    sid = D.delete_where_dv(spark, root, [("id", "<", 50)])  # 50, 5 overlap
+    entry = S._entry(S._load(root), sid)
+    assert entry["meta"]["n_deleted"] == 45  # only the NEW positions
+    stats = S.table_stats(root)
+    assert stats["n_deleted"] == 145
+    assert stats["n_rows"] == 855 == S.read_snapshot(spark, root).count()
+
+
+def test_dv_delete_toctou_conflict_replans(spark, root, monkeypatch):
+    """Review fix: a commit landing between plan_scan's manifest load
+    and the commit load must trigger a replay, not silently erase the
+    concurrent commit's dirs."""
+    _table(spark, root)
+    orig_plan = S.plan_scan
+    raced = {"done": False}
+
+    def racing_plan(*a, **k):
+        plan = orig_plan(*a, **k)
+        if not raced["done"]:
+            raced["done"] = True
+            S.write_snapshot(
+                spark.range(5000, 5100).select(
+                    "id", (F.col("id") % 10).alias("k")
+                ),
+                root,
+                mode="append",
+            )
+        return plan
+
+    monkeypatch.setattr(S, "plan_scan", racing_plan)
+    try:
+        import e_commerce_lakehouse_spark.sources.deletes as D2
+
+        monkeypatch.setattr(D2.S, "plan_scan", racing_plan)
+        D.delete_where_dv(spark, root, [("id", "<", 100)])
+    finally:
+        monkeypatch.setattr(S, "plan_scan", orig_plan)
+    got = S.read_snapshot(spark, root)
+    assert got.filter("id >= 5000").count() == 100  # append survived
+    assert got.filter("id < 100").count() == 0
+    assert got.count() == 1000
+
+
+def test_sql_merge_honors_merge_on_read(spark, root):
+    """Review fix: SQL MERGE INTO must route through the DV path on a
+    merge-on-read table — same result values as copy-on-write, one
+    merge_dv-style commit, base files untouched; UPDATE SET * keeps
+    whole-row-replace semantics (source NULLs land)."""
+    from e_commerce_lakehouse_spark.sources import sql_dml
+
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ).repartition(2),
+        root,
+    )
+    D.set_delete_mode(root, "merge-on-read")
+    t = {"t": root}
+    src = spark.createDataFrame([(2, None), (4, "d")], "id long, v string")
+    before = _data_files(root)
+    out = sql_dml.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        t,
+        sources={"s": src},
+    )
+    entry = S._entry(S._load(root), out["snapshot_id"])
+    assert entry["op"] == "apply_changes_dv"
+    got = sorted(
+        (r.id, r.v) for r in S.read_snapshot(spark, root).collect()
+    )
+    # whole-row replace: id=2's v becomes NULL (not coalesced to 'b')
+    assert got == [(1, "a"), (2, None), (3, "c"), (4, "d")]
+    after = _data_files(root)
+    for rel, stat in before.items():
+        assert after[rel] == stat, rel
+    # MATCHED DELETE shape
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE",
+        t,
+        sources={"s": spark.createDataFrame([(1,)], "id long")
+                 .withColumn("v", F.lit(None).cast("string"))},
+    )
+    assert sorted(r.id for r in S.read_snapshot(spark, root).collect()) == [2, 3, 4]
