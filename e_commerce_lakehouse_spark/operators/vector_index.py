@@ -415,3 +415,20 @@ def probe_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_d2", "sq_d2", "rank")
     )
+
+
+def delete_vectors(spark: SparkSession, root: str, vec_ids: list) -> int:
+    """Remove vectors from a persisted index WITHOUT re-encoding or
+    rewriting the inverted lists — the right-to-be-forgotten request
+    against the vector tier. The ``codes`` table is a snapshot table,
+    so this is one deletion-vector commit
+    (:func:`~e_commerce_lakehouse_spark.sources.deletes.delete_where_dv`):
+    O(deleted positions) bytes written, every codes file byte-identical,
+    and every probe path (which reads through ``read_snapshot``)
+    excludes the vectors immediately. Compaction is the standard
+    ``rewrite_deletes`` on the codes table when the DV stack grows."""
+    from ..sources import deletes
+
+    return deletes.delete_where_dv(
+        spark, _sub(root, "codes"), [("vec_id", "in", list(vec_ids))]
+    )

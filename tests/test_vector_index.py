@@ -144,3 +144,58 @@ def test_sq8_train_probe_admit_with_clamp(spark, emb, tmp_path):
     assert mm.lo >= 0 and mm.hi <= 255
     got2 = vx.probe_sq8(queries, root, corpus=emb, k=5, rerank=4)
     assert got2.count() == 10 * 5
+
+
+def test_delete_vectors_dv_lifecycle(spark, tmp_path):
+    """Deleted vectors vanish from probes with zero codes-file
+    rewrites; later admission still works (appends carry the DV); a
+    purge clears the sidecars and results are unchanged."""
+    import os
+
+    from e_commerce_lakehouse_spark.operators import vector_index as VI
+    from e_commerce_lakehouse_spark.sources import deletes as D
+
+    root = str(tmp_path / "ivf")
+    emb = load_table(spark, SF, "embeddings")
+    VI.train_ivf(emb.filter("vec_id < 80"), root, n_centroids=4)
+    VI.admit_ivf(emb.filter("vec_id >= 80 and vec_id < 100"), root)
+    q = emb.filter("vec_id < 3")
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in VI.probe_ivf(q, root, nprobe=4, k=5).collect()
+    }
+    victims = sorted({n for _, n in before})[:3]
+    codes_root = root + "/codes"
+    files_before = {
+        d: sorted(os.listdir(os.path.join(codes_root, d)))
+        for d in os.listdir(codes_root)
+        if d.startswith("snap-") and "-dv" not in d
+        and os.path.isdir(os.path.join(codes_root, d))
+    }
+    VI.delete_vectors(spark, root, victims)
+    after = {
+        (r.query_id, r.neighbor_id)
+        for r in VI.probe_ivf(q, root, nprobe=4, k=5).collect()
+    }
+    assert not {n for _, n in after} & set(victims)
+    for d, fs in files_before.items():  # no codes file rewritten
+        assert sorted(
+            f for f in os.listdir(os.path.join(codes_root, d))
+        ) == fs
+    # delta admission on top of the DV keeps both effects
+    VI.admit_ivf(emb.filter("vec_id >= 100 and vec_id < 110"), root)
+    again = {
+        r.neighbor_id
+        for r in VI.probe_ivf(q, root, nprobe=4, k=50).collect()
+    }
+    assert not again & set(victims)
+    # purge: same probe results, DVs gone
+    D.rewrite_deletes(spark, codes_root)
+    assert "dvs" not in S._entry(
+        S._load(codes_root), S._load(codes_root)["current"]
+    )
+    purged = {
+        r.neighbor_id
+        for r in VI.probe_ivf(q, root, nprobe=4, k=50).collect()
+    }
+    assert purged == again
