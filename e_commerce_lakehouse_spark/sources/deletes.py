@@ -495,3 +495,45 @@ def _apply_changes_dv(
     manifest["current"] = snap_id
     S._commit(root, manifest)
     return snap_id
+
+
+def maintain(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    keep_last: int = 2,
+    older_than_s: float = 3 * 86400.0,
+    max_dvs: int = 8,
+) -> dict:
+    """One nightly table-maintenance call in DEPENDENCY order — the
+    composition a pipeline owner schedules instead of remembering the
+    choreography:
+
+    1. ``rewrite_deletes`` when the DV stack exceeds ``max_dvs``
+       (every read pays one anti-join per... no — ONE union of all
+       sidecars; the cost that grows is sidecar count and the footer
+       reads, and compaction below REQUIRES a DV-free snapshot);
+    2. ``compact_files`` (binpack small files — guarded against DVs,
+       hence the ordering);
+    3. ``vacuum`` (expire + orphan GC — runs last so the artifacts the
+       earlier steps superseded are collectible immediately).
+
+    Steps that don't apply (no DVs, nothing small, nothing expired)
+    no-op. Returns what each step did. Every step is individually
+    OCC-retried; a conflict mid-sequence leaves a consistent table."""
+    out: dict = {}
+    manifest = S._load(root)
+    if manifest["current"] is not None:
+        entry = S._entry(manifest, manifest["current"])
+        if len(entry.get("dvs", [])) > max_dvs:
+            out["purged_snapshot"] = rewrite_deletes(spark, root)
+        if not S._entry(
+            S._load(root), S._load(root)["current"]
+        ).get("dvs"):
+            out["compact_snapshot"] = S.compact_files(
+                spark, root, target_bytes=target_bytes
+            )
+    out["vacuumed"] = S.vacuum(
+        root, keep_last=keep_last, older_than_s=older_than_s
+    )
+    return out

@@ -504,3 +504,42 @@ def test_sql_merge_honors_merge_on_read(spark, root):
                  .withColumn("v", F.lit(None).cast("string"))},
     )
     assert sorted(r.id for r in S.read_snapshot(spark, root).collect()) == [2, 3, 4]
+
+
+def test_dv_read_plan_is_broadcast_anti_join(spark, root):
+    """Plan gate: applying DVs must cost one map-side broadcast
+    LEFT ANTI join — no shuffle joins in the read plan."""
+    _table(spark, root)
+    D.delete_where_dv(spark, root, [("k", "=", 3)])
+    plan = (
+        S.read_snapshot(spark, root)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_maintain_orders_purge_compact_vacuum(spark, root):
+    """maintain() purges an over-threshold DV stack BEFORE compacting
+    (compaction refuses DVs), then vacuums — one call, consistent
+    results; a DV stack under the threshold skips both rewrite steps."""
+    _table(spark, root, n=400, parts=8)
+    for lo in range(0, 30, 10):
+        D.delete_where_dv(spark, root, [("id", ">=", lo), ("id", "<", lo + 5)])
+    assert len(S._entry(S._load(root), S._load(root)["current"])["dvs"]) == 3
+    out = D.maintain(spark, root, target_bytes=1 << 30, keep_last=1,
+                     older_than_s=0.0, max_dvs=2)
+    assert "purged_snapshot" in out and "compact_snapshot" in out
+    final = S._entry(S._load(root), S._load(root)["current"])
+    assert "dvs" not in final
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 400 - 15
+    assert got.filter("id < 5").count() == 0
+    # under threshold: no purge, compaction refused-path avoided, vacuum runs
+    D.delete_where_dv(spark, root, [("id", "=", 100)])
+    out = D.maintain(spark, root, keep_last=1, older_than_s=0.0, max_dvs=8)
+    assert "purged_snapshot" not in out and "compact_snapshot" not in out
+    assert S.read_snapshot(spark, root).count() == 400 - 16
