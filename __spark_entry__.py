@@ -608,7 +608,29 @@ def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("surprisal_bits"), nl.alias("mean_bits_x100"),
         "a", "b", "c_ab", "pmi_x64",
     )
-    return lang.unionByName(surp).unionByName(pmi)
+    # kind='zipf': rank-frequency law profile (text.zipf_profile) —
+    # top-50 tokens with exact fixed-point log-log coordinates and the
+    # least-squares slope (column map: a=token, c_ab=freq,
+    # n_bigrams=rank, pmi_x64=lr_x64, surprisal_bits=lf_x64,
+    # mean_bits_x100=slope_x64)
+    zipf_frame = corpus_cache.shared_df(
+        spark,
+        (sf, "zipf_profile"),
+        lambda: text.zipf_profile(spread_for_cpu(docs), top_n=50),
+    )
+    zipf = zipf_frame.select(
+        F.lit("zipf").alias("kind"), ns.alias("lang"),
+        nl.alias("n_docs"), nl.alias("total_tokens"),
+        nd.alias("stopword_ratio"), nd.alias("avg_ttr"),
+        nl.alias("doc_id"),
+        F.col("rank").alias("n_bigrams"),
+        F.col("lf_x64").alias("surprisal_bits"),
+        F.col("slope_x64").alias("mean_bits_x100"),
+        F.col("token").alias("a"), ns.alias("b"),
+        F.col("freq").alias("c_ab"),
+        F.col("lr_x64").alias("pmi_x64"),
+    )
+    return lang.unionByName(surp).unionByName(pmi).unionByName(zipf)
 
 
 def _q18_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -1561,6 +1583,57 @@ def _ddsketch_oracle_branch(s: int = 4) -> str:
                 WHERE c.cum >= (q.n * q.q_pct + 99) // 100
                 GROUP BY 1, 2, 3
             )"""
+
+
+def _zipf_oracle_branch(top_n: int = 50) -> str:
+    """The 'zipf' UNION branch of q17's oracle — mirrors
+    text.zipf_profile: top-N token frequencies, rank by (freq DESC,
+    token), fixed-point 64·log2 coordinates via the shared chain spec
+    (one nested level per step), integer least-squares slope. Spark
+    ``div`` and DuckDB ``//`` both truncate toward zero, so the slope
+    hashes exactly."""
+    ranked = f"""(
+        SELECT token, CAST(freq AS BIGINT) AS freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, token)
+                    AS BIGINT) AS rank
+        FROM (
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE token <> ''
+            GROUP BY token
+        )
+        ORDER BY freq DESC, token
+        LIMIT {top_n}
+    )"""
+    s1 = search.fixed_log2_sql_select(
+        "rank", "1", "lr_x64", ["token", "freq", "rank"], source=ranked
+    )
+    s2 = search.fixed_log2_sql_select(
+        "freq", "1", "lf_x64",
+        ["token", "freq", "rank", "lr_x64"], source=f"({s1})",
+    )
+    return f"""
+            UNION ALL
+            SELECT 'zipf', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+                   rank, lf_x64,
+                   CASE WHEN _n * _sxx - _sx * _sx = 0 THEN NULL
+                        ELSE CAST(((_sx * _sy - _n * _sxy) * 64)
+                                  // (_n * _sxx - _sx * _sx) AS BIGINT)
+                   END,
+                   token, CAST(NULL AS VARCHAR), freq, lr_x64
+            FROM (
+                SELECT token, freq, rank, lr_x64, lf_x64,
+                       count(*) OVER () AS _n,
+                       sum(lr_x64) OVER () AS _sx,
+                       sum(lf_x64) OVER () AS _sy,
+                       sum(lr_x64 * lf_x64) OVER () AS _sxy,
+                       sum(lr_x64 * lr_x64) OVER () AS _sxx
+                FROM ({s2})
+            )
+    """
 
 
 def _pmi_oracle_branch(min_count: int = 3) -> str:
@@ -3771,6 +3844,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
             {_pmi_oracle_branch()}
+            {_zipf_oracle_branch()}
         """,
         "q18_doc_fingerprints": """
             WITH t AS (

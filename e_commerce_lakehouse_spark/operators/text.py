@@ -796,3 +796,62 @@ def pmi_collocations(documents: DataFrame, min_count: int = 3) -> DataFrame:
         "c_ab",
         (F.col("fl_a") + F.col("fl_b") - F.col("fl_ab")).alias("pmi_x64"),
     )
+
+
+def zipf_profile(documents: DataFrame, top_n: int = 50) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary — the
+    corpus-law sanity check a pipeline owner runs on every new source
+    (natural text follows freq ∝ rank^(-s) with s ≈ 1; boilerplate,
+    spam, and template farms bend the curve): the ``top_n``
+    most-frequent tokens with (rank, freq), their fixed-point log-log
+    coordinates, and the least-squares slope of the log-log fit — all
+    EXACT integers via the shared 1/64-bit floor-log2 chain
+    (operators/search.py, the same spec BM25/DSIR/HLL render for both
+    engines), so the oracle hashes the law itself.
+
+    Returns (token, freq, rank, lr_x64, lf_x64, slope_x64) with
+    slope_x64 = 64·s repeated on every row (s is the NEGATED exponent,
+    positive for natural text). Plan shape: one explode + one
+    map-side-combined groupBy on the token (vocabulary-sized, not
+    corpus-sized), TakeOrderedAndProject for the top-N heap, then
+    windows over the N surviving rows only — the single-partition
+    window is bounded by ``top_n``, never by data."""
+    from pyspark.sql import Window
+
+    from . import search
+
+    tok = (
+        documents.filter(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = freq.orderBy(F.col("freq").desc(), "token").limit(top_n)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    pts = search.with_fixed_log2_x64(ranked, "rank", "1", "lr_x64")
+    pts = search.with_fixed_log2_x64(pts, "freq", "1", "lf_x64")
+    ww = Window.partitionBy()
+    pts = pts.select(
+        "token",
+        "freq",
+        "rank",
+        "lr_x64",
+        "lf_x64",
+        F.count(F.lit(1)).over(ww).alias("_n"),
+        F.sum("lr_x64").over(ww).alias("_sx"),
+        F.sum("lf_x64").over(ww).alias("_sy"),
+        F.sum(F.col("lr_x64") * F.col("lf_x64")).over(ww).alias("_sxy"),
+        F.sum(F.col("lr_x64") * F.col("lr_x64")).over(ww).alias("_sxx"),
+    )
+    # least squares on the fixed-point points; negated so natural text
+    # scores POSITIVE ~64; integer div truncates identically in Spark
+    # (div) and DuckDB (//)
+    slope = F.expr(
+        "CASE WHEN _n * _sxx - _sx * _sx = 0 THEN NULL "
+        "ELSE ((_sx * _sy - _n * _sxy) * 64) div (_n * _sxx - _sx * _sx) END"
+    )
+    return pts.select(
+        "token", "freq", "rank", "lr_x64", "lf_x64",
+        slope.cast("long").alias("slope_x64"),
+    )

