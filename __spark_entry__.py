@@ -2063,11 +2063,27 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
             "pass_rate"
         ),
     )
+    # kind='repetition': Gopher top-n-gram repetition rules
+    # (text.repetition_report) over documents — rule='rep_top<n>gram',
+    # n_rows = docs evaluated (>= n tokens), n_violations = docs whose
+    # most common n-gram covers more than the Gopher threshold of the
+    # text's characters, pass_rate = passing share
+    rep = text.repetition_report(load_table(spark, sf, "documents")).select(
+        F.lit("repetition").alias("kind"),
+        F.concat(F.lit("rep_top"), F.col("n").cast("string"), F.lit("gram")).alias("rule"),
+        F.col("n_docs").cast("long").alias("n_rows"),
+        F.col("n_fail").cast("long").alias("n_violations"),
+        (
+            (F.col("n_docs") - F.col("n_fail")).cast("double")
+            / F.col("n_docs")
+        ).alias("pass_rate"),
+    )
     return (
         rules.unionByName(overflow)
         .unionByName(pii_rows)
         .unionByName(dict_rows)
         .unionByName(prof)
+        .unionByName(rep)
     )
 
 
@@ -4819,6 +4835,49 @@ def oracle_sql() -> dict[str, str]:
                        count(*) - count(c_mktsegment),
                        count(DISTINCT c_mktsegment) FROM customer
             )
+            UNION ALL
+            -- repetition: Gopher top-n-gram rules (text.repetition_report)
+            -- most-common n-gram deterministic: count DESC, longest
+            -- gram, lexicographic; threshold compare cross-multiplied
+            SELECT 'repetition' AS kind,
+                   'rep_top' || CAST(n AS VARCHAR) || 'gram' AS rule,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(fail) AS BIGINT) AS n_violations,
+                   CAST(count(*) - sum(fail) AS DOUBLE) / count(*) AS pass_rate
+            FROM (
+                SELECT doc_id, n,
+                       CASE WHEN t[1] * t[2] * 100 >
+                                 (CASE n WHEN 2 THEN 20 WHEN 3 THEN 18
+                                         ELSE 16 END) * n_chars
+                            THEN 1 ELSE 0 END AS fail
+                FROM (
+                    SELECT doc_id, n, n_chars,
+                           max(ROW(c, length(gram))) AS t
+                    FROM (
+                        SELECT doc_id, n_chars, n, gram, count(*) AS c
+                        FROM (
+                            SELECT doc_id, n_chars, n,
+                                   array_to_string(
+                                       list_slice(toks, i, i + n - 1), ' '
+                                   ) AS gram
+                            FROM (
+                                SELECT doc_id, n_chars, toks, n,
+                                       unnest(range(1, len(toks) - n + 2)) AS i
+                                FROM (
+                                    SELECT doc_id, length(text) AS n_chars,
+                                           string_split(text, ' ') AS toks,
+                                           unnest([2, 3, 4]) AS n
+                                    FROM documents WHERE text IS NOT NULL
+                                )
+                                WHERE len(toks) >= n
+                            )
+                        )
+                        GROUP BY 1, 2, 3, 4
+                    )
+                    GROUP BY 1, 2, 3
+                )
+            )
+            GROUP BY n
         """,
         "q38_embedding_neardup": _neardup_oracle_sql(),
         "q39_ivf_ann": f"""

@@ -855,3 +855,96 @@ def zipf_profile(documents: DataFrame, top_n: int = 50) -> DataFrame:
         "token", "freq", "rank", "lr_x64", "lf_x64",
         slope.cast("long").alias("slope_x64"),
     )
+
+
+REPETITION_THRESHOLDS = {2: 20, 3: 18, 4: 16}  # Gopher A1.1 top-n-gram %
+
+
+def repetition_report(
+    documents: DataFrame,
+    thresholds: dict[int, int] = REPETITION_THRESHOLDS,
+) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 appendix A1.1, the
+    half of MassiveText filtering :func:`gopher_fail_mask` doesn't
+    cover): a document fails the top-``n``-gram rule when the
+    characters of its most common n-gram exceed ``thresholds[n]``
+    percent of the text — template/boilerplate farms fail long before
+    the six quality rules fire. Line/paragraph variants are omitted:
+    this corpus is single-line (the rules would be vacuous).
+
+    Most-common n-gram is deterministic where it matters: the winner
+    is max(count, gram_chars) — grams tying on BOTH leave the verdict
+    identical (the rule consumes only count × gram_chars), so no
+    string tie-break is needed and the reduction stays a map-combined
+    aggregate. The threshold compare is cross-multiplied integers
+    (count × gram_chars × 100 > pct × doc_chars), so the verdict is
+    exact.
+
+    Returns one corpus row per n: (n, n_docs evaluated — docs with at
+    least n tokens, n_fail). Plan shape: ONE explode over all n values
+    (n rides the gram rows), one map-combined groupBy on (doc, n,
+    gram), a map-combined max-struct per (doc, n) — no window, no
+    sort — then a 3-group aggregate; nothing scales beyond the corpus
+    token count."""
+    ns = sorted(thresholds)
+
+    def _grams_for(nn: int):
+        # one-arg lambda only: a second parameter would make PySpark
+        # bind F.transform's (element, index) form and pass the INDEX
+        # into it
+        return F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (nn - 1)),
+            lambda i: F.struct(
+                F.lit(nn).alias("n"),
+                F.array_join(F.slice("_toks", i, nn), " ").alias("gram"),
+            ),
+        )
+
+    toks = documents.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("_toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.when(F.size("_toks") >= n, _grams_for(n)).otherwise(
+                            F.array().cast("array<struct<n:int,gram:string>>")
+                        )
+                        for n in ns
+                    ]
+                )
+            )
+        ).alias("g"),
+    ).select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # top gram per (doc, n) as a map-combined max(struct(count, gram
+    # chars)) — NOT a window: grams tying on both count and length
+    # yield the SAME verdict (the rule only consumes c x gram_chars),
+    # so the winner's identity is irrelevant and the per-partition
+    # sort a row_number window needs is pure cost
+    top = counts.groupBy("doc_id", "n_chars", "n").agg(
+        F.max(
+            F.struct(F.col("c"), F.length("gram").alias("gl"))
+        ).alias("t")
+    )
+    pct = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in kv]
+    )
+    fails = top.select(
+        "n",
+        (
+            F.col("t.c") * F.col("t.gl") * 100
+            > pct[F.col("n")] * F.col("n_chars")
+        ).cast("int").alias("fail"),
+    )
+    return fails.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("fail").alias("n_fail"),
+    )

@@ -374,3 +374,44 @@ def test_zipf_profile_brute_force(spark):
     assert all(got[t][4] == want for t, _ in ranked)
     # NULL/empty docs contribute nothing
     assert sum(f for f, *_ in got.values()) == sum(cnt[t] for t, _ in ranked)
+
+
+def test_repetition_report_brute_force(spark):
+    """repetition_report vs a Python reference: per-n eligible-doc
+    counts, the deterministic top-gram tie-break (count DESC, longest,
+    lexicographic), and the cross-multiplied threshold verdicts."""
+    from collections import Counter
+
+    from e_commerce_lakehouse_spark.operators import text as T
+
+    rows = [
+        (1, "spam spam spam spam spam ok"),   # top-2gram 'spam spam' heavy
+        (2, "a b c d e f g h"),               # diverse: passes all
+        (3, "x y"),                           # only n=2 eligible
+        (4, None),
+        (5, "solo"),                          # no n eligible
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.n: (r.n_docs, r.n_fail) for r in T.repetition_report(docs).collect()}
+
+    want = {}
+    for n, pct in T.REPETITION_THRESHOLDS.items():
+        n_docs = n_fail = 0
+        for _, tx in rows:
+            if tx is None:
+                continue
+            toks = tx.split(" ")
+            if len(toks) < n:
+                continue
+            n_docs += 1
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            top = sorted(
+                grams.items(), key=lambda kv: (-kv[1], -len(kv[0]), kv[0])
+            )[0]
+            if top[1] * len(top[0]) * 100 > pct * len(tx):
+                n_fail += 1
+        want[n] = (n_docs, n_fail)
+    assert got == want
+    assert got[2][1] >= 1  # the spam doc fails at least the 2-gram rule
