@@ -2068,7 +2068,14 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     # n_rows = docs evaluated (>= n tokens), n_violations = docs whose
     # most common n-gram covers more than the Gopher threshold of the
     # text's characters, pass_rate = passing share
-    rep = text.repetition_report(load_table(spark, sf, "documents")).select(
+    rep_frame = corpus_cache.shared_df(
+        spark,
+        (sf, "repetition_report"),
+        lambda: text.repetition_report(
+            spread_for_cpu(load_table(spark, sf, "documents"))
+        ),
+    )
+    rep = rep_frame.select(
         F.lit("repetition").alias("kind"),
         F.concat(F.lit("rep_top"), F.col("n").cast("string"), F.lit("gram")).alias("rule"),
         F.col("n_docs").cast("long").alias("n_rows"),
