@@ -568,7 +568,10 @@ def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
       - kind='pmi': token-bigram collocations scored by exact-integer
         pointwise mutual information (text.pmi_collocations — the
         shared 1/64-bit floor-log2 chain, decomposed so no T² product
-        can overflow int64)."""
+        can overflow int64);
+      - kind='zipf': rank-frequency law profile (text.zipf_profile) —
+        top-50 tokens with exact fixed-point log-log coordinates and
+        the integer least-squares slope of the fit."""
     docs = load_table(spark, sf, "documents")
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -615,7 +618,7 @@ def _q17_lang_profile(spark: SparkSession, sf: str) -> DataFrame:
     # mean_bits_x100=slope_x64)
     zipf_frame = corpus_cache.shared_df(
         spark,
-        (sf, "zipf_profile"),
+        (sf, "zipf_profile", 50),
         lambda: text.zipf_profile(spread_for_cpu(docs), top_n=50),
     )
     zipf = zipf_frame.select(
@@ -1983,7 +1986,11 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
         (operators/dictionary.py) — per DICT_PHRASES entry, docs
         containing it (n_rows), total occurrences (n_violations) and
         clean-doc share, one automaton pass over the corpus vs the
-        oracle's per-phrase regex scans; zero-hit entries reported."""
+        oracle's per-phrase regex scans; zero-hit entries reported;
+      - kind='profile': ANALYZE-style exact column stats over customer
+        (quality.profile_columns, one stacked-melt shuffle);
+      - kind='repetition': Gopher top-{2,3,4}-gram repetition rules
+        (text.repetition_report) — corpus pass/fail per rule."""
     li = load_table(spark, sf, "lineitem")
     rules = quality.dq_report(
         li,
@@ -2070,7 +2077,7 @@ def _q37_dq_report(spark: SparkSession, sf: str) -> DataFrame:
     # text's characters, pass_rate = passing share
     rep_frame = corpus_cache.shared_df(
         spark,
-        (sf, "repetition_report"),
+        (sf, "repetition_report", 2, 3, 4, 20, 18, 16),
         lambda: text.repetition_report(
             spread_for_cpu(load_table(spark, sf, "documents"))
         ),

@@ -527,9 +527,10 @@ def maintain(
         entry = S._entry(manifest, manifest["current"])
         if len(entry.get("dvs", [])) > max_dvs:
             out["purged_snapshot"] = rewrite_deletes(spark, root)
-        if not S._entry(
-            S._load(root), S._load(root)["current"]
-        ).get("dvs"):
+        # ONE load for the compact gate: two loads in one expression
+        # race a concurrent commit into _entry(old_manifest, new_id)
+        fresh = S._load(root)
+        if not S._entry(fresh, fresh["current"]).get("dvs"):
             out["compact_snapshot"] = S.compact_files(
                 spark, root, target_bytes=target_bytes
             )
