@@ -8,7 +8,7 @@ story; this module supplies one with Iceberg's METADATA model rather
 than data copies:
 
 - a table root holds immutable data directories (``snap-N-<op>/``) and
-  one small JSON manifest (``_manifest.json``);
+  a log of small JSON manifests (``_manifests/vN.json``);
 - every snapshot entry lists the data dirs that compose it, so an
   APPEND commit is manifest-entry + one new delta dir — the parent's
   data is never rewritten or copied (Iceberg fast-append);
@@ -19,10 +19,16 @@ than data copies:
   retained snapshot references (Iceberg expire_snapshots +
   remove_orphan_files in one step).
 
-The commit point is an atomic ``os.replace`` of the manifest —
-single-writer semantics (the reference's Airflow DAG serializes its
-writers the same way). Readers never lock: they read the manifest once
-and then immutable dirs.
+The commit point is the CREATE-EXCLUSIVE appearance of the next
+version-named manifest file (``_manifests/vN.json``): two writers that
+both loaded version N-1 race to create vN and exactly one wins — the
+rename itself is the compare-and-swap, so the protocol needs no lock
+file and is correct across processes AND hosts (Iceberg's
+HadoopCatalog file-commit protocol; the reference's real deployment
+delegates the same CAS to a Nessie REST catalog,
+silver_clean_transform.py:32-39). Readers never lock: they resolve the
+newest version (advisory hint file + gapless upward probe) and then
+read immutable dirs.
 
 At 100 TB nothing here scales with data size: the manifest carries
 directory names, not file lists or row data, and every operation other
@@ -43,7 +49,10 @@ import time
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MANIFEST = "_manifest.json"
+_MANIFEST = "_manifest.json"  # legacy single-file manifest (pre-versioned)
+_MANIFEST_DIR = "_manifests"
+_VERSION_HINT = "_version_hint.text"
+_VERSION_RE = re.compile(r"^v(\d{10})\.json$")
 
 #: bounded rebase/re-run attempts on commit conflict (Iceberg's
 #: commit.retry.num-retries idea; generous because retries are cheap —
@@ -57,57 +66,149 @@ class CommitConflict(RuntimeError):
     re-read the manifest, re-apply the change, commit again."""
 
 
-def _manifest_path(root: str) -> str:
-    return os.path.join(root, _MANIFEST)
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, _MANIFEST_DIR)
+
+
+def _version_path(root: str, v: int) -> str:
+    return os.path.join(_manifest_dir(root), f"v{v:010d}.json")
+
+
+def _latest_version(root: str) -> int | None:
+    """Newest committed manifest version, or None when the table has no
+    versioned manifests yet. Fast path: the advisory version-hint file
+    plus a gapless upward probe — version N+1 is only ever created by a
+    writer that loaded version N, so probing existence from any
+    committed version reaches the head in O(versions-behind) stat
+    calls, never a listing (the property that makes this O(1) on an
+    object store). Falls back to one directory listing when the hint is
+    missing or stale-deleted (a crash between the version link and the
+    hint write leaves a stale-LOW hint, which the probe walks past)."""
+    mdir = _manifest_dir(root)
+    v = None
+    try:
+        with open(os.path.join(mdir, _VERSION_HINT)) as fh:
+            hint = int(fh.read().strip())
+        if os.path.exists(_version_path(root, hint)):
+            v = hint
+    except (OSError, ValueError):
+        pass
+    if v is None:
+        try:
+            names = os.listdir(mdir)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+        found = [
+            int(m.group(1)) for nm in names if (m := _VERSION_RE.match(nm))
+        ]
+        if not found:
+            return None
+        v = max(found)
+    while os.path.exists(_version_path(root, v + 1)):
+        v += 1
+    return v
 
 
 def _load(root: str) -> dict:
-    path = _manifest_path(root)
-    if not os.path.exists(path):
-        return {"current": None, "snapshots": [], "version": 0}
-    with open(path) as fh:
-        manifest = json.load(fh)
-    manifest.setdefault("version", 0)  # legacy manifests
-    return manifest
+    for _ in range(3):
+        v = _latest_version(root)
+        if v is None:
+            break
+        try:
+            with open(_version_path(root, v)) as fh:
+                manifest = json.load(fh)
+        except FileNotFoundError:
+            # raced a vacuum pruning old versions off a stale hint —
+            # re-resolve (the head itself is never pruned)
+            continue
+        manifest["version"] = v  # the path is authoritative
+        return manifest
+    # legacy single-file manifest (pre-versioned table): readable as-is;
+    # the first _commit migrates it into _manifests/ at version+1
+    path = os.path.join(root, _MANIFEST)
+    if os.path.exists(path):
+        with open(path) as fh:
+            manifest = json.load(fh)
+        manifest.setdefault("version", 0)
+        return manifest
+    return {"current": None, "snapshots": [], "version": 0}
 
 
 def _commit(root: str, manifest: dict) -> None:
-    """Atomic manifest swap — the transaction commit point, with
-    optimistic concurrency (Iceberg's CAS commit model): the swap
-    succeeds only if the on-disk manifest version still equals the
-    version this writer LOADED; otherwise :class:`CommitConflict` is
-    raised and nothing is replaced. The version check + replace run
-    under an exclusive flock on a sidecar lock file so two concurrent
-    committers serialize at the check — without it, the second
-    ``os.replace`` would silently discard the first commit (the repo
-    now has four independent writer surfaces: batch, streaming sinks,
-    SQL DML, WAP branches). Readers never lock."""
-    import fcntl
+    """Multi-host atomic commit: write the whole manifest to a temp
+    file, then hard-link it to ``_manifests/v{N+1}.json`` — the link
+    either creates the version file ATOMICALLY with complete content or
+    fails EEXIST. That create-exclusive rename IS the optimistic-
+    concurrency CAS: two writers that both loaded version N race to
+    create vN+1 and exactly one wins; the loser gets
+    :class:`CommitConflict` and nothing of its attempt is visible. No
+    lock file, no flock — correct across processes and HOSTS on any
+    filesystem with atomic link/create-exclusive semantics (Iceberg's
+    HadoopCatalog protocol; a host-local flock cannot serialize two
+    Spark drivers on different nodes). Readers can never observe a torn
+    manifest: the content is complete before the name exists. The
+    version-hint write afterwards is advisory only."""
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    target_v = manifest.get("version", 0) + 1
+    manifest["version"] = target_v
+    import tempfile
 
-    os.makedirs(root, exist_ok=True)
-    expected = manifest.get("version", 0)
-    lock_fd = os.open(
-        os.path.join(root, "_manifest.lock"), os.O_CREAT | os.O_RDWR, 0o644
-    )
+    fd, tmp = tempfile.mkstemp(prefix=f".commit-v{target_v}-", dir=mdir)
     try:
-        fcntl.flock(lock_fd, fcntl.LOCK_EX)
-        path = _manifest_path(root)
-        on_disk = 0
-        if os.path.exists(path):
-            with open(path) as fh:
-                on_disk = json.load(fh).get("version", 0)
-        if on_disk != expected:
-            raise CommitConflict(
-                f"{root}: manifest advanced v{expected} -> v{on_disk} "
-                "since this writer loaded it; reload and retry"
-            )
-        manifest["version"] = on_disk + 1
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
+        with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh, indent=1)
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, _version_path(root, target_v))
+        except FileExistsError:
+            manifest["version"] = target_v - 1  # restore the loaded version
+            raise CommitConflict(
+                f"{root}: manifest v{target_v} was committed by a concurrent "
+                f"writer since this writer loaded v{target_v - 1}; reload "
+                "and retry"
+            ) from None
     finally:
-        os.close(lock_fd)  # releases the flock
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
+    _write_version_hint(root, target_v)
+
+
+def _write_version_hint(root: str, v: int) -> None:
+    """Best-effort advisory pointer so readers resolve the head in O(1)
+    instead of a listing. Crash-safe by construction: a stale-LOW hint
+    is walked past by the probe; the hint can never be higher than an
+    existing version because it is written only after the version file
+    landed."""
+    try:
+        tmp = os.path.join(_manifest_dir(root), f".hint-{os.getpid()}")
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, os.path.join(_manifest_dir(root), _VERSION_HINT))
+    except OSError:  # pragma: no cover - advisory only
+        pass
+
+
+def _prune_manifest_versions(root: str, keep_versions: int = 10) -> list[str]:
+    """GC superseded manifest version files, retaining the newest
+    ``keep_versions`` (Iceberg's write.metadata.previous-versions-max).
+    The head is always retained; the hint is refreshed first so a
+    reader's fast path cannot land on a pruned version."""
+    head = _latest_version(root)
+    if head is None:
+        return []
+    _write_version_hint(root, head)
+    removed = []
+    for nm in sorted(os.listdir(_manifest_dir(root))):
+        m = _VERSION_RE.match(nm)
+        if m and int(m.group(1)) <= head - keep_versions:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), nm))
+                removed.append(os.path.join(_MANIFEST_DIR, nm))
+            except FileNotFoundError:  # concurrent vacuum
+                pass
+    return removed
 
 
 def _retry_conflicts(fn):
@@ -1097,7 +1198,8 @@ def vacuum(
     commit would reference missing files. Pass 0 only in tests with
     no concurrent writer."""
     removed = expire_snapshots(root, keep_last=keep_last)
-    return removed + remove_orphans(root, older_than_s=older_than_s)
+    removed += remove_orphans(root, older_than_s=older_than_s)
+    return removed + _prune_manifest_versions(root)
 
 
 @_retry_conflicts
