@@ -376,14 +376,20 @@ def _merge_upsert_dv(
     finally:
         if matched is not None:
             matched.unpersist()
-    manifest.setdefault("dir_stats", {})[data_dir] = S._collect_dir_stats(
-        root, data_dir
-    )
+    new_stats = S._collect_dir_stats(root, data_dir)
+    if S._parquet_dir_rows(root, data_dir):
+        manifest.setdefault("dir_stats", {})[data_dir] = new_stats
+    else:
+        # empty batch (e.g. an empty foreachBatch micro-batch): still
+        # commit the entry — its meta batch id is the exactly-once
+        # record — but don't reference (or leave behind) an empty dir
+        shutil.rmtree(os.path.join(root, data_dir), ignore_errors=True)
+        data_dir = None
     new_entry = {
         "id": snap_id,
         "op": "merge_dv",
         "ts": time.time(),
-        "dirs": entry["dirs"] + [data_dir],
+        "dirs": entry["dirs"] + ([data_dir] if data_dir else []),
         "parent": manifest["current"],
         "schema": entry["schema"],
         "meta": meta or {},
@@ -392,7 +398,8 @@ def _merge_upsert_dv(
         new_entry["dvs"] = dvs
     if "files" in entry:
         files = {d: list(fs) for d, fs in entry["files"].items()}
-        files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+        if data_dir:
+            files[data_dir] = sorted(new_stats)
         new_entry["files"] = files
     manifest["snapshots"].append(new_entry)
     manifest["current"] = snap_id

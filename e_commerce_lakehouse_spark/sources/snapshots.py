@@ -638,6 +638,11 @@ def _hidden_set(manifest: dict) -> set[str]:
     return set(manifest.get("hidden_cols", []))
 
 
+#: sentinel for write_snapshot.expected_base: "no expectation — rebase
+#: freely" (None is a real value meaning "I derived from an EMPTY table")
+_ANY_BASE = object()
+
+
 def write_snapshot(
     df: DataFrame,
     root: str,
@@ -645,6 +650,7 @@ def write_snapshot(
     meta: dict | None = None,
     stats_cols: list[str] | None = None,
     branch: str | None = None,
+    expected_base=_ANY_BASE,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
 
@@ -667,6 +673,17 @@ def write_snapshot(
     manifest grows O(#files x #stats_cols), so wide tables should pin
     it to their cluster/filter columns just as Iceberg's
     ``write.metadata.metrics`` properties do.
+
+    ``expected_base``: the snapshot id ``df``'s contents were DERIVED
+    from, for read-modify-write overwrite callers (copy-on-write MERGE,
+    OPTIMIZE rewrites, streaming CoW sinks). When passed, the commit
+    refuses — raises :class:`CommitConflict` instead of rebasing — if
+    the target ref's head is no longer ``expected_base``: rebasing
+    stale-derived data would silently ERASE the concurrent writer's
+    commit (the classic lost update). Callers that pass it must sit
+    behind a retry that RECOMPUTES ``df`` from the fresh head. ``None``
+    means "derived from an empty table". Appends and blind overwrites
+    (derived from nothing) omit it and rebase freely.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -686,6 +703,13 @@ def write_snapshot(
         manifest["branches"][branch] if branch is not None
         else manifest["current"]
     )
+    if expected_base is not _ANY_BASE and base_id != expected_base:
+        # cheap early abort BEFORE the data write: the state this df
+        # was derived from is already gone
+        raise CommitConflict(
+            f"{root}: derived from snapshot {expected_base} but the ref "
+            f"head is {base_id}; recompute and retry"
+        )
     stored = manifest.get("constraints", {})
     if stored:
         from ..operators.constraints import guard_constraints
@@ -782,6 +806,11 @@ def write_snapshot(
                 base_id = fresh["branches"][branch]
             else:
                 base_id = fresh["current"]
+            if expected_base is not _ANY_BASE and base_id != expected_base:
+                # the ref moved: a rebase would commit stale-derived
+                # contents over the concurrent writer's — re-raise so
+                # the caller's retry recomputes from the fresh head
+                raise
             manifest = fresh
             time.sleep(0.005 * (attempt + 1))
     raise AssertionError("unreachable")
@@ -2057,6 +2086,7 @@ def compact_files(
     return snap_id
 
 
+@_retry_conflicts
 def optimize_zorder(
     spark: SparkSession,
     root: str,
@@ -2073,15 +2103,25 @@ def optimize_zorder(
     change); every prior snapshot stays time-travel readable until
     expired — an OPTIMIZE that goes wrong is one :func:`rollback`
     away, the property that makes table maintenance safe to automate.
-    Returns the new snapshot id."""
+    Returns the new snapshot id.
+
+    Read-modify-write: the rewrite is pinned to the snapshot it read
+    and committed with ``expected_base`` — a concurrent commit raises
+    :class:`CommitConflict` (instead of the rebase silently erasing it)
+    and the whole rewrite re-runs against the fresh head."""
     from ..operators.layout import zorder_layout
 
+    base = _load(root)["current"]
+    if base is None:
+        raise KeyError(f"table {root} has no snapshots")
     return write_snapshot(
         zorder_layout(
-            read_snapshot(spark, root), cluster_cols, num_files=num_files, bits=bits
+            read_snapshot(spark, root, snapshot_id=base),
+            cluster_cols, num_files=num_files, bits=bits,
         ),
         root,
         mode="overwrite",
+        expected_base=base,
     )
 
 

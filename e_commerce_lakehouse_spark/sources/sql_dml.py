@@ -361,12 +361,19 @@ def execute_dml(
         df = _source_df(src, where)
         manifest = snapshots._load(root)
         # a branch insert appends onto the BRANCH head, so the schema
-        # gate must compare against that head, not main's current
-        gate_id = (
-            snapshots.resolve_branch(root, branch)
-            if branch is not None
-            else manifest["current"]
-        )
+        # gate must compare against that head, not main's current —
+        # resolved from the SAME loaded manifest as the schema lookup
+        # below (a second load could see a concurrent branch commit and
+        # hand _entry an id this manifest lacks)
+        if branch is not None:
+            if branch not in manifest.get("branches", {}):
+                raise KeyError(
+                    f"unknown branch {branch!r}; existing: "
+                    f"{sorted(manifest.get('branches', {}))}"
+                )
+            gate_id = manifest["branches"][branch]
+        else:
+            gate_id = manifest["current"]
         if gate_id is not None:
             # loud schema gate: a mismatched source would otherwise
             # append silently AND flip the recorded snapshot schema
@@ -617,6 +624,20 @@ def execute_dml(
             raise ValueError(
                 "duplicate WHEN MATCHED / WHEN NOT MATCHED clauses in MERGE"
             )
+        # clause-action pairing: the regex accepts any action after
+        # either clause head, but 'WHEN MATCHED THEN INSERT *' is
+        # nonsense (it would be silently dropped or crash downstream)
+        # and 'WHEN NOT MATCHED THEN UPDATE/DELETE' equally so
+        for head, action in found:
+            legal = (
+                ("UPDATE SET *", "DELETE") if head == "MATCHED"
+                else ("INSERT *",)
+            )
+            if action not in legal:
+                raise ValueError(
+                    f"unsupported MERGE clause 'WHEN {head} THEN {action}'; "
+                    f"WHEN {head} supports: {' | '.join(legal)}"
+                )
         if src_name in sources:
             source = sources[src_name]
         else:
@@ -626,9 +647,7 @@ def execute_dml(
                 raise KeyError(
                     f"MERGE source {src_name!r} is neither in sources nor a view"
                 ) from exc
-        target = snapshots.read_snapshot(spark, root)
         matched = clauses.get("MATCHED")
-        src = source.select(*target.columns)
         from . import deletes
 
         if deletes.delete_mode(root) == "merge-on-read":
@@ -637,6 +656,8 @@ def execute_dml(
             # property was set to avoid. All three clause shapes are
             # whole-row-replace semantics, i.e. exactly a CDC feed:
             # matched keys resolve by DV position, post-states append.
+            target = snapshots.read_snapshot(spark, root)
+            src = source.select(*target.columns)
             tkeys = target.select(*keys).distinct()
             parts = []
             if matched == "DELETE":
@@ -662,33 +683,47 @@ def execute_dml(
                 feed = feed.unionByName(p)
             sid = deletes.apply_changes_dv(spark, root, feed, keys)
             return {"op": "merge", "table": name, "snapshot_id": sid}
-        if matched == "DELETE":
-            # WHEN MATCHED DELETE (± INSERT *): route through the CDC
-            # applier — delete rows carry the feed's delete type
-            changes = src.withColumn("_change_type", F.lit("delete"))
-            new_state = upsert.apply_changes(target, changes, keys)
-            if "NOT MATCHED" in clauses:
-                new_anti = src.join(target.select(*keys), keys, "left_anti")
-                new_state = new_state.unionByName(new_anti)
-        elif matched == "UPDATE SET *":
-            # UPDATE SET * replaces EVERY column with the source value,
-            # NULLs included (SQL MERGE semantics) — NOT merge_upsert's
-            # coalesce, which would keep stale target values wherever
-            # the source is NULL (e.g. a MERGE-driven PII null-out)
-            target_keys = target.select(*keys).distinct()
-            updated = src.join(target_keys, keys, "left_semi")
-            untouched = target.join(src.select(*keys), keys, "left_anti")
-            new_state = untouched.unionByName(updated)
-            if "NOT MATCHED" in clauses:
-                new_state = new_state.unionByName(
+
+        # copy-on-write: a read-modify-write whose new state derives
+        # from the target read — pin the read to a snapshot and commit
+        # with expected_base so a concurrent commit between the two is
+        # retried (recomputed) instead of silently erased by a rebase
+        @snapshots._retry_conflicts
+        def _merge_cow() -> int:
+            base = snapshots._load(root)["current"]
+            target = snapshots.read_snapshot(spark, root, snapshot_id=base)
+            src = source.select(*target.columns)
+            if matched == "DELETE":
+                # WHEN MATCHED DELETE (± INSERT *): route through the
+                # CDC applier — delete rows carry the feed's delete type
+                changes = src.withColumn("_change_type", F.lit("delete"))
+                new_state = upsert.apply_changes(target, changes, keys)
+                if "NOT MATCHED" in clauses:
+                    new_anti = src.join(target.select(*keys), keys, "left_anti")
+                    new_state = new_state.unionByName(new_anti)
+            elif matched == "UPDATE SET *":
+                # UPDATE SET * replaces EVERY column with the source
+                # value, NULLs included (SQL MERGE semantics) — NOT
+                # merge_upsert's coalesce, which would keep stale target
+                # values wherever the source is NULL (e.g. a
+                # MERGE-driven PII null-out)
+                target_keys = target.select(*keys).distinct()
+                updated = src.join(target_keys, keys, "left_semi")
+                untouched = target.join(src.select(*keys), keys, "left_anti")
+                new_state = untouched.unionByName(updated)
+                if "NOT MATCHED" in clauses:
+                    new_state = new_state.unionByName(
+                        src.join(target.select(*keys), keys, "left_anti")
+                    )
+            else:  # insert-only
+                new_state = target.unionByName(
                     src.join(target.select(*keys), keys, "left_anti")
                 )
-        else:  # insert-only
-            new_state = target.unionByName(
-                src.join(target.select(*keys), keys, "left_anti")
+            return snapshots.write_snapshot(
+                new_state, root, mode="overwrite", expected_base=base
             )
-        sid = snapshots.write_snapshot(new_state, root, mode="overwrite")
-        return {"op": "merge", "table": name, "snapshot_id": sid}
+
+        return {"op": "merge", "table": name, "snapshot_id": _merge_cow()}
 
     raise ValueError(
         "unsupported statement (supported: DELETE FROM..WHERE, "

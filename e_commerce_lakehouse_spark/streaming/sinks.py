@@ -129,18 +129,18 @@ def foreach_batch_merge_snapshot(
     A crash BETWEEN the data write and the manifest swap leaves an
     orphan snap dir invisible to every reader — replay rewrites the
     batch under the next snapshot id; no torn state is readable.
+
+    Write strategy: merge-on-read by DEFAULT (deletion-vector
+    ``merge_upsert_dv`` — O(batch) bytes per trigger); set the table
+    property ``write.delete.mode='copy-on-write'`` to opt into the
+    full-rewrite path, whose per-batch cost is O(table). Schedule
+    ``sources.deletes.maintain()`` as the compaction story for the
+    default path.
     """
     from ..operators.upsert import merge_upsert
     from ..sources import snapshots as snap
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        manifest = snap._load(root)
-        done = {
-            e.get("meta", {}).get("stream_batch_id")
-            for e in manifest["snapshots"]
-        }
-        if batch_id in done:
-            return
         src = batch_df
         if order_col is not None:
             from pyspark.sql import Window
@@ -153,30 +153,59 @@ def foreach_batch_merge_snapshot(
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        if manifest["current"] is not None:
-            from ..sources import deletes
 
-            if deletes.delete_mode(root) == "merge-on-read":
-                # O(batch) path: matched positions DV-deleted + merged
-                # rows appended in ONE commit (batch id rides it, same
-                # exactly-once transaction) — the copy-on-write branch
-                # below rewrites the WHOLE table per micro-batch, which
-                # at 100 TB is a full-table shuffle+write every trigger
-                deletes.merge_upsert_dv(
-                    batch_df.sparkSession,
-                    root,
-                    src,
-                    list(keys),
-                    meta={"stream_batch_id": batch_id},
-                )
+        # the whole read-check-write cycle retries on CommitConflict:
+        # the batch-id check, the target read and the merge all
+        # recompute against the winner's state — and the CoW write is
+        # pinned to the snapshot it derived from (expected_base), so a
+        # concurrent commit can never be silently erased by a rebase
+        @snap._retry_conflicts
+        def attempt() -> None:
+            manifest = snap._load(root)
+            done = {
+                e.get("meta", {}).get("stream_batch_id")
+                for e in manifest["snapshots"]
+            }
+            if batch_id in done:
                 return
-            target = snap.read_snapshot(batch_df.sparkSession, root)
-            merged = merge_upsert(target, src.select(*target.columns), keys)
-        else:
-            merged = src
-        snap.write_snapshot(
-            merged, root, mode="overwrite", meta={"stream_batch_id": batch_id}
-        )
+            base = manifest["current"]
+            if base is not None:
+                from ..sources import deletes
+
+                # the STREAMING sink defaults to merge-on-read when the
+                # table property is unset: per-micro-batch upserts are
+                # exactly the sparse-write shape DVs were built for
+                if manifest.get("delete_mode", "merge-on-read") != "copy-on-write":
+                    # DEFAULT O(batch) path: matched positions
+                    # DV-deleted + merged rows appended in ONE commit
+                    # (batch id rides it, same exactly-once
+                    # transaction) — the copy-on-write branch below
+                    # rewrites the WHOLE table per micro-batch, which
+                    # at 100 TB is a full-table shuffle+write every
+                    # trigger, so it is opt-in via the table property
+                    deletes.merge_upsert_dv(
+                        batch_df.sparkSession,
+                        root,
+                        src,
+                        list(keys),
+                        meta={"stream_batch_id": batch_id},
+                    )
+                    return
+                target = snap.read_snapshot(
+                    batch_df.sparkSession, root, snapshot_id=base
+                )
+                merged = merge_upsert(target, src.select(*target.columns), keys)
+            else:
+                merged = src
+            snap.write_snapshot(
+                merged,
+                root,
+                mode="overwrite",
+                meta={"stream_batch_id": batch_id},
+                expected_base=base,
+            )
+
+        attempt()
 
     return fn
 
@@ -197,18 +226,14 @@ def foreach_batch_apply_changes(
     at the same sequence value, so a pre/post pair compacts to the
     post). None asserts the batch is already compacted to one change
     per key.
+
+    Merge-on-read by default, like :func:`foreach_batch_merge_snapshot`
+    (``write.delete.mode='copy-on-write'`` opts out).
     """
     from ..operators.upsert import apply_changes
     from ..sources import snapshots as snap
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        manifest = snap._load(root)
-        done = {
-            e.get("meta", {}).get("stream_batch_id")
-            for e in manifest["snapshots"]
-        }
-        if batch_id in done:
-            return
         src = batch_df
         if order_col is not None:
             from pyspark.sql import Window
@@ -227,28 +252,51 @@ def foreach_batch_apply_changes(
                 .drop("_rn")
             )
         data_cols = [c for c in src.columns if c != "_change_type"]
-        if manifest["current"] is not None:
-            from ..sources import deletes
 
-            if deletes.delete_mode(root) == "merge-on-read":
-                # O(feed) commit: changed keys DV-deleted by position,
-                # post-state rows appended, batch id in the same
-                # transaction (vs the O(table) overwrite below)
-                deletes.apply_changes_dv(
-                    batch_df.sparkSession,
-                    root,
-                    src,
-                    list(keys),
-                    meta={"stream_batch_id": batch_id},
-                )
+        # retried read-check-write cycle with the CoW write pinned to
+        # the snapshot it derived from — see foreach_batch_merge_snapshot
+        @snap._retry_conflicts
+        def attempt() -> None:
+            manifest = snap._load(root)
+            done = {
+                e.get("meta", {}).get("stream_batch_id")
+                for e in manifest["snapshots"]
+            }
+            if batch_id in done:
                 return
-            target = snap.read_snapshot(batch_df.sparkSession, root)
-        else:
-            target = src.select(*data_cols).filter(F.lit(False))
-        applied = apply_changes(target, src, keys)
-        snap.write_snapshot(
-            applied, root, mode="overwrite", meta={"stream_batch_id": batch_id}
-        )
+            base = manifest["current"]
+            if base is not None:
+                from ..sources import deletes
+
+                # property unset -> merge-on-read, as in the MERGE sink
+                if manifest.get("delete_mode", "merge-on-read") != "copy-on-write":
+                    # DEFAULT O(feed) commit: changed keys DV-deleted
+                    # by position, post-state rows appended, batch id
+                    # in the same transaction (vs the O(table)
+                    # overwrite below, opt-in via the table property)
+                    deletes.apply_changes_dv(
+                        batch_df.sparkSession,
+                        root,
+                        src,
+                        list(keys),
+                        meta={"stream_batch_id": batch_id},
+                    )
+                    return
+                target = snap.read_snapshot(
+                    batch_df.sparkSession, root, snapshot_id=base
+                )
+            else:
+                target = src.select(*data_cols).filter(F.lit(False))
+            applied = apply_changes(target, src, keys)
+            snap.write_snapshot(
+                applied,
+                root,
+                mode="overwrite",
+                meta={"stream_batch_id": batch_id},
+                expected_base=base,
+            )
+
+        attempt()
 
     return fn
 

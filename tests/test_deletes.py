@@ -543,3 +543,21 @@ def test_maintain_orders_purge_compact_vacuum(spark, root):
     out = D.maintain(spark, root, keep_last=1, older_than_s=0.0, max_dvs=8)
     assert "purged_snapshot" not in out and "compact_snapshot" not in out
     assert S.read_snapshot(spark, root).count() == 400 - 16
+
+
+def test_merge_upsert_dv_empty_batch_commits_no_empty_dir(spark, root):
+    """An empty micro-batch (replayed foreachBatch edge) must still
+    commit its exactly-once meta but reference no empty data dir and
+    leave none on disk (mirrors apply_changes_dv's prune)."""
+    _table(spark, root, n=100, parts=2)
+    before = S._load(root)
+    empty = spark.createDataFrame([], "id long, k long")
+    sid = D.merge_upsert_dv(spark, root, empty, ["id"], meta={"stream_batch_id": 7})
+    entry = S._entry(S._load(root), sid)
+    assert entry["meta"]["stream_batch_id"] == 7
+    assert entry["dirs"] == S._entry(before, before["current"])["dirs"]
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("snap-") and os.path.isdir(p):
+            assert os.listdir(p), f"empty dir {d} left behind"
+    assert S.read_snapshot(spark, root).count() == 100

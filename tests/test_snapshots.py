@@ -1495,3 +1495,34 @@ def test_multiprocess_commit_cas_no_lost_updates(tmp_path):
     assert final["version"] == 1 + n_workers * n_commits  # gapless chain
     ids = [s["id"] for s in final["snapshots"]]
     assert ids == list(range(1, len(ids) + 1))
+
+
+def test_optimize_zorder_concurrent_commit_not_lost(spark, root, monkeypatch):
+    """ADVICE round-8 (medium): OPTIMIZE ZORDER rewrites the table from
+    a pinned read — a concurrent append landing mid-rewrite must
+    conflict and re-run, never be erased by the rebase."""
+    S.write_snapshot(
+        spark.range(100).select(
+            "id", (F.col("id") % 7).alias("x"), (F.col("id") % 11).alias("y")
+        ),
+        root,
+    )
+    orig, raced = S._commit, {"done": False}
+
+    def racing(r, m):
+        if not raced["done"]:
+            raced["done"] = True
+            S.write_snapshot(
+                spark.createDataFrame([(1000, 1, 1)], "id long, x long, y long"),
+                root,
+                mode="append",
+            )
+        orig(r, m)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    S.optimize_zorder(spark, root, ["x", "y"], num_files=4)
+    monkeypatch.setattr(S, "_commit", orig)
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 101
+    assert got.filter("id = 1000").count() == 1  # the append survived
+    assert S._entry(S._load(root), S._load(root)["current"])["op"] == "overwrite"

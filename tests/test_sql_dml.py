@@ -605,3 +605,62 @@ def test_delete_mode_routes_dv_and_reorg_purge(spark, root):
         sql_dml.execute_dml(
             spark, "ALTER TABLE t SET TBLPROPERTIES ('x'='y')", t
         )
+
+
+def test_merge_rejects_mispaired_clause_actions(spark, root):
+    """'WHEN MATCHED THEN INSERT *' parses lexically but is nonsense —
+    on the merge-on-read route it used to crash with IndexError (no
+    parts) and on copy-on-write it silently became insert-only. Both
+    mispairings must raise loudly, on BOTH delete-mode routes."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+
+    S.write_snapshot(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    src = {"s": spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")}
+    bad = [
+        "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN INSERT *",
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *",
+        "MERGE INTO t USING s ON t.id = s.id WHEN NOT MATCHED THEN DELETE",
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN UPDATE SET *",
+    ]
+    for mode in ("copy-on-write", "merge-on-read"):
+        D.set_delete_mode(root, mode)
+        for stmt in bad:
+            with pytest.raises(ValueError, match="unsupported MERGE clause"):
+                sql_dml.execute_dml(spark, stmt, {"t": root}, sources=src)
+    # the table is untouched by any of the rejected statements
+    assert S.read_snapshot(spark, root).count() == 1
+
+
+def test_merge_cow_concurrent_commit_not_lost(spark, root, monkeypatch):
+    """ADVICE round-8 (medium): SQL MERGE's copy-on-write route derives
+    the whole new table state from a target read — a concurrent append
+    landing before its commit must be retried into the result, never
+    erased by a metadata rebase."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    orig, raced = S._commit, {"done": False}
+
+    def racing(r, m):
+        if not raced["done"]:
+            raced["done"] = True
+            S.write_snapshot(
+                spark.createDataFrame([(9, "z")], "id long, v string"),
+                root,
+                mode="append",
+            )
+        orig(r, m)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        {"t": root},
+        sources={"s": spark.createDataFrame([(1, "A"), (3, "c")], "id long, v string")},
+    )
+    monkeypatch.setattr(S, "_commit", orig)
+    got = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "A", 2: "b", 3: "c", 9: "z"}  # append survived

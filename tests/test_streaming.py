@@ -658,3 +658,65 @@ def test_ohlc_builds_as_a_stream(spark, tmpdir):
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type", "value")
     want = {key(r): val(r) for r in W.ohlc_resample(batch).collect()}
     assert got == want and len(got) == 3
+
+
+def test_merge_sink_defaults_to_merge_on_read(spark, tmpdir):
+    """Round-9: the streaming MERGE sink's default write strategy is
+    merge-on-read (O(batch) bytes per trigger); copy-on-write is
+    opt-in via the table property."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+    from e_commerce_lakehouse_spark.sources import snapshots as snap
+
+    schema = "k string, v long, seq long"
+    root = f"{tmpdir}/tbl"
+    sink = sinks.foreach_batch_merge_snapshot(root, ["k"], order_col="seq")
+    sink(spark.createDataFrame([("a", 1, 1), ("b", 2, 1)], schema), 0)
+    sink(spark.createDataFrame([("a", 9, 2), ("c", 3, 2)], schema), 1)
+    hist = snap.history(root)
+    assert [h["op"] for h in hist] == ["overwrite", "merge_dv"]
+    got = {r.k: r.v for r in snap.read_snapshot(spark, root).collect()}
+    assert got == {"a": 9, "b": 2, "c": 3}
+
+    # explicit copy-on-write opts out
+    root2 = f"{tmpdir}/tbl2"
+    sink2 = sinks.foreach_batch_merge_snapshot(root2, ["k"], order_col="seq")
+    sink2(spark.createDataFrame([("a", 1, 1)], schema), 0)
+    D.set_delete_mode(root2, "copy-on-write")
+    sink2(spark.createDataFrame([("a", 5, 2)], schema), 1)
+    assert [h["op"] for h in snap.history(root2)] == ["overwrite", "overwrite"]
+    assert {r.k: r.v for r in snap.read_snapshot(spark, root2).collect()} == {"a": 5}
+
+
+def test_cow_merge_sink_concurrent_commit_not_lost(spark, tmpdir, monkeypatch):
+    """ADVICE round-8 (medium): a concurrent append landing between the
+    CoW sink's target read and its overwrite commit used to be ERASED
+    by write_snapshot's metadata rebase. With expected_base the stale
+    write conflicts and the sink's retry recomputes — both the merge
+    and the concurrent append must survive."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+    from e_commerce_lakehouse_spark.sources import snapshots as S
+
+    schema = "k string, v long, seq long"
+    root = f"{tmpdir}/tbl"
+    S.write_snapshot(
+        spark.createDataFrame([("a", 1, 1), ("b", 2, 1)], schema), root
+    )
+    D.set_delete_mode(root, "copy-on-write")
+    orig, raced = S._commit, {"done": False}
+
+    def racing(r, m):
+        if not raced["done"]:
+            raced["done"] = True
+            S.write_snapshot(
+                spark.createDataFrame([("z", 99, 1)], schema),
+                root,
+                mode="append",
+            )
+        orig(r, m)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    sink = sinks.foreach_batch_merge_snapshot(root, ["k"], order_col="seq")
+    sink(spark.createDataFrame([("a", 7, 2)], schema), 0)
+    monkeypatch.setattr(S, "_commit", orig)
+    got = {r.k: r.v for r in S.read_snapshot(spark, root).collect()}
+    assert got == {"a": 7, "b": 2, "z": 99}  # nothing lost
