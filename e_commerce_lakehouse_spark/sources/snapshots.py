@@ -2138,10 +2138,18 @@ _BLOOM_SEED = "bfidx:"
 _BLOOM_DTYPES = _INT_DTYPES | {"string"}
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=65536)
 def _bloom_positions_py(s: str, m: int, k: int) -> list[int]:
     """k bit positions from ONE md5, 7-hex-digit slices
     (Kirsch-Mitzenmacher single-hash derivation — the same spec the
-    Spark build side renders as conv(substring(md5(..)))). k <= 4."""
+    Spark build side renders as conv(substring(md5(..)))). k <= 4.
+    Memoized: an IN-list plan probes the SAME values against every
+    file's bloom (m/k are index-level config), so the md5 work is
+    O(values), not O(values x files) — the merge-on-read keyscan sends
+    batches of keys through here. Callers must not mutate the list."""
     import hashlib
 
     h = hashlib.md5((_BLOOM_SEED + s).encode()).hexdigest()

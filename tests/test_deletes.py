@@ -216,7 +216,8 @@ def test_merge_upsert_dv_values_equal_copy_on_write(spark, root):
     assert got == want
     assert got[1] == (2, "b", 200)  # source NULL kept target's v
     entry = S._entry(S._load(root), sid)
-    assert entry["op"] == "merge_dv" and entry["meta"] == {"x": 1}
+    assert entry["op"] == "merge_dv" and entry["meta"]["x"] == 1
+    assert entry["meta"]["scan"]["keyscan"] == "pruned"  # read side O(batch)
     assert len(entry["dvs"]) == 1  # one matched key -> one DV commit
     after = _data_files(root)
     for rel, stat in before.items():  # O(batch): old files byte-identical
@@ -561,3 +562,152 @@ def test_merge_upsert_dv_empty_batch_commits_no_empty_dir(spark, root):
         if d.startswith("snap-") and os.path.isdir(p):
             assert os.listdir(p), f"empty dir {d} left behind"
     assert S.read_snapshot(spark, root).count() == 100
+
+
+def _scattered_table(spark, root, n=3200, files=32):
+    """Hash-scattered ids: every file's [min,max] spans the domain, so
+    bounds prune nothing — only the bloom index can."""
+    df = spark.range(n).select("id", (F.col("id") % 7).alias("k")).repartition(files)
+    S.write_snapshot(df, root)
+    S.set_bloom_index(root, ["id"])
+    S.build_bloom_index(spark, root)
+
+
+def test_merge_upsert_dv_keyscan_prunes_file_opens(spark, root, tmp_path):
+    """Round-8 verdict top item: the merge-on-read READ side must be
+    O(batch-touched files), not O(table) — a point-key batch routes the
+    matched-scan through plan_scan + the bloom file index and opens a
+    handful of the 32 files. Rows must be identical to the unpruned
+    path (cap 0 forces the full scan) and the pruning is recorded on
+    the commit."""
+    _scattered_table(spark, root)
+    batch = spark.createDataFrame([(42, 100), (9999, 1)], "id long, k long")
+    sid = D.merge_upsert_dv(spark, root, batch, ["id"])
+    scan = S._entry(S._load(root), sid)["meta"]["scan"]
+    assert scan["keyscan"] == "pruned"
+    assert scan["scan_candidates"] == 32
+    assert scan["scan_kept"] <= 4  # bloom kills >= 28 of 32 file opens
+    got = {r.id: r.k for r in S.read_snapshot(spark, root).collect()}
+    assert got[42] == 100 and got[9999] == 1 and len(got) == 3201
+
+    # twin table, same batch, pruning disabled: byte-identical outcome
+    root2 = str(tmp_path / "tbl2")
+    _scattered_table(spark, root2)
+    sid2 = D.merge_upsert_dv(spark, root2, batch, ["id"], max_keyscan_keys=0)
+    scan2 = S._entry(S._load(root2), sid2)["meta"]["scan"]
+    assert scan2["keyscan"] == "full"
+    got2 = {r.id: r.k for r in S.read_snapshot(spark, root2).collect()}
+    assert got2 == got
+
+
+def test_apply_changes_dv_keyscan_prunes_file_opens(spark, root, tmp_path):
+    """Same read-side pruning for the CDC applier, including a DELETE;
+    NULL feed keys fall back to the full scan (eqNullSafe matches NULLs,
+    which no column stat can prune)."""
+    _scattered_table(spark, root)
+    feed = spark.createDataFrame(
+        [(42, 0, "delete"), (77, 500, "update_postimage"), (9999, 1, "insert")],
+        "id long, k long, _change_type string",
+    )
+    sid = D.apply_changes_dv(spark, root, feed, ["id"])
+    scan = S._entry(S._load(root), sid)["meta"]["scan"]
+    assert scan["keyscan"] == "pruned" and scan["scan_kept"] <= 6
+    got = {r.id: r.k for r in S.read_snapshot(spark, root).collect()}
+    assert 42 not in got and got[77] == 500 and got[9999] == 1
+    assert len(got) == 3200  # 3200 - 1 delete + 1 insert
+
+    # a NULL key in the feed: sound full-scan fallback, NULL row deleted
+    root2 = str(tmp_path / "tbl2")
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "id long, k long"
+    ).repartition(3)
+    S.write_snapshot(df, root2)
+    feed2 = spark.createDataFrame(
+        [(None, 0, "delete")], "id long, k long, _change_type string"
+    )
+    sid2 = D.apply_changes_dv(spark, root2, feed2, ["id"])
+    assert S._entry(S._load(root2), sid2)["meta"]["scan"]["keyscan"] == "full"
+    assert {r.k for r in S.read_snapshot(spark, root2).collect()} == {10, 30}
+
+
+def test_merge_upsert_dv_keyscan_conflict_gate(spark, root, monkeypatch):
+    """plan_scan reloads the manifest; a commit sliding between the
+    op's load and the plan must re-raise (and retry) instead of
+    committing positions computed against a drifted file set."""
+    _scattered_table(spark, root, n=100, files=2)
+    orig, raced = S.plan_scan, {"n": 0}
+
+    def racing_plan(r, preds, **kw):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            S.write_snapshot(
+                spark.createDataFrame([(5000, 5)], "id long, k long"),
+                root,
+                mode="append",
+            )
+        return orig(r, preds, **kw)
+
+    monkeypatch.setattr(S, "plan_scan", racing_plan)
+    batch = spark.createDataFrame([(1, 99)], "id long, k long")
+    sid = D.merge_upsert_dv(spark, root, batch, ["id"])
+    monkeypatch.setattr(S, "plan_scan", orig)
+    got = {r.id: r.k for r in S.read_snapshot(spark, root).collect()}
+    assert got[1] == 99 and got[5000] == 5  # both the merge and the append
+    assert len(got) == 101
+
+
+def test_rewrite_deletes_threshold_spares_lightly_marked_files(spark, root):
+    """Round-8 verdict item 3: a 1-row delete in a large file must not
+    trigger a full-file rewrite at the next maintain() — the file
+    survives un-rewritten (same inode) with its mark consolidated into
+    one sidecar; crossing the threshold finally rewrites it. Reads,
+    stats and time travel stay exact throughout."""
+    df = spark.range(100_000).select("id", (F.col("id") % 5).alias("k"))
+    S.write_snapshot(df.repartition(1), root)
+    # ten single-row deletes -> DV stack depth 10 (> max_dvs=8)
+    for i in range(10):
+        D.delete_where_dv(spark, root, [("id", "=", i)])
+    pre = S._load(root)
+    assert len(S._entry(pre, pre["current"])["dvs"]) == 10
+    before = _data_files(root)
+
+    out = D.maintain(spark, root, older_than_s=3600.0)
+    assert "purged_snapshot" in out
+    m = S._load(root)
+    entry = S._entry(m, m["current"])
+    # 10 rows of 100k is 0.01% < 10%: file kept, stack consolidated to 1
+    assert [d for d in entry["dirs"] if "purge" in d] == []
+    assert len(entry["dvs"]) == 1
+    assert S._entry(m, m["current"])["meta"]["rewritten"] == []
+    after = _data_files(root)
+    for rel, stat in before.items():
+        assert after[rel] == stat, f"{rel} was rewritten"
+    assert S.read_snapshot(spark, root).count() == 99_990
+    assert S.table_stats(root)["n_rows"] == 99_990
+    # time travel: the pre-purge snapshot still shows its own DV state
+    assert S.read_snapshot(spark, root, snapshot_id=pre["current"]).count() == 99_990
+
+    # crossing the threshold (delete 20% of rows) purges for real
+    D.delete_where_dv(spark, root, [("id", "<", 20_000)])
+    sid = D.rewrite_deletes(spark, root, min_deleted_frac=0.1)
+    entry = S._entry(S._load(root), sid)
+    assert "dvs" not in entry and entry["meta"]["rewritten"] != []
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 80_000  # ids 0..19999 all deleted
+    assert got.filter("id < 20000").count() == 0
+
+
+def test_rewrite_deletes_threshold_noop_and_reorg_unconditional(spark, root):
+    """Below-threshold marks with an already-minimal stack are a
+    no-op (no new snapshot); the SQL REORG PURGE route stays
+    unconditional (min_deleted_frac=0.0 purges everything)."""
+    from e_commerce_lakehouse_spark.sources import sql_dml
+
+    S.write_snapshot(spark.range(10_000).select("id").repartition(1), root)
+    D.delete_where_dv(spark, root, [("id", "=", 7)])
+    cur = S._load(root)["current"]
+    assert D.rewrite_deletes(spark, root, min_deleted_frac=0.1) == cur  # no-op
+    out = sql_dml.execute_dml(spark, "REORG TABLE t APPLY (PURGE)", {"t": root})
+    entry = S._entry(S._load(root), out["snapshot_id"])
+    assert "dvs" not in entry  # unconditional purge cleared the state
+    assert S.read_snapshot(spark, root).count() == 9_999
