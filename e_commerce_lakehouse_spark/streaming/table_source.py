@@ -1,0 +1,346 @@
+"""Streaming TABLE source: ``spark.readStream`` over a snapshot
+table's commit log — Delta's streaming-table source / Iceberg's
+incremental read, built on PySpark 4's Python DataSource API.
+
+The reference's streaming job tails a Kafka topic and MERGEs into the
+lakehouse (streaming_flow.py:170-238); the missing half of that story
+is reading a lakehouse TABLE as a stream, so a downstream gold job can
+tail the silver table itself instead of re-subscribing to the broker.
+This module provides it for the repo's snapshot tables:
+
+    df = read_table_stream(spark, root)          # helper, or
+    spark.dataSource.register(TableStreamDataSource)
+    df = (spark.readStream.format("snapshot_table")
+          .option("path", root).load())
+
+Semantics (Delta streaming-source parity):
+
+- The FIRST micro-batch emits the table's full contents as of the
+  stream's start (deletion vectors applied — a DV-deleted row is not
+  resurrected); every later batch emits exactly the files APPENDED by
+  each subsequent commit, walked along the main-branch ancestry.
+  Offsets are ``{"snapshot_id": N}`` — checkpointed by Spark, so a
+  restart resumes after the last committed snapshot, exactly once.
+- ``startingSnapshotId``: consume only commits AFTER this snapshot
+  (exclusive base — the "tail only" mode; Delta's ``startingVersion``
+  shifted by one). The id must be on the main ancestry.
+- A commit that REMOVES files (replace_where, overwrite, compaction,
+  rollback) is not an append: the stream REFUSES with the offending
+  snapshot id unless ``ignoreChanges=true`` (then its added files
+  still emit — rewritten rows re-appear, exactly Delta's documented
+  ignoreChanges contract). A commit that only adds deletion vectors is
+  a row-level DELETE: refused unless ``ignoreDeletes=true`` (or
+  ignoreChanges, which implies it). Either way the stream never
+  silently drops or duplicates an APPEND.
+- DVs committed in the SAME snapshot as an added file (a writer
+  marking rows of its own delta) are applied to that file at read
+  time, never refused — they delete rows the stream has not emitted.
+- ``maxCommitsPerTrigger``: at most N commits per micro-batch, from
+  the SECOND trigger of a run onward — the Python DataSource offset
+  API has no admission control (Spark calls ``latestOffset()`` before
+  ``initialOffset()`` and never passes the consumed position), so the
+  first batch of a (re)start is unthrottled; capping it against a
+  guessed base could plan an offset BEHIND the checkpoint and corrupt
+  the stream. A steady-state tailer is throttled on every batch.
+- ``withCommitVersion=true`` appends a ``_commit_version`` long column
+  (which snapshot added each row — the changelog join key downstream
+  IVM consumers use).
+
+Scale design: planning is manifest-only (no data I/O on the driver
+beyond KB-scale DV sidecars); each micro-batch becomes one
+InputPartition PER FILE, read executor-side with pyarrow and shipped
+to the JVM as Arrow batches — no Python row loop, and a 10k-file
+backfill fans out across the cluster like any parquet scan. Schema is
+the CURRENT table schema: older files missing later-added columns pad
+nulls (mergeSchema read semantics); dropped/hidden partition columns
+in the files are pruned before the batch leaves the worker.
+
+Vacuum interplay: offsets pin snapshots, but ``vacuum``/``expire`` can
+GC a lagging stream's unread files — the read then fails loudly
+(FileNotFoundError), never returns partial data. Keep ``keep_last``
+above the consumer lag, as with Delta's checkpoint-retention rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..sources import snapshots as S
+
+_COMMIT_COL = "_commit_version"
+
+
+def _opt(options, name, default=None):
+    """Python-DataSource options arrive lower-cased through the JVM
+    option path; accept either spelling."""
+    for k in (name, name.lower()):
+        if k in options:
+            return options[k]
+    return default
+
+
+def _bool_opt(options, name) -> bool:
+    return str(_opt(options, name, "false")).strip().lower() in (
+        "true", "1", "yes",
+    )
+
+
+def _table_schema(manifest: dict, with_commit_version: bool) -> T.StructType:
+    if manifest["current"] is None:
+        raise ValueError("cannot stream an empty table: no snapshots yet")
+    entry = S._entry(manifest, manifest["current"])
+    struct = T.StructType.fromJson(json.loads(entry["schema"]))
+    hidden = S._hidden_set(manifest)
+    fields = [f for f in struct.fields if f.name not in hidden]
+    if with_commit_version:
+        fields.append(T.StructField(_COMMIT_COL, T.LongType(), False))
+    return T.StructType(fields)
+
+
+def _chain(manifest: dict, start_id, end_id: int) -> list[dict]:
+    """Manifest entries from just after ``start_id`` up to ``end_id``,
+    oldest first, walked via parent pointers (committed ancestry is
+    immutable, so any two offsets from one stream resolve the same
+    chain forever)."""
+    by_id = {s["id"]: s for s in manifest["snapshots"]}
+    out, cur = [], end_id
+    while cur is not None and cur != start_id:
+        if cur not in by_id:
+            raise ValueError(
+                f"snapshot {cur} is not in the manifest (expired under a "
+                "lagging stream, or offset from a different table)"
+            )
+        out.append(by_id[cur])
+        cur = by_id[cur].get("parent")
+    if cur != start_id:
+        raise ValueError(
+            f"offset snapshot {start_id} is not an ancestor of {end_id}; "
+            "the table history was rewritten under the stream"
+        )
+    out.reverse()
+    return out
+
+
+def _dv_positions(root: str, dv_dirs: list[str]) -> dict[str, list[int]]:
+    """(file -> deleted positions) from DV sidecar dirs. Sidecars are
+    KB-scale by design (sources/deletes.py) — a driver-side read."""
+    pos: dict[str, list[int]] = {}
+    for d in dv_dirs:
+        full = os.path.join(root, d)
+        names = [n for n in os.listdir(full) if n.endswith(".parquet")]
+        if not names:
+            continue
+        tbl = pq.read_table(
+            [os.path.join(full, n) for n in names], columns=["file", "pos"]
+        )
+        for f, p in zip(
+            tbl.column("file").to_pylist(), tbl.column("pos").to_pylist()
+        ):
+            pos.setdefault(f, []).append(p)
+    return pos
+
+
+class _FilePartition(InputPartition):
+    """One data file of one commit: absolute path, the commit id that
+    added it, and the positions its snapshot's DVs mark deleted."""
+
+    def __init__(self, path: str, commit_id: int, deleted_pos: list[int]):
+        self.path = path
+        self.commit_id = commit_id
+        self.deleted_pos = deleted_pos
+
+
+class _TableStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root = _opt(options, "path")
+        if not self.root:
+            raise ValueError("snapshot_table requires .option('path', root)")
+        self.ignore_changes = _bool_opt(options, "ignoreChanges")
+        self.ignore_deletes = self.ignore_changes or _bool_opt(
+            options, "ignoreDeletes"
+        )
+        self.with_commit = _bool_opt(options, "withCommitVersion")
+        raw = _opt(options, "maxCommitsPerTrigger")
+        self.max_commits = int(raw) if raw is not None else None
+        if self.max_commits is not None and self.max_commits < 1:
+            raise ValueError("maxCommitsPerTrigger must be >= 1")
+        start = _opt(options, "startingSnapshotId")
+        self.starting_id = int(start) if start is not None else None
+        # arrow target for executor-side alignment (picklable, tiny)
+        manifest = S._load(self.root)
+        if self.starting_id is not None:
+            _chain(manifest, None, self.starting_id)  # must be ancestry
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(
+            _table_schema(manifest, self.with_commit)
+        )
+
+    # -- offsets ------------------------------------------------------
+    #: maxCommitsPerTrigger throttles in latestOffset (never in
+    #: partitions: Spark checkpoints the END offset latestOffset
+    #: returned, so shrinking the plan there would skip commits
+    #: forever). The reader tracks the last offset it planned; after a
+    #: checkpoint restart that base is unknown until the first batch
+    #: plans, so the first post-restart trigger is unthrottled — a
+    #: best-effort cap, exactly once regardless.
+    _UNKNOWN = object()
+
+    def initialOffset(self):
+        self._planned = self.starting_id
+        return {"snapshot_id": self.starting_id}
+
+    def latestOffset(self):
+        manifest = S._load(self.root)
+        cur = manifest["current"]
+        if cur is None:
+            return {"snapshot_id": self.starting_id}
+        base = getattr(self, "_planned", self._UNKNOWN)
+        if (
+            self.max_commits is not None
+            and base is not self._UNKNOWN
+            and base is not None  # initial batch = one full scan
+            and base != cur
+        ):
+            try:
+                chain = _chain(manifest, base, cur)
+            except ValueError:
+                return {"snapshot_id": cur}  # partitions() raises loudly
+            cur = chain[min(self.max_commits, len(chain)) - 1]["id"]
+        return {"snapshot_id": cur}
+
+    # -- planning (driver) --------------------------------------------
+    def partitions(self, start, end):
+        start_id, end_id = start["snapshot_id"], end["snapshot_id"]
+        self._planned = end_id
+        if end_id is None or start_id == end_id:
+            return []
+        manifest = S._load(self.root)
+        parts: list[_FilePartition] = []
+        if start_id is None:
+            # initial batch: the full snapshot, DVs applied
+            entry = S._entry(manifest, end_id)
+            dv_pos = _dv_positions(self.root, entry.get("dvs", []))
+            for d, f in S._entry_units(self.root, manifest, entry):
+                key = f"{d}/{f}"
+                parts.append(_FilePartition(
+                    os.path.join(self.root, d, f), end_id,
+                    sorted(dv_pos.get(key, [])),
+                ))
+            return parts
+        for parent, entry in _pairwise_chain(manifest, start_id, end_id):
+            old = set(S._entry_units(self.root, manifest, parent))
+            new = set(S._entry_units(self.root, manifest, entry))
+            removed = old - new
+            if removed and not self.ignore_changes:
+                raise ValueError(
+                    f"snapshot {entry['id']} (op={entry.get('op')!r}) "
+                    f"removed {len(removed)} file(s) — not an append. "
+                    "Restart from a fresh checkpoint, or set "
+                    ".option('ignoreChanges','true') to keep tailing "
+                    "appends (rewritten rows will re-appear)."
+                )
+            added = sorted(new - old)
+            added_keys = {f"{d}/{f}" for d, f in added}
+            new_dvs = [
+                d for d in entry.get("dvs", [])
+                if d not in parent.get("dvs", [])
+            ]
+            dv_pos: dict[str, list[int]] = {}
+            if new_dvs:
+                dv_pos = _dv_positions(self.root, new_dvs)
+                outside = [k for k in dv_pos if k not in added_keys]
+                if outside and not self.ignore_deletes:
+                    raise ValueError(
+                        f"snapshot {entry['id']} (op={entry.get('op')!r}) "
+                        f"deleted rows from {len(outside)} already-"
+                        "emitted file(s) via deletion vectors. Set "
+                        ".option('ignoreDeletes','true') to keep "
+                        "tailing appends past row-level deletes."
+                    )
+            for d, f in added:
+                key = f"{d}/{f}"
+                parts.append(_FilePartition(
+                    os.path.join(self.root, d, f), entry["id"],
+                    sorted(dv_pos.get(key, [])),
+                ))
+        return parts
+
+    # -- execution (workers) ------------------------------------------
+    def read(self, partition):
+        tbl = pq.read_table(partition.path)
+        if partition.deleted_pos:
+            import numpy as np
+
+            mask = np.ones(len(tbl), dtype=bool)
+            mask[np.asarray(partition.deleted_pos, dtype=np.int64)] = False
+            tbl = tbl.filter(pa.array(mask))
+        cols = []
+        for field in self._arrow_schema:
+            if field.name == _COMMIT_COL:
+                cols.append(pa.array(
+                    [partition.commit_id] * len(tbl), type=field.type
+                ))
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:  # column added after this file was written
+                cols.append(pa.nulls(len(tbl), type=field.type))
+        yield from pa.table(
+            cols, schema=self._arrow_schema
+        ).to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end):
+        pass  # offsets live in Spark's checkpoint; nothing table-side
+
+
+def _pairwise_chain(manifest, start_id, end_id):
+    chain = _chain(manifest, start_id, end_id)
+    parent = S._entry(manifest, start_id)
+    for entry in chain:
+        yield parent, entry
+        parent = entry
+
+
+class TableStreamDataSource(DataSource):
+    """``format("snapshot_table")`` — see module docstring for the
+    option surface (path, startingSnapshotId, ignoreDeletes,
+    ignoreChanges, maxCommitsPerTrigger, withCommitVersion)."""
+
+    @classmethod
+    def name(cls):
+        return "snapshot_table"
+
+    def schema(self):
+        root = _opt(self.options, "path")
+        if not root:
+            raise ValueError("snapshot_table requires .option('path', root)")
+        return _table_schema(
+            S._load(root), _bool_opt(self.options, "withCommitVersion")
+        )
+
+    def streamReader(self, schema):
+        return _TableStreamReader(self.options)
+
+
+def read_table_stream(
+    spark: SparkSession, root: str, **options
+) -> DataFrame:
+    """Register the source and open the stream:
+    ``read_table_stream(spark, root, ignoreDeletes="true")``."""
+    spark.dataSource.register(TableStreamDataSource)
+    reader = spark.readStream.format("snapshot_table").option("path", root)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

@@ -1,0 +1,232 @@
+"""Streaming TABLE source (streaming/table_source.py): readStream over
+the snapshot commit log via the PySpark Python DataSource API — the
+Delta streaming-table-source semantics: initial full snapshot (DVs
+applied), append tailing, exactly-once checkpoint restart, loud refusal
+of non-append commits, ignoreDeletes/ignoreChanges escape hatches,
+commit-version column, throttling, schema evolution."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.sources import deletes as D
+from e_commerce_lakehouse_spark.sources import snapshots as S
+from e_commerce_lakehouse_spark.streaming.table_source import (
+    read_table_stream,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="tbl_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_table(spark, root, n=20, start=0):
+    df = spark.range(start, start + n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    return S.write_snapshot(df.repartition(2), root, mode="overwrite")
+
+
+def _append(spark, root, lo, hi):
+    df = spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    return S.write_snapshot(df.repartition(1), root, mode="append")
+
+
+def _drain(spark, root, out, ckpt, **options):
+    q = (
+        read_table_stream(spark, root, **options)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def _keys(spark, out):
+    return sorted(r.k for r in spark.read.parquet(out).select("k").collect())
+
+
+def test_initial_batch_is_full_snapshot_with_dvs(spark, tmpdir):
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_table(spark, root, n=20)
+    # DV-delete BEFORE the stream starts: the initial batch must not
+    # resurrect the marked rows (read-side parity with read_snapshot)
+    D.delete_where_dv(spark, root, [("k", "<", 5)])
+    _drain(spark, root, out, ckpt)
+    assert _keys(spark, out) == list(range(5, 20))
+    got = {
+        (r.k, r.v, r.s)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.k, r.v, r.s)
+        for r in S.read_snapshot(spark, root).collect()
+    }
+    assert got == want
+
+
+def test_tail_appends_exactly_once_across_restart(spark, tmpdir):
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    base = _mk_table(spark, root, n=10)
+    _drain(spark, root, out, ckpt, withCommitVersion="true")
+    s1 = _append(spark, root, 10, 15)
+    s2 = _append(spark, root, 15, 18)
+    # restart on the SAME checkpoint: only the two new commits replay
+    _drain(spark, root, out, ckpt, withCommitVersion="true")
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.k for r in rows) == list(range(18))  # no dupes
+    versions = {r.k: r._commit_version for r in rows}
+    assert all(versions[k] == base for k in range(10))
+    assert all(versions[k] == s1 for k in range(10, 15))
+    assert all(versions[k] == s2 for k in range(15, 18))
+
+
+def test_change_commit_refuses_then_ignore_changes(spark, tmpdir):
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_table(spark, root, n=10)
+    _drain(spark, root, out, ckpt)
+    # replace_where rewrites files -> not an append (replacement rows
+    # must satisfy the predicate scope)
+    repl = spark.range(0, 2).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("v"),
+        F.lit("replaced").alias("s"),
+    )
+    S.replace_where(spark, root, repl, [("k", "<", 3)])
+    q = (
+        read_table_stream(spark, root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # same checkpoint + ignoreChanges: the rewrite's added files emit
+    # (rewritten survivors re-appear — the documented Delta contract)
+    _drain(spark, root, out, ckpt, ignoreChanges="true")
+    rows = spark.read.parquet(out).collect()
+    # the replacement rows arrived
+    assert {(r.k, r.s) for r in rows if r.s == "replaced"} == {
+        (0, "replaced"), (1, "replaced"),
+    }
+    # survivors of the rewritten files re-appear (initial + rewrite) —
+    # the documented ignoreChanges duplication
+    ks = sorted(r.k for r in rows)
+    assert ks.count(3) >= 1
+
+
+def test_dv_delete_refuses_then_ignore_deletes(spark, tmpdir):
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_table(spark, root, n=10)
+    _drain(spark, root, out, ckpt)
+    D.delete_where_dv(spark, root, [("k", "=", 2)])
+    q = (
+        read_table_stream(spark, root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception, match="ignoreDeletes"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # with the option the DV-only commit contributes nothing new
+    _drain(spark, root, out, ckpt, ignoreDeletes="true")
+    assert _keys(spark, out) == list(range(10))
+    # and a subsequent append still flows on the same checkpoint
+    _append(spark, root, 10, 12)
+    _drain(spark, root, out, ckpt, ignoreDeletes="true")
+    assert _keys(spark, out) == list(range(12))
+
+
+def test_merge_on_read_upsert_emits_post_states(spark, tmpdir):
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_table(spark, root, n=10)
+    _drain(spark, root, out, ckpt)
+    batch = spark.createDataFrame(
+        [(1, 111, "upd-1"), (42, 420, "new-42")], "k long, v long, s string"
+    )
+    D.merge_upsert_dv(spark, root, batch, ["k"])
+    # the MoR commit DV-deletes already-emitted rows -> needs the option
+    _drain(spark, root, out, ckpt, ignoreDeletes="true")
+    rows = spark.read.parquet(out).collect()
+    ks = sorted(r.k for r in rows)
+    assert ks == sorted(list(range(10)) + [1, 42])  # post-image + insert
+    assert {r.v for r in rows if r.k == 1} == {10, 111}
+    assert {r.v for r in rows if r.k == 42} == {420}
+
+
+def test_starting_snapshot_id_tails_only(spark, tmpdir):
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    base = _mk_table(spark, root, n=10)
+    _append(spark, root, 10, 13)
+    _drain(spark, root, out, ckpt, startingSnapshotId=str(base))
+    assert _keys(spark, out) == [10, 11, 12]
+
+
+def test_max_commits_per_trigger_splits_batches(spark, tmpdir):
+    # the throttle applies from the SECOND trigger of a run (the
+    # offset API has no admission control — see module docstring), so
+    # drain the initial batch first, then land 3 commits under the
+    # RUNNING query and check they arrive as 3 one-commit batches
+    root = f"{tmpdir}/t"
+    _mk_table(spark, root, n=4)
+    batches = []
+
+    def sink(df, batch_id):
+        batches.append(sorted(r.k for r in df.collect()))
+
+    q = (
+        read_table_stream(spark, root, maxCommitsPerTrigger="1")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert batches == [[0, 1, 2, 3]]  # initial full snapshot
+        _append(spark, root, 4, 6)
+        _append(spark, root, 6, 8)
+        _append(spark, root, 8, 10)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert batches == [[0, 1, 2, 3], [4, 5], [6, 7], [8, 9]]
+
+
+def test_schema_evolution_pads_nulls_for_old_files(spark, tmpdir):
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_table(spark, root, n=4)
+    wide = spark.createDataFrame(
+        [(50, 500, "row-50", "extra")], "k long, v long, s string, e string"
+    )
+    S.write_snapshot(wide, root, mode="append")
+    _drain(spark, root, out, ckpt)
+    rows = {r.k: r.e for r in spark.read.parquet(out).collect()}
+    assert rows[50] == "extra"
+    assert all(rows[k] is None for k in range(4))
