@@ -547,6 +547,7 @@ def apply_changes_dv(
     keys: list[str],
     meta: dict | None = None,
     max_keyscan_keys: int = MAX_KEYSCAN_KEYS,
+    expected_base: int | None = None,
 ) -> int:
     """``operators.upsert.apply_changes`` (DLT APPLY CHANGES INTO —
     the CDC consumer that can DELETE) as one merge-on-read commit:
@@ -559,8 +560,22 @@ def apply_changes_dv(
     on the feed's key IN-list exactly like :func:`delete_where_dv`,
     instead of the copy-on-write path's O(table) rewrite per batch.
     Feed contract unchanged: table columns + ``_change_type``, at most
-    one post-state per key."""
-    return _apply_changes_dv(spark, root, changes, keys, meta, max_keyscan_keys)
+    one post-state per key.
+
+    ``expected_base``: the snapshot id the FEED's values were derived
+    from, for callers whose post-states are read-modify-write over the
+    table itself (the conditional-MERGE executor computes ``SET c =
+    t.c + 1`` from a target read). The commit refuses with
+    :class:`~.snapshots.CommitConflict` when the head moved past it —
+    applying a stale-derived post-state would silently erase the
+    concurrent commit (write_snapshot's expected_base contract). The
+    caller's retry must RECOMPUTE the feed from the fresh head. Leave
+    None (default) when the feed is externally sourced (a CDC stream):
+    its values don't depend on table state, so the internal OCC retry
+    alone is correct."""
+    return _apply_changes_dv(
+        spark, root, changes, keys, meta, max_keyscan_keys, expected_base
+    )
 
 
 @S._retry_conflicts
@@ -571,12 +586,21 @@ def _apply_changes_dv(
     keys: list[str],
     meta: dict | None,
     max_keyscan_keys: int = MAX_KEYSCAN_KEYS,
+    expected_base: int | None = None,
 ) -> int:
     if "_change_type" not in changes.columns:
         raise ValueError("changes must carry _change_type (see cdc_diff)")
     manifest = S._load(root)
     if manifest["current"] is None:
         raise KeyError(f"table {root} has no snapshots; write_snapshot first")
+    if expected_base is not None and manifest["current"] != expected_base:
+        # before ANY work: the gate shares the manifest this attempt
+        # would commit with, so _commit's CAS covers the whole window
+        raise S.CommitConflict(
+            f"apply_changes_dv: feed derived from snapshot "
+            f"{expected_base} but current is {manifest['current']}; "
+            "recompute the feed and retry"
+        )
     entry = S._entry(manifest, manifest["current"])
     cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
     missing = [c for c in cols if c not in changes.columns]

@@ -246,11 +246,118 @@ _MERGE = re.compile(
     r"\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_MERGE_CLAUSE = re.compile(
-    r"WHEN\s+(MATCHED|NOT\s+MATCHED)\s+THEN\s+"
-    r"(UPDATE\s+SET\s+\*|DELETE|INSERT\s+\*)",
-    re.IGNORECASE,
+# the full clause grammar (Delta/Iceberg conditional MERGE): optional
+# AND <condition> per clause, explicit SET assignments, explicit
+# INSERT column lists. The condition is non-greedy up to THEN; the
+# action runs to the next WHEN or the end of the clause list.
+_MERGE_CLAUSE_EXT = re.compile(
+    r"WHEN\s+(MATCHED|NOT\s+MATCHED)"
+    r"(?:\s+AND\s+(.+?))?"
+    r"\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*"
+    r"|INSERT\s*\([^)]*\)\s*VALUES\s*\(.+?\))"
+    r"\s*(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
 )
+_INSERT_VALUES = re.compile(
+    r"^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge_clauses(clauses_text: str) -> list[dict]:
+    """WHEN clause list -> [{"head", "cond", "action", "payload"}]
+    with the grammar rules enforced: full coverage, legal head/action
+    pairing, and — for multi-clause groups — first-match-wins ordering
+    (only the LAST clause of each head may omit AND <condition>;
+    anything after an unconditioned clause is unreachable)."""
+    found = list(_MERGE_CLAUSE_EXT.finditer(clauses_text))
+    leftover = _MERGE_CLAUSE_EXT.sub("", clauses_text).strip()
+    if not found or leftover:
+        raise ValueError(
+            f"unsupported MERGE clauses {leftover or clauses_text!r}; "
+            "supported: WHEN [NOT] MATCHED [AND <cond>] THEN "
+            "UPDATE SET * | UPDATE SET c = expr, ... | DELETE | "
+            "INSERT * | INSERT (c, ...) VALUES (expr, ...)"
+        )
+    out = []
+    for m in found:
+        head = " ".join(m.group(1).upper().split())
+        cond = m.group(2).strip() if m.group(2) else None
+        action_text = m.group(3).strip()
+        upper = " ".join(action_text.upper().split())
+        if upper == "DELETE":
+            action, payload = "delete", None
+        elif upper == "UPDATE SET *":
+            action, payload = "update_star", None
+        elif upper.startswith("UPDATE SET"):
+            action = "update_set"
+            payload = parse_set(action_text[len("UPDATE SET"):])
+        elif upper == "INSERT *":
+            action, payload = "insert_star", None
+        else:
+            iv = _INSERT_VALUES.match(action_text)
+            if iv is None:
+                raise ValueError(
+                    f"unsupported MERGE action {action_text!r}"
+                )
+            cols = [c.strip() for c in iv.group(1).split(",")]
+            exprs = [e.strip() for e in _split_top_level_commas(iv.group(2))]
+            if len(cols) != len(exprs) or not all(
+                c.isidentifier() for c in cols
+            ):
+                raise ValueError(
+                    f"MERGE INSERT column list {iv.group(1)!r} does not "
+                    f"match its VALUES list {iv.group(2)!r}"
+                )
+            if len(set(cols)) != len(cols):
+                raise ValueError("MERGE INSERT column assigned twice")
+            action, payload = "insert_values", dict(zip(cols, exprs))
+        legal = (
+            ("update_star", "update_set", "delete")
+            if head == "MATCHED"
+            else ("insert_star", "insert_values")
+        )
+        if action not in legal:
+            shown = (
+                ("UPDATE SET *", "DELETE") if head == "MATCHED"
+                else ("INSERT *",)
+            )
+            raise ValueError(
+                f"unsupported MERGE clause 'WHEN {head} THEN {upper}'; "
+                f"WHEN {head} supports: {' | '.join(shown)}"
+            )
+        out.append(
+            {"head": head, "cond": cond, "action": action, "payload": payload}
+        )
+    for head in ("MATCHED", "NOT MATCHED"):
+        group = [c for c in out if c["head"] == head]
+        uncond = [i for i, c in enumerate(group) if c["cond"] is None]
+        if len(uncond) > 1:
+            raise ValueError(
+                f"duplicate unconditioned WHEN {head} clauses in MERGE; "
+                "every clause except the last of each type needs "
+                "AND <condition>"
+            )
+        if uncond and uncond[0] != len(group) - 1:
+            raise ValueError(
+                f"WHEN {head} clause after an unconditioned WHEN {head} "
+                "clause is unreachable (clauses apply first-match-wins); "
+                "add AND <condition> or reorder"
+            )
+    return out
+
+
+def _merge_is_canonical(clauses: list[dict]) -> bool:
+    """The original three-clause grammar: at most one unconditioned
+    clause per head, star/delete actions only — routed to the
+    whole-row-replace fast paths that predate conditional MERGE."""
+    heads = [c["head"] for c in clauses]
+    return all(
+        c["cond"] is None
+        and c["action"] in ("update_star", "delete", "insert_star")
+        for c in clauses
+    ) and len(set(heads)) == len(heads)
 
 
 def _parse_merge_on(on: str, t_alias: str, s_alias: str) -> list[str]:
@@ -268,6 +375,283 @@ def _parse_merge_on(on: str, t_alias: str, s_alias: str) -> list[str]:
             )
         keys.append(m.group(1))
     return keys
+
+
+_TPFX, _SPFX = "__t_", "__s_"
+
+
+def _qualify_expr(
+    expr: str,
+    t_alias: str,
+    s_alias: str,
+    known_cols: set[str],
+    allow_target: bool = True,
+    what: str = "expression",
+) -> str:
+    """Rewrite ``t.col`` / ``s.col`` references in a MERGE condition or
+    assignment onto the prefixed pair-frame columns. Every column
+    reference must be alias-qualified — a bare reference to a known
+    column is rejected rather than silently resolving to either side
+    (standard MERGE ambiguity rule, enforced instead of guessed)."""
+    literals: list[str] = []
+
+    def _mask(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = re.sub(r"'[^']*'", _mask, expr)
+
+    def _repl(m: re.Match) -> str:
+        alias, col = m.group(1), m.group(2)
+        if alias.lower() == t_alias.lower():
+            if not allow_target:
+                raise ValueError(
+                    f"{what} {expr.strip()!r} references target alias "
+                    f"{alias!r}, but WHEN NOT MATCHED sees only source "
+                    "rows (target columns are all NULL there)"
+                )
+            return _TPFX + col
+        if alias.lower() == s_alias.lower():
+            return _SPFX + col
+        raise ValueError(
+            f"unknown alias {alias!r} in {what} {expr.strip()!r}; "
+            f"qualify columns with {t_alias!r} or {s_alias!r}"
+        )
+
+    masked = re.sub(r"\b(\w+)\s*\.\s*(\w+)", _repl, masked)
+    for tok in re.findall(r"\b[A-Za-z_]\w*\b", masked):
+        if tok in known_cols:
+            raise ValueError(
+                f"unqualified column reference {tok!r} in {what} "
+                f"{expr.strip()!r}; qualify it with {t_alias!r} or "
+                f"{s_alias!r}"
+            )
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], masked)
+
+
+def _merge_extended(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    keys: list[str],
+    clauses: list[dict],
+    t_alias: str,
+    s_alias: str,
+) -> int:
+    """Conditional multi-clause MERGE (Delta/Iceberg ``WHEN MATCHED
+    AND <cond> THEN UPDATE SET c = expr`` surface; the reference pins
+    Iceberg, whose Spark runtime supports exactly this clause shape).
+    Clauses are compiled to ONE CDC feed — matched rows route through a
+    first-match-wins ``when()`` chain into delete / post-image rows
+    (UPDATE keeps unassigned columns at their target values), source
+    rows matching no key take the first applicable NOT MATCHED clause —
+    then the feed commits through the table's ``write.delete.mode``:
+    merge-on-read via :func:`deletes.apply_changes_dv` (O(batch) both
+    sides; matched evaluation reads only batch-key-pruned files), or
+    copy-on-write via ``upsert.apply_changes`` + one overwrite commit.
+
+    Because UPDATE expressions read target values, the feed is a
+    read-modify-write: both commit routes gate on the snapshot the
+    feed derived from (``expected_base``) and recompute on conflict —
+    a concurrent writer's commit is never erased by a stale feed."""
+    import functools
+    import json as _json
+    import operator as _op
+
+    import pyspark.sql.types as T
+
+    from ..operators import upsert as _upsert
+    from . import deletes
+
+    manifest0 = snapshots._load(root)
+    if manifest0["current"] is None:
+        raise KeyError(f"table {root} has no snapshots")
+    entry0 = snapshots._entry(manifest0, manifest0["current"])
+    struct = T.StructType.fromJson(_json.loads(entry0["schema"]))
+    hidden = snapshots._hidden_set(manifest0)
+    t_cols = [f.name for f in struct.fields if f.name not in hidden]
+    dtypes = {f.name: f.dataType for f in struct.fields}
+    known = set(t_cols) | set(source.columns)
+
+    # -- static validation before any read -----------------------------
+    needs_star = any(
+        c["action"] in ("update_star", "insert_star") for c in clauses
+    )
+    if needs_star:
+        missing = [c for c in t_cols if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"MERGE source is missing target columns {missing} "
+                "required by UPDATE SET * / INSERT *"
+            )
+    for c in clauses:
+        if c["action"] in ("update_set", "insert_values"):
+            for col in c["payload"]:
+                if col not in t_cols:
+                    raise ValueError(
+                        f"MERGE assigns unknown column {col!r}; target "
+                        f"columns: {t_cols}"
+                    )
+                if col in keys and c["action"] == "update_set":
+                    raise ValueError(
+                        f"cannot UPDATE SET merge key column {col!r}"
+                    )
+        if c["action"] == "insert_values":
+            for k in keys:
+                if k not in c["payload"]:
+                    raise ValueError(
+                        f"MERGE INSERT column list must include key "
+                        f"column {k!r}"
+                    )
+
+    def _cond_col(c: dict, allow_target: bool):
+        if c["cond"] is None:
+            return F.lit(True)
+        return F.expr(_qualify_expr(
+            c["cond"], t_alias, s_alias, known,
+            allow_target=allow_target, what="MERGE condition",
+        ))
+
+    matched_cl = [c for c in clauses if c["head"] == "MATCHED"]
+    notm_cl = [c for c in clauses if c["head"] == "NOT MATCHED"]
+    # compile every expression now so grammar errors surface before the
+    # retry loop ever reads data
+    for c in matched_cl:
+        _cond_col(c, True)
+        if c["action"] == "update_set":
+            for col, e in c["payload"].items():
+                F.expr(_qualify_expr(
+                    e, t_alias, s_alias, known, True, "SET expression",
+                ))
+    for c in notm_cl:
+        _cond_col(c, False)
+        if c["action"] == "insert_values":
+            for col, e in c["payload"].items():
+                F.expr(_qualify_expr(
+                    e, t_alias, s_alias, known, False, "INSERT expression",
+                ))
+
+    def _first_match_idx(cond_cols: list) -> F.Column:
+        branch = F.lit(None).cast("int")
+        for i in range(len(cond_cols) - 1, -1, -1):
+            branch = F.when(cond_cols[i], F.lit(i)).otherwise(branch)
+        return branch
+
+    def _build_feed(target: DataFrame) -> DataFrame:
+        tgt = target.select([F.col(c).alias(_TPFX + c) for c in t_cols])
+        src = source.select(
+            [F.col(c).alias(_SPFX + c) for c in source.columns]
+        )
+        key_eq = functools.reduce(
+            _op.and_,
+            [F.col(_SPFX + k) == F.col(_TPFX + k) for k in keys],
+        )
+        parts: list[DataFrame] = []
+        if matched_cl:
+            pairs = src.join(tgt, key_eq, "inner").withColumn(
+                "__clause",
+                _first_match_idx([_cond_col(c, True) for c in matched_cl]),
+            )
+            for i, c in enumerate(matched_cl):
+                sub = pairs.filter(F.col("__clause") == i)
+                if c["action"] == "delete":
+                    row = [
+                        F.col(_TPFX + col).alias(col) for col in t_cols
+                    ]
+                    ct = "delete"
+                elif c["action"] == "update_star":
+                    row = [
+                        F.col(_SPFX + col).cast(dtypes[col]).alias(col)
+                        for col in t_cols
+                    ]
+                    ct = "update_postimage"
+                else:  # update_set: unassigned columns keep target values
+                    row = [
+                        (
+                            F.expr(_qualify_expr(
+                                c["payload"][col], t_alias, s_alias,
+                                known, True, "SET expression",
+                            )).cast(dtypes[col])
+                            if col in c["payload"]
+                            else F.col(_TPFX + col)
+                        ).alias(col)
+                        for col in t_cols
+                    ]
+                    ct = "update_postimage"
+                parts.append(
+                    sub.select(*row, F.lit(ct).alias("_change_type"))
+                )
+        if notm_cl:
+            anti = src.join(
+                tgt.select([F.col(_TPFX + k) for k in keys]),
+                key_eq,
+                "left_anti",
+            ).withColumn(
+                "__clause",
+                _first_match_idx([_cond_col(c, False) for c in notm_cl]),
+            )
+            for i, c in enumerate(notm_cl):
+                sub = anti.filter(F.col("__clause") == i)
+                if c["action"] == "insert_star":
+                    row = [
+                        F.col(_SPFX + col).cast(dtypes[col]).alias(col)
+                        for col in t_cols
+                    ]
+                else:  # insert_values: unlisted columns insert NULL
+                    row = [
+                        (
+                            F.expr(_qualify_expr(
+                                c["payload"][col], t_alias, s_alias,
+                                known, False, "INSERT expression",
+                            )) if col in c["payload"] else F.lit(None)
+                        ).cast(dtypes[col]).alias(col)
+                        for col in t_cols
+                    ]
+                parts.append(
+                    sub.select(
+                        *row, F.lit("insert").alias("_change_type")
+                    )
+                )
+        feed = parts[0]
+        for p in parts[1:]:
+            feed = feed.unionByName(p)
+        return feed
+
+    mor = deletes.delete_mode(root) == "merge-on-read"
+
+    @snapshots._retry_conflicts
+    def _run() -> int:
+        base = snapshots._load(root)["current"]
+        if mor:
+            # O(batch) matched evaluation: read only the files the
+            # manifest can't prune on the batch's key IN-list (the
+            # merge_upsert_dv keyscan pattern); exactness comes from
+            # the join, the prune is a superset
+            preds, empty = deletes._batch_key_predicates(
+                source, keys, deletes.MAX_KEYSCAN_KEYS
+            )
+            if preds is not None and not empty:
+                target = snapshots.scan_snapshot(
+                    spark, root, preds, snapshot_id=base
+                )
+            else:
+                target = snapshots.read_snapshot(
+                    spark, root, snapshot_id=base
+                )
+            feed = _build_feed(target)
+            return deletes.apply_changes_dv(
+                spark, root, feed, keys, expected_base=base
+            )
+        target = snapshots.read_snapshot(spark, root, snapshot_id=base)
+        feed = _build_feed(target)
+        new_state = _upsert.apply_changes(
+            target.select(*t_cols), feed, keys
+        )
+        return snapshots.write_snapshot(
+            new_state, root, mode="overwrite", expected_base=base
+        )
+
+    return _run()
 
 
 def execute_dml(
@@ -602,42 +986,7 @@ def execute_dml(
         root = _resolve(tables, name)
         t_alias, s_alias = t_alias or name, s_alias or src_name
         keys = _parse_merge_on(on, t_alias, s_alias)
-        found = [
-            (
-                " ".join(mm.group(1).upper().split()),
-                " ".join(mm.group(2).upper().split()),
-            )
-            for mm in _MERGE_CLAUSE.finditer(clauses_text)
-        ]
-        clauses = dict(found)
-        leftover = _MERGE_CLAUSE.sub("", clauses_text).strip()
-        if not clauses or leftover:
-            raise ValueError(
-                f"unsupported MERGE clauses {leftover or clauses_text!r}; "
-                "supported: WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED "
-                "THEN DELETE | WHEN NOT MATCHED THEN INSERT *"
-            )
-        if len(found) != len(clauses):
-            # two WHEN MATCHED clauses would silently collapse to the
-            # last — reject instead (conditional multi-clause MERGE is
-            # out of grammar)
-            raise ValueError(
-                "duplicate WHEN MATCHED / WHEN NOT MATCHED clauses in MERGE"
-            )
-        # clause-action pairing: the regex accepts any action after
-        # either clause head, but 'WHEN MATCHED THEN INSERT *' is
-        # nonsense (it would be silently dropped or crash downstream)
-        # and 'WHEN NOT MATCHED THEN UPDATE/DELETE' equally so
-        for head, action in found:
-            legal = (
-                ("UPDATE SET *", "DELETE") if head == "MATCHED"
-                else ("INSERT *",)
-            )
-            if action not in legal:
-                raise ValueError(
-                    f"unsupported MERGE clause 'WHEN {head} THEN {action}'; "
-                    f"WHEN {head} supports: {' | '.join(legal)}"
-                )
+        parsed = _parse_merge_clauses(clauses_text)
         if src_name in sources:
             source = sources[src_name]
         else:
@@ -647,6 +996,19 @@ def execute_dml(
                 raise KeyError(
                     f"MERGE source {src_name!r} is neither in sources nor a view"
                 ) from exc
+        if not _merge_is_canonical(parsed):
+            # conditional / multi-clause / explicit-assignment MERGE:
+            # compiled to one CDC feed, committed per write.delete.mode
+            sid = _merge_extended(
+                spark, root, source, keys, parsed, t_alias, s_alias
+            )
+            return {"op": "merge", "table": name, "snapshot_id": sid}
+        _ACTION_SQL = {
+            "update_star": "UPDATE SET *",
+            "delete": "DELETE",
+            "insert_star": "INSERT *",
+        }
+        clauses = {c["head"]: _ACTION_SQL[c["action"]] for c in parsed}
         matched = clauses.get("MATCHED")
         from . import deletes
 

@@ -73,6 +73,7 @@ import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -313,10 +314,50 @@ def _pairwise_chain(manifest, start_id, end_id):
         parent = entry
 
 
+class _TableBatchReader(DataSourceReader):
+    """Batch read through the same per-file Arrow partitions: the
+    snapshot pinned by ``snapshotId`` (default current), DVs applied —
+    ``spark.read.format("snapshot_table")`` parity so one registration
+    serves both engines. ``read_snapshot`` stays the native batch path;
+    this exists so DataSource-API consumers see one format name."""
+
+    def __init__(self, options):
+        self.root = _opt(options, "path")
+        if not self.root:
+            raise ValueError("snapshot_table requires .option('path', root)")
+        if _bool_opt(options, "withCommitVersion"):
+            raise ValueError(
+                "withCommitVersion is a streaming option; batch reads "
+                "have no per-row commit attribution"
+            )
+        raw = _opt(options, "snapshotId")
+        self.snapshot_id = int(raw) if raw is not None else None
+        manifest = S._load(self.root)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_schema = to_arrow_schema(_table_schema(manifest, False))
+
+    def partitions(self):
+        manifest = S._load(self.root)
+        sid = self.snapshot_id or manifest["current"]
+        entry = S._entry(manifest, sid)
+        dv_pos = _dv_positions(self.root, entry.get("dvs", []))
+        return [
+            _FilePartition(
+                os.path.join(self.root, d, f), sid,
+                sorted(dv_pos.get(f"{d}/{f}", [])),
+            )
+            for d, f in S._entry_units(self.root, manifest, entry)
+        ]
+
+    read = _TableStreamReader.read  # same file->aligned-Arrow kernel
+
+
 class TableStreamDataSource(DataSource):
     """``format("snapshot_table")`` — see module docstring for the
     option surface (path, startingSnapshotId, ignoreDeletes,
-    ignoreChanges, maxCommitsPerTrigger, withCommitVersion)."""
+    ignoreChanges, maxCommitsPerTrigger, withCommitVersion; batch reads
+    take ``snapshotId``)."""
 
     @classmethod
     def name(cls):
@@ -329,6 +370,9 @@ class TableStreamDataSource(DataSource):
         return _table_schema(
             S._load(root), _bool_opt(self.options, "withCommitVersion")
         )
+
+    def reader(self, schema):
+        return _TableBatchReader(self.options)
 
     def streamReader(self, schema):
         return _TableStreamReader(self.options)

@@ -1,0 +1,261 @@
+"""Conditional multi-clause MERGE (sources/sql_dml.py
+_merge_extended): WHEN [NOT] MATCHED [AND <cond>] THEN UPDATE SET
+c = expr / DELETE / INSERT (cols) VALUES (exprs) — the Delta/Iceberg
+clause surface beyond the canonical three. Semantics pinned:
+first-match-wins clause order, unassigned UPDATE columns keep target
+values, unlisted INSERT columns are NULL, unmatched-by-any-clause rows
+are untouched; identical results on copy-on-write and merge-on-read
+routes; read-modify-write freshness gated against concurrent commits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_lakehouse_spark.sources import deletes as D
+from e_commerce_lakehouse_spark.sources import snapshots as S
+from e_commerce_lakehouse_spark.sources import sql_dml
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _target(spark):
+    # (id, qty, status, note)
+    return spark.createDataFrame(
+        [
+            (1, 10, "open", "a"),
+            (2, 20, "open", "b"),
+            (3, 30, "closed", "c"),
+            (4, 40, "open", "d"),
+        ],
+        "id long, qty long, status string, note string",
+    )
+
+
+def _source(spark):
+    # id=1 small qty (update), id=2 zero qty (delete), id=3 matched but
+    # closed (untouched), id=5 big qty (insert), id=6 tiny qty (skipped)
+    return spark.createDataFrame(
+        [
+            (1, 5, "open", "s1"),
+            (2, 0, "open", "s2"),
+            (3, 99, "open", "s3"),
+            (5, 50, "new", "s5"),
+            (6, 1, "new", "s6"),
+        ],
+        "id long, qty long, status string, note string",
+    )
+
+
+MERGE = (
+    "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+    "WHEN MATCHED AND s.qty = 0 THEN DELETE "
+    "WHEN MATCHED AND t.status = 'open' THEN "
+    "UPDATE SET qty = t.qty + s.qty, note = s.note "
+    "WHEN NOT MATCHED AND s.qty >= 10 THEN "
+    "INSERT (id, qty, status) VALUES (s.id, s.qty, upper(s.status))"
+)
+
+EXPECTED = {
+    # id 1: second MATCHED clause -> qty 10+5, note s1, status kept
+    (1, 15, "open", "s1"),
+    # id 2: first MATCHED clause (qty=0) -> deleted
+    # id 3: matched, no clause applies (closed, qty!=0) -> untouched
+    (3, 30, "closed", "c"),
+    # id 4: not in source -> untouched
+    (4, 40, "open", "d"),
+    # id 5: NOT MATCHED, qty>=10 -> inserted, note NULL, status uppered
+    (5, 50, "NEW", None),
+    # id 6: NOT MATCHED, qty<10 -> no clause -> ignored
+}
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_conditional_merge_semantics(spark, root, mode):
+    S.write_snapshot(_target(spark), root)
+    sql_dml.execute_dml(
+        spark,
+        f"ALTER TABLE tbl SET TBLPROPERTIES ('write.delete.mode'='{mode}')",
+        {"tbl": root},
+    )
+    out = sql_dml.execute_dml(
+        spark, MERGE, {"tbl": root}, sources={"src": _source(spark)}
+    )
+    assert out["op"] == "merge"
+    got = {tuple(r) for r in S.read_snapshot(spark, root).collect()}
+    assert got == EXPECTED
+
+
+def test_merge_on_read_route_writes_o_batch(spark, root):
+    """The MoR route must not rewrite untouched files: the commit's
+    entry carries the parent's dirs plus one delta dir + DV sidecar."""
+    S.write_snapshot(_target(spark).repartition(4), root)
+    D.set_delete_mode(root, "merge-on-read")
+    sql_dml.execute_dml(
+        spark, MERGE, {"tbl": root}, sources={"src": _source(spark)}
+    )
+    manifest = S._load(root)
+    entry = S._entry(manifest, manifest["current"])
+    assert entry["op"] == "apply_changes_dv"
+    parent = S._entry(manifest, entry["parent"])
+    assert set(parent["dirs"]) <= set(entry["dirs"])  # nothing rewritten
+    assert entry.get("dvs")  # matched rows deleted by position
+
+
+def test_update_set_expression_uses_both_aliases(spark, root):
+    S.write_snapshot(_target(spark), root)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET note = concat(t.note, '+', s.note)",
+        {"tbl": root},
+        sources={"src": _source(spark)},
+    )
+    got = {r.id: r.note for r in S.read_snapshot(spark, root).collect()}
+    assert got[1] == "a+s1" and got[2] == "b+s2" and got[3] == "c+s3"
+    assert got[4] == "d"  # unmatched target row untouched
+
+
+def test_first_match_wins_not_last(spark, root):
+    """A row matching BOTH conditions takes the FIRST clause."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10)], "id long, qty long"), root
+    )
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = s.qty "
+        "WHEN MATCHED THEN DELETE",
+        {"tbl": root},
+        sources={"src": spark.createDataFrame([(1, 7)], "id long, qty long")},
+    )
+    got = [(r.id, r.qty) for r in S.read_snapshot(spark, root).collect()]
+    assert got == [(1, 7)]  # updated, not deleted
+
+
+def test_grammar_rejections(spark, root):
+    S.write_snapshot(_target(spark), root)
+    src = {"src": _target(spark)}
+    # unreachable clause: conditioned AFTER unconditioned
+    with pytest.raises(ValueError, match="unreachable"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED AND s.qty = 0 THEN UPDATE SET qty = s.qty",
+            {"tbl": root},
+            sources=src,
+        )
+    # two unconditioned clauses of one head
+    with pytest.raises(ValueError, match="duplicate"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE WHEN MATCHED THEN UPDATE SET *",
+            {"tbl": root},
+            sources=src,
+        )
+    # unqualified column reference in a condition
+    with pytest.raises(ValueError, match="unqualified column"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED AND qty = 0 THEN DELETE",
+            {"tbl": root},
+            sources=src,
+        )
+    # NOT MATCHED condition referencing the target alias
+    with pytest.raises(ValueError, match="target alias"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN NOT MATCHED AND t.qty = 0 THEN INSERT *",
+            {"tbl": root},
+            sources=src,
+        )
+    # assigning a merge key
+    with pytest.raises(ValueError, match="merge key"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = s.id",
+            {"tbl": root},
+            sources=src,
+        )
+    # INSERT column list missing a key column
+    with pytest.raises(ValueError, match="key"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (qty) VALUES (s.qty)",
+            {"tbl": root},
+            sources=src,
+        )
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_concurrent_commit_not_lost(spark, root, mode, monkeypatch):
+    """The feed is a read-modify-write (SET qty = t.qty + s.qty reads
+    the target): a concurrent append landing mid-merge must be retried
+    into the result on BOTH routes, never erased by a stale feed."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10)], "id long, qty long"), root
+    )
+    D.set_delete_mode(root, mode)
+    orig, raced = S._commit, {"done": False}
+
+    def racing(r, m):
+        if not raced["done"]:
+            raced["done"] = True
+            S.write_snapshot(
+                spark.createDataFrame([(9, 90)], "id long, qty long"),
+                root,
+                mode="append",
+            )
+        orig(r, m)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = t.qty + s.qty "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": root},
+        sources={"src": spark.createDataFrame([(1, 5), (9, 1)], "id long, qty long")},
+    )
+    monkeypatch.setattr(S, "_commit", orig)
+    got = {r.id: r.qty for r in S.read_snapshot(spark, root).collect()}
+    # the raced append (9, 90) must be MATCHED by the recomputed feed:
+    # 90 + 1, not an insert of 1 and not erased
+    assert got == {1: 15, 9: 91}
+
+
+def test_merge_on_read_matched_scan_is_pruned(spark, root):
+    """O(batch) read side: with many files and a 1-key batch, the
+    committed scan meta must show pruned candidates (the Bloom-index
+    keyscan), not a full-table read."""
+    S.write_snapshot(
+        spark.range(0, 10_000)
+        .select(F.col("id"), (F.col("id") % 97).alias("qty"))
+        .repartitionByRange(16, "id"),
+        root,
+    )
+    D.set_delete_mode(root, "merge-on-read")
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty >= 0 THEN UPDATE SET qty = t.qty + s.qty",
+        {"tbl": root},
+        sources={"src": spark.createDataFrame([(42, 1)], "id long, qty long")},
+    )
+    manifest = S._load(root)
+    entry = S._entry(manifest, manifest["current"])
+    scan = entry["meta"]["scan"]
+    assert scan["keyscan"] == "pruned"
+    assert scan["scan_kept"] < scan["scan_candidates"]
+    got = {r.id: r.qty for r in
+           S.read_snapshot(spark, root).where(F.col("id") == 42).collect()}
+    assert got == {42: (42 % 97) + 1}

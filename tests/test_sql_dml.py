@@ -192,10 +192,19 @@ def test_grammar_rejections(spark, root):
             {"t": root},
             sources={"s": spark.range(1)},
         )
-    with pytest.raises(ValueError, match="unsupported MERGE"):
+    # UPDATE SET <assignments> is grammar since the conditional-MERGE
+    # extension — but assigning a column the target doesn't have is not
+    with pytest.raises(ValueError, match="unknown column"):
         sql_dml.execute_dml(
             spark,
             "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = 1",
+            {"t": root},
+            sources={"s": spark.range(1)},
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN TRUNCATE",
             {"t": root},
             sources={"s": spark.range(1)},
         )

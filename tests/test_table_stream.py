@@ -219,6 +219,31 @@ def test_max_commits_per_trigger_splits_batches(spark, tmpdir):
     assert batches == [[0, 1, 2, 3], [4, 5], [6, 7], [8, 9]]
 
 
+def test_batch_read_same_format(spark, tmpdir):
+    """spark.read.format('snapshot_table') parity: current snapshot
+    with DVs applied, or a pinned snapshotId for time travel."""
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        TableStreamDataSource,
+    )
+
+    root = f"{tmpdir}/t"
+    base = _mk_table(spark, root, n=10)
+    D.delete_where_dv(spark, root, [("k", "=", 7)])
+    spark.dataSource.register(TableStreamDataSource)
+    got = sorted(
+        r.k for r in
+        spark.read.format("snapshot_table").option("path", root).load()
+        .collect()
+    )
+    assert got == [k for k in range(10) if k != 7]
+    pinned = sorted(
+        r.k for r in
+        spark.read.format("snapshot_table").option("path", root)
+        .option("snapshotId", str(base)).load().collect()
+    )
+    assert pinned == list(range(10))
+
+
 def test_schema_evolution_pads_nulls_for_old_files(spark, tmpdir):
     root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
     _mk_table(spark, root, n=4)
