@@ -358,9 +358,18 @@ def _q08_urgent_lineitems(spark: SparkSession, sf: str) -> DataFrame:
 def _q09_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Set-operation surface (INTERSECT / EXCEPT / UNION) ⊕ anti-join:
     machinery vs urgent-order membership, plus customers with no orders
-    at all (left_anti) as a fourth tag."""
+    at all (left_anti) as a fourth tag. Round 9 adds two classic
+    decision-support shapes as further tags: 'q22_prospect' (TPC-H Q22
+    — positive-balance customers above the GLOBAL average balance with
+    no orders; the scalar subquery decorrelates to a broadcast 1-row
+    aggregate, and the threshold compares exact integer cents —
+    ``bal*n > total`` — so no float average can flip a boundary row
+    between engines) and 'big_order' (TPC-H Q18 — owners of an order
+    whose lineitems sum past 300 units; groupBy-HAVING feeding a
+    semi-join)."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
     machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
     urgent = (
         orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -377,7 +386,38 @@ def _q09_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
         .select("c_custkey")
         .withColumn("membership", F.lit("no_orders"))
     )
-    return both.unionByName(only_m).unionByName(only_u).unionByName(no_orders)
+    bal = cust.select("c_custkey", money.cents("c_acctbal").alias("bal_cents"))
+    avg_row = (
+        bal.filter(F.col("bal_cents") > 0)
+        .agg(F.sum("bal_cents").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    prospects = (
+        bal.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("total"))
+        .select("c_custkey")
+    )
+    prospects = joins.anti_join(
+        prospects, urgent, "c_custkey"
+    ).withColumn("membership", F.lit("q22_prospect"))
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sumq"))
+        .filter(F.col("sumq") > 300.0)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    big = (
+        joins.semi_join(orders, big_orders, "o_orderkey")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("membership", F.lit("big_order"))
+    )
+    return (
+        both.unionByName(only_m)
+        .unionByName(only_u)
+        .unionByName(no_orders)
+        .unionByName(prospects)
+        .unionByName(big)
+    )
 
 
 def _q10_incremental_load(spark: SparkSession, sf: str) -> DataFrame:
@@ -3615,6 +3655,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey, 'no_orders' AS membership
             FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT b.c_custkey, 'q22_prospect' AS membership
+            FROM (SELECT c_custkey,
+                         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+                  FROM customer) b
+            CROSS JOIN (SELECT CAST(SUM(bal_cents) AS BIGINT) AS total,
+                               COUNT(*) AS n
+                        FROM (SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                                     AS bal_cents FROM customer)
+                        WHERE bal_cents > 0) t
+            WHERE b.bal_cents * t.n > t.total
+              AND b.c_custkey NOT IN (SELECT o_custkey FROM orders
+                                      WHERE o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT DISTINCT o_custkey AS c_custkey, 'big_order' AS membership
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING SUM(l_quantity) > 300.0)
         """,
         "q10_incremental_load": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
