@@ -41,6 +41,13 @@ SELECT * FROM s [WHERE ...]``          overwrite (dest must be a
 ``DESCRIBE [TABLE] t``                 committed snapshot schema as a
                                        DataFrame in ``"df"``
 ``SHOW TABLES``                        the registered name->root map
+``CALL [cat.][system.]proc('t',        Iceberg Spark-procedure parity:
+k => v, ...)``                         expire_snapshots /
+                                       remove_orphan_files /
+                                       rewrite_data_files /
+                                       rewrite_position_delete_files /
+                                       rollback_to_snapshot / maintain
+                                       routed onto the maintenance ops
 =====================================  ================================
 
 For arbitrary read-side SQL (joins, windows, subqueries — the whole
@@ -375,6 +382,104 @@ def _parse_merge_on(on: str, t_alias: str, s_alias: str) -> list[str]:
             )
         keys.append(m.group(1))
     return keys
+
+
+_CALL = re.compile(
+    r"^\s*CALL\s+(?:\w+\s*\.\s*)*(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_call_args(argtext: str) -> tuple[list, dict]:
+    """Iceberg procedure-call argument list: positional literals, then
+    ``name => literal`` named arguments (Spark procedure syntax)."""
+    pos, named = [], {}
+    if argtext.strip():
+        for part in _split_top_level_commas(argtext):
+            part = part.strip()
+            if (m := re.match(r"^(\w+)\s*=>\s*(.+)$", part, re.DOTALL)):
+                key = m.group(1).lower()
+                if key in named:
+                    raise ValueError(f"CALL argument {key!r} given twice")
+                named[key] = _parse_literal(m.group(2))
+            else:
+                if named:
+                    raise ValueError(
+                        "positional CALL argument after a named one"
+                    )
+                pos.append(_parse_literal(part))
+    return pos, named
+
+
+def _execute_call(
+    spark: SparkSession, proc: str, argtext: str, tables: dict[str, str]
+) -> dict:
+    """Iceberg Spark-procedure parity (``CALL system.expire_snapshots
+    ('t', retain_last => 3)``): each procedure routes onto the existing
+    maintenance operator, so the SQL surface adds no second
+    implementation. Any catalog/system qualifier prefix is accepted and
+    ignored (the registry is flat). Unknown procedures and unknown
+    arguments are rejected loudly — a silently-dropped retention
+    argument is a data-loss bug waiting."""
+    from . import deletes
+
+    pos, named = _parse_call_args(argtext)
+    table = named.pop("table", None)
+    if table is None and pos:
+        table = pos.pop(0)
+    if not isinstance(table, str):
+        raise ValueError(
+            "CALL needs the table name as the first argument or table => 't'"
+        )
+    root = _resolve(tables, table)
+    out = {"op": "call", "procedure": proc, "table": table}
+
+    def _done(extra: dict) -> dict:
+        if pos:
+            raise ValueError(f"unexpected positional CALL arguments {pos}")
+        if named:
+            raise ValueError(
+                f"unknown CALL argument(s) {sorted(named)} for {proc}"
+            )
+        out.update(extra)
+        return out
+
+    if proc == "expire_snapshots":
+        keep = int(named.pop("retain_last", 2))
+        return _done({"deleted": snapshots.expire_snapshots(root, keep_last=keep)})
+    if proc == "remove_orphan_files":
+        cutoff = float(named.pop("older_than", 0.0))
+        return _done({"removed": snapshots.remove_orphans(root, older_than_s=cutoff)})
+    if proc == "rewrite_data_files":
+        tb = int(named.pop("target_bytes", 128 * 1024 * 1024))
+        return _done({"snapshot_id": snapshots.compact_files(spark, root, target_bytes=tb)})
+    if proc == "rewrite_position_delete_files":
+        frac = float(named.pop("min_deleted_frac", 0.0))
+        return _done({"snapshot_id": deletes.rewrite_deletes(spark, root, min_deleted_frac=frac)})
+    if proc == "rollback_to_snapshot":
+        sid = named.pop("snapshot_id", None)
+        if sid is None:
+            if not pos:
+                raise ValueError("rollback_to_snapshot needs a snapshot id")
+            sid = pos.pop(0)
+        return _done({"snapshot_id": snapshots.rollback(root, int(sid))})
+    if proc == "maintain":
+        kwargs = {}
+        for arg, kw, cast in (
+            ("target_bytes", "target_bytes", int),
+            ("retain_last", "keep_last", int),
+            ("older_than", "older_than_s", float),
+            ("max_dvs", "max_dvs", int),
+            ("purge_min_frac", "purge_min_frac", float),
+        ):
+            if arg in named:
+                kwargs[kw] = cast(named.pop(arg))
+        return _done({"result": deletes.maintain(spark, root, **kwargs)})
+    raise ValueError(
+        f"unknown procedure {proc!r}; supported: expire_snapshots, "
+        "remove_orphan_files, rewrite_data_files, "
+        "rewrite_position_delete_files, rollback_to_snapshot, maintain"
+    )
 
 
 _TPFX, _SPFX = "__t_", "__s_"
@@ -947,6 +1052,9 @@ def execute_dml(
 
         deletes.set_delete_mode(root, value)
         return {"op": "set_tblproperties", "table": name, key: value}
+
+    if (m := _CALL.match(sql)) is not None:
+        return _execute_call(spark, m.group(1).lower(), m.group(2), tables)
 
     if (m := _REORG.match(sql)) is not None:
         name = m.group(1)

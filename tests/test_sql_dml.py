@@ -673,3 +673,81 @@ def test_merge_cow_concurrent_commit_not_lost(spark, root, monkeypatch):
     monkeypatch.setattr(S, "_commit", orig)
     got = {r.id: r.v for r in S.read_snapshot(spark, root).collect()}
     assert got == {1: "A", 2: "b", 3: "c", 9: "z"}  # append survived
+
+
+def test_call_procedures_route_to_maintenance_ops(spark, root):
+    """CALL system.<proc>(...) — Iceberg Spark-procedure parity: each
+    call must equal the API it routes to, with named-argument mapping
+    and loud rejection of unknown procedures/arguments."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    )
+    S.write_snapshot(df.repartition(4), root)
+    S.write_snapshot(df.where("id >= 90"), root, mode="append")
+
+    # rewrite_data_files = binpack compaction (new snapshot id)
+    out = sql_dml.execute_dml(
+        spark, "CALL system.rewrite_data_files('t')", {"t": root}
+    )
+    assert out["procedure"] == "rewrite_data_files"
+    assert out["snapshot_id"] == S._load(root)["current"]
+
+    # rollback_to_snapshot: positional id
+    head = S._load(root)["current"]
+    out = sql_dml.execute_dml(
+        spark, "CALL rollback_to_snapshot('t', 1)", {"t": root}
+    )
+    assert out["snapshot_id"] == S._load(root)["current"] != head
+    assert sorted(r.id for r in S.read_snapshot(spark, root).collect()) == list(range(100))
+
+    # rewrite_position_delete_files after a DV delete
+    D.set_delete_mode(root, "merge-on-read")
+    sql_dml.execute_dml(spark, "DELETE FROM t WHERE id < 5", {"t": root})
+    assert S._entry(S._load(root), S._load(root)["current"]).get("dvs")
+    out = sql_dml.execute_dml(
+        spark,
+        "CALL catalog.system.rewrite_position_delete_files('t', min_deleted_frac => 0.0)",
+        {"t": root},
+    )
+    assert not S._entry(S._load(root), out["snapshot_id"]).get("dvs")
+    assert S.read_snapshot(spark, root).count() == 95
+
+    # expire + orphan GC with named retention
+    out = sql_dml.execute_dml(
+        spark, "CALL expire_snapshots('t', retain_last => 1)", {"t": root}
+    )
+    assert isinstance(out["deleted"], list)
+    out = sql_dml.execute_dml(
+        spark, "CALL remove_orphan_files('t', older_than => 0)", {"t": root}
+    )
+    assert isinstance(out["removed"], list)
+
+    # maintain with mapped kwargs
+    out = sql_dml.execute_dml(
+        spark,
+        "CALL maintain('t', retain_last => 1, older_than => 0, purge_min_frac => 0.5)",
+        {"t": root},
+    )
+    assert "vacuumed" in out["result"]
+
+
+def test_call_rejections(spark, root):
+    S.write_snapshot(spark.range(5), root)
+    with pytest.raises(ValueError, match="unknown procedure"):
+        sql_dml.execute_dml(spark, "CALL explode_table('t')", {"t": root})
+    with pytest.raises(ValueError, match="unknown CALL argument"):
+        sql_dml.execute_dml(
+            spark, "CALL expire_snapshots('t', keep => 3)", {"t": root}
+        )
+    with pytest.raises(ValueError, match="table name"):
+        sql_dml.execute_dml(spark, "CALL expire_snapshots()", {"t": root})
+    with pytest.raises(ValueError, match="positional CALL argument"):
+        sql_dml.execute_dml(
+            spark,
+            "CALL rollback_to_snapshot(table => 't', 1)",
+            {"t": root},
+        )
+    with pytest.raises(KeyError, match="unknown snapshot table"):
+        sql_dml.execute_dml(spark, "CALL expire_snapshots('nope')", {"t": root})
