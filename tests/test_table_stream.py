@@ -255,3 +255,53 @@ def test_schema_evolution_pads_nulls_for_old_files(spark, tmpdir):
     rows = {r.k: r.e for r in spark.read.parquet(out).collect()}
     assert rows[50] == "extra"
     assert all(rows[k] is None for k in range(4))
+
+
+def test_silver_tail_into_gold_merge_sink(spark, tmpdir):
+    """Composition: a downstream job tails the SILVER snapshot table
+    itself (this round's table source) and MERGEs into a GOLD snapshot
+    table through the exactly-once sink — the reference's streaming
+    story without re-subscribing to the broker. Gold must equal silver
+    after every drain, across a checkpoint restart, and a silver DV
+    delete must flow past ignoreDeletes without disturbing gold."""
+    from e_commerce_lakehouse_spark.streaming import sinks
+
+    silver, gold, ckpt = (f"{tmpdir}/{d}" for d in ("silver", "gold", "ck"))
+    _mk_table(spark, silver, n=10)
+    S.write_snapshot(
+        spark.createDataFrame([], "k long, v long, s string"), gold
+    )
+
+    def drain():
+        q = (
+            read_table_stream(spark, silver, ignoreDeletes="true")
+            .writeStream.foreachBatch(
+                sinks.foreach_batch_merge_snapshot(gold, ["k"])
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    drain()
+    assert {tuple(r) for r in S.read_snapshot(spark, gold).collect()} == {
+        tuple(r) for r in S.read_snapshot(spark, silver).collect()
+    }
+    # upstream keeps writing; a NEW stream run on the same checkpoint
+    # resumes from the committed snapshot offset
+    _append(spark, silver, 10, 14)
+    D.delete_where_dv(spark, silver, [("k", "=", 3)])  # gold keeps k=3
+    _append(spark, silver, 14, 16)
+    drain()
+    gold_rows = {tuple(r) for r in S.read_snapshot(spark, gold).collect()}
+    want = {tuple(r) for r in S.read_snapshot(spark, silver).collect()}
+    assert want < gold_rows  # silver minus the DV-deleted row
+    assert gold_rows - want == {(3, 30, "row-3")}
+    # exactly-once: replaying the drain commits nothing new
+    head = S._load(gold)["current"]
+    drain()
+    assert S._load(gold)["current"] == head
