@@ -218,6 +218,7 @@ def _delete_where_dv(
     manifest = S._load(root)
     _fresh_current(manifest, plan["snapshot_id"], "delete_where_dv")
     entry = S._entry(manifest, plan["snapshot_id"])
+    S._guard_identity_mapping(entry, "delete_where_dv")
     if not plan["files"]:
         return entry["id"]  # stats prove nothing matches
 
@@ -297,6 +298,7 @@ def rewrite_deletes(
     if manifest["current"] is None:
         raise KeyError(f"table {root} has no snapshots")
     entry = S._entry(manifest, manifest["current"])
+    S._guard_identity_mapping(entry, "rewrite_deletes")
     dvs = entry.get("dvs")
     if not dvs:
         return entry["id"]
@@ -455,6 +457,7 @@ def _merge_upsert_dv(
     if manifest["current"] is None:
         raise KeyError(f"table {root} has no snapshots; write_snapshot first")
     entry = S._entry(manifest, manifest["current"])
+    S._guard_identity_mapping(entry, "merge_upsert_dv")
     cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
     src = source.select(*cols)
 
@@ -602,6 +605,7 @@ def _apply_changes_dv(
             "recompute the feed and retry"
         )
     entry = S._entry(manifest, manifest["current"])
+    S._guard_identity_mapping(entry, "apply_changes_dv")
     cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
     missing = [c for c in cols if c not in changes.columns]
     if missing:

@@ -638,6 +638,85 @@ def _hidden_set(manifest: dict) -> set[str]:
     return set(manifest.get("hidden_cols", []))
 
 
+def _project_entry_schema(
+    df: DataFrame, entry: dict, hidden: set[str]
+) -> DataFrame:
+    """Make the ENTRY's recorded schema authoritative for reads: each
+    logical column resolves to its physical file column (per the
+    entry's column mapping — stable physical names survive renames),
+    casts to the declared type, and null-pads when no file carries it
+    yet (a metadata-only ADD COLUMN); file columns outside the schema
+    (dropped columns, hidden transform columns) never surface. This is
+    what makes schema evolution a manifest edit instead of a data
+    rewrite — the Iceberg/Delta read contract."""
+    import pyspark.sql.types as T
+
+    struct = T.StructType.fromJson(json.loads(entry["schema"]))
+    mapping = entry.get("mapping", {})
+    raw_types = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in struct.fields:
+        if f.name in hidden:
+            continue
+        phys = mapping.get(f.name, f.name)
+        if phys in raw_types:
+            col = F.col(phys)
+            # cast only on a REAL type difference: Spark refuses a cast
+            # between types that differ solely in nested nullability
+            # ("cannot cast array<bigint> to array<bigint>"), and no
+            # cast is needed there anyway
+            if (
+                raw_types[phys].simpleString()
+                != f.dataType.simpleString()
+            ):
+                col = col.cast(f.dataType)
+            cols.append(col.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def _merge_rewrite_schema(manifest: dict, parent_schema_json: str, frame_schema) -> str:
+    """Schema a REWRITE commit (replace_where / update_where / compact)
+    records: the parent's fields win — a metadata-only added column not
+    yet present in any data file must survive the rewrite — plus any
+    genuinely new fields the written frame introduces. Raw-read frames
+    carry hidden transform columns and retired (dropped) physicals;
+    those must never re-enter the logical schema."""
+    import pyspark.sql.types as T
+
+    skip = _hidden_set(manifest) | set(manifest.get("retired_physical", []))
+    kept = T.StructType(
+        [f for f in frame_schema.fields if f.name not in skip]
+    )
+    return _merge_append_schema(parent_schema_json, kept)
+
+
+def _merge_append_schema(parent_schema_json: str, appended) -> str:
+    """Schema an append commit records: the parent's fields (their
+    order and types win) plus any NEW trailing fields the appended
+    StructType introduces — so a narrow append never shrinks the
+    logical table and a widening append IS the schema evolution. A
+    same-name type conflict is refused loudly (silent coercion would
+    corrupt the column for every older file)."""
+    import pyspark.sql.types as T
+
+    parent = T.StructType.fromJson(json.loads(parent_schema_json))
+    by_name = {f.name: f for f in parent.fields}
+    fields = list(parent.fields)
+    for f in appended.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"append schema conflict on {f.name!r}: table has "
+                f"{old.dataType.simpleString()}, append has "
+                f"{f.dataType.simpleString()}"
+            )
+    return T.StructType(fields).json()
+
+
 #: sentinel for write_snapshot.expected_base: "no expectation — rebase
 #: freely" (None is a real value meaning "I derived from an EMPTY table")
 _ANY_BASE = object()
@@ -723,16 +802,28 @@ def write_snapshot(
         stats_cols = list(stats_cols) + [
             _hidden_name(t) for t in manifest["partition_spec"]
         ]
+    logical_schema = df.schema
+    if mode == "append" and base_id is not None:
+        # the caller writes LOGICAL column names; files always store the
+        # stable PHYSICAL names (column mapping — identity until a
+        # rename), so a post-rename append lands next to pre-rename
+        # files without any reader-side per-dir special-casing
+        cmap = _entry(manifest, base_id).get("mapping", {})
+        if cmap:
+            df = df.select(
+                *[F.col(c).alias(cmap.get(c, c)) for c in df.columns]
+            )
     _write_data_dir(df, root, data_dir, manifest)
     dir_stats = _collect_dir_stats(root, data_dir, stats_cols)
-    schema_json = df.schema.json()
+    schema_json = logical_schema.json()
 
     def _attach(m: dict, base: int | None) -> int:
         """Build this write's manifest entry against ``m``'s state and
         advance the ref — called once, and again per conflict REBASE
         (data dir + stats reused; only metadata recomputes)."""
         snap_id = (m["snapshots"][-1]["id"] + 1) if m["snapshots"] else 1
-        dirs, files, dvs = [data_dir], None, None
+        dirs, files, dvs, mapping = [data_dir], None, None, None
+        entry_schema = schema_json
         if mode == "append" and base is not None:
             parent = _entry(m, base)
             dirs = parent["dirs"] + [data_dir]
@@ -745,6 +836,16 @@ def write_snapshot(
                 # active deletion vectors likewise carry forward, or
                 # DV-deleted rows of parent files resurrect
                 dvs = list(parent["dvs"])
+            if parent.get("mapping"):
+                # logical->physical column mapping carries like dvs
+                mapping = dict(parent["mapping"])
+            # an append never SHRINKS the logical table: parent fields
+            # win (order/type), new fields append — schema evolution by
+            # widening write (recomputed per rebase: a concurrent
+            # append may have widened the parent first)
+            entry_schema = _merge_append_schema(
+                parent["schema"], logical_schema
+            )
         m.setdefault("dir_stats", {})[data_dir] = dir_stats
         if files is not None:
             files[data_dir] = sorted(dir_stats)
@@ -754,13 +855,15 @@ def write_snapshot(
             "ts": time.time(),
             "dirs": dirs,
             "parent": base,
-            "schema": schema_json,
+            "schema": entry_schema,
             "meta": meta or {},
         }
         if files is not None:
             entry["files"] = files
         if dvs is not None:
             entry["dvs"] = dvs
+        if mapping is not None:
+            entry["mapping"] = mapping
         m["snapshots"].append(entry)
         if branch is None:
             m["current"] = snap_id
@@ -790,6 +893,35 @@ def write_snapshot(
                 manifest.get("partition_spec")
             ):
                 raise
+            if mode == "append" and base_id is not None:
+                # a concurrent RENAME/DROP cannot be rebased: the data
+                # was written under the old mapping, and re-merging the
+                # old logical names into the new schema would re-add a
+                # renamed/dropped field pointing at live physical data.
+                # Concurrent APPENDS (same or widened schema) rebase
+                # fine — _attach re-merges against the fresh parent.
+                old_parent = _entry(manifest, base_id)
+                new_base = (
+                    fresh.get("branches", {}).get(branch)
+                    if branch is not None
+                    else fresh["current"]
+                )  # dropped-branch case: the handler below raises cleanly
+                if new_base is not None:
+                    new_parent = _entry(fresh, new_base)
+                    if new_parent.get("mapping", {}) != old_parent.get(
+                        "mapping", {}
+                    ):
+                        raise
+                    old_fields = {
+                        f["name"]
+                        for f in json.loads(old_parent["schema"])["fields"]
+                    }
+                    new_fields = {
+                        f["name"]
+                        for f in json.loads(new_parent["schema"])["fields"]
+                    }
+                    if old_fields - new_fields:  # a drop slid in
+                        raise
             # carry this write's dtype stamps + hidden-col registrations
             if manifest.get("partition_spec"):
                 fresh["partition_spec"] = manifest["partition_spec"]
@@ -910,6 +1042,216 @@ def _guard_no_dvs(entry: dict, op: str) -> None:
         )
 
 
+def _guard_identity_mapping(entry: dict, op: str) -> None:
+    """Ops that read data FILES raw resolve columns by their physical
+    file names; after a metadata-only RENAME those differ from the
+    logical schema, and the op would silently mis-resolve (or re-write
+    files without carrying the mapping, losing the rename for every
+    later reader). Refuse loudly; :func:`materialize_schema` rewrites
+    the table to identity mapping and re-enables them."""
+    if entry.get("mapping"):
+        raise ValueError(
+            f"{op}: snapshot {entry['id']} has renamed columns "
+            f"(column mapping {entry['mapping']}); this operation "
+            "reads data files raw by physical name — run "
+            "materialize_schema() first"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (Iceberg ALTER TABLE ... ADD/RENAME/DROP COLUMN):
+# metadata-only commits. Files always store STABLE physical column
+# names; the entry's logical schema plus a logical->physical "mapping"
+# (present only for renamed columns — Delta's column-mapping model)
+# drive every read through _project_entry_schema. No data file is
+# touched by any of these, whatever the table size.
+# ---------------------------------------------------------------------------
+
+
+def _schema_ddl_commit(root: str, op: str, mutate) -> int:
+    """One OCC-retried metadata-only commit: ``mutate(fields, mapping,
+    manifest)`` edits the logical field list / mapping in place and the
+    new entry carries the current snapshot's data unchanged."""
+    import pyspark.sql.types as T
+
+    @_retry_conflicts
+    def _run() -> int:
+        manifest = _load(root)
+        if manifest["current"] is None:
+            raise KeyError(f"table {root} has no snapshots")
+        entry = _entry(manifest, manifest["current"])
+        struct = T.StructType.fromJson(json.loads(entry["schema"]))
+        fields = list(struct.fields)
+        mapping = dict(entry.get("mapping", {}))
+        mutate(fields, mapping, manifest)
+        new_id = manifest["snapshots"][-1]["id"] + 1
+        new_entry = {
+            "id": new_id,
+            "op": op,
+            "ts": time.time(),
+            "dirs": list(entry["dirs"]),
+            "parent": manifest["current"],
+            "schema": T.StructType(fields).json(),
+            "meta": {},
+        }
+        if "files" in entry:
+            new_entry["files"] = {
+                d: list(fs) for d, fs in entry["files"].items()
+            }
+        if entry.get("dvs"):
+            new_entry["dvs"] = list(entry["dvs"])
+        if mapping:
+            new_entry["mapping"] = mapping
+        manifest["snapshots"].append(new_entry)
+        manifest["current"] = new_id
+        _commit(root, manifest)
+        return new_id
+
+    return _run()
+
+
+def _guard_column_referenced(manifest: dict, col: str, op: str) -> None:
+    """A rename/drop must not orphan a reference the engine itself
+    evaluates by name: partition transforms, CHECK constraints, the
+    bloom-index spec."""
+    for t in manifest.get("partition_spec", []):
+        if t["col"] == col:
+            raise ValueError(
+                f"{op}: column {col!r} is used by partition transform "
+                f"{t}; drop the spec first"
+            )
+    for cname, cond in manifest.get("constraints", {}).items():
+        if re.search(rf"\b{re.escape(col)}\b", cond):
+            raise ValueError(
+                f"{op}: column {col!r} is referenced by CHECK "
+                f"constraint {cname!r} ({cond}); drop it first"
+            )
+    spec = manifest.get("bloom_spec")
+    if spec and col in spec.get("cols", []):
+        raise ValueError(
+            f"{op}: column {col!r} is in the bloom-index spec; "
+            "re-declare the index without it first"
+        )
+
+
+def _parse_ddl_type(dtype: str):
+    """DDL type string -> DataType. The full Spark grammar needs an
+    active session; fall back to the atomic types + decimal so the
+    metadata-only DDL ops work without one."""
+    import re as _re
+
+    import pyspark.sql.types as T
+
+    try:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(dtype)
+    except Exception:
+        pass
+    s = dtype.strip().lower()
+    atomic = {
+        "string": T.StringType(), "long": T.LongType(),
+        "bigint": T.LongType(), "int": T.IntegerType(),
+        "integer": T.IntegerType(), "short": T.ShortType(),
+        "byte": T.ByteType(), "double": T.DoubleType(),
+        "float": T.FloatType(), "boolean": T.BooleanType(),
+        "date": T.DateType(), "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(), "binary": T.BinaryType(),
+    }
+    if s in atomic:
+        return atomic[s]
+    if (m := _re.match(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", s)):
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    raise ValueError(
+        f"cannot parse DDL type {dtype!r} without an active SparkSession"
+    )
+
+
+def add_column(root: str, name: str, dtype: str) -> int:
+    """Metadata-only ADD COLUMN (nullable; older files read back NULL).
+    ``dtype`` is a DDL string (``"string"``, ``"decimal(12,2)"``...).
+    If the name was ever used before (a dropped column's physical data
+    lingers in old files), the new column gets a FRESH physical name so
+    the old values can never resurrect under the new column."""
+    dt = _parse_ddl_type(dtype)
+    import pyspark.sql.types as T
+
+    def mutate(fields, mapping, manifest):
+        if any(f.name == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        if not name.isidentifier():
+            raise ValueError(f"invalid column name {name!r}")
+        taken = (
+            set(mapping.values())
+            | {mapping.get(f.name, f.name) for f in fields}
+            | set(manifest.get("retired_physical", []))
+            | _hidden_set(manifest)  # transform columns live in files
+        )
+        if name in taken:
+            phys = f"{name}__c{manifest['snapshots'][-1]['id'] + 1}"
+            mapping[name] = phys
+        fields.append(T.StructField(name, dt, True))
+
+    return _schema_ddl_commit(root, f"add_column:{name}", mutate)
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """Metadata-only RENAME COLUMN: the physical file name never
+    changes (that is what makes it O(0) at 100 TB); only the logical
+    name and the mapping move. Guarded against references the engine
+    evaluates by name (partition spec, constraints, bloom spec)."""
+
+    def mutate(fields, mapping, manifest):
+        names = [f.name for f in fields]
+        if old not in names:
+            raise KeyError(f"no column {old!r}; columns: {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if not new.isidentifier():
+            raise ValueError(f"invalid column name {new!r}")
+        _guard_column_referenced(manifest, old, "rename_column")
+        mapping[new] = mapping.pop(old, old)
+        i = names.index(old)
+        f = fields[i]
+        import pyspark.sql.types as T
+
+        fields[i] = T.StructField(new, f.dataType, f.nullable)
+
+    return _schema_ddl_commit(root, f"rename_column:{old}->{new}", mutate)
+
+
+def drop_column(root: str, name: str) -> int:
+    """Metadata-only DROP COLUMN: the physical data stays in the files
+    (time travel to before the drop still reads it) but no current
+    read surfaces it. The physical name is RETIRED so a later
+    add_column of the same name maps to fresh storage."""
+
+    def mutate(fields, mapping, manifest):
+        names = [f.name for f in fields]
+        if name not in names:
+            raise KeyError(f"no column {name!r}; columns: {names}")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the last column")
+        _guard_column_referenced(manifest, name, "drop_column")
+        retired = set(manifest.get("retired_physical", []))
+        retired.add(mapping.pop(name, name))
+        manifest["retired_physical"] = sorted(retired)
+        del fields[names.index(name)]
+
+    return _schema_ddl_commit(root, f"drop_column:{name}", mutate)
+
+
+def materialize_schema(spark: SparkSession, root: str) -> int:
+    """Rewrite the table copy-on-write so physical names == logical
+    names again (clears the column mapping), re-enabling the raw-file
+    ops `_guard_identity_mapping` blocks. The analog of
+    rewrite_deletes for the schema tier; O(table) by nature — schedule
+    it like compaction, not per rename."""
+    base = _load(root)["current"]
+    df = read_snapshot(spark, root)
+    return write_snapshot(df, root, mode="overwrite", expected_base=base)
+
+
 def read_snapshot(
     spark: SparkSession,
     root: str,
@@ -957,13 +1299,14 @@ def read_snapshot(
             return spark.createDataFrame([], schema)
     else:
         paths = [os.path.join(root, d) for d in entry["dirs"]]
-    return _strip_hidden(
+    return _project_entry_schema(
         _apply_dvs(
             spark,
             root,
             entry,
             spark.read.option("mergeSchema", "true").parquet(*paths),
         ),
+        entry,
         _hidden_set(manifest),
     )
 
@@ -1031,6 +1374,8 @@ def snapshot_file_changes(
     # based) is DV-correct, or rewrite_deletes first
     _guard_no_dvs(_entry(manifest, from_id), "snapshot_file_changes")
     _guard_no_dvs(_entry(manifest, to_id), "snapshot_file_changes")
+    _guard_identity_mapping(_entry(manifest, from_id), "snapshot_file_changes")
+    _guard_identity_mapping(_entry(manifest, to_id), "snapshot_file_changes")
     old = set(_entry_units(root, manifest, _entry(manifest, from_id)))
     new = set(_entry_units(root, manifest, _entry(manifest, to_id)))
     added = sorted(os.path.join(d, f) for d, f in new - old)
@@ -1083,6 +1428,9 @@ def rollback(root: str, snapshot_id: int) -> int:
         # file-granular target (replace_where/compact): the rollback
         # must be row-identical, so the kept-file lists come along
         entry["files"] = {d: list(fs) for d, fs in target["files"].items()}
+    if target.get("mapping"):
+        # row-identical includes the target's logical->physical names
+        entry["mapping"] = dict(target["mapping"])
     if target.get("dvs"):
         # row-identical includes the target's deletion vectors
         entry["dvs"] = list(target["dvs"])
@@ -1725,26 +2073,39 @@ def scan_snapshot(
     Iceberg split between manifest evaluation and residual filters).
     An all-files-pruned scan returns an empty frame with the
     snapshot's schema instead of touching storage."""
+    manifest = _load(root)
+    # predicates name LOGICAL columns; manifest stats key PHYSICAL file
+    # columns — translate through the column mapping for the prune
+    # (identity until a rename; a missed translation only KEEPS files,
+    # never drops one — the residual filter below is the correctness
+    # boundary), then filter on the projected frame
+    ref = snapshot_id if snapshot_id is not None else manifest["current"]
+    mapping = _entry(manifest, ref).get("mapping", {}) if ref else {}
+    phys_preds = [(mapping.get(p[0], p[0]), *p[1:]) for p in predicates]
     plan = plan_scan(
-        root, predicates, snapshot_id=snapshot_id, as_of=as_of, tag=tag
+        root, phys_preds, snapshot_id=snapshot_id, as_of=as_of, tag=tag
     )
+    manifest = _load(root)
+    entry = _entry(manifest, plan["snapshot_id"])
     if not plan["files"]:
         import pyspark.sql.types as T
 
-        manifest = _load(root)
-        entry = _entry(manifest, plan["snapshot_id"])
-        schema = T.StructType.fromJson(json.loads(entry["schema"]))
-        return spark.createDataFrame([], schema)
-    manifest = _load(root)
-    df = _strip_hidden(
+        struct = T.StructType.fromJson(json.loads(entry["schema"]))
+        hidden = _hidden_set(manifest)
+        struct = T.StructType(
+            [f for f in struct.fields if f.name not in hidden]
+        )
+        return spark.createDataFrame([], struct)
+    df = _project_entry_schema(
         _apply_dvs(
             spark,
             root,
-            _entry(manifest, plan["snapshot_id"]),
+            entry,
             spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(root, f) for f in plan["files"]]
             ),
         ),
+        entry,
         _hidden_set(manifest),
     )
     for p in predicates:
@@ -1808,6 +2169,7 @@ def replace_where(
             f"current is {manifest['current']}; retrying"
         )
     _guard_no_dvs(entry, "replace_where")
+    _guard_identity_mapping(entry, "replace_where")
     dir_stats = manifest.get("dir_stats", {})
 
     keep_verbatim: dict[str, list[str]] = {}
@@ -1858,7 +2220,8 @@ def replace_where(
             "dirs": sorted(files),
             "files": files,
             "parent": manifest["current"],
-            "schema": new_rows.schema.json(),
+            # parent-merged: metadata-only added columns survive
+            "schema": _merge_rewrite_schema(manifest, entry["schema"], new_rows.schema),
             # temporal predicate values ISO-encode (raw datetimes are
             # not JSON-serializable and would crash the commit AFTER
             # the data dir was written)
@@ -1915,6 +2278,7 @@ def update_where(
             f"current is {manifest['current']}; retrying"
         )
     _guard_no_dvs(entry, "update_where")
+    _guard_identity_mapping(entry, "update_where")
     # validate SET columns against the snapshot's LOGICAL schema up
     # front — an all-files-pruned predicate must not let a typo'd
     # column name commit a silent no-op snapshot
@@ -1966,7 +2330,9 @@ def update_where(
             root, data_dir
         )
         files[data_dir] = sorted(manifest["dir_stats"][data_dir])
-        schema = updated.schema.json()
+        # merge with the parent schema: a metadata-only added column
+        # (not yet present in any data file) must survive the rewrite
+        schema = _merge_rewrite_schema(manifest, entry["schema"], updated.schema)
     else:
         schema = entry["schema"]
     manifest["snapshots"].append(
@@ -2040,6 +2406,7 @@ def compact_files(
         raise KeyError(f"table {root} has no snapshots")
     entry = _entry(manifest, manifest["current"])
     _guard_no_dvs(entry, "compact_files")
+    _guard_identity_mapping(entry, "compact_files")
 
     keep: dict[str, list[str]] = {}
     small: list[tuple[str, str, int]] = []
@@ -2077,7 +2444,9 @@ def compact_files(
             "dirs": sorted(files),
             "files": files,
             "parent": manifest["current"],
-            "schema": merged.schema.json(),
+            # parent-merged: metadata-only added columns survive (the
+            # compacted files predate the ADD and simply lack them)
+            "schema": _merge_rewrite_schema(manifest, entry["schema"], merged.schema),
             "meta": {"compacted_files": len(small), "out_files": int(n_out)},
         }
     )

@@ -234,6 +234,19 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ADD_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*"
+    r"\(?\s*(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SET_TBLPROP = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
     r"'([^']+)'\s*=\s*'([^']+)'\s*\)\s*;?\s*$",
@@ -1052,6 +1065,24 @@ def execute_dml(
 
         deletes.set_delete_mode(root, value)
         return {"op": "set_tblproperties", "table": name, key: value}
+
+    if (m := _ADD_COLUMN.match(sql)) is not None:
+        name, col, dtype = m.groups()
+        sid = snapshots.add_column(_resolve(tables, name), col, dtype)
+        return {"op": "add_column", "table": name, "column": col,
+                "snapshot_id": sid}
+
+    if (m := _RENAME_COLUMN.match(sql)) is not None:
+        name, old_c, new_c = m.groups()
+        sid = snapshots.rename_column(_resolve(tables, name), old_c, new_c)
+        return {"op": "rename_column", "table": name, "column": new_c,
+                "snapshot_id": sid}
+
+    if (m := _DROP_COLUMN.match(sql)) is not None:
+        name, col = m.groups()
+        sid = snapshots.drop_column(_resolve(tables, name), col)
+        return {"op": "drop_column", "table": name, "column": col,
+                "snapshot_id": sid}
 
     if (m := _CALL.match(sql)) is not None:
         return _execute_call(spark, m.group(1).lower(), m.group(2), tables)

@@ -98,6 +98,12 @@ def _bool_opt(options, name) -> bool:
     )
 
 
+def _current_mapping(manifest: dict) -> dict:
+    if manifest["current"] is None:
+        return {}
+    return dict(S._entry(manifest, manifest["current"]).get("mapping", {}))
+
+
 def _table_schema(manifest: dict, with_commit_version: bool) -> T.StructType:
     if manifest["current"] is None:
         raise ValueError("cannot stream an empty table: no snapshots yet")
@@ -179,7 +185,9 @@ class _TableStreamReader(DataSourceStreamReader):
             raise ValueError("maxCommitsPerTrigger must be >= 1")
         start = _opt(options, "startingSnapshotId")
         self.starting_id = int(start) if start is not None else None
-        # arrow target for executor-side alignment (picklable, tiny)
+        # arrow target for executor-side alignment (picklable, tiny);
+        # the column mapping pins logical->physical file names as of
+        # stream start (physical names are stable across renames)
         manifest = S._load(self.root)
         if self.starting_id is not None:
             _chain(manifest, None, self.starting_id)  # must be ancestry
@@ -188,6 +196,7 @@ class _TableStreamReader(DataSourceStreamReader):
         self._arrow_schema = to_arrow_schema(
             _table_schema(manifest, self.with_commit)
         )
+        self._physical = _current_mapping(manifest)
 
     # -- offsets ------------------------------------------------------
     #: maxCommitsPerTrigger throttles in latestOffset (never in
@@ -294,8 +303,8 @@ class _TableStreamReader(DataSourceStreamReader):
                 cols.append(pa.array(
                     [partition.commit_id] * len(tbl), type=field.type
                 ))
-            elif field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
+            elif (phys := self._physical.get(field.name, field.name)) in tbl.column_names:
+                cols.append(tbl.column(phys).cast(field.type))
             else:  # column added after this file was written
                 cols.append(pa.nulls(len(tbl), type=field.type))
         yield from pa.table(
@@ -335,7 +344,20 @@ class _TableBatchReader(DataSourceReader):
         manifest = S._load(self.root)
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        self._arrow_schema = to_arrow_schema(_table_schema(manifest, False))
+        if self.snapshot_id is not None:
+            entry = S._entry(manifest, self.snapshot_id)
+            import pyspark.sql.types as _T
+
+            struct = _T.StructType.fromJson(json.loads(entry["schema"]))
+            hidden = S._hidden_set(manifest)
+            struct = _T.StructType(
+                [f for f in struct.fields if f.name not in hidden]
+            )
+            self._arrow_schema = to_arrow_schema(struct)
+            self._physical = dict(entry.get("mapping", {}))
+        else:
+            self._arrow_schema = to_arrow_schema(_table_schema(manifest, False))
+            self._physical = _current_mapping(manifest)
 
     def partitions(self):
         manifest = S._load(self.root)
