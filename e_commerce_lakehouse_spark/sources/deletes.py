@@ -219,6 +219,8 @@ def _delete_where_dv(
     _fresh_current(manifest, plan["snapshot_id"], "delete_where_dv")
     entry = S._entry(manifest, plan["snapshot_id"])
     S._guard_identity_mapping(entry, "delete_where_dv")
+    S._guard_no_initial_defaults(entry, "delete_where_dv")
+    S._guard_no_widened(entry, "delete_where_dv")
     if not plan["files"]:
         return entry["id"]  # stats prove nothing matches
 
@@ -299,6 +301,8 @@ def rewrite_deletes(
         raise KeyError(f"table {root} has no snapshots")
     entry = S._entry(manifest, manifest["current"])
     S._guard_identity_mapping(entry, "rewrite_deletes")
+    S._guard_no_initial_defaults(entry, "rewrite_deletes")
+    S._guard_no_widened(entry, "rewrite_deletes")
     dvs = entry.get("dvs")
     if not dvs:
         return entry["id"]
@@ -458,6 +462,8 @@ def _merge_upsert_dv(
         raise KeyError(f"table {root} has no snapshots; write_snapshot first")
     entry = S._entry(manifest, manifest["current"])
     S._guard_identity_mapping(entry, "merge_upsert_dv")
+    S._guard_no_initial_defaults(entry, "merge_upsert_dv")
+    S._guard_no_widened(entry, "merge_upsert_dv")
     cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
     src = source.select(*cols)
 
@@ -606,6 +612,8 @@ def _apply_changes_dv(
         )
     entry = S._entry(manifest, manifest["current"])
     S._guard_identity_mapping(entry, "apply_changes_dv")
+    S._guard_no_initial_defaults(entry, "apply_changes_dv")
+    S._guard_no_widened(entry, "apply_changes_dv")
     cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
     missing = [c for c in cols if c not in changes.columns]
     if missing:

@@ -658,6 +658,7 @@ def _project_entry_schema(
     for f in struct.fields:
         if f.name in hidden:
             continue
+        meta = f.metadata or {}
         phys = mapping.get(f.name, f.name)
         if phys in raw_types:
             col = F.col(phys)
@@ -670,10 +671,79 @@ def _project_entry_schema(
                 != f.dataType.simpleString()
             ):
                 col = col.cast(f.dataType)
+            if "initial_default" in meta:
+                # rows from dirs that predate the ADD read the default
+                # (the column did not exist there); every later write
+                # reads back exactly what it wrote, explicit NULLs
+                # included — dir membership, not value-coalescing.
+                # __src_dir is tagged by _with_src_dir BEFORE any DV
+                # anti-join (parquet _metadata resolves only on the
+                # scan relation)
+                col = F.when(
+                    F.col("__src_dir").isin(
+                        list(meta.get("default_dirs", []))
+                    ),
+                    F.lit(meta["initial_default"]).cast(f.dataType),
+                ).otherwise(col)
             cols.append(col.alias(f.name))
+        elif "initial_default" in meta:
+            # no file carries the column yet: every row predates it
+            cols.append(
+                F.lit(meta["initial_default"]).cast(f.dataType).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def _has_widened_fields(entry: dict) -> bool:
+    return any(
+        "widened_from" in (f.get("metadata") or {})
+        for f in json.loads(entry["schema"])["fields"]
+    )
+
+
+def _scan_entry_files(spark: SparkSession, entry: dict, paths: list[str]) -> DataFrame:
+    """Raw scan of a snapshot's files. A widened column (metadata-only
+    ALTER COLUMN TYPE) leaves files at MIXED physical widths, which
+    parquet mergeSchema refuses to merge — read those with an EXPLICIT
+    physical schema instead (Spark 4's parquet readers up-cast
+    losslessly, and missing/extra file columns pad/prune exactly like
+    mergeSchema). Non-widened tables keep the mergeSchema path
+    untouched."""
+    if not _has_widened_fields(entry):
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+    import pyspark.sql.types as T
+
+    struct = T.StructType.fromJson(json.loads(entry["schema"]))
+    mapping = entry.get("mapping", {})
+    phys = T.StructType(
+        [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in struct.fields
+        ]
+    )
+    return spark.read.schema(phys).parquet(*paths)
+
+
+def _has_defaulted_fields(entry: dict) -> bool:
+    return any(
+        "initial_default" in (f.get("metadata") or {})
+        for f in json.loads(entry["schema"])["fields"]
+    )
+
+
+def _with_src_dir(df: DataFrame, entry: dict) -> DataFrame:
+    """Tag each row's source DIR (off the raw scan's ``_metadata`` —
+    resolvable only on the scan relation, so this must run before any
+    join) when the entry carries initial-default columns; a no-op
+    otherwise so the common read plan gains nothing."""
+    if not _has_defaulted_fields(entry):
+        return df
+    return df.withColumn(
+        "__src_dir",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+    )
 
 
 def _merge_rewrite_schema(manifest: dict, parent_schema_json: str, frame_schema) -> str:
@@ -1068,6 +1138,38 @@ def _guard_identity_mapping(entry: dict, op: str) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _guard_no_widened(entry: dict, op: str) -> None:
+    """Raw mergeSchema reads refuse the mixed physical widths a
+    metadata-only type widening leaves behind; refuse with the fix
+    spelled out instead of Spark's merge error."""
+    if _has_widened_fields(entry):
+        raise ValueError(
+            f"{op}: snapshot {entry['id']} has metadata-widened columns "
+            "(files at mixed physical widths); run materialize_schema() "
+            "first"
+        )
+
+
+def _guard_no_initial_defaults(entry: dict, op: str) -> None:
+    """Raw-file ops see pre-ADD rows as NULL where the logical read
+    contract says initial_default, and their rewrites move rows out of
+    the recorded default dirs — either way the default silently
+    degrades. Refuse; materialize_schema bakes defaults into data and
+    clears the metadata."""
+    struct = json.loads(entry["schema"])
+    defaulted = [
+        f["name"] for f in struct["fields"]
+        if "initial_default" in (f.get("metadata") or {})
+    ]
+    if defaulted:
+        raise ValueError(
+            f"{op}: snapshot {entry['id']} has columns with initial "
+            f"defaults {defaulted}; this operation reads data files "
+            "raw (pre-ADD rows would surface as NULL) — run "
+            "materialize_schema() first"
+        )
+
+
 def _schema_ddl_commit(root: str, op: str, mutate) -> int:
     """One OCC-retried metadata-only commit: ``mutate(fields, mapping,
     manifest)`` edits the logical field list / mapping in place and the
@@ -1167,12 +1269,20 @@ def _parse_ddl_type(dtype: str):
     )
 
 
-def add_column(root: str, name: str, dtype: str) -> int:
+def add_column(root: str, name: str, dtype: str, default=None) -> int:
     """Metadata-only ADD COLUMN (nullable; older files read back NULL).
     ``dtype`` is a DDL string (``"string"``, ``"decimal(12,2)"``...).
     If the name was ever used before (a dropped column's physical data
     lingers in old files), the new column gets a FRESH physical name so
-    the old values can never resurrect under the new column."""
+    the old values can never resurrect under the new column.
+
+    ``default`` (a plain literal) is the INITIAL default — Iceberg v3 /
+    Delta semantics: rows written BEFORE the column existed read back
+    this value instead of NULL (per-file: a file simply lacking the
+    physical column fills the default); rows written after, including
+    explicit NULLs, read back exactly what was written. Stored in the
+    field metadata, applied by the read projection — still zero data
+    I/O."""
     dt = _parse_ddl_type(dtype)
     import pyspark.sql.types as T
 
@@ -1190,9 +1300,75 @@ def add_column(root: str, name: str, dtype: str) -> int:
         if name in taken:
             phys = f"{name}__c{manifest['snapshots'][-1]['id'] + 1}"
             mapping[name] = phys
-        fields.append(T.StructField(name, dt, True))
+        meta = {}
+        if default is not None:
+            # the default applies to rows that PREDATE the column —
+            # i.e. rows in the dirs committed so far. Record them: a
+            # later scan cannot tell "file lacks the column" from
+            # "file has it with NULLs" after Spark's mergeSchema read,
+            # but dir membership is exact and immutable.
+            cur = _entry(manifest, manifest["current"])
+            meta = {
+                "initial_default": default,
+                "default_dirs": sorted(cur["dirs"]),
+            }
+        fields.append(T.StructField(name, dt, True, metadata=meta))
 
     return _schema_ddl_commit(root, f"add_column:{name}", mutate)
+
+
+#: type promotions a metadata-only ALTER COLUMN TYPE may make — the
+#: Iceberg v2 widening set: every old value is exactly representable in
+#: the new type, so old files read through a lossless cast
+_WIDENINGS = {  # keyed by DataType.simpleString()
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def alter_column_type(root: str, name: str, dtype: str) -> int:
+    """Metadata-only ALTER COLUMN TYPE, restricted to LOSSLESS
+    widenings (int->long, float->double, decimal precision growth at
+    fixed scale — Iceberg's promotion rules): old files keep their
+    narrow physical type and the read projection casts up (a real type
+    difference, so the cast survives `_project_entry_schema`'s
+    nullability-only skip). Anything lossy is refused — it would need a
+    rewrite, not a manifest edit."""
+    new_dt = _parse_ddl_type(dtype)
+    import pyspark.sql.types as T
+
+    def mutate(fields, mapping, manifest):
+        names = [f.name for f in fields]
+        if name not in names:
+            raise KeyError(f"no column {name!r}; columns: {names}")
+        i = names.index(name)
+        old_dt = fields[i].dataType
+        ok = (old_dt.simpleString(), new_dt.simpleString()) in _WIDENINGS
+        if (
+            isinstance(old_dt, T.DecimalType)
+            and isinstance(new_dt, T.DecimalType)
+            and new_dt.scale == old_dt.scale
+            and new_dt.precision >= old_dt.precision
+        ):
+            ok = True
+        if old_dt == new_dt:
+            raise ValueError(f"column {name!r} is already {dtype}")
+        if not ok:
+            raise ValueError(
+                f"cannot widen {name!r} from {old_dt.simpleString()} to "
+                f"{new_dt.simpleString()}; metadata-only ALTER supports "
+                "lossless promotions only (byte/short/int->long, "
+                "float->double, decimal precision growth at fixed scale)"
+            )
+        meta = dict(fields[i].metadata or {})
+        meta["widened_from"] = old_dt.simpleString()
+        fields[i] = T.StructField(
+            name, new_dt, fields[i].nullable, metadata=meta
+        )
+
+    return _schema_ddl_commit(root, f"alter_column_type:{name}", mutate)
 
 
 def rename_column(root: str, old: str, new: str) -> int:
@@ -1304,7 +1480,7 @@ def read_snapshot(
             spark,
             root,
             entry,
-            spark.read.option("mergeSchema", "true").parquet(*paths),
+            _with_src_dir(_scan_entry_files(spark, entry, paths), entry),
         ),
         entry,
         _hidden_set(manifest),
@@ -1375,7 +1551,11 @@ def snapshot_file_changes(
     _guard_no_dvs(_entry(manifest, from_id), "snapshot_file_changes")
     _guard_no_dvs(_entry(manifest, to_id), "snapshot_file_changes")
     _guard_identity_mapping(_entry(manifest, from_id), "snapshot_file_changes")
+    _guard_no_initial_defaults(_entry(manifest, from_id), "snapshot_file_changes")
+    _guard_no_widened(_entry(manifest, from_id), "snapshot_file_changes")
     _guard_identity_mapping(_entry(manifest, to_id), "snapshot_file_changes")
+    _guard_no_initial_defaults(_entry(manifest, to_id), "snapshot_file_changes")
+    _guard_no_widened(_entry(manifest, to_id), "snapshot_file_changes")
     old = set(_entry_units(root, manifest, _entry(manifest, from_id)))
     new = set(_entry_units(root, manifest, _entry(manifest, to_id)))
     added = sorted(os.path.join(d, f) for d, f in new - old)
@@ -2101,8 +2281,12 @@ def scan_snapshot(
             spark,
             root,
             entry,
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(root, f) for f in plan["files"]]
+            _with_src_dir(
+                _scan_entry_files(
+                    spark, entry,
+                    [os.path.join(root, f) for f in plan["files"]],
+                ),
+                entry,
             ),
         ),
         entry,
@@ -2170,6 +2354,8 @@ def replace_where(
         )
     _guard_no_dvs(entry, "replace_where")
     _guard_identity_mapping(entry, "replace_where")
+    _guard_no_initial_defaults(entry, "replace_where")
+    _guard_no_widened(entry, "replace_where")
     dir_stats = manifest.get("dir_stats", {})
 
     keep_verbatim: dict[str, list[str]] = {}
@@ -2279,6 +2465,8 @@ def update_where(
         )
     _guard_no_dvs(entry, "update_where")
     _guard_identity_mapping(entry, "update_where")
+    _guard_no_initial_defaults(entry, "update_where")
+    _guard_no_widened(entry, "update_where")
     # validate SET columns against the snapshot's LOGICAL schema up
     # front — an all-files-pruned predicate must not let a typo'd
     # column name commit a silent no-op snapshot
@@ -2407,6 +2595,8 @@ def compact_files(
     entry = _entry(manifest, manifest["current"])
     _guard_no_dvs(entry, "compact_files")
     _guard_identity_mapping(entry, "compact_files")
+    _guard_no_initial_defaults(entry, "compact_files")
+    _guard_no_widened(entry, "compact_files")
 
     keep: dict[str, list[str]] = {}
     small: list[tuple[str, str, int]] = []

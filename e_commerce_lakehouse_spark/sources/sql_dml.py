@@ -236,7 +236,13 @@ _DELETE = re.compile(
 )
 _ADD_COLUMN = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*"
-    r"\(?\s*(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)?\s*;?\s*$",
+    r"\(?\s*(\w+)\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?:\s+DEFAULT\s+(.+?))?\s*\)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_COLUMN_TYPE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
+    r"([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
     re.IGNORECASE,
 )
 _RENAME_COLUMN = re.compile(
@@ -1067,9 +1073,16 @@ def execute_dml(
         return {"op": "set_tblproperties", "table": name, key: value}
 
     if (m := _ADD_COLUMN.match(sql)) is not None:
-        name, col, dtype = m.groups()
-        sid = snapshots.add_column(_resolve(tables, name), col, dtype)
+        name, col, dtype, default = m.groups()
+        dv = _parse_literal(default) if default is not None else None
+        sid = snapshots.add_column(_resolve(tables, name), col, dtype, default=dv)
         return {"op": "add_column", "table": name, "column": col,
+                "snapshot_id": sid}
+
+    if (m := _ALTER_COLUMN_TYPE.match(sql)) is not None:
+        name, col, dtype = m.groups()
+        sid = snapshots.alter_column_type(_resolve(tables, name), col, dtype)
+        return {"op": "alter_column_type", "table": name, "column": col,
                 "snapshot_id": sid}
 
     if (m := _RENAME_COLUMN.match(sql)) is not None:

@@ -104,6 +104,27 @@ def _current_mapping(manifest: dict) -> dict:
     return dict(S._entry(manifest, manifest["current"]).get("mapping", {}))
 
 
+def _entry_defaults(entry: dict) -> dict:
+    """{logical name: (initial_default, frozenset(default_dirs))} for
+    ADD COLUMN ... DEFAULT fields — rows in pre-ADD dirs read the
+    default (see snapshots.add_column)."""
+    out = {}
+    for f in json.loads(entry["schema"])["fields"]:
+        meta = f.get("metadata") or {}
+        if "initial_default" in meta:
+            out[f["name"]] = (
+                meta["initial_default"],
+                frozenset(meta.get("default_dirs", [])),
+            )
+    return out
+
+
+def _current_defaults(manifest: dict) -> dict:
+    if manifest["current"] is None:
+        return {}
+    return _entry_defaults(S._entry(manifest, manifest["current"]))
+
+
 def _table_schema(manifest: dict, with_commit_version: bool) -> T.StructType:
     if manifest["current"] is None:
         raise ValueError("cannot stream an empty table: no snapshots yet")
@@ -197,6 +218,7 @@ class _TableStreamReader(DataSourceStreamReader):
             _table_schema(manifest, self.with_commit)
         )
         self._physical = _current_mapping(manifest)
+        self._defaults = _current_defaults(manifest)
 
     # -- offsets ------------------------------------------------------
     #: maxCommitsPerTrigger throttles in latestOffset (never in
@@ -306,7 +328,14 @@ class _TableStreamReader(DataSourceStreamReader):
             elif (phys := self._physical.get(field.name, field.name)) in tbl.column_names:
                 cols.append(tbl.column(phys).cast(field.type))
             else:  # column added after this file was written
-                cols.append(pa.nulls(len(tbl), type=field.type))
+                dflt = getattr(self, "_defaults", {}).get(field.name)
+                file_dir = os.path.basename(os.path.dirname(partition.path))
+                if dflt is not None and file_dir in dflt[1]:
+                    cols.append(
+                        pa.array([dflt[0]] * len(tbl)).cast(field.type)
+                    )
+                else:
+                    cols.append(pa.nulls(len(tbl), type=field.type))
         yield from pa.table(
             cols, schema=self._arrow_schema
         ).to_batches(max_chunksize=1 << 16)
@@ -355,9 +384,11 @@ class _TableBatchReader(DataSourceReader):
             )
             self._arrow_schema = to_arrow_schema(struct)
             self._physical = dict(entry.get("mapping", {}))
+            self._defaults = _entry_defaults(entry)
         else:
             self._arrow_schema = to_arrow_schema(_table_schema(manifest, False))
             self._physical = _current_mapping(manifest)
+            self._defaults = _current_defaults(manifest)
 
     def partitions(self):
         manifest = S._load(self.root)

@@ -243,3 +243,105 @@ def test_rewrite_commits_preserve_evolved_schema(spark, root):
     got = S.read_snapshot(spark, root)
     assert got.columns == ["id", "qty", "score"]
     assert {r.id: r.qty for r in got.collect()}[9] == 91
+
+
+def test_alter_column_type_widening(spark, root):
+    """Metadata-only lossless widening (int->long style): old narrow
+    files read back through an up-cast; non-widening changes refuse."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, qty int")
+    S.write_snapshot(df, root)
+    before = _data_bytes(root)
+    sql_dml.execute_dml(
+        spark, "ALTER TABLE t ALTER COLUMN qty TYPE bigint", {"t": root}
+    )
+    assert _data_bytes(root) == before
+    got = S.read_snapshot(spark, root)
+    assert dict(got.dtypes)["qty"] == "bigint"
+    assert {r.id: r.qty for r in got.collect()} == {1: 10, 2: 20}
+    # appends at the WIDE type land next to narrow files
+    S.write_snapshot(
+        spark.createDataFrame([(3, 2**40)], "id long, qty long"),
+        root, mode="append",
+    )
+    assert {r.id: r.qty for r in S.read_snapshot(spark, root).collect()} \
+        == {1: 10, 2: 20, 3: 2**40}
+    with pytest.raises(ValueError, match="lossless"):
+        S.alter_column_type(root, "id", "int")  # narrowing
+    with pytest.raises(ValueError, match="already"):
+        S.alter_column_type(root, "qty", "long")
+    # raw rewrites refuse on mixed physical widths, with the fix named
+    with pytest.raises(ValueError, match="materialize_schema"):
+        S.compact_files(spark, root)
+    S.materialize_schema(spark, root)
+    S.compact_files(spark, root)  # re-enabled; everything wide now
+    assert {r.id: r.qty for r in S.read_snapshot(spark, root).collect()} \
+        == {1: 10, 2: 20, 3: 2**40}
+
+
+def test_add_column_with_initial_default(spark, root):
+    """ADD COLUMN ... DEFAULT: rows that PREDATE the column read the
+    default; rows written after read exactly what they wrote, explicit
+    NULLs included (Iceberg v3 / Delta initial-default semantics)."""
+    _mk(spark, root)
+    sql_dml.execute_dml(
+        spark, "ALTER TABLE t ADD COLUMN tier string DEFAULT 'basic'",
+        {"t": root},
+    )
+    got = {r.id: r.tier for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "basic", 2: "basic"}
+    # a post-ADD append with an explicit NULL keeps the NULL
+    S.write_snapshot(
+        spark.createDataFrame([(3, 30, "c", "gold"), (4, 40, "d", None)],
+                              "id long, qty long, note string, tier string"),
+        root, mode="append",
+    )
+    got = {r.id: r.tier for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "basic", 2: "basic", 3: "gold", 4: None}
+    # raw-file ops refuse while a default is live; materialize bakes it
+    with pytest.raises(ValueError, match="initial"):
+        S.compact_files(spark, root)
+    S.materialize_schema(spark, root)
+    got = {r.id: r.tier for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "basic", 2: "basic", 3: "gold", 4: None}
+    S.compact_files(spark, root)  # re-enabled, values baked
+    got = {r.id: r.tier for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: "basic", 2: "basic", 3: "gold", 4: None}
+
+
+def test_default_with_deletion_vectors_read(spark, root):
+    """Defaults added AFTER deletion vectors exist: the read applies
+    both (the src-dir tag is captured before the DV anti-join)."""
+    _mk(spark, root)
+    D.set_delete_mode(root, "merge-on-read")
+    D.delete_where_dv(spark, root, [("id", "=", 1)])
+    S.add_column(root, "tier", "string", default="basic")
+    got = {(r.id, r.tier) for r in S.read_snapshot(spark, root).collect()}
+    assert got == {(2, "basic")}
+
+
+def test_table_stream_emits_defaults(spark, root, tmp_path):
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        read_table_stream,
+    )
+
+    _mk(spark, root)
+    S.add_column(root, "tier", "string", default="basic")
+    S.write_snapshot(
+        spark.createDataFrame([(3, 30, "c", "gold")],
+                              "id long, qty long, note string, tier string"),
+        root, mode="append",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        read_table_stream(spark, root)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = {r.id: r.tier for r in spark.read.parquet(out).collect()}
+    assert got == {1: "basic", 2: "basic", 3: "gold"}
