@@ -259,3 +259,54 @@ def test_merge_on_read_matched_scan_is_pruned(spark, root):
     got = {r.id: r.qty for r in
            S.read_snapshot(spark, root).where(F.col("id") == 42).collect()}
     assert got == {42: (42 % 97) + 1}
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_concurrent_conditional_merges_all_land(spark, root, mode):
+    """Four genuinely concurrent conditional MERGEs on disjoint key
+    ranges: every writer's read-modify-write effect must land — the
+    expected_base gate turns each lost race into a recompute, never a
+    lost update, on BOTH commit routes."""
+    import threading
+
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("qty")
+    )
+    S.write_snapshot(base, root)
+    D.set_delete_mode(root, mode)
+    errs = []
+    barrier = threading.Barrier(4)
+
+    def writer(i):
+        try:
+            barrier.wait(timeout=60)
+            src = spark.range(i * 10, i * 10 + 12).select(
+                F.col("id").alias("k"),
+                F.lit(i + 1).cast("long").alias("qty"),
+            )
+            sql_dml.execute_dml(
+                spark,
+                "MERGE INTO tbl AS t USING src AS s ON t.k = s.k "
+                "WHEN MATCHED AND s.qty > 0 THEN "
+                "UPDATE SET qty = t.qty + s.qty "
+                "WHEN NOT MATCHED THEN INSERT *",
+                {"tbl": root},
+                sources={"src": src},
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    [t.start() for t in threads]
+    [t.join(timeout=600) for t in threads]
+    assert not errs, errs
+    got = {r.k: r.qty for r in S.read_snapshot(spark, root).collect()}
+    # writer i touches keys [10i, 10i+12): overlap of 2 keys with the
+    # next writer — both increments must survive on the overlap
+    want = {}
+    for k in range(42):
+        want[k] = sum(
+            i + 1 for i in range(4) if i * 10 <= k < i * 10 + 12
+        ) or 0
+    want = {k: v for k, v in want.items() if k < 40 or v > 0}
+    assert got == want
