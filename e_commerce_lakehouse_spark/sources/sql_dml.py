@@ -258,6 +258,9 @@ _SET_TBLPROP = re.compile(
     r"'([^']+)'\s*=\s*'([^']+)'\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 _REORG = re.compile(
     r"^\s*REORG\s+TABLE\s+(\w+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
     re.IGNORECASE,
@@ -1099,6 +1102,15 @@ def execute_dml(
 
     if (m := _CALL.match(sql)) is not None:
         return _execute_call(spark, m.group(1).lower(), m.group(2), tables)
+
+    if (m := _TRUNCATE.match(sql)) is not None:
+        name = m.group(1)
+        root = _resolve(tables, name)
+        # one empty-overwrite commit: the schema survives, every prior
+        # snapshot stays time-travel readable until expired (Delta's
+        # TRUNCATE semantics over a transaction log)
+        sid = snapshots.write_snapshot(_empty_like(spark, root), root)
+        return {"op": "truncate", "table": name, "snapshot_id": sid}
 
     if (m := _REORG.match(sql)) is not None:
         name = m.group(1)

@@ -209,7 +209,7 @@ def test_grammar_rejections(spark, root):
             sources={"s": spark.range(1)},
         )
     with pytest.raises(ValueError, match="unsupported statement"):
-        sql_dml.execute_dml(spark, "TRUNCATE TABLE t", {"t": root})
+        sql_dml.execute_dml(spark, "GRANT SELECT ON t TO alice", {"t": root})
     with pytest.raises(ValueError, match="IS NULL"):
         sql_dml.parse_where("x = NULL")
 
@@ -751,3 +751,16 @@ def test_call_rejections(spark, root):
         )
     with pytest.raises(KeyError, match="unknown snapshot table"):
         sql_dml.execute_dml(spark, "CALL expire_snapshots('nope')", {"t": root})
+
+
+def test_truncate_table_keeps_schema_and_history(spark, root):
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, v string"), root
+    )
+    out = sql_dml.execute_dml(spark, "TRUNCATE TABLE t", {"t": root})
+    assert out["op"] == "truncate"
+    got = S.read_snapshot(spark, root)
+    assert got.count() == 0 and got.columns == ["id", "v"]
+    # prior snapshot still time-travel readable
+    old = S.read_snapshot(spark, root, snapshot_id=1)
+    assert [tuple(r) for r in old.collect()] == [(1, "a")]
