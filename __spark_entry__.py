@@ -2529,7 +2529,30 @@ def _q47_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     tri = graph_ops.triangle_counts(edges).select(
         F.lit("triangle").alias("kind"), "node", nl.alias("rank_scaled"), "tri_count"
     )
-    return pr.unionByName(tri)
+    # kind='reach': min-hop BFS frontier from the smallest item via a
+    # RECURSIVE CTE (Spark 4 WITH RECURSIVE — the declarative
+    # counterpart of the repo's iterative CC/PageRank loops; the depth
+    # bound caps the UNION ALL path enumeration, and MIN(depth)
+    # collapses it to the BFS answer). DuckDB runs the IDENTICAL text.
+    edges.createOrReplaceTempView("q47_click_edges")
+    reach = spark.sql(
+        """
+        WITH RECURSIVE reach(node, depth) AS (
+            SELECT node, 0 FROM (SELECT MIN(src) AS node FROM q47_click_edges)
+            UNION ALL
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN q47_click_edges e ON e.src = r.node
+            WHERE r.depth < 2
+        )
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS d FROM reach GROUP BY node
+        """
+    ).select(
+        F.lit("reach").alias("kind"),
+        "node",
+        F.col("d").alias("rank_scaled"),
+        nl.alias("tri_count"),
+    )
+    return pr.unionByName(tri).unionByName(reach)
 
 
 def _q48_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
@@ -3088,6 +3111,32 @@ def _pagerank_oracle_sql(
                 ) GROUP BY node
             )""",
     ]
+    # the reach branch is a SELF-CONTAINED nested WITH RECURSIVE: a
+    # top-level "WITH RECURSIVE" prefix silently corrupts DuckDB's
+    # evaluation of the unrolled non-recursive pagerank chain (measured:
+    # the r2 frame fans out 125x), so the recursion is quarantined in
+    # its own derived table with the edge chain duplicated
+    reach_sub = """(
+        WITH RECURSIVE rev AS (
+            SELECT user_id, event_id, ts,
+                   CAST(props->>'$.k' AS BIGINT) AS item
+            FROM events
+        ), rseq AS (
+            SELECT item, lag(item) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM rev
+        ), redges AS (
+            SELECT DISTINCT prev AS src, item AS dst FROM rseq
+            WHERE prev IS NOT NULL AND prev <> item
+        ), reach(node, depth) AS (
+            SELECT node, 0 FROM (SELECT MIN(src) AS node FROM redges)
+            UNION ALL
+            SELECT e.dst, r.depth + 1
+            FROM reach r JOIN redges e ON e.src = r.node
+            WHERE r.depth < 2
+        )
+        SELECT node, depth FROM reach
+    )"""
     return (
         "WITH "
         + ", ".join(ctes)
@@ -3098,7 +3147,12 @@ def _pagerank_oracle_sql(
                SELECT 'triangle' AS kind, d.node,
                       CAST(NULL AS BIGINT) AS rank_scaled,
                       CAST(COALESCE(c.tri_count, 0) AS BIGINT) AS tri_count
-               FROM udeg d LEFT JOIN corners c ON c.node = d.node"""
+               FROM udeg d LEFT JOIN corners c ON c.node = d.node
+               UNION ALL
+               SELECT 'reach' AS kind, node,
+                      CAST(MIN(depth) AS BIGINT) AS rank_scaled,
+                      CAST(NULL AS BIGINT) AS tri_count
+               FROM {reach_sub} GROUP BY node"""
     )
 
 
