@@ -181,6 +181,14 @@ def parse_set(clause: str) -> dict[str, str]:
     return sets
 
 
+_METADATA_SELECT = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(\w+)\s*\.\s*"
+    r"(snapshots|files|tags)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_DETAIL = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 _SELECT = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+(\w+)"
     r"(?:\s+(?:FOR\s+)?VERSION\s+AS\s+OF\s+(\d+)"
@@ -1026,6 +1034,31 @@ def execute_dml(
             "version long, operation string, ts double, parent long, meta string",
         )
         return {"op": "history", "table": name, "df": df}
+
+    if (m := _METADATA_SELECT.match(sql)) is not None:
+        name, kind = m.groups()
+        # Iceberg's inspection tables (SELECT * FROM t.files) — straight
+        # from the manifest, no data file opened
+        df = snapshots.metadata_table(spark, _resolve(tables, name), kind.lower())
+        return {"op": "metadata", "table": name, "kind": kind.lower(), "df": df}
+
+    if (m := _DESCRIBE_DETAIL.match(sql)) is not None:
+        name = m.group(1)
+        root = _resolve(tables, name)
+        from . import deletes
+
+        stats = snapshots.table_stats(root)
+        manifest = snapshots._load(root)
+        detail = {
+            "format": "parquet",
+            "location": root,
+            "current_snapshot_id": manifest["current"],
+            "delete_mode": deletes.delete_mode(root),
+            "partition_spec": manifest.get("partition_spec", []),
+            "constraints": manifest.get("constraints", {}),
+            **stats,
+        }
+        return {"op": "describe_detail", "table": name, "detail": detail}
 
     if (m := _SELECT.match(sql)) is not None:
         name, version, as_of, tag, br, where = m.groups()

@@ -764,3 +764,27 @@ def test_truncate_table_keeps_schema_and_history(spark, root):
     # prior snapshot still time-travel readable
     old = S.read_snapshot(spark, root, snapshot_id=1)
     assert [tuple(r) for r in old.collect()] == [(1, "a")]
+
+
+def test_metadata_select_and_describe_detail(spark, root):
+    """Read-only inspection surface: SELECT * FROM t.snapshots/files/
+    tags (manifest-only, no data file opened) + DESCRIBE DETAIL."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    S.write_snapshot(
+        spark.createDataFrame([(3, "c")], "id long, v string"), root,
+        mode="append",
+    )
+    S.tag_snapshot(root, "v1", 1)
+    snaps = sql_dml.execute_dml(spark, "SELECT * FROM t.snapshots", {"t": root})
+    assert snaps["op"] == "metadata"
+    assert [r.id for r in snaps["df"].collect()] == [1, 2]
+    files = sql_dml.execute_dml(spark, "SELECT * FROM t.files", {"t": root})
+    assert files["df"].count() >= 2
+    tags = sql_dml.execute_dml(spark, "SELECT * FROM t.tags", {"t": root})
+    assert [(r.tag, r.snapshot_id) for r in tags["df"].collect()] == [("v1", 1)]
+    out = sql_dml.execute_dml(spark, "DESCRIBE DETAIL t", {"t": root})
+    d = out["detail"]
+    assert d["current_snapshot_id"] == 2 and d["location"] == root
+    assert d["delete_mode"] in ("copy-on-write", "merge-on-read")
