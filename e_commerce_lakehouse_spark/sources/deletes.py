@@ -582,6 +582,20 @@ def apply_changes_dv(
     None (default) when the feed is externally sourced (a CDC stream):
     its values don't depend on table state, so the internal OCC retry
     alone is correct."""
+    if expected_base is not None:
+        # UN-retried staleness check: once the head has moved past
+        # expected_base it never moves back, so letting the inner
+        # @_retry_conflicts loop re-load and re-raise would burn every
+        # retry sleep before the RECOMPUTING caller sees the conflict.
+        # The same gate inside _apply_changes_dv still covers the
+        # narrow window where a concurrent commit lands mid-attempt.
+        head = S._load(root)["current"]
+        if head != expected_base:
+            raise S.CommitConflict(
+                f"apply_changes_dv: feed derived from snapshot "
+                f"{expected_base} but current is {head}; recompute the "
+                "feed and retry"
+            )
     return _apply_changes_dv(
         spark, root, changes, keys, meta, max_keyscan_keys, expected_base
     )

@@ -514,6 +514,41 @@ def _execute_call(
 
 _TPFX, _SPFX = "__t_", "__s_"
 
+def _check_merge_cardinality(
+    source: DataFrame, keys: list[str], target_keys: DataFrame
+) -> None:
+    """Raise the Delta/Iceberg MERGE cardinality error when more than
+    one source row shares a key that MATCHES a target row — two
+    post-images for one target row is nondeterministic MERGE by the
+    standard, and committing both silently duplicates the row.
+
+    Driver-side and batch-shaped on purpose: an in-plan raise_error
+    guard is unsound here — when the guard's inputs are all
+    source-side columns, Catalyst legally pushes the consuming filter
+    BELOW the matched join and the guard fires for duplicate keys that
+    match nothing (which are legal: each inserts). The common case
+    (no duplicate source keys at all) costs one batch-sized groupBy
+    and never touches the target; only when duplicates exist does one
+    semi-join against the target's key columns run, and ``limit(1)``
+    stops it at the first hit. Duplicate keys that match NO target row
+    pass — Delta/Iceberg insert every applicable row."""
+    dups = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select(*keys)
+    )
+    if not dups.limit(1).collect():
+        return
+    hit = dups.join(target_keys.select(*keys), keys, "left_semi").limit(1).collect()
+    if hit:
+        kv = ", ".join(f"{k}={hit[0][k]!r}" for k in keys)
+        raise ValueError(
+            f"MERGE: a single target row matched multiple source rows "
+            f"for key {kv}; deduplicate the source per key (e.g. keep "
+            "the latest by a sequence column) before merging"
+        )
+
 
 def _qualify_expr(
     expr: str,
@@ -553,7 +588,9 @@ def _qualify_expr(
             f"qualify columns with {t_alias!r} or {s_alias!r}"
         )
 
-    masked = re.sub(r"\b(\w+)\s*\.\s*(\w+)", _repl, masked)
+    # alias group anchored to identifiers: a decimal literal like 12.5
+    # must not parse as alias "12" dot-member "5" (valid SQL rejected)
+    masked = re.sub(r"\b([A-Za-z_]\w*)\s*\.\s*(\w+)", _repl, masked)
     for tok in re.findall(r"\b[A-Za-z_]\w*\b", masked):
         if tok in known_cols:
             raise ValueError(
@@ -598,14 +635,22 @@ def _merge_extended(
     from ..operators import upsert as _upsert
     from . import deletes
 
-    manifest0 = snapshots._load(root)
-    if manifest0["current"] is None:
-        raise KeyError(f"table {root} has no snapshots")
-    entry0 = snapshots._entry(manifest0, manifest0["current"])
-    struct = T.StructType.fromJson(_json.loads(entry0["schema"]))
-    hidden = snapshots._hidden_set(manifest0)
-    t_cols = [f.name for f in struct.fields if f.name not in hidden]
-    dtypes = {f.name: f.dataType for f in struct.fields}
+    def _derive_schema(manifest):
+        """Target column list/types from ``manifest``'s head — called
+        per retry ATTEMPT (not captured once outside the loop): a
+        concurrent ADD COLUMN between feed derivation and a retry must
+        re-enter here, or the retry's overwrite would commit the OLD
+        column set and silently erase the schema commit."""
+        if manifest["current"] is None:
+            raise KeyError(f"table {root} has no snapshots")
+        entry = snapshots._entry(manifest, manifest["current"])
+        struct = T.StructType.fromJson(_json.loads(entry["schema"]))
+        hidden = snapshots._hidden_set(manifest)
+        t_cols = [f.name for f in struct.fields if f.name not in hidden]
+        dtypes = {f.name: f.dataType for f in struct.fields}
+        return t_cols, dtypes
+
+    t_cols, dtypes = _derive_schema(snapshots._load(root))
     known = set(t_cols) | set(source.columns)
 
     # -- static validation before any read -----------------------------
@@ -672,7 +717,12 @@ def _merge_extended(
             branch = F.when(cond_cols[i], F.lit(i)).otherwise(branch)
         return branch
 
-    def _build_feed(target: DataFrame) -> DataFrame:
+    def _build_feed(target: DataFrame, t_cols, dtypes) -> DataFrame:
+        if matched_cl:
+            # MERGE cardinality rule, checked before any feed work:
+            # >1 source row per matched target key must error, not
+            # commit two post-images
+            _check_merge_cardinality(source, keys, target.select(*keys))
         tgt = target.select([F.col(c).alias(_TPFX + c) for c in t_cols])
         src = source.select(
             [F.col(c).alias(_SPFX + c) for c in source.columns]
@@ -756,7 +806,12 @@ def _merge_extended(
 
     @snapshots._retry_conflicts
     def _run() -> int:
-        base = snapshots._load(root)["current"]
+        # fresh per attempt: base AND the schema derived from it — a
+        # concurrent ADD COLUMN between attempts must widen this
+        # attempt's column set, not be overwritten by a stale t_cols
+        fresh = snapshots._load(root)
+        base = fresh["current"]
+        t_cols, dtypes = _derive_schema(fresh)
         if mor:
             # O(batch) matched evaluation: read only the files the
             # manifest can't prune on the batch's key IN-list (the
@@ -773,12 +828,12 @@ def _merge_extended(
                 target = snapshots.read_snapshot(
                     spark, root, snapshot_id=base
                 )
-            feed = _build_feed(target)
+            feed = _build_feed(target, t_cols, dtypes)
             return deletes.apply_changes_dv(
                 spark, root, feed, keys, expected_base=base
             )
         target = snapshots.read_snapshot(spark, root, snapshot_id=base)
-        feed = _build_feed(target)
+        feed = _build_feed(target, t_cols, dtypes)
         new_state = _upsert.apply_changes(
             target.select(*t_cols), feed, keys
         )
@@ -1219,16 +1274,17 @@ def execute_dml(
             src = source.select(*target.columns)
             tkeys = target.select(*keys).distinct()
             parts = []
-            if matched == "DELETE":
-                parts.append(
-                    src.join(tkeys, keys, "left_semi").withColumn(
-                        "_change_type", F.lit("delete")
-                    )
+            if matched is not None:
+                # same cardinality rule as the extended path: two
+                # source rows for one matched target key is an error,
+                # not two feed rows
+                _check_merge_cardinality(src, keys, tkeys)
+                ct = (
+                    "delete" if matched == "DELETE" else "update_postimage"
                 )
-            elif matched == "UPDATE SET *":
                 parts.append(
                     src.join(tkeys, keys, "left_semi").withColumn(
-                        "_change_type", F.lit("update_postimage")
+                        "_change_type", F.lit(ct)
                     )
                 )
             if "NOT MATCHED" in clauses:
@@ -1252,6 +1308,10 @@ def execute_dml(
             base = snapshots._load(root)["current"]
             target = snapshots.read_snapshot(spark, root, snapshot_id=base)
             src = source.select(*target.columns)
+            if matched is not None:
+                _check_merge_cardinality(
+                    src, keys, target.select(*keys)
+                )
             if matched == "DELETE":
                 # WHEN MATCHED DELETE (± INSERT *): route through the
                 # CDC applier — delete rows carry the feed's delete type

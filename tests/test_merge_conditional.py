@@ -310,3 +310,133 @@ def test_concurrent_conditional_merges_all_land(spark, root, mode):
         ) or 0
     want = {k: v for k, v in want.items() if k < 40 or v > 0}
     assert got == want
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_duplicate_source_keys_matched_raise(spark, root, mode):
+    """Two source rows matching ONE target row must raise the MERGE
+    cardinality error (Delta/Iceberg 'single target row matched
+    multiple source rows'), not silently commit both post-images —
+    on both commit routes, conditional and canonical clause shapes."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10)], "id long, qty long"), root
+    )
+    D.set_delete_mode(root, mode)
+    dup = spark.createDataFrame(
+        [(1, 100), (1, 200)], "id long, qty long"
+    )
+    # extended (conditional) route
+    with pytest.raises(Exception, match="matched multiple source"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = s.qty",
+            {"tbl": root},
+            sources={"src": dup},
+        )
+    # canonical route (UPDATE SET *)
+    with pytest.raises(Exception, match="matched multiple source"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET *",
+            {"tbl": root},
+            sources={"src": dup},
+        )
+    # canonical DELETE route
+    with pytest.raises(Exception, match="matched multiple source"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED THEN DELETE",
+            {"tbl": root},
+            sources={"src": dup},
+        )
+    # nothing committed by any failed attempt
+    got = [(r.id, r.qty) for r in S.read_snapshot(spark, root).collect()]
+    assert got == [(1, 10)]
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_duplicate_unmatched_keys_insert_all(spark, root, mode):
+    """Duplicate source keys that match NO target row are legal — each
+    row takes its NOT MATCHED clause and both insert (Delta/Iceberg
+    semantics: the cardinality error is about matched target rows)."""
+    from collections import Counter
+
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10)], "id long, qty long"), root
+    )
+    D.set_delete_mode(root, mode)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = s.qty "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": root},
+        sources={
+            "src": spark.createDataFrame(
+                [(7, 70), (7, 71)], "id long, qty long"
+            )
+        },
+    )
+    got = Counter(
+        (r.id, r.qty) for r in S.read_snapshot(spark, root).collect()
+    )
+    assert got == Counter([(1, 10), (7, 70), (7, 71)])
+
+
+def test_decimal_literal_in_merge_condition(spark, root):
+    """A float literal in a MERGE condition or SET expression must not
+    be mis-parsed as an alias reference ('12.5' -> alias '12')."""
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 1.0)], "id long, price double"
+        ),
+        root,
+    )
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.price > 12.5 THEN "
+        "UPDATE SET price = s.price * 0.5",
+        {"tbl": root},
+        sources={
+            "src": spark.createDataFrame(
+                [(1, 100.0), (2, 2.0)], "id long, price double"
+            )
+        },
+    )
+    got = {r.id: r.price for r in S.read_snapshot(spark, root).collect()}
+    assert got == {1: 50.0, 2: 1.0}
+
+
+def test_concurrent_add_column_survives_cow_retry(spark, root, monkeypatch):
+    """A concurrent metadata-only ADD COLUMN landing between the feed
+    derivation and the copy-on-write retry must SURVIVE: the retry
+    re-derives the schema from the fresh head, so the overwrite commits
+    the widened column set instead of silently erasing the DDL."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10)], "id long, qty long"), root
+    )
+    orig, raced = S._commit, {"done": False}
+
+    def racing(r, m):
+        if not raced["done"]:
+            raced["done"] = True
+            S.add_column(root, "extra", "string")
+        orig(r, m)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.qty > 0 THEN UPDATE SET qty = t.qty + s.qty",
+        {"tbl": root},
+        sources={"src": spark.createDataFrame([(1, 5)], "id long, qty long")},
+    )
+    monkeypatch.setattr(S, "_commit", orig)
+    out = S.read_snapshot(spark, root)
+    assert "extra" in out.columns  # the DDL was not erased
+    got = [(r.id, r.qty, r.extra) for r in out.collect()]
+    assert got == [(1, 15, None)]

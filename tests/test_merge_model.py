@@ -52,7 +52,11 @@ _nm_action = st.sampled_from(
 @st.composite
 def _merge_case(draw):
     target = _unique_by_key(draw(st.lists(_row, min_size=0, max_size=8)))
-    source = _unique_by_key(draw(st.lists(_row, min_size=0, max_size=8)))
+    # source keys deliberately NOT deduplicated: a duplicate source key
+    # matching a target row must raise the MERGE cardinality error
+    # (Delta/Iceberg 'single target row matched multiple source rows'),
+    # and duplicate UNMATCHED keys legally insert every applicable row
+    source = draw(st.lists(_row, min_size=0, max_size=8))
     n_m = draw(st.integers(0, 2))
     n_nm = draw(st.integers(0, 2))
     if n_m + n_nm == 0:
@@ -87,8 +91,19 @@ def _eval_cond(cond, t_row, s_row):
 
 
 def _model(target, source, matched, not_matched):
+    """Expected result as a multiset of rows, or ``None`` meaning the
+    engine must raise the MERGE cardinality error (some target row is
+    matched by more than one source row while a MATCHED clause
+    exists)."""
+    from collections import Counter
+
     tgt = {r[0]: r for r in target}
+    if matched:
+        src_counts = Counter(s[0] for s in source)
+        if any(n > 1 for k, n in src_counts.items() if k in tgt):
+            return None
     out = dict(tgt)
+    inserts = []  # duplicate unmatched keys may each insert a row
     for s in source:
         t = tgt.get(s[0])
         if t is not None:
@@ -110,11 +125,11 @@ def _model(target, source, matched, not_matched):
                 if not _eval_cond(cond, None, s):
                     continue
                 if action == "INSERT *":
-                    out[s[0]] = s
+                    inserts.append(s)
                 else:  # INSERT (k, a) VALUES (s.k, s.a)
-                    out[s[0]] = (s[0], s[1], None)
+                    inserts.append((s[0], s[1], None))
                 break
-    return set(out.values())
+    return Counter(list(out.values()) + inserts)
 
 
 def _render(matched, not_matched):
@@ -145,15 +160,30 @@ def test_conditional_merge_matches_model(spark, mroot, case):
     target, source, matched, not_matched, mode = case
     import uuid
 
+    from collections import Counter
+
     root = str(mroot / uuid.uuid4().hex)
     schema = "k long, a long, b string"
     S.write_snapshot(spark.createDataFrame(target, schema), root)
     D.set_delete_mode(root, mode)
+    expect = _model(target, source, matched, not_matched)
+    if expect is None:
+        with pytest.raises(Exception, match="matched multiple source"):
+            sql_dml.execute_dml(
+                spark,
+                _render(matched, not_matched),
+                {"tbl": root},
+                sources={"src": spark.createDataFrame(source, schema)},
+            )
+        # the failed MERGE must not have committed anything
+        got = Counter(tuple(r) for r in S.read_snapshot(spark, root).collect())
+        assert got == Counter(map(tuple, target))
+        return
     sql_dml.execute_dml(
         spark,
         _render(matched, not_matched),
         {"tbl": root},
         sources={"src": spark.createDataFrame(source, schema)},
     )
-    got = {tuple(r) for r in S.read_snapshot(spark, root).collect()}
-    assert got == _model(target, source, matched, not_matched)
+    got = Counter(tuple(r) for r in S.read_snapshot(spark, root).collect())
+    assert got == expect
