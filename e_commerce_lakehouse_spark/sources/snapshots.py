@@ -109,6 +109,277 @@ def _latest_version(root: str) -> int | None:
     return v
 
 
+#: entry keys stored in the per-snapshot entry FILE, not the version
+#: manifest: O(#dirs)/O(#files) payload that must not be rewritten per
+#: commit. Accessing any of them on a lazy entry hydrates the payload.
+_HEAVY_ENTRY_KEYS = frozenset(("dirs", "files", "dvs", "schema", "mapping"))
+
+
+class _RefStore:
+    """Loader/writer for the immutable metadata ref files under
+    ``_manifests/`` (the Iceberg manifest-file tier): per-snapshot
+    entry payloads (``entry-*.json``), per-dir kept-file lists
+    (``files-*.json``, content-deduplicated so consecutive snapshots
+    SHARE them — an append adds one ref string, not a file-list copy),
+    and per-dir footer stats (``stats-*.json``, written once per data
+    dir). Ref files are write-once: a new name per write, so a CAS
+    loser's files are orphans (GC'd by :func:`_gc_ref_files`), never
+    torn or overwritten."""
+
+    __slots__ = ("root", "cache", "_by_content")
+
+    def __init__(self, root: str):
+        self.root = root
+        self.cache: dict = {}          # ref name -> loaded object
+        self._by_content: dict = {}    # tuple(file list) -> ref name
+
+    def _path(self, ref: str) -> str:
+        return os.path.join(_manifest_dir(self.root), ref)
+
+    def load(self, ref: str):
+        obj = self.cache.get(ref)
+        if obj is None:
+            try:
+                with open(self._path(ref)) as fh:
+                    obj = json.load(fh)
+            except FileNotFoundError:
+                raise FileNotFoundError(
+                    f"{self.root}: metadata ref file {ref!r} is missing "
+                    "(vacuumed under a live reader, or partial copy of "
+                    "the _manifests dir)"
+                ) from None
+            self.cache[ref] = obj
+            if isinstance(obj, list):
+                self._by_content.setdefault(tuple(obj), ref)
+        return obj
+
+    def write(self, prefix: str, obj) -> str:
+        import uuid
+
+        mdir = _manifest_dir(self.root)
+        os.makedirs(mdir, exist_ok=True)
+        ref = f"{prefix}-{uuid.uuid4().hex[:16]}.json"
+        tmp = self._path("." + ref)
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+        os.replace(tmp, self._path(ref))  # unique name: never contended
+        self.cache[ref] = obj
+        if isinstance(obj, list):
+            self._by_content.setdefault(tuple(obj), ref)
+        return ref
+
+    def files_ref(self, lst: list) -> str:
+        """Ref for one dir's kept-file list, REUSING an existing ref
+        with identical content (the structural sharing that keeps an
+        inheriting commit's metadata O(changed dirs), not O(files))."""
+        ref = self._by_content.get(tuple(lst))
+        return ref if ref is not None else self.write("files", list(lst))
+
+
+class _SnapEntry(dict):
+    """One committed snapshot entry, lazily hydrated: the version
+    manifest carries only the light fields (id/op/ts/parent/meta/
+    summary + the ``entry_ref`` pointer); first access to a heavy key
+    (dirs/files/dvs/schema/mapping) loads the immutable entry file.
+    Committed entries are never mutated (every op builds a NEW plain
+    dict entry), so hydration is the only state change."""
+
+    __slots__ = ("_store", "_hydrated")
+
+    def __init__(self, light: dict, store: _RefStore):
+        super().__init__(light)
+        self._store = store
+        self._hydrated = "entry_ref" not in light
+
+    def _hydrate(self) -> None:
+        if self._hydrated:
+            return
+        payload = self._store.load(dict.__getitem__(self, "entry_ref"))
+        for k, v in payload.items():
+            if k == "file_refs":
+                dict.__setitem__(
+                    self,
+                    "files",
+                    {d: self._store.load(r) for d, r in v.items()},
+                )
+            elif not dict.__contains__(self, k):
+                dict.__setitem__(self, k, v)
+        self._hydrated = True
+
+    def __getitem__(self, k):
+        if k in _HEAVY_ENTRY_KEYS:
+            self._hydrate()
+        return dict.__getitem__(self, k)
+
+    def get(self, k, default=None):
+        if k in _HEAVY_ENTRY_KEYS:
+            self._hydrate()
+        return dict.get(self, k, default)
+
+    def __contains__(self, k):
+        if k in _HEAVY_ENTRY_KEYS:
+            self._hydrate()
+        return dict.__contains__(self, k)
+
+    def light(self) -> dict:
+        """The serializable light form (heavy keys stay in the entry
+        file this entry already points at)."""
+        return {
+            k: v
+            for k, v in dict.items(self)
+            if k not in _HEAVY_ENTRY_KEYS
+        }
+
+
+class _LazyDirStats(dict):
+    """``manifest["dir_stats"]`` as a lazy per-dir mapping: the version
+    manifest stores only ``{dir: stats-ref}`` pointers; a dir's
+    per-file footer stats hydrate from its immutable stats file on
+    first access. Mutations (new dir, per-file pop, in-place bloom
+    attach via :meth:`mark_dirty`) are tracked and re-externalized as
+    NEW stats files at the next commit — so a commit writes O(changed
+    dirs) stats bytes, never the table's."""
+
+    __slots__ = ("_store", "_refs", "_dirty")
+
+    def __init__(self, store: _RefStore, refs: dict, inline: dict | None = None):
+        super().__init__(inline or {})
+        self._store = store
+        self._refs = dict(refs)
+        # inline (legacy monolithic-manifest) dirs externalize on the
+        # next commit — the one-time migration write
+        self._dirty = set(inline or {})
+
+    def _hydrate(self, d) -> None:
+        if not dict.__contains__(self, d) and d in self._refs:
+            dict.__setitem__(self, d, self._store.load(self._refs[d]))
+
+    def __getitem__(self, d):
+        self._hydrate(d)
+        return dict.__getitem__(self, d)
+
+    def get(self, d, default=None):
+        self._hydrate(d)
+        return dict.get(self, d, default)
+
+    def peek(self, d):
+        """Hydrated-or-new stats for ``d`` WITHOUT triggering a ref
+        read — None when the dir's stats are on disk only (summary
+        computation must stay O(new dirs))."""
+        return dict.get(self, d)
+
+    def __contains__(self, d):
+        return dict.__contains__(self, d) or d in self._refs
+
+    def __setitem__(self, d, v):
+        dict.__setitem__(self, d, v)
+        self._dirty.add(d)
+
+    def setdefault(self, d, default=None):
+        self._hydrate(d)
+        if not dict.__contains__(self, d):
+            dict.__setitem__(self, d, default)
+            self._dirty.add(d)
+        return dict.__getitem__(self, d)
+
+    def pop(self, d, *default):
+        self._hydrate(d)
+        self._refs.pop(d, None)
+        self._dirty.discard(d)
+        return dict.pop(self, d, *default)
+
+    def mark_dirty(self, d) -> None:
+        """Record an in-place mutation of an already-hydrated dir's
+        nested stats (the bloom-index build) so the next commit writes
+        a fresh stats file for it."""
+        self._dirty.add(d)
+
+    def __iter__(self):
+        seen = set(dict.keys(self))
+        yield from seen
+        for d in self._refs:
+            if d not in seen:
+                yield d
+
+    def __len__(self):
+        return len(set(dict.keys(self)) | set(self._refs))
+
+    def keys(self):
+        return list(self)
+
+    def _hydrate_all(self) -> None:
+        for d in list(self._refs):
+            self._hydrate(d)
+
+    def items(self):
+        self._hydrate_all()
+        return dict.items(self)
+
+    def values(self):
+        self._hydrate_all()
+        return dict.values(self)
+
+    def serialize(self) -> dict:
+        """Write dirty dirs' stats as new ref files; return the full
+        ``{dir: ref}`` pointer map for the version manifest. Dirty
+        state clears so a second commit on the same loaded manifest
+        (expire's two-phase) rewrites nothing unchanged."""
+        for d in sorted(self._dirty):
+            if dict.__contains__(self, d):
+                self._refs[d] = self._store.write(
+                    "stats", dict.__getitem__(self, d)
+                )
+        self._dirty.clear()
+        return dict(self._refs)
+
+
+def _materialize_manifest(manifest: dict) -> dict:
+    """Fully hydrated, ref-free plain-dict form of a loaded manifest —
+    the legacy monolithic layout. Debugging/migration aid only; the
+    commit path never materializes (that would be the O(table) rewrite
+    the split removed)."""
+    out = {
+        k: v
+        for k, v in manifest.items()
+        if not k.startswith("_") and k not in ("snapshots", "dir_stats")
+    }
+    snaps = []
+    for s in manifest["snapshots"]:
+        if isinstance(s, _SnapEntry):
+            s._hydrate()
+        snaps.append(
+            {k: v for k, v in dict.items(s) if k != "entry_ref"}
+        )
+    out["snapshots"] = snaps
+    ds = manifest.get("dir_stats")
+    if isinstance(ds, _LazyDirStats):
+        ds._hydrate_all()
+        out["dir_stats"] = {d: dict.__getitem__(ds, d) for d in dict.keys(ds)}
+    elif isinstance(ds, dict):
+        out["dir_stats"] = ds
+    return out
+
+
+def _wire_lazy(root: str, manifest: dict) -> dict:
+    """Install the lazy metadata tier onto a freshly parsed manifest:
+    entries with an ``entry_ref`` become :class:`_SnapEntry`, the
+    ``dir_stats_refs`` pointer map becomes :class:`_LazyDirStats`.
+    Legacy monolithic manifests (inline dir_stats / full entries) pass
+    through as plain dicts and migrate at their next commit."""
+    store = _RefStore(root)
+    manifest["_store"] = store
+    manifest["snapshots"] = [
+        _SnapEntry(s, store) if "entry_ref" in s else s
+        for s in manifest.get("snapshots", [])
+    ]
+    refs = manifest.pop("dir_stats_refs", {})
+    inline = manifest.get("dir_stats")
+    manifest["dir_stats"] = _LazyDirStats(
+        store, refs, inline if isinstance(inline, dict) else None
+    )
+    return manifest
+
+
 def _load(root: str) -> dict:
     for _ in range(3):
         v = _latest_version(root)
@@ -122,7 +393,7 @@ def _load(root: str) -> dict:
             # re-resolve (the head itself is never pruned)
             continue
         manifest["version"] = v  # the path is authoritative
-        return manifest
+        return _wire_lazy(root, manifest)
     # legacy single-file manifest (pre-versioned table): readable as-is;
     # the first _commit migrates it into _manifests/ at version+1
     path = os.path.join(root, _MANIFEST)
@@ -130,34 +401,148 @@ def _load(root: str) -> dict:
         with open(path) as fh:
             manifest = json.load(fh)
         manifest.setdefault("version", 0)
-        return manifest
-    return {"current": None, "snapshots": [], "version": 0}
+        return _wire_lazy(root, manifest)
+    return _wire_lazy(root, {"current": None, "snapshots": [], "version": 0})
+
+
+def _entry_summary(manifest: dict, s: dict) -> dict:
+    """Delta/Iceberg-style commit summary for a NEW entry, computed
+    from state already in memory (the op hydrated its parent; a new
+    dir's stats are the dirty in-memory ones — no ref file is read):
+    dir/file/row/byte deltas vs the parent plus totals. Unknowable
+    counts are simply omitted — the summary is an observability
+    surface, never a correctness input."""
+    by_id = {e["id"]: e for e in manifest["snapshots"]}
+    parent = by_id.get(s.get("parent"))
+    pdirs = set(parent["dirs"]) if parent is not None else set()
+    pdvs = set(parent.get("dvs") or []) if parent is not None else set()
+    dirs = s.get("dirs", [])
+    added = [d for d in dirs if d not in pdirs]
+    out = {
+        "n_dirs": len(dirs),
+        "added_dirs": len(added),
+        "removed_dirs": len(pdirs - set(dirs)),
+    }
+    dvs = set(s.get("dvs") or [])
+    if dvs or pdvs:
+        out["added_dvs"] = len(dvs - pdvs)
+        out["n_dvs"] = len(dvs)
+    ds = manifest.get("dir_stats")
+    peek = ds.peek if isinstance(ds, _LazyDirStats) else (
+        lambda d: ds.get(d) if isinstance(ds, dict) else None
+    )
+    n_files = n_rows = n_bytes = 0
+    known = bool(added)
+    for d in added:
+        st = peek(d)
+        if not isinstance(st, dict):
+            known = False
+            break
+        fnames = s["files"].get(d, list(st)) if "files" in s else list(st)
+        n_files += len(fnames)
+        for f in fnames:
+            first = next(iter((st.get(f) or {}).values()), None)
+            rows = first.get("rows") if isinstance(first, dict) else None
+            if rows is None:
+                known = False
+            else:
+                n_rows += rows
+            try:
+                n_bytes += os.path.getsize(
+                    os.path.join(manifest["_store"].root, d, f)
+                )
+            except (OSError, KeyError):
+                pass
+    if added:
+        out["added_files"] = n_files
+        out["added_bytes"] = n_bytes
+        if known:
+            out["added_rows"] = n_rows
+    return out
+
+
+def _serialize_manifest(root: str, manifest: dict) -> dict:
+    """Build the SMALL version-manifest dict, externalizing heavy
+    payload as immutable ref files first (per-snapshot entry files,
+    per-dir file lists with content sharing, per-dir stats). New plain
+    entries are replaced in-memory by hydrated lazy entries so a
+    second commit on the same loaded manifest re-serializes pointers,
+    not payload."""
+    store = manifest.get("_store")
+    if store is None:  # hand-rolled manifest (tests): wire on the fly
+        store = _RefStore(root)
+        manifest["_store"] = store
+    out = {
+        k: v
+        for k, v in manifest.items()
+        if not k.startswith("_")
+        and k not in ("snapshots", "dir_stats", "dir_stats_refs", "version")
+    }
+    snaps_out = []
+    for i, s in enumerate(manifest["snapshots"]):
+        if isinstance(s, _SnapEntry):
+            snaps_out.append(s.light())
+            continue
+        payload = {
+            k: s[k] for k in ("dirs", "schema", "dvs", "mapping") if k in s
+        }
+        if "files" in s:
+            payload["file_refs"] = {
+                d: store.files_ref(lst) for d, lst in s["files"].items()
+            }
+        light = {
+            k: v for k, v in s.items() if k not in _HEAVY_ENTRY_KEYS
+        }
+        if "summary" not in light:
+            light["summary"] = _entry_summary(manifest, s)
+        light["entry_ref"] = store.write("entry", payload)
+        snaps_out.append(light)
+        lazy = _SnapEntry(light, store)
+        for k in _HEAVY_ENTRY_KEYS:
+            if k in s:
+                dict.__setitem__(lazy, k, s[k])
+        lazy._hydrated = True
+        manifest["snapshots"][i] = lazy
+    out["snapshots"] = snaps_out
+    ds = manifest.get("dir_stats")
+    if isinstance(ds, _LazyDirStats):
+        out["dir_stats_refs"] = ds.serialize()
+    elif isinstance(ds, dict):  # hand-rolled: externalize everything
+        out["dir_stats_refs"] = {
+            d: store.write("stats", st) for d, st in ds.items()
+        }
+    return out
 
 
 def _commit(root: str, manifest: dict) -> None:
-    """Multi-host atomic commit: write the whole manifest to a temp
-    file, then hard-link it to ``_manifests/v{N+1}.json`` — the link
-    either creates the version file ATOMICALLY with complete content or
-    fails EEXIST. That create-exclusive rename IS the optimistic-
-    concurrency CAS: two writers that both loaded version N race to
-    create vN+1 and exactly one wins; the loser gets
-    :class:`CommitConflict` and nothing of its attempt is visible. No
+    """Multi-host atomic commit, Iceberg metadata model: heavy payload
+    (per-snapshot dirs/files/dvs/schema, per-dir footer stats) is
+    first written as immutable ref files — O(this commit's changes)
+    bytes — then the SMALL version manifest (snapshot pointers +
+    summaries + table config) is written to a temp file and hard-linked
+    to ``_manifests/v{N+1}.json``. The link either creates the version
+    file ATOMICALLY with complete content or fails EEXIST; that
+    create-exclusive rename IS the optimistic-concurrency CAS: two
+    writers that both loaded version N race to create vN+1 and exactly
+    one wins; the loser gets :class:`CommitConflict`, and its ref files
+    are unreferenced orphans collected by :func:`_gc_ref_files`. No
     lock file, no flock — correct across processes and HOSTS on any
     filesystem with atomic link/create-exclusive semantics (Iceberg's
-    HadoopCatalog protocol; a host-local flock cannot serialize two
-    Spark drivers on different nodes). Readers can never observe a torn
-    manifest: the content is complete before the name exists. The
+    HadoopCatalog protocol). Readers can never observe a torn manifest:
+    every ref file is complete before the version name exists. The
     version-hint write afterwards is advisory only."""
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     target_v = manifest.get("version", 0) + 1
+    out = _serialize_manifest(root, manifest)
+    out["version"] = target_v
     manifest["version"] = target_v
     import tempfile
 
     fd, tmp = tempfile.mkstemp(prefix=f".commit-v{target_v}-", dir=mdir)
     try:
         with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh, indent=1)
+            json.dump(out, fh, indent=1)
         try:
             os.link(tmp, _version_path(root, target_v))
         except FileExistsError:
@@ -208,6 +593,58 @@ def _prune_manifest_versions(root: str, keep_versions: int = 10) -> list[str]:
                 removed.append(os.path.join(_MANIFEST_DIR, nm))
             except FileNotFoundError:  # concurrent vacuum
                 pass
+    return removed
+
+
+def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
+    """Delete metadata ref files (``entry-*``/``files-*``/``stats-*``)
+    referenced by NO retained version manifest — CAS losers' writes,
+    superseded stats revisions (bloom rebuilds, per-file GC), and refs
+    of pruned manifest versions. Age-guarded like orphan-dir GC: an
+    in-flight commit writes its ref files BEFORE its version CAS, so a
+    zero cutoff is only safe with no concurrent writer (the documented
+    vacuum contract). Liveness is computed from every version manifest
+    still on disk, so time travel through retained versions keeps
+    every ref it needs."""
+    mdir = _manifest_dir(root)
+    try:
+        names = os.listdir(mdir)
+    except (FileNotFoundError, NotADirectoryError):
+        return []
+    live: set[str] = set()
+    for nm in names:
+        if not _VERSION_RE.match(nm):
+            continue
+        try:
+            with open(os.path.join(mdir, nm)) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):  # racing prune/commit
+            continue
+        live.update(m.get("dir_stats_refs", {}).values())
+        for s in m.get("snapshots", []):
+            ref = s.get("entry_ref")
+            if not ref:
+                continue
+            live.add(ref)
+            try:
+                with open(os.path.join(mdir, ref)) as fh:
+                    payload = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            live.update(payload.get("file_refs", {}).values())
+    now = time.time()
+    removed = []
+    for nm in sorted(names):
+        if not nm.startswith(("entry-", "files-", "stats-")) or nm in live:
+            continue
+        p = os.path.join(mdir, nm)
+        try:
+            if now - os.path.getmtime(p) < older_than_s:
+                continue
+            os.unlink(p)
+            removed.append(os.path.join(_MANIFEST_DIR, nm))
+        except FileNotFoundError:
+            pass
     return removed
 
 
@@ -1621,11 +2058,16 @@ def rollback(root: str, snapshot_id: int) -> int:
 
 
 def history(root: str) -> list[dict]:
-    """Snapshot log (id, op, ts, parent, meta) — Iceberg's ``.history``
-    metadata table, without the dir payload. ``meta`` is the commit's
-    sink metadata ({} for plain writes and pre-meta manifests)."""
+    """Snapshot log (id, op, ts, parent, meta, summary) — Iceberg's
+    ``.history``/Delta's DESCRIBE HISTORY surface, without the dir
+    payload (light fields only: no entry file is ever read). ``meta``
+    is the commit's sink metadata ({} for plain writes and pre-meta
+    manifests); ``summary`` is the commit-time operation metrics
+    (added/removed dirs, added files/rows/bytes, DV counts — {} for
+    entries committed before summaries existed)."""
     return [
-        {k: s[k] for k in ("id", "op", "ts", "parent")} | {"meta": s.get("meta", {})}
+        {k: s[k] for k in ("id", "op", "ts", "parent")}
+        | {"meta": s.get("meta", {}), "summary": s.get("summary", {})}
         for s in _load(root)["snapshots"]
     ]
 
@@ -1730,7 +2172,13 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
             remaining.append(rel)  # stats stay; next expire retries
             continue
         d, f = os.path.split(rel)
-        manifest.get("dir_stats", {}).get(d, {}).pop(f, None)
+        ds = manifest.get("dir_stats", {})
+        fstats = ds.get(d)
+        if fstats is not None and fstats.pop(f, None) is not None:
+            # nested in-place edit: flag the dir so the next commit
+            # writes a fresh stats ref for it
+            if isinstance(ds, _LazyDirStats):
+                ds.mark_dirty(d)
         removed_files.append(rel)
     manifest["pending_delete"] = remaining
     _commit(root, manifest)
@@ -1756,7 +2204,11 @@ def vacuum(
     no concurrent writer."""
     removed = expire_snapshots(root, keep_last=keep_last)
     removed += remove_orphans(root, older_than_s=older_than_s)
-    return removed + _prune_manifest_versions(root)
+    # version files prune FIRST so their refs become unreferenced, then
+    # the ref-file GC sweeps entry/files/stats files no retained
+    # version manifest points at (same age contract as orphan dirs)
+    removed += _prune_manifest_versions(root)
+    return removed + _gc_ref_files(root, older_than_s=older_than_s)
 
 
 @_retry_conflicts
@@ -1813,19 +2265,30 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     so these stay O(metadata) at any table size."""
     manifest = _load(root)
     if kind == "snapshots":
-        rows = [
-            (
-                s["id"],
-                s["op"],
-                float(s["ts"]),
-                s["parent"],
-                len(s["dirs"]),
-                json.dumps(s.get("meta", {}), sort_keys=True),
+        rows = []
+        for s in manifest["snapshots"]:
+            summary = s.get("summary") or {}
+            # n_dirs from the light summary when present — the whole
+            # inspection stays O(light manifest), no entry file read;
+            # pre-summary entries fall back to hydrating their dirs
+            n_dirs = summary.get("n_dirs")
+            if n_dirs is None:
+                n_dirs = len(s["dirs"])
+            rows.append(
+                (
+                    s["id"],
+                    s["op"],
+                    float(s["ts"]),
+                    s["parent"],
+                    n_dirs,
+                    json.dumps(s.get("meta", {}), sort_keys=True),
+                    json.dumps(summary, sort_keys=True),
+                )
             )
-            for s in manifest["snapshots"]
-        ]
         return spark.createDataFrame(
-            rows, "id long, op string, ts double, parent long, n_dirs long, meta string"
+            rows,
+            "id long, op string, ts double, parent long, n_dirs long, "
+            "meta string, summary string",
         )
     if kind == "files":
         if manifest["current"] is None:
@@ -2842,6 +3305,10 @@ def build_bloom_index(spark: SparkSession, root: str) -> int:
             built.setdefault(fname, {}).setdefault(
                 r.c, [0] * (m // 64)
             )[r.w] = r.word
+        if isinstance(dir_stats, _LazyDirStats):
+            # the bloom words below mutate nested dicts in place — flag
+            # the dir so the commit externalizes a fresh stats ref
+            dir_stats.mark_dirty(d)
         for fname in fnames:
             fstats = dir_stats[d].setdefault(fname, {})
             for c in present:

@@ -1081,12 +1081,16 @@ def execute_dml(
                 float(h["ts"]),
                 h.get("parent"),
                 _json.dumps(h.get("meta") or {}, sort_keys=True),
+                # Delta's operationMetrics analog: commit-time
+                # added/removed dir, file, row and byte counts
+                _json.dumps(h.get("summary") or {}, sort_keys=True),
             )
             for h in snapshots.history(root)
         ]
         df = spark.createDataFrame(
             rows,
-            "version long, operation string, ts double, parent long, meta string",
+            "version long, operation string, ts double, parent long, "
+            "meta string, operation_metrics string",
         )
         return {"op": "history", "table": name, "df": df}
 

@@ -1395,9 +1395,11 @@ def test_legacy_single_file_manifest_migrates(spark, root):
     S.write_snapshot(spark.range(7), root)
     S.write_snapshot(spark.range(7, 10), root, mode="append")
     manifest = S._load(root)
-    # rewrite the table as a legacy layout: manifest.json only
+    # rewrite the table as a legacy layout: one monolithic
+    # manifest.json with inline entries and dir_stats (the pre-split
+    # format), via the materializer
     with open(os.path.join(root, "_manifest.json"), "w") as fh:
-        _json.dump(manifest, fh)
+        _json.dump(S._materialize_manifest(manifest), fh)
     _shutil.rmtree(os.path.join(root, "_manifests"))
     assert S._load(root)["version"] == 2  # legacy file readable
     assert S.read_snapshot(spark, root).count() == 10
@@ -1430,13 +1432,51 @@ def test_vacuum_prunes_old_manifest_versions(spark, root):
     for i in range(14):
         S.write_snapshot(spark.range(i, i + 1), root, mode="append" if i else "overwrite")
     mdir = os.path.join(root, "_manifests")
-    assert len([n for n in os.listdir(mdir) if n.endswith(".json")]) == 14
+
+    def vfiles():
+        return sorted(n for n in os.listdir(mdir) if S._VERSION_RE.match(n))
+
+    def reffiles():
+        return sorted(
+            n
+            for n in os.listdir(mdir)
+            if n.startswith(("entry-", "files-", "stats-"))
+        )
+
+    assert len(vfiles()) == 14
+    n_refs_before = len(reffiles())
     S.vacuum(root, keep_last=2, older_than_s=0.0)
-    left = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
     # vacuum itself commits (expire trims + clears pending_delete), so
     # the head moved past 14; exactly the newest 10 remain
     head = S._latest_version(root)
-    assert left == [f"v{v:010d}.json" for v in range(head - 9, head + 1)]
+    assert vfiles() == [f"v{v:010d}.json" for v in range(head - 9, head + 1)]
+    import json as _json
+
+    def live_refs():
+        live = set()
+        for nm in vfiles():
+            with open(os.path.join(mdir, nm)) as fh:
+                m = _json.load(fh)
+            live.update(m.get("dir_stats_refs", {}).values())
+            for s in m.get("snapshots", []):
+                if s.get("entry_ref"):
+                    live.add(s["entry_ref"])
+                    with open(os.path.join(mdir, s["entry_ref"])) as fh:
+                        live.update(
+                            _json.load(fh).get("file_refs", {}).values()
+                        )
+        return live
+
+    # liveness invariant: every surviving ref file is referenced by a
+    # retained version manifest (time travel through them stays whole)
+    assert set(reffiles()) <= live_refs()
+    # pruning history down to the head alone must let the ref GC
+    # collapse the metadata to exactly the head's needs
+    S._prune_manifest_versions(root, keep_versions=1)
+    removed_refs = S._gc_ref_files(root, older_than_s=0.0)
+    assert removed_refs
+    assert set(reffiles()) == live_refs()
+    assert len(reffiles()) < n_refs_before
     # appends reference all parent dirs, so the head's data is intact
     assert S.read_snapshot(spark, root).count() == 14
 
@@ -1526,3 +1566,148 @@ def test_optimize_zorder_concurrent_commit_not_lost(spark, root, monkeypatch):
     assert got.count() == 101
     assert got.filter("id = 1000").count() == 1  # the append survived
     assert S._entry(S._load(root), S._load(root)["current"])["op"] == "overwrite"
+
+
+def test_commit_metadata_is_o_batch(spark, root):
+    """The round-10 split's contract: commit metadata is O(this
+    commit's changes), never O(live files). 40 append commits build a
+    >=1000-file table while per-commit metadata bytes (version-manifest
+    growth + new ref files) stay flat — dominated by the new dir's own
+    stats file — and the head version manifest stays a small fraction
+    of the fully materialized metadata it replaces."""
+    mdir = os.path.join(root, "_manifests")
+    seen: set = set()
+    per_commit = []
+    for i in range(40):
+        S.write_snapshot(
+            spark.range(i * 260, (i + 1) * 260).repartition(26),
+            root,
+            mode="append" if i else "overwrite",
+        )
+        v = S._latest_version(root)
+        vsize = os.path.getsize(S._version_path(root, v))
+        new_refs = [
+            n
+            for n in os.listdir(mdir)
+            if n.startswith(("entry-", "files-", "stats-")) and n not in seen
+        ]
+        seen.update(new_refs)
+        refbytes = sum(
+            os.path.getsize(os.path.join(mdir, n)) for n in new_refs
+        )
+        per_commit.append((vsize, refbytes))
+    assert S.table_stats(root)["n_files"] >= 1000
+    # ref bytes per commit are O(batch) + O(#dirs) entry pointers —
+    # flat in the file count (the old monolithic design rewrote every
+    # file's stats each commit: ~40x growth over this run)
+    early = [rb for _, rb in per_commit[2:7]]
+    late = [rb for _, rb in per_commit[-5:]]
+    assert max(late) <= 2 * max(early), (early, late)
+    # version-manifest growth per commit: one light entry + one dir ref
+    deltas = [
+        per_commit[i][0] - per_commit[i - 1][0] for i in range(1, 40)
+    ]
+    assert max(deltas[-5:]) < 1500, deltas[-5:]
+    # the head manifest is small vs the materialized (legacy) form
+    import json as _json
+
+    mat = len(_json.dumps(S._materialize_manifest(S._load(root))))
+    head_size = os.path.getsize(S._version_path(root, S._latest_version(root)))
+    assert head_size < mat / 5, (head_size, mat)
+    # correctness unaffected
+    assert S.read_snapshot(spark, root).count() == 40 * 260
+
+
+def test_round9_monolithic_versioned_manifest_migrates(spark, root):
+    """A round-9-layout table (versioned vN.json holding INLINE entries
+    and dir_stats, no ref files) loads as-is; the next commit
+    externalizes into the split layout; data, time travel, and stats
+    pruning survive the migration."""
+    import json as _json
+    import shutil as _shutil
+
+    S.write_snapshot(spark.range(10).withColumn("v", F.col("id") * 2), root)
+    S.write_snapshot(
+        spark.range(10, 20).withColumn("v", F.col("id") * 2),
+        root,
+        mode="append",
+    )
+    mono = S._materialize_manifest(S._load(root))
+    mdir = os.path.join(root, "_manifests")
+    _shutil.rmtree(mdir)
+    os.makedirs(mdir)
+    mono["version"] = 2
+    with open(S._version_path(root, 2), "w") as fh:
+        _json.dump(mono, fh)
+    # loads and reads through the inline (legacy) representation
+    m = S._load(root)
+    assert m["version"] == 2
+    assert S.read_snapshot(spark, root).count() == 20
+    assert S.plan_scan(root, [("id", "<", 5)])["pruned"], "stats survived"
+    # the next commit migrates: entries externalize, stats become refs
+    sid = S.write_snapshot(
+        spark.range(20, 25).withColumn("v", F.col("id") * 2),
+        root,
+        mode="append",
+    )
+    with open(S._version_path(root, 3)) as fh:
+        head = _json.load(fh)
+    assert "dir_stats" not in head and head["dir_stats_refs"]
+    assert all("entry_ref" in s and "dirs" not in s for s in head["snapshots"])
+    assert S._load(root)["current"] == sid
+    assert S.read_snapshot(spark, root).count() == 25
+    assert (
+        S.read_snapshot(spark, root, snapshot_id=1).count() == 10
+    )  # time travel across the migration boundary
+    assert S.plan_scan(root, [("id", "<", 5)])["pruned"]
+
+
+def test_commit_summaries_in_history_and_inspection(spark, root):
+    """Every commit records Delta/Iceberg-style operation metrics in
+    its light entry: added/removed dirs, added files/rows/bytes, DV
+    counts — surfaced through history(), DESCRIBE HISTORY
+    (operation_metrics) and the t.snapshots inspection table, all
+    without reading any entry file."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+    from e_commerce_lakehouse_spark.sources import sql_dml
+
+    S.write_snapshot(spark.range(10).withColumn("v", F.lit(1)), root)
+    S.write_snapshot(
+        spark.range(10, 14).withColumn("v", F.lit(2)), root, mode="append"
+    )
+    D.delete_where_dv(spark, root, [("id", "in", [1, 2])])
+    h = S.history(root)
+    s1, s2, s3 = (e["summary"] for e in h)
+    assert s1["added_dirs"] == 1 and s1["added_rows"] == 10
+    assert s1["added_files"] >= 1 and s1["added_bytes"] > 0
+    assert s2["added_dirs"] == 1 and s2["added_rows"] == 4
+    assert s2["n_dirs"] == 2 and s2["removed_dirs"] == 0
+    assert s3["added_dvs"] == 1 and s3["n_dvs"] == 1
+    assert s3["added_dirs"] == 0
+    # overwrite: removed_dirs counts the replaced payload
+    S.write_snapshot(spark.range(3).withColumn("v", F.lit(9)), root)
+    s4 = S.history(root)[-1]["summary"]
+    assert s4["removed_dirs"] == 2 and s4["added_dirs"] == 1
+    # added_rows is omitted here: one output partition is empty, and an
+    # empty parquet file records no per-column stats to count from —
+    # unknowable counts are dropped, never guessed
+    assert s4["added_files"] >= 1 and s4["n_dirs"] == 1
+    # SQL surfaces
+    import json as _json
+
+    out = sql_dml.execute_dml(
+        spark, "DESCRIBE HISTORY t", {"t": root}
+    )["df"].collect()
+    metrics = [_json.loads(r.operation_metrics) for r in out]
+    assert metrics[0]["added_rows"] == 10
+    assert metrics[-1]["removed_dirs"] == 2
+    snaps = S.metadata_table(spark, root, "snapshots").collect()
+    assert _json.loads(snaps[0].summary)["added_files"] >= 1
+    # history never hydrated an entry payload: summaries are light
+    m = S._load(root)
+    S.history(root)
+    assert all(
+        not s._hydrated
+        for s in S._load(root)["snapshots"]
+        if isinstance(s, S._SnapEntry)
+    )
