@@ -41,6 +41,10 @@ SELECT * FROM s [WHERE ...]``          overwrite (dest must be a
 ``DESCRIBE [TABLE] t``                 committed snapshot schema as a
                                        DataFrame in ``"df"``
 ``SHOW TABLES``                        the registered name->root map
+``MERGE WITH SCHEMA EVOLUTION INTO``   Delta autoMerge parity: source
+                                       columns absent from the target
+                                       auto-add (metadata-only) before
+                                       the merge commits
 ``CALL [cat.][system.]proc('t',        Iceberg Spark-procedure parity:
 k => v, ...)``                         expire_snapshots /
                                        remove_orphan_files /
@@ -278,7 +282,7 @@ _UPDATE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"^\s*MERGE\s+(WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
     r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(\w+))?"
     r"\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -609,6 +613,7 @@ def _merge_extended(
     clauses: list[dict],
     t_alias: str,
     s_alias: str,
+    evolve: bool = False,
 ) -> int:
     """Conditional multi-clause MERGE (Delta/Iceberg ``WHEN MATCHED
     AND <cond> THEN UPDATE SET c = expr`` surface; the reference pins
@@ -650,6 +655,21 @@ def _merge_extended(
         dtypes = {f.name: f.dataType for f in struct.fields}
         return t_cols, dtypes
 
+    if evolve:
+        # MERGE WITH SCHEMA EVOLUTION (Delta autoMerge parity): source
+        # columns absent from the target auto-add as METADATA-ONLY
+        # commits before the feed derives — pre-existing rows read
+        # NULL, no data file is touched, and both commit routes then
+        # see the widened schema (the per-attempt _derive_schema picks
+        # it up even across retries). A same-name column with a
+        # drifted type is NOT evolution and keeps the cast-to-target
+        # semantics every MERGE has.
+        _, dtypes_now = _derive_schema(snapshots._load(root))
+        for f in source.schema.fields:
+            if f.name not in dtypes_now:
+                snapshots.add_column(
+                    root, f.name, f.dataType.simpleString()
+                )
     t_cols, dtypes = _derive_schema(snapshots._load(root))
     known = set(t_cols) | set(source.columns)
 
@@ -1238,7 +1258,7 @@ def execute_dml(
         return {"op": "update", "table": name, "snapshot_id": sid}
 
     if (m := _MERGE.match(sql)) is not None:
-        name, t_alias, src_name, s_alias, on, clauses_text = m.groups()
+        evolve_kw, name, t_alias, src_name, s_alias, on, clauses_text = m.groups()
         root = _resolve(tables, name)
         t_alias, s_alias = t_alias or name, s_alias or src_name
         keys = _parse_merge_on(on, t_alias, s_alias)
@@ -1252,6 +1272,15 @@ def execute_dml(
                 raise KeyError(
                     f"MERGE source {src_name!r} is neither in sources nor a view"
                 ) from exc
+        if evolve_kw is not None:
+            # schema evolution always routes through the extended
+            # executor (the canonical fast paths select the TARGET's
+            # columns off the source, which would drop the new ones)
+            sid = _merge_extended(
+                spark, root, source, keys, parsed, t_alias, s_alias,
+                evolve=True,
+            )
+            return {"op": "merge", "table": name, "snapshot_id": sid}
         if not _merge_is_canonical(parsed):
             # conditional / multi-clause / explicit-assignment MERGE:
             # compiled to one CDC feed, committed per write.delete.mode
