@@ -39,9 +39,34 @@ Semantics (Delta streaming-source parity):
   the SECOND trigger of a run onward — the Python DataSource offset
   API has no admission control (Spark calls ``latestOffset()`` before
   ``initialOffset()`` and never passes the consumed position), so the
-  first batch of a (re)start is unthrottled; capping it against a
-  guessed base could plan an offset BEHIND the checkpoint and corrupt
-  the stream. A steady-state tailer is throttled on every batch.
+  first tailing batch of a RESTART is unthrottled; capping it against
+  a guessed base could plan an offset BEHIND the checkpoint and
+  corrupt the stream. A steady-state tailer is throttled on every
+  batch.
+- ``maxFilesPerTrigger``: split the INITIAL snapshot across triggers,
+  at most N files per micro-batch (Delta's option, scoped here to the
+  backfill phase — the batch that would otherwise emit 100 TB in one
+  go). Offsets during the phase carry ``init_files`` (how many of the
+  snapshot's canonically-ordered files are consumed); a restart
+  resumes mid-phase exactly-once. Safe on the FIRST trigger too: the
+  observed engine order (pinned by tests/test_table_stream.py) is
+  latestOffset->initialOffset on a fresh stream but
+  partitions(checkpoint)->latestOffset on a restart, so an unset
+  reader base at latestOffset-time PROVES the base is this reader's
+  own initial offset. Tailing commits stay whole-commit granular
+  (throttle those with maxCommitsPerTrigger).
+- ``readChangeFeed=true``: changelog mode (Delta CDF streaming /
+  ``table_changes`` parity, keyless file-granular semantics): every
+  batch emits ``_change_type`` rows — the initial snapshot and
+  appended files as ``'insert'``, rows marked by NEW deletion vectors
+  on already-emitted files as ``'delete'`` (their pre-delete values,
+  read by position), so a merge-on-read upsert arrives as the
+  delete+insert pair whose multiset equals the batch
+  ``snapshot_changes`` feed on the same commit. File-REMOVING commits
+  (replace_where / overwrite / compact / rollback) refuse regardless
+  of ignore options — a rewrite has no file-granular changelog; use
+  batch ``snapshot_changes`` across it or restart the feed.
+  ``_commit_version`` is always included in this mode.
 - ``withCommitVersion=true`` appends a ``_commit_version`` long column
   (which snapshot added each row — the changelog join key downstream
   IVM consumers use).
@@ -81,6 +106,7 @@ from pyspark.sql.datasource import (
 from ..sources import snapshots as S
 
 _COMMIT_COL = "_commit_version"
+_CHANGE_COL = "_change_type"
 
 
 def _opt(options, name, default=None):
@@ -125,13 +151,19 @@ def _current_defaults(manifest: dict) -> dict:
     return _entry_defaults(S._entry(manifest, manifest["current"]))
 
 
-def _table_schema(manifest: dict, with_commit_version: bool) -> T.StructType:
+def _table_schema(
+    manifest: dict,
+    with_commit_version: bool,
+    with_change_type: bool = False,
+) -> T.StructType:
     if manifest["current"] is None:
         raise ValueError("cannot stream an empty table: no snapshots yet")
     entry = S._entry(manifest, manifest["current"])
     struct = T.StructType.fromJson(json.loads(entry["schema"]))
     hidden = S._hidden_set(manifest)
     fields = [f for f in struct.fields if f.name not in hidden]
+    if with_change_type:
+        fields.append(T.StructField(_CHANGE_COL, T.StringType(), False))
     if with_commit_version:
         fields.append(T.StructField(_COMMIT_COL, T.LongType(), False))
     return T.StructType(fields)
@@ -182,12 +214,25 @@ def _dv_positions(root: str, dv_dirs: list[str]) -> dict[str, list[int]]:
 
 class _FilePartition(InputPartition):
     """One data file of one commit: absolute path, the commit id that
-    added it, and the positions its snapshot's DVs mark deleted."""
+    added it, and the positions its snapshot's DVs mark deleted.
+    ``change_type``: ``'insert'`` emits the file's rows MINUS
+    ``deleted_pos``; ``'delete'`` (changelog mode) emits exactly the
+    rows AT ``emit_pos`` — the newly DV-deleted positions of an
+    already-emitted file, carrying their pre-delete values."""
 
-    def __init__(self, path: str, commit_id: int, deleted_pos: list[int]):
+    def __init__(
+        self,
+        path: str,
+        commit_id: int,
+        deleted_pos: list[int],
+        change_type: str = "insert",
+        emit_pos: list[int] | None = None,
+    ):
         self.path = path
         self.commit_id = commit_id
         self.deleted_pos = deleted_pos
+        self.change_type = change_type
+        self.emit_pos = emit_pos
 
 
 class _TableStreamReader(DataSourceStreamReader):
@@ -199,11 +244,18 @@ class _TableStreamReader(DataSourceStreamReader):
         self.ignore_deletes = self.ignore_changes or _bool_opt(
             options, "ignoreDeletes"
         )
-        self.with_commit = _bool_opt(options, "withCommitVersion")
+        self.change_feed = _bool_opt(options, "readChangeFeed")
+        self.with_commit = self.change_feed or _bool_opt(
+            options, "withCommitVersion"
+        )
         raw = _opt(options, "maxCommitsPerTrigger")
         self.max_commits = int(raw) if raw is not None else None
         if self.max_commits is not None and self.max_commits < 1:
             raise ValueError("maxCommitsPerTrigger must be >= 1")
+        raw = _opt(options, "maxFilesPerTrigger")
+        self.max_files = int(raw) if raw is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
         start = _opt(options, "startingSnapshotId")
         self.starting_id = int(start) if start is not None else None
         # arrow target for executor-side alignment (picklable, tiny);
@@ -215,24 +267,38 @@ class _TableStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._arrow_schema = to_arrow_schema(
-            _table_schema(manifest, self.with_commit)
+            _table_schema(manifest, self.with_commit, self.change_feed)
         )
         self._physical = _current_mapping(manifest)
         self._defaults = _current_defaults(manifest)
 
     # -- offsets ------------------------------------------------------
-    #: maxCommitsPerTrigger throttles in latestOffset (never in
-    #: partitions: Spark checkpoints the END offset latestOffset
-    #: returned, so shrinking the plan there would skip commits
-    #: forever). The reader tracks the last offset it planned; after a
-    #: checkpoint restart that base is unknown until the first batch
-    #: plans, so the first post-restart trigger is unthrottled — a
-    #: best-effort cap, exactly once regardless.
+    #: Throttles live in latestOffset (never in partitions: Spark
+    #: checkpoints the END offset latestOffset returned, so shrinking
+    #: the plan there would skip data forever). The reader tracks the
+    #: last offset it planned (``_planned``). Engine call order, pinned
+    #: by tests: a FRESH stream goes latestOffset -> initialOffset ->
+    #: partitions, a RESTART goes partitions(checkpoint) ->
+    #: latestOffset — so an UNSET base at latestOffset-time proves the
+    #: base is this reader's own initial offset, which makes the
+    #: initial-snapshot slice (maxFilesPerTrigger) safe on the very
+    #: first trigger. The first TAILING batch after a restart stays
+    #: unthrottled by maxCommitsPerTrigger only when partitions was
+    #: not replayed first (not observed); exactly-once holds
+    #: regardless.
     _UNKNOWN = object()
 
     def initialOffset(self):
-        self._planned = self.starting_id
+        self._planned = {"snapshot_id": self.starting_id}
         return {"snapshot_id": self.starting_id}
+
+    def _n_files(self, manifest: dict, sid: int) -> int:
+        return sum(
+            1
+            for _ in S._entry_units(
+                self.root, manifest, S._entry(manifest, sid)
+            )
+        )
 
     def latestOffset(self):
         manifest = S._load(self.root)
@@ -240,14 +306,29 @@ class _TableStreamReader(DataSourceStreamReader):
         if cur is None:
             return {"snapshot_id": self.starting_id}
         base = getattr(self, "_planned", self._UNKNOWN)
+        if base is self._UNKNOWN:
+            base = {"snapshot_id": self.starting_id}
+        base_sid = base["snapshot_id"]
+        in_init = base_sid is None or "init_files" in base
+        if self.max_files is not None and in_init:
+            # initial-snapshot slicing: the phase pins ONE snapshot and
+            # walks its canonical file order in maxFilesPerTrigger
+            # steps; tail commits plan only after the phase completes
+            sid = base_sid if base_sid is not None else cur
+            total = self._n_files(manifest, sid)
+            done = base.get("init_files", 0)
+            k = min(done + self.max_files, total)
+            if k < total:
+                return {"snapshot_id": sid, "init_files": k}
+            return {"snapshot_id": sid}
         if (
             self.max_commits is not None
-            and base is not self._UNKNOWN
-            and base is not None  # initial batch = one full scan
-            and base != cur
+            and base_sid is not None
+            and not in_init
+            and base_sid != cur
         ):
             try:
-                chain = _chain(manifest, base, cur)
+                chain = _chain(manifest, base_sid, cur)
             except ValueError:
                 return {"snapshot_id": cur}  # partitions() raises loudly
             cur = chain[min(self.max_commits, len(chain)) - 1]["id"]
@@ -256,33 +337,57 @@ class _TableStreamReader(DataSourceStreamReader):
     # -- planning (driver) --------------------------------------------
     def partitions(self, start, end):
         start_id, end_id = start["snapshot_id"], end["snapshot_id"]
-        self._planned = end_id
-        if end_id is None or start_id == end_id:
+        self._planned = dict(end)
+        if end_id is None or start == end:
             return []
         manifest = S._load(self.root)
         parts: list[_FilePartition] = []
+        # initial-snapshot phase: files [init_from:hi] of the pinned
+        # snapshot in canonical order (a maxFilesPerTrigger slice, or
+        # the whole snapshot when unthrottled)
+        pinned = None
+        init_from = 0
         if start_id is None:
-            # initial batch: the full snapshot, DVs applied
-            entry = S._entry(manifest, end_id)
+            pinned = end_id
+        elif "init_files" in start:
+            pinned = start_id
+            init_from = start["init_files"]
+        if pinned is not None:
+            entry = S._entry(manifest, pinned)
+            units = sorted(S._entry_units(self.root, manifest, entry))
+            hi = (
+                end["init_files"]
+                if end_id == pinned and "init_files" in end
+                else len(units)
+            )
             dv_pos = _dv_positions(self.root, entry.get("dvs", []))
-            for d, f in S._entry_units(self.root, manifest, entry):
+            for d, f in units[init_from:hi]:
                 key = f"{d}/{f}"
                 parts.append(_FilePartition(
-                    os.path.join(self.root, d, f), end_id,
+                    os.path.join(self.root, d, f), pinned,
                     sorted(dv_pos.get(key, [])),
                 ))
-            return parts
+            if end_id == pinned:
+                return parts
+            start_id = pinned  # phase done; tail pinned -> end below
         for parent, entry in _pairwise_chain(manifest, start_id, end_id):
             old = set(S._entry_units(self.root, manifest, parent))
             new = set(S._entry_units(self.root, manifest, entry))
             removed = old - new
-            if removed and not self.ignore_changes:
+            if removed and (self.change_feed or not self.ignore_changes):
+                hint = (
+                    "the changelog cannot express a file rewrite — read "
+                    "across it with batch snapshot_changes, or restart "
+                    "the feed from a fresh checkpoint"
+                    if self.change_feed
+                    else "Restart from a fresh checkpoint, or set "
+                    ".option('ignoreChanges','true') to keep tailing "
+                    "appends (rewritten rows will re-appear)."
+                )
                 raise ValueError(
                     f"snapshot {entry['id']} (op={entry.get('op')!r}) "
                     f"removed {len(removed)} file(s) — not an append. "
-                    "Restart from a fresh checkpoint, or set "
-                    ".option('ignoreChanges','true') to keep tailing "
-                    "appends (rewritten rows will re-appear)."
+                    + hint
                 )
             added = sorted(new - old)
             added_keys = {f"{d}/{f}" for d, f in added}
@@ -294,7 +399,18 @@ class _TableStreamReader(DataSourceStreamReader):
             if new_dvs:
                 dv_pos = _dv_positions(self.root, new_dvs)
                 outside = [k for k in dv_pos if k not in added_keys]
-                if outside and not self.ignore_deletes:
+                if outside and self.change_feed:
+                    # changelog mode: DV-deleted rows of already-emitted
+                    # files EMIT as 'delete' rows (pre-delete values,
+                    # read by position) instead of refusing
+                    for key in sorted(outside):
+                        d, f = key.split("/", 1)
+                        parts.append(_FilePartition(
+                            os.path.join(self.root, d, f), entry["id"],
+                            [], change_type="delete",
+                            emit_pos=sorted(dv_pos[key]),
+                        ))
+                elif outside and not self.ignore_deletes:
                     raise ValueError(
                         f"snapshot {entry['id']} (op={entry.get('op')!r}) "
                         f"deleted rows from {len(outside)} already-"
@@ -313,7 +429,13 @@ class _TableStreamReader(DataSourceStreamReader):
     # -- execution (workers) ------------------------------------------
     def read(self, partition):
         tbl = pq.read_table(partition.path)
-        if partition.deleted_pos:
+        if getattr(partition, "emit_pos", None) is not None:
+            # changelog 'delete' partition: emit exactly the rows at
+            # the newly DV-marked positions (their pre-delete values —
+            # sound because writers anti-join prior DVs, so a marked
+            # position was visible until this commit)
+            tbl = tbl.take(pa.array(partition.emit_pos, type=pa.int64()))
+        elif partition.deleted_pos:
             import numpy as np
 
             mask = np.ones(len(tbl), dtype=bool)
@@ -324,6 +446,11 @@ class _TableStreamReader(DataSourceStreamReader):
             if field.name == _COMMIT_COL:
                 cols.append(pa.array(
                     [partition.commit_id] * len(tbl), type=field.type
+                ))
+            elif field.name == _CHANGE_COL:
+                cols.append(pa.array(
+                    [getattr(partition, "change_type", "insert")] * len(tbl),
+                    type=field.type,
                 ))
             elif (phys := self._physical.get(field.name, field.name)) in tbl.column_names:
                 cols.append(tbl.column(phys).cast(field.type))
@@ -367,6 +494,12 @@ class _TableBatchReader(DataSourceReader):
             raise ValueError(
                 "withCommitVersion is a streaming option; batch reads "
                 "have no per-row commit attribution"
+            )
+        if _bool_opt(options, "readChangeFeed"):
+            raise ValueError(
+                "readChangeFeed is a streaming option; for a batch "
+                "changelog use snapshots.snapshot_changes / "
+                "TABLE_CHANGES(t, from, to)"
             )
         raw = _opt(options, "snapshotId")
         self.snapshot_id = int(raw) if raw is not None else None
@@ -420,8 +553,11 @@ class TableStreamDataSource(DataSource):
         root = _opt(self.options, "path")
         if not root:
             raise ValueError("snapshot_table requires .option('path', root)")
+        change_feed = _bool_opt(self.options, "readChangeFeed")
         return _table_schema(
-            S._load(root), _bool_opt(self.options, "withCommitVersion")
+            S._load(root),
+            change_feed or _bool_opt(self.options, "withCommitVersion"),
+            change_feed,
         )
 
     def reader(self, schema):

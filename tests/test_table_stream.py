@@ -305,3 +305,207 @@ def test_silver_tail_into_gold_merge_sink(spark, tmpdir):
     head = S._load(gold)["current"]
     drain()
     assert S._load(gold)["current"] == head
+
+
+def _mk_single_file_commits(spark, root, n_files, rows_per_file):
+    """Exactly ``n_files`` one-file data dirs (repartition(1) per
+    commit) so file-count assertions are deterministic; the stream's
+    initial snapshot covers them all."""
+    for i in range(n_files):
+        lo = i * rows_per_file
+        df = spark.range(lo, lo + rows_per_file).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("s"),
+        ).repartition(1)
+        S.write_snapshot(
+            df, root, mode="append" if i else "overwrite"
+        )
+
+
+def test_max_files_per_trigger_slices_initial_snapshot(spark, tmpdir):
+    """maxFilesPerTrigger splits the INITIAL snapshot across triggers —
+    including the very FIRST one (the fresh-stream engine order
+    latestOffset->initialOffset proves the base) — with no row lost or
+    duplicated, and tailing resumes whole-commit after the phase."""
+    root = f"{tmpdir}/t"
+    # exactly 6 files: one single-file commit per 2-row slice (a
+    # repartition(6) can leave empty partitions that write no file)
+    _mk_single_file_commits(spark, root, n_files=6, rows_per_file=2)
+    batches = []
+
+    def sink(bdf, batch_id):
+        batches.append(sorted(r.k for r in bdf.collect()))
+
+    q = (
+        read_table_stream(spark, root, maxFilesPerTrigger="2")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(batches) == 3, batches  # 6 files / 2 per trigger
+        assert all(b for b in batches)
+        _append(spark, root, 12, 14)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    flat = sorted(k for b in batches for k in b)
+    assert flat == list(range(14))  # exactly once, phase + tail
+
+
+def test_max_files_per_trigger_restart_mid_phase(spark, tmpdir):
+    """A restart in the middle of the sliced initial snapshot resumes
+    at the checkpointed file position — exactly once across runs
+    (availableNow falls back to one batch per run for this source, so
+    each run consumes one slice)."""
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_single_file_commits(spark, root, n_files=5, rows_per_file=2)
+
+    def one_run():
+        q = (
+            read_table_stream(spark, root, maxFilesPerTrigger="2")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    counts = []
+    for _ in range(3):  # 2 + 2 + 1 files
+        one_run()
+        counts.append(len(_keys(spark, out)))
+    assert counts[0] < counts[1] < counts[2] == 10
+    assert _keys(spark, out) == list(range(10))
+
+
+def test_change_feed_emits_inserts_and_deletes(spark, tmpdir):
+    """readChangeFeed: appends arrive as 'insert' rows, DV deletes as
+    'delete' rows carrying their pre-delete values, a merge-on-read
+    upsert as the delete+insert pair — per _commit_version, matching
+    the batch snapshot_changes feed on the same commits."""
+    root = f"{tmpdir}/t"
+    sid0 = _mk_table(spark, root, n=6)
+    rows = []
+
+    def sink(bdf, batch_id):
+        rows.extend(
+            (r.k, r.v, r.s, r._change_type, r._commit_version)
+            for r in bdf.collect()
+        )
+
+    q = (
+        read_table_stream(spark, root, readChangeFeed="true")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # initial snapshot: all inserts at sid0
+        assert {(t[3], t[4]) for t in rows} == {("insert", sid0)}
+        assert sorted(t[0] for t in rows) == list(range(6))
+        rows.clear()
+        sid1 = _append(spark, root, 6, 8)
+        sid2 = D.delete_where_dv(spark, root, [("k", "in", [1, 2])])
+        src = spark.createDataFrame(
+            [(3, 999, "row-3x"), (8, 80, "row-8")], "k long, v long, s string"
+        )
+        sid3 = D.merge_upsert_dv(spark, root, src, ["k"])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    by_ver = {}
+    for k, v, s, ct, ver in rows:
+        by_ver.setdefault(ver, []).append((k, v, s, ct))
+    assert sorted(by_ver[sid1]) == [(6, 60, "row-6", "insert"), (7, 70, "row-7", "insert")]
+    # DV delete: pre-delete values with _change_type='delete'
+    assert sorted(by_ver[sid2]) == [
+        (1, 10, "row-1", "delete"), (2, 20, "row-2", "delete"),
+    ]
+    # MoR upsert: delete of the old image + insert of both post-states
+    assert sorted(by_ver[sid3]) == [
+        (3, 30, "row-3", "delete"),
+        (3, 999, "row-3x", "insert"),
+        (8, 80, "row-8", "insert"),
+    ]
+    # parity with the batch changelog on the same commit: multisets of
+    # (row values, direction) agree modulo pre/post-image naming
+    from collections import Counter
+
+    batch = S.snapshot_changes(spark, root, ["k"], sid2, sid3).collect()
+    to_dir = {
+        "insert": "insert", "update_postimage": "insert",
+        "delete": "delete", "update_preimage": "delete",
+    }
+    want = Counter((r.k, r.v, r.s, to_dir[r._change_type]) for r in batch)
+    assert Counter(by_ver[sid3]) == want
+
+
+def test_change_feed_refuses_rewrites(spark, tmpdir):
+    """A file-removing commit has no file-granular changelog: the CDF
+    stream fails loudly even with ignoreChanges set."""
+    root = f"{tmpdir}/t"
+    _mk_table(spark, root, n=6)
+    q = (
+        read_table_stream(
+            spark, root, readChangeFeed="true", ignoreChanges="true"
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmpdir}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        S.replace_where(
+            spark, root,
+            spark.createDataFrame([], "k long, v long, s string"),
+            [("k", "<", 2)],
+        )
+        with pytest.raises(Exception, match="changelog|removed"):
+            q.processAllAvailable()
+            raise AssertionError("stream kept running past a rewrite")
+    finally:
+        q.stop()
+        try:
+            q.awaitTermination(30)
+        except Exception:
+            pass
+
+
+def test_change_feed_restart_exactly_once(spark, tmpdir):
+    """CDF offsets checkpoint like plain tailing: a restart re-emits
+    nothing and picks up changes committed while the stream was down."""
+    root, ckpt = f"{tmpdir}/t", f"{tmpdir}/ck"
+    _mk_table(spark, root, n=4)
+    rows = []
+
+    def sink(bdf, batch_id):
+        rows.extend(
+            (r.k, r._change_type, r._commit_version) for r in bdf.collect()
+        )
+
+    def one_run():
+        q = (
+            read_table_stream(spark, root, readChangeFeed="true")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    one_run()
+    n_initial = len(rows)
+    assert n_initial == 4
+    D.delete_where_dv(spark, root, [("k", "=", 0)])  # while stream is down
+    one_run()
+    assert len(rows) == n_initial + 1
+    assert rows[-1][0] == 0 and rows[-1][1] == "delete"
