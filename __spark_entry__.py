@@ -366,7 +366,18 @@ def _q09_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
     ``bal*n > total`` — so no float average can flip a boundary row
     between engines) and 'big_order' (TPC-H Q18 — owners of an order
     whose lineitems sum past 300 units; groupBy-HAVING feeding a
-    semi-join)."""
+    semi-join). Round 10 adds 'q21_contested' (TPC-H Q21's
+    double-correlated EXISTS/NOT-EXISTS core, customer-keyed: owners
+    of an order with >=2 distinct suppliers where the LAST ship date
+    is achieved by >=2 of them — the contested complement of Q21's
+    'sole blocking supplier' predicate, chosen because it is selective
+    on this data (13 customers at sf0.01) where the sole-blocker case
+    degenerates to every customer.
+    The naive plan is two correlated self-joins of lineitem; here it
+    DECORRELATES to one (orderkey, suppkey) aggregate plus an
+    order-partitioned window on the reduced frame — lineitem is
+    shuffled once, the self-joins never happen, which is the shape
+    that survives 100 TB)."""
     cust = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     lineitem = load_table(spark, sf, "lineitem")
@@ -411,12 +422,38 @@ def _q09_customer_segments(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .withColumn("membership", F.lit("big_order"))
     )
+    from pyspark.sql.window import Window
+
+    per_os = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supmax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    blocked_orders = (
+        per_os.withColumn("maxship", F.max("supmax").over(w))
+        .withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .groupBy("l_orderkey")
+        .agg(
+            F.first("nsupp").alias("nsupp"),
+            F.count(F.when(F.col("supmax") == F.col("maxship"), 1)).alias(
+                "n_at_max"
+            ),
+        )
+        .filter((F.col("nsupp") >= 2) & (F.col("n_at_max") >= 2))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    blocked = (
+        joins.semi_join(orders, blocked_orders, "o_orderkey")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("membership", F.lit("q21_contested"))
+    )
     return (
         both.unionByName(only_m)
         .unionByName(only_u)
         .unionByName(no_orders)
         .unionByName(prospects)
         .unionByName(big)
+        .unionByName(blocked)
     )
 
 
@@ -3728,6 +3765,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                                  GROUP BY l_orderkey
                                  HAVING SUM(l_quantity) > 300.0)
+            UNION ALL
+            SELECT DISTINCT o_custkey AS c_custkey, 'q21_contested' AS membership
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM (
+                    SELECT l_orderkey,
+                           COUNT(*) AS nsupp,
+                           COUNT(*) FILTER (WHERE supmax = maxship)
+                               AS n_at_max
+                    FROM (
+                        SELECT l_orderkey, l_suppkey,
+                               MAX(l_shipdate) AS supmax,
+                               MAX(MAX(l_shipdate)) OVER (
+                                   PARTITION BY l_orderkey) AS maxship
+                        FROM lineitem
+                        GROUP BY l_orderkey, l_suppkey
+                    )
+                    GROUP BY l_orderkey
+                )
+                WHERE nsupp >= 2 AND n_at_max >= 2
+            )
         """,
         "q10_incremental_load": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
