@@ -2571,6 +2571,14 @@ def _q47_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # counterpart of the repo's iterative CC/PageRank loops; the depth
     # bound caps the UNION ALL path enumeration, and MIN(depth)
     # collapses it to the BFS answer). DuckDB runs the IDENTICAL text.
+    # SCALE NOTE (pinned depth <= 2): UNION ALL enumerates PATHS, which
+    # grows O(avg_degree^depth) — the scale-safe recursion shape is a
+    # deduped frontier per level (UNION-recursion or the iterative
+    # aggregate-per-level loops graph.connected_components/pagerank
+    # use), but Spark 4 recursive CTEs accept UNION ALL only, and this
+    # kind's oracle contract is byte-identical SQL on both engines. If
+    # the depth bound ever rises, switch to the operators/graph.py
+    # frontier loop and give the kind a rows-only oracle.
     edges.createOrReplaceTempView("q47_click_edges")
     reach = spark.sql(
         """

@@ -61,6 +61,23 @@ def main() -> None:
         force(qs["q04_monthly_sales_mom"](spark, sf_dir))
     except Exception:
         pass
+    # Host-epoch probe: the SAME cheap query, timed warm, 3 passes.
+    # Round 10 showed the cache_build lines alone are not a sufficient
+    # epoch marker (they are Arrow/checkpoint-write-bound; a session
+    # matched the best epoch's builds while its codegen/shuffle-bound
+    # queries ran ~1.25x slower) — this min is the query-side marker:
+    # compare it across rounds before reading any per-query delta as a
+    # code effect.
+    probe = -1.0
+    try:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(qs["q04_monthly_sales_mom"](spark, sf_dir))
+            ts.append(time.perf_counter() - t0)
+        probe = round(min(ts), 3)
+    except Exception:
+        pass
     # Warmup: the Arrow/pandas-UDF worker pool across all cores — the
     # first pandas_udf stage otherwise pays ~cpus × python-worker spawn
     # inside whichever query hits it first.
@@ -193,6 +210,7 @@ def main() -> None:
                 "queries": timings,
                 "total_median": detail["total_median"],
                 "cache_build": cache_build,
+                "epoch_probe": probe,
                 "sf": sf,
                 "runs": n_runs,
             }

@@ -63,10 +63,14 @@ Deliberately small grammar, loudly rejected when exceeded (a clear
 error beats a silently mis-parsed write): WHERE clauses are
 conjunctions of ``col op literal`` (the exact predicate grammar
 ``plan_scan`` prunes with — so every SQL DELETE/UPDATE gets file
-skipping for free), MERGE supports the three canonical clauses
-(UPDATE SET * / DELETE / INSERT *) on equi-key ON conditions. No OR,
-no subqueries, no expressions on the predicate column — users needing
-those drop to the DataFrame API the statements route to anyway.
+skipping for free), MERGE supports the full Delta/Iceberg clause
+grammar (conditional multi-clause ``WHEN [NOT] MATCHED [AND <cond>]
+THEN UPDATE SET c = expr / DELETE / INSERT (cols) VALUES (exprs)``,
+plus ``WITH SCHEMA EVOLUTION``) on equi-key ON conditions, with the
+standard cardinality error when one target row matches several source
+rows. No OR, no subqueries, no expressions on the predicate column —
+users needing those drop to the DataFrame API the statements route to
+anyway.
 """
 
 from __future__ import annotations
