@@ -3038,6 +3038,7 @@ def compact_files(
     spark: SparkSession,
     root: str,
     target_bytes: int = 128 * 1024 * 1024,
+    predicates: list[tuple] | None = None,
 ) -> int:
     """Small-file binpack compaction (Iceberg ``rewrite_data_files``
     binpack strategy): files already at/above ``target_bytes`` are
@@ -3046,15 +3047,35 @@ def compact_files(
     in the new commit's dir. A no-op (returns the current id, no new
     snapshot) when fewer than two small files exist — nothing to bin.
 
-    At 100 TB this is the steady-state maintenance job after streaming
-    appends: each run's cost is proportional to the SMALL-file bytes,
+    ``predicates`` scopes the job (Iceberg's ``rewrite_data_files``
+    filter / Delta's ``OPTIMIZE ... WHERE``): only files the manifest
+    stats CANNOT prune on the conjunction participate; everything else
+    carries over verbatim regardless of size. Row-preserving either
+    way — the predicate selects FILES, it never filters rows. This is
+    the 100 TB steady-state shape: compact yesterday's ingest
+    partition, not the table.
+
+    At 100 TB this is the maintenance job after streaming appends:
+    each run's cost is proportional to the SMALL-file bytes in scope,
     never the table, and the commit is the same atomic manifest swap
     as every other write."""
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    in_scope = None
+    if predicates:
+        plan = plan_scan(root, predicates)  # validates the grammar
+        in_scope = set(plan["files"])
     manifest = _load(root)
     if manifest["current"] is None:
         raise KeyError(f"table {root} has no snapshots")
+    if predicates and plan["snapshot_id"] != manifest["current"]:
+        # TOCTOU: a commit slid between the two loads — the stale plan
+        # would mis-scope the triage (same gate as replace_where)
+        raise CommitConflict(
+            f"compact_files: planned against snapshot "
+            f"{plan['snapshot_id']} but current is "
+            f"{manifest['current']}; retrying"
+        )
     entry = _entry(manifest, manifest["current"])
     _guard_no_dvs(entry, "compact_files")
     _guard_identity_mapping(entry, "compact_files")
@@ -3065,7 +3086,8 @@ def compact_files(
     small: list[tuple[str, str, int]] = []
     for d, f in _entry_units(root, manifest, entry):
         size = os.path.getsize(os.path.join(root, d, f))
-        if size >= target_bytes:
+        rel = os.path.join(d, f)
+        if (in_scope is not None and rel not in in_scope) or size >= target_bytes:
             keep.setdefault(d, []).append(f)
         else:
             small.append((d, f, size))
@@ -3100,7 +3122,15 @@ def compact_files(
             # parent-merged: metadata-only added columns survive (the
             # compacted files predate the ADD and simply lack them)
             "schema": _merge_rewrite_schema(manifest, entry["schema"], merged.schema),
-            "meta": {"compacted_files": len(small), "out_files": int(n_out)},
+            "meta": {
+                "compacted_files": len(small),
+                "out_files": int(n_out),
+                **(
+                    {"predicates": [_json_safe_predicate(p) for p in predicates]}
+                    if predicates
+                    else {}
+                ),
+            },
         }
     )
     manifest["current"] = snap_id
@@ -3115,6 +3145,7 @@ def optimize_zorder(
     cluster_cols: list[str],
     num_files: int = 8,
     bits: int = 21,
+    predicates: list[tuple] | None = None,
 ) -> int:
     """Delta/Iceberg ``OPTIMIZE ... ZORDER BY`` for the snapshot
     table: rewrite the CURRENT snapshot's rows in Z-order
@@ -3130,8 +3161,79 @@ def optimize_zorder(
     Read-modify-write: the rewrite is pinned to the snapshot it read
     and committed with ``expected_base`` — a concurrent commit raises
     :class:`CommitConflict` (instead of the rebase silently erasing it)
-    and the whole rewrite re-runs against the fresh head."""
+    and the whole rewrite re-runs against the fresh head.
+
+    ``predicates`` scopes the job (Delta's ``OPTIMIZE ... WHERE``):
+    only files the manifest stats cannot prune on the conjunction are
+    read and re-clustered; everything else carries over VERBATIM at
+    file granularity — the 100 TB shape where yesterday's partition is
+    re-laid-out without touching the other 99.9%. Row-preserving: the
+    predicate selects files, never filters rows."""
     from ..operators.layout import zorder_layout
+
+    if predicates:
+        plan = plan_scan(root, predicates)  # validates the grammar
+        manifest = _load(root)
+        if manifest["current"] is None:
+            raise KeyError(f"table {root} has no snapshots")
+        if plan["snapshot_id"] != manifest["current"]:
+            raise CommitConflict(
+                f"optimize_zorder: planned against snapshot "
+                f"{plan['snapshot_id']} but current is "
+                f"{manifest['current']}; retrying"
+            )
+        entry = _entry(manifest, manifest["current"])
+        _guard_no_dvs(entry, "optimize_zorder")
+        _guard_identity_mapping(entry, "optimize_zorder")
+        _guard_no_initial_defaults(entry, "optimize_zorder")
+        _guard_no_widened(entry, "optimize_zorder")
+        if not plan["files"]:
+            return manifest["current"]  # nothing in scope
+        pruned = set(plan["pruned"])
+        keep: dict[str, list[str]] = {}
+        for d, f in _entry_units(root, manifest, entry):
+            if os.path.join(d, f) in pruned:
+                keep.setdefault(d, []).append(f)
+        rows = _strip_hidden(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, f) for f in plan["files"]]
+            ),
+            _hidden_set(manifest),
+        )
+        clustered = zorder_layout(
+            rows, cluster_cols, num_files=num_files, bits=bits
+        )
+        snap_id = manifest["snapshots"][-1]["id"] + 1
+        data_dir = _claim_data_dir(root, snap_id, "zorder")
+        _write_data_dir(clustered, root, data_dir, manifest)
+        files = {d: sorted(names) for d, names in keep.items()}
+        manifest.setdefault("dir_stats", {})[data_dir] = _collect_dir_stats(
+            root, data_dir
+        )
+        files[data_dir] = sorted(manifest["dir_stats"][data_dir])
+        manifest["snapshots"].append(
+            {
+                "id": snap_id,
+                "op": "zorder_where",
+                "ts": time.time(),
+                "dirs": sorted(files),
+                "files": files,
+                "parent": manifest["current"],
+                "schema": _merge_rewrite_schema(
+                    manifest, entry["schema"], clustered.schema
+                ),
+                "meta": {
+                    "cluster_cols": list(cluster_cols),
+                    "rewritten": len(plan["files"]),
+                    "predicates": [
+                        _json_safe_predicate(p) for p in predicates
+                    ],
+                },
+            }
+        )
+        manifest["current"] = snap_id
+        _commit(root, manifest)
+        return snap_id
 
     base = _load(root)["current"]
     if base is None:

@@ -236,8 +236,11 @@ _CHANGES = re.compile(
     re.IGNORECASE,
 )
 _OPTIMIZE = re.compile(
-    r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
-    re.IGNORECASE,
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*$",
@@ -490,7 +493,13 @@ def _execute_call(
         return _done({"removed": snapshots.remove_orphans(root, older_than_s=cutoff)})
     if proc == "rewrite_data_files":
         tb = int(named.pop("target_bytes", 128 * 1024 * 1024))
-        return _done({"snapshot_id": snapshots.compact_files(spark, root, target_bytes=tb)})
+        w = named.pop("where", None)  # Iceberg's filter argument
+        return _done({
+            "snapshot_id": snapshots.compact_files(
+                spark, root, target_bytes=tb,
+                predicates=parse_where(w) if w else None,
+            )
+        })
     if proc == "rewrite_position_delete_files":
         frac = float(named.pop("min_deleted_frac", 0.0))
         return _done({"snapshot_id": deletes.rewrite_deletes(spark, root, min_deleted_frac=frac)})
@@ -1074,15 +1083,19 @@ def execute_dml(
         return {"op": "table_changes", "table": name, "df": df}
 
     if (m := _OPTIMIZE.match(sql)) is not None:
-        name, zorder_cols = m.groups()
+        name, where, zorder_cols = m.groups()
         root = _resolve(tables, name)
+        # Delta's OPTIMIZE t WHERE ... [ZORDER BY (...)]: the predicate
+        # scopes which FILES the job rewrites (manifest-stats triage,
+        # row-preserving); everything out of scope carries verbatim
+        preds = parse_where(where) if where else None
         if zorder_cols is not None:
             cols = [c.strip() for c in zorder_cols.split(",") if c.strip()]
             if not cols:
                 raise ValueError("ZORDER BY needs a non-empty column list")
-            sid = snapshots.optimize_zorder(spark, root, cols)
+            sid = snapshots.optimize_zorder(spark, root, cols, predicates=preds)
         else:
-            sid = snapshots.compact_files(spark, root)
+            sid = snapshots.compact_files(spark, root, predicates=preds)
         return {"op": "optimize", "table": name, "snapshot_id": sid}
 
     if (m := _VACUUM.match(sql)) is not None:

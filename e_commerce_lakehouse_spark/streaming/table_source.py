@@ -257,11 +257,17 @@ class _TableStreamReader(DataSourceStreamReader):
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
         start = _opt(options, "startingSnapshotId")
-        self.starting_id = int(start) if start is not None else None
         # arrow target for executor-side alignment (picklable, tiny);
         # the column mapping pins logical->physical file names as of
         # stream start (physical names are stable across renames)
         manifest = S._load(self.root)
+        if start is not None and str(start).strip().lower() == "latest":
+            # Delta's startingVersion=latest: skip the table's existing
+            # contents, tail only commits made after the stream starts.
+            # Resolved ONCE here; the checkpoint then owns the position.
+            self.starting_id = manifest["current"]
+        else:
+            self.starting_id = int(start) if start is not None else None
         if self.starting_id is not None:
             _chain(manifest, None, self.starting_id)  # must be ancestry
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -1711,3 +1711,122 @@ def test_commit_summaries_in_history_and_inspection(spark, root):
         for s in S._load(root)["snapshots"]
         if isinstance(s, S._SnapEntry)
     )
+
+
+def test_compact_where_scopes_to_predicate_files(spark, root):
+    """Predicate-scoped compaction (Iceberg rewrite_data_files filter /
+    Delta OPTIMIZE WHERE): only files the stats cannot prune on the
+    conjunction participate; out-of-scope small files carry over
+    VERBATIM (byte-identical on disk), and the job is row-preserving —
+    the predicate selects files, never filters rows."""
+    # two disjoint key ranges, many small files each
+    for i in range(3):
+        S.write_snapshot(
+            spark.range(i * 10, i * 10 + 10).repartition(1),
+            root, mode="append" if i else "overwrite",
+        )
+    for i in range(3):
+        S.write_snapshot(
+            spark.range(1000 + i * 10, 1010 + i * 10).repartition(1),
+            root, mode="append",
+        )
+    m = S._load(root)
+    before = {
+        (d, f): os.path.getsize(os.path.join(root, d, f))
+        for d, f in S._entry_units(root, m, S._entry(m, m["current"]))
+    }
+    sid = S.compact_files(spark, root, predicates=[("id", ">=", 1000)])
+    m2 = S._load(root)
+    assert m2["current"] == sid
+    entry = S._entry(m2, sid)
+    units = set(S._entry_units(root, m2, entry))
+    # the low-range files survive untouched, byte-identical
+    low_before = {
+        (d, f) for (d, f), _ in before.items()
+        if "snap-0000000" in d or True
+    }
+    surviving_old = units & set(before)
+    assert len(surviving_old) == 3  # the three low-range files
+    for d, f in surviving_old:
+        assert os.path.getsize(os.path.join(root, d, f)) == before[(d, f)]
+    # the high-range files were rewritten into the new compact dir
+    new_files = units - set(before)
+    assert new_files and all(d.endswith("-compact") or "-compact" in d for d, _ in new_files)
+    # row-preserving
+    got = sorted(r.id for r in S.read_snapshot(spark, root).collect())
+    assert got == list(range(0, 30)) + list(range(1000, 1030))
+    # meta records the scope
+    assert S.history(root)[-1]["meta"]["predicates"] == [["id", ">=", 1000]]
+
+
+def test_optimize_zorder_where_rewrites_only_matching_files(spark, root):
+    """Scoped ZORDER: only may-match files re-cluster; the rest carry
+    verbatim at file granularity; rows identical; the re-clustered
+    range prunes on the clustered column afterwards."""
+    import datetime as dt
+
+    rows = [(i, i % 7, dt.date(2024, 1, 1 + i // 40)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, k long, d date")
+    S.write_snapshot(df.repartition(4), root)
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(i, i % 7, dt.date(2024, 6, 1)) for i in range(200, 240)],
+            "id long, k long, d date",
+        ).repartition(4),
+        root, mode="append",
+    )
+    before = sorted(
+        map(tuple, S.read_snapshot(spark, root).collect())
+    )
+    m0 = S._load(root)
+    old_units = set(S._entry_units(root, m0, S._entry(m0, m0["current"])))
+    sid = S.optimize_zorder(
+        spark, root, ["id"], num_files=2,
+        predicates=[("d", ">=", dt.date(2024, 6, 1))],
+    )
+    m1 = S._load(root)
+    entry = S._entry(m1, sid)
+    assert entry["op"] == "zorder_where"
+    units = set(S._entry_units(root, m1, entry))
+    # June files rewritten; January files carried verbatim
+    assert len(units & old_units) >= 1
+    assert sorted(map(tuple, S.read_snapshot(spark, root).collect())) == before
+    # the rewritten range now prunes tightly on the clustered column
+    plan = S.plan_scan(root, [("d", ">=", dt.date(2024, 6, 1)), ("id", "=", 201)])
+    assert plan["pruned"], plan
+    # out-of-scope no-op returns current unchanged
+    assert (
+        S.optimize_zorder(
+            spark, root, ["id"],
+            predicates=[("d", ">=", dt.date(2030, 1, 1))],
+        )
+        == sid
+    )
+
+
+def test_sql_optimize_where_routes(spark, root):
+    from e_commerce_lakehouse_spark.sources import sql_dml
+
+    for i in range(3):
+        S.write_snapshot(
+            spark.range(i * 5, i * 5 + 5).repartition(1),
+            root, mode="append" if i else "overwrite",
+        )
+    out = sql_dml.execute_dml(
+        spark, "OPTIMIZE t WHERE id >= 5", {"t": root}
+    )
+    assert out["op"] == "optimize"
+    assert S.history(root)[-1]["op"] == "compact"
+    assert S.history(root)[-1]["meta"]["predicates"] == [["id", ">=", 5]]
+    assert sorted(r.id for r in S.read_snapshot(spark, root).collect()) == list(range(15))
+    out2 = sql_dml.execute_dml(
+        spark, "OPTIMIZE t WHERE id < 5 ZORDER BY (id)", {"t": root}
+    )
+    assert S.history(root)[-1]["op"] == "zorder_where"
+    # CALL parity: Iceberg's where argument
+    out3 = sql_dml.execute_dml(
+        spark,
+        "CALL system.rewrite_data_files('t', where => 'id >= 5')",
+        {"t": root},
+    )
+    assert out3["op"] == "call"

@@ -509,3 +509,46 @@ def test_change_feed_restart_exactly_once(spark, tmpdir):
     one_run()
     assert len(rows) == n_initial + 1
     assert rows[-1][0] == 0 and rows[-1][1] == "delete"
+
+
+def test_starting_snapshot_latest_tails_only_new_commits(spark, tmpdir):
+    """startingSnapshotId='latest' (Delta startingVersion=latest):
+    the table's existing contents never emit; only commits landed
+    after the stream started flow, exactly once across restarts."""
+    root, ckpt = f"{tmpdir}/t", f"{tmpdir}/ck"
+    _mk_table(spark, root, n=6)
+    rows = []
+
+    def sink(bdf, batch_id):
+        rows.extend(r.k for r in bdf.collect())
+
+    q = (
+        read_table_stream(spark, root, startingSnapshotId="latest")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert rows == []  # nothing pre-existing emits
+        _append(spark, root, 6, 8)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    assert sorted(rows) == [6, 7]
+    # restart: the checkpoint owns the position; 'latest' does NOT
+    # re-resolve and skip commits made while the stream was down
+    _append(spark, root, 8, 9)
+    q2 = (
+        read_table_stream(spark, root, startingSnapshotId="latest")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+    assert sorted(rows) == [6, 7, 8]
