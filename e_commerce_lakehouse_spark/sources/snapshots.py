@@ -2073,7 +2073,9 @@ def history(root: str) -> list[dict]:
 
 
 @_retry_conflicts
-def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
+def expire_snapshots(
+    root: str, keep_last: int = 2, older_than: float | None = None
+) -> list[str]:
     """Retain the newest ``keep_last`` snapshots (the current one and
     every TAGGED snapshot are always retained) and delete data dirs —
     plus, within surviving dirs, individual files no retained entry
@@ -2084,12 +2086,20 @@ def expire_snapshots(root: str, keep_last: int = 2) -> list[str]:
     second commit clears the list. A crash at any point leaves either
     orphan dirs (remove_orphans collects them) or a pending_delete
     list the next expire retries — never a manifest entry pointing at
-    deleted data."""
+    deleted data.
+
+    ``older_than`` (unix seconds — Iceberg ``expire_snapshots``'
+    ``older_than`` timestamp): snapshots committed AT OR AFTER the
+    cutoff are retained even beyond ``keep_last``, so a time-based
+    retention SLA ("keep a week of history") composes with the
+    count-based floor (at least ``keep_last`` always survive)."""
     manifest = _load(root)
     snaps = manifest["snapshots"]
     if not snaps:
         return []
     keep = {s["id"] for s in snaps[-keep_last:]} if keep_last > 0 else set()
+    if older_than is not None:
+        keep.update(s["id"] for s in snaps if s["ts"] >= older_than)
     keep.add(manifest["current"])
     keep.update(manifest.get("tags", {}).values())
     # branch heads are live refs: their dirs must survive like tags'

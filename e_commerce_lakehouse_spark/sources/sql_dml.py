@@ -487,7 +487,25 @@ def _execute_call(
 
     if proc == "expire_snapshots":
         keep = int(named.pop("retain_last", 2))
-        return _done({"deleted": snapshots.expire_snapshots(root, keep_last=keep)})
+        older = named.pop("older_than", None)
+        if isinstance(older, str):  # ISO timestamp (Iceberg's TIMESTAMP arg)
+            t = _dt.datetime.fromisoformat(older.replace("Z", "+00:00"))
+            if t.tzinfo is None:
+                tz = snapshots._session_tzinfo()
+                if tz is None:
+                    raise ValueError(
+                        "naive older_than timestamp without an active "
+                        "Spark session timezone — pass an offset-"
+                        f"qualified ISO string: {older!r}"
+                    )
+                t = t.replace(tzinfo=tz)
+            older = t.timestamp()
+        return _done({
+            "deleted": snapshots.expire_snapshots(
+                root, keep_last=keep,
+                older_than=float(older) if older is not None else None,
+            )
+        })
     if proc == "remove_orphan_files":
         cutoff = float(named.pop("older_than", 0.0))
         return _done({"removed": snapshots.remove_orphans(root, older_than_s=cutoff)})

@@ -1830,3 +1830,36 @@ def test_sql_optimize_where_routes(spark, root):
         {"t": root},
     )
     assert out3["op"] == "call"
+
+
+def test_expire_older_than_composes_with_keep_last(spark, root):
+    """Iceberg expire_snapshots(older_than): snapshots at/after the
+    cutoff survive beyond keep_last; the count floor still holds."""
+    import time as _time
+
+    ids = []
+    for i in range(5):
+        ids.append(
+            S.write_snapshot(
+                spark.range(i, i + 1), root,
+                mode="append" if i else "overwrite",
+            )
+        )
+    m = S._load(root)
+    # cutoff between snapshot 2 and 3: 3,4,5 are "recent"
+    cutoff = (S._entry(m, ids[2])["ts"] + S._entry(m, ids[1])["ts"]) / 2
+    S.expire_snapshots(root, keep_last=1, older_than=cutoff)
+    left = [h["id"] for h in S.history(root)]
+    assert left == ids[2:]  # newest 1 would be only ids[4]; cutoff kept 3
+    assert S.read_snapshot(spark, root).count() == 5
+    # SQL CALL parity with an ISO timestamp
+    from e_commerce_lakehouse_spark.sources import sql_dml
+
+    out = sql_dml.execute_dml(
+        spark,
+        "CALL system.expire_snapshots('t', retain_last => 1, "
+        "older_than => '2099-01-01T00:00:00+00:00')",
+        {"t": root},
+    )
+    assert [h["id"] for h in S.history(root)] == [ids[4]]
+    assert S.read_snapshot(spark, root).count() == 5

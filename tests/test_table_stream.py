@@ -552,3 +552,50 @@ def test_starting_snapshot_latest_tails_only_new_commits(spark, tmpdir):
         q2.stop()
         q2.awaitTermination(30)
     assert sorted(rows) == [6, 7, 8]
+
+
+def test_change_feed_drives_gold_apply_changes(spark, tmpdir):
+    """End-to-end medallion CDC: tail the silver table's CHANGELOG
+    (readChangeFeed) and apply each micro-batch into a merge-on-read
+    gold table via apply_changes_dv — gold converges to silver across
+    appends, DV deletes, and MoR upserts, exactly once."""
+    silver, gold, ckpt = (f"{tmpdir}/{d}" for d in ("silver", "gold", "ck"))
+    _mk_table(spark, silver, n=6)
+    S.write_snapshot(
+        spark.createDataFrame([], "k long, v long, s string"), gold
+    )
+
+    def apply_batch(bdf, batch_id):
+        feed = bdf.withColumn(
+            "_change_type",
+            F.when(F.col("_change_type") == "insert", "update_postimage")
+            .otherwise(F.col("_change_type")),
+        ).drop("_commit_version")
+        if feed.isEmpty():
+            return
+        D.apply_changes_dv(spark, gold, feed, ["k"], meta={"batch": batch_id})
+
+    q = (
+        read_table_stream(spark, silver, readChangeFeed="true")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _append(spark, silver, 6, 8)
+        D.delete_where_dv(spark, silver, [("k", "in", [0, 6])])
+        D.merge_upsert_dv(
+            spark, silver,
+            spark.createDataFrame(
+                [(1, 999, "upd"), (9, 90, "row-9")], "k long, v long, s string"
+            ),
+            ["k"],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    want = sorted(map(tuple, S.read_snapshot(spark, silver).collect()))
+    got = sorted(map(tuple, S.read_snapshot(spark, gold).collect()))
+    assert got == want
