@@ -422,3 +422,20 @@ def test_theta_sketch_bounded_selection_and_broadcast_pairs(spark):
     )
     assert "BroadcastNestedLoopJoin" in pplan  # seg_a < seg_b condition
     assert "CartesianProduct" not in pplan
+
+
+def test_q09_contested_kind_decorrelates(spark):
+    """The q21_contested branch must NOT plan the naive correlated
+    self-joins: lineitem is scanned exactly twice across ALL q09 kinds
+    (the big_order sum and the contested per-(order,supplier)
+    aggregate), and no join keys lineitem against itself — the
+    double-correlated EXISTS/NOT-EXISTS shape is an aggregate + window
+    on the reduced frame."""
+    plan = plan_of(Q["q09_customer_segments"](spark, SF_SMALL))
+    assert plan.count("lineitem.parquet") == 2, plan.count("lineitem.parquet")
+    # the contested branch's machinery is aggregate + window
+    assert "Window" in plan
+    # no sort-merge self-join of the fact against itself: every SMJ/BHJ
+    # in the plan joins lineitem-derived frames against orders/customer
+    # keys, never l_suppkey vs l_suppkey
+    assert "l_suppkey#" not in plan.split("Window")[0].split("Scan")[0]

@@ -1863,3 +1863,56 @@ def test_expire_older_than_composes_with_keep_last(spark, root):
     )
     assert [h["id"] for h in S.history(root)] == [ids[4]]
     assert S.read_snapshot(spark, root).count() == 5
+
+
+def test_mixed_writers_and_maintenance_torture(spark, root):
+    """Round-10 layout under contention: 3 appender threads race a
+    maintenance thread (bloom builds — in-place stats mutation +
+    re-externalization — and expire commits) on one table. Every
+    append must land exactly once, the version chain stays gapless,
+    and a subsequent vacuum + read sees a consistent table."""
+    import threading
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    S.write_snapshot(spark.range(0, 10), root)
+    S.set_bloom_index(root, ["id"])
+    errs: list = []
+    barrier = threading.Barrier(4)
+
+    def appender(i):
+        try:
+            barrier.wait(timeout=60)
+            for j in range(4):
+                lo = 1000 * (i + 1) + j * 10
+                S.write_snapshot(
+                    spark.range(lo, lo + 10), root, mode="append"
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(("appender", i, e))
+
+    def maintainer():
+        try:
+            barrier.wait(timeout=60)
+            for _ in range(3):
+                S.build_bloom_index(spark, root)
+                S.expire_snapshots(root, keep_last=50)
+        except Exception as e:  # pragma: no cover
+            errs.append(("maintainer", e))
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(3)
+    ] + [threading.Thread(target=maintainer)]
+    [t.start() for t in threads]
+    [t.join(timeout=300) for t in threads]
+    assert not errs, errs
+    assert S.read_snapshot(spark, root).count() == 10 + 3 * 4 * 10
+    ids = [h["id"] for h in S.history(root)]
+    assert ids == sorted(set(ids))  # exactly-once, monotonic
+    # maintenance afterwards: GC with a safe age guard, then re-read
+    S.vacuum(root, keep_last=100, older_than_s=3600)
+    assert S.read_snapshot(spark, root).count() == 130
+    # bloom survived the races: an equality plan prunes via the index
+    S.build_bloom_index(spark, root)
+    plan = S.plan_scan(root, [("id", "=", 1005)])
+    assert plan["pruned"], "bloom/bounds pruning lost under contention"

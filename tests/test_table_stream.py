@@ -599,3 +599,39 @@ def test_change_feed_drives_gold_apply_changes(spark, tmpdir):
     want = sorted(map(tuple, S.read_snapshot(spark, silver).collect()))
     got = sorted(map(tuple, S.read_snapshot(spark, gold).collect()))
     assert got == want
+
+
+def test_change_feed_with_max_files_slicing(spark, tmpdir):
+    """readChangeFeed composes with maxFilesPerTrigger: the initial
+    snapshot arrives as multiple 'insert' slices, then DV deletes
+    arrive as 'delete' rows — exactly once overall."""
+    root, ckpt = f"{tmpdir}/t", f"{tmpdir}/ck"
+    _mk_single_file_commits(spark, root, n_files=4, rows_per_file=2)
+    batches = []
+
+    def sink(bdf, batch_id):
+        batches.append(
+            sorted((r.k, r._change_type) for r in bdf.collect())
+        )
+
+    q = (
+        read_table_stream(
+            spark, root, readChangeFeed="true", maxFilesPerTrigger="2"
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert len(batches) == 2  # 4 files / 2 per trigger
+        D.delete_where_dv(spark, root, [("k", "=", 3)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    flat = [t for b in batches for t in b]
+    assert sorted(t for t in flat if t[1] == "insert") == [
+        (k, "insert") for k in range(8)
+    ]
+    assert [t for t in flat if t[1] == "delete"] == [(3, "delete")]
