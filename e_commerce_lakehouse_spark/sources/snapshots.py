@@ -2269,7 +2269,9 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
       n_dirs, meta JSON);
     - ``"files"``: one row per data file of the CURRENT snapshot
       (dir, file, bytes, plus per-column min/max/null stats as JSON);
-    - ``"tags"``: one row per tag.
+    - ``"tags"``: one row per tag;
+    - ``"partitions"``: one row per data dir of the CURRENT snapshot
+      (file/row/byte totals + hidden-transform min/max bounds).
 
     Everything comes from the manifest (KBs) — no data file is opened,
     so these stay O(metadata) at any table size."""
@@ -2318,6 +2320,61 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "dir string, file string, bytes long, stats string"
         )
+    if kind == "partitions":
+        # Iceberg's .partitions inspection: one row per data DIR of the
+        # CURRENT snapshot with file/row/byte totals and, when the
+        # table declares hidden partition transforms, each transform
+        # column's min/max over the dir's footer stats — all from the
+        # manifest tier, zero data pages
+        if manifest["current"] is None:
+            raise KeyError(f"table {root} has no snapshots")
+        entry = _entry(manifest, manifest["current"])
+        dir_stats = manifest.get("dir_stats", {})
+        spec_cols = [
+            _hidden_name(t) for t in manifest.get("partition_spec", [])
+        ]
+        per_dir: dict[str, list[str]] = {}
+        for d, f in _entry_units(root, manifest, entry):
+            per_dir.setdefault(d, []).append(f)
+        rows = []
+        for d, fnames in sorted(per_dir.items()):
+            st = dir_stats.get(d, {})
+            n_rows, rows_known, n_bytes = 0, True, 0
+            bounds: dict[str, list] = {c: [None, None] for c in spec_cols}
+            for f in fnames:
+                p = os.path.join(root, d, f)
+                if os.path.exists(p):
+                    n_bytes += os.path.getsize(p)
+                fst = st.get(f) or {}
+                first = next(iter(fst.values()), None)
+                r = first.get("rows") if isinstance(first, dict) else None
+                if r is None:
+                    rows_known = False
+                else:
+                    n_rows += r
+                for c in spec_cols:
+                    cs = fst.get(c) or {}
+                    mn, mx = cs.get("mn"), cs.get("mx")
+                    if mn is not None:
+                        b = bounds[c]
+                        b[0] = mn if b[0] is None else min(b[0], mn)
+                        b[1] = mx if b[1] is None else max(b[1], mx)
+            rows.append(
+                (
+                    d,
+                    len(fnames),
+                    n_rows if rows_known else None,
+                    n_bytes,
+                    json.dumps(
+                        {c: bounds[c] for c in spec_cols}, sort_keys=True
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "dir string, n_files long, n_rows long, n_bytes long, "
+            "transform_bounds string",
+        )
     if kind == "tags":
         rows = sorted(manifest.get("tags", {}).items())
         return spark.createDataFrame(rows, "tag string, snapshot_id long")
@@ -2328,7 +2385,7 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
         rows = sorted(manifest.get("constraints", {}).items())
         return spark.createDataFrame(rows, "name string, condition string")
     raise ValueError(
-        f"kind must be snapshots|files|tags|branches|constraints, got {kind!r}"
+        f"kind must be snapshots|files|tags|branches|constraints|partitions, got {kind!r}"
     )
 
 

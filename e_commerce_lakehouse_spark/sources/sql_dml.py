@@ -191,7 +191,7 @@ def parse_set(clause: str) -> dict[str, str]:
 
 _METADATA_SELECT = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+(\w+)\s*\.\s*"
-    r"(snapshots|files|tags)\s*;?\s*$",
+    r"(snapshots|files|tags|partitions)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE_DETAIL = re.compile(

@@ -1916,3 +1916,22 @@ def test_mixed_writers_and_maintenance_torture(spark, root):
     S.build_bloom_index(spark, root)
     plan = S.plan_scan(root, [("id", "=", 1005)])
     assert plan["pruned"], "bloom/bounds pruning lost under contention"
+
+
+def test_partitions_metadata_table(spark, root):
+    """t.partitions inspection: per-dir totals + transform bounds from
+    the manifest tier (zero data pages), through Python and SQL."""
+    import json as _json
+
+    from e_commerce_lakehouse_spark.sources import sql_dml
+
+    S.set_partition_spec(root, [("truncate", 4, "id")])
+    S.write_snapshot(spark.range(0, 8).repartition(1), root)
+    S.write_snapshot(spark.range(8, 16).repartition(1), root, mode="append")
+    rows = S.metadata_table(spark, root, "partitions").collect()
+    assert len(rows) == 2
+    assert all(r.n_files == 1 and r.n_rows == 8 and r.n_bytes > 0 for r in rows)
+    bounds = [_json.loads(r.transform_bounds)["_p_truncate_id"] for r in rows]
+    assert sorted(bounds) == [[0, 4], [8, 12]]
+    out = sql_dml.execute_dml(spark, "SELECT * FROM t.partitions", {"t": root})
+    assert out["kind"] == "partitions" and out["df"].count() == 2
