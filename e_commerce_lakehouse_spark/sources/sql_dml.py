@@ -1163,6 +1163,25 @@ def execute_dml(
 
         stats = snapshots.table_stats(root)
         manifest = snapshots._load(root)
+        # metadata-tier footprint: version-manifest count/bytes and ref
+        # files (entry/files/stats) — the observability for the split
+        # layout's O(batch) commit contract
+        import os as _os
+
+        meta_info = {"n_versions": 0, "version_bytes": 0,
+                     "n_ref_files": 0, "ref_bytes": 0}
+        mdir = _os.path.join(root, "_manifests")
+        try:
+            for nm in _os.listdir(mdir):
+                p = _os.path.join(mdir, nm)
+                if snapshots._VERSION_RE.match(nm):
+                    meta_info["n_versions"] += 1
+                    meta_info["version_bytes"] += _os.path.getsize(p)
+                elif nm.startswith(("entry-", "files-", "stats-")):
+                    meta_info["n_ref_files"] += 1
+                    meta_info["ref_bytes"] += _os.path.getsize(p)
+        except OSError:
+            pass
         detail = {
             "format": "parquet",
             "location": root,
@@ -1170,6 +1189,7 @@ def execute_dml(
             "delete_mode": deletes.delete_mode(root),
             "partition_spec": manifest.get("partition_spec", []),
             "constraints": manifest.get("constraints", {}),
+            "metadata": meta_info,
             **stats,
         }
         return {"op": "describe_detail", "table": name, "detail": detail}

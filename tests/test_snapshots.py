@@ -1935,3 +1935,24 @@ def test_partitions_metadata_table(spark, root):
     assert sorted(bounds) == [[0, 4], [8, 12]]
     out = sql_dml.execute_dml(spark, "SELECT * FROM t.partitions", {"t": root})
     assert out["kind"] == "partitions" and out["df"].count() == 2
+
+
+def test_gc_ref_files_age_guard_protects_inflight_commits(spark, root):
+    """An unreferenced ref file YOUNGER than the cutoff survives the GC
+    (an in-flight commit writes its ref files before its version CAS);
+    past the cutoff it is collected. Referenced files survive at any
+    age."""
+    S.write_snapshot(spark.range(4), root)
+    mdir = os.path.join(root, "_manifests")
+    # simulate an in-flight writer's just-written ref file (no version
+    # manifest references it yet)
+    orphan = os.path.join(mdir, "entry-deadbeefdeadbeef.json")
+    with open(orphan, "w") as fh:
+        fh.write("{}")
+    assert S._gc_ref_files(root, older_than_s=3600.0) == []
+    assert os.path.exists(orphan)
+    removed = S._gc_ref_files(root, older_than_s=0.0)
+    assert removed == [os.path.join("_manifests", "entry-deadbeefdeadbeef.json")]
+    # the table's own (referenced) refs survived a zero-cutoff sweep
+    assert S.read_snapshot(spark, root).count() == 4
+    assert S.plan_scan(root, [("id", "<", 2)])["candidates"] > 0

@@ -788,3 +788,14 @@ def test_metadata_select_and_describe_detail(spark, root):
     d = out["detail"]
     assert d["current_snapshot_id"] == 2 and d["location"] == root
     assert d["delete_mode"] in ("copy-on-write", "merge-on-read")
+
+
+def test_describe_detail_reports_metadata_footprint(spark, tmp_path):
+    root = str(tmp_path / "t")
+    S.write_snapshot(spark.range(5), root)
+    S.write_snapshot(spark.range(5, 9), root, mode="append")
+    out = sql_dml.execute_dml(spark, "DESCRIBE DETAIL t", {"t": root})
+    meta = out["detail"]["metadata"]
+    assert meta["n_versions"] == 2 and meta["version_bytes"] > 0
+    assert meta["n_ref_files"] >= 4  # 2 entry files + 2 stats files
+    assert meta["ref_bytes"] > 0
