@@ -605,7 +605,18 @@ def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
     zero cutoff is only safe with no concurrent writer (the documented
     vacuum contract). Liveness is computed from every version manifest
     still on disk, so time travel through retained versions keeps
-    every ref it needs."""
+    every ref it needs.
+
+    FAIL-CLOSED: the sweep runs only on a COMPLETE live set. A version
+    manifest that vanished mid-listing (a racing prune — versions are
+    the only ref class deleted by another GC) is tolerated; any OTHER
+    read failure (EIO/EMFILE/torn JSON) aborts the whole sweep — an
+    under-populated live set would unlink still-live refs and
+    permanently break the table's metadata tier, while skipping a
+    sweep merely defers space reclamation to the next vacuum. A LIVE
+    entry ref that fails to read (even FileNotFoundError) aborts too:
+    entry refs are never individually pruned, so a missing one is
+    corruption, not a race."""
     mdir = _manifest_dir(root)
     try:
         names = os.listdir(mdir)
@@ -618,8 +629,10 @@ def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
         try:
             with open(os.path.join(mdir, nm)) as fh:
                 m = json.load(fh)
-        except (OSError, ValueError):  # racing prune/commit
-            continue
+        except FileNotFoundError:
+            continue  # racing _prune_manifest_versions: ref-free by now
+        except (OSError, ValueError):
+            return []  # fail closed: incomplete live set -> no sweep
         live.update(m.get("dir_stats_refs", {}).values())
         for s in m.get("snapshots", []):
             ref = s.get("entry_ref")
@@ -630,12 +643,20 @@ def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
                 with open(os.path.join(mdir, ref)) as fh:
                     payload = json.load(fh)
             except (OSError, ValueError):
-                continue
+                return []  # a live entry ref must be readable
             live.update(payload.get("file_refs", {}).values())
     now = time.time()
     removed = []
     for nm in sorted(names):
-        if not nm.startswith(("entry-", "files-", "stats-")) or nm in live:
+        # '.'-prefixed temps are _RefStore.write / _commit staging files
+        # leaked by a crash between create and rename — never referenced
+        # by anything, collected past the same age cutoff
+        is_temp = nm.startswith(
+            (".entry-", ".files-", ".stats-", ".commit-v", ".hint-")
+        )
+        if not is_temp and (
+            not nm.startswith(("entry-", "files-", "stats-")) or nm in live
+        ):
             continue
         p = os.path.join(mdir, nm)
         try:
@@ -1237,8 +1258,16 @@ def write_snapshot(
     stats_cols: list[str] | None = None,
     branch: str | None = None,
     expected_base=_ANY_BASE,
+    data_change: bool = True,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the snapshot id.
+
+    ``data_change=False`` marks the commit as a row-preserving
+    maintenance rewrite (Delta's ``dataChange=false`` — OPTIMIZE and
+    the like): the visible row multiset is IDENTICAL to the parent's,
+    only the file layout changed. Streaming table readers skip such
+    commits silently. Callers own the row-identity guarantee — pass it
+    only for rewrites of the parent snapshot's exact contents.
 
     ``mode="overwrite"`` replaces the visible table contents;
     ``mode="append"`` adds a delta dir on top of the current
@@ -1365,6 +1394,8 @@ def write_snapshot(
             "schema": entry_schema,
             "meta": meta or {},
         }
+        if not data_change:
+            entry["data_change"] = False
         if files is not None:
             entry["files"] = files
         if dvs is not None:
@@ -2064,10 +2095,17 @@ def history(root: str) -> list[dict]:
     is the commit's sink metadata ({} for plain writes and pre-meta
     manifests); ``summary`` is the commit-time operation metrics
     (added/removed dirs, added files/rows/bytes, DV counts — {} for
-    entries committed before summaries existed)."""
+    entries committed before summaries existed); ``data_change`` is
+    False for row-preserving maintenance rewrites (compact / ZORDER —
+    Delta's dataChange flag), so consumers can audit maintenance vs
+    data commits."""
     return [
         {k: s[k] for k in ("id", "op", "ts", "parent")}
-        | {"meta": s.get("meta", {}), "summary": s.get("summary", {})}
+        | {
+            "meta": s.get("meta", {}),
+            "summary": s.get("summary", {}),
+            "data_change": s.get("data_change", True),
+        }
         for s in _load(root)["snapshots"]
     ]
 
@@ -2293,6 +2331,7 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
                     float(s["ts"]),
                     s["parent"],
                     n_dirs,
+                    bool(s.get("data_change", True)),
                     json.dumps(s.get("meta", {}), sort_keys=True),
                     json.dumps(summary, sort_keys=True),
                 )
@@ -2300,7 +2339,7 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
         return spark.createDataFrame(
             rows,
             "id long, op string, ts double, parent long, n_dirs long, "
-            "meta string, summary string",
+            "data_change boolean, meta string, summary string",
         )
     if kind == "files":
         if manifest["current"] is None:
@@ -3186,6 +3225,13 @@ def compact_files(
             "dirs": sorted(files),
             "files": files,
             "parent": manifest["current"],
+            # Delta's dataChange=false: this commit rearranges bytes but
+            # preserves the visible row multiset exactly (the predicate
+            # selects FILES, never rows, and the DV/mapping/default
+            # guards above hold row-identity) — streaming table readers
+            # skip it silently instead of refusing/re-emitting, which is
+            # what makes OPTIMIZE safe under live consumers
+            "data_change": False,
             # parent-merged: metadata-only added columns survive (the
             # compacted files predate the ADD and simply lack them)
             "schema": _merge_rewrite_schema(manifest, entry["schema"], merged.schema),
@@ -3286,6 +3332,8 @@ def optimize_zorder(
                 "dirs": sorted(files),
                 "files": files,
                 "parent": manifest["current"],
+                # row-preserving layout rewrite: Delta's dataChange=false
+                "data_change": False,
                 "schema": _merge_rewrite_schema(
                     manifest, entry["schema"], clustered.schema
                 ),
@@ -3302,9 +3350,17 @@ def optimize_zorder(
         _commit(root, manifest)
         return snap_id
 
-    base = _load(root)["current"]
+    manifest0 = _load(root)
+    base = manifest0["current"]
     if base is None:
         raise KeyError(f"table {root} has no snapshots")
+    # dataChange=false only while the logical->physical column mapping
+    # is identity: this overwrite rewrites files under LOGICAL names
+    # (clearing any mapping), and a live stream that skipped the commit
+    # would keep projecting the OLD physical names onto the new files
+    # (silent nulls). Renamed tables keep data_change=True, so streams
+    # refuse loudly and restart with the fresh mapping.
+    row_preserving = not _entry(manifest0, base).get("mapping")
     return write_snapshot(
         zorder_layout(
             read_snapshot(spark, root, snapshot_id=base),
@@ -3313,6 +3369,9 @@ def optimize_zorder(
         root,
         mode="overwrite",
         expected_base=base,
+        # read_snapshot(base) -> layout-only rewrite: row-identical to
+        # the snapshot this overwrite replaces (dataChange=false)
+        data_change=not row_preserving,
     )
 
 

@@ -1135,6 +1135,7 @@ def execute_dml(
                 h["op"],
                 float(h["ts"]),
                 h.get("parent"),
+                bool(h.get("data_change", True)),
                 _json.dumps(h.get("meta") or {}, sort_keys=True),
                 # Delta's operationMetrics analog: commit-time
                 # added/removed dir, file, row and byte counts
@@ -1145,7 +1146,7 @@ def execute_dml(
         df = spark.createDataFrame(
             rows,
             "version long, operation string, ts double, parent long, "
-            "meta string, operation_metrics string",
+            "data_change boolean, meta string, operation_metrics string",
         )
         return {"op": "history", "table": name, "df": df}
 

@@ -24,7 +24,12 @@ Semantics (Delta streaming-source parity):
 - ``startingSnapshotId``: consume only commits AFTER this snapshot
   (exclusive base — the "tail only" mode; Delta's ``startingVersion``
   shifted by one). The id must be on the main ancestry.
-- A commit that REMOVES files (replace_where, overwrite, compaction,
+- A commit marked ``data_change=False`` (compact_files /
+  optimize_zorder — row-preserving maintenance rewrites, Delta's
+  ``dataChange=false``) is SKIPPED silently in every mode: it changes
+  file layout, never the visible row multiset, so there is nothing to
+  emit and nothing to refuse — OPTIMIZE is safe under live consumers.
+  Any other commit that REMOVES files (replace_where, overwrite,
   rollback) is not an append: the stream REFUSES with the offending
   snapshot id unless ``ignoreChanges=true`` (then its added files
   still emit — rewritten rows re-appear, exactly Delta's documented
@@ -63,9 +68,11 @@ Semantics (Delta streaming-source parity):
   read by position), so a merge-on-read upsert arrives as the
   delete+insert pair whose multiset equals the batch
   ``snapshot_changes`` feed on the same commit. File-REMOVING commits
-  (replace_where / overwrite / compact / rollback) refuse regardless
-  of ignore options — a rewrite has no file-granular changelog; use
-  batch ``snapshot_changes`` across it or restart the feed.
+  that change data (replace_where / overwrite / rollback) refuse
+  regardless of ignore options — a rewrite has no file-granular
+  changelog; use batch ``snapshot_changes`` across it or restart the
+  feed. ``data_change=False`` maintenance commits skip silently here
+  too (their changelog is empty by definition).
   ``_commit_version`` is always included in this mode.
 - ``withCommitVersion=true`` appends a ``_commit_version`` long column
   (which snapshot added each row — the changelog join key downstream
@@ -377,6 +384,15 @@ class _TableStreamReader(DataSourceStreamReader):
                 return parts
             start_id = pinned  # phase done; tail pinned -> end below
         for parent, entry in _pairwise_chain(manifest, start_id, end_id):
+            if entry.get("data_change", True) is False:
+                # row-preserving maintenance rewrite (compact / ZORDER,
+                # Delta's dataChange=false): the visible row multiset is
+                # the parent's exactly, so BOTH modes skip it silently —
+                # nothing to emit, nothing to refuse. Later commits diff
+                # against ITS file set (the generator already advanced
+                # parent), so rewritten rows never re-emit. This is what
+                # lets OPTIMIZE run under live consumers.
+                continue
             old = set(S._entry_units(self.root, manifest, parent))
             new = set(S._entry_units(self.root, manifest, entry))
             removed = old - new

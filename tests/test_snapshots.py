@@ -1956,3 +1956,54 @@ def test_gc_ref_files_age_guard_protects_inflight_commits(spark, root):
     # the table's own (referenced) refs survived a zero-cutoff sweep
     assert S.read_snapshot(spark, root).count() == 4
     assert S.plan_scan(root, [("id", "<", 2)])["candidates"] > 0
+
+
+def test_gc_ref_files_fails_closed_on_unreadable_metadata(spark, root):
+    """The ref GC aborts (returns [], deletes NOTHING) when the live
+    set cannot be computed completely: a torn/unreadable retained
+    version manifest, or a retained entry ref that fails to read — an
+    under-populated live set would unlink still-live refs and break
+    the table forever. Only a VANISHED version file (racing prune) is
+    tolerated; leaked '.'-prefixed staging temps are collected past
+    the age cutoff."""
+    S.write_snapshot(spark.range(4), root)
+    S.write_snapshot(spark.range(4, 8).repartition(1), root, mode="append")
+    mdir = os.path.join(root, "_manifests")
+    orphan = os.path.join(mdir, "entry-feedfacefeedface.json")
+    with open(orphan, "w") as fh:
+        fh.write("{}")
+    # (a) torn retained version manifest -> abort, the orphan survives
+    torn = os.path.join(mdir, "v9999999999.json")
+    with open(torn, "w") as fh:
+        fh.write('{"snapshots": [')  # invalid JSON
+    assert S._gc_ref_files(root, older_than_s=0.0) == []
+    assert os.path.exists(orphan)
+    os.unlink(torn)
+    # (b) a LIVE entry ref missing -> abort (corruption, not a race)
+    import json as _j
+
+    head = S._latest_version(root)
+    with open(os.path.join(mdir, f"v{head:010d}.json")) as fh:
+        m = _j.load(fh)
+    ref = next(s["entry_ref"] for s in m["snapshots"] if s.get("entry_ref"))
+    p = os.path.join(mdir, ref)
+    saved = open(p).read()
+    os.unlink(p)
+    assert S._gc_ref_files(root, older_than_s=0.0) == []
+    assert os.path.exists(orphan)
+    with open(p, "w") as fh:
+        fh.write(saved)
+    # (c) healthy again: the orphan collects, live refs survive
+    removed = S._gc_ref_files(root, older_than_s=0.0)
+    assert os.path.join("_manifests", "entry-feedfacefeedface.json") in removed
+    assert S.read_snapshot(spark, root).count() == 8
+    # (d) leaked staging temps (crash between create and rename)
+    for nm in (".entry-aaaa.json", ".commit-v99-zzz", ".hint-123"):
+        with open(os.path.join(mdir, nm), "w") as fh:
+            fh.write("x")
+    assert S._gc_ref_files(root, older_than_s=3600.0) == []  # age guard
+    removed = S._gc_ref_files(root, older_than_s=0.0)
+    assert {os.path.basename(r) for r in removed} == {
+        ".entry-aaaa.json", ".commit-v99-zzz", ".hint-123"
+    }
+    assert S.read_snapshot(spark, root).count() == 8

@@ -331,8 +331,20 @@ def test_maintenance_sql_surface(spark, root):
     assert S.read_snapshot(spark, root).count() == 60
 
     hist = sql_dml.execute_dml(spark, "DESCRIBE HISTORY t", t)["df"]
-    versions = [row.version for row in hist.orderBy("version").collect()]
+    hrows = hist.orderBy("version").collect()
+    versions = [row.version for row in hrows]
     assert versions[0] == 1 and versions[-1] == r["snapshot_id"]
+    # maintenance-vs-data audit column (Delta's dataChange): the two
+    # OPTIMIZE commits are False, every data commit True — in DESCRIBE
+    # HISTORY, history(), and the t.snapshots inspection table alike
+    dc = {row.version: row.data_change for row in hrows}
+    assert dc[1] is True and dc[2] is True
+    assert dc[versions[-2]] is False and dc[versions[-1]] is False
+    assert {
+        h["id"]: h["data_change"] for h in S.history(root)
+    } == dc
+    snap_tbl = S.metadata_table(spark, root, "snapshots")
+    assert {r.id: r.data_change for r in snap_tbl.collect()} == dc
 
     removed = sql_dml.execute_dml(spark, "VACUUM t RETAIN 1 SNAPSHOTS", t)
     assert removed["op"] == "vacuum" and removed["removed"]

@@ -635,3 +635,105 @@ def test_change_feed_with_max_files_slicing(spark, tmpdir):
         (k, "insert") for k in range(8)
     ]
     assert [t for t in flat if t[1] == "delete"] == [(3, "delete")]
+
+
+def test_stream_skips_compact_and_zorder_mid_stream(spark, tmpdir):
+    """dataChange=false maintenance (compact_files, optimize_zorder —
+    both predicated and whole-table) mid-stream: the tailing source
+    skips those commits silently — no refusal, no duplicate, no loss;
+    the final row multiset equals the no-maintenance run's."""
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_table(spark, root, n=10)
+    _drain(spark, root, out, ckpt)
+    _append(spark, root, 10, 14)
+    cid = S.compact_files(spark, root)  # rewrites every small file
+    assert S._entry(S._load(root), cid).get("data_change") is False
+    _append(spark, root, 14, 17)
+    zid = S.optimize_zorder(spark, root, ["k"], num_files=2)
+    assert S._entry(S._load(root), zid).get("data_change") is False
+    _append(spark, root, 17, 20)
+    zwid = S.optimize_zorder(
+        spark, root, ["k"], num_files=2, predicates=[("k", ">=", 0)]
+    )
+    assert S._entry(S._load(root), zwid).get("data_change") is False
+    # drain across all three maintenance commits: appends only, once
+    _drain(spark, root, out, ckpt)
+    assert _keys(spark, out) == list(range(20))
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, S.read_snapshot(spark, root).collect()))
+    assert got == want
+
+
+def test_change_feed_skips_maintenance_commits(spark, tmpdir):
+    """readChangeFeed across compact + ZORDER: maintenance commits
+    produce NO changelog rows (their batch snapshot_changes feed is
+    empty too — parity pinned); appended rows arrive exactly once."""
+    root, ckpt = f"{tmpdir}/t", f"{tmpdir}/ck"
+    sid0 = _mk_table(spark, root, n=6)
+    rows = []
+
+    def sink(bdf, batch_id):
+        rows.extend(
+            (r.k, r._change_type, r._commit_version) for r in bdf.collect()
+        )
+
+    q = (
+        read_table_stream(spark, root, readChangeFeed="true")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows.clear()
+        pre = S._load(root)["current"]
+        sid1 = _append(spark, root, 6, 9)
+        cid = S.compact_files(spark, root)
+        sid2 = _append(spark, root, 9, 11)
+        zid = S.optimize_zorder(spark, root, ["k"], num_files=2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # appended rows exactly once, attributed to their append commits;
+    # zero rows attributed to the maintenance commits
+    assert sorted(rows) == [
+        *[(k, "insert", sid1) for k in range(6, 9)],
+        *[(k, "insert", sid2) for k in range(9, 11)],
+    ]
+    assert not [r for r in rows if r[2] in (cid, zid)]
+    # batch-changelog parity across each rewrite: key-diffed feed of a
+    # row-preserving commit is EMPTY (the stream skipping matches it)
+    assert S.snapshot_changes(spark, root, ["k"], sid1, cid).count() == 0
+    assert S.snapshot_changes(spark, root, ["k"], sid2, zid).count() == 0
+    assert sid0 == 1 and pre >= sid0  # silence lints; ids are monotonic
+
+
+def test_restart_exactly_once_across_skipped_commit(spark, tmpdir):
+    """Checkpoint restart where the NEXT unread commit is a skipped
+    maintenance commit: nothing re-emits, nothing is lost."""
+    root, out, ckpt = (f"{tmpdir}/{d}" for d in ("t", "out", "ck"))
+    _mk_table(spark, root, n=8)
+    _drain(spark, root, out, ckpt)
+    _append(spark, root, 8, 12)
+    S.compact_files(spark, root)  # lands AFTER the append, both unread
+    _drain(spark, root, out, ckpt)  # restart: replay append, skip compact
+    assert _keys(spark, out) == list(range(12))
+    S.optimize_zorder(spark, root, ["k"], num_files=2)
+    _drain(spark, root, out, ckpt)  # restart where ONLY a skip is pending
+    assert _keys(spark, out) == list(range(12))
+    _append(spark, root, 12, 14)
+    _drain(spark, root, out, ckpt)
+    assert _keys(spark, out) == list(range(14))
+
+
+def test_zorder_after_rename_stays_data_change_true(spark, tmpdir):
+    """Whole-table optimize_zorder on a RENAMED table must NOT mark
+    dataChange=false: the rewrite clears the column mapping, so a
+    stream that skipped it would project stale physical names onto the
+    new files (silent nulls). It stays a loud rewrite instead."""
+    root = f"{tmpdir}/t"
+    _mk_table(spark, root, n=6)
+    S.rename_column(root, "v", "val")
+    zid = S.optimize_zorder(spark, root, ["k"], num_files=2)
+    assert S._entry(S._load(root), zid).get("data_change", True) is True
