@@ -557,6 +557,7 @@ def apply_changes_dv(
     meta: dict | None = None,
     max_keyscan_keys: int = MAX_KEYSCAN_KEYS,
     expected_base: int | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """``operators.upsert.apply_changes`` (DLT APPLY CHANGES INTO —
     the CDC consumer that can DELETE) as one merge-on-read commit:
@@ -581,7 +582,15 @@ def apply_changes_dv(
     caller's retry must RECOMPUTE the feed from the fresh head. Leave
     None (default) when the feed is externally sourced (a CDC stream):
     its values don't depend on table state, so the internal OCC retry
-    alone is correct."""
+    alone is correct.
+
+    ``evolve_schema=True`` (Delta autoMerge inside the commit): feed
+    columns absent from the target schema WIDEN it atomically in this
+    same commit — appended post-state files carry them, pre-existing
+    rows read NULL (the append-widening read semantics every append
+    already has). Names whose physical storage lingers in old files
+    (previously dropped columns, hidden partition columns) are refused
+    — they need an explicit add_column's fresh physical name."""
     if expected_base is not None:
         # UN-retried staleness check: once the head has moved past
         # expected_base it never moves back, so letting the inner
@@ -597,7 +606,8 @@ def apply_changes_dv(
                 "feed and retry"
             )
     return _apply_changes_dv(
-        spark, root, changes, keys, meta, max_keyscan_keys, expected_base
+        spark, root, changes, keys, meta, max_keyscan_keys, expected_base,
+        evolve_schema,
     )
 
 
@@ -610,6 +620,7 @@ def _apply_changes_dv(
     meta: dict | None,
     max_keyscan_keys: int = MAX_KEYSCAN_KEYS,
     expected_base: int | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     if "_change_type" not in changes.columns:
         raise ValueError("changes must carry _change_type (see cdc_diff)")
@@ -629,6 +640,24 @@ def _apply_changes_dv(
     S._guard_no_initial_defaults(entry, "apply_changes_dv")
     S._guard_no_widened(entry, "apply_changes_dv")
     cols = [f["name"] for f in json.loads(entry["schema"])["fields"]]
+    extra: list[str] = []
+    if evolve_schema:
+        extra = [
+            c for c in changes.columns
+            if c not in cols and c != "_change_type"
+        ]
+        bad = [
+            c for c in extra
+            if c in set(manifest.get("retired_physical", []))
+            or c in S._hidden_set(manifest)
+        ]
+        if bad:
+            raise ValueError(
+                f"apply_changes_dv: cannot evolve schema with {bad} — "
+                "their physical storage lingers in old files; "
+                "add_column first (fresh physical name)"
+            )
+        cols = cols + extra
     missing = [c for c in cols if c not in changes.columns]
     if missing:
         raise ValueError(f"changes missing target columns {missing}")
@@ -682,7 +711,13 @@ def _apply_changes_dv(
         "ts": time.time(),
         "dirs": new_dirs,
         "parent": manifest["current"],
-        "schema": entry["schema"],
+        # evolve_schema: the widened schema commits ATOMICALLY with the
+        # post-state files that carry the new columns (parent-first
+        # field order, append-widening semantics)
+        "schema": (
+            S._merge_append_schema(entry["schema"], post.schema)
+            if extra else entry["schema"]
+        ),
         "meta": {**(meta or {}), "scan": scan_meta},
     }
     if dvs:

@@ -43,8 +43,10 @@ SELECT * FROM s [WHERE ...]``          overwrite (dest must be a
 ``SHOW TABLES``                        the registered name->root map
 ``MERGE WITH SCHEMA EVOLUTION INTO``   Delta autoMerge parity: source
                                        columns absent from the target
-                                       auto-add (metadata-only) before
-                                       the merge commits
+                                       widen the schema ATOMICALLY
+                                       inside the merge commit (a
+                                       failed merge leaves the schema
+                                       untouched)
 ``CALL [cat.][system.]proc('t',        Iceberg Spark-procedure parity:
 k => v, ...)``                         expire_snapshots /
                                        remove_orphan_files /
@@ -550,12 +552,27 @@ def _execute_call(
 _TPFX, _SPFX = "__t_", "__s_"
 
 def _check_merge_cardinality(
-    source: DataFrame, keys: list[str], target_keys: DataFrame
+    source: DataFrame,
+    keys: list[str],
+    target_keys: DataFrame,
+    modifies=None,
+    pair: tuple | None = None,
 ) -> None:
     """Raise the Delta/Iceberg MERGE cardinality error when more than
-    one source row shares a key that MATCHES a target row — two
+    one source row attempts to MODIFY the same target row — two
     post-images for one target row is nondeterministic MERGE by the
     standard, and committing both silently duplicates the row.
+
+    ``modifies`` (with ``pair = (src_prefixed, tgt_prefixed, key_eq)``)
+    is the OR of every WHEN MATCHED clause condition compiled onto the
+    prefixed pair frame, passed only when EVERY matched clause is
+    conditional: Delta/Iceberg error on source rows that actually
+    modify a matched target row, so a dedup pattern like ``WHEN
+    MATCHED AND s.seq = 1 THEN UPDATE`` is LEGAL with duplicate source
+    keys — the conditions disambiguate to at most one modifying row.
+    With any unconditional matched clause every matched pair modifies
+    (the first-match chain always fires), so the cheaper key-only
+    semi-join below is exact.
 
     Driver-side and batch-shaped on purpose: an in-plan raise_error
     guard is unsound here — when the guard's inputs are all
@@ -563,10 +580,10 @@ def _check_merge_cardinality(
     BELOW the matched join and the guard fires for duplicate keys that
     match nothing (which are legal: each inserts). The common case
     (no duplicate source keys at all) costs one batch-sized groupBy
-    and never touches the target; only when duplicates exist does one
-    semi-join against the target's key columns run, and ``limit(1)``
-    stops it at the first hit. Duplicate keys that match NO target row
-    pass — Delta/Iceberg insert every applicable row."""
+    and never touches the target; only when duplicates exist does a
+    join against the target run, and ``limit(1)`` stops it at the
+    first hit. Duplicate keys that match NO target row pass —
+    Delta/Iceberg insert every applicable row."""
     dups = (
         source.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -575,13 +592,46 @@ def _check_merge_cardinality(
     )
     if not dups.limit(1).collect():
         return
-    hit = dups.join(target_keys.select(*keys), keys, "left_semi").limit(1).collect()
+    if modifies is None:
+        hit = (
+            dups.join(target_keys.select(*keys), keys, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if hit:
+            kv = ", ".join(f"{k}={hit[0][k]!r}" for k in keys)
+            raise ValueError(
+                f"MERGE: a single target row matched multiple source "
+                f"rows for key {kv}; deduplicate the source per key "
+                "(e.g. keep the latest by a sequence column) before "
+                "merging"
+            )
+        return
+    src_p, tgt_p, key_eq = pair
+    # duplicate-key source rows that satisfy at least one matched
+    # clause against a matched target row are the ones that MODIFY it;
+    # >1 of them per key is the real cardinality violation. Cost is
+    # O(dup-key rows) joined against the (possibly key-pruned) target.
+    dup_p = src_p.join(
+        dups.select([F.col(k).alias(_SPFX + k) for k in keys]),
+        [_SPFX + k for k in keys],
+        "left_semi",
+    )
+    modifying = dup_p.join(tgt_p, key_eq & modifies, "left_semi")
+    hit = (
+        modifying.groupBy(*[_SPFX + k for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
     if hit:
-        kv = ", ".join(f"{k}={hit[0][k]!r}" for k in keys)
+        kv = ", ".join(f"{k}={hit[0][_SPFX + k]!r}" for k in keys)
         raise ValueError(
             f"MERGE: a single target row matched multiple source rows "
-            f"for key {kv}; deduplicate the source per key (e.g. keep "
-            "the latest by a sequence column) before merging"
+            f"that attempt to modify it for key {kv} (the WHEN MATCHED "
+            "conditions do not disambiguate); deduplicate the source "
+            "per key or tighten the clause conditions"
         )
 
 
@@ -686,22 +736,52 @@ def _merge_extended(
         dtypes = {f.name: f.dataType for f in struct.fields}
         return t_cols, dtypes
 
+    new_fields: list[tuple] = []
     if evolve:
         # MERGE WITH SCHEMA EVOLUTION (Delta autoMerge parity): source
-        # columns absent from the target auto-add as METADATA-ONLY
-        # commits before the feed derives — pre-existing rows read
-        # NULL, no data file is touched, and both commit routes then
-        # see the widened schema (the per-attempt _derive_schema picks
-        # it up even across retries). A same-name column with a
-        # drifted type is NOT evolution and keeps the cast-to-target
-        # semantics every MERGE has.
-        _, dtypes_now = _derive_schema(snapshots._load(root))
+        # columns absent from the target widen the schema INSIDE the
+        # merge commit itself — atomic, like Delta's autoMerge: a merge
+        # that fails (cardinality error, retry exhaustion) leaves the
+        # target schema untouched. Pre-existing rows read NULL. A
+        # same-name column with a drifted type is NOT evolution and
+        # keeps the cast-to-target semantics every MERGE has.
+        manifest0 = snapshots._load(root)
+        _, dtypes_now = _derive_schema(manifest0)
+        retired = set(manifest0.get("retired_physical", []))
+        hidden = snapshots._hidden_set(manifest0)
         for f in source.schema.fields:
-            if f.name not in dtypes_now:
-                snapshots.add_column(
-                    root, f.name, f.dataType.simpleString()
+            if f.name in dtypes_now:
+                continue
+            if f.name in retired or f.name in hidden:
+                # the name's physical storage lingers in old files
+                # (dropped column / hidden transform): widening-by-name
+                # would resurrect stale values on merge-on-read paths.
+                # add_column assigns a FRESH physical name for this.
+                raise ValueError(
+                    f"MERGE WITH SCHEMA EVOLUTION: column {f.name!r} "
+                    "was previously dropped (or is a hidden partition "
+                    "column); ALTER TABLE ... ADD COLUMN it explicitly "
+                    "first (fresh physical storage), then merge"
                 )
-    t_cols, dtypes = _derive_schema(snapshots._load(root))
+            if not f.name.isidentifier():
+                raise ValueError(
+                    f"MERGE WITH SCHEMA EVOLUTION: invalid new column "
+                    f"name {f.name!r}"
+                )
+            new_fields.append((f.name, f.dataType))
+
+    def _widen(t_cols, dtypes):
+        """Target columns + the evolving source columns a concurrent
+        ADD COLUMN has not landed yet — applied per retry attempt so a
+        racing explicit ADD of the same name is honored, not doubled."""
+        add = [(n, dt) for n, dt in new_fields if n not in dtypes]
+        return (
+            t_cols + [n for n, _ in add],
+            {**dtypes, **dict(add)},
+            add,
+        )
+
+    t_cols, dtypes, _ = _widen(*_derive_schema(snapshots._load(root)))
     known = set(t_cols) | set(source.columns)
 
     # -- static validation before any read -----------------------------
@@ -769,11 +849,6 @@ def _merge_extended(
         return branch
 
     def _build_feed(target: DataFrame, t_cols, dtypes) -> DataFrame:
-        if matched_cl:
-            # MERGE cardinality rule, checked before any feed work:
-            # >1 source row per matched target key must error, not
-            # commit two post-images
-            _check_merge_cardinality(source, keys, target.select(*keys))
         tgt = target.select([F.col(c).alias(_TPFX + c) for c in t_cols])
         src = source.select(
             [F.col(c).alias(_SPFX + c) for c in source.columns]
@@ -782,6 +857,26 @@ def _merge_extended(
             _op.and_,
             [F.col(_SPFX + k) == F.col(_TPFX + k) for k in keys],
         )
+        if matched_cl:
+            # MERGE cardinality rule, checked before any feed work:
+            # >1 source row MODIFYING one target row must error, not
+            # commit two post-images. When every matched clause is
+            # conditional, only rows satisfying some clause count
+            # (Delta semantics — s.seq=1 dedup merges stay legal).
+            if any(c["cond"] is None for c in matched_cl):
+                _check_merge_cardinality(
+                    source, keys, target.select(*keys)
+                )
+            else:
+                _check_merge_cardinality(
+                    source,
+                    keys,
+                    target.select(*keys),
+                    modifies=functools.reduce(
+                        _op.or_, [_cond_col(c, True) for c in matched_cl]
+                    ),
+                    pair=(src, tgt, key_eq),
+                )
         parts: list[DataFrame] = []
         if matched_cl:
             pairs = src.join(tgt, key_eq, "inner").withColumn(
@@ -862,7 +957,16 @@ def _merge_extended(
         # attempt's column set, not be overwritten by a stale t_cols
         fresh = snapshots._load(root)
         base = fresh["current"]
-        t_cols, dtypes = _derive_schema(fresh)
+        t_cols, dtypes, add = _widen(*_derive_schema(fresh))
+
+        def _pad(target: DataFrame) -> DataFrame:
+            # evolving columns don't exist on the target yet: NULL-pad
+            # so the pair frame and UPDATE's keep-target-value branch
+            # see them uniformly (Delta autoMerge read semantics)
+            for n, dt in add:
+                target = target.withColumn(n, F.lit(None).cast(dt))
+            return target
+
         if mor:
             # O(batch) matched evaluation: read only the files the
             # manifest can't prune on the batch's key IN-list (the
@@ -879,11 +983,12 @@ def _merge_extended(
                 target = snapshots.read_snapshot(
                     spark, root, snapshot_id=base
                 )
-            feed = _build_feed(target, t_cols, dtypes)
+            feed = _build_feed(_pad(target), t_cols, dtypes)
             return deletes.apply_changes_dv(
-                spark, root, feed, keys, expected_base=base
+                spark, root, feed, keys, expected_base=base,
+                evolve_schema=bool(add),
             )
-        target = snapshots.read_snapshot(spark, root, snapshot_id=base)
+        target = _pad(snapshots.read_snapshot(spark, root, snapshot_id=base))
         feed = _build_feed(target, t_cols, dtypes)
         new_state = _upsert.apply_changes(
             target.select(*t_cols), feed, keys

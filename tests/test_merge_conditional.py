@@ -440,3 +440,64 @@ def test_concurrent_add_column_survives_cow_retry(spark, root, monkeypatch):
     assert "extra" in out.columns  # the DDL was not erased
     got = [(r.id, r.qty, r.extra) for r in out.collect()]
     assert got == [(1, 15, None)]
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_conditional_dedup_merge_is_legal(spark, root, mode):
+    """Delta/Iceberg error only when multiple source rows actually
+    MODIFY the same target row. With every matched clause conditional,
+    duplicate source keys whose conditions disambiguate to one
+    modifying row are LEGAL — the `WHEN MATCHED AND s.seq = 1` dedup
+    pattern — while duplicates that BOTH satisfy a clause still raise."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, qty long"),
+        root,
+    )
+    D.set_delete_mode(root, mode)
+    # seq column rides the source only (not a target column)
+    legal = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2), (2, 0, 1)],
+        "id long, qty long, seq long",
+    )
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND s.seq = 1 AND s.qty = 0 THEN DELETE "
+        "WHEN MATCHED AND s.seq = 1 THEN UPDATE SET qty = s.qty",
+        {"tbl": root},
+        sources={"src": legal},
+    )
+    got = sorted(
+        (r.id, r.qty) for r in S.read_snapshot(spark, root).collect()
+    )
+    assert got == [(1, 100)]  # seq=1 applied, seq=2 ignored, id=2 deleted
+    # ...but two rows with seq=1 for one matched key still raise
+    bad = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 1)], "id long, qty long, seq long"
+    )
+    with pytest.raises(Exception, match="matched multiple source"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED AND s.seq = 1 THEN UPDATE SET qty = s.qty",
+            {"tbl": root},
+            sources={"src": bad},
+        )
+    # duplicates whose conditions reference TARGET columns are judged
+    # against the matched pair (t.qty decides, not s-side data alone)
+    tgt_cond = spark.createDataFrame(
+        [(1, 7, 1), (1, 8, 2)], "id long, qty long, seq long"
+    )
+    with pytest.raises(Exception, match="matched multiple source"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED AND t.qty >= 100 THEN UPDATE SET qty = s.qty "
+            "WHEN MATCHED AND s.qty < 100 THEN UPDATE SET qty = s.qty",
+            {"tbl": root},
+            sources={"src": tgt_cond},
+        )
+    # nothing committed by the failed attempts
+    assert sorted(
+        (r.id, r.qty) for r in S.read_snapshot(spark, root).collect()
+    ) == [(1, 100)]

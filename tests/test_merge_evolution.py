@@ -1,9 +1,10 @@
 """MERGE WITH SCHEMA EVOLUTION (sources/sql_dml.py _merge_extended
 evolve=True): Delta autoMerge parity — source columns absent from the
-target auto-add as metadata-only commits before the merge, pre-existing
-rows read NULL, identical results on copy-on-write and merge-on-read
-routes, and a plain MERGE (no evolution clause) keeps ignoring extra
-source columns."""
+target widen the schema ATOMICALLY inside the merge commit (a failed
+merge leaves the schema untouched), pre-existing rows read NULL,
+identical results on copy-on-write and merge-on-read routes, and a
+plain MERGE (no evolution clause) keeps ignoring extra source
+columns."""
 
 from __future__ import annotations
 
@@ -57,10 +58,12 @@ def test_schema_evolution_adds_source_columns(spark, root, mode):
     # matched row updated with the new column, unmatched inserted with
     # it, untouched pre-existing row reads NULL
     assert got == {(1, 11, "a"), (2, 20, None), (3, 30, "c")}
-    # the ADD COLUMN was metadata-only: its own commit precedes the
-    # merge commit and the merge's snapshot schema carries the column
-    ops = [h["op"] for h in S.history(root)]
-    assert "add_column:tag" in ops
+    # ATOMIC evolution (Delta autoMerge): no separate add_column
+    # commit — exactly ONE commit landed after the seed write, and its
+    # snapshot schema carries the new column
+    hist = S.history(root)
+    assert len(hist) == 2
+    assert not any(h["op"].startswith("add_column") for h in hist)
 
 
 def test_schema_evolution_routes_agree(spark, root, tmp_path):
@@ -155,3 +158,34 @@ def test_evolution_survives_hash_stable_reread(spark, root):
         mode="append",
     )
     assert S.read_snapshot(spark, root).filter(F.col("id") == 9).collect()[0].tag == "z"
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_failed_evolving_merge_leaves_schema_untouched(spark, root, mode):
+    """Atomicity (the Delta autoMerge contract): a merge that FAILS —
+    here on the cardinality error — must not leave the target with the
+    evolved schema or any extra commit."""
+    _seed(spark, root, mode)
+    before = S.history(root)
+    dup = spark.createDataFrame(
+        [(1, 100, "x"), (1, 200, "y")], "id long, qty long, tag string"
+    )
+    with pytest.raises(Exception, match="matched multiple source"):
+        sql_dml.execute_dml(
+            spark, EVOLVE_MERGE, {"tbl": root}, sources={"src": dup}
+        )
+    assert S.history(root) == before  # no commit of any kind
+    assert S.read_snapshot(spark, root).columns == ["id", "qty"]
+
+
+def test_evolution_refuses_resurrecting_dropped_column(spark, root):
+    """A previously DROPPED column's physical bytes linger in old files;
+    widening-by-name would resurrect them on merge-on-read paths —
+    refused with a pointer at explicit ADD COLUMN (fresh storage)."""
+    _seed(spark, root, "merge-on-read")
+    S.add_column(root, "tag", "string")
+    S.drop_column(root, "tag")
+    with pytest.raises(ValueError, match="previously dropped|add_column|ADD COLUMN"):
+        sql_dml.execute_dml(
+            spark, EVOLVE_MERGE, {"tbl": root}, sources={"src": _src(spark)}
+        )
