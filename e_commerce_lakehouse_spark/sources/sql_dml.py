@@ -1563,18 +1563,46 @@ def _empty_like(spark: SparkSession, root: str) -> DataFrame:
 
 
 def register_snapshot_views(
-    spark: SparkSession, tables: dict[str, str]
+    spark: SparkSession, tables: dict[str, str], pushdown: bool = True
 ) -> None:
     """Expose snapshot tables to FULL Spark SQL as temp views: after
     this, ``spark.sql("SELECT ... arbitrary joins/windows ... FROM
     t")`` works with the whole SQL surface — the Dremio-shaped read
     path the reference provisions (scripts/utils.py), minus the BI
     server. Views bind the CURRENT snapshot at registration; re-call
-    after writes to advance (a temp view over read_snapshot's
-    DataFrame pins the file list at creation — snapshot isolation for
-    free, refresh is explicit)."""
+    after writes to advance (snapshot isolation for free, refresh is
+    explicit).
+
+    ``pushdown=True`` (default) binds each view through the
+    ``snapshot_table`` batch DataSource with filter pushdown: any
+    ``spark.sql("... WHERE ...")`` over the view routes its
+    conjunctive predicates into the manifest-stats + Bloom file
+    pruning (``plan_scan``), so arbitrary SQL opens only may-match
+    files — not just the routed ``SELECT`` grammar. Sets
+    ``spark.sql.python.filterPushdown.enabled`` (required by the
+    Python DataSource pushdown API, default off). ``pushdown=False``
+    binds the materialized ``read_snapshot`` DataFrame instead (no
+    file skipping; no session conf touched)."""
+    if not pushdown:
+        for name, root in tables.items():
+            snapshots.read_snapshot(spark, root).createOrReplaceTempView(name)
+        return
+    from ..streaming.table_source import TableStreamDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TableStreamDataSource)
     for name, root in tables.items():
-        snapshots.read_snapshot(spark, root).createOrReplaceTempView(name)
+        sid = snapshots._load(root)["current"]
+        if sid is None:
+            raise KeyError(f"table {root} has no snapshots")
+        (
+            spark.read.format("snapshot_table")
+            .option("path", root)
+            .option("pushdown", "true")
+            .option("snapshotId", str(sid))  # pin: snapshot isolation
+            .load()
+            .createOrReplaceTempView(name)
+        )
 
 
 _DESCRIBE = re.compile(

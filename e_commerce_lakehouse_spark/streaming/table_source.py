@@ -561,6 +561,88 @@ class _TableBatchReader(DataSourceReader):
     read = _TableStreamReader.read  # same file->aligned-Arrow kernel
 
 
+class _TablePruningBatchReader(_TableBatchReader):
+    """Batch reader with Python-DataSource filter pushdown (Spark
+    4.1's ``pushFilters``): conjunctive predicates on top-level
+    columns route into :func:`snapshots.plan_scan`'s manifest-stats +
+    Bloom-index file pruning, so ARBITRARY ``spark.sql`` over a
+    registered snapshot view opens only may-match files — the file
+    skipping previously reserved for the routed ``SELECT ... WHERE``
+    grammar. Every filter is returned to Spark for re-evaluation on
+    the surviving rows (pruning is the sound superset the
+    manifest-stats contract guarantees), so unsupported or partially
+    usable predicates are never wrong, just unpruned.
+
+    Selected via ``.option('pushdown', 'true')`` — implementing
+    ``pushFilters`` makes Spark REFUSE reads unless
+    ``spark.sql.python.filterPushdown.enabled`` is on (default off in
+    4.1), so the plain reader stays the default and
+    ``register_snapshot_views`` sets the conf when it binds these."""
+
+    #: Spark Filter class name -> plan_scan op
+    _OP_MAP = {
+        "EqualTo": "=",
+        "GreaterThan": ">",
+        "GreaterThanOrEqual": ">=",
+        "LessThan": "<",
+        "LessThanOrEqual": "<=",
+    }
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._pushed: list[tuple] = []
+
+    @staticmethod
+    def _usable_value(v) -> bool:
+        import datetime as _dt
+
+        # bool excluded (int subclass; footer-stats bounds don't order
+        # it usefully and the bloom probe would type-mismatch)
+        return not isinstance(v, bool) and isinstance(
+            v, (int, float, str, _dt.date, _dt.datetime)
+        )
+
+    def pushFilters(self, filters):
+        for f in filters:
+            name = type(f).__name__
+            attr = getattr(f, "attribute", None)
+            if isinstance(attr, tuple) and len(attr) == 1:
+                # physical name: footer stats are recorded under the
+                # file's column names (identity unless renamed)
+                col = self._physical.get(attr[0], attr[0])
+                if name in self._OP_MAP and self._usable_value(
+                    getattr(f, "value", None)
+                ):
+                    self._pushed.append((col, self._OP_MAP[name], f.value))
+                elif name == "In" and all(
+                    self._usable_value(v) for v in (f.value or ())
+                ) and f.value:
+                    self._pushed.append((col, "in", list(f.value)))
+                elif name == "IsNull":
+                    self._pushed.append((col, "is_null"))
+                elif name == "IsNotNull":
+                    self._pushed.append((col, "not_null"))
+            yield f  # Spark evaluates everything; we only prune files
+
+    def partitions(self):
+        if not self._pushed:
+            return super().partitions()
+        manifest = S._load(self.root)
+        sid = self.snapshot_id or manifest["current"]
+        plan = S.plan_scan(self.root, self._pushed, snapshot_id=sid)
+        keep = set(plan["files"])
+        entry = S._entry(manifest, sid)
+        dv_pos = _dv_positions(self.root, entry.get("dvs", []))
+        return [
+            _FilePartition(
+                os.path.join(self.root, d, f), sid,
+                sorted(dv_pos.get(f"{d}/{f}", [])),
+            )
+            for d, f in S._entry_units(self.root, manifest, entry)
+            if os.path.join(d, f) in keep
+        ]
+
+
 class TableStreamDataSource(DataSource):
     """``format("snapshot_table")`` — see module docstring for the
     option surface (path, startingSnapshotId, ignoreDeletes,
@@ -583,6 +665,8 @@ class TableStreamDataSource(DataSource):
         )
 
     def reader(self, schema):
+        if _bool_opt(self.options, "pushdown"):
+            return _TablePruningBatchReader(self.options)
         return _TableBatchReader(self.options)
 
     def streamReader(self, schema):

@@ -811,3 +811,93 @@ def test_describe_detail_reports_metadata_footprint(spark, tmp_path):
     assert meta["n_versions"] == 2 and meta["version_bytes"] > 0
     assert meta["n_ref_files"] >= 4  # 2 entry files + 2 stats files
     assert meta["ref_bytes"] > 0
+
+
+def test_pushdown_batch_reader_prunes_files(spark, root):
+    """Unit gate on the filter-pushdown batch reader (the DataSource
+    behind register_snapshot_views): pushed conjunctive predicates
+    route into plan_scan and partitions() plans ONLY may-match files;
+    every filter is returned to Spark for residual evaluation."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, In, IsNotNull, StringStartsWith,
+    )
+
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        _TablePruningBatchReader,
+    )
+
+    # 4 single-file commits with disjoint id ranges -> tight bounds
+    S.write_snapshot(spark.range(0, 10).repartition(1), root)
+    for lo in (10, 20, 30):
+        S.write_snapshot(
+            spark.range(lo, lo + 10).repartition(1), root, mode="append"
+        )
+    opts = {"path": root, "pushdown": "true"}
+    r = _TablePruningBatchReader(opts)
+    assert len(r.partitions()) == 4  # unfiltered: every file
+
+    r = _TablePruningBatchReader(opts)
+    returned = list(r.pushFilters([
+        IsNotNull(("id",)), GreaterThan(("id",), 24),
+    ]))
+    assert len(returned) == 2  # all filters handed back to Spark
+    assert len(r.partitions()) == 2  # files [20,30) and [30,40)
+
+    r = _TablePruningBatchReader(opts)
+    list(r.pushFilters([EqualTo(("id",), 5), In(("id",), (5, 7))]))
+    assert len(r.partitions()) == 1
+
+    # unsupported filter shapes are returned un-pushed -> no pruning
+    r = _TablePruningBatchReader(opts)
+    rem = list(r.pushFilters([StringStartsWith(("id",), "x")]))
+    assert len(rem) == 1 and len(r.partitions()) == 4
+
+
+def test_spark_sql_over_registered_view_gets_file_skipping(spark, root):
+    """register_snapshot_views (pushdown default): arbitrary spark.sql
+    WHERE over the view is hash-equal to the unpruned read — on a
+    table with DVs, a rename, and an added-with-DEFAULT column — and
+    non-prunable predicates still answer correctly (fallback)."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(i, i * 10, f"s{i}") for i in range(20)],
+            "id long, qty long, name string",
+        ).repartition(1),
+        root,
+    )
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(i, i * 10, f"s{i}") for i in range(20, 40)],
+            "id long, qty long, name string",
+        ).repartition(1),
+        root,
+        mode="append",
+    )
+    D.set_delete_mode(root, "merge-on-read")
+    D.delete_where_dv(spark, root, [("id", "in", [3, 25])])
+    S.rename_column(root, "qty", "amount")
+    S.add_column(root, "tier", "string", default="basic")
+    t = {"t": root}
+    sql_dml.register_snapshot_views(spark, t)
+
+    want = sorted(
+        map(tuple, S.read_snapshot(spark, root)
+            .filter("id >= 18 AND id < 30").collect())
+    )
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM t WHERE id >= 18 AND id < 30").collect()))
+    assert got == want and len(got) == 11  # 25 DV-deleted
+    # renamed column prunes via the physical-name translation
+    assert spark.sql(
+        "SELECT count(*) AS n FROM t WHERE amount = 100"
+    ).first().n == 1
+    # DEFAULT column: pre-ADD rows read 'basic' through the view
+    assert spark.sql(
+        "SELECT count(*) AS n FROM t WHERE tier = 'basic'"
+    ).first().n == 38
+    # non-prunable shapes (OR, expression on the column) stay correct
+    assert spark.sql(
+        "SELECT count(*) AS n FROM t WHERE id % 10 = 0 OR amount > 380"
+    ).first().n == 4 + 0 + 1  # 0,10,20,30 and 39
