@@ -114,6 +114,60 @@ def _latest_version(root: str) -> int | None:
 #: commit. Accessing any of them on a lazy entry hydrates the payload.
 _HEAVY_ENTRY_KEYS = frozenset(("dirs", "files", "dvs", "schema", "mapping"))
 
+#: Max delta-chain length for entry payloads before a FULL payload is
+#: written again. Entry files normally store only the diff vs the
+#: parent's payload (dirs added/removed, changed per-dir file refs,
+#: changed schema/dvs/mapping) — O(this commit's changes) bytes, which
+#: bounds the old O(#dirs)-per-commit cumulative-list term at
+#: per-minute streaming-commit cadence. The periodic full payload
+#: bounds hydration to <= this many (cached) ref reads and amortizes
+#: its O(#dirs) cost over the window — Iceberg's manifest-list
+#: rewrite cadence, fixed instead of size-triggered.
+_ENTRY_DELTA_MAX_DEPTH = 32
+
+
+def _resolve_entry_payload(store: "_RefStore", payload: dict) -> dict:
+    """Fold a delta-encoded entry payload chain into the effective full
+    form ``{dirs, schema, [dvs], [mapping], [file_refs]}``. A delta
+    payload carries ``base_ref`` (the parent entry's payload file) plus
+    diffs; the chain ends at a full payload within
+    :data:`_ENTRY_DELTA_MAX_DEPTH` hops, every hop served from the
+    store's cache after first load."""
+    if "base_ref" not in payload:
+        return payload
+    chain = [payload]
+    while "base_ref" in chain[-1]:
+        chain.append(store.load(chain[-1]["base_ref"]))
+    eff = dict(chain[-1])  # the full base
+    for p in reversed(chain[:-1]):
+        if "dirs_full" in p:
+            eff["dirs"] = list(p["dirs_full"])
+        else:
+            rm = set(p.get("dirs_remove", ()))
+            eff["dirs"] = [
+                d for d in eff["dirs"] if d not in rm
+            ] + list(p.get("dirs_add", ()))
+        for k in ("schema", "dvs", "mapping"):
+            if k in p:  # changed at this hop; else inherit
+                if k != "schema" and not p[k]:
+                    # cleared (rewrite_deletes / materialize_schema):
+                    # normalize to ABSENT, the full-form invariant
+                    eff.pop(k, None)
+                else:
+                    eff[k] = p[k]
+        if p.get("has_files"):
+            fr = dict(eff.get("file_refs") or {})
+            for d in p.get("file_refs_del", ()):
+                fr.pop(d, None)
+            fr.update(p.get("file_refs_set", {}))
+            eff["file_refs"] = fr
+        else:
+            eff.pop("file_refs", None)
+    for k in ("base_ref", "depth", "dirs_add", "dirs_remove",
+              "dirs_full", "has_files", "file_refs_set", "file_refs_del"):
+        eff.pop(k, None)
+    return eff
+
 
 class _RefStore:
     """Loader/writer for the immutable metadata ref files under
@@ -182,21 +236,30 @@ class _SnapEntry(dict):
     summary + the ``entry_ref`` pointer); first access to a heavy key
     (dirs/files/dvs/schema/mapping) loads the immutable entry file.
     Committed entries are never mutated (every op builds a NEW plain
-    dict entry), so hydration is the only state change."""
+    dict entry), so hydration is the only state change.
 
-    __slots__ = ("_store", "_hydrated")
+    ``_file_refs`` records the effective ``{dir: files-ref}`` pointer
+    map after hydration (None for dir-granular entries) — a child
+    commit's serialization diffs against it to delta-encode its own
+    payload without re-deriving ref names."""
+
+    __slots__ = ("_store", "_hydrated", "_file_refs")
 
     def __init__(self, light: dict, store: _RefStore):
         super().__init__(light)
         self._store = store
         self._hydrated = "entry_ref" not in light
+        self._file_refs = None
 
     def _hydrate(self) -> None:
         if self._hydrated:
             return
-        payload = self._store.load(dict.__getitem__(self, "entry_ref"))
+        payload = _resolve_entry_payload(
+            self._store, self._store.load(dict.__getitem__(self, "entry_ref"))
+        )
         for k, v in payload.items():
             if k == "file_refs":
+                self._file_refs = dict(v)
                 dict.__setitem__(
                     self,
                     "files",
@@ -479,22 +542,82 @@ def _serialize_manifest(root: str, manifest: dict) -> dict:
         and k not in ("snapshots", "dir_stats", "dir_stats_refs", "version")
     }
     snaps_out = []
+    by_id: dict = {}
     for i, s in enumerate(manifest["snapshots"]):
         if isinstance(s, _SnapEntry):
+            by_id[s["id"]] = s
             snaps_out.append(s.light())
             continue
-        payload = {
-            k: s[k] for k in ("dirs", "schema", "dvs", "mapping") if k in s
-        }
+        child_refs = None
         if "files" in s:
-            payload["file_refs"] = {
+            child_refs = {
                 d: store.files_ref(lst) for d, lst in s["files"].items()
             }
+        # delta-encode vs the parent's payload when the chain allows:
+        # O(this commit's changes) bytes instead of the cumulative
+        # dirs list + full per-dir pointer map (see
+        # _ENTRY_DELTA_MAX_DEPTH). Parents outside the manifest list
+        # (hand-rolled tests) or plain legacy entries get full form.
+        parent = by_id.get(s.get("parent"))
+        depth = 0
+        payload: dict = {}
+        if (
+            isinstance(parent, _SnapEntry)
+            and dict.__contains__(parent, "entry_ref")
+            and dict.get(parent, "entry_depth", 0) < _ENTRY_DELTA_MAX_DEPTH
+        ):
+            parent._hydrate()
+            depth = dict.get(parent, "entry_depth", 0) + 1
+            payload["base_ref"] = dict.__getitem__(parent, "entry_ref")
+            payload["depth"] = depth
+            p_dirs = parent["dirs"]
+            p_set, s_set = set(p_dirs), set(s["dirs"])
+            add = [d for d in s["dirs"] if d not in p_set]
+            recon = [d for d in p_dirs if d in s_set] + add
+            if recon == list(s["dirs"]):
+                payload["dirs_add"] = add
+                payload["dirs_remove"] = [
+                    d for d in p_dirs if d not in s_set
+                ]
+            else:  # order diverged (sorted rewrite lists): store whole
+                payload["dirs_full"] = list(s["dirs"])
+            if s["schema"] != parent["schema"]:
+                payload["schema"] = s["schema"]
+            if list(s.get("dvs") or []) != list(parent.get("dvs") or []):
+                payload["dvs"] = list(s.get("dvs") or [])
+            if (s.get("mapping") or {}) != (parent.get("mapping") or {}):
+                payload["mapping"] = dict(s.get("mapping") or {})
+            if child_refs is not None:
+                payload["has_files"] = True
+                p_refs = (
+                    parent._file_refs
+                    if parent._file_refs is not None
+                    else {}
+                )
+                payload["file_refs_set"] = {
+                    d: r
+                    for d, r in child_refs.items()
+                    if p_refs.get(d) != r
+                }
+                payload["file_refs_del"] = sorted(
+                    d for d in p_refs if d not in child_refs
+                )
+            else:
+                payload["has_files"] = False
+        else:
+            payload = {
+                k: s[k]
+                for k in ("dirs", "schema", "dvs", "mapping")
+                if k in s
+            }
+            if child_refs is not None:
+                payload["file_refs"] = child_refs
         light = {
             k: v for k, v in s.items() if k not in _HEAVY_ENTRY_KEYS
         }
         if "summary" not in light:
             light["summary"] = _entry_summary(manifest, s)
+        light["entry_depth"] = depth
         light["entry_ref"] = store.write("entry", payload)
         snaps_out.append(light)
         lazy = _SnapEntry(light, store)
@@ -502,6 +625,8 @@ def _serialize_manifest(root: str, manifest: dict) -> dict:
             if k in s:
                 dict.__setitem__(lazy, k, s[k])
         lazy._hydrated = True
+        lazy._file_refs = child_refs
+        by_id[lazy["id"]] = lazy
         manifest["snapshots"][i] = lazy
     out["snapshots"] = snaps_out
     ds = manifest.get("dir_stats")
@@ -636,15 +761,19 @@ def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
         live.update(m.get("dir_stats_refs", {}).values())
         for s in m.get("snapshots", []):
             ref = s.get("entry_ref")
-            if not ref:
-                continue
-            live.add(ref)
-            try:
-                with open(os.path.join(mdir, ref)) as fh:
-                    payload = json.load(fh)
-            except (OSError, ValueError):
-                return []  # a live entry ref must be readable
-            live.update(payload.get("file_refs", {}).values())
+            # delta payloads chain to their base entry files (possibly
+            # of EXPIRED snapshots no manifest lists anymore) — walk
+            # the chain so hydration always finds its bases
+            while ref and ref not in live:
+                live.add(ref)
+                try:
+                    with open(os.path.join(mdir, ref)) as fh:
+                        payload = json.load(fh)
+                except (OSError, ValueError):
+                    return []  # a live entry ref must be readable
+                live.update(payload.get("file_refs", {}).values())
+                live.update(payload.get("file_refs_set", {}).values())
+                ref = payload.get("base_ref")
     now = time.time()
     removed = []
     for nm in sorted(names):
@@ -2204,7 +2333,26 @@ def expire_snapshots(
         for f in _dir_files(root, manifest, d):
             if f not in owned:
                 dead_files.add(os.path.join(d, f))
-    manifest["snapshots"] = retained
+    # Flatten retained entries (Iceberg rewrite_manifests analog):
+    # delta-encoded entry payloads chain through their ANCESTORS' entry
+    # files, so without this the trimmed snapshots' metadata would stay
+    # live as bases forever. Hydrating and re-externalizing the (few)
+    # retained entries re-roots their chains inside the retained set —
+    # the next ref GC then collects the expired history's entry files.
+    # Older version manifests still referencing the old refs keep them
+    # alive until pruned (time travel through retained versions).
+    flat = []
+    for s in retained:
+        if isinstance(s, _SnapEntry):
+            s._hydrate()
+            flat.append({
+                k: v
+                for k, v in dict.items(s)
+                if k not in ("entry_ref", "entry_depth")
+            })
+        else:
+            flat.append(s)
+    manifest["snapshots"] = flat
     for d in dead_dirs:
         manifest.get("dir_stats", {}).pop(d, None)
     dead_files = sorted(f for f in dead_files if f.split(os.sep, 1)[0] not in dead_dirs)

@@ -1459,12 +1459,14 @@ def test_vacuum_prunes_old_manifest_versions(spark, root):
                 m = _json.load(fh)
             live.update(m.get("dir_stats_refs", {}).values())
             for s in m.get("snapshots", []):
-                if s.get("entry_ref"):
-                    live.add(s["entry_ref"])
-                    with open(os.path.join(mdir, s["entry_ref"])) as fh:
-                        live.update(
-                            _json.load(fh).get("file_refs", {}).values()
-                        )
+                ref = s.get("entry_ref")
+                while ref and ref not in live:  # delta base chain
+                    live.add(ref)
+                    with open(os.path.join(mdir, ref)) as fh:
+                        payload = _json.load(fh)
+                    live.update(payload.get("file_refs", {}).values())
+                    live.update(payload.get("file_refs_set", {}).values())
+                    ref = payload.get("base_ref")
         return live
 
     # liveness invariant: every surviving ref file is referenced by a
@@ -2007,3 +2009,121 @@ def test_gc_ref_files_fails_closed_on_unreadable_metadata(spark, root):
         ".entry-aaaa.json", ".commit-v99-zzz", ".hint-123"
     }
     assert S.read_snapshot(spark, root).count() == 8
+
+
+def test_entry_delta_encoding_bounds_commit_bytes(spark, root):
+    """Round-11 metadata contract: entry payloads delta-encode vs the
+    parent (dirs added/removed + changed per-dir refs), so per-commit
+    entry bytes are FLAT in table age — the old cumulative dirs list +
+    full pointer map grew O(#dirs) per commit. A full payload re-roots
+    each chain every _ENTRY_DELTA_MAX_DEPTH commits (bounded hydration,
+    amortized O(#dirs / depth)); everything still reads: head, time
+    travel to the first commit, and a mid-history snapshot."""
+    import json as _j
+
+    mdir = os.path.join(root, "_manifests")
+    seen: set = set()
+    entry_bytes = []  # (commit_idx, new entry-file bytes, depth)
+    n = 120  # ~120 dirs; >3 full-payload epochs at depth 32
+    for i in range(n):
+        S.write_snapshot(
+            spark.range(i * 5, (i + 1) * 5).repartition(1),
+            root,
+            mode="append" if i else "overwrite",
+        )
+        new = [
+            nm for nm in os.listdir(mdir)
+            if nm.startswith("entry-") and nm not in seen
+        ]
+        seen.update(new)
+        assert len(new) == 1
+        with open(S._version_path(root, S._latest_version(root))) as fh:
+            head = _j.load(fh)
+        depth = head["snapshots"][-1].get("entry_depth", 0)
+        entry_bytes.append(
+            (i, os.path.getsize(os.path.join(mdir, new[0])), depth)
+        )
+    deltas = [(i, b) for i, b, d in entry_bytes if d > 0]
+    fulls = [(i, b) for i, b, d in entry_bytes if d == 0]
+    # depth resets once the chain reaches _ENTRY_DELTA_MAX_DEPTH:
+    # one full payload then MAX_DEPTH deltas per epoch
+    assert [i for i, _ in fulls] == [
+        i for i in range(n) if i % (S._ENTRY_DELTA_MAX_DEPTH + 1) == 0
+    ]
+    # delta entries: FLAT — late commits no bigger than early ones
+    early = [b for i, b in deltas if i < 30]
+    late = [b for i, b in deltas if i >= n - 30]
+    assert max(late) <= 1.2 * max(early), (max(early), max(late))
+    # and small in absolute terms: a one-dir append's delta payload is
+    # pointer-sized, nowhere near the O(#dirs) cumulative form
+    assert max(b for _, b in deltas) < 600
+    # full payloads DO grow with #dirs (amortized) — sanity that the
+    # delta form is actually smaller than its epoch's full rewrite
+    assert fulls[-1][1] > 5 * max(late)
+    # reads: head, first commit, mid-history (chain folds correctly)
+    assert S.read_snapshot(spark, root).count() == n * 5
+    assert S.read_snapshot(spark, root, snapshot_id=1).count() == 5
+    assert S.read_snapshot(spark, root, snapshot_id=77).count() == 77 * 5
+    assert S.plan_scan(root, [("id", "<", 5)])["pruned"]
+
+
+def test_round10_full_payload_layout_migrates_to_delta(spark, root):
+    """A round-10-layout table (split manifest, FULL entry payloads,
+    no entry_depth/base_ref) reads as-is and the next commits delta
+    against its full payloads; expire re-roots chains so the old
+    history's refs collect."""
+    import json as _j
+
+    S.write_snapshot(spark.range(10).withColumn("v", F.col("id")), root)
+    S.write_snapshot(
+        spark.range(10, 20).withColumn("v", F.col("id")),
+        root, mode="append",
+    )
+    # fabricate the round-10 shape: full payload per entry, light
+    # entries without entry_depth
+    m = S._load(root)
+    store = m["_store"]
+    mdir = os.path.join(root, "_manifests")
+    lights = []
+    for s in m["snapshots"]:
+        s._hydrate()
+        payload = {
+            k: dict.__getitem__(s, k)
+            for k in ("dirs", "schema", "dvs", "mapping")
+            if dict.__contains__(s, k)
+        }
+        if dict.__contains__(s, "files"):
+            payload["file_refs"] = {
+                d: store.files_ref(lst)
+                for d, lst in dict.__getitem__(s, "files").items()
+            }
+        light = {
+            k: v for k, v in s.light().items()
+            if k not in ("entry_ref", "entry_depth")
+        }
+        light["entry_ref"] = store.write("entry", payload)
+        lights.append(light)
+    v = S._latest_version(root) + 1
+    with open(S._version_path(root, v - 1)) as fh:
+        head = _j.load(fh)
+    head["snapshots"] = lights
+    head["version"] = v
+    with open(S._version_path(root, v), "w") as fh:
+        _j.dump(head, fh)
+    # reads through full payloads
+    assert S.read_snapshot(spark, root).count() == 20
+    # next commit deltas against the round-10 full payload
+    S.write_snapshot(
+        spark.range(20, 25).withColumn("v", F.col("id")),
+        root, mode="append",
+    )
+    with open(S._version_path(root, S._latest_version(root))) as fh:
+        newhead = _j.load(fh)
+    assert newhead["snapshots"][-1]["entry_depth"] == 1
+    with open(
+        os.path.join(mdir, newhead["snapshots"][-1]["entry_ref"])
+    ) as fh:
+        payload = _j.load(fh)
+    assert "base_ref" in payload and payload["dirs_add"]
+    assert S.read_snapshot(spark, root).count() == 25
+    assert S.read_snapshot(spark, root, snapshot_id=1).count() == 10
