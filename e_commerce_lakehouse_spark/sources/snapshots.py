@@ -521,6 +521,66 @@ def _entry_summary(manifest: dict, s: dict) -> dict:
         out["added_bytes"] = n_bytes
         if known:
             out["added_rows"] = n_rows
+    # removed files/rows for REWRITES (replace_where / compact / zorder
+    # / update_where — the child is file-granular): diff vs the
+    # parent's per-dir lists. A file-granular parent has them in
+    # memory (shallow-copied unchanged lists short-circuit on
+    # identity); a dir-granular parent's lists come from the dirs'
+    # stats the op hydrated for its triage. Anything unknowable makes
+    # the whole pair OMIT rather than under-count.
+    if parent is not None and "files" in s:
+        p_files = parent["files"] if "files" in parent else None
+
+        def _parent_list(d):
+            if p_files is not None:
+                return p_files.get(d)
+            st = peek(d)
+            return sorted(st) if isinstance(st, dict) else None
+
+        rm_files, rm_rows = 0, 0
+        files_known = rows_known = True
+        for d in pdirs:
+            lst = _parent_list(d)
+            cur = s["files"].get(d) if d in set(dirs) else []
+            if lst is None:  # parent list unknowable in-memory
+                files_known = False
+                break
+            if cur is lst or cur == lst:
+                continue
+            cset = set(cur or ())
+            gone = [f for f in lst if f not in cset]
+            rm_files += len(gone)
+            st = peek(d)
+            for f in gone:
+                first = (
+                    next(iter((st.get(f) or {}).values()), None)
+                    if isinstance(st, dict) else None
+                )
+                rows = (
+                    first.get("rows") if isinstance(first, dict) else None
+                )
+                if rows is None:
+                    rows_known = False
+                else:
+                    rm_rows += rows
+        if files_known and rm_files:
+            out["removed_files"] = rm_files
+            if rows_known:
+                out["removed_rows"] = rm_rows
+    # row-level DELETE/MERGE observability: rows newly marked by this
+    # commit's deletion vectors (footer counts of the NEW dv dirs —
+    # KB-scale sidecars, no data read)
+    new_dvs = sorted(dvs - pdvs)
+    if new_dvs:
+        try:
+            out["dv_marked_rows"] = sum(
+                _parquet_dir_rows(manifest["_store"].root, d)
+                for d in new_dvs
+            )
+        except (OSError, KeyError):  # pragma: no cover - observability
+            pass
+    if s.get("data_change", True) is False:
+        out["data_change"] = False
     return out
 
 

@@ -193,7 +193,7 @@ def parse_set(clause: str) -> dict[str, str]:
 
 _METADATA_SELECT = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+(\w+)\s*\.\s*"
-    r"(snapshots|files|tags|partitions)\s*;?\s*$",
+    r"(snapshots|files|tags|partitions|branches|constraints)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE_DETAIL = re.compile(
@@ -277,6 +277,15 @@ _DROP_COLUMN = re.compile(
 _SET_TBLPROP = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\(\s*"
     r"'([^']+)'\s*=\s*'([^']+)'\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    r"CHECK\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _TRUNCATE = re.compile(
@@ -1347,6 +1356,20 @@ def execute_dml(
 
         deletes.set_delete_mode(root, value)
         return {"op": "set_tblproperties", "table": name, key: value}
+
+    if (m := _ADD_CONSTRAINT.match(sql)) is not None:
+        # Delta's ALTER TABLE ... ADD CONSTRAINT name CHECK (cond):
+        # routes onto the stored-constraint tier — existing rows are
+        # NOT validated (set_constraint's contract: writes from now on
+        # are guarded), matching the function-level surface exactly
+        name, cname, cond = m.groups()
+        snapshots.set_constraint(_resolve(tables, name), cname, cond.strip())
+        return {"op": "add_constraint", "table": name, "constraint": cname}
+
+    if (m := _DROP_CONSTRAINT.match(sql)) is not None:
+        name, cname = m.groups()
+        snapshots.drop_constraint(_resolve(tables, name), cname)
+        return {"op": "drop_constraint", "table": name, "constraint": cname}
 
     if (m := _ADD_COLUMN.match(sql)) is not None:
         name, col, dtype, default = m.groups()

@@ -116,6 +116,29 @@ _COMMIT_COL = "_commit_version"
 _CHANGE_COL = "_change_type"
 
 
+#: Spark major.minor versions whose Python-DataSource streaming call
+#: order has been PROBED and pinned by tests/test_table_stream.py:
+#: fresh stream = latestOffset -> initialOffset -> partitions, restart
+#: = partitions(checkpoint) -> latestOffset. Only under that order does
+#: "reader base unset at latestOffset-time" PROVE a fresh stream — the
+#: soundness condition for throttling the very first trigger's
+#: initial-snapshot slice (maxFilesPerTrigger).
+_PROBED_CALL_ORDER_SPARK = frozenset({"4.1"})
+
+
+def _trigger1_slice_safe() -> bool:
+    """May the reader start a maxFilesPerTrigger initial-snapshot slice
+    from an UNSET base? True only on Spark versions whose engine call
+    order is probed/pinned; elsewhere the first trigger stays
+    unthrottled (safe: a full-snapshot offset can never plan behind a
+    restart checkpoint, while a mis-guessed init slice could)."""
+    import pyspark
+
+    return ".".join(
+        pyspark.__version__.split(".")[:2]
+    ) in _PROBED_CALL_ORDER_SPARK
+
+
 def _opt(options, name, default=None):
     """Python-DataSource options arrive lower-cased through the JVM
     option path; accept either spelling."""
@@ -319,11 +342,18 @@ class _TableStreamReader(DataSourceStreamReader):
         if cur is None:
             return {"snapshot_id": self.starting_id}
         base = getattr(self, "_planned", self._UNKNOWN)
+        # an unset base proves a fresh stream ONLY under the probed
+        # engine call order (_trigger1_slice_safe): on an unprobed
+        # Spark, a restart might call latestOffset first, and starting
+        # an init slice from the guessed base could plan an offset
+        # BEHIND the checkpoint. Fall back to an unthrottled first
+        # trigger there — always safe, merely unsliced.
+        unproven_fresh = base is self._UNKNOWN and not _trigger1_slice_safe()
         if base is self._UNKNOWN:
             base = {"snapshot_id": self.starting_id}
         base_sid = base["snapshot_id"]
         in_init = base_sid is None or "init_files" in base
-        if self.max_files is not None and in_init:
+        if self.max_files is not None and in_init and not unproven_fresh:
             # initial-snapshot slicing: the phase pins ONE snapshot and
             # walks its canonical file order in maxFilesPerTrigger
             # steps; tail commits plan only after the phase completes

@@ -901,3 +901,74 @@ def test_spark_sql_over_registered_view_gets_file_skipping(spark, root):
     assert spark.sql(
         "SELECT count(*) AS n FROM t WHERE id % 10 = 0 OR amount > 380"
     ).first().n == 4 + 0 + 1  # 0,10,20,30 and 39
+
+
+def test_alter_table_constraint_routes(spark, root):
+    """ALTER TABLE ADD/DROP CONSTRAINT route onto set_constraint /
+    drop_constraint (routing equality) — guarded writes reject, drop
+    lifts, inspection lists them; out-of-grammar forms stay loud."""
+    S.write_snapshot(
+        spark.createDataFrame([(1, 10)], "id long, qty long"), root
+    )
+    t = {"t": root}
+    out = sql_dml.execute_dml(
+        spark, "ALTER TABLE t ADD CONSTRAINT qty_pos CHECK (qty > 0)", t
+    )
+    assert out["op"] == "add_constraint"
+    assert S.table_constraints(root) == {"qty_pos": "qty > 0"}
+    # guarded write rejects, exactly like the function-level surface
+    with pytest.raises(Exception, match="qty_pos|CHECK|constraint"):
+        S.write_snapshot(
+            spark.createDataFrame([(2, -5)], "id long, qty long"),
+            root, mode="append",
+        )
+    # inspection table lists it; SQL metadata route agrees
+    cons = sql_dml.execute_dml(spark, "SELECT * FROM t.constraints", t)["df"]
+    assert [(r.name, r.condition) for r in cons.collect()] == [
+        ("qty_pos", "qty > 0")
+    ]
+    sql_dml.execute_dml(spark, "ALTER TABLE t DROP CONSTRAINT qty_pos", t)
+    assert S.table_constraints(root) == {}
+    S.write_snapshot(
+        spark.createDataFrame([(2, -5)], "id long, qty long"),
+        root, mode="append",
+    )
+    assert S.read_snapshot(spark, root).count() == 2
+    with pytest.raises(KeyError):
+        sql_dml.execute_dml(spark, "ALTER TABLE t DROP CONSTRAINT nope", t)
+
+
+def test_rewrite_summaries_carry_removed_and_dv_metrics(spark, root):
+    """Operation metrics completeness (DESCRIBE HISTORY audit): a
+    replace_where rewrite reports removed_files/removed_rows, a DV
+    delete reports dv_marked_rows, and maintenance commits carry
+    data_change=False in their summary."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+
+    S.write_snapshot(
+        spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(4, "id"),
+        root,
+    )
+    # rewrite: delete a range -> boundary files rewritten, summary
+    # counts the files and rows that left
+    S.replace_where(
+        spark, root,
+        spark.createDataFrame([], "id long, v long"),
+        [("id", ">=", 90)],
+    )
+    h = {x["id"]: x for x in S.history(root)}
+    sid = S._load(root)["current"]
+    summ = h[sid]["summary"]
+    assert summ.get("removed_files", 0) >= 1
+    assert summ.get("removed_rows") == 25  # the top range file's rows
+    # DV delete: marked-row count in the summary
+    D.set_delete_mode(root, "merge-on-read")
+    D.delete_where_dv(spark, root, [("id", "in", [1, 2, 3])])
+    h = {x["id"]: x for x in S.history(root)}
+    assert h[S._load(root)["current"]]["summary"]["dv_marked_rows"] == 3
+    # maintenance commit: data_change=False rides the summary too
+    D.rewrite_deletes(spark, root)
+    S.compact_files(spark, root)
+    h = {x["id"]: x for x in S.history(root)}
+    assert h[S._load(root)["current"]]["summary"].get("data_change") is False

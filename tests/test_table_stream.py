@@ -737,3 +737,33 @@ def test_zorder_after_rename_stays_data_change_true(spark, tmpdir):
     S.rename_column(root, "v", "val")
     zid = S.optimize_zorder(spark, root, ["k"], num_files=2)
     assert S._entry(S._load(root), zid).get("data_change", True) is True
+
+
+def test_trigger1_slice_gated_on_probed_spark_version(spark, tmpdir, monkeypatch):
+    """The unset-base trigger-1 initial-snapshot slice is sound only
+    under the PROBED engine call order; on an unprobed Spark version
+    the reader's first latestOffset must fall back to the full
+    snapshot (unthrottled — safe) instead of guessing an init slice
+    that a restart could plan behind its checkpoint."""
+    from e_commerce_lakehouse_spark.streaming import table_source as ts
+
+    root = f"{tmpdir}/t"
+    _mk_single_file_commits(spark, root, n_files=4, rows_per_file=2)
+    opts = {"path": root, "maxFilesPerTrigger": "2"}
+    # pinned version (this container): unset base -> init slice
+    assert ts._trigger1_slice_safe() is True
+    r = ts._TableStreamReader(opts)
+    off = r.latestOffset()  # engine calls this BEFORE initialOffset
+    assert off.get("init_files") == 2
+    # unprobed version: unset base -> full snapshot, no slice guess
+    monkeypatch.setattr(ts, "_trigger1_slice_safe", lambda: False)
+    r2 = ts._TableStreamReader(opts)
+    off2 = r2.latestOffset()
+    assert "init_files" not in off2
+    assert off2["snapshot_id"] == S._load(root)["current"]
+    # ...and once the base is KNOWN (initialOffset ran), slicing
+    # applies regardless of the version gate
+    r3 = ts._TableStreamReader(opts)
+    r3.initialOffset()
+    off3 = r3.latestOffset()
+    assert off3.get("init_files") == 2
