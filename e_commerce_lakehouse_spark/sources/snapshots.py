@@ -2301,7 +2301,10 @@ def history(root: str) -> list[dict]:
 
 @_retry_conflicts
 def expire_snapshots(
-    root: str, keep_last: int = 2, older_than: float | None = None
+    root: str,
+    keep_last: int = 2,
+    older_than: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Retain the newest ``keep_last`` snapshots (the current one and
     every TAGGED snapshot are always retained) and delete data dirs —
@@ -2319,7 +2322,11 @@ def expire_snapshots(
     ``older_than`` timestamp): snapshots committed AT OR AFTER the
     cutoff are retained even beyond ``keep_last``, so a time-based
     retention SLA ("keep a week of history") composes with the
-    count-based floor (at least ``keep_last`` always survive)."""
+    count-based floor (at least ``keep_last`` always survive).
+
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): report the dirs
+    and files that WOULD be deleted under this retention, committing
+    and deleting nothing."""
     manifest = _load(root)
     snaps = manifest["snapshots"]
     if not snaps:
@@ -2416,6 +2423,8 @@ def expire_snapshots(
     for d in dead_dirs:
         manifest.get("dir_stats", {}).pop(d, None)
     dead_files = sorted(f for f in dead_files if f.split(os.sep, 1)[0] not in dead_dirs)
+    if dry_run:
+        return sorted(dead_dirs) + dead_files
     manifest["pending_delete"] = dead_files
     _commit(root, manifest)
     removed_files, remaining = [], []
@@ -2444,7 +2453,10 @@ def expire_snapshots(
 
 
 def vacuum(
-    root: str, keep_last: int = 2, older_than_s: float = 3 * 86400.0
+    root: str,
+    keep_last: int = 2,
+    older_than_s: float = 3 * 86400.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delta ``VACUUM`` / Iceberg maintenance in one call:
     :func:`expire_snapshots` (retain the newest ``keep_last`` + every
@@ -2457,7 +2469,17 @@ def vacuum(
     committed the manifest, so a zero cutoff on a live table would
     delete the dir out from under the writer and the subsequent
     commit would reference missing files. Pass 0 only in tests with
-    no concurrent writer."""
+    no concurrent writer.
+
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): list the DATA
+    dirs/files the run would delete, touching nothing — no commit, no
+    unlink. Metadata-tier GC (version pruning, ref files) is excluded
+    from the dry-run report; it only ever collects unreferenced
+    metadata."""
+    if dry_run:
+        return expire_snapshots(
+            root, keep_last=keep_last, dry_run=True
+        ) + remove_orphans(root, older_than_s=older_than_s, dry_run=True)
     removed = expire_snapshots(root, keep_last=keep_last)
     removed += remove_orphans(root, older_than_s=older_than_s)
     # version files prune FIRST so their refs become unreferenced, then
@@ -2636,13 +2658,16 @@ def metadata_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     )
 
 
-def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
+def remove_orphans(
+    root: str, older_than_s: float = 0.0, dry_run: bool = False
+) -> list[str]:
     """Delete data dirs referenced by NO snapshot in the log — debris
     from writes that failed before their manifest commit (Iceberg's
     ``remove_orphan_files``). ``older_than_s`` keeps dirs younger than
     the cutoff (in production an in-flight writer's dir exists before
     its commit; Iceberg defaults to 3 days — the 0 default here is for
-    tests where no writer is concurrent). Returns the removed dirs."""
+    tests where no writer is concurrent). Returns the removed dirs.
+    ``dry_run=True`` reports them without deleting."""
     manifest = _load(root)
     live = {
         d
@@ -2657,9 +2682,10 @@ def remove_orphans(root: str, older_than_s: float = 0.0) -> list[str]:
             continue
         if now - os.path.getmtime(p) < older_than_s:
             continue
-        shutil.rmtree(p, ignore_errors=True)
+        if not dry_run:
+            shutil.rmtree(p, ignore_errors=True)
         removed.append(name)
-    if removed:
+    if removed and not dry_run:
         # The deletions are done; the stats-prune commit retries with a
         # FRESH load on conflict (a whole-function re-run would find the
         # dirs already gone, skip the commit, and leak their dir_stats

@@ -24,7 +24,13 @@ TIMESTAMP AS OF 'iso' | TAG 'name']    / ``scan_snapshot`` (WHERE gets
                                        the DataFrame in ``"df"``)
 ``OPTIMIZE t [ZORDER BY (c, ...)]``    :func:`snapshots.compact_files`
                                        / ``optimize_zorder``
-``VACUUM t [RETAIN n SNAPSHOTS]``      :func:`snapshots.vacuum`
+``VACUUM t [RETAIN n SNAPSHOTS]        :func:`snapshots.vacuum`
+[DRY RUN]``                            (DRY RUN lists would-be
+                                       deletions, touches nothing)
+``RESTORE TABLE t TO VERSION AS OF n   :func:`snapshots.rollback` (a
+| TIMESTAMP AS OF 'iso'``              new auditable snapshot)
+``ALTER TABLE t ADD CONSTRAINT c       :func:`snapshots.set_constraint`
+CHECK (cond) / DROP CONSTRAINT c``     / ``drop_constraint``
 ``DESCRIBE HISTORY t``                 :func:`snapshots.history` as a
                                        DataFrame in ``"df"``
 ``SELECT * FROM TABLE_CHANGES(t, a,    :func:`snapshots.
@@ -245,7 +251,14 @@ _OPTIMIZE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM = re.compile(
-    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*$",
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?"
+    r"(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    r"\s*;?\s*$",
     re.IGNORECASE,
 )
 _HISTORY = re.compile(
@@ -1231,12 +1244,56 @@ def execute_dml(
         return {"op": "optimize", "table": name, "snapshot_id": sid}
 
     if (m := _VACUUM.match(sql)) is not None:
-        name, retain = m.groups()
+        name, retain, dry = m.groups()
         root = _resolve(tables, name)
         removed = snapshots.vacuum(
-            root, keep_last=int(retain) if retain else 2
+            root,
+            keep_last=int(retain) if retain else 2,
+            dry_run=dry is not None,
         )
-        return {"op": "vacuum", "table": name, "removed": removed}
+        return {
+            "op": "vacuum",
+            "table": name,
+            "removed": removed,
+            "dry_run": dry is not None,
+        }
+
+    if (m := _RESTORE.match(sql)) is not None:
+        # Delta's RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF: a NEW
+        # rollback snapshot whose contents are the target's — history
+        # preserved, the restore itself auditable
+        name, version, as_of = m.groups()
+        root = _resolve(tables, name)
+        if version is not None:
+            sid = int(version)
+        else:
+            t = _dt.datetime.fromisoformat(as_of.replace("Z", "+00:00"))
+            if t.tzinfo is None:
+                tz = snapshots._session_tzinfo()
+                if tz is None:
+                    raise ValueError(
+                        "naive TIMESTAMP AS OF literal without an active "
+                        "Spark session timezone — pass an offset-qualified "
+                        f"ISO string instead: {as_of!r}"
+                    )
+                t = t.replace(tzinfo=tz)
+            ts = t.timestamp()
+            manifest = snapshots._load(root)
+            anc = snapshots._main_ancestors(manifest)
+            eligible = [
+                s for s in manifest["snapshots"]
+                if s["ts"] <= ts and s["id"] in anc
+            ]
+            if not eligible:
+                raise KeyError(f"no snapshot at or before {as_of!r}")
+            sid = eligible[-1]["id"]
+        new_id = snapshots.rollback(root, sid)
+        return {
+            "op": "restore",
+            "table": name,
+            "restored_to": sid,
+            "snapshot_id": new_id,
+        }
 
     if (m := _HISTORY.match(sql)) is not None:
         name = m.group(1)

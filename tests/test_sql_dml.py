@@ -972,3 +972,55 @@ def test_rewrite_summaries_carry_removed_and_dv_metrics(spark, root):
     S.compact_files(spark, root)
     h = {x["id"]: x for x in S.history(root)}
     assert h[S._load(root)["current"]]["summary"].get("data_change") is False
+
+
+def test_vacuum_dry_run_and_restore_table(spark, root):
+    """VACUUM ... DRY RUN reports would-be deletions without touching
+    anything; RESTORE TABLE TO VERSION/TIMESTAMP AS OF routes onto
+    rollback (new auditable snapshot, data unchanged on disk)."""
+    import time as _t
+
+    S.write_snapshot(spark.range(0, 10).repartition(1), root)
+    t_after_v1 = _t.time()
+    S.write_snapshot(spark.range(10, 20).repartition(1), root)  # overwrite
+    S.write_snapshot(spark.range(20, 25).repartition(1), root,
+                     mode="append")
+    t = {"t": root}
+
+    out = sql_dml.execute_dml(spark, "VACUUM t RETAIN 1 SNAPSHOTS DRY RUN", t)
+    assert out["dry_run"] is True and out["removed"]
+    # nothing actually deleted or committed
+    assert S.read_snapshot(spark, root, snapshot_id=1).count() == 10
+    assert len(S.history(root)) == 3
+    for rel in out["removed"]:
+        assert os.path.exists(os.path.join(root, rel)), rel
+    # the real run deletes exactly what the dry run promised (the
+    # extra entries are the expire commits' own metadata churn)
+    real = sql_dml.execute_dml(spark, "VACUUM t RETAIN 1 SNAPSHOTS", t)
+    assert set(out["removed"]) <= set(real["removed"]) | set()
+    assert not os.path.exists(os.path.join(root, out["removed"][0]))
+
+    # rebuild for RESTORE checks
+    root2 = root + "_r"
+    S.write_snapshot(spark.range(0, 10).repartition(1), root2)
+    S.write_snapshot(spark.range(0, 3).repartition(1), root2)
+    t2 = {"t": root2}
+    out = sql_dml.execute_dml(
+        spark, "RESTORE TABLE t TO VERSION AS OF 1", t2
+    )
+    assert out["op"] == "restore" and out["restored_to"] == 1
+    assert S.read_snapshot(spark, root2).count() == 10
+    # timestamp form resolves on main ancestry (session tz is UTC)
+    import datetime as _dt
+
+    root3 = root + "_ts"
+    S.write_snapshot(spark.range(0, 7).repartition(1), root3)
+    cut = _t.time()
+    iso = _dt.datetime.fromtimestamp(cut, _dt.timezone.utc).isoformat()
+    S.write_snapshot(spark.range(0, 2).repartition(1), root3)
+    out = sql_dml.execute_dml(
+        spark, f"RESTORE TABLE t TO TIMESTAMP AS OF '{iso}'", {"t": root3}
+    )
+    assert out["restored_to"] == 1
+    assert S.read_snapshot(spark, root3).count() == 7
+    assert t_after_v1 > 0  # first-table marker kept for readability
