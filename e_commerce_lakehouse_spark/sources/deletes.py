@@ -378,6 +378,16 @@ def rewrite_deletes(
         "files": files,
         "parent": manifest["current"],
         "schema": entry["schema"],
+        # row-preserving by construction (Delta marks REORG PURGE
+        # dataChange=false too): every visible row of the parent is
+        # either carried verbatim, rewritten minus ALREADY-DELETED
+        # positions, or still marked by the consolidated sidecar —
+        # streams skip this commit instead of refusing/re-emitting,
+        # which together with compact's flag makes the whole maintain()
+        # choreography safe under live consumers. Identity mapping is
+        # guarded above, so a skipping stream's pinned projection
+        # stays valid.
+        "data_change": False,
         "meta": {
             "purged_dvs": list(dvs),
             "rewritten": sorted(rewrite),

@@ -767,3 +767,55 @@ def test_trigger1_slice_gated_on_probed_spark_version(spark, tmpdir, monkeypatch
     r3.initialOffset()
     off3 = r3.latestOffset()
     assert off3.get("init_files") == 2
+
+
+def test_maintain_choreography_is_stream_safe(spark, tmpdir):
+    """The full nightly maintain() sequence (rewrite_deletes -> compact
+    -> vacuum) between stream drains: every step that removes files is
+    dataChange=false, so a changelog stream skips them all — no
+    refusal, no duplicate delete/insert, and later appends keep
+    flowing. The DV delete itself (a real data change) emitted exactly
+    once, before maintenance."""
+    root, ckpt = f"{tmpdir}/t", f"{tmpdir}/ck"
+    _mk_table(spark, root, n=10)
+    _append(spark, root, 10, 14)
+    rows = []
+
+    def sink(bdf, batch_id):
+        rows.extend(
+            (r.k, r._change_type, r._commit_version) for r in bdf.collect()
+        )
+
+    def drain():
+        q = (
+            read_table_stream(spark, root, readChangeFeed="true")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    drain()
+    assert sorted(t[0] for t in rows) == list(range(14))
+    rows.clear()
+    D.set_delete_mode(root, "merge-on-read")
+    dvid = D.delete_where_dv(spark, root, [("k", "in", [2, 3])])
+    drain()  # the DV delete is a data change: emitted as 'delete'
+    assert sorted(rows) == [(2, "delete", dvid), (3, "delete", dvid)]
+    rows.clear()
+    # nightly maintenance: purge DVs, compact, vacuum — all skipped
+    out = D.maintain(spark, root, max_dvs=0, purge_min_frac=0.0,
+                     keep_last=4, older_than_s=0.0)
+    assert "purged_snapshot" in out and "compact_snapshot" in out
+    m = S._load(root)
+    assert S._entry(m, out["purged_snapshot"]).get("data_change") is False
+    assert S._entry(m, out["compact_snapshot"]).get("data_change") is False
+    drain()
+    assert rows == []  # nothing re-emitted, nothing refused
+    sid = _append(spark, root, 14, 16)
+    drain()
+    assert sorted(rows) == [(14, "insert", sid), (15, "insert", sid)]
