@@ -48,10 +48,13 @@ Semantics (Delta streaming-source parity):
   a guessed base could plan an offset BEHIND the checkpoint and
   corrupt the stream. A steady-state tailer is throttled on every
   batch.
-- ``maxFilesPerTrigger``: split the INITIAL snapshot across triggers,
-  at most N files per micro-batch (Delta's option, scoped here to the
-  backfill phase — the batch that would otherwise emit 100 TB in one
-  go). Offsets during the phase carry ``init_files`` (how many of the
+- ``maxFilesPerTrigger`` / ``maxBytesPerTrigger``: split the INITIAL
+  snapshot across triggers, at most N files (and/or ~N bytes — the
+  file that crosses the budget is included, and every trigger advances
+  at least one file) per micro-batch (Delta's options, scoped here to
+  the backfill phase — the batch that would otherwise emit 100 TB in
+  one go). With skewed file sizes the byte budget is the meaningful
+  cap; the two compose (whichever limits first). Offsets during the phase carry ``init_files`` (how many of the
   snapshot's canonically-ordered files are consumed); a restart
   resumes mid-phase exactly-once. Safe on the FIRST trigger too: the
   observed engine order (pinned by tests/test_table_stream.py) is
@@ -286,6 +289,10 @@ class _TableStreamReader(DataSourceStreamReader):
         self.max_files = int(raw) if raw is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        raw = _opt(options, "maxBytesPerTrigger")
+        self.max_bytes = int(raw) if raw is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         start = _opt(options, "startingSnapshotId")
         # arrow target for executor-side alignment (picklable, tiny);
         # the column mapping pins logical->physical file names as of
@@ -328,13 +335,18 @@ class _TableStreamReader(DataSourceStreamReader):
         self._planned = {"snapshot_id": self.starting_id}
         return {"snapshot_id": self.starting_id}
 
-    def _n_files(self, manifest: dict, sid: int) -> int:
-        return sum(
-            1
-            for _ in S._entry_units(
-                self.root, manifest, S._entry(manifest, sid)
-            )
+    def _init_units(self, manifest: dict, sid: int) -> list:
+        """The pinned initial snapshot's (dir, file) units in canonical
+        order — the SAME order partitions() slices — cached per sid so
+        byte-budget walks don't re-sort every trigger."""
+        cached = getattr(self, "_init_cache", None)
+        if cached is not None and cached[0] == sid:
+            return cached[1]
+        units = sorted(
+            S._entry_units(self.root, manifest, S._entry(manifest, sid))
         )
+        self._init_cache = (sid, units)
+        return units
 
     def latestOffset(self):
         manifest = S._load(self.root)
@@ -353,14 +365,39 @@ class _TableStreamReader(DataSourceStreamReader):
             base = {"snapshot_id": self.starting_id}
         base_sid = base["snapshot_id"]
         in_init = base_sid is None or "init_files" in base
-        if self.max_files is not None and in_init and not unproven_fresh:
+        throttled_init = (
+            self.max_files is not None or self.max_bytes is not None
+        )
+        if throttled_init and in_init and not unproven_fresh:
             # initial-snapshot slicing: the phase pins ONE snapshot and
-            # walks its canonical file order in maxFilesPerTrigger
-            # steps; tail commits plan only after the phase completes
+            # walks its canonical file order in maxFilesPerTrigger /
+            # maxBytesPerTrigger steps (whichever caps first; the file
+            # that crosses the byte budget is included, and every
+            # trigger advances >= 1 file); tail commits plan only after
+            # the phase completes
             sid = base_sid if base_sid is not None else cur
-            total = self._n_files(manifest, sid)
+            units = self._init_units(manifest, sid)
+            total = len(units)
             done = base.get("init_files", 0)
-            k = min(done + self.max_files, total)
+            k = (
+                total
+                if self.max_files is None
+                else min(done + self.max_files, total)
+            )
+            if self.max_bytes is not None:
+                budget, j = self.max_bytes, done
+                while j < k:
+                    try:
+                        sz = os.path.getsize(
+                            os.path.join(self.root, *units[j])
+                        )
+                    except OSError:
+                        sz = 0
+                    budget -= sz
+                    j += 1
+                    if budget <= 0:
+                        break
+                k = max(j, min(done + 1, total))
             if k < total:
                 return {"snapshot_id": sid, "init_files": k}
             return {"snapshot_id": sid}
