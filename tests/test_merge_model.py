@@ -99,9 +99,25 @@ def _model(target, source, matched, not_matched):
 
     tgt = {r[0]: r for r in target}
     if matched:
-        src_counts = Counter(s[0] for s in source)
-        if any(n > 1 for k, n in src_counts.items() if k in tgt):
-            return None
+        if any(cond is None for cond, _ in matched):
+            # an unconditional clause means every matched pair
+            # modifies: duplicate matched source keys error
+            src_counts = Counter(s[0] for s in source)
+            if any(n > 1 for k, n in src_counts.items() if k in tgt):
+                return None
+        else:
+            # all clauses conditional (Delta/Iceberg): only source
+            # rows that ACTUALLY modify the matched target row count —
+            # the `WHEN MATCHED AND s.seq = 1` dedup pattern is legal
+            mod_counts = Counter(
+                s[0]
+                for s in source
+                if s[0] in tgt and any(
+                    _eval_cond(c, tgt[s[0]], s) for c, _ in matched
+                )
+            )
+            if any(n > 1 for n in mod_counts.values()):
+                return None
     out = dict(tgt)
     inserts = []  # duplicate unmatched keys may each insert a row
     for s in source:
