@@ -125,6 +125,15 @@ _HEAVY_ENTRY_KEYS = frozenset(("dirs", "files", "dvs", "schema", "mapping"))
 #: rewrite cadence, fixed instead of size-triggered.
 _ENTRY_DELTA_MAX_DEPTH = 32
 
+#: Metadata protocol version (Delta's reader/writer protocol, Iceberg's
+#: format-version): every commit stamps the version manifest with the
+#: format it used; readers REFUSE versions above what they understand —
+#: a loud "upgrade the engine" beats a KeyError deep in hydration when
+#: an older deployment opens a newer table. History: absent/1 =
+#: monolithic or round-10 full-payload split layouts; 2 = round-11
+#: delta-encoded entry payloads (base_ref chains).
+_FORMAT_VERSION = 2
+
 
 def _resolve_entry_payload(store: "_RefStore", payload: dict) -> dict:
     """Fold a delta-encoded entry payload chain into the effective full
@@ -455,6 +464,14 @@ def _load(root: str) -> dict:
             # raced a vacuum pruning old versions off a stale hint —
             # re-resolve (the head itself is never pruned)
             continue
+        fv = manifest.get("format_version", 1)
+        if fv > _FORMAT_VERSION:
+            raise RuntimeError(
+                f"{root}: table metadata format_version {fv} exceeds "
+                f"this engine's supported {_FORMAT_VERSION}; upgrade "
+                "the engine before reading (a newer writer committed "
+                "metadata this version cannot interpret)"
+            )
         manifest["version"] = v  # the path is authoritative
         return _wire_lazy(root, manifest)
     # legacy single-file manifest (pre-versioned table): readable as-is;
@@ -689,6 +706,7 @@ def _serialize_manifest(root: str, manifest: dict) -> dict:
         by_id[lazy["id"]] = lazy
         manifest["snapshots"][i] = lazy
     out["snapshots"] = snaps_out
+    out["format_version"] = _FORMAT_VERSION
     ds = manifest.get("dir_stats")
     if isinstance(ds, _LazyDirStats):
         out["dir_stats_refs"] = ds.serialize()

@@ -2127,3 +2127,27 @@ def test_round10_full_payload_layout_migrates_to_delta(spark, root):
     assert "base_ref" in payload and payload["dirs_add"]
     assert S.read_snapshot(spark, root).count() == 25
     assert S.read_snapshot(spark, root, snapshot_id=1).count() == 10
+
+
+def test_format_version_stamped_and_guarded(spark, root):
+    """Protocol versioning (Delta reader/writer protocol analog):
+    commits stamp format_version; a reader refuses a HIGHER version
+    loudly instead of mis-hydrating a future layout; absent version
+    (legacy layouts) reads as v1."""
+    import json as _j
+
+    S.write_snapshot(spark.range(5), root)
+    head = S._latest_version(root)
+    with open(S._version_path(root, head)) as fh:
+        m = _j.load(fh)
+    assert m["format_version"] == S._FORMAT_VERSION
+    # a future writer's table refuses with the upgrade message
+    m["format_version"] = S._FORMAT_VERSION + 7
+    m["version"] = head + 1
+    with open(S._version_path(root, head + 1), "w") as fh:
+        _j.dump(m, fh)
+    with pytest.raises(RuntimeError, match="format_version.*upgrade"):
+        S._load(root)
+    os.unlink(S._version_path(root, head + 1))
+    S._write_version_hint(root, head)
+    assert S.read_snapshot(spark, root).count() == 5
