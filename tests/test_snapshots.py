@@ -2151,3 +2151,124 @@ def test_format_version_stamped_and_guarded(spark, root):
     os.unlink(S._version_path(root, head + 1))
     S._write_version_hint(root, head)
     assert S.read_snapshot(spark, root).count() == 5
+
+
+def test_round11_lifecycle_soak(spark, root):
+    """Composed lifecycle under the round-11 metadata: a long mixed-op
+    sequence (appends, DV deletes, purge, compact, MERGE, ZORDER,
+    schema DDL, UPDATE/DELETE rewrites, RESTORE, expire, vacuum) where
+    after EVERY commit the visible table equals a pure-Python model,
+    stats stay consistent, and pinned snapshots time-travel exactly —
+    the cross-feature interactions no per-feature test composes."""
+    from e_commerce_lakehouse_spark.sources import deletes as D
+    from e_commerce_lakehouse_spark.sources import sql_dml
+
+    t = {"t": root}
+    model: dict = {}
+    pinned: dict = {}
+
+    def rows(lo, hi, tier=None):
+        return [(i, i * 2) + ((tier,) if tier is not None else ())
+                for i in range(lo, hi)]
+
+    def check():
+        got = sorted(map(tuple, S.read_snapshot(spark, root).collect()))
+        want = sorted(model.values())
+        assert got == want, (len(got), len(want))
+        st = S.table_stats(root)
+        # n_rows may be unknowable (None) in some MoR states; when
+        # known it must be exact — the multiset check above is the
+        # load-bearing one
+        assert st["n_rows"] in (None, len(model))
+        ids = [h["id"] for h in S.history(root)]
+        assert ids == sorted(set(ids))
+
+    def df(data, with_tier=False):
+        schema = "k long, v long" + (", tier string" if with_tier else "")
+        return spark.createDataFrame(data, schema)
+
+    # 1 seed + append
+    S.write_snapshot(df(rows(0, 20)).repartition(2), root)
+    model = {k: (k, 2 * k) for k in range(20)}
+    check()
+    S.write_snapshot(df(rows(20, 30)).repartition(1), root, mode="append")
+    model.update({k: (k, 2 * k) for k in range(20, 30)})
+    check()
+    pinned[S._load(root)["current"]] = sorted(model.values())
+    # 2 DV delete (merge-on-read), then purge, then compact
+    D.set_delete_mode(root, "merge-on-read")
+    D.delete_where_dv(spark, root, [("k", "in", [5, 6, 25])])
+    for k in (5, 6, 25):
+        model.pop(k)
+    check()
+    D.rewrite_deletes(spark, root)
+    check()
+    S.compact_files(spark, root)
+    check()
+    # 3 conditional MERGE (update + insert) through SQL
+    src = spark.createDataFrame(
+        [(1, 111, 1), (40, 80, 1), (41, 82, 2)], "k long, v long, seq long"
+    )
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO t USING s ON t.k = s.k "
+        "WHEN MATCHED AND s.seq = 1 THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.seq >= 1 THEN INSERT (k, v) "
+        "VALUES (s.k, s.v)",
+        t, sources={"s": src},
+    )
+    model[1] = (1, 111)
+    model[40], model[41] = (40, 80), (41, 82)
+    check()
+    # 4 zorder (maintenance, row-preserving)
+    S.optimize_zorder(spark, root, ["k"], num_files=3)
+    check()
+    pinned[S._load(root)["current"]] = sorted(model.values())
+    # 5 schema DDL: add tier with default, append with it
+    sql_dml.execute_dml(
+        spark, "ALTER TABLE t ADD COLUMN tier string DEFAULT 'base'", t
+    )
+    model = {k: v + ("base",) for k, v in model.items()}
+    check()
+    S.write_snapshot(
+        df(rows(50, 55, tier="new"), with_tier=True).repartition(1),
+        root, mode="append",
+    )
+    model.update({k: (k, 2 * k, "new") for k in range(50, 55)})
+    check()
+    # 6 UPDATE ... WHERE and DELETE ... WHERE rewrites — raw-file ops
+    # are guarded against metadata-only defaults: materialize first
+    # (the documented workflow), row-identical by contract
+    S.materialize_schema(spark, root)
+    check()
+    sql_dml.execute_dml(spark, "UPDATE t SET v = 0 WHERE k >= 50", t)
+    for k in range(50, 55):
+        model[k] = (k, 0, "new")
+    check()
+    D.set_delete_mode(root, "copy-on-write")
+    sql_dml.execute_dml(spark, "DELETE FROM t WHERE k >= 41", t)
+    for k in list(model):
+        if k >= 41:
+            model.pop(k)
+    check()
+    # 7 RESTORE to the zorder-era snapshot (pre-DDL), then verify
+    restore_to = list(pinned)[-1]
+    sql_dml.execute_dml(
+        spark, f"RESTORE TABLE t TO VERSION AS OF {restore_to}", t
+    )
+    got = sorted(map(tuple, S.read_snapshot(spark, root).collect()))
+    assert got == pinned[restore_to]
+    model = {r[0]: r for r in pinned[restore_to]}
+    check()
+    # 8 time travel both pins, expire past them, verify the head again
+    for sid, want in pinned.items():
+        assert sorted(
+            map(tuple, S.read_snapshot(spark, root, snapshot_id=sid).collect())
+        ) == want
+    S.expire_snapshots(root, keep_last=2)
+    S.vacuum(root, keep_last=2, older_than_s=0.0)
+    check()
+    # 9 post-expire commits still delta-encode and read clean
+    S.write_snapshot(df(rows(60, 62)).repartition(1), root, mode="append")
+    model.update({k: (k, 2 * k) for k in range(60, 62)})
+    check()
