@@ -2215,10 +2215,52 @@ def snapshot_file_changes(
 
     Returns ``(feed, info)`` with ``info = {"added": [...],
     "removed": [...]}`` (paths relative to ``root``) so callers and
-    plan gates can assert exactly which files the feed touches."""
+    plan gates can assert exactly which files the feed touches.
+
+    ``data_change=False`` maintenance commits (compact / ZORDER /
+    REORG PURGE) are row-multiset IDENTITY, so the range's endpoints
+    SLIDE past them (leading and trailing): a maintenance-only range
+    yields the EMPTY feed without reading a single file, and an IVM
+    refresh that lands right after nightly compaction no longer pays
+    an offsetting full-rewrite read for a net-zero delta. Interior
+    maintenance between two data commits still shows as offsetting
+    pairs (signed consumers net them to zero, the documented
+    contract). ``info["effective"]`` records the slid endpoints."""
     if from_id == to_id:
         raise ValueError("from_id and to_id must differ")
     manifest = _load(root)
+    by_id = {s["id"]: s for s in manifest["snapshots"]}
+    chain, cur = [], to_id
+    while cur is not None and cur != from_id:
+        if cur not in by_id:
+            raise KeyError(f"no snapshot {cur}")
+        chain.append(by_id[cur])
+        cur = by_id[cur].get("parent")
+    if cur != from_id:
+        raise ValueError(
+            f"snapshot {from_id} is not an ancestor of {to_id}; "
+            "file-granular changelogs walk one parent chain"
+        )
+    chain.reverse()
+    while chain and chain[-1].get("data_change", True) is False:
+        chain.pop()  # trailing maintenance: identity on rows
+    i = 0
+    while i < len(chain) and chain[i].get("data_change", True) is False:
+        i += 1  # leading maintenance right after from_id: identity
+    from_id = chain[i - 1]["id"] if i else from_id
+    to_id = chain[-1]["id"] if chain else from_id
+    if from_id == to_id:  # maintenance-only range: empty feed
+        entry = _entry(manifest, to_id)
+        import pyspark.sql.types as T
+
+        feed = spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(entry["schema"]))
+        ).withColumn("_change_type", F.lit("insert")).withColumn(
+            "_commit_version", F.lit(to_id).cast("long")
+        )
+        return feed, {
+            "added": [], "removed": [], "effective": [from_id, to_id],
+        }
     # a DV delete changes ROWS without changing the file set, so the
     # file-granular feed cannot see it (and raw reads would resurrect
     # earlier DV deletes) — refuse; snapshot_changes (read_snapshot
@@ -2260,7 +2302,11 @@ def snapshot_file_changes(
             "_change_type", F.lit("insert")
         )
     feed = feed.withColumn("_commit_version", F.lit(to_id).cast("long"))
-    return feed, {"added": added, "removed": removed}
+    return feed, {
+        "added": added,
+        "removed": removed,
+        "effective": [from_id, to_id],
+    }
 
 
 @_retry_conflicts

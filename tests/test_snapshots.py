@@ -2272,3 +2272,38 @@ def test_round11_lifecycle_soak(spark, root):
     S.write_snapshot(df(rows(60, 62)).repartition(1), root, mode="append")
     model.update({k: (k, 2 * k) for k in range(60, 62)})
     check()
+
+
+def test_file_changes_slide_past_maintenance(spark, root):
+    """snapshot_file_changes endpoint sliding: a maintenance-only
+    range yields the EMPTY feed (zero file reads — the IVM refresh
+    after nightly compaction), and trailing/leading maintenance
+    commits slide off the diff so rewrite churn never enters the feed
+    when a data commit bounds it."""
+    S.write_snapshot(spark.range(0, 10).repartition(2), root)
+    v1 = S._load(root)["current"]
+    cid = S.compact_files(spark, root)
+    # maintenance-only range: empty feed, no files touched
+    feed, info = S.snapshot_file_changes(spark, root, v1, cid)
+    assert feed.count() == 0
+    assert info["added"] == [] and info["removed"] == []
+    assert info["effective"] == [v1, v1]
+    # data commit then compact: the feed is the data delta only
+    v2 = S.write_snapshot(
+        spark.range(10, 14).repartition(1), root, mode="append"
+    )
+    cid2 = S.compact_files(spark, root)
+    feed, info = S.snapshot_file_changes(spark, root, cid, cid2)
+    assert info["effective"] == [cid, v2]
+    assert not info["removed"], "rewrite churn leaked into the feed"
+    got = sorted(r.id for r in feed.collect())
+    assert got == list(range(10, 14))
+    assert set(feed.select("_change_type").distinct().toPandas()._change_type) == {"insert"}
+    # leading maintenance: compact then data — diff starts at the compact
+    v3 = S.write_snapshot(
+        spark.range(14, 16).repartition(1), root, mode="append"
+    )
+    feed, info = S.snapshot_file_changes(spark, root, v2, v3)
+    assert info["effective"] == [cid2, v3]
+    assert not info["removed"]
+    assert sorted(r.id for r in feed.collect()) == [14, 15]
