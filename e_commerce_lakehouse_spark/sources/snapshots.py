@@ -8,7 +8,9 @@ story; this module supplies one with Iceberg's METADATA model rather
 than data copies:
 
 - a table root holds immutable data directories (``snap-N-<op>/``) and
-  a log of small JSON manifests (``_manifests/vN.json``);
+  an APPEND-ONLY commit log (``_manifests/vN.json`` — one O(batch)
+  record per commit, Delta's ``_delta_log`` model) with periodic full
+  checkpoints (``ckpt-vN.json``) readers replay the tail onto;
 - every snapshot entry lists the data dirs that compose it, so an
   APPEND commit is manifest-entry + one new delta dir — the parent's
   data is never rewritten or copied (Iceberg fast-append);
@@ -131,8 +133,142 @@ _ENTRY_DELTA_MAX_DEPTH = 32
 #: a loud "upgrade the engine" beats a KeyError deep in hydration when
 #: an older deployment opens a newer table. History: absent/1 =
 #: monolithic or round-10 full-payload split layouts; 2 = round-11
-#: delta-encoded entry payloads (base_ref chains).
-_FORMAT_VERSION = 2
+#: delta-encoded entry payloads (base_ref chains); 3 = round-12
+#: append-only commit log (vN.json is an O(batch) log record replayed
+#: onto the newest checkpoint / full manifest at or below it).
+_FORMAT_VERSION = 3
+
+#: Commit-log checkpoint cadence (Delta's checkpointInterval): a log
+#: tail longer than this triggers a full-state ``ckpt-vN.json`` write
+#: right after the winning commit, so ``_load`` replays at most this
+#: many O(batch) records. Amortizes the one O(#snapshots) serialization
+#: over the window; a crash between commit and checkpoint just means a
+#: longer tail until the next committer crosses the threshold again.
+_CHECKPOINT_INTERVAL = 32
+
+_CKPT_RE = re.compile(r"^ckpt-v(\d{10})\.json$")
+
+#: manifest keys that are NOT part of the diffable top-level table
+#: state (they are storage-layer bookkeeping, re-derived per commit)
+_TOP_EXCLUDE = frozenset(
+    ("snapshots", "dir_stats", "dir_stats_refs", "version", "format_version")
+)
+
+
+def _ckpt_path(root: str, v: int) -> str:
+    return os.path.join(_manifest_dir(root), f"ckpt-v{v:010d}.json")
+
+
+def _check_format_version(root: str, rec: dict) -> None:
+    fv = rec.get("format_version", 1)
+    if fv > _FORMAT_VERSION:
+        raise RuntimeError(
+            f"{root}: table metadata format_version {fv} exceeds "
+            f"this engine's supported {_FORMAT_VERSION}; upgrade "
+            "the engine before reading (a newer writer committed "
+            "metadata this version cannot interpret)"
+        )
+
+
+def _apply_log_records(base: dict, records_desc: list[dict]) -> dict:
+    """Replay commit-log records (newest-first, as the backward walk
+    collected them) onto a full base state — the Delta
+    checkpoint-plus-tail read path. Each record's ``log`` body carries
+    only that commit's changes: light entries added/removed/replaced,
+    top-level keys set/unset (full new values), and per-dir stats-ref
+    pointer changes."""
+    state = base
+    snaps = list(state.get("snapshots", []))
+    dsr = dict(state.get("dir_stats_refs", {}))
+    for rec in reversed(records_desc):
+        lg = rec["log"]
+        for k, v in lg.get("set", {}).items():
+            state[k] = v
+        for k in lg.get("unset", ()):
+            state.pop(k, None)
+        rm = set(lg.get("remove", ()))
+        rep = {e["id"]: e for e in lg.get("replace", ())}
+        if rm or rep:
+            snaps = [
+                rep.get(s["id"], s) for s in snaps if s["id"] not in rm
+            ]
+        snaps.extend(lg.get("add", ()))
+        for d in lg.get("stats_del", ()):
+            dsr.pop(d, None)
+        dsr.update(lg.get("stats_set", {}))
+    state["snapshots"] = snaps
+    state["dir_stats_refs"] = dsr
+    return state
+
+
+def _resolve_state(root: str, head: int) -> tuple[dict, int]:
+    """Full table state at version ``head``: walk backwards collecting
+    log records until a BASE — a checkpoint file at that version, or a
+    full (non-log) version manifest — then replay the tail onto it.
+    Returns ``(state, base_version)``. The walk is bounded by
+    :data:`_CHECKPOINT_INTERVAL` on any table that has crossed the
+    cadence once (plus crash slack); a v2-era table's head manifest is
+    itself full, so migration reads exactly one file. A fresh v3 table
+    with no checkpoint yet replays its whole (short) log from the
+    implicit empty state at version 0."""
+    records: list[dict] = []
+    v = head
+    while v > 0:
+        cp = _ckpt_path(root, v)
+        if os.path.exists(cp):
+            with open(cp) as fh:
+                base = json.load(fh)
+            _check_format_version(root, base)
+            return _apply_log_records(base, records), v
+        with open(_version_path(root, v)) as fh:
+            rec = json.load(fh)
+        _check_format_version(root, rec)
+        if "log" not in rec:
+            return _apply_log_records(rec, records), v
+        records.append(rec)
+        v -= 1
+    return (
+        _apply_log_records(
+            {"current": None, "snapshots": [],
+             "format_version": _FORMAT_VERSION},
+            records,
+        ),
+        0,
+    )
+
+
+def _rebase_log_tracking(manifest: dict) -> None:
+    """(Re)record the baseline the NEXT commit's log record diffs
+    against: a JSON-independent copy of the top-level table state, the
+    snapshot id order, and the per-dir stats-ref pointer map. Called at
+    load and after every successful commit (a second commit on the same
+    loaded manifest — expire's two-phase — must diff against what it
+    just committed, not the originally loaded state). Manifests whose
+    dir_stats is a plain dict (hand-rolled tests, legacy monolithic)
+    drop tracking entirely — their next commit writes a full manifest,
+    which is always a valid base."""
+    ds = manifest.get("dir_stats")
+    if not isinstance(ds, _LazyDirStats) or ds._dirty:
+        # plain-dict dir_stats (hand-rolled / legacy) or an inline
+        # legacy tier pending externalization: the next commit must be
+        # a FULL manifest — the one-time migration write that cleanses
+        # the inline payload out of the replay chain
+        manifest.pop("_log_base", None)
+        return
+    top = {
+        k: v
+        for k, v in manifest.items()
+        if not k.startswith("_") and k not in _TOP_EXCLUDE
+    }
+    order = [s["id"] for s in manifest["snapshots"]]
+    manifest["_log_base"] = {
+        # json round-trip: ops mutate top-level values (tags, branches,
+        # pending_delete) IN PLACE — the baseline must not alias them
+        "top": json.loads(json.dumps(top)),
+        "order": order,
+        "ids": set(order),
+        "stats": dict(ds._refs),
+    }
 
 
 def _resolve_entry_payload(store: "_RefStore", payload: dict) -> dict:
@@ -453,36 +589,38 @@ def _wire_lazy(root: str, manifest: dict) -> dict:
 
 
 def _load(root: str) -> dict:
+    last_err = None
     for _ in range(3):
         v = _latest_version(root)
         if v is None:
             break
         try:
-            with open(_version_path(root, v)) as fh:
-                manifest = json.load(fh)
-        except FileNotFoundError:
-            # raced a vacuum pruning old versions off a stale hint —
-            # re-resolve (the head itself is never pruned)
+            state, base_v = _resolve_state(root, v)
+        except FileNotFoundError as e:
+            # raced a vacuum pruning versions off a stale hint —
+            # re-resolve (the head and its replay base are never pruned)
+            last_err = e
             continue
-        fv = manifest.get("format_version", 1)
-        if fv > _FORMAT_VERSION:
-            raise RuntimeError(
-                f"{root}: table metadata format_version {fv} exceeds "
-                f"this engine's supported {_FORMAT_VERSION}; upgrade "
-                "the engine before reading (a newer writer committed "
-                "metadata this version cannot interpret)"
-            )
-        manifest["version"] = v  # the path is authoritative
-        return _wire_lazy(root, manifest)
+        state["version"] = v  # the path is authoritative
+        manifest = _wire_lazy(root, state)
+        manifest["_replay_base_version"] = base_v
+        _rebase_log_tracking(manifest)
+        return manifest
+    if last_err is not None and _latest_version(root) is not None:
+        raise last_err  # three races in a row: surface, don't read empty
     # legacy single-file manifest (pre-versioned table): readable as-is;
-    # the first _commit migrates it into _manifests/ at version+1
+    # the first _commit migrates it into _manifests/ at version+1 as a
+    # FULL manifest (no log tracking), which seeds the replay base
     path = os.path.join(root, _MANIFEST)
     if os.path.exists(path):
         with open(path) as fh:
             manifest = json.load(fh)
         manifest.setdefault("version", 0)
         return _wire_lazy(root, manifest)
-    return _wire_lazy(root, {"current": None, "snapshots": [], "version": 0})
+    manifest = _wire_lazy(root, {"current": None, "snapshots": [], "version": 0})
+    manifest["_replay_base_version"] = 0
+    _rebase_log_tracking(manifest)
+    return manifest
 
 
 def _entry_summary(manifest: dict, s: dict) -> dict:
@@ -556,9 +694,10 @@ def _entry_summary(manifest: dict, s: dict) -> dict:
 
         rm_files, rm_rows = 0, 0
         files_known = rows_known = True
+        dset = set(dirs)  # hoisted: per-dir set builds made this O(#dirs^2)
         for d in pdirs:
             lst = _parent_list(d)
-            cur = s["files"].get(d) if d in set(dirs) else []
+            cur = s["files"].get(d) if d in dset else []
             if lst is None:  # parent list unknowable in-memory
                 files_known = False
                 break
@@ -601,29 +740,41 @@ def _entry_summary(manifest: dict, s: dict) -> dict:
     return out
 
 
-def _serialize_manifest(root: str, manifest: dict) -> dict:
-    """Build the SMALL version-manifest dict, externalizing heavy
-    payload as immutable ref files first (per-snapshot entry files,
-    per-dir file lists with content sharing, per-dir stats). New plain
-    entries are replaced in-memory by hydrated lazy entries so a
-    second commit on the same loaded manifest re-serializes pointers,
-    not payload."""
+def _serialize(root: str, manifest: dict, want_full: bool = False):
+    """Externalize heavy payload as immutable ref files (per-snapshot
+    entry files, per-dir file lists with content sharing, per-dir
+    stats), then build the commit record(s). Returns ``(full,
+    log_body)``:
+
+    - ``log_body`` — the O(this commit's changes) log-record body
+      (entries added/removed/replaced as LIGHT dicts, changed top-level
+      keys, changed stats-ref pointers), when the manifest carries load
+      tracking and the change is expressible as a diff; else None.
+    - ``full`` — the complete v2-style manifest state (checkpoint
+      shape), built when ``want_full`` or when no log body is possible
+      (legacy / hand-rolled manifests, order-divergent rewrites).
+
+    New plain entries are replaced in-memory by hydrated lazy entries
+    so a second commit on the same loaded manifest re-serializes
+    pointers, not payload."""
     store = manifest.get("_store")
     if store is None:  # hand-rolled manifest (tests): wire on the fly
         store = _RefStore(root)
         manifest["_store"] = store
-    out = {
+    top = {
         k: v
         for k, v in manifest.items()
-        if not k.startswith("_")
-        and k not in ("snapshots", "dir_stats", "dir_stats_refs", "version")
+        if not k.startswith("_") and k not in _TOP_EXCLUDE
     }
-    snaps_out = []
+    base = manifest.get("_log_base")
+    ds = manifest.get("dir_stats")
+    can_log = base is not None and isinstance(ds, _LazyDirStats)
+    adds: list = []
+    replaces: list = []
     by_id: dict = {}
     for i, s in enumerate(manifest["snapshots"]):
         if isinstance(s, _SnapEntry):
             by_id[s["id"]] = s
-            snaps_out.append(s.light())
             continue
         child_refs = None
         if "files" in s:
@@ -696,7 +847,6 @@ def _serialize_manifest(root: str, manifest: dict) -> dict:
             light["summary"] = _entry_summary(manifest, s)
         light["entry_depth"] = depth
         light["entry_ref"] = store.write("entry", payload)
-        snaps_out.append(light)
         lazy = _SnapEntry(light, store)
         for k in _HEAVY_ENTRY_KEYS:
             if k in s:
@@ -705,40 +855,117 @@ def _serialize_manifest(root: str, manifest: dict) -> dict:
         lazy._file_refs = child_refs
         by_id[lazy["id"]] = lazy
         manifest["snapshots"][i] = lazy
-    out["snapshots"] = snaps_out
-    out["format_version"] = _FORMAT_VERSION
-    ds = manifest.get("dir_stats")
-    if isinstance(ds, _LazyDirStats):
-        out["dir_stats_refs"] = ds.serialize()
-    elif isinstance(ds, dict):  # hand-rolled: externalize everything
-        out["dir_stats_refs"] = {
-            d: store.write("stats", st) for d, st in ds.items()
-        }
-    return out
+        if can_log:
+            (replaces if s["id"] in base["ids"] else adds).append(light)
+    refs_map = ds.serialize() if isinstance(ds, _LazyDirStats) else None
+    log_body = None
+    if can_log:
+        # the record must reconstruct the exact snapshot order on
+        # replay (base order minus removals, replacements in place,
+        # additions appended) — any op that reorders falls back to a
+        # full manifest, which is always a valid base
+        cur_order = [s["id"] for s in manifest["snapshots"]]
+        cur_ids = set(cur_order)
+        removed = [i for i in base["order"] if i not in cur_ids]
+        expected = [i for i in base["order"] if i in cur_ids] + [
+            e["id"] for e in adds
+        ]
+        if expected == cur_order:
+            bstats = base["stats"]
+            body: dict = {}
+            if adds:
+                body["add"] = adds
+            if removed:
+                body["remove"] = removed
+            if replaces:
+                body["replace"] = replaces
+            set_d = {
+                k: v
+                for k, v in top.items()
+                if k not in base["top"] or base["top"][k] != v
+            }
+            unset = sorted(k for k in base["top"] if k not in top)
+            if set_d:
+                body["set"] = set_d
+            if unset:
+                body["unset"] = unset
+            stats_set = {
+                d: r for d, r in refs_map.items() if bstats.get(d) != r
+            }
+            stats_del = sorted(d for d in bstats if d not in refs_map)
+            if stats_set:
+                body["stats_set"] = stats_set
+            if stats_del:
+                body["stats_del"] = stats_del
+            log_body = body
+    full = None
+    if want_full or log_body is None:
+        full = dict(top)
+        full["snapshots"] = [
+            s.light() if isinstance(s, _SnapEntry) else s
+            for s in manifest["snapshots"]
+        ]
+        if refs_map is not None:
+            full["dir_stats_refs"] = refs_map
+        elif isinstance(ds, dict):  # hand-rolled: externalize everything
+            full["dir_stats_refs"] = {
+                d: store.write("stats", st) for d, st in ds.items()
+            }
+        full["format_version"] = _FORMAT_VERSION
+    return full, log_body
+
+
+def _serialize_manifest(root: str, manifest: dict) -> dict:
+    """Back-compat shim: the full (checkpoint-shape) manifest state
+    with all heavy payload externalized — what v2 wrote as every
+    vN.json and v3 writes as periodic checkpoints."""
+    return _serialize(root, manifest, want_full=True)[0]
 
 
 def _commit(root: str, manifest: dict) -> None:
-    """Multi-host atomic commit, Iceberg metadata model: heavy payload
-    (per-snapshot dirs/files/dvs/schema, per-dir footer stats) is
-    first written as immutable ref files — O(this commit's changes)
-    bytes — then the SMALL version manifest (snapshot pointers +
-    summaries + table config) is written to a temp file and hard-linked
-    to ``_manifests/v{N+1}.json``. The link either creates the version
-    file ATOMICALLY with complete content or fails EEXIST; that
-    create-exclusive rename IS the optimistic-concurrency CAS: two
-    writers that both loaded version N race to create vN+1 and exactly
-    one wins; the loser gets :class:`CommitConflict`, and its ref files
-    are unreferenced orphans collected by :func:`_gc_ref_files`. No
-    lock file, no flock — correct across processes and HOSTS on any
-    filesystem with atomic link/create-exclusive semantics (Iceberg's
-    HadoopCatalog protocol). Readers can never observe a torn manifest:
-    every ref file is complete before the version name exists. The
-    version-hint write afterwards is advisory only."""
+    """Multi-host atomic commit, Delta ``_delta_log`` model: heavy
+    payload (per-snapshot dirs/files/dvs/schema, per-dir footer stats)
+    is first written as immutable ref files — O(this commit's changes)
+    bytes — then ONE log record (this commit's light entries +
+    changed top-level keys + changed stats pointers, also O(batch))
+    is written to a temp file and hard-linked to
+    ``_manifests/v{N+1}.json``. The log record is the CAS object: the
+    link either creates the version file ATOMICALLY with complete
+    content or fails EEXIST; two writers that both loaded version N
+    race to create vN+1 and exactly one wins; the loser gets
+    :class:`CommitConflict`, and its ref files are unreferenced
+    orphans collected by :func:`_gc_ref_files`. No lock file, no
+    flock — correct across processes and HOSTS on any filesystem with
+    atomic link/create-exclusive semantics (Iceberg's HadoopCatalog
+    protocol). Readers can never observe a torn manifest: every ref
+    file is complete before the version name exists.
+
+    Every :data:`_CHECKPOINT_INTERVAL` commits the winner also
+    materializes ``ckpt-vN.json`` — the full light state — so
+    :func:`_load` replays checkpoint + tail instead of the whole log
+    (Delta's checkpoint + ``_last_checkpoint`` idea; here the
+    bounded backward probe replaces the pointer file). Manifests
+    without load tracking (legacy monolithic, hand-rolled) fall back
+    to writing a FULL manifest, which is itself a valid replay base —
+    that write IS the transparent migration from the round-11 layout.
+    The version-hint write afterwards is advisory only."""
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     target_v = manifest.get("version", 0) + 1
-    out = _serialize_manifest(root, manifest)
-    out["version"] = target_v
+    base_v = manifest.get("_replay_base_version")
+    ckpt_due = (
+        base_v is not None and (target_v - base_v) >= _CHECKPOINT_INTERVAL
+    )
+    full, log_body = _serialize(root, manifest, want_full=ckpt_due)
+    if log_body is not None:
+        out = {
+            "format_version": _FORMAT_VERSION,
+            "version": target_v,
+            "log": log_body,
+        }
+    else:
+        out = full
+        out["version"] = target_v
     manifest["version"] = target_v
     import tempfile
 
@@ -760,6 +987,26 @@ def _commit(root: str, manifest: dict) -> None:
             os.unlink(tmp)
         except FileNotFoundError:
             pass
+    if log_body is None:
+        # a full manifest IS a replay base — no checkpoint needed
+        manifest["_replay_base_version"] = target_v
+    elif ckpt_due:
+        # materialize the checkpoint AFTER the winning commit (Delta's
+        # post-commit checkpoint write): best-effort — a crash or IO
+        # error here just leaves a longer tail until the next committer
+        # crosses the cadence again. Only this version's winner writes
+        # ckpt-v{target_v}, so the name is never contended.
+        try:
+            cp = dict(full)
+            cp["version"] = target_v
+            ftmp = os.path.join(mdir, f".ckpt-v{target_v}-{os.getpid()}")
+            with open(ftmp, "w") as fh:
+                json.dump(cp, fh, indent=1)
+            os.replace(ftmp, _ckpt_path(root, target_v))
+            manifest["_replay_base_version"] = target_v
+        except OSError:  # pragma: no cover - best-effort amortization
+            pass
+    _rebase_log_tracking(manifest)
     _write_version_hint(root, target_v)
 
 
@@ -782,15 +1029,43 @@ def _prune_manifest_versions(root: str, keep_versions: int = 10) -> list[str]:
     """GC superseded manifest version files, retaining the newest
     ``keep_versions`` (Iceberg's write.metadata.previous-versions-max).
     The head is always retained; the hint is refreshed first so a
-    reader's fast path cannot land on a pruned version."""
+    reader's fast path cannot land on a pruned version.
+
+    Log-model safety: a version file at or above the newest replay
+    BASE (checkpoint or full manifest) is load-bearing — readers
+    replay the tail ``(base, head]`` — so pruning only ever removes
+    versions strictly BELOW the base, however old they are. Superseded
+    checkpoints prune under the same rule."""
     head = _latest_version(root)
     if head is None:
         return []
     _write_version_hint(root, head)
+    # newest replay base at or below head (same walk as _resolve_state,
+    # without materializing state)
+    base_v, v = head, head
+    while v > 0:
+        if os.path.exists(_ckpt_path(root, v)):
+            base_v = v
+            break
+        try:
+            with open(_version_path(root, v)) as fh:
+                rec = json.load(fh)
+        except FileNotFoundError:
+            # already-pruned region: nothing at or below v is needed
+            base_v = v + 1
+            break
+        if "log" not in rec:
+            base_v = v
+            break
+        v -= 1
+    else:
+        base_v = 1  # whole history replays from the empty state: keep all
     removed = []
     for nm in sorted(os.listdir(_manifest_dir(root))):
-        m = _VERSION_RE.match(nm)
-        if m and int(m.group(1)) <= head - keep_versions:
+        m = _VERSION_RE.match(nm) or _CKPT_RE.match(nm)
+        if m and int(m.group(1)) <= head - keep_versions and int(
+            m.group(1)
+        ) < base_v:
             try:
                 os.unlink(os.path.join(_manifest_dir(root), nm))
                 removed.append(os.path.join(_MANIFEST_DIR, nm))
@@ -827,7 +1102,7 @@ def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
         return []
     live: set[str] = set()
     for nm in names:
-        if not _VERSION_RE.match(nm):
+        if not _VERSION_RE.match(nm) and not _CKPT_RE.match(nm):
             continue
         try:
             with open(os.path.join(mdir, nm)) as fh:
@@ -836,8 +1111,16 @@ def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
             continue  # racing _prune_manifest_versions: ref-free by now
         except (OSError, ValueError):
             return []  # fail closed: incomplete live set -> no sweep
-        live.update(m.get("dir_stats_refs", {}).values())
-        for s in m.get("snapshots", []):
+        lg = m.get("log")
+        if lg is not None:
+            # log record: only this commit's light entries + changed
+            # stats pointers carry refs
+            entries = list(lg.get("add", ())) + list(lg.get("replace", ()))
+            live.update((lg.get("stats_set") or {}).values())
+        else:
+            entries = m.get("snapshots", [])
+            live.update(m.get("dir_stats_refs", {}).values())
+        for s in entries:
             ref = s.get("entry_ref")
             # delta payloads chain to their base entry files (possibly
             # of EXPIRED snapshots no manifest lists anymore) — walk
@@ -859,7 +1142,8 @@ def _gc_ref_files(root: str, older_than_s: float = 3600.0) -> list[str]:
         # leaked by a crash between create and rename — never referenced
         # by anything, collected past the same age cutoff
         is_temp = nm.startswith(
-            (".entry-", ".files-", ".stats-", ".commit-v", ".hint-")
+            (".entry-", ".files-", ".stats-", ".commit-v", ".hint-",
+             ".ckpt-v")
         )
         if not is_temp and (
             not nm.startswith(("entry-", "files-", "stats-")) or nm in live

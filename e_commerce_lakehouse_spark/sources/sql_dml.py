@@ -1341,7 +1341,8 @@ def execute_dml(
         import os as _os
 
         meta_info = {"n_versions": 0, "version_bytes": 0,
-                     "n_ref_files": 0, "ref_bytes": 0}
+                     "n_ref_files": 0, "ref_bytes": 0,
+                     "n_checkpoints": 0, "checkpoint_bytes": 0}
         mdir = _os.path.join(root, "_manifests")
         try:
             for nm in _os.listdir(mdir):
@@ -1349,11 +1350,25 @@ def execute_dml(
                 if snapshots._VERSION_RE.match(nm):
                     meta_info["n_versions"] += 1
                     meta_info["version_bytes"] += _os.path.getsize(p)
+                elif snapshots._CKPT_RE.match(nm):
+                    meta_info["n_checkpoints"] += 1
+                    meta_info["checkpoint_bytes"] += _os.path.getsize(p)
                 elif nm.startswith(("entry-", "files-", "stats-")):
                     meta_info["n_ref_files"] += 1
                     meta_info["ref_bytes"] += _os.path.getsize(p)
         except OSError:
             pass
+        # commit-log health (round-12 layout): how long the replay
+        # tail has grown past the newest base — when it nears the
+        # checkpoint cadence, the next commit will re-checkpoint; a
+        # persistently long tail means commits are failing their
+        # best-effort checkpoint writes
+        meta_info["head_version"] = manifest.get("version", 0)
+        base_v = manifest.get("_replay_base_version")
+        if base_v is not None:
+            meta_info["replay_base_version"] = base_v
+            meta_info["log_tail_length"] = meta_info["head_version"] - base_v
+            meta_info["checkpoint_interval"] = snapshots._CHECKPOINT_INTERVAL
         detail = {
             "format": "parquet",
             "location": root,

@@ -1427,14 +1427,20 @@ def test_stale_version_hint_probed_past(spark, root):
 
 
 def test_vacuum_prunes_old_manifest_versions(spark, root):
-    """Superseded version files GC with vacuum (newest 10 retained);
-    the head always survives and the table stays readable."""
-    for i in range(14):
+    """Superseded version files GC with vacuum, under the commit-log
+    model's safety rule: versions at or above the newest replay BASE
+    (checkpoint / full manifest) are load-bearing and never prune; the
+    keep window applies below it. The table stays readable
+    throughout."""
+    for i in range(6):
         S.write_snapshot(spark.range(i, i + 1), root, mode="append" if i else "overwrite")
     mdir = os.path.join(root, "_manifests")
 
     def vfiles():
         return sorted(n for n in os.listdir(mdir) if S._VERSION_RE.match(n))
+
+    def ckpts():
+        return sorted(n for n in os.listdir(mdir) if S._CKPT_RE.match(n))
 
     def reffiles():
         return sorted(
@@ -1443,22 +1449,53 @@ def test_vacuum_prunes_old_manifest_versions(spark, root):
             if n.startswith(("entry-", "files-", "stats-"))
         )
 
-    assert len(vfiles()) == 14
+    # before any checkpoint exists, the whole log replays from the
+    # empty state: pruning must refuse to delete ANY record
+    assert ckpts() == []
+    S._prune_manifest_versions(root, keep_versions=1)
+    assert len(vfiles()) == 6
+    # metadata-only commits (tags) drive the log past the checkpoint
+    # cadence; the crossing commit materializes a ckpt-vN.json
+    for i in range(S._CHECKPOINT_INTERVAL + 4):
+        S.tag_snapshot(root, f"t{i}")
+        S.drop_tag(root, f"t{i}")
+    assert ckpts(), "cadence crossing must write a checkpoint"
     n_refs_before = len(reffiles())
+    # expire 4 snapshots (retained entries flatten to NEW refs), then
+    # cross the next cadence so a fresh checkpoint no longer references
+    # the expired history's metadata
     S.vacuum(root, keep_last=2, older_than_s=0.0)
-    # vacuum itself commits (expire trims + clears pending_delete), so
-    # the head moved past 14; exactly the newest 10 remain
+    for i in range(S._CHECKPOINT_INTERVAL + 4):
+        S.tag_snapshot(root, f"u{i}")
+        S.drop_tag(root, f"u{i}")
+    removed2 = S.vacuum(root, keep_last=2, older_than_s=0.0)
+    # the second vacuum's base has advanced past the expired history:
+    # its composed prune+ref-GC reclaims the dead metadata refs
+    assert any("entry-" in r for r in removed2), removed2
     head = S._latest_version(root)
-    assert vfiles() == [f"v{v:010d}.json" for v in range(head - 9, head + 1)]
+    ckpt_v = max(int(S._CKPT_RE.match(n).group(1)) for n in ckpts())
+    # the newest-10 window survives; so does the entire replay tail
+    # (base..head], however the two overlap
+    expected = sorted(
+        {v for v in range(head - 9, head + 1) if v >= 1}
+        | set(range(ckpt_v, head + 1))
+    )
+    assert vfiles() == [f"v{v:010d}.json" for v in expected]
     import json as _json
 
     def live_refs():
         live = set()
-        for nm in vfiles():
+        for nm in vfiles() + ckpts():
             with open(os.path.join(mdir, nm)) as fh:
                 m = _json.load(fh)
-            live.update(m.get("dir_stats_refs", {}).values())
-            for s in m.get("snapshots", []):
+            lg = m.get("log")
+            if lg is not None:
+                entries = list(lg.get("add", ())) + list(lg.get("replace", ()))
+                live.update((lg.get("stats_set") or {}).values())
+            else:
+                entries = m.get("snapshots", [])
+                live.update(m.get("dir_stats_refs", {}).values())
+            for s in entries:
                 ref = s.get("entry_ref")
                 while ref and ref not in live:  # delta base chain
                     live.add(ref)
@@ -1470,17 +1507,19 @@ def test_vacuum_prunes_old_manifest_versions(spark, root):
         return live
 
     # liveness invariant: every surviving ref file is referenced by a
-    # retained version manifest (time travel through them stays whole)
+    # retained version record (replay through them stays whole)
     assert set(reffiles()) <= live_refs()
-    # pruning history down to the head alone must let the ref GC
-    # collapse the metadata to exactly the head's needs
+    # pruning down to the replay base alone must let the ref GC
+    # collapse the metadata to the base+tail's needs
     S._prune_manifest_versions(root, keep_versions=1)
-    removed_refs = S._gc_ref_files(root, older_than_s=0.0)
-    assert removed_refs
+    assert min(int(S._VERSION_RE.match(n).group(1)) for n in vfiles()) == ckpt_v
+    S._gc_ref_files(root, older_than_s=0.0)
     assert set(reffiles()) == live_refs()
     assert len(reffiles()) < n_refs_before
+    # old checkpoints prune with the same rule (only the base survives)
+    assert all(int(S._CKPT_RE.match(n).group(1)) >= ckpt_v for n in ckpts())
     # appends reference all parent dirs, so the head's data is intact
-    assert S.read_snapshot(spark, root).count() == 14
+    assert S.read_snapshot(spark, root).count() == 6
 
 
 def test_multiprocess_commit_cas_no_lost_updates(tmp_path):
@@ -1984,10 +2023,12 @@ def test_gc_ref_files_fails_closed_on_unreadable_metadata(spark, root):
     # (b) a LIVE entry ref missing -> abort (corruption, not a race)
     import json as _j
 
-    head = S._latest_version(root)
-    with open(os.path.join(mdir, f"v{head:010d}.json")) as fh:
-        m = _j.load(fh)
-    ref = next(s["entry_ref"] for s in m["snapshots"] if s.get("entry_ref"))
+    m = S._load(root)
+    ref = next(
+        dict.get(s, "entry_ref")
+        for s in m["snapshots"]
+        if dict.get(s, "entry_ref")
+    )
     p = os.path.join(mdir, ref)
     saved = open(p).read()
     os.unlink(p)
@@ -2039,7 +2080,11 @@ def test_entry_delta_encoding_bounds_commit_bytes(spark, root):
         assert len(new) == 1
         with open(S._version_path(root, S._latest_version(root))) as fh:
             head = _j.load(fh)
-        depth = head["snapshots"][-1].get("entry_depth", 0)
+        last = (
+            head["log"]["add"][-1] if "log" in head
+            else head["snapshots"][-1]
+        )
+        depth = last.get("entry_depth", 0)
         entry_bytes.append(
             (i, os.path.getsize(os.path.join(mdir, new[0])), depth)
         )
@@ -2104,8 +2149,7 @@ def test_round10_full_payload_layout_migrates_to_delta(spark, root):
         light["entry_ref"] = store.write("entry", payload)
         lights.append(light)
     v = S._latest_version(root) + 1
-    with open(S._version_path(root, v - 1)) as fh:
-        head = _j.load(fh)
+    head = S._serialize_manifest(root, m)  # full (checkpoint-shape) state
     head["snapshots"] = lights
     head["version"] = v
     with open(S._version_path(root, v), "w") as fh:
@@ -2119,10 +2163,12 @@ def test_round10_full_payload_layout_migrates_to_delta(spark, root):
     )
     with open(S._version_path(root, S._latest_version(root))) as fh:
         newhead = _j.load(fh)
-    assert newhead["snapshots"][-1]["entry_depth"] == 1
-    with open(
-        os.path.join(mdir, newhead["snapshots"][-1]["entry_ref"])
-    ) as fh:
+    new_light = (
+        newhead["log"]["add"][-1] if "log" in newhead
+        else newhead["snapshots"][-1]
+    )
+    assert new_light["entry_depth"] == 1
+    with open(os.path.join(mdir, new_light["entry_ref"])) as fh:
         payload = _j.load(fh)
     assert "base_ref" in payload and payload["dirs_add"]
     assert S.read_snapshot(spark, root).count() == 25
@@ -2151,6 +2197,110 @@ def test_format_version_stamped_and_guarded(spark, root):
     os.unlink(S._version_path(root, head + 1))
     S._write_version_hint(root, head)
     assert S.read_snapshot(spark, root).count() == 5
+
+
+def test_commit_log_bytes_flat_in_snapshot_count(spark, root):
+    """Round-12 contract (Delta _delta_log model): every commit
+    appends ONE O(batch) log record — vN.json bytes do NOT grow with
+    the number of retained snapshots (the last metadata term that
+    scaled with table age); checkpoints amortize the full state at
+    :data:`_CHECKPOINT_INTERVAL` cadence; ``_load`` replays at most
+    one cadence window of records; retention depth never enters the
+    per-commit record size."""
+    S.write_snapshot(spark.range(5), root)
+    S.write_snapshot(spark.range(5, 10), root, mode="append")
+    mdir = os.path.join(root, "_manifests")
+    sizes = []
+    # rollbacks are metadata-only snapshot commits: 500 of them grow
+    # the snapshot list to 502 without touching Spark
+    for i in range(500):
+        S.rollback(root, 2)
+        sizes.append(
+            os.path.getsize(S._version_path(root, S._latest_version(root)))
+        )
+    m = S._load(root)
+    assert len(m["snapshots"]) == 502
+    early, late = sizes[10:40], sizes[-30:]
+    # FLAT: the 500th commit's record is no bigger than the 20th's
+    assert max(late) <= 1.25 * max(early), (max(early), max(late))
+    assert max(late) < 1200  # a few hundred bytes, never O(#snapshots)
+    # checkpoints landed at cadence, and the read path replays at most
+    # one window on top of the newest one
+    ckpts = [n for n in os.listdir(mdir) if S._CKPT_RE.match(n)]
+    assert len(ckpts) >= 500 // S._CHECKPOINT_INTERVAL - 1
+    assert m["version"] - m["_replay_base_version"] <= S._CHECKPOINT_INTERVAL
+    # retention depth is not a term: shrink retention 100x (502 -> 5
+    # snapshots) and the next commit's record is the same size class
+    S.expire_snapshots(root, keep_last=5)
+    S.rollback(root, S._load(root)["current"])
+    shallow = os.path.getsize(
+        S._version_path(root, S._latest_version(root))
+    )
+    assert shallow <= 1.25 * max(early), (shallow, max(early))
+    assert S.read_snapshot(spark, root).count() == 10
+
+
+def test_checkpoint_crash_self_heals(spark, root):
+    """A crash between the winning commit and its checkpoint write
+    just leaves a longer replay tail: loads stay correct, and the next
+    commit past the cadence re-materializes a fresh checkpoint."""
+    S.write_snapshot(spark.range(3), root)
+    S.write_snapshot(spark.range(3, 6), root, mode="append")
+    mdir = os.path.join(root, "_manifests")
+    while not any(S._CKPT_RE.match(n) for n in os.listdir(mdir)):
+        S.rollback(root, 2)
+    ckpt = next(n for n in os.listdir(mdir) if S._CKPT_RE.match(n))
+    os.unlink(os.path.join(mdir, ckpt))  # the "crash"
+    # loads replay the whole (short) log from the empty base — correct
+    m = S._load(root)
+    assert m["current"] == m["snapshots"][-1]["id"]
+    assert S.read_snapshot(spark, root).count() == 6
+    # the next commit sees the tail over-cadence and heals
+    S.rollback(root, 2)
+    healed = [n for n in os.listdir(mdir) if S._CKPT_RE.match(n)]
+    assert healed, "cadence crossing after the crash must re-checkpoint"
+    assert S._load(root)["_replay_base_version"] == max(
+        int(S._CKPT_RE.match(n).group(1)) for n in healed
+    )
+    assert S.read_snapshot(spark, root).count() == 6
+
+
+def test_round11_full_manifest_layout_migrates_to_log(spark, root):
+    """A round-11-layout table (every vN.json a FULL manifest,
+    format_version 2) loads transparently: the v2 head is itself a
+    valid replay base, subsequent commits append log records on top of
+    it, and data / time travel / tags survive the migration."""
+    import json as _j
+
+    S.write_snapshot(spark.range(10).withColumn("v", F.col("id")), root)
+    S.write_snapshot(
+        spark.range(10, 20).withColumn("v", F.col("id")), root,
+        mode="append",
+    )
+    S.tag_snapshot(root, "cut", 1)
+    # fabricate the round-11 head: the full manifest state stamped fv2
+    m = S._load(root)
+    full = S._serialize_manifest(root, m)
+    full["format_version"] = 2
+    v = S._latest_version(root) + 1
+    full["version"] = v
+    with open(S._version_path(root, v), "w") as fh:
+        _j.dump(full, fh)
+    # reads through the v2 base directly — exactly one record
+    m2 = S._load(root)
+    assert m2["_replay_base_version"] == v
+    assert S.read_snapshot(spark, root).count() == 20
+    # the next commit is an O(batch) log record on top of the v2 base
+    S.write_snapshot(
+        spark.range(20, 25).withColumn("v", F.col("id")), root,
+        mode="append",
+    )
+    with open(S._version_path(root, S._latest_version(root))) as fh:
+        head = _j.load(fh)
+    assert "log" in head and head["format_version"] == S._FORMAT_VERSION
+    assert S.read_snapshot(spark, root).count() == 25
+    assert S.read_snapshot(spark, root, snapshot_id=1).count() == 10
+    assert S.resolve_tag(root, "cut") == 1
 
 
 def test_round11_lifecycle_soak(spark, root):

@@ -811,6 +811,19 @@ def test_describe_detail_reports_metadata_footprint(spark, tmp_path):
     assert meta["n_versions"] == 2 and meta["version_bytes"] > 0
     assert meta["n_ref_files"] >= 4  # 2 entry files + 2 stats files
     assert meta["ref_bytes"] > 0
+    # round-12 commit-log health: head/base/tail + checkpoint stats
+    assert meta["head_version"] == 2
+    assert meta["replay_base_version"] == 0  # young table: no ckpt yet
+    assert meta["log_tail_length"] == 2
+    assert meta["checkpoint_interval"] == S._CHECKPOINT_INTERVAL
+    assert meta["n_checkpoints"] == 0 and meta["checkpoint_bytes"] == 0
+    # drive past the cadence: a checkpoint lands and the tail resets
+    for i in range(S._CHECKPOINT_INTERVAL):
+        S.rollback(root := str(tmp_path / "t"), 1)
+    out = sql_dml.execute_dml(spark, "DESCRIBE DETAIL t", {"t": root})
+    meta = out["detail"]["metadata"]
+    assert meta["n_checkpoints"] >= 1 and meta["checkpoint_bytes"] > 0
+    assert meta["log_tail_length"] <= S._CHECKPOINT_INTERVAL
 
 
 def test_pushdown_batch_reader_prunes_files(spark, root):
