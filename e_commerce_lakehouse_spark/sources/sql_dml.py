@@ -1658,46 +1658,143 @@ def _empty_like(spark: SparkSession, root: str) -> DataFrame:
 
 
 def register_snapshot_views(
-    spark: SparkSession, tables: dict[str, str], pushdown: bool = True
-) -> None:
+    spark: SparkSession,
+    tables: dict[str, str],
+    pushdown: bool = True,
+    pin: bool = True,
+) -> dict:
     """Expose snapshot tables to FULL Spark SQL as temp views: after
     this, ``spark.sql("SELECT ... arbitrary joins/windows ... FROM
     t")`` works with the whole SQL surface — the Dremio-shaped read
     path the reference provisions (scripts/utils.py), minus the BI
-    server. Views bind the CURRENT snapshot at registration; re-call
-    after writes to advance (snapshot isolation for free, refresh is
-    explicit).
+    server.
+
+    ``pin=True`` (default) binds each view to the CURRENT snapshot at
+    registration — snapshot isolation for a long-lived session;
+    refresh is an explicit re-call. ``pin=False`` binds LIVE views:
+    each query execution re-resolves the table's current snapshot (the
+    batch reader re-loads the manifest in ``partitions()``), so a BI
+    session sees new commits without re-registering — at the cost of
+    per-query isolation only (two scans in one statement could in
+    principle straddle a commit, and a SCHEMA change still needs a
+    re-register because the view's column set was fixed at bind time).
 
     ``pushdown=True`` (default) binds each view through the
     ``snapshot_table`` batch DataSource with filter pushdown: any
     ``spark.sql("... WHERE ...")`` over the view routes its
     conjunctive predicates into the manifest-stats + Bloom file
     pruning (``plan_scan``), so arbitrary SQL opens only may-match
-    files — not just the routed ``SELECT`` grammar. Sets
-    ``spark.sql.python.filterPushdown.enabled`` (required by the
-    Python DataSource pushdown API, default off). ``pushdown=False``
-    binds the materialized ``read_snapshot`` DataFrame instead (no
-    file skipping; no session conf touched)."""
+    files — not just the routed ``SELECT`` grammar. Requires
+    ``spark.sql.python.filterPushdown.enabled`` (a SESSION-global
+    conf, default off — it affects every Python DataSource in the
+    session): the previous effective value is recorded in the
+    returned dict under ``"python_filter_pushdown_was"`` so callers
+    can restore it; it is only written when not already ``true``.
+    ``pushdown=False`` binds the materialized ``read_snapshot``
+    DataFrame instead (no file skipping; no session conf touched;
+    ``pin`` must stay True — a materialized frame is inherently
+    pinned)."""
     if not pushdown:
+        if not pin:
+            raise ValueError(
+                "pin=False requires pushdown=True: the materialized "
+                "read_snapshot binding is inherently pinned"
+            )
         for name, root in tables.items():
             snapshots.read_snapshot(spark, root).createOrReplaceTempView(name)
-        return
+        return {}
     from ..streaming.table_source import TableStreamDataSource
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    _CONF = "spark.sql.python.filterPushdown.enabled"
+    prev = str(spark.conf.get(_CONF, "false"))
+    if prev.lower() != "true":
+        spark.conf.set(_CONF, "true")
     spark.dataSource.register(TableStreamDataSource)
     for name, root in tables.items():
         sid = snapshots._load(root)["current"]
         if sid is None:
             raise KeyError(f"table {root} has no snapshots")
-        (
+        reader = (
             spark.read.format("snapshot_table")
             .option("path", root)
             .option("pushdown", "true")
-            .option("snapshotId", str(sid))  # pin: snapshot isolation
-            .load()
-            .createOrReplaceTempView(name)
         )
+        if pin:
+            reader = reader.option("snapshotId", str(sid))
+        reader.load().createOrReplaceTempView(name)
+    return {"python_filter_pushdown_was": prev}
+
+
+def register_time_travel_view(
+    spark: SparkSession,
+    name: str,
+    root: str,
+    *,
+    snapshot_id: int | None = None,
+    tag: str | None = None,
+    timestamp: str | None = None,
+    pushdown: bool = True,
+) -> int:
+    """Register ``name`` as a temp view PINNED at a historical
+    position — by snapshot id, tag, or timestamp (``TIMESTAMP AS OF``
+    semantics: the newest main-ancestry snapshot at or before the
+    instant) — so FULL ``spark.sql`` reads history, not just the
+    routed ``SELECT ... VERSION AS OF`` grammar. Returns the resolved
+    snapshot id. Convention for the view name: ``f"{t}@v{N}"`` (quote
+    it in SQL: ``SELECT * FROM `t@v3```), but any identifier works."""
+    picked = [x for x in (snapshot_id, tag, timestamp) if x is not None]
+    if len(picked) != 1:
+        raise ValueError(
+            "pass exactly one of snapshot_id=, tag=, timestamp="
+        )
+    if tag is not None:
+        sid = snapshots.resolve_tag(root, tag)
+    elif timestamp is not None:
+        import datetime as _dt2
+
+        t = _dt2.datetime.fromisoformat(timestamp.replace("Z", "+00:00"))
+        if t.tzinfo is None:
+            tz = snapshots._session_tzinfo()
+            if tz is None:
+                raise ValueError(
+                    "naive timestamp without an active Spark session "
+                    f"timezone — pass an offset-qualified ISO string: "
+                    f"{timestamp!r}"
+                )
+            t = t.replace(tzinfo=tz)
+        ts = t.timestamp()
+        manifest = snapshots._load(root)
+        anc = snapshots._main_ancestors(manifest)
+        eligible = [
+            s for s in manifest["snapshots"]
+            if s["ts"] <= ts and s["id"] in anc
+        ]
+        if not eligible:
+            raise KeyError(f"no snapshot at or before {timestamp!r}")
+        sid = eligible[-1]["id"]
+    else:
+        sid = int(snapshot_id)
+        snapshots._entry(snapshots._load(root), sid)  # must exist
+    if not pushdown:
+        snapshots.read_snapshot(
+            spark, root, snapshot_id=sid
+        ).createOrReplaceTempView(name)
+        return sid
+    from ..streaming.table_source import TableStreamDataSource
+
+    _CONF = "spark.sql.python.filterPushdown.enabled"
+    if str(spark.conf.get(_CONF, "false")).lower() != "true":
+        spark.conf.set(_CONF, "true")
+    spark.dataSource.register(TableStreamDataSource)
+    (
+        spark.read.format("snapshot_table")
+        .option("path", root)
+        .option("pushdown", "true")
+        .option("snapshotId", str(sid))
+        .load()
+        .createOrReplaceTempView(name)
+    )
+    return sid
 
 
 _DESCRIBE = re.compile(

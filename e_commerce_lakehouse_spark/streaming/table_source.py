@@ -56,13 +56,20 @@ Semantics (Delta streaming-source parity):
   one go). With skewed file sizes the byte budget is the meaningful
   cap; the two compose (whichever limits first). Offsets during the phase carry ``init_files`` (how many of the
   snapshot's canonically-ordered files are consumed); a restart
-  resumes mid-phase exactly-once. Safe on the FIRST trigger too: the
-  observed engine order (pinned by tests/test_table_stream.py) is
-  latestOffset->initialOffset on a fresh stream but
-  partitions(checkpoint)->latestOffset on a restart, so an unset
-  reader base at latestOffset-time PROVES the base is this reader's
-  own initial offset. Tailing commits stay whole-commit granular
-  (throttle those with maxCommitsPerTrigger).
+  resumes mid-phase exactly-once. Safe on the FIRST trigger too, by
+  PROOF rather than guesswork: on probed Spark versions the engine
+  call order (pinned by tests/test_table_stream.py —
+  latestOffset->initialOffset on a fresh stream,
+  partitions(checkpoint)->latestOffset on a restart) makes an unset
+  reader base at latestOffset-time prove a fresh stream; on ANY other
+  version, duplicate the query's ``checkpointLocation`` into the
+  READER options and the source probes the offset WAL directly — no
+  entries proves fresh (slice trigger 1), a parseable newest entry
+  proves the restart position (throttle even the restart's first
+  batch). With neither proof the first trigger falls back to the full
+  snapshot — always safe, merely unsliced — and warns once. Tailing
+  commits stay whole-commit granular (throttle those with
+  maxCommitsPerTrigger).
 - ``readChangeFeed=true``: changelog mode (Delta CDF streaming /
   ``table_changes`` parity, keyless file-granular semantics): every
   batch emits ``_change_type`` rows — the initial snapshot and
@@ -131,8 +138,14 @@ _PROBED_CALL_ORDER_SPARK = frozenset({"4.1"})
 
 def _trigger1_slice_safe() -> bool:
     """May the reader start a maxFilesPerTrigger initial-snapshot slice
-    from an UNSET base? True only on Spark versions whose engine call
-    order is probed/pinned; elsewhere the first trigger stays
+    from an UNSET base on call-order grounds alone? True only on Spark
+    versions whose engine call order is probed/pinned. On other
+    versions the reader still slices trigger 1 when it can PROVE the
+    stream state instead: pass the query's ``checkpointLocation`` as a
+    reader option and :meth:`_TableStreamReader._resolve_unknown_base`
+    inspects the offset WAL directly — no committed offsets proves a
+    fresh stream, a parseable newest entry proves the restart position.
+    Only when neither proof is available does the first trigger stay
     unthrottled (safe: a full-snapshot offset can never plan behind a
     restart checkpoint, while a mis-guessed init slice could)."""
     import pyspark
@@ -140,6 +153,52 @@ def _trigger1_slice_safe() -> bool:
     return ".".join(
         pyspark.__version__.split(".")[:2]
     ) in _PROBED_CALL_ORDER_SPARK
+
+
+def _last_checkpoint_offset(ckpt_loc: str):
+    """Inspect a Structured Streaming checkpoint's offset WAL (the
+    ``offsets/`` HDFSMetadataLog) for this source's newest planned
+    offset. Returns:
+
+    - ``"empty"`` — no WAL entries at all: PROVEN fresh stream;
+    - an offset dict — exactly one ``snapshot_id`` offset line in the
+      newest entry: the PROVEN stream position (if that batch is
+      uncommitted the engine replays it to exactly this end first, so
+      planning forward from it is sound either way);
+    - ``None`` — unreadable or ambiguous (several snapshot_table
+      sources in one query): caller must fall back to the unthrottled
+      first batch.
+
+    WAL entry format (stable across 3.x/4.x): line 1 the ``v1``
+    version header, line 2 the batch metadata JSON, then one offset
+    line per source."""
+    odir = os.path.join(ckpt_loc, "offsets")
+    try:
+        names = [n for n in os.listdir(odir) if n.isdigit()]
+    except (FileNotFoundError, NotADirectoryError):
+        return "empty"
+    except OSError:
+        return None
+    if not names:
+        return "empty"
+    try:
+        with open(os.path.join(odir, max(names, key=int))) as fh:
+            lines = [ln.strip() for ln in fh if ln.strip()]
+    except OSError:
+        return None
+    cands = []
+    for ln in lines[1:]:
+        if "snapshot_id" not in ln:
+            continue
+        try:
+            obj = json.loads(ln)
+            if isinstance(obj, str):  # doubly-encoded offset payload
+                obj = json.loads(obj)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "snapshot_id" in obj:
+            cands.append(obj)
+    return cands[0] if len(cands) == 1 else None
 
 
 def _opt(options, name, default=None):
@@ -293,6 +352,12 @@ class _TableStreamReader(DataSourceStreamReader):
         self.max_bytes = int(raw) if raw is not None else None
         if self.max_bytes is not None and self.max_bytes < 1:
             raise ValueError("maxBytesPerTrigger must be >= 1")
+        # the query's checkpoint location, duplicated into the READER
+        # options: lets an unset base resolve by PROOF (offset-WAL
+        # probe) instead of by engine-call-order inference — the
+        # version-independent path to a throttled first trigger
+        self.ckpt_loc = _opt(options, "checkpointLocation")
+        self._warned_unsliced = False
         start = _opt(options, "startingSnapshotId")
         # arrow target for executor-side alignment (picklable, tiny);
         # the column mapping pins logical->physical file names as of
@@ -348,26 +413,67 @@ class _TableStreamReader(DataSourceStreamReader):
         self._init_cache = (sid, units)
         return units
 
+    def _resolve_unknown_base(self):
+        """Interpret an UNSET reader base at latestOffset-time.
+        Returns ``(base, proven)``; ``proven=False`` means neither the
+        engine call order nor a checkpoint probe could establish the
+        stream state, so throttling must not start an init slice (a
+        mis-guessed slice could plan an offset BEHIND a restart's
+        checkpoint — the one unsound outcome).
+
+        Proof sources, in order: (1) the probed engine call order
+        (unset-at-latestOffset == fresh on pinned Spark versions);
+        (2) the query's offset WAL via the ``checkpointLocation``
+        reader option — no entries proves FRESH, a parseable newest
+        entry proves the exact restart position (and then even the
+        restart's first batch throttles, which call-order proof alone
+        cannot offer)."""
+        initial = {"snapshot_id": self.starting_id}
+        if _trigger1_slice_safe():
+            return initial, True
+        if self.ckpt_loc:
+            off = _last_checkpoint_offset(self.ckpt_loc)
+            if off == "empty":
+                return initial, True
+            if isinstance(off, dict):
+                return off, True
+        return initial, False
+
     def latestOffset(self):
         manifest = S._load(self.root)
         cur = manifest["current"]
         if cur is None:
             return {"snapshot_id": self.starting_id}
         base = getattr(self, "_planned", self._UNKNOWN)
-        # an unset base proves a fresh stream ONLY under the probed
-        # engine call order (_trigger1_slice_safe): on an unprobed
-        # Spark, a restart might call latestOffset first, and starting
-        # an init slice from the guessed base could plan an offset
-        # BEHIND the checkpoint. Fall back to an unthrottled first
-        # trigger there — always safe, merely unsliced.
-        unproven_fresh = base is self._UNKNOWN and not _trigger1_slice_safe()
+        unproven_fresh = False
         if base is self._UNKNOWN:
-            base = {"snapshot_id": self.starting_id}
+            base, proven = self._resolve_unknown_base()
+            unproven_fresh = not proven
         base_sid = base["snapshot_id"]
         in_init = base_sid is None or "init_files" in base
         throttled_init = (
             self.max_files is not None or self.max_bytes is not None
         )
+        if (
+            throttled_init and in_init and unproven_fresh
+            and not self._warned_unsliced
+        ):
+            # the silent behavior cliff on unprobed Spark versions,
+            # made observable (one-time): the FIRST batch will emit
+            # the whole initial snapshot despite max*PerTrigger
+            import warnings
+
+            warnings.warn(
+                "snapshot_table: cannot prove this stream is fresh "
+                "(engine call order unprobed on this Spark version and "
+                "no usable checkpointLocation reader option), so "
+                "maxFilesPerTrigger/maxBytesPerTrigger will NOT slice "
+                "the first trigger — it emits the full initial "
+                "snapshot. Pass the query's checkpointLocation as a "
+                "READER option to restore first-trigger slicing.",
+                stacklevel=2,
+            )
+            self._warned_unsliced = True
         if throttled_init and in_init and not unproven_fresh:
             # initial-snapshot slicing: the phase pins ONE snapshot and
             # walks its canonical file order in maxFilesPerTrigger /

@@ -755,18 +755,91 @@ def test_trigger1_slice_gated_on_probed_spark_version(spark, tmpdir, monkeypatch
     r = ts._TableStreamReader(opts)
     off = r.latestOffset()  # engine calls this BEFORE initialOffset
     assert off.get("init_files") == 2
-    # unprobed version: unset base -> full snapshot, no slice guess
+    # unprobed version, no checkpoint proof: unset base -> full
+    # snapshot, no slice guess — and a one-time observable warning
+    # (the silent-cliff ADVICE item)
+    import warnings as _w
+
     monkeypatch.setattr(ts, "_trigger1_slice_safe", lambda: False)
     r2 = ts._TableStreamReader(opts)
-    off2 = r2.latestOffset()
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        off2 = r2.latestOffset()
+        r2._planned = r2._UNKNOWN  # simulate another unknown-base call
+        r2.latestOffset()
     assert "init_files" not in off2
     assert off2["snapshot_id"] == S._load(root)["current"]
+    warned = [w for w in caught if "slice" in str(w.message)]
+    assert len(warned) == 1, "exactly one warning per reader"
     # ...and once the base is KNOWN (initialOffset ran), slicing
     # applies regardless of the version gate
     r3 = ts._TableStreamReader(opts)
     r3.initialOffset()
     off3 = r3.latestOffset()
     assert off3.get("init_files") == 2
+
+
+def test_trigger1_slice_proven_by_checkpoint_probe(spark, tmpdir, monkeypatch):
+    """The version-independent proof path: with the query's
+    checkpointLocation duplicated into the reader options, an UNSET
+    base resolves by inspecting the offset WAL — an empty checkpoint
+    proves a fresh stream (trigger 1 slices even on an unprobed
+    Spark), and an existing checkpoint proves the restart position (a
+    latestOffset-first restart plans FORWARD from it, never behind —
+    the soundness condition the probed-order matrix used to carry
+    alone)."""
+    from e_commerce_lakehouse_spark.streaming import table_source as ts
+
+    root, ckpt = f"{tmpdir}/t", f"{tmpdir}/ck"
+    _mk_single_file_commits(spark, root, n_files=6, rows_per_file=2)
+    monkeypatch.setattr(ts, "_trigger1_slice_safe", lambda: False)
+    opts = {
+        "path": root, "maxFilesPerTrigger": "2",
+        "checkpointlocation": ckpt,  # JVM lower-cases option keys
+    }
+    # (a) no checkpoint dir at all -> PROVEN fresh -> trigger-1 slice
+    r = ts._TableStreamReader(opts)
+    off = r.latestOffset()
+    assert off.get("init_files") == 2
+    # (b) run one real sliced batch to create a genuine offset WAL
+    out = f"{tmpdir}/out"
+    q = (
+        read_table_stream(
+            spark, root, maxFilesPerTrigger="2", checkpointLocation=ckpt
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    done = len(_keys(spark, out))
+    assert 0 < done < 12
+    wal = ts._last_checkpoint_offset(ckpt)
+    assert isinstance(wal, dict) and wal.get("init_files") == done // 2
+    # (c) simulated restart-calls-latestOffset-first: a FRESH reader
+    # (no initialOffset, no partitions replay) must plan its offset at
+    # or PAST the checkpointed position — and still sliced
+    r2 = ts._TableStreamReader(opts)
+    off2 = r2.latestOffset()
+    assert off2["snapshot_id"] == wal["snapshot_id"]
+    assert off2.get("init_files", 6) > wal["init_files"], (off2, wal)
+    # (d) the e2e restart drains the remainder exactly-once with the
+    # reader-side option present
+    for _ in range(4):
+        q = (
+            read_table_stream(
+                spark, root, maxFilesPerTrigger="2", checkpointLocation=ckpt
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    assert _keys(spark, out) == list(range(12))
 
 
 def test_maintain_choreography_is_stream_safe(spark, tmpdir):
