@@ -65,7 +65,10 @@ k => v, ...)``                         expire_snapshots /
 For arbitrary read-side SQL (joins, windows, subqueries — the whole
 Spark SQL surface), :func:`register_snapshot_views` binds each table's
 CURRENT snapshot as a temp view for ``spark.sql`` (snapshot-isolated;
-re-register to advance).
+advance with :func:`refresh_snapshot_views` — one call per session —
+or the routed ``REFRESH TABLE``); :func:`register_time_travel_view`
+pins a view at a snapshot id / tag / timestamp so full ``spark.sql``
+reads history too.
 
 Deliberately small grammar, loudly rejected when exceeded (a clear
 error beats a silently mis-parsed write): WHERE clauses are
@@ -263,6 +266,9 @@ _RESTORE = re.compile(
 )
 _HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_REFRESH = re.compile(
+    r"^\s*REFRESH\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", re.IGNORECASE
 )
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
@@ -1243,6 +1249,30 @@ def execute_dml(
             sid = snapshots.compact_files(spark, root, predicates=preds)
         return {"op": "optimize", "table": name, "snapshot_id": sid}
 
+    if (m := _REFRESH.match(sql)) is not None:
+        # REFRESH TABLE v — re-bind a registered snapshot view to the
+        # table's CURRENT snapshot (the Spark-SQL idiom users already
+        # type for stale parquet tables; here it must re-bind because
+        # Spark freezes a Python DataSource's planned partitions into
+        # the stored view plan — see register_snapshot_views)
+        name = m.group(1)
+        key = (_session_key(spark), name)
+        if key in _VIEW_REGISTRY:
+            root, pushdown, pinned = _VIEW_REGISTRY[key]
+            sid = (
+                pinned if pinned is not None
+                else snapshots._load(root)["current"]
+            )
+            _bind_view(spark, name, root, pushdown, sid)
+            return {"op": "refresh", "table": name, "snapshot_id": sid}
+        if name in tables:  # registered table, never bound as a view
+            sid = snapshots._load(tables[name])["current"]
+            return {"op": "refresh", "table": name, "snapshot_id": sid}
+        raise KeyError(
+            f"unknown view/table {name!r}; registered views: "
+            f"{sorted(n for (sk, n) in _VIEW_REGISTRY if sk == _session_key(spark))}"
+        )
+
     if (m := _VACUUM.match(sql)) is not None:
         name, retain, dry = m.groups()
         root = _resolve(tables, name)
@@ -1657,27 +1687,62 @@ def _empty_like(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame([], T.StructType.fromJson(json.loads(entry["schema"])))
 
 
+#: views bound in this process by register_snapshot_views /
+#: register_time_travel_view, keyed (session id, view name) — what
+#: refresh_snapshot_views and the REFRESH TABLE route re-bind. Values:
+#: (root, pushdown, pinned_snapshot_id_or_None); None means "current
+#: at refresh time" (a plain table view), an int means a time-travel
+#: view whose position is part of its identity (refresh re-binds the
+#: SAME snapshot, only picking up metadata-tier changes).
+_VIEW_REGISTRY: dict = {}
+
+
+def _session_key(spark: SparkSession):
+    return id(spark)
+
+
+def _bind_view(
+    spark: SparkSession, name: str, root: str, pushdown: bool, sid: int
+) -> None:
+    if not pushdown:
+        snapshots.read_snapshot(
+            spark, root, snapshot_id=sid
+        ).createOrReplaceTempView(name)
+        return
+    from ..streaming.table_source import TableStreamDataSource
+
+    _CONF = "spark.sql.python.filterPushdown.enabled"
+    if str(spark.conf.get(_CONF, "false")).lower() != "true":
+        spark.conf.set(_CONF, "true")
+    spark.dataSource.register(TableStreamDataSource)
+    (
+        spark.read.format("snapshot_table")
+        .option("path", root)
+        .option("pushdown", "true")
+        .option("snapshotId", str(sid))  # pin: snapshot isolation
+        .load()
+        .createOrReplaceTempView(name)
+    )
+
+
 def register_snapshot_views(
-    spark: SparkSession,
-    tables: dict[str, str],
-    pushdown: bool = True,
-    pin: bool = True,
+    spark: SparkSession, tables: dict[str, str], pushdown: bool = True
 ) -> dict:
     """Expose snapshot tables to FULL Spark SQL as temp views: after
     this, ``spark.sql("SELECT ... arbitrary joins/windows ... FROM
     t")`` works with the whole SQL surface — the Dremio-shaped read
     path the reference provisions (scripts/utils.py), minus the BI
-    server.
-
-    ``pin=True`` (default) binds each view to the CURRENT snapshot at
-    registration — snapshot isolation for a long-lived session;
-    refresh is an explicit re-call. ``pin=False`` binds LIVE views:
-    each query execution re-resolves the table's current snapshot (the
-    batch reader re-loads the manifest in ``partitions()``), so a BI
-    session sees new commits without re-registering — at the cost of
-    per-query isolation only (two scans in one statement could in
-    principle straddle a commit, and a SCHEMA change still needs a
-    re-register because the view's column set was fixed at bind time).
+    server. Views PIN the current snapshot at bind time (snapshot
+    isolation for a long-lived session). Liveness is an explicit,
+    cheap re-bind: :func:`refresh_snapshot_views` (one call for every
+    view this session registered) or the routed ``REFRESH TABLE t``
+    statement — NOT an unpinned reader, because Spark 4.1 freezes a
+    Python DataSource's planned partitions into the stored view plan
+    (``planInputPartitions`` is cached on the relation; even
+    ``spark.sql("REFRESH TABLE ...")`` over the raw view does not
+    reach it — pinned by
+    ``test_unpinned_datasource_plan_is_frozen_engine_fact``), so an
+    "unpinned" binding would silently freeze at first use anyway.
 
     ``pushdown=True`` (default) binds each view through the
     ``snapshot_table`` batch DataSource with filter pushdown: any
@@ -1691,38 +1756,45 @@ def register_snapshot_views(
     returned dict under ``"python_filter_pushdown_was"`` so callers
     can restore it; it is only written when not already ``true``.
     ``pushdown=False`` binds the materialized ``read_snapshot``
-    DataFrame instead (no file skipping; no session conf touched;
-    ``pin`` must stay True — a materialized frame is inherently
-    pinned)."""
-    if not pushdown:
-        if not pin:
-            raise ValueError(
-                "pin=False requires pushdown=True: the materialized "
-                "read_snapshot binding is inherently pinned"
-            )
-        for name, root in tables.items():
-            snapshots.read_snapshot(spark, root).createOrReplaceTempView(name)
-        return {}
-    from ..streaming.table_source import TableStreamDataSource
-
+    DataFrame instead (no file skipping; no session conf touched)."""
     _CONF = "spark.sql.python.filterPushdown.enabled"
-    prev = str(spark.conf.get(_CONF, "false"))
-    if prev.lower() != "true":
-        spark.conf.set(_CONF, "true")
-    spark.dataSource.register(TableStreamDataSource)
+    prev = str(spark.conf.get(_CONF, "false")) if pushdown else None
+    bound = {}
     for name, root in tables.items():
         sid = snapshots._load(root)["current"]
         if sid is None:
             raise KeyError(f"table {root} has no snapshots")
-        reader = (
-            spark.read.format("snapshot_table")
-            .option("path", root)
-            .option("pushdown", "true")
-        )
-        if pin:
-            reader = reader.option("snapshotId", str(sid))
-        reader.load().createOrReplaceTempView(name)
-    return {"python_filter_pushdown_was": prev}
+        _bind_view(spark, name, root, pushdown, sid)
+        _VIEW_REGISTRY[(_session_key(spark), name)] = (root, pushdown, None)
+        bound[name] = sid
+    out = {"bound": bound}
+    if pushdown:
+        out["python_filter_pushdown_was"] = prev
+    return out
+
+
+def refresh_snapshot_views(spark: SparkSession) -> dict:
+    """Re-bind every view this session registered via
+    :func:`register_snapshot_views` / :func:`register_time_travel_view`
+    to its table's CURRENT snapshot (time-travel views keep their
+    pinned position — their identity IS the position). One call
+    refreshes a whole BI session; returns ``{view: snapshot_id}``.
+    This is the explicit-liveness half of the pinned-view contract —
+    see register_snapshot_views for why liveness cannot ride an
+    unpinned reader on Spark 4.1."""
+    skey = _session_key(spark)
+    out = {}
+    for (sk, name), (root, pushdown, pinned) in list(_VIEW_REGISTRY.items()):
+        if sk != skey:
+            continue
+        sid = pinned
+        if sid is None:
+            sid = snapshots._load(root)["current"]
+            if sid is None:
+                raise KeyError(f"table {root} has no snapshots")
+        _bind_view(spark, name, root, pushdown, sid)
+        out[name] = sid
+    return out
 
 
 def register_time_travel_view(
@@ -1740,8 +1812,9 @@ def register_time_travel_view(
     semantics: the newest main-ancestry snapshot at or before the
     instant) — so FULL ``spark.sql`` reads history, not just the
     routed ``SELECT ... VERSION AS OF`` grammar. Returns the resolved
-    snapshot id. Convention for the view name: ``f"{t}@v{N}"`` (quote
-    it in SQL: ``SELECT * FROM `t@v3```), but any identifier works."""
+    snapshot id. Convention for the view name: ``f"{t}_v{N}"``
+    (temp-view names must be plain identifiers — ``t@v3`` is
+    rejected by Spark), but any identifier works."""
     picked = [x for x in (snapshot_id, tag, timestamp) if x is not None]
     if len(picked) != 1:
         raise ValueError(
@@ -1775,25 +1848,8 @@ def register_time_travel_view(
     else:
         sid = int(snapshot_id)
         snapshots._entry(snapshots._load(root), sid)  # must exist
-    if not pushdown:
-        snapshots.read_snapshot(
-            spark, root, snapshot_id=sid
-        ).createOrReplaceTempView(name)
-        return sid
-    from ..streaming.table_source import TableStreamDataSource
-
-    _CONF = "spark.sql.python.filterPushdown.enabled"
-    if str(spark.conf.get(_CONF, "false")).lower() != "true":
-        spark.conf.set(_CONF, "true")
-    spark.dataSource.register(TableStreamDataSource)
-    (
-        spark.read.format("snapshot_table")
-        .option("path", root)
-        .option("pushdown", "true")
-        .option("snapshotId", str(sid))
-        .load()
-        .createOrReplaceTempView(name)
-    )
+    _bind_view(spark, name, root, pushdown, sid)
+    _VIEW_REGISTRY[(_session_key(spark), name)] = (root, pushdown, sid)
     return sid
 
 

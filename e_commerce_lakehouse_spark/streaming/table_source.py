@@ -210,6 +210,14 @@ def _opt(options, name, default=None):
     return default
 
 
+def _root_opt(options):
+    """The table root. ``tableRoot`` wins over ``path``: for CATALOG
+    tables (``CREATE TABLE ... USING snapshot_table``) Spark injects
+    its own ``path`` option pointing at the warehouse location, so the
+    root must ride a name Spark does not own."""
+    return _opt(options, "tableRoot") or _opt(options, "path")
+
+
 def _bool_opt(options, name) -> bool:
     return str(_opt(options, name, "false")).strip().lower() in (
         "true", "1", "yes",
@@ -329,7 +337,7 @@ class _FilePartition(InputPartition):
 
 class _TableStreamReader(DataSourceStreamReader):
     def __init__(self, options):
-        self.root = _opt(options, "path")
+        self.root = _root_opt(options)
         if not self.root:
             raise ValueError("snapshot_table requires .option('path', root)")
         self.ignore_changes = _bool_opt(options, "ignoreChanges")
@@ -682,7 +690,7 @@ class _TableBatchReader(DataSourceReader):
     this exists so DataSource-API consumers see one format name."""
 
     def __init__(self, options):
-        self.root = _opt(options, "path")
+        self.root = _root_opt(options)
         if not self.root:
             raise ValueError("snapshot_table requires .option('path', root)")
         if _bool_opt(options, "withCommitVersion"):
@@ -827,7 +835,7 @@ class TableStreamDataSource(DataSource):
         return "snapshot_table"
 
     def schema(self):
-        root = _opt(self.options, "path")
+        root = _root_opt(self.options)
         if not root:
             raise ValueError("snapshot_table requires .option('path', root)")
         change_feed = _bool_opt(self.options, "readChangeFeed")

@@ -916,6 +916,133 @@ def test_spark_sql_over_registered_view_gets_file_skipping(spark, root):
     ).first().n == 4 + 0 + 1  # 0,10,20,30 and 39
 
 
+def test_unpinned_datasource_plan_is_frozen_engine_fact(spark, root):
+    """Engine fact (rebuts 'just stop pinning snapshotId for live
+    views'): Spark 4.1 freezes a Python DataSource's planned
+    partitions into the relation — an UNPINNED snapshot_table
+    DataFrame keeps returning its first-execution contents after new
+    commits, and even spark.sql REFRESH TABLE over the bound view
+    does not reach the cached scan. Liveness therefore must be an
+    explicit re-bind (refresh_snapshot_views / the routed REFRESH
+    TABLE), which the next test gates."""
+    from e_commerce_lakehouse_spark.streaming.table_source import (
+        TableStreamDataSource,
+    )
+
+    S.write_snapshot(spark.range(4).selectExpr("id", "id*2 AS v"), root)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TableStreamDataSource)
+    df = (
+        spark.read.format("snapshot_table")
+        .option("path", root).option("pushdown", "true").load()
+    )
+    df.createOrReplaceTempView("frozen_t")
+    assert df.count() == 4
+    S.write_snapshot(
+        spark.range(4, 10).selectExpr("id", "id*2 AS v"), root,
+        mode="append",
+    )
+    assert df.count() == 4  # frozen: unpinned is NOT live
+    assert spark.sql("SELECT count(*) AS n FROM frozen_t").first().n == 4
+    spark.sql("REFRESH TABLE frozen_t")  # raw Spark refresh: no effect
+    assert spark.sql("SELECT count(*) AS n FROM frozen_t").first().n == 4
+    # a FRESH load sees the append — re-binding is what refreshes
+    df2 = (
+        spark.read.format("snapshot_table")
+        .option("path", root).option("pushdown", "true").load()
+    )
+    assert df2.count() == 10
+
+
+def test_refresh_snapshot_views_and_refresh_table_route(spark, root, tmp_path):
+    """Pinned views + explicit liveness: registered views keep the
+    bind-time snapshot (isolation); refresh_snapshot_views(spark)
+    re-binds EVERY registered view in one call with no table dict;
+    the routed REFRESH TABLE statement does the same for one view.
+    Time-travel views keep their pinned position across refresh."""
+    other = str(tmp_path / "o2")
+    S.write_snapshot(spark.range(4).selectExpr("id", "id*2 AS v"), root)
+    S.write_snapshot(spark.range(3).selectExpr("id AS k"), other)
+    out = sql_dml.register_snapshot_views(spark, {"rt": root, "ro": other})
+    assert out["bound"] == {"rt": 1, "ro": 1}
+    assert out["python_filter_pushdown_was"] in ("false", "true")
+    sql_dml.register_time_travel_view(spark, "rt_v1", root, snapshot_id=1)
+    S.write_snapshot(
+        spark.range(4, 10).selectExpr("id", "id*2 AS v"), root,
+        mode="append",
+    )
+    S.write_snapshot(
+        spark.range(3, 5).selectExpr("id AS k"), other, mode="append"
+    )
+    # isolation until refreshed
+    assert spark.sql("SELECT count(*) AS n FROM rt").first().n == 4
+    # one call, no table dict: every view advances; time travel stays
+    refreshed = sql_dml.refresh_snapshot_views(spark)
+    assert refreshed["rt"] == 2 and refreshed["ro"] == 2
+    assert refreshed["rt_v1"] == 1
+    assert spark.sql("SELECT count(*) AS n FROM rt").first().n == 10
+    assert spark.sql("SELECT count(*) AS n FROM ro").first().n == 5
+    assert spark.sql("SELECT count(*) AS n FROM rt_v1").first().n == 4
+    # the routed REFRESH TABLE statement re-binds one view
+    S.write_snapshot(
+        spark.range(10, 12).selectExpr("id", "id*2 AS v"), root,
+        mode="append",
+    )
+    assert spark.sql("SELECT count(*) AS n FROM rt").first().n == 10
+    got = sql_dml.execute_dml(spark, "REFRESH TABLE rt", {"rt": root})
+    assert got == {"op": "refresh", "table": "rt", "snapshot_id": 3}
+    assert spark.sql("SELECT count(*) AS n FROM rt").first().n == 12
+    # pushdown still correct on a refreshed view
+    assert spark.sql(
+        "SELECT count(*) AS n FROM rt WHERE id >= 10"
+    ).first().n == 2
+
+
+def test_time_travel_views_match_routed_version_as_of(spark, root):
+    """register_time_travel_view pins a view at a snapshot id / tag /
+    timestamp so FULL spark.sql reads history; the result is
+    row-identical to the routed SELECT ... VERSION AS OF grammar."""
+    import datetime as _dt
+
+    S.write_snapshot(spark.range(3).selectExpr("id", "id*2 AS v"), root)
+    S.tag_snapshot(root, "cut")
+    t_between = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    import time as _time
+
+    _time.sleep(0.05)
+    S.write_snapshot(
+        spark.range(3, 8).selectExpr("id", "id*2 AS v"), root,
+        mode="append",
+    )
+    t = {"t": root}
+    # by snapshot id
+    sid = sql_dml.register_time_travel_view(spark, "t_v1", root, snapshot_id=1)
+    assert sid == 1
+    routed = sql_dml.execute_dml(
+        spark, "SELECT * FROM t VERSION AS OF 1", t
+    )["df"]
+    want = sorted(map(tuple, routed.collect()))
+    got = sorted(map(tuple, spark.sql("SELECT * FROM t_v1").collect()))
+    assert got == want and len(got) == 3
+    # by tag and by timestamp resolve the same position
+    assert sql_dml.register_time_travel_view(
+        spark, "t_cut", root, tag="cut"
+    ) == 1
+    assert sql_dml.register_time_travel_view(
+        spark, "t_asof", root, timestamp=t_between
+    ) == 1
+    assert spark.sql("SELECT count(*) AS n FROM t_cut").first().n == 3
+    assert spark.sql("SELECT count(*) AS n FROM t_asof").first().n == 3
+    # historical views predicate-prune correctly too
+    assert spark.sql(
+        "SELECT count(*) AS n FROM t_v1 WHERE id >= 2"
+    ).first().n == 1
+    with pytest.raises(ValueError, match="exactly one"):
+        sql_dml.register_time_travel_view(
+            spark, "bad", root, snapshot_id=1, tag="cut"
+        )
+
+
 def test_alter_table_constraint_routes(spark, root):
     """ALTER TABLE ADD/DROP CONSTRAINT route onto set_constraint /
     drop_constraint (routing equality) — guarded writes reject, drop
