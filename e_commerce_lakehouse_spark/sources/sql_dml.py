@@ -638,17 +638,29 @@ def _check_merge_cardinality(
     src_p, tgt_p, key_eq = pair
     # duplicate-key source rows that satisfy at least one matched
     # clause against a matched target row are the ones that MODIFY it;
-    # >1 of them per key is the real cardinality violation. Cost is
-    # O(dup-key rows) joined against the (possibly key-pruned) target.
+    # >1 of them per TARGET ROW is the real cardinality violation.
+    # Counting per target-row identity (not per source key) matters
+    # when the target itself has duplicate keys: two duplicate-key
+    # source rows whose conditions each pick a DIFFERENT target row
+    # are legal (one post-image per target row), while one target row
+    # receiving two modifying sources is not — Delta's exact rule.
+    # One source row modifying several target rows is likewise fine.
+    # Cost is O(dup-key rows) joined against the (possibly key-pruned)
+    # target; the id column is assigned in-plan, used only within this
+    # single count query.
     dup_p = src_p.join(
         dups.select([F.col(k).alias(_SPFX + k) for k in keys]),
         [_SPFX + k for k in keys],
         "left_semi",
     )
-    modifying = dup_p.join(tgt_p, key_eq & modifies, "left_semi")
+    tgt_id = tgt_p.withColumn("__tid", F.monotonically_increasing_id())
+    pairs = dup_p.join(tgt_id, key_eq & modifies, "inner")
     hit = (
-        modifying.groupBy(*[_SPFX + k for k in keys])
-        .agg(F.count(F.lit(1)).alias("__n"))
+        pairs.groupBy("__tid")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.first(_SPFX + k).alias(_SPFX + k) for k in keys],
+        )
         .filter(F.col("__n") > 1)
         .limit(1)
         .collect()
@@ -907,7 +919,14 @@ def _merge_extended(
                 )
         parts: list[DataFrame] = []
         if matched_cl:
-            pairs = src.join(tgt, key_eq, "inner").withColumn(
+            # __tid gives each target row an identity within this one
+            # query (stable per scan) — needed twice below: the
+            # per-target-row cardinality rule and the duplicate-key
+            # carry. Harmless extra column for the clause selects.
+            tgt_w = tgt.withColumn(
+                "__tid", F.monotonically_increasing_id()
+            )
+            pairs = src.join(tgt_w, key_eq, "inner").withColumn(
                 "__clause",
                 _first_match_idx([_cond_col(c, True) for c in matched_cl]),
             )
@@ -940,6 +959,41 @@ def _merge_extended(
                 parts.append(
                     sub.select(*row, F.lit(ct).alias("_change_type"))
                 )
+            # Row-completeness for DUPLICATE-KEY targets: the commit
+            # routes are key-addressed (apply_changes / apply_changes_dv
+            # replace every target row of a fed key), so a target row
+            # whose key IS modified by some pair but which itself
+            # matched no clause must ride the feed as a carry
+            # post-image, or it would silently vanish with its
+            # siblings. Key-unique targets make this frame empty by
+            # construction (every matched row of a fed key fed
+            # something); the cost is one batch-shaped groupBy on the
+            # pair frame. A carried row surfaces to CDF consumers as a
+            # value-identical update — the honest trade for row-wise
+            # MERGE semantics over a key-addressed applier.
+            per_row = pairs.groupBy("__tid").agg(
+                F.max(F.col("__clause").isNotNull().cast("int")).alias(
+                    "__mod"
+                ),
+                *[F.first(_TPFX + c).alias(_TPFX + c) for c in t_cols],
+            )
+            carried = per_row.filter(F.col("__mod") == 0)
+            key_mod = pairs.filter(F.col("__clause").isNotNull()).select(
+                *[F.col(_TPFX + k).alias(k) for k in keys]
+            ).distinct()
+            carried = carried.join(
+                key_mod.select(
+                    *[F.col(k).alias(_TPFX + k) for k in keys]
+                ),
+                [_TPFX + k for k in keys],
+                "left_semi",
+            )
+            parts.append(
+                carried.select(
+                    *[F.col(_TPFX + c).alias(c) for c in t_cols],
+                    F.lit("update_postimage").alias("_change_type"),
+                )
+            )
         if notm_cl:
             anti = src.join(
                 tgt.select([F.col(_TPFX + k) for k in keys]),

@@ -501,3 +501,83 @@ def test_conditional_dedup_merge_is_legal(spark, root, mode):
     assert sorted(
         (r.id, r.qty) for r in S.read_snapshot(spark, root).collect()
     ) == [(1, 100)]
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_duplicate_key_target_rowwise_semantics(spark, root, mode):
+    """Delta counts MERGE cardinality per TARGET ROW, not per source
+    key: with a duplicate-key TARGET, duplicate-key source rows whose
+    conditions each pick a DIFFERENT target row are LEGAL (one
+    post-image per target row), and target rows of a modified key that
+    matched no clause survive (the feed carries them across the
+    key-addressed applier). Two sources modifying the SAME target row
+    still raise."""
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(1, 10), (1, 150), (1, 200), (2, 20)], "id long, qty long"
+        ),
+        root,
+    )
+    D.set_delete_mode(root, mode)
+    src = spark.createDataFrame(
+        [(1, 50, 1), (1, 500, 2)], "id long, qty long, seq long"
+    )
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND t.qty < 100 AND s.seq = 1 THEN UPDATE SET qty = s.qty "
+        "WHEN MATCHED AND t.qty >= 160 AND s.seq = 2 THEN UPDATE SET qty = s.qty",
+        {"tbl": root},
+        sources={"src": src},
+    )
+    got = sorted((r.id, r.qty) for r in S.read_snapshot(spark, root).collect())
+    # 10 -> 50 (seq=1 picked the small row), 200 -> 500 (seq=2 picked
+    # the big row), 150 untouched AND NOT LOST, id=2 untouched
+    assert got == [(1, 50), (1, 150), (1, 500), (2, 20)]
+    # ...but two sources whose conditions land on ONE target row raise
+    bad = spark.createDataFrame(
+        [(1, 7, 1), (1, 8, 2)], "id long, qty long, seq long"
+    )
+    with pytest.raises(Exception, match="matched multiple source"):
+        sql_dml.execute_dml(
+            spark,
+            "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+            "WHEN MATCHED AND t.qty <= 50 THEN UPDATE SET qty = s.qty",
+            {"tbl": root},
+            sources={"src": bad},
+        )
+    # nothing committed by the failed attempt
+    assert sorted(
+        (r.id, r.qty) for r in S.read_snapshot(spark, root).collect()
+    ) == got
+
+
+@pytest.mark.parametrize("mode", ["copy-on-write", "merge-on-read"])
+def test_unmodified_key_rows_not_churned(spark, root, mode):
+    """A matched key where NO pair satisfies any clause stays entirely
+    out of the feed: its rows are untouched (no carry churn, no
+    spurious CDF update) — only keys with at least one modifying pair
+    re-commit their unmodified sibling rows."""
+    S.write_snapshot(
+        spark.createDataFrame(
+            [(1, 500), (1, 600), (2, 20)], "id long, qty long"
+        ),
+        root,
+    )
+    D.set_delete_mode(root, mode)
+    head = S._load(root)["current"]
+    src = spark.createDataFrame([(1, 9, 1)], "id long, qty long, seq long")
+    sql_dml.execute_dml(
+        spark,
+        "MERGE INTO tbl AS t USING src AS s ON t.id = s.id "
+        "WHEN MATCHED AND t.qty < 100 THEN UPDATE SET qty = s.qty",
+        {"tbl": root},
+        sources={"src": src},
+    )
+    assert sorted(
+        (r.id, r.qty) for r in S.read_snapshot(spark, root).collect()
+    ) == [(1, 500), (1, 600), (2, 20)]
+    summary = S._load(root)["snapshots"][-1].get("summary", {})
+    # merge-on-read: the no-op feed must not have marked any rows
+    if mode == "merge-on-read" and S._load(root)["current"] != head:
+        assert summary.get("dv_marked_rows", 0) == 0
