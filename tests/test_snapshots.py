@@ -2265,6 +2265,82 @@ def test_checkpoint_crash_self_heals(spark, root):
     assert S.read_snapshot(spark, root).count() == 6
 
 
+def test_expire_races_append_across_log_records(spark, root, monkeypatch):
+    """expire's trimmed-manifest commit (a replace/remove-heavy log
+    record) losing the CAS to a concurrent APPEND retries from fresh
+    state: the append survives, the trim lands, and replaying the
+    interleaved records (append-add, expire-replace/remove, clear)
+    yields exactly the post-race state."""
+    for i in range(6):
+        S.write_snapshot(
+            spark.range(i, i + 1), root, mode="append" if i else "overwrite"
+        )
+    orig = S._commit
+    raced = {"done": False}
+
+    def racing(r, m):
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent append wins version N first; expire's
+            # commit then conflicts and must re-derive retention from
+            # the FRESH head (which includes this append)
+            S.write_snapshot(spark.range(100, 101), r, mode="append")
+        orig(r, m)
+
+    monkeypatch.setattr(S, "_commit", racing)
+    S.expire_snapshots(root, keep_last=2)
+    monkeypatch.setattr(S, "_commit", orig)
+    m = S._load(root)
+    # the append is the head's parent chain: all 6 seed rows + 100
+    got = sorted(r.id for r in S.read_snapshot(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 100]
+    # retention landed: only the retained tail remains
+    assert len(m["snapshots"]) <= 3
+    assert 100 in {r.id for r in S.read_snapshot(spark, root).collect()}
+    # replay-vs-memory agreement: a fresh load equals the state the
+    # committing process holds
+    assert [s["id"] for s in S._load(root)["snapshots"]] == [
+        s["id"] for s in m["snapshots"]
+    ]
+
+
+def test_load_cost_bounded_by_cadence_not_table_age(spark, root):
+    """The read-path half of the commit-log contract: _load's version
+    record reads are bounded by one checkpoint window at ANY table
+    age (base + <= _CHECKPOINT_INTERVAL log records), instead of one
+    O(#snapshots) manifest parse that grows forever. Measured by
+    counting version-file opens through the resolve walk."""
+    S.write_snapshot(spark.range(3), root)
+    S.write_snapshot(spark.range(3, 6), root, mode="append")
+    reads_at = {}
+    real_resolve = S._resolve_state
+
+    def counting_resolve(r, head):
+        state, base_v = real_resolve(r, head)
+        reads_at["last"] = head - base_v  # log records replayed
+        return state, base_v
+
+    for n_commits in (40, 200, 400):
+        while len(S._load(root)["snapshots"]) < n_commits:
+            S.rollback(root, 2)
+        S.rollback(root, 2)
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            S, "_resolve_state", side_effect=counting_resolve
+        ):
+            m = S._load(root)
+        reads_at[n_commits] = reads_at["last"]
+        assert len(m["snapshots"]) >= n_commits
+    # flat in table age: every load replays at most one cadence window
+    assert all(
+        reads_at[n] <= S._CHECKPOINT_INTERVAL for n in (40, 200, 400)
+    ), reads_at
+    # and the tail is genuinely short right after a cadence crossing —
+    # not pegged at the bound
+    assert min(reads_at[n] for n in (40, 200, 400)) < S._CHECKPOINT_INTERVAL
+
+
 def test_round11_full_manifest_layout_migrates_to_log(spark, root):
     """A round-11-layout table (every vN.json a FULL manifest,
     format_version 2) loads transparently: the v2 head is itself a
@@ -2374,6 +2450,21 @@ def test_round11_lifecycle_soak(spark, root):
     S.optimize_zorder(spark, root, ["k"], num_files=3)
     check()
     pinned[S._load(root)["current"]] = sorted(model.values())
+    # 4b cross the commit-log checkpoint cadence MID-SOAK (round 12):
+    # a burst of metadata-only commits pushes the log past
+    # _CHECKPOINT_INTERVAL, so every later phase (DDL, raw-file
+    # rewrites, RESTORE, expire, vacuum, post-expire commits) runs
+    # against the checkpoint+tail replay path, not a short pure log
+    cur = S._load(root)["current"]
+    for i in range(S._CHECKPOINT_INTERVAL + 2):
+        S.tag_snapshot(root, f"soak{i}")
+        S.drop_tag(root, f"soak{i}")
+    assert any(
+        S._CKPT_RE.match(n)
+        for n in os.listdir(os.path.join(root, "_manifests"))
+    ), "soak must cross a checkpoint so later phases replay over one"
+    assert S._load(root)["current"] == cur
+    check()
     # 5 schema DDL: add tier with default, append with it
     sql_dml.execute_dml(
         spark, "ALTER TABLE t ADD COLUMN tier string DEFAULT 'base'", t
