@@ -20,7 +20,12 @@ counts, per-channel headers + 4-byte nibble-group interleave) on
 stdlib struct + numpy, and ``extract_audio_features`` computes
 duration / RMS energy / zero-crossing rate / peak over decoded,
 mono-mixed samples (the audio-quality filters a training pipeline
-gates on). Non-PCM/non-ADPCM codecs raise NotImplementedError.
+gates on). Round 12 closes the common-WAV tail: integer PCM at
+8/16/24/32 bits, IEEE float PCM (32/64), G.711 mu-law/A-law
+telephony bytes (256-entry tables, validated against CPython's
+audioop), and WAVE_FORMAT_EXTENSIBLE wrapping of any of them —
+all vectorized to the canonical int16. Truly external codecs
+(MP3-in-WAV, GSM 6.10) raise NotImplementedError.
 
 Also real: a baseline JPEG codec (operators/jpeg.py — pure
 stdlib+numpy DCT/Huffman): ``decode_images`` handles baseline
@@ -346,17 +351,33 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _parse_wav_fmt(chunk: bytes) -> tuple[int, int, int, int | None]:
+def _parse_wav_fmt(chunk: bytes) -> tuple[int, int, int, int | None, int]:
     """Validate a fmt chunk; return (audio_fmt, channels, sample_rate,
-    samplesPerBlock-or-None). The validation is SHARED between
+    samplesPerBlock-or-None, bits). The validation is SHARED between
     decode_wav and wav_header_info so the header-only path can never
-    accept a stream the decoder would reject (or vice versa). 16-bit
-    PCM and mono/stereo/n-channel IMA ADPCM (format tag 0x11) pass;
-    other codecs raise NotImplementedError (external-decoder
-    concern)."""
+    accept a stream the decoder would reject (or vice versa).
+
+    Accepted codec families (everything a real speech/music training
+    corpus actually contains): integer PCM at 8 (unsigned) / 16 / 24 /
+    32 bits, IEEE float PCM at 32 / 64 bits (format tag 3), G.711
+    mu-law (7) and A-law (6) telephony bytes, mono/stereo/n-channel
+    IMA ADPCM (0x11), and any of those wrapped in WAVE_FORMAT_
+    EXTENSIBLE (0xFFFE — the container Windows encoders emit for >2
+    channels or >16 bits; the real tag is the first two bytes of the
+    SubFormat GUID). Anything else (MP3-in-WAV, GSM 6.10, ...) raises
+    NotImplementedError — external-decoder concern."""
     audio_fmt, channels, sample_rate, _, block_align, bits = struct.unpack(
         "<HHIIHH", chunk[:16]
     )
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        if len(chunk) < 26:
+            raise NotImplementedError(
+                "WAVE_FORMAT_EXTENSIBLE fmt chunk without a SubFormat"
+            )
+        # bytes 24-26 are the leading WORD of the SubFormat GUID —
+        # the actual format tag; valid-bits (18-20) may be < bits but
+        # the container width is what the byte stream carries
+        (audio_fmt,) = struct.unpack("<H", chunk[24:26])
     spb = None
     if audio_fmt == 0x11:
         if len(chunk) < 20:
@@ -372,30 +393,115 @@ def _parse_wav_fmt(chunk: bytes) -> tuple[int, int, int, int | None]:
                 f"IMA ADPCM block_align={block_align} inconsistent with "
                 f"samplesPerBlock={spb} at {channels} channel(s)"
             )
-    elif audio_fmt != 1 or bits != 16:
+    elif audio_fmt == 1:
+        if bits not in (8, 16, 24, 32):
+            raise NotImplementedError(
+                f"WAV integer PCM bits={bits}: 8/16/24/32 only"
+            )
+    elif audio_fmt == 3:
+        if bits not in (32, 64):
+            raise NotImplementedError(
+                f"WAV float PCM bits={bits}: 32/64 only"
+            )
+    elif audio_fmt in (6, 7):
+        if bits != 8:
+            raise NotImplementedError(
+                f"G.711 WAV with bits={bits}: 8-bit log-PCM only"
+            )
+    else:
         raise NotImplementedError(
-            f"WAV format={audio_fmt} bits={bits}: only 16-bit PCM and "
-            "IMA ADPCM supported"
+            f"WAV format={audio_fmt} bits={bits}: integer/float PCM, "
+            "G.711 mu-law/A-law, and IMA ADPCM supported"
         )
-    return audio_fmt, channels, sample_rate, spb
+    return audio_fmt, channels, sample_rate, spb, bits
+
+
+def _g711_mulaw_table() -> np.ndarray:
+    """256-entry mu-law byte -> linear int16 table (ITU-T G.711 /
+    the classic Sun ulaw2linear: invert, 3-bit exponent + 4-bit
+    mantissa around the 0x84 bias)."""
+    t = np.empty(256, dtype=np.int16)
+    for i in range(256):
+        u = ~i & 0xFF
+        mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        mag -= 0x84
+        t[i] = -mag if (u & 0x80) else mag
+    return t
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law byte -> linear int16 table (G.711 alaw2linear:
+    XOR 0x55, segment 0 is linear, higher segments shift the biased
+    mantissa; sign bit SET means positive in A-law)."""
+    t = np.empty(256, dtype=np.int16)
+    for i in range(256):
+        a = i ^ 0x55
+        seg = (a & 0x70) >> 4
+        mag = (a & 0x0F) << 4
+        if seg == 0:
+            mag += 8
+        elif seg == 1:
+            mag += 0x108
+        else:
+            mag = (mag + 0x108) << (seg - 1)
+        t[i] = mag if (a & 0x80) else -mag
+    return t
+
+
+_MULAW_TABLE = _g711_mulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
+
+
+def _pcm_to_int16(pcm: bytes, audio_fmt: int, bits: int, channels: int) -> np.ndarray:
+    """data-chunk bytes -> int16 frames (n, channels), vectorized per
+    family: u8 recenters, 24/32-bit keep the high 16 bits, float
+    clips to [-1, 1] and scales, G.711 bytes go through the 256-entry
+    tables (np.take — one gather per payload)."""
+    if audio_fmt == 7:
+        s = np.take(_MULAW_TABLE, np.frombuffer(pcm, dtype=np.uint8))
+    elif audio_fmt == 6:
+        s = np.take(_ALAW_TABLE, np.frombuffer(pcm, dtype=np.uint8))
+    elif audio_fmt == 3:
+        f = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8")
+        s = np.clip(f, -1.0, 1.0)
+        s = np.round(s * 32767.0).astype(np.int16)
+    elif bits == 8:
+        s = ((np.frombuffer(pcm, dtype=np.uint8).astype(np.int16)) - 128) << 8
+    elif bits == 16:
+        s = np.frombuffer(pcm, dtype="<i2")
+    elif bits == 24:
+        b = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3)
+        # high 16 bits of the signed little-endian 24-bit value:
+        # (b2<<8)|b1, reinterpreted as int16 (b2 carries the sign)
+        s = (
+            ((b[:, 2].astype(np.int32) << 8) | b[:, 1].astype(np.int32))
+            .astype(np.uint16)
+            .view(np.int16)
+        )
+    else:  # 32-bit integer PCM
+        s = (np.frombuffer(pcm, dtype="<i4") >> 16).astype(np.int16)
+    return s.reshape(-1, channels)
 
 
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a RIFF/WAVE file to (sample_rate, channels, int16 array
-    of shape (n_frames, channels)). 16-bit PCM and IMA ADPCM (format
-    tag 0x11, fact-chunk-trimmed), mono or stereo (any channel count),
-    decode in-repo; other codecs raise NotImplementedError
-    (external-decoder concern)."""
+    of shape (n_frames, channels)). Integer PCM (8/16/24/32), IEEE
+    float PCM (32/64), G.711 mu-law/A-law, and IMA ADPCM (format tag
+    0x11, fact-chunk-trimmed) decode in-repo at any channel count —
+    every non-16-bit family lands as int16 (high 16 bits / scaled /
+    G.711 tables), the repo's canonical sample dtype. Other codecs
+    raise NotImplementedError (external-decoder concern)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, channels, pcm = 12, None, None, None
     audio_fmt = spb = fact_frames = None
+    bits = 16
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, spb = _parse_wav_fmt(chunk)
+            audio_fmt, channels, sample_rate, spb, bits = _parse_wav_fmt(chunk)
         elif tag == b"fact":
             (fact_frames,) = struct.unpack("<I", chunk[:4])
         elif tag == b"data":
@@ -411,28 +517,31 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("IMA ADPCM WAV without a fact chunk")
         samples = _adpcm_decode_blocks(pcm, spb, channels)[:fact_frames]
         return sample_rate, channels, samples
-    samples = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    samples = _pcm_to_int16(pcm, audio_fmt, bits, channels)
     return sample_rate, channels, samples
 
 
 def wav_header_info(data: bytes) -> tuple[int, int, int]:
     """(sample_rate, channels, n_frames) from the RIFF headers ALONE —
-    no sample decode. For PCM the frame count is data_len/(ch·2); for
+    no sample decode. For fixed-width families (integer/float PCM,
+    G.711) the frame count is data_len/(ch x bytes-per-sample); for
     IMA ADPCM it is the fact chunk (required by spec for compressed
-    WAV; its absence raises like :func:`decode_wav`). The manifest path
-    uses this: reporting duration must not cost a nibble-stream decode
-    at 100 TB. Validation is literally shared with ``decode_wav``
-    (:func:`_parse_wav_fmt`)."""
+    WAV; its absence raises like :func:`decode_wav` — G.711 needs no
+    fact: one byte per sample leaves no padding ambiguity). The
+    manifest path uses this: reporting duration must not cost a
+    sample decode at 100 TB. Validation is literally shared with
+    ``decode_wav`` (:func:`_parse_wav_fmt`)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, channels, data_len = 12, None, None, None
     audio_fmt = fact_frames = None
+    bits = 16
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            audio_fmt, channels, sample_rate, _spb = _parse_wav_fmt(chunk)
+            audio_fmt, channels, sample_rate, _spb, bits = _parse_wav_fmt(chunk)
         elif tag == b"fact":
             (fact_frames,) = struct.unpack("<I", chunk[:4])
         elif tag == b"data":
@@ -444,7 +553,7 @@ def wav_header_info(data: bytes) -> tuple[int, int, int]:
         if fact_frames is None:
             raise ValueError("IMA ADPCM WAV without a fact chunk")
         return sample_rate, channels, fact_frames
-    return sample_rate, channels, data_len // (channels * 2)
+    return sample_rate, channels, data_len // (channels * (bits // 8))
 
 
 # IMA/DVI ADPCM (public spec: IMA Recommended Practices for Enhancing

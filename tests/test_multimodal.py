@@ -270,14 +270,107 @@ def test_wav_round_trip_mono_and_stereo():
     assert np.array_equal(out, stereo)
 
 
-def test_wav_rejects_non_pcm():
+def _wav_bytes(audio_fmt, channels, rate, bits, payload, fact=None, fmt_extra=b""):
+    """Hand-rolled RIFF container for codec-family tests."""
+    block = channels * max(bits // 8, 1)
+    fmt = struct.pack(
+        "<HHIIHH", audio_fmt, channels, rate, rate * block, block, bits
+    ) + fmt_extra
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) & 1:
+        body += b"\x00"
+    if fact is not None:
+        body += b"fact" + struct.pack("<II", 4, fact)
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_rejects_unknown_codecs():
     with pytest.raises(ValueError):
         mm.decode_wav(b"RIFFxxxxJUNK")
-    # float-format WAV (fmt tag 3) is out of scope -> NotImplementedError
-    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    # a genuinely external codec (GSM 6.10, fmt tag 0x31) refuses
     with pytest.raises(NotImplementedError):
-        mm.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        mm.decode_wav(_wav_bytes(0x31, 1, 8000, 0, b""))
+    # and so does an unknown EXTENSIBLE SubFormat
+    sub = struct.pack("<H", 0x31) + bytes(14)
+    extra = struct.pack("<HHI", 22, 16, 0x4) + sub
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(_wav_bytes(0xFFFE, 1, 8000, 16, b"", fmt_extra=extra))
+
+
+def test_wav_g711_mulaw_alaw_match_audioop():
+    """G.711 decode (WAV fmt tags 7 / 6) equals CPython's audioop —
+    an INDEPENDENT implementation of the same ITU tables — across all
+    256 code bytes, and the header-only frame count needs no fact
+    chunk (one byte per sample, no padding ambiguity)."""
+    audioop = pytest.importorskip("audioop")
+    codes = bytes(range(256)) * 2
+    for tag, ref_fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        wav = _wav_bytes(tag, 1, 8000, 8, codes)
+        rate, ch, out = mm.decode_wav(wav)
+        assert (rate, ch) == (8000, 1)
+        ref = np.frombuffer(ref_fn(codes, 2), dtype="<i2")
+        assert np.array_equal(out[:, 0], ref)
+        assert mm.wav_header_info(wav) == (8000, 1, 512)
+    # stereo interleave survives the table gather
+    wav = _wav_bytes(7, 2, 8000, 8, bytes([0x00, 0xFF] * 10))
+    _, _, out = mm.decode_wav(wav)
+    assert out.shape == (10, 2)
+    assert len(set(out[:, 0])) == 1 and len(set(out[:, 1])) == 1
+
+
+def test_wav_pcm_widths_and_float():
+    """8/24/32-bit integer PCM and 32/64-bit float PCM land as the
+    canonical int16 (recenter / high-16 / clip-scale), with
+    header-only frame counts from the right byte widths."""
+    # u8: recentered, full scale
+    wav = _wav_bytes(1, 1, 8000, 8, bytes([0, 128, 255]))
+    _, _, out = mm.decode_wav(wav)
+    assert list(out[:, 0]) == [-32768, 0, (255 - 128) << 8]
+    assert mm.wav_header_info(wav) == (8000, 1, 3)
+    # 24-bit: high 16 bits, sign preserved
+    vals = [-(1 << 23), -1, 0, 1 << 22, (1 << 23) - 1]
+    payload = b"".join(
+        int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    wav = _wav_bytes(1, 1, 44100, 24, payload)
+    _, _, out = mm.decode_wav(wav)
+    assert list(out[:, 0]) == [v >> 8 for v in vals]
+    assert mm.wav_header_info(wav) == (44100, 1, 5)
+    # 32-bit int: high 16 bits
+    arr = np.array([-(1 << 31), 0, (1 << 31) - 1], dtype="<i4")
+    wav = _wav_bytes(1, 1, 16000, 32, arr.tobytes())
+    _, _, out = mm.decode_wav(wav)
+    assert list(out[:, 0]) == [-32768, 0, 32767]
+    # float32: clipped + scaled; float64 likewise
+    f = np.array([-2.0, -1.0, 0.0, 0.5, 1.0, 2.0], dtype="<f4")
+    wav = _wav_bytes(3, 1, 16000, 32, f.tobytes())
+    _, _, out = mm.decode_wav(wav)
+    assert list(out[:, 0]) == [-32767, -32767, 0, 16384, 32767, 32767]
+    f64 = np.array([-0.25, 0.25], dtype="<f8")
+    wav = _wav_bytes(3, 1, 16000, 64, f64.tobytes())
+    _, _, out = mm.decode_wav(wav)
+    assert list(out[:, 0]) == [-8192, 8192]
+    assert mm.wav_header_info(wav) == (16000, 1, 2)
+
+
+def test_wav_extensible_wraps_pcm16():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) containers resolve through the
+    SubFormat GUID's leading WORD — a 16-bit PCM stream wrapped in the
+    Windows >2-channel container decodes identically to the plain
+    tag."""
+    samples = np.arange(-6, 6, dtype=np.int16).reshape(-1, 3)
+    sub = struct.pack("<H", 1) + bytes(14)
+    extra = struct.pack("<HHI", 22, 16, 0x7) + sub
+    wav = _wav_bytes(
+        0xFFFE, 3, 48000, 16, samples.tobytes(), fmt_extra=extra
+    )
+    rate, ch, out = mm.decode_wav(wav)
+    assert (rate, ch) == (48000, 3)
+    assert np.array_equal(out, samples)
+    assert mm.wav_header_info(wav) == (48000, 3, 4)
 
 
 def test_audio_pipeline_real(spark):
