@@ -132,6 +132,21 @@ def _shared_vec_prep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _shared_dsir_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed unigram+bigram doc-feature frame, materialized once
+    per (session, sf) — the persisted document-feature-matrix analog
+    (sampling.dsir_doc_buckets docstring): every DSIR stage (target
+    profile, raw profile, per-doc weight sum) reads it, and its build
+    is the one corpus-wide gram explode of q34's dsir branch."""
+    return corpus_cache.shared_df(
+        spark,
+        (sf, "dsir_doc_buckets", 256),
+        lambda: sampling.dsir_doc_buckets_frame(
+            spread_for_cpu(load_table(spark, sf, "documents")), 256
+        ),
+    )
+
+
 def _shared_media(spark: SparkSession, sf: str, kind: str) -> DataFrame:
     """Synthesized media table (real PNG/WAV payloads), materialized
     once per (session, sf, kind) — the persisted-media-table analog.
@@ -1491,7 +1506,9 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         nl.alias("weight"),
         F.lit(None).cast("string").alias("chunk_fp"),
     )
-    dsir = sampling.dsir_select(docs).select(
+    # the DSIR doc-feature matrix is session-cached (_shared_dsir_buckets,
+    # the corpus_cache family pattern — q17's surprisal/pmi/zipf precedent)
+    dsir = sampling.dsir_select(docs, docb=_shared_dsir_buckets(spark, sf)).select(
         F.lit("dsir").alias("kind"),
         "doc_id",
         "lang",

@@ -144,6 +144,7 @@ def main() -> None:
         ("banded", lambda: entrymod._shared_banded(spark, sf_dir)),
         ("simhash", lambda: entrymod._shared_simhash(spark, sf_dir)),
         ("vec", lambda: entrymod._shared_vec_prep(spark, sf_dir)),
+        ("dsir", lambda: entrymod._shared_dsir_buckets(spark, sf_dir)),
         ("media_img", lambda: entrymod._shared_media(spark, sf_dir, "image")),
         ("media_aud", lambda: entrymod._shared_media(spark, sf_dir, "audio")),
         ("media_vid", lambda: entrymod._shared_media(spark, sf_dir, "video")),

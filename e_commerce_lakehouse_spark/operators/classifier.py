@@ -40,6 +40,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallelize import spread_for_cpu
+
 Q = 16  # fixed-point fractional bits
 ONE = 1 << Q
 
@@ -84,6 +86,10 @@ def hashed_features(
     wordNgrams=2). One scan: tokens never leave the map side except as
     (doc, idx) count pairs. Empty/NULL docs produce no rows (score
     treats them as margin = bias = 0)."""
+    # tokenize + gram explode + per-gram md5 hashing all run before
+    # the first shuffle — keep an under-parallel scan from serializing
+    # that map onto one core (spread is a structural no-op at scale)
+    docs = spread_for_cpu(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(

@@ -1194,8 +1194,12 @@ def substring_dup_stats(documents: DataFrame, win: int = 20) -> DataFrame:
     """
     if win < 1:
         raise ValueError(f"win must be >= 1, got {win}")
-    base = documents.filter(
-        F.col("text").isNotNull() & (F.length("text") >= win)
+    # the window explode + per-window md5 is the heavy map of this
+    # operator and runs BEFORE any shuffle — an under-parallel scan
+    # (small file count) would serialize it onto one core
+    # (spread_for_cpu is a structural no-op at scale)
+    base = spread_for_cpu(
+        documents.filter(F.col("text").isNotNull() & (F.length("text") >= win))
     )
     occ = base.select(
         "doc_id",

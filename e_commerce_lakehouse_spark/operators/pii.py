@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelize import spread_for_cpu
+
 # class -> (pattern, redaction token); insertion order IS the
 # redaction order (email first: its local/domain parts can contain
 # dotted or dashed digit runs the later classes would re-match)
@@ -130,6 +132,10 @@ def pii_report(
     over the corpus — a value-level pin on the replace semantics, not
     just the counter. NULL text counts as clean length-0."""
     patterns = PII_PATTERNS if patterns is None else patterns
+    # the per-class regex battery is the heavy map of this operator
+    # and runs before the (global) aggregate — keep an under-parallel
+    # scan from serializing it on one core (no-op at scale)
+    df = spread_for_cpu(df)
     text = F.coalesce(F.col(text_col), F.lit(""))
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     for kind, (pattern, token) in patterns.items():

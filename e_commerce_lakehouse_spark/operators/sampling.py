@@ -351,6 +351,33 @@ def shuffle_positions(
     )
 
 
+def dsir_doc_buckets_frame(
+    documents: DataFrame, n_buckets: int = 256
+) -> DataFrame:
+    """The UNmaterialized DSIR doc-feature frame (see
+    :func:`dsir_doc_buckets`) — exposed so a session cache
+    (corpus_cache.shared_df) can materialize ONE copy per (session,
+    sf) instead of re-running the corpus explode per call; the
+    persisted document-feature-matrix analog, same contract as
+    similarity.kmeans_prep_frame."""
+    from .text import tokens
+
+    toks = tokens(F.col("text"))
+    bi = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    grams_arr = F.when(F.size(toks) >= 2, F.concat(toks, bi)).otherwise(toks)
+    return (
+        documents.select(
+            "doc_id", "lang", "source", F.explode(grams_arr).alias("gram")
+        )
+        .withColumn("bucket", _hash60(F.col("gram")) % n_buckets)
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def dsir_doc_buckets(
     documents: DataFrame, n_buckets: int = 256
 ) -> tuple[DataFrame, set[int]]:
@@ -369,23 +396,8 @@ def dsir_doc_buckets(
     key. Returns (frame, pinned block ids) — callers release when
     done (bench sweeps leftovers)."""
     from .parallelize import local_checkpoint_tracked
-    from .text import tokens
 
-    toks = tokens(F.col("text"))
-    bi = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
-    )
-    grams_arr = F.when(F.size(toks) >= 2, F.concat(toks, bi)).otherwise(toks)
-    docb = (
-        documents.select(
-            "doc_id", "lang", "source", F.explode(grams_arr).alias("gram")
-        )
-        .withColumn("bucket", _hash60(F.col("gram")) % n_buckets)
-        .groupBy("doc_id", "lang", "source", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return local_checkpoint_tracked(docb)
+    return local_checkpoint_tracked(dsir_doc_buckets_frame(documents, n_buckets))
 
 
 def dsir_select(
@@ -393,6 +405,7 @@ def dsir_select(
     target_max_doc_id: int = 25,
     n_buckets: int = 256,
     k: int = 50,
+    docb: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): score every raw document
     by its hashed-n-gram importance weight against a curated target
@@ -426,11 +439,18 @@ def dsir_select(
     per task), then a broadcast join of the B-row weight table back
     onto the feature frame with one per-doc sum; the only corpus-wide
     shuffles are the feature groupBy and the per-doc sum, both on
-    uniform keys. Top-k is TakeOrderedAndProject."""
+    uniform keys. Top-k is TakeOrderedAndProject.
+
+    ``docb`` overrides the internally-materialized doc-feature frame
+    with a caller-owned one (e.g. a session-cached
+    :func:`dsir_doc_buckets_frame` — the persisted feature-matrix
+    analog, built once per (session, corpus) instead of per call);
+    the caller owns its lifecycle."""
     from .search import with_fixed_log2_x64
 
-    docb, _ids = dsir_doc_buckets(documents, n_buckets)
-    buckets.track_pinned(_ids)
+    if docb is None:
+        docb, _ids = dsir_doc_buckets(documents, n_buckets)
+        buckets.track_pinned(_ids)
     tgt = (
         docb.filter(F.col("doc_id") < target_max_doc_id)
         .groupBy("bucket")

@@ -955,11 +955,16 @@ def _pq_train(v: DataFrame, m: int, ks: int, iters: int):
     cells drop per subspace, matching the grouped-sum formulation."""
     import math
 
-    dim = len(v.select("vec").first().vec)
+    # ONE driver transfer bootstraps the loop: dim comes from the seed
+    # rows themselves (a separate first()-probe job cost a full extra
+    # scan-stage round-trip per pq_index call)
+    seed = v.filter(F.col("vec_id") < ks).orderBy("vec_id").collect()
+    if not seed:
+        raise ValueError(f"pq train needs seed vectors with vec_id < {ks}")
+    dim = len(seed[0].vec)
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d0 = dim // m
-    seed = v.filter(F.col("vec_id") < ks).orderBy("vec_id").collect()
     cells = [[int(r.vec_id) for r in seed] for _ in range(m)]
     cent = [
         [[int(x) for x in r.vec[s * d0 : (s + 1) * d0]] for r in seed]

@@ -196,31 +196,44 @@ def hll_estimate_from_registers(
     from .search import with_fixed_log2_x64
 
     m = HLL_M
-    # groups derive from the TINY aggregated maxes frame (every group
-    # contributes >= 1 register row), not a second full input scan
-    groups = maxes.select(*group_cols).distinct()
-    grid = (
-        groups.crossJoin(
-            maxes.sparkSession.range(m).select(F.col("id").cast("int").alias("idx"))
-        )
-        .join(maxes, [*group_cols, "idx"], "left")
-        .withColumn("mj", F.coalesce("mj", F.lit(0)))
+    # ONE aggregation + pure array expressions: the sparse register
+    # rows collapse to a per-group idx->mj map, densified to the full
+    # m-slot register vector with transform(sequence(...)) (absent idx
+    # => register 0). rm / v / n are then array folds over that vector
+    # — bit-identical to the former groups x range(m) grid join, which
+    # cost a distinct, a crossJoin, two joins and two more groupBys of
+    # metadata-sized frames (4 extra exchanges / ~6 extra stages on
+    # every estimate; same savings on a 100 TB cluster where each of
+    # those stages is a scheduling round-trip on a tiny frame).
+    per = maxes.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "mj"))).alias("_regs")
     )
-    rm = grid.groupBy(*group_cols).agg(F.max("mj").alias("rm"))
+    per = per.withColumn(
+        "_full",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.coalesce(
+                F.element_at("_regs", i.cast("int")), F.lit(0)
+            ).cast("long"),
+        ),
+    )
     agg = (
-        grid.join(rm, group_cols)
+        per.withColumn("rm", F.array_max("_full"))
         .withColumn(
-            "term",
-            F.call_function(
-                "shiftleft",
-                F.lit(1).cast("long"),
-                (F.col("rm") - F.col("mj")).cast("int"),
+            "n",
+            F.aggregate(
+                "_full",
+                F.lit(0).cast("long"),
+                lambda acc, mj: acc
+                + F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (F.col("rm") - mj).cast("int"),
+                ),
             ),
         )
-        .groupBy(*group_cols, "rm")
-        .agg(
-            F.sum("term").alias("n"),
-            F.sum((F.col("mj") == 0).cast("long")).alias("v"),
+        .withColumn(
+            "v", F.size(F.filter("_full", lambda mj: mj == 0)).cast("long")
         )
         .withColumn(
             "raw_x1000",

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import buckets
-from .parallelize import local_checkpoint_tracked, release_rdds
+from .parallelize import local_checkpoint_tracked, release_rdds, spread_for_cpu
 
 
 def _dense_rank_on(df: DataFrame, cols: list[str], out: str) -> tuple[DataFrame, set[int]]:
@@ -90,8 +90,11 @@ def corpus_positions(documents: DataFrame) -> DataFrame:
     lambdas are CodegenFallback, interpreted per element, the round-5
     DSIR trap; text is duplicated only through the pipelined iterator,
     never shuffled)."""
+    # the per-character explode + substring is the heaviest pre-shuffle
+    # map in this module — an under-parallel scan (small file count)
+    # would serialize it onto one core (spread is a no-op at scale)
     return (
-        documents.filter(F.col("text").isNotNull())
+        spread_for_cpu(documents.filter(F.col("text").isNotNull()))
         .select(
             "doc_id",
             "text",
@@ -214,6 +217,10 @@ def repeated_prefix_lengths(documents: DataFrame, rounds: int = 5) -> DataFrame:
     long = (
         frame.select("doc_id", "rem", F.posexplode(arr).alias("k", "h"))
         .filter(F.col("rem") >= length)
+        # rem is consumed by the filter only — drop it before the
+        # (k, h) window exchange so the corpus-wide shuffle carries
+        # three columns, not four (project before the exchange)
+        .select("doc_id", "k", "h")
     )
     per_doc = (
         long.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("k", "h")))
