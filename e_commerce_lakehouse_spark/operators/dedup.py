@@ -1121,7 +1121,10 @@ def span_dedup(documents: DataFrame, span_tokens: int = 10) -> DataFrame:
             )
         ).alias("pos", "span"),
     )
-    h = F.md5("span")
+    # grouping-only key (first-occurrence needs span EQUALITY, and the
+    # reassembly carries the span text itself): xxhash64 over md5 for
+    # an 8-byte aggregate/join key — the KMR-label discipline
+    h = F.xxhash64("span")
     winners = (
         spans.groupBy(h.alias("h"))
         .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
@@ -1208,7 +1211,12 @@ def substring_dup_stats(documents: DataFrame, win: int = 20) -> DataFrame:
     ).select(
         "doc_id",
         "pos",
-        F.md5(F.expr(f"substring(text, pos, {win})")).alias("h"),
+        # grouping-only key (the oracle partitions by the RAW window
+        # text): xxhash64 gives the same equality classes as md5 at 8
+        # shuffle bytes instead of a 32-char hex string, with no hex
+        # construction per window — the KMR-label discipline
+        # (suffix.prefix_label_frame docstring)
+        F.xxhash64(F.expr(f"substring(text, pos, {win})")).alias("h"),
     )
     w_h = Window.partitionBy("h")
     dup_occ = (

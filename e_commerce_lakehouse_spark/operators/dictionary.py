@@ -164,9 +164,16 @@ def dictionary_phrase_stats(
                 }
             )
 
+    from .parallelize import spread_for_cpu
+
     spark = documents.sparkSession
+    # ship ONLY the text column across the Arrow boundary (guide §4.1:
+    # Spark cannot see which columns an opaque map touches — id_col was
+    # serialized per row and never read), and spread an under-parallel
+    # scan: the automaton walk is the heavy map before a |phrases|-row
+    # shuffle (no-op at scale)
     hits = (
-        documents.select(id_col, text_col)
+        spread_for_cpu(documents.select(text_col))
         .mapInPandas(run, schema="_pi long, _n long")
         .groupBy("_pi")
         .agg(

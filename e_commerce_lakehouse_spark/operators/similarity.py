@@ -239,11 +239,25 @@ def ann_topk_multi(
         )
     )
     buckets.track_pinned(_sids)
-    banded = side.select("vec_id", F.posexplode("codes").alias("tbl", "code"))
-    qb = banded.filter(F.col("vec_id") < query_max_id).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("tbl").alias("q_tbl"),
-        F.col("code").alias("q_code"),
+    # the corpus side carries label+vector THROUGH the bucket join, so
+    # the candidate union never re-joins the corpus: the old
+    # cand.join(corpus, neighbor_id) shape shuffled the ENTIRE corpus
+    # by neighbor_id to re-attach vectors the bucket probe already had
+    # in hand — the worked-example trap of guide §8.4 (decide on small
+    # rows, then accidentally shuffle the payload again). Dedup of
+    # multi-table hits is a groupBy over CANDIDATE rows (hits × vec
+    # bytes, ≪ corpus × vec bytes for any selective sketch).
+    banded = side.select(
+        "vec_id", "label", "vec", F.posexplode("codes").alias("tbl", "code")
+    )
+    qb = (
+        side.filter(F.col("vec_id") < query_max_id)
+        .select("vec_id", F.posexplode("codes").alias("tbl", "code"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("tbl").alias("q_tbl"),
+            F.col("code").alias("q_code"),
+        )
     )
     cand = (
         banded.join(
@@ -252,20 +266,22 @@ def ann_topk_multi(
             & (F.col("code") == F.col("q_code"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        # per (query, neighbor) every hit row carries the same label
+        # and vector — first() is value-deterministic here
+        .agg(
+            F.first("label").alias("neighbor_label"),
+            F.first("vec").alias("c_vec"),
+        )
     )
-    qv = side.select(
+    # broadcast ONLY the probe vectors (the old unfiltered qv
+    # broadcast shipped the whole corpus to every executor — the join
+    # dropped the non-probe rows, but only after materializing them)
+    qv = side.filter(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
     )
-    cv = side.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("vec").alias("c_vec"),
-    )
     scored = (
-        cand.join(cv, "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
+        cand.join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -443,9 +459,13 @@ def ivf_topk(
 
     Scale path: centroids are tiny and broadcast; cell assignment is one
     broadcast-nested-loop over the corpus (a single pass, map-side);
-    the probe→cell join shuffles on centroid_id, so per-cell work is
-    distributed. This is the standard IVF layout (Johnson et al.,
-    "Billion-scale similarity search with GPUs").
+    the probe table (queries × nprobe rows) is computed from the probe
+    vectors ALONE (the assignment window partitions by vec_id, so
+    pre-filtering to probe ids is exactly equivalent — not a second
+    corpus pass) and BROADCAST onto the assigned corpus, so the corpus
+    is never shuffled by centroid_id (which would also concentrate a
+    popular cell's rows in one task). This is the standard IVF layout
+    (Johnson et al., "Billion-scale similarity search with GPUs").
 
     ``centroids`` (columns: centroid_id, c_vec — quantized BIGINT
     arrays, e.g. derived from ``kmeans_assignments``'s trained cells)
@@ -462,27 +482,37 @@ def ivf_topk(
             F.col("vec_id").alias("centroid_id"), F.col("vec").alias("c_vec")
         )
     )
-    scored = vec.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos",
-        cosine_q(
-            dot_q(F.col("vec"), F.col("c_vec")),
-            norm_sq_q(F.col("vec")),
-            norm_sq_q(F.col("c_vec")),
-        ),
+    ccos = cosine_q(
+        dot_q(F.col("vec"), F.col("c_vec")),
+        norm_sq_q(F.col("vec")),
+        norm_sq_q(F.col("c_vec")),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
-    ranked = scored.withColumn("crn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("crn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("vec").alias("c_vec2"),
-        "centroid_id",
+    assigned = (
+        vec.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("vec").alias("c_vec2"),
+            "centroid_id",
+        )
     )
     probes = (
-        ranked.filter((F.col("vec_id") < query_max_id) & (F.col("crn") <= nprobe))
-        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec"), "centroid_id")
+        vec.filter(F.col("vec_id") < query_max_id)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("ccos", ccos)
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            "centroid_id",
+        )
     )
-    pairs = assigned.join(probes, "centroid_id").filter(
+    pairs = assigned.join(F.broadcast(probes), "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     out = pairs.select(
@@ -1139,9 +1169,12 @@ def ranking_quality(
     prefix = [sum(disc[: i + 1]) for i in range(k)]
     disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
     prefix_arr = F.array(*[F.lit(p).cast("long") for p in prefix])
+    # explicit broadcast hints: both frames are ≤ queries×k rows, but
+    # a localCheckpoint-ed input has no size statistics, so the planner
+    # would otherwise sort-merge these metadata-sized joins
     hits = (
         approx.filter(F.col("rank") <= k)
-        .join(rel, ["query_id", "neighbor_id"])
+        .join(F.broadcast(rel), ["query_id", "neighbor_id"])
         .select("query_id", "rank", F.element_at(disc_arr, F.col("rank")).alias("_d"))
     )
     agg = hits.groupBy("query_id").agg(
@@ -1154,7 +1187,7 @@ def ranking_quality(
         .alias("_idcg_x")
     )
     return (
-        base.join(agg, "query_id", "left")
+        base.join(F.broadcast(agg), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("_n"), F.lit(0)).cast("int").alias("recall_at_k"),
@@ -1453,6 +1486,7 @@ def hybrid_rrf_topk(
     k: int = 5,
     pool: int = 20,
     rrf_k: int = 60,
+    sem: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     Buettcher, SIGIR 2009): fuse the exact semantic cosine ranking
@@ -1471,8 +1505,16 @@ def hybrid_rrf_topk(
     100 TB shape: both input rankings broadcast their bounded probe
     sets and stream the corpus once; the fusion itself joins two
     ≤ queries×pool frames — driver-trivial, broadcastable.
+
+    ``sem`` overrides the internally-computed semantic ranking with a
+    caller-owned :func:`cosine_topk` frame of the SAME query set and
+    ``k >= pool`` (e.g. one the caller already materialized for its
+    quality gate) — one corpus cosine pass instead of two; ranks
+    beyond ``pool`` are cut here so fusion semantics are unchanged.
     """
-    sem = cosine_topk(embeddings, query_max_id=query_max_id, k=pool).select(
+    if sem is None:
+        sem = cosine_topk(embeddings, query_max_id=query_max_id, k=pool)
+    sem = sem.filter(F.col("rank") <= pool).select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),
         F.col("rank").alias("sem_rank"),

@@ -203,28 +203,62 @@ def repeated_prefix_lengths(documents: DataFrame, rounds: int = 5) -> DataFrame:
     instead of fixed-window). 0 when even no single character
     repeats; NULL for NULL-text docs.
 
-    Built on the KMR label frame, counted in LONG format: the level
-    ladder posexplodes to (doc_id, k, h) rows pre-filtered to rem ≥
-    2^k (short suffixes never count), then ONE whole-partition window
-    count over (k, h) flags duplicated labels and one per-doc groupBy
-    takes the max satisfied level. One uniform-key label shuffle + one
-    doc-key shuffle, no joins, no iterative checkpoints — measured
-    ~20% over the per-level-window shape (6 windows re-shuffled the
-    full wide frame each; the long frame moves ~⅓ the bytes once)."""
-    frame = prefix_label_frame(documents, rounds)
-    arr = F.array(*[F.col(f"h{k}") for k in range(rounds + 1)])
+    Counted in LONG format with DIRECT substring labels: detection
+    only needs within-level equality, and every counted row passes the
+    rem ≥ 2^k filter (full-length substrings only), so
+    h = xxhash64(substring(text, pos, 2^k)) yields exactly the
+    equality classes of the KMR chain (:func:`prefix_label_frame`) —
+    WITHOUT the chain's per-document window, i.e. without shuffling
+    and sorting the corpus-wide char-exploded frame by doc_id at all
+    (~30 B/char, the heaviest exchange of the old shape; the ladder is
+    now pure map-side codegen off the scan, ≤ 63 hashed bytes per
+    position). Within-doc repeats then collapse BEFORE the label
+    shuffle: a (k, h, doc_id) groupBy with map-side partial
+    aggregation dedups the long frame (level 0 is single chars —
+    dozens of distinct labels per doc against thousands of positions),
+    ONE window sum over (k, h) restores corpus-wide occurrence totals,
+    and one per-doc groupBy takes the max satisfied level. Two
+    deduped uniform-key shuffles + one doc-key shuffle, no joins, no
+    sorts of the raw char frame, no iterative checkpoints."""
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
     length = F.call_function("shiftleft", F.lit(1).cast("long"), F.col("k"))
+    # spread: the char explode + per-level substring hashing is the
+    # heavy map and runs before the first shuffle (no-op at scale)
+    base = spread_for_cpu(documents.filter(F.col("text").isNotNull()))
+    chars = base.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("_n"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("pos"),
+    )
+    # when() guards keep truncated levels unhashed; the rem filter
+    # below is what defines the counted set (identical to the old
+    # shape's arithmetic, including the empty-text pos=0 edge row)
+    rem = (F.col("_n") - F.col("pos") + 1).cast("long")
+    arr = F.array(
+        *[
+            F.when(
+                rem >= (1 << k),
+                F.xxhash64(F.expr(f"substring(text, pos, {1 << k})")),
+            )
+            for k in range(rounds + 1)
+        ]
+    )
     long = (
-        frame.select("doc_id", "rem", F.posexplode(arr).alias("k", "h"))
+        chars.select(
+            "doc_id",
+            rem.alias("rem"),
+            F.posexplode(arr).alias("k", "h"),
+        )
         .filter(F.col("rem") >= length)
-        # rem is consumed by the filter only — drop it before the
-        # (k, h) window exchange so the corpus-wide shuffle carries
-        # three columns, not four (project before the exchange)
         .select("doc_id", "k", "h")
     )
     per_doc = (
-        long.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("k", "h")))
-        .filter(F.col("_c") > 1)
+        long.groupBy("k", "h", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_t", F.sum("_c").over(Window.partitionBy("k", "h")))
+        .filter(F.col("_t") > 1)
         .select("doc_id", length.alias("_l"))
         .groupBy("doc_id")
         .agg(F.max("_l").alias("sa_rep_len"))
