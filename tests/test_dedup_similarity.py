@@ -827,3 +827,39 @@ def test_rrf_plan_broadcasts_probes_and_fusion(spark):
     # broadcast shape is a nested-loop with the bounded probe broadcast
     assert plan.count("BroadcastNestedLoopJoin") >= 2  # sem + lex probe
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_rrf_caller_owned_semantic_ranking_is_identical(spark):
+    """The ``sem`` override (q46's shared-cosine-pass hook) must be
+    result-identical to the internal ranking: a k >= pool cosine frame
+    is cut to ``pool`` inside, so fusion semantics are unchanged."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    internal = [
+        tuple(r)
+        for r in similarity.hybrid_rrf_topk(
+            docs, emb, query_max_id=5, k=5, pool=10
+        ).orderBy("query_id", "rank").collect()
+    ]
+    sem = similarity.cosine_topk(emb, query_max_id=5, k=15).localCheckpoint()
+    external = [
+        tuple(r)
+        for r in similarity.hybrid_rrf_topk(
+            docs, emb, query_max_id=5, k=5, pool=10, sem=sem
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert external == internal
+
+
+def test_ivf_plan_broadcasts_probe_side(spark):
+    """Plan gate for the round-12 shape: the probe->cell attach is a
+    broadcast of the (queries x nprobe)-row probe table — the corpus
+    is NEVER shuffled by centroid_id (which would also funnel a
+    popular cell into one task)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    plan = (
+        similarity.ivf_topk(emb, query_max_id=5, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(centroid_id" not in plan

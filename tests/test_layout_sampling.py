@@ -660,3 +660,32 @@ def test_temperature_rates_alpha_half(spark):
     assert round(kept_big / kept_small) == 5
     with _pytest.raises(ValueError, match="alpha=0.5"):
         sampling.temperature_rates(docs, alpha=0.3)
+
+
+def test_dsir_caller_owned_feature_frame_is_identical(spark):
+    """The ``docb`` override (the session-cache hook q34 uses) must be
+    result-identical to the internally-materialized path — same rows,
+    same exact-integer weights, same ranks."""
+    from e_commerce_lakehouse_spark.operators import sampling
+
+    rows = (
+        [(i, "en", "tgt", "spark shuffle partition broadcast join spark plan")
+         for i in range(5)]
+        + [(30, "en", "raw", "spark join plan with broadcast shuffle"),
+           (31, "en", "raw", "partition the spark plan and join"),
+           (40, "en", "raw", "cats purr softly near warm windows"),
+           (41, "en", "raw", "bread rises slowly in cold ovens")]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    internal = [
+        tuple(r)
+        for r in sampling.dsir_select(docs).orderBy("rk").collect()
+    ]
+    docb = sampling.dsir_doc_buckets_frame(docs).localCheckpoint()
+    external = [
+        tuple(r)
+        for r in sampling.dsir_select(docs, docb=docb).orderBy("rk").collect()
+    ]
+    assert external == internal
