@@ -1514,7 +1514,9 @@ def _q34_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
     # the DSIR doc-feature matrix is session-cached (_shared_dsir_buckets,
     # the corpus_cache family pattern — q17's surprisal/pmi/zipf precedent)
-    dsir = sampling.dsir_select(docs, docb=_shared_dsir_buckets(spark, sf)).select(
+    dsir = sampling.dsir_select(
+        docs, docb=_shared_dsir_buckets(spark, sf), docb_n_buckets=256
+    ).select(
         F.lit("dsir").alias("kind"),
         "doc_id",
         "lang",
@@ -2546,6 +2548,7 @@ def _q46_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
         k=5,
         pool=20,
         sem=exact20,
+        sem_k=20,
     )
     ni = F.lit(None).cast("int")
     nl = F.lit(None).cast("long")

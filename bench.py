@@ -211,6 +211,20 @@ def main() -> None:
                 "queries": timings,
                 "total_median": detail["total_median"],
                 "cache_build": cache_build,
+                # value + the one-off shared-index builds: cache-line
+                # accounting is self-evident, so moving work between a
+                # query and a cache line can never move the headline
+                # unnoticed (round-12 verdict item 2)
+                "total_with_cache": round(
+                    total + sum(t for t in cache_build.values() if t > 0), 3
+                ),
+                # prove the core-count contract from the output: the
+                # effective master + scheduler parallelism, not the env
+                # var we were asked for (round-12 scaling block flagged
+                # suspect_cpus_ignored because flat 8-vs-32 ratios were
+                # indistinguishable from an ignored knob)
+                "master": spark.sparkContext.master,
+                "cpus_effective": spark.sparkContext.defaultParallelism,
                 "epoch_probe": probe,
                 "sf": sf,
                 "runs": n_runs,

@@ -1122,9 +1122,18 @@ def span_dedup(documents: DataFrame, span_tokens: int = 10) -> DataFrame:
         ).alias("pos", "span"),
     )
     # grouping-only key (first-occurrence needs span EQUALITY, and the
-    # reassembly carries the span text itself): xxhash64 over md5 for
-    # an 8-byte aggregate/join key — the KMR-label discipline
-    h = F.xxhash64("span")
+    # reassembly carries the span text itself). This operator performs
+    # DESTRUCTIVE surgery — a colliding pair of distinct spans would
+    # silently cut the loser from its document — so the removal path
+    # keeps a 128-bit key: a struct of two independent xxhash64 labels
+    # (the second seeded by a prepended constant), 16 shuffle bytes
+    # instead of md5's 32-char hex string. At the 100 TB design point
+    # (~1e12 spans) 64-bit birthday collisions are expected in bulk;
+    # 128 bits keeps them one-way 2^-128 events. Detection-only paths
+    # (substring_dup_stats) may stay at 64 bits; removal must not.
+    h = F.struct(
+        F.xxhash64("span").alias("a"), F.xxhash64(F.lit(1), F.col("span")).alias("b")
+    )
     winners = (
         spans.groupBy(h.alias("h"))
         .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
@@ -1215,7 +1224,11 @@ def substring_dup_stats(documents: DataFrame, win: int = 20) -> DataFrame:
         # text): xxhash64 gives the same equality classes as md5 at 8
         # shuffle bytes instead of a 32-char hex string, with no hex
         # construction per window — the KMR-label discipline
-        # (suffix.prefix_label_frame docstring)
+        # (suffix.prefix_label_frame docstring). DETECTION-ONLY: this
+        # operator emits statistics, never cuts text, so 64-bit
+        # collisions only bias dup_chars/dup_pct UPWARD by ~n²/2^65
+        # windows (odds-of-one-event at 1e12 windows ≈ 3%); a removal
+        # path must use span_dedup's 128-bit composite key instead.
         F.xxhash64(F.expr(f"substring(text, pos, {win})")).alias("h"),
     )
     w_h = Window.partitionBy("h")

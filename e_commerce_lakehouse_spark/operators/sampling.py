@@ -406,6 +406,7 @@ def dsir_select(
     n_buckets: int = 256,
     k: int = 50,
     docb: DataFrame | None = None,
+    docb_n_buckets: int | None = None,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): score every raw document
     by its hashed-n-gram importance weight against a curated target
@@ -445,25 +446,50 @@ def dsir_select(
     with a caller-owned one (e.g. a session-cached
     :func:`dsir_doc_buckets_frame` — the persisted feature-matrix
     analog, built once per (session, corpus) instead of per call);
-    the caller owns its lifecycle."""
+    the caller owns its lifecycle. The frame is COUPLED to the bucket
+    count it was hashed with: the Laplace smoothing terms use this
+    function's ``n_buckets`` (ct+1 over tt+B), so a frame built with a
+    different B yields silently wrong importance weights — the caller
+    must declare its count via ``docb_n_buckets`` and it must match."""
     from .search import with_fixed_log2_x64
 
     if docb is None:
         docb, _ids = dsir_doc_buckets(documents, n_buckets)
         buckets.track_pinned(_ids)
-    tgt = (
-        docb.filter(F.col("doc_id") < target_max_doc_id)
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("ct"))
+    else:
+        if docb_n_buckets is None:
+            raise ValueError(
+                "docb override requires docb_n_buckets (the bucket count "
+                "the frame was hashed with) so the smoothing terms are "
+                "checkable against n_buckets"
+            )
+        if docb_n_buckets != n_buckets:
+            raise ValueError(
+                f"docb was hashed with n_buckets={docb_n_buckets} but the "
+                f"smoothing uses n_buckets={n_buckets}: the importance "
+                "weights would be silently wrong"
+            )
+    # ONE pass builds BOTH bucket profiles (target ct, raw cr) as
+    # conditional sums — the old shape scanned the feature frame once
+    # per profile and joined the two B-row tables back together; the
+    # fold halves the profile scans and removes that join outright
+    # (guide §2.4). Identity: sum(when(cond, c)) over all rows ==
+    # sum(c) over the cond-filtered rows (NULL when absent, exactly
+    # like the old left join's miss side), and the totals are the same
+    # sums with the NULL→0 coalesce.
+    is_tgt = F.col("doc_id") < target_max_doc_id
+    prof = docb.groupBy("bucket").agg(
+        F.sum(F.when(is_tgt, F.col("c"))).alias("ct_n"),
+        F.sum(F.when(~is_tgt, F.col("c"))).alias("cr"),
     )
     rawb = docb.filter(F.col("doc_id") >= target_max_doc_id)
-    rawc = rawb.groupBy("bucket").agg(F.sum("c").alias("cr"))
-    totals = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")).crossJoin(
-        rawc.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"))
+    totals = prof.agg(
+        F.coalesce(F.sum("ct_n"), F.lit(0)).alias("tt"),
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("tr"),
     )
     wt = (
-        rawc.join(tgt, "bucket", "left")
-        .select("bucket", "cr", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"))
+        prof.filter(F.col("cr").isNotNull())
+        .select("bucket", "cr", F.coalesce(F.col("ct_n"), F.lit(0)).alias("ct"))
         .crossJoin(F.broadcast(totals))
         .withColumn("num", (F.col("ct") + 1) * (F.col("tr") + n_buckets))
         .withColumn("den", (F.col("cr") + 1) * (F.col("tt") + n_buckets))

@@ -1487,6 +1487,7 @@ def hybrid_rrf_topk(
     pool: int = 20,
     rrf_k: int = 60,
     sem: DataFrame | None = None,
+    sem_k: int | None = None,
 ) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     Buettcher, SIGIR 2009): fuse the exact semantic cosine ranking
@@ -1511,9 +1512,28 @@ def hybrid_rrf_topk(
     ``k >= pool`` (e.g. one the caller already materialized for its
     quality gate) — one corpus cosine pass instead of two; ranks
     beyond ``pool`` are cut here so fusion semantics are unchanged.
+    The caller MUST declare the k its frame was built with via
+    ``sem_k``: a frame with k < pool holds fewer candidates than the
+    fusion assumes and would silently skew the RRF scores.
     """
     if sem is None:
         sem = cosine_topk(embeddings, query_max_id=query_max_id, k=pool)
+    else:
+        missing = {"query_id", "neighbor_id", "rank"} - set(sem.columns)
+        if missing:
+            raise ValueError(
+                f"sem override is missing required columns {sorted(missing)}"
+            )
+        if sem_k is None:
+            raise ValueError(
+                "sem override requires sem_k (the k the frame was built "
+                "with) so the pool contract is checkable"
+            )
+        if sem_k < pool:
+            raise ValueError(
+                f"sem override was built with k={sem_k} < pool={pool}: the "
+                "rank <= pool cut would fuse a truncated candidate set"
+            )
     sem = sem.filter(F.col("rank") <= pool).select(
         "query_id",
         F.col("neighbor_id").alias("cand_id"),

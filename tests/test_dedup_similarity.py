@@ -845,7 +845,7 @@ def test_rrf_caller_owned_semantic_ranking_is_identical(spark):
     external = [
         tuple(r)
         for r in similarity.hybrid_rrf_topk(
-            docs, emb, query_max_id=5, k=5, pool=10, sem=sem
+            docs, emb, query_max_id=5, k=5, pool=10, sem=sem, sem_k=15
         ).orderBy("query_id", "rank").collect()
     ]
     assert external == internal

@@ -686,6 +686,8 @@ def test_dsir_caller_owned_feature_frame_is_identical(spark):
     docb = sampling.dsir_doc_buckets_frame(docs).localCheckpoint()
     external = [
         tuple(r)
-        for r in sampling.dsir_select(docs, docb=docb).orderBy("rk").collect()
+        for r in sampling.dsir_select(
+            docs, docb=docb, docb_n_buckets=256
+        ).orderBy("rk").collect()
     ]
     assert external == internal

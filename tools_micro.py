@@ -106,6 +106,35 @@ def main() -> None:
         # q33 decomposition
         "q33_full": lambda: em.queries()["q33_approx_sketches"](spark, sf),
         "q34_full": lambda: em.queries()["q34_stratified_sample"](spark, sf),
+        # round-13 targets. Driver-side-only stages (Lloyd training)
+        # return a 1-row frame so the force() harness fits; the timed
+        # region is the eager collect loop itself.
+        "q39_train": lambda: (
+            similarity._pq_train(em._shared_vec_prep(spark, sf), 8, 16, 2),
+            spark.range(1),
+        )[1],
+        "q39_full": lambda: em.queries()["q39_ivf_ann"](spark, sf),
+        "q45_train": lambda: (
+            similarity._kmeans_train(em._shared_vec_prep(spark, sf), 8, 2),
+            spark.range(1),
+        )[1],
+        "q45_full": lambda: em.queries()["q45_kmeans_cells"](spark, sf),
+        "q43_full": lambda: em.queries()["q43_jaccard_clusters"](spark, sf),
+        "q47_full": lambda: em.queries()["q47_pagerank"](spark, sf),
+        "q46_full": lambda: em.queries()["q46_ann_multiprobe"](spark, sf),
+        "q01_full": lambda: em.queries()["q01_sales_summary"](spark, sf),
+        "q08_full": lambda: em.queries()["q08_urgent_lineitems"](spark, sf),
+        "q09_full": lambda: em.queries()["q09_customer_segments"](spark, sf),
+        "q37_full": lambda: em.queries()["q37_dq_report"](spark, sf),
+        "media_aud": lambda: __import__(
+            "e_commerce_lakehouse_spark.operators.multimodal", fromlist=["x"]
+        ).synthesize_media(docs(), "audio"),
+        "media_img": lambda: __import__(
+            "e_commerce_lakehouse_spark.operators.multimodal", fromlist=["x"]
+        ).synthesize_media(docs(), "image"),
+        "media_vid": lambda: __import__(
+            "e_commerce_lakehouse_spark.operators.multimodal", fromlist=["x"]
+        ).synthesize_media(docs(), "video"),
     }
 
     names = sys.argv[1:] or list(targets)
