@@ -578,20 +578,12 @@ _ADPCM_BLOCK_ALIGN = 256  # 4-byte header + 252 nibble bytes
 _ADPCM_SPB = 1 + (_ADPCM_BLOCK_ALIGN - 4) * 2  # 505 samples per block
 
 
-def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
-    """int16 → IMA ADPCM block stream (shape (n,) mono or (n, ch)
-    interleaved frames). The last block is padded by repeating the
-    final frame; callers record the true frame count in the WAV fact
-    chunk. Blocks are self-contained (the header carries predictor AND
-    step index, which the decoder honors) — each block's start index is
-    seeded from its first delta magnitude instead of carrying state
-    across blocks, avoiding both the slope-overload of a cold index-0
-    start and any cross-block sequential dependency (full
-    vectorization). Multi-channel uses the WAV tag-0x11 layout: one
-    4-byte header per channel, then nibble data in 4-byte groups
-    alternating per channel; the per-channel coder state simply rides
-    the vectorized block axis as (block, channel) rows, so stereo costs
-    no extra Python-level loop."""
+def _adpcm_block_rows(samples: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(n,)/(n, ch) int16 frames → ((nb·ch, spb) per-channel block
+    rows, nb, ch). The last block is padded by repeating the final
+    frame; callers record the true frame count in the WAV fact
+    chunk. Each row is one channel of one block — the unit the coder
+    state vectorizes over."""
     x = samples.astype(np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -601,11 +593,25 @@ def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
     pad = np.repeat(
         x[-1:] if n else np.zeros((1, ch), dtype=np.int64), nb * spb - n, axis=0
     )
-    # (nb, spb, ch) frames → (nb·ch, spb) per-channel rows: each row is
-    # one channel of one block, the unit the coder state vectorizes over
     blocks = np.concatenate([x, pad]).reshape(nb, spb, ch).transpose(0, 2, 1).reshape(
         nb * ch, spb
     )
+    return blocks, nb, ch
+
+
+def _adpcm_code_rows(blocks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The sequential coder core: (rows, spb) block rows → (packed
+    nibble bytes (rows, (spb-1)/2), per-row start index). Rows are
+    INDEPENDENT (the header carries predictor AND step index, which
+    the decoder honors) — each row's start index is seeded from its
+    first delta magnitude instead of carrying state across blocks,
+    avoiding both the slope-overload of a cold index-0 start and any
+    cross-row sequential dependency. That independence is what lets
+    callers stack the block rows of MANY payloads and pay the spb-1
+    sequential sample-steps ONCE per batch instead of once per
+    payload (the per-payload loop was ~500 tiny numpy steps per WAV —
+    the dominant cost of the audio synthesis kernel)."""
+    spb = blocks.shape[1]
     pred = blocks[:, 0].copy()
     idx0 = np.clip(
         np.searchsorted(_IMA_STEP_TABLE, np.abs(blocks[:, 1] - blocks[:, 0])),
@@ -613,7 +619,7 @@ def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
         88,
     ).astype(np.int64)
     idx = idx0.copy()
-    codes = np.zeros((nb * ch, spb - 1), dtype=np.uint8)
+    codes = np.zeros((blocks.shape[0], spb - 1), dtype=np.uint8)
     for j in range(spb - 1):
         step = _IMA_STEP_TABLE[idx]
         diff = blocks[:, j + 1] - pred
@@ -631,6 +637,13 @@ def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
         idx = np.clip(idx + _IMA_INDEX_TABLE[code & 7], 0, 88)
         codes[:, j] = code
     nib = (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)  # low first
+    return nib, idx0
+
+
+def _adpcm_assemble(
+    blocks: np.ndarray, nib: np.ndarray, idx0: np.ndarray, nb: int, ch: int
+) -> bytes:
+    """Headers + tag-0x11 nibble interleave for ONE payload's rows."""
     headers = np.zeros((nb * ch, 4), dtype=np.uint8)
     h16 = blocks[:, 0].astype(np.int16)
     headers[:, 0] = h16.view(np.uint16) & 0xFF
@@ -642,6 +655,39 @@ def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
     hdrs = headers.reshape(nb, ch * 4)
     payload = nib.reshape(nb, ch, -1, 4).transpose(0, 2, 1, 3).reshape(nb, -1)
     return np.concatenate([hdrs, payload], axis=1).tobytes()
+
+
+def _adpcm_encode_blocks(samples: np.ndarray) -> bytes:
+    """int16 → IMA ADPCM block stream (shape (n,) mono or (n, ch)
+    interleaved frames); see :func:`_adpcm_code_rows` for the coder
+    contract. Single-payload form — batch encoders should use
+    :func:`_adpcm_encode_blocks_batch`."""
+    blocks, nb, ch = _adpcm_block_rows(samples)
+    nib, idx0 = _adpcm_code_rows(blocks)
+    return _adpcm_assemble(blocks, nib, idx0, nb, ch)
+
+
+def _adpcm_encode_blocks_batch(samples_list: list[np.ndarray]) -> list[bytes]:
+    """Encode MANY payloads in one coder pass: stack every payload's
+    independent block rows, run the spb-1 sequential sample-steps once
+    over the stacked matrix, split the coded rows back per payload.
+    Byte-identical to per-payload :func:`_adpcm_encode_blocks` (the
+    coder state is per row; stacking changes nothing but the loop
+    count) — pinned by tests/test_multimodal.py digests."""
+    if not samples_list:
+        return []
+    parts = [_adpcm_block_rows(s) for s in samples_list]
+    stacked = np.concatenate([p[0] for p in parts])
+    nib, idx0 = _adpcm_code_rows(stacked)
+    out: list[bytes] = []
+    row = 0
+    for blocks, nb, ch in parts:
+        r = nb * ch
+        out.append(
+            _adpcm_assemble(blocks, nib[row : row + r], idx0[row : row + r], nb, ch)
+        )
+        row += r
+    return out
 
 
 def _adpcm_decode_blocks(data: bytes, spb: int, channels: int = 1) -> np.ndarray:
@@ -700,15 +746,12 @@ def _adpcm_decode_blocks(data: bytes, spb: int, channels: int = 1) -> np.ndarray
     return out.reshape(nb, channels, spb).transpose(0, 2, 1).reshape(-1, channels)
 
 
-def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Encode int16 samples (shape (n,) mono or (n, ch) interleaved —
-    stereo is the common real-world case) as an IMA ADPCM RIFF/WAVE
-    file (format tag 0x11, block_align 256·ch, fact chunk carrying the
-    exact frame count so decode round-trips the true length)."""
-    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
-        raise ValueError("ADPCM encode needs int16 samples, (n,) or (n, ch)")
-    ch = 1 if samples.ndim == 1 else samples.shape[1]
-    data = _adpcm_encode_blocks(samples)
+def _wav_adpcm_wrap(
+    data: bytes, n_frames: int, ch: int, sample_rate: int
+) -> bytes:
+    """RIFF/WAVE container for an IMA ADPCM block stream (format tag
+    0x11, block_align 256·ch, fact chunk carrying the exact frame
+    count so decode round-trips the true length)."""
     spb = _ADPCM_SPB
     block_align = ch * _ADPCM_BLOCK_ALIGN
     byte_rate = (sample_rate * block_align + spb - 1) // spb
@@ -718,10 +761,43 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"fact" + struct.pack("<II", 4, len(samples))
+        + b"fact" + struct.pack("<II", 4, n_frames)
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _check_adpcm_input(samples: np.ndarray) -> int:
+    if samples.dtype != np.int16 or samples.ndim not in (1, 2):
+        raise ValueError("ADPCM encode needs int16 samples, (n,) or (n, ch)")
+    return 1 if samples.ndim == 1 else samples.shape[1]
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 samples (shape (n,) mono or (n, ch) interleaved —
+    stereo is the common real-world case) as an IMA ADPCM RIFF/WAVE
+    file."""
+    ch = _check_adpcm_input(samples)
+    return _wav_adpcm_wrap(
+        _adpcm_encode_blocks(samples), len(samples), ch, sample_rate
+    )
+
+
+def encode_wav_adpcm_batch(
+    samples_list: list[np.ndarray], sample_rate: int = 16000
+) -> list[bytes]:
+    """Batch form of :func:`encode_wav_adpcm` — one coder pass over
+    every payload's stacked block rows (:func:`_adpcm_encode_blocks_
+    batch`), byte-identical per payload. This is the shape Arrow
+    encode kernels should call: per-payload encode pays the spb-1
+    sequential sample-steps once per WAV; the batch pays them once
+    per Arrow batch."""
+    chs = [_check_adpcm_input(s) for s in samples_list]
+    datas = _adpcm_encode_blocks_batch(samples_list)
+    return [
+        _wav_adpcm_wrap(d, len(s), ch, sample_rate)
+        for d, s, ch in zip(datas, samples_list, chs)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -865,7 +941,9 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
 
     @pandas_udf("binary")
     def make_wav(text: pd.Series) -> pd.Series:
-        out = []
+        out: list[bytes | None] = []
+        adpcm_tones: list[np.ndarray] = []
+        adpcm_slots: list[int] = []
         for t in text:
             d = hashlib.md5(("" if t is None else t).encode()).digest()
             freq = 200 + d[0] * 8  # 200-2240 Hz, text-deterministic
@@ -881,9 +959,19 @@ def synthesize_media(documents: DataFrame, kind: str = "image") -> DataFrame:
             if d[3] & 1:
                 tone = np.stack([tone, (tone // 2).astype(np.int16)], axis=1)
             if d[2] & 1:
-                out.append(encode_wav_adpcm(tone, 16000))
+                # defer: the ADPCM coder pays ~spb sequential numpy
+                # steps per CALL — batch every ADPCM row of this Arrow
+                # batch into one coder pass (byte-identical; see
+                # encode_wav_adpcm_batch)
+                adpcm_slots.append(len(out))
+                adpcm_tones.append(tone)
+                out.append(None)
             else:
                 out.append(encode_wav(tone, 16000))
+        for slot, wav in zip(
+            adpcm_slots, encode_wav_adpcm_batch(adpcm_tones, 16000)
+        ):
+            out[slot] = wav
         return pd.Series(out)
 
     @pandas_udf("binary")

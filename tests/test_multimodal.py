@@ -584,6 +584,22 @@ def test_adpcm_edge_lengths():
         assert (r, c, len(o.reshape(-1))) == (8000, 1, m)
 
 
+def test_adpcm_batch_encode_byte_identical():
+    """The batched encoder (one coder pass over every payload's
+    stacked block rows — the make_wav kernel's shape) must be
+    BYTE-identical to the per-payload path, across mixed mono/stereo
+    and edge lengths including the empty batch."""
+    payloads = []
+    for i, m in enumerate((0, 1, 2, 504, 505, 506, 1011, 2048, 5680)):
+        t = ((np.arange(m, dtype=np.int64) * (i + 3)) % 400 - 200).astype(np.int16)
+        if i % 2:
+            t = np.stack([t, (t // 2).astype(np.int16)], axis=1)
+        payloads.append(t)
+    singles = [mm.encode_wav_adpcm(t, 16000) for t in payloads]
+    assert mm.encode_wav_adpcm_batch(payloads, 16000) == singles
+    assert mm.encode_wav_adpcm_batch([], 16000) == []
+
+
 def test_adpcm_deterministic_and_sniffable():
     t = (np.arange(1000, dtype=np.int64) % 500 - 250).astype(np.int16)
     a = mm.encode_wav_adpcm(t, 16000)
