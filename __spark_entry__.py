@@ -2230,12 +2230,27 @@ def _q39_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     One `pq_index` call shares training + a checkpointed code frame
     between the two PQ branches; sq8 shares the same session-cached
     quantized prep frame."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf, "embeddings")
     ivf = similarity.ivf_topk(emb)
-    codes, ptk = similarity.pq_index(emb, prep=_shared_vec_prep(spark, sf))
-    sq_codes, sq_topk = similarity.sq8_index(
-        emb, prep=_shared_vec_prep(spark, sf)
-    )
+    # The two trainers are INDEPENDENT eager chains over the same
+    # shared prep frame: PQ pays a seed collect + two Lloyd-round jobs
+    # + the code-frame checkpoint, SQ8 pays its per-dim bounds job.
+    # Submitting them from two driver threads lets the scheduler
+    # back-fill one chain's barriers with the other's tasks (guide
+    # §2.6 overlap-independent-jobs) instead of serializing ~5 small
+    # jobs end to end. The prep frame is materialized ONCE up front so
+    # the session cache is not raced. Thread-safety note: exactly ONE
+    # of the two chains persists RDDs (pq_index's code-frame
+    # checkpoint; sq8 only collects), so local_checkpoint_tracked's
+    # single-persisting-thread id-diff assumption holds.
+    prep = _shared_vec_prep(spark, sf)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pq = pool.submit(similarity.pq_index, emb, prep=prep)
+        f_sq = pool.submit(similarity.sq8_index, emb, prep=prep)
+        codes, ptk = f_pq.result()
+        sq_codes, sq_topk = f_sq.result()
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     ns = F.lit(None).cast("int")  # label is int32 in the testdata schema

@@ -690,17 +690,15 @@ def _kmeans_train(v: DataFrame, k: int, iters: int):
             list(map(int, r.c_vec)) for r in rows
         ]
     for _ in range(iters):
-        a = _assign_to_matrix_udf(cells, cent)
-        sums = (
-            v.select(a("vec").getField("cell").alias("cell"), "vec")
-            .select("cell", F.posexplode("vec").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        # fused assignment + task-local partial sums (m=1 instance of
+        # the PQ kernel): ≤ k·dim partial rows leave each task instead
+        # of n·dim posexploded components through a corpus-wide
+        # aggregate — identical math, identical first-minimum
+        # tie-breaking (see _centroid_partial_sums)
+        sums = _centroid_partial_sums(v, 1, k, [cells], [cent])
         by_cell: dict[int, dict[int, tuple[int, int]]] = {}
         for r in sums:
-            by_cell.setdefault(int(r.cell), {})[int(r.pos)] = (int(r.s), int(r.n))
+            by_cell.setdefault(int(r.cell), {})[int(r.p)] = (int(r.s), int(r.n))
         cells = sorted(by_cell)
         cent = [
             [
@@ -972,13 +970,77 @@ def _pq_codes_udf(m: int, cells: list[list[int]], cent: list[list[list[int]]]):
     return codes.asNondeterministic()  # see minhash_sig_udf note in dedup.py
 
 
+def _centroid_partial_sums(
+    v: DataFrame, m: int, ks: int, cells: list[list[int]], cent
+) -> list:
+    """One Lloyd-update aggregation round, with the per-cell partial
+    sums computed INSIDE the Arrow kernel (guide §2.3: aggregate
+    before you shuffle — here before the Python→JVM boundary too):
+    per task, one numpy pass assigns every vector of every batch to
+    its per-subspace nearest codeword and accumulates the (sub, cell,
+    component) sums + counts into a dense (m, ks, d0) buffer, then
+    emits AT MOST m·ks·(dim/m) = ks·dim partial rows per task. The
+    old shape shipped the assignment back through posexplode —
+    n·dim exploded rows into a corpus-wide hash aggregate; this one
+    shuffles ks·dim rows per task regardless of n. A tiny final
+    groupBy folds the task partials (exact: int64 sums are
+    associative/commutative, |val| ≤ 2·QUANT so a task's partial is
+    < rows·2e6 ≪ 2^63) and the collect is the same k·dim driver
+    transfer as before. Invariant: every cell id < ks (ids descend
+    from the vec_id < ks seed filter and only ever shrink)."""
+    import pandas as pd
+
+    cellarrs = [np.asarray(c, dtype=np.int64) for c in cells]
+    cents = [np.asarray(c, dtype=np.int64) for c in cent]
+    d0s = [c.shape[1] for c in cents]
+
+    def part(batches):
+        sums = [np.zeros((ks, d), dtype=np.int64) for d in d0s]
+        cnts = np.zeros((m, ks), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.int64)  # (n, dim)
+            off = 0
+            for s in range(m):
+                d0 = d0s[s]
+                sub = V[:, off : off + d0]
+                off += d0
+                diff = sub[:, None, :] - cents[s][None, :, :]
+                d2 = np.einsum("nkd,nkd->nk", diff, diff)
+                cid = cellarrs[s][d2.argmin(axis=1)]
+                np.add.at(sums[s], cid, sub)
+                np.add.at(cnts[s], cid, 1)
+        rows: dict[str, list] = {"sub": [], "cell": [], "p": [], "s": [], "n": []}
+        for s in range(m):
+            for cell in np.nonzero(cnts[s])[0]:
+                n = int(cnts[s][cell])
+                for p in range(d0s[s]):
+                    rows["sub"].append(s)
+                    rows["cell"].append(int(cell))
+                    rows["p"].append(p)
+                    rows["s"].append(int(sums[s][cell, p]))
+                    rows["n"].append(n)
+        yield pd.DataFrame(rows)
+
+    return (
+        v.select("vec")
+        .mapInPandas(part, "sub int, cell long, p int, s long, n long")
+        .groupBy("sub", "cell", "p")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )
+
+
 def _pq_train(v: DataFrame, m: int, ks: int, iters: int):
     """Joint Lloyd training of all m subspace quantizers in ONE loop:
-    per round a single assignment kernel codes every subspace, ONE
-    posexplode + groupBy aggregates the (sub, cell, pos) partial sums
-    (m·ks·dim/m = ks·dim rows — the same k·dim driver state bound as
-    `_kmeans_train`), and the update is floor(sum/count) per
-    component (sums < 2^53, so the double divide is exact and
+    per round a single fused assignment+partial-sum kernel
+    (:func:`_centroid_partial_sums`) codes every subspace and emits
+    task-local (sub, cell, pos) partial sums (≤ ks·dim rows per task
+    — the same k·dim driver state bound as `_kmeans_train`; the
+    round-12 shape exploded every vector component through a
+    corpus-wide aggregate instead), and the update is floor(sum/count)
+    per component (sums < 2^53, so the double divide is exact and
     engine-portable). Seeds: subspace s of the vectors with
     vec_id < ks — the same deterministic seeding rule as the coarse
     quantizer, so the DuckDB oracle unrolls identical rounds. Empty
@@ -1001,19 +1063,7 @@ def _pq_train(v: DataFrame, m: int, ks: int, iters: int):
         for s in range(m)
     ]
     for _ in range(iters):
-        codes = _pq_codes_udf(m, cells, cent)
-        sums = (
-            v.select(codes("vec").alias("codes"), F.posexplode("vec").alias("pos", "val"))
-            .select(
-                F.expr(f"pos div {d0}").alias("sub"),
-                F.expr(f"element_at(codes, CAST(pos div {d0} AS INT) + 1)").alias("cell"),
-                F.expr(f"pos % {d0}").alias("p"),
-                "val",
-            )
-            .groupBy("sub", "cell", "p")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        sums = _centroid_partial_sums(v, m, ks, cells, cent)
         by_sub: dict[int, dict[int, dict[int, tuple[int, int]]]] = {}
         for r in sums:
             by_sub.setdefault(int(r.sub), {}).setdefault(int(r.cell), {})[

@@ -507,6 +507,57 @@ def test_pq_planted_clone_ranks_first(spark):
     assert d[(3, clone_id)] >= 0
 
 
+def test_trainers_match_bruteforce_lloyd(spark):
+    """The fused assignment+partial-sum kernel (_centroid_partial_sums,
+    the round-13 shape that replaced the posexplode aggregate) must
+    reproduce Lloyd state EXACTLY: both trainers vs a driver-side
+    numpy reference over the real small corpus — same seeding, same
+    first-minimum tie-break, same floor(sum/count) update."""
+    import math
+
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    v = similarity._kmeans_prep(emb)
+    rows = sorted(
+        ((int(r.vec_id), [int(x) for x in r.vec]) for r in v.collect())
+    )
+    V = np.array([vec for _, vec in rows], dtype=np.int64)
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+
+    def ref(m, ks, iters):
+        dim = V.shape[1]
+        d0 = dim // m
+        seed = V[ids < ks]
+        cells = [list(ids[ids < ks]) for _ in range(m)]
+        cent = [seed[:, s * d0 : (s + 1) * d0].copy() for s in range(m)]
+        for _ in range(iters):
+            ncells, ncent = [], []
+            for s in range(m):
+                sub = V[:, s * d0 : (s + 1) * d0]
+                d2 = ((sub[:, None, :] - cent[s][None, :, :]) ** 2).sum(axis=2)
+                cid = np.asarray(cells[s])[d2.argmin(axis=1)]
+                cl, ce = [], []
+                for c in sorted(set(int(x) for x in cid)):
+                    grp = sub[cid == c]
+                    cl.append(c)
+                    ce.append(
+                        [
+                            math.floor(int(grp[:, p].sum()) / len(grp))
+                            for p in range(d0)
+                        ]
+                    )
+                ncells.append(cl)
+                ncent.append(np.array(ce, dtype=np.int64))
+            cells, cent = ncells, ncent
+        return cells, [[list(map(int, row)) for row in c] for c in cent]
+
+    assert similarity._pq_train(v, 4, 8, 2) == ref(4, 8, 2)
+    kc, kv = similarity._kmeans_train(v, 8, 2)
+    rc, rv = ref(1, 8, 2)
+    assert (kc, kv) == (rc[0], rv[0])
+
+
 def test_pq_deterministic_across_partitionings(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     c1, t1 = similarity.pq_index(emb)
