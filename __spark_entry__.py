@@ -1155,15 +1155,43 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     estimates (one-sided overcounts included) hash-gate EXACTLY
     against the oracle's identical cell construction
     (operators/sketches.py)."""
+    from e_commerce_lakehouse_spark.operators.parallelize import (
+        local_checkpoint_tracked,
+    )
+
     li = load_table(spark, sf, "lineitem")
     p_cents = money.CENTS_SQL.format(x="l_extendedprice")
+    # ONE shared (returnflag, linestatus, partkey) count frame can
+    # feed every key-granular branch — exact distinct, top-5 parts,
+    # the CMS build, AND the HLL register build — so lineitem is
+    # scanned TWICE total (frame + the percentile/sketch aggregate,
+    # which must see raw rows) instead of five times, and the per-key
+    # md5 hashing runs once per DISTINCT key instead of once per row.
+    # Each derivation is an exact identity (distinct projections of
+    # the key set, sums of the counts, max-folded registers) — both
+    # paths hash-gate against the same oracle. SIZE-GATED like q46's
+    # reuse checkpoints: at sf0.1 the frame's eager materialization
+    # barrier costs more than the saved 8 MB scans (same-session A/B:
+    # 5-scan 3.06 vs shared-frame 3.67 s min over 8 alternated
+    # rounds), while at scale five lineitem passes dwarf a
+    # part-cardinality-bounded checkpoint.
+    if _scan_size_bytes(li) >= _REUSE_CKPT_MIN_BYTES:
+        rf_part, _ids = local_checkpoint_tracked(
+            li.groupBy("l_returnflag", "l_linestatus", "l_partkey").agg(
+                F.count(F.lit(1)).alias("_cnt")
+            )
+        )
+        buckets.track_pinned(_ids)
+    else:
+        rf_part = None
     # exact distinct as a TWO-LEVEL group-by, not count(DISTINCT) in
     # the sketch agg: mixing a distinct aggregate with percentile
     # buffers forces Spark's Expand+sort-agg rewrite (~8x slower
     # measured, and a full-width row expansion at 100 TB); two hash
     # aggregates + a 3-row broadcast join stay partial-agg safe.
     exact_distinct = (
-        li.select("l_returnflag", "l_partkey")
+        (li if rf_part is None else rf_part)
+        .select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_parts"))
@@ -1216,7 +1244,9 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     # lineitem once instead of twice. The merge row keeps its gate:
     # the oracle still recomputes the DIRECT estimate independently.
     regs_fine = sketch_ops.hll_registers(
-        li, "l_partkey", ["l_returnflag", "l_linestatus"]
+        li if rf_part is None else rf_part,
+        "l_partkey",
+        ["l_returnflag", "l_linestatus"],
     )
     hll_est = sketch_ops.hll_estimate_from_registers(
         sketch_ops.hll_merge_registers(regs_fine, ["l_returnflag"]),
@@ -1258,13 +1288,24 @@ def _q33_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
             "hll_x1000",
         )
     )
-    cms_cells = sketch_ops.countmin_cells(li.select("l_partkey"), "l_partkey")
-    top_parts = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
-        .limit(5)
-    )
+    if rf_part is None:
+        cms_cells = sketch_ops.countmin_cells(li.select("l_partkey"), "l_partkey")
+        top_parts = (
+            li.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("exact_cnt"))
+            .orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
+            .limit(5)
+        )
+    else:
+        cms_cells = sketch_ops.countmin_cells(
+            rf_part.select("l_partkey", "_cnt"), "l_partkey", weight_col="_cnt"
+        )
+        top_parts = (
+            rf_part.groupBy("l_partkey")
+            .agg(F.sum("_cnt").alias("exact_cnt"))
+            .orderBy(F.desc("exact_cnt"), F.asc("l_partkey"))
+            .limit(5)
+        )
     cms = sketch_ops.countmin_estimate(cms_cells, top_parts, "l_partkey").select(
         F.lit("cms").alias("kind"),
         F.lit(None).cast("string").alias("l_returnflag"),

@@ -488,11 +488,24 @@ def ivf_topk(
         norm_sq_q(F.col("c_vec")),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    # nearest-cell assignment as a map-side-combining argmax instead
+    # of a row_number window: the window Exchange+SORTED the full
+    # corpus×n_centroids cross frame by vec_id; max_by partial-
+    # aggregates each vector's n_centroids candidate rows down to ONE
+    # before the shuffle (n_centroids× fewer bytes, no sort).
+    # Ordering identity: argmax of (ccos, -centroid_id) ==
+    # row_number 1 under (ccos DESC, centroid_id ASC) — ties on ccos
+    # are broken by the unique centroid id, and Spark's max/greatest
+    # NaN-is-largest double semantics match the DESC sort's NaN-first.
     assigned = (
         vec.crossJoin(F.broadcast(cent))
         .withColumn("ccos", ccos)
-        .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") == 1)
+        .groupBy("vec_id", "label", "vec")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("_nc"))
+            ).alias("centroid_id")
+        )
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neighbor_label"),

@@ -31,6 +31,7 @@ def countmin_cells(
     depth: int = 4,
     width: int = 1024,
     pre_aggregate: bool | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the sketch: (row_idx, col_idx, c) cell counts, one row
     per NON-EMPTY cell (at most depth*width). Each input row
@@ -64,7 +65,13 @@ def countmin_cells(
             for i in range(depth)
         ]
     )
-    if pre_aggregate:
+    if weight_col is not None:
+        # caller-owned pre-aggregated weights (e.g. a shared per-key
+        # count frame that several sketch builds read instead of each
+        # re-scanning the raw table): cells are identical to the raw
+        # build because cell counts are sums of per-key weights
+        keyed = df.groupBy(key_col).agg(F.sum(weight_col).alias("_w"))
+    elif pre_aggregate:
         keyed = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_w"))
     else:
         keyed = df.select(F.col(key_col), F.lit(1).cast("long").alias("_w"))

@@ -888,39 +888,46 @@ def repetition_report(
     token count."""
     ns = sorted(thresholds)
 
-    def _grams_for(nn: int):
-        # one-arg lambda only: a second parameter would make PySpark
-        # bind F.transform's (element, index) form and pass the INDEX
-        # into it
-        return F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (nn - 1)),
-            lambda i: F.struct(
-                F.lit(nn).alias("n"),
-                F.array_join(F.slice("_toks", i, nn), " ").alias("gram"),
-            ),
-        )
-
     toks = documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.split("text", " ").alias("_toks"),
     )
-    grams = toks.select(
+    # gram construction is pure codegen: one position explode, then
+    # per n a when-guarded concat_ws over element_at lookups. The
+    # previous shape built the gram arrays with F.transform lambdas —
+    # higher-order functions are CodegenFallback (interpreted per
+    # element, the round-5 DSIR trap), and at ~3 lambda evals per
+    # token they were the dominant cost of this operator (same-session
+    # A/B in OPTIMIZATION_r13.md). Identical gram strings: concat_ws
+    # over the n never-null tokens == array_join(slice(...), ' '),
+    # and the pos + n - 1 <= size guard reproduces the old
+    # sequence(1, size-(n-1)) position set exactly.
+    pos_rows = toks.select(
         "doc_id",
         "n_chars",
-        F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.when(F.size("_toks") >= n, _grams_for(n)).otherwise(
-                            F.array().cast("array<struct<n:int,gram:string>>")
-                        )
-                        for n in ns
-                    ]
-                )
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks"))).alias("pos"),
+    )
+    gram_structs = F.array(
+        *[
+            F.when(
+                F.col("pos") + (n - 1) <= F.size("_toks"),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", *[F.expr(f"element_at(_toks, pos + {j})") for j in range(n)]
+                    ).alias("gram"),
+                ),
             )
-        ).alias("g"),
-    ).select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+            for n in ns
+        ]
+    )
+    grams = (
+        pos_rows.select("doc_id", "n_chars", F.explode(gram_structs).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
     counts = grams.groupBy("doc_id", "n_chars", "n", "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
