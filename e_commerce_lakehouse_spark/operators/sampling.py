@@ -362,16 +362,43 @@ def dsir_doc_buckets_frame(
     similarity.kmeans_prep_frame."""
     from .text import tokens
 
-    toks = tokens(F.col("text"))
-    bi = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    # gram construction is pure codegen: one position explode, then
+    # the unigram + a when-guarded bigram per position (concat_ws over
+    # element_at lookups). The previous shape built the bigram array
+    # with an F.transform lambda — higher-order functions are
+    # CodegenFallback, interpreted per element — which dominated this
+    # corpus explode (the q34 'dsir' cache line). Identical gram
+    # multiset: every position emits its unigram, positions with a
+    # successor emit the joined bigram, matching the old
+    # concat(toks, bi) explode exactly (incl. the size<2 edge).
+    pos_rows = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "_toks",
+        F.explode(F.sequence(F.lit(1), F.size("_toks"))).alias("pos"),
     )
-    grams_arr = F.when(F.size(toks) >= 2, F.concat(toks, bi)).otherwise(toks)
+    gram_arr = F.array(
+        F.expr("element_at(_toks, pos)"),
+        F.when(
+            F.col("pos") < F.size("_toks"),
+            F.concat_ws(
+                " ",
+                F.expr("element_at(_toks, pos)"),
+                F.expr("element_at(_toks, pos + 1)"),
+            ),
+        ),
+    )
     return (
-        documents.select(
-            "doc_id", "lang", "source", F.explode(grams_arr).alias("gram")
+        pos_rows.select(
+            "doc_id", "lang", "source", F.explode(gram_arr).alias("gram")
         )
+        .filter(F.col("gram").isNotNull())
         .withColumn("bucket", _hash60(F.col("gram")) % n_buckets)
         .groupBy("doc_id", "lang", "source", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -248,15 +248,29 @@ def _winnow_chain(documents: DataFrame, k: int, window: int) -> DataFrame:
     from .dedup import _md5_hash64
     from .parallelize import spread_for_cpu
 
-    # gram construction is an interpreted higher-order function — make
-    # sure a single-file scan doesn't serialize it onto one core
+    # the gram build is the heavy pre-shuffle map — make sure a
+    # single-file scan doesn't serialize it onto one core
     documents = spread_for_cpu(documents)
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    # pure-codegen gram construction: position explode + concat_ws
+    # over element_at lookups. The previous F.transform lambda shape
+    # (higher-order functions are CodegenFallback, interpreted per
+    # element) paid ~k lambda evals per token; identical (pos, gram)
+    # pairs — pos is the same 0-based gram index posexplode produced.
+    g = (
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(F.sequence(F.lit(0), F.size("_toks") - k)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ", *[F.expr(f"element_at(_toks, pos + {j + 1})") for j in range(k)]
+            ).alias("gram"),
+        )
     )
-    g = documents.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     return g.select(
         "doc_id", F.min(_md5_hash64(F.col("gram"), 0)).over(w).alias("fp")
