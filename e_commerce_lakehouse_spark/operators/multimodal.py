@@ -483,14 +483,9 @@ def _pcm_to_int16(pcm: bytes, audio_fmt: int, bits: int, channels: int) -> np.nd
     return s.reshape(-1, channels)
 
 
-def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a RIFF/WAVE file to (sample_rate, channels, int16 array
-    of shape (n_frames, channels)). Integer PCM (8/16/24/32), IEEE
-    float PCM (32/64), G.711 mu-law/A-law, and IMA ADPCM (format tag
-    0x11, fact-chunk-trimmed) decode in-repo at any channel count —
-    every non-16-bit family lands as int16 (high 16 bits / scaled /
-    G.711 tables), the repo's canonical sample dtype. Other codecs
-    raise NotImplementedError (external-decoder concern)."""
+def _parse_wav(data: bytes):
+    """RIFF walk shared by decode_wav and decode_wav_batch:
+    (sample_rate, channels, audio_fmt, spb, bits, fact_frames, pcm)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, sample_rate, channels, pcm = 12, None, None, None
@@ -509,16 +504,70 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if sample_rate is None or pcm is None:
         raise ValueError("missing fmt or data chunk")
+    if audio_fmt == 0x11 and fact_frames is None:
+        # the spec requires fact for compressed WAV; without it the
+        # final-block padding is indistinguishable from data —
+        # refuse rather than silently inflate duration/RMS
+        raise ValueError("IMA ADPCM WAV without a fact chunk")
+    return sample_rate, channels, audio_fmt, spb, bits, fact_frames, pcm
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a RIFF/WAVE file to (sample_rate, channels, int16 array
+    of shape (n_frames, channels)). Integer PCM (8/16/24/32), IEEE
+    float PCM (32/64), G.711 mu-law/A-law, and IMA ADPCM (format tag
+    0x11, fact-chunk-trimmed) decode in-repo at any channel count —
+    every non-16-bit family lands as int16 (high 16 bits / scaled /
+    G.711 tables), the repo's canonical sample dtype. Other codecs
+    raise NotImplementedError (external-decoder concern)."""
+    sample_rate, channels, audio_fmt, spb, bits, fact_frames, pcm = _parse_wav(data)
     if audio_fmt == 0x11:
-        if fact_frames is None:
-            # the spec requires fact for compressed WAV; without it the
-            # final-block padding is indistinguishable from data —
-            # refuse rather than silently inflate duration/RMS
-            raise ValueError("IMA ADPCM WAV without a fact chunk")
         samples = _adpcm_decode_blocks(pcm, spb, channels)[:fact_frames]
         return sample_rate, channels, samples
     samples = _pcm_to_int16(pcm, audio_fmt, bits, channels)
     return sample_rate, channels, samples
+
+
+def decode_wav_batch(datas: list[bytes]) -> list[tuple[int, int, np.ndarray]]:
+    """Batch form of :func:`decode_wav`, result-identical per payload.
+    PCM/G.711 families decode per payload (already one numpy gather or
+    view each); IMA ADPCM payloads — whose per-payload cost is the
+    spb-1 sequential sample-steps, ~500 tiny numpy ops per WAV — are
+    grouped by (samplesPerBlock), their independent block rows stacked,
+    and the sequential steps run ONCE per group (the decode mirror of
+    :func:`encode_wav_adpcm_batch`). This is the shape Arrow kernels
+    over many small audio payloads should call."""
+    out: list = [None] * len(datas)
+    adpcm: dict[int, list] = {}  # spb -> [(slot, nib, pred, idx, nb, ch, fact)]
+    for slot, data in enumerate(datas):
+        sample_rate, channels, audio_fmt, spb, bits, fact_frames, pcm = _parse_wav(
+            data
+        )
+        if audio_fmt == 0x11:
+            nib, pred, idx, nb = _adpcm_parse_rows(pcm, spb, channels)
+            adpcm.setdefault(spb, []).append(
+                (slot, sample_rate, nib, pred, idx, nb, channels, fact_frames)
+            )
+        else:
+            out[slot] = (
+                sample_rate,
+                channels,
+                _pcm_to_int16(pcm, audio_fmt, bits, channels),
+            )
+    for spb, items in adpcm.items():
+        decoded = _adpcm_decode_rows(
+            np.concatenate([it[2] for it in items]),
+            np.concatenate([it[3] for it in items]),
+            np.concatenate([it[4] for it in items]),
+            spb,
+        )
+        row = 0
+        for slot, sample_rate, _nib, _pred, _idx, nb, ch, fact in items:
+            r = nb * ch
+            frames = _adpcm_rows_to_frames(decoded[row : row + r], nb, ch)[:fact]
+            out[slot] = (sample_rate, ch, frames)
+            row += r
+    return out
 
 
 def wav_header_info(data: bytes) -> tuple[int, int, int]:
@@ -690,15 +739,16 @@ def _adpcm_encode_blocks_batch(samples_list: list[np.ndarray]) -> list[bytes]:
     return out
 
 
-def _adpcm_decode_blocks(data: bytes, spb: int, channels: int = 1) -> np.ndarray:
-    """IMA ADPCM block stream → int16 frames of shape (n, channels)
-    (incl. any final-block padding — callers trim via the fact chunk).
-    Vectorized across (block, channel) rows at each of the spb-1
-    sequential sample-steps. Multi-channel expects the tag-0x11
-    interleave: ch headers, then 4-byte nibble groups alternating per
-    channel — which requires (spb-1)/2 per-channel nibble bytes to be
-    a multiple of 4 (true of every spec-conformant multi-channel
-    stream; rejected loudly otherwise)."""
+def _adpcm_parse_rows(
+    data: bytes, spb: int, channels: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """ADPCM block stream → (per-channel nibble rows (nb·ch,
+    per_ch_bytes), per-row predictor, per-row step index, nb).
+    Multi-channel expects the tag-0x11 interleave: ch headers, then
+    4-byte nibble groups alternating per channel — which requires
+    (spb-1)/2 per-channel nibble bytes to be a multiple of 4 (true of
+    every spec-conformant multi-channel stream; rejected loudly
+    otherwise)."""
     per_ch_bytes = (spb - 1 + 1) // 2  # == spb // 2 for the odd spb the spec implies
     block_align = channels * (4 + per_ch_bytes)
     raw = np.frombuffer(data, dtype=np.uint8)
@@ -725,11 +775,24 @@ def _adpcm_decode_blocks(data: bytes, spb: int, channels: int = 1) -> np.ndarray
         )
     else:
         nib = blocks[:, 4:]
-    codes = np.empty((nb * channels, per_ch_bytes * 2), dtype=np.uint8)
+    return nib, pred, idx, nb
+
+
+def _adpcm_decode_rows(
+    nib: np.ndarray, pred: np.ndarray, idx: np.ndarray, spb: int
+) -> np.ndarray:
+    """The sequential decoder core: packed nibble rows + per-row
+    header state → (rows, spb) int16. Rows are independent (mirror of
+    :func:`_adpcm_code_rows`), so callers may stack MANY payloads'
+    rows (same spb) and pay the spb-1 sequential sample-steps once
+    per batch instead of once per payload."""
+    codes = np.empty((nib.shape[0], nib.shape[1] * 2), dtype=np.uint8)
     codes[:, 0::2] = nib & 0x0F
     codes[:, 1::2] = nib >> 4
-    out = np.empty((nb * channels, spb), dtype=np.int16)
+    out = np.empty((nib.shape[0], spb), dtype=np.int16)
     out[:, 0] = pred.astype(np.int16)
+    pred = pred.copy()
+    idx = idx.copy()
     for j in range(spb - 1):
         code = codes[:, j].astype(np.int64)
         step = _IMA_STEP_TABLE[idx]
@@ -742,8 +805,22 @@ def _adpcm_decode_blocks(data: bytes, spb: int, channels: int = 1) -> np.ndarray
         pred = np.clip(pred + np.where(code & 8, -delta, delta), -32768, 32767)
         idx = np.clip(idx + _IMA_INDEX_TABLE[code & 7], 0, 88)
         out[:, j + 1] = pred.astype(np.int16)
-    # (nb·ch, spb) per-channel rows → interleaved (frames, ch)
+    return out
+
+
+def _adpcm_rows_to_frames(out: np.ndarray, nb: int, channels: int) -> np.ndarray:
+    """(nb·ch, spb) per-channel rows → interleaved (frames, ch)."""
+    spb = out.shape[1]
     return out.reshape(nb, channels, spb).transpose(0, 2, 1).reshape(-1, channels)
+
+
+def _adpcm_decode_blocks(data: bytes, spb: int, channels: int = 1) -> np.ndarray:
+    """IMA ADPCM block stream → int16 frames of shape (n, channels)
+    (incl. any final-block padding — callers trim via the fact chunk).
+    Single-payload form; batch decoders stack rows through
+    :func:`_adpcm_decode_rows` directly (see decode_wav_batch)."""
+    nib, pred, idx, nb = _adpcm_parse_rows(data, spb, channels)
+    return _adpcm_rows_to_frames(_adpcm_decode_rows(nib, pred, idx, spb), nb, channels)
 
 
 def _wav_adpcm_wrap(
@@ -1391,14 +1468,22 @@ def audio_fingerprint(media: DataFrame, blocks: int = 65) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # batch-decode the WAVs (decode_wav_batch): the ADPCM
+            # payloads of the whole Arrow batch pay the sequential
+            # sample-steps once instead of once per payload
+            ids, datas = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
                 data = bytes(payload)
                 if sniff_mime(data) != "audio/wav":
                     continue
-                _rate, _ch, samples = decode_wav(data)
+                ids.append(media_id)
+                datas.append(data)
+            rows = []
+            for media_id, (_rate, _ch, samples) in zip(
+                ids, decode_wav_batch(datas)
+            ):
                 mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
                 if len(mono) < blocks:
                     continue
@@ -1437,14 +1522,19 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # batch-decode (see audio_fingerprint): one sequential
+            # ADPCM pass per Arrow batch, not per payload
+            ids, datas = [], []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
                 data = bytes(payload)
                 if sniff_mime(data) != "audio/wav":
                     continue
-                rate, ch, samples = decode_wav(data)
+                ids.append(media_id)
+                datas.append(data)
+            rows = []
+            for media_id, (rate, ch, samples) in zip(ids, decode_wav_batch(datas)):
                 mono = samples.astype(np.int64).mean(axis=1)
                 n = len(mono)
                 crossings = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0

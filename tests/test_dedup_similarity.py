@@ -902,6 +902,28 @@ def test_rrf_caller_owned_semantic_ranking_is_identical(spark):
     assert external == internal
 
 
+def test_rrf_sem_contract_violations_raise(spark):
+    """The sem override's pool contract is enforced: undeclared k,
+    k < pool, and missing columns all raise instead of silently
+    fusing a truncated candidate set (round-12 ADVICE)."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sem = similarity.cosine_topk(emb, query_max_id=5, k=15)
+    with _pytest.raises(ValueError, match="requires sem_k"):
+        similarity.hybrid_rrf_topk(docs, emb, query_max_id=5, k=5, pool=10, sem=sem)
+    with _pytest.raises(ValueError, match="k=5 < pool=10"):
+        similarity.hybrid_rrf_topk(
+            docs, emb, query_max_id=5, k=5, pool=10, sem=sem, sem_k=5
+        )
+    with _pytest.raises(ValueError, match="missing required columns"):
+        similarity.hybrid_rrf_topk(
+            docs, emb, query_max_id=5, k=5, pool=10,
+            sem=sem.drop("rank"), sem_k=15,
+        )
+
+
 def test_ivf_plan_broadcasts_probe_side(spark):
     """Plan gate for the round-12 shape: the probe->cell attach is a
     broadcast of the (queries x nprobe)-row probe table — the corpus

@@ -691,3 +691,12 @@ def test_dsir_caller_owned_feature_frame_is_identical(spark):
         ).orderBy("rk").collect()
     ]
     assert external == internal
+    # the bucket-count coupling is enforced (round-12 ADVICE): an
+    # undeclared or mismatched count raises instead of silently
+    # skewing the Laplace smoothing terms
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires docb_n_buckets"):
+        sampling.dsir_select(docs, docb=docb)
+    with _pytest.raises(ValueError, match="n_buckets=128"):
+        sampling.dsir_select(docs, docb=docb, docb_n_buckets=128)

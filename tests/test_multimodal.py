@@ -600,6 +600,27 @@ def test_adpcm_batch_encode_byte_identical():
     assert mm.encode_wav_adpcm_batch([], 16000) == []
 
 
+def test_decode_wav_batch_identical():
+    """decode_wav_batch == per-payload decode_wav across PCM, G.711-
+    free synthetic mixes of mono/stereo PCM and ADPCM — the decode
+    mirror of the batch encoder's identity."""
+    payloads = []
+    for i, m in enumerate((1, 2, 504, 505, 1011, 2048)):
+        t = ((np.arange(m, dtype=np.int64) * (i + 5)) % 500 - 250).astype(np.int16)
+        if i % 2:
+            t = np.stack([t, (t // 3).astype(np.int16)], axis=1)
+        payloads.append(
+            mm.encode_wav_adpcm(t, 16000) if i % 3 else mm.encode_wav(t, 16000)
+        )
+    singles = [mm.decode_wav(p) for p in payloads]
+    batch = mm.decode_wav_batch(payloads)
+    assert len(batch) == len(singles)
+    for (r1, c1, s1), (r2, c2, s2) in zip(singles, batch):
+        assert (r1, c1) == (r2, c2)
+        assert np.array_equal(s1, s2)
+    assert mm.decode_wav_batch([]) == []
+
+
 def test_adpcm_deterministic_and_sniffable():
     t = (np.arange(1000, dtype=np.int64) % 500 - 250).astype(np.int16)
     a = mm.encode_wav_adpcm(t, 16000)
